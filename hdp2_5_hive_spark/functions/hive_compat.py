@@ -1,0 +1,58 @@
+"""Hive-semantics expression shims over ``pyspark.sql.functions``.
+
+Two jobs (SURVEY.md §2.9 / §7 "hard parts"):
+
+1. Hive functions whose Spark twin differs slightly in name/shape
+   (``nvl``, ``if`` — reference registrations
+   ``ql/.../exec/FunctionRegistry.java:258,322``).
+
+2. **Deterministic float aggregation.** Summing doubles is
+   order-dependent; a distributed sum and the single-threaded DuckDB
+   oracle would disagree in the last ulp and fail the driver's
+   value-hash compare. ``dsum``/``davg`` therefore route double sums
+   through DECIMAL(38,6): decimal addition is exact and associative,
+   so any shuffle/partial-agg order gives bit-identical results — at
+   100 TB exactly as at sf0.01. (Hive itself aggregates DECIMAL
+   exactly; ``GenericUDAFSum.java`` keeps a decimal accumulator.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale for the exact-decimal accumulator. 38 total digits leaves 32
+# integer digits at scale 6 — ample headroom for 100 TB sums of prices.
+_DECIMAL = "decimal(38,6)"
+
+
+def exact_sum_expr(expr: str, alias: str) -> str:
+    """SQL-text form of ``dsum`` for use inside ``spark.sql`` strings
+    (and, symmetrically, in DuckDB oracle SQL)."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,6))) AS DOUBLE) AS {alias}"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent SUM over a double column (exact decimal
+    accumulator, result cast back to double)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DECIMAL)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count in
+    double space (both engines do the identical final division)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(_DECIMAL)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def nvl(col: Column, default: Column) -> Column:
+    """Hive ``nvl`` (FunctionRegistry.java:258) — two-arg coalesce."""
+    return F.coalesce(col, default)
+
+
+def hive_if(cond: Column, then: Column, otherwise: Column) -> Column:
+    """Hive ``if(cond, a, b)`` (FunctionRegistry.java:322)."""
+    return F.when(cond, then).otherwise(otherwise)

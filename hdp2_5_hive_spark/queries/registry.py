@@ -1,0 +1,83 @@
+"""Query registry machinery.
+
+The registry is the engine's equivalent of Hive's qfile list: a named,
+enumerable suite where every entry is independently runnable and
+oracle-checked (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..catalog import Tables, register_views
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None → rows-only check
+    category: str
+    doc: str = ""
+
+
+_REGISTRY: dict[str, Query] = {}
+
+# Cache of registered-view Tables per (session id, sf_dir) so each
+# query call doesn't re-register ten views.
+_TABLES_CACHE: dict[tuple[int, str], Tables] = {}
+
+
+def tables_for(spark: SparkSession, sf_dir: str) -> Tables:
+    key = (id(spark), sf_dir)
+    if key not in _TABLES_CACHE:
+        _TABLES_CACHE[key] = register_views(spark, sf_dir)
+    return _TABLES_CACHE[key]
+
+
+def register(
+    name: str, oracle: str | None = None, category: str = "core"
+) -> Callable[[Callable[..., DataFrame]], QueryFn]:
+    """Decorator: register ``fn(spark, tables) -> DataFrame`` under
+    ``name``. The wrapper adapts to the driver's ``(spark, sf_dir)``
+    calling convention and guarantees temp views exist."""
+
+    def deco(fn: Callable[..., DataFrame]) -> QueryFn:
+        def wrapper(spark: SparkSession, sf_dir: str) -> DataFrame:
+            t = tables_for(spark, sf_dir)
+            return fn(spark, t)
+
+        wrapper.__name__ = f"query_{name}"
+        wrapper.__doc__ = fn.__doc__
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = Query(
+            name=name,
+            fn=wrapper,
+            oracle=oracle.strip() if oracle else None,
+            category=category,
+            doc=(fn.__doc__ or "").strip(),
+        )
+        return wrapper
+
+    return deco
+
+
+def all_queries() -> dict[str, Query]:
+    from . import load_all
+
+    load_all()
+    return dict(_REGISTRY)
+
+
+def query_map() -> dict[str, QueryFn]:
+    return {n: q.fn for n, q in all_queries().items()}
+
+
+def oracle_map() -> dict[str, str]:
+    return {n: q.oracle for n, q in all_queries().items() if q.oracle}
