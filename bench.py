@@ -1,0 +1,82 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Timing method: each query plan is fully executed into a no-op sink
+(``format("noop")``) so computation isn't skipped by column pruning
+and the driver never materializes results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hdp2_5_hive_spark.queries import all_queries
+from hdp2_5_hive_spark.session import get_session
+
+# Headline set: core OLAP chain + join/agg/window depth + the
+# pipeline extensions. Chosen to cover every shuffle shape
+# (broadcast join, SMJ, partial agg, window, explode, LSH bucket
+# join) while staying collect-free.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "q10_returned_items",
+    "q18_large_orders",
+    "join_inner_basic",
+    "agg_distinct_multi",
+    "agg_cube_grouping_id",
+    "win_topk_per_group",
+    "win_running_sum",
+    "orderby_limit",
+    "explode_words",
+    "events_sessionize",
+    "dedup_exact",
+    "text_profile",
+    "ann_cosine_topk",
+    "dedup_near_minhash",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_session(app_name="hdp2_5_hive_spark-bench")
+
+    qs = all_queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name].fn
+        # warm the plan (parquet footer reads, first-time codegen)
+        df = fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

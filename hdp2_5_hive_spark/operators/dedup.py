@@ -1,0 +1,253 @@
+"""Deduplication operators for large-scale document pipelines.
+
+The reference engine has no dedup operators (its surface is SQL-only);
+these are the training-data-pipeline extensions (BASELINE.json
+north-star). All are pure DataFrame compositions — no Python in the
+row path — so they scale as ordinary shuffles:
+
+- exact dedup: hash-groupBy on a normalized fingerprint. Map-side
+  partial agg collapses duplicates before the shuffle.
+- MinHash + LSH near-dedup: shingle → k minhashes → banded bucket
+  join. Candidate generation is |bands|×N rows hashed into buckets;
+  only same-bucket pairs are compared, then exact-verified. At 100 TB
+  the bucket join replaces the O(N²) pair enumeration; skewed buckets
+  (boilerplate docs) are handled by AQE skew-join.
+- SimHash: 64-bit sign-vector fingerprint via per-token hash bit
+  votes; near-dups differ in few bits.
+
+Determinism: every hash is xxhash64 with fixed seeds, so results are
+reproducible across runs/cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+
+def words_col(text: Column) -> Column:
+    """Whitespace tokens of lowercased text."""
+    return F.split(F.lower(text), " ")
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (order-insensitive set).
+
+    Guarded for docs shorter than k words (empty set).
+    """
+    w = words_col(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (k - 1))  # 1-based start positions
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + off) for off in range(k)]
+    )
+    return F.when(n >= k, F.array_distinct(F.transform(idx, gram))).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def jaccard_col(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string-array *sets* (already distinct).
+    Integer-count division → bit-identical across engines."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for exact duplicate detection: lowercase,
+    collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical (normalized) texts: keep min id as canonical,
+    report group size. One hash-shuffle on the md5 fingerprint."""
+    fp = F.md5(normalize_text(F.col(text_col)).cast("binary"))
+    return (
+        df.select(F.col(id_col), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-doc minhash signature as columns _mh0.._mh{k-1}.
+
+    Shape: explode shingles → ONE hash-aggregate with k vectorized
+    MIN expressions. A single pass over the data with map-side
+    partial mins; the shuffle carries k longs per doc — the layout
+    that survives 100 TB (vs per-row array re-traversal, which is
+    O(k·|shingles|) codegen inside one projection).
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_s"),
+    )
+    aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated.
+
+    bands = num_hashes / rows_per_band. With 32 bands × 2 rows a true
+    pair at Jaccard 0.7 is missed with p ≈ (1-0.49)^32 ≈ 4e-10 —
+    effectively exhaustive recall above any dedup threshold, while
+    only same-bucket pairs are ever enumerated.
+    """
+    n_bands = num_hashes // rows_per_band
+    with_sig = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    )
+    bands = with_sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col(f"_mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    left = bands.select(
+        F.col("_id").alias("id_a"), "band", "bucket"
+    )
+    right = bands.select(F.col("_id").alias("id_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def near_duplicate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidates exact-verified by n-gram Jaccard ≥
+    threshold. Output: (id_a, id_b, jaccard). Semantically equal to
+    the O(N²) brute force (the oracle), at bucket-join cost."""
+    cands = lsh_candidate_pairs(
+        df,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        shingle_k=shingle_k,
+    )
+    sh = df.select(
+        F.col(id_col).alias("_sid"),
+        shingles_col(F.col(text_col), shingle_k).alias("_sh"),
+    )
+    a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_mask(j: int) -> int:
+    """Mask for bit j of a signed 64-bit long (bit 63 = sign bit;
+    1<<63 overflows, use its two's-complement value)."""
+    return (1 << j) if j < 63 else -(1 << 63)
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash per document: (id_col, simhash).
+
+    Single explode of the token stream, then one hash-aggregate with
+    64 vectorized bit-vote SUMs (sign of each vote -> fingerprint
+    bit). Map-side partial sums collapse the shuffle to 64 longs per
+    doc -- the same one-pass shape as minhash_signatures.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(words_col(F.col(text_col))).alias("_w"),
+    ).select("_id", F.xxhash64(F.col("_w")).alias("_h"))
+    votes = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("_h").bitwiseAND(F.lit(_bit_mask(j))) != 0, 1).otherwise(
+                    -1
+                )
+            ).alias(f"_v{j}")
+            for j in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for j in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"_v{j}") > 0, F.lit(_bit_mask(j)))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+    return votes.select(F.col("_id").alias(id_col), fp.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,102 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, fingerprinting (training-data-pipeline extensions).
+
+Everything is built-in-function composition — codegen'd JVM
+expressions, no UDFs — so a 100 TB documents scan stays a map-only
+stage with full pushdown.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword marker lists (heuristic n-gram-free
+# language ID — the classic stopword-hit method).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une"],
+    "es": ["el", "la", "los", "y", "es", "un", "una"],
+    "zh": ["的", "是", "了", "在", "和", "有", "不"],
+}
+
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}]"
+_TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"  # BPE-ish: words or single marks
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Regex token count: word chunks + individual punctuation, a
+    cheap proxy for BPE token counts."""
+    return F.size(F.regexp_extract_all(text, F.lit(_TOKEN_RE), 0))
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Length / punctuation / stopword-ratio quality signals."""
+    n_chars = F.length(text)
+    words = F.split(F.lower(text), r"\s+")
+    n_words = F.size(words)
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(_PUNCT_RE), 0))
+    stop = F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])
+    n_stop = F.size(F.array_intersect(words, stop))
+    mean_wlen = (n_chars - (n_words - 1)).cast("double") / n_words
+    return {
+        "n_chars": n_chars.cast("bigint"),
+        "n_words": n_words.cast("bigint"),
+        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        "stopword_hits": n_stop.cast("bigint"),
+        "mean_word_len": F.round(mean_wlen, 6),
+    }
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit counts over the token multiset."""
+    words = F.split(F.lower(text), r"\s+")
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(
+            F.filter(words, lambda w: F.array_contains(marker_arr, w))
+        )
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """argmax language by marker hits; 'und' (undetermined) when all
+    scores are zero. Deterministic tie-break by language code order."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_max(pairs)  # struct compare: score first, then lang
+    return F.when(best.getField("score") > 0, best.getField("lang")).otherwise(
+        F.lit("und")
+    )
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (Hive md5, FunctionRegistry.java:230 — portable to any engine)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm.cast("binary"))
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass profile: tokens, quality, language guess, fingerprint."""
+    text = F.col(text_col)
+    feats = quality_features(text)
+    return df.select(
+        F.col(id_col),
+        *[c.alias(n) for n, c in feats.items()],
+        bpe_ish_token_count(text).alias("n_bpe_tokens"),
+        lang_id(text).alias("lang_guess"),
+        doc_fingerprint(text).alias("fingerprint"),
+    )

@@ -1,0 +1,83 @@
+"""Oracle comparison utilities — DuckDB as golden-output generator.
+
+Mirrors the reference's golden-file comparison modes
+(``QTestUtil.java:875-882``: SortPrintStream / DigestPrintStream):
+rows are canonicalized, column-sorted, row-sorted, and compared
+exactly — a strict local stand-in for the driver's order-insensitive
+value-hash gate.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+from .catalog import TABLES, table_path
+
+
+def connect_oracle(sf_dir: str) -> "duckdb.DuckDBPyConnection":
+    """DuckDB connection with every testdata table as a view —
+    the same names the driver pre-registers."""
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+    return con
+
+
+def canon(v: object) -> str:
+    """Canonicalize one value for order-insensitive comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(v).lower()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def rows_canon(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
+    """Column-sorted, row-sorted canonical row tuples."""
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
+
+
+def compare_query(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
+    """Run a Spark DataFrame against its oracle SQL; exact compare.
+    Returns (ok, detail)."""
+    scols = spark_df.columns
+    srows = [tuple(r) for r in spark_df.collect()]
+    rel = con.execute(oracle_sql)
+    dcols = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    if sorted(scols) != sorted(dcols):
+        return False, f"columns spark={sorted(scols)} duck={sorted(dcols)}"
+    if len(srows) != len(drows):
+        return False, f"rowcount spark={len(srows)} duck={len(drows)}"
+    sc = rows_canon(scols, srows)
+    dc = rows_canon(dcols, drows)
+    if sc != dc:
+        diffs = [(a, b) for a, b in zip(sc, dc) if a != b]
+        return False, (
+            f"{len(diffs)}/{len(sc)} rows differ; first: "
+            f"spark={diffs[0][0]} duck={diffs[0][1]}"
+        )
+    return True, f"{len(srows)} rows"

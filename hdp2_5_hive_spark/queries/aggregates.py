@@ -1,1 +1,240 @@
-"""aggregates queries (filled in incrementally)."""
+"""Aggregation depth — GroupByOperator surface (SURVEY.md §2.5).
+
+Reference: ``ql/.../exec/GroupByOperator.java:73`` (hash + sort agg,
+partial/final modes ``ql/plan/GroupByDesc.java:38-55``), grouping-set
+bitset expansion (``GroupByOperator.java:127-211``), DISTINCT via
+union-tag encoding in ReduceSink (``ReduceSinkOperator.java:131-136``),
+UDAF registrations ``exec/FunctionRegistry.java:364-392``.
+
+Spark does partial/final automatically (map-side combine before the
+shuffle — at 100 TB the shuffle carries |groups| rows per partition,
+not the raw data). Grouping sets are Catalyst ``Expand`` nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import dsum
+from .registry import register
+
+
+@register(
+    "agg_minmax_suite",
+    oracle="""
+SELECT l_returnflag,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+       MIN(l_shipdate) AS min_shipdate, MAX(l_shipdate) AS max_shipdate,
+       MIN(l_linestatus) AS min_status,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_minmax_suite(spark, t):
+    """min/max over numeric, timestamp, string (FunctionRegistry
+    :364-365) — order statistics are exact, no float-sum issues."""
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.min("l_shipdate").alias("min_shipdate"),
+        F.max("l_shipdate").alias("max_shipdate"),
+        F.min("l_linestatus").alias("min_status"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_distinct_multi",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS nd_parts,
+       COUNT(DISTINCT l_suppkey) AS nd_supps,
+       COUNT(DISTINCT l_orderkey) AS nd_orders,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_distinct_multi(spark, t):
+    """Multi-DISTINCT in one aggregate — Hive's union-tag encoding
+    (ReduceSinkOperator.java:131-136) → Catalyst Expand rewrite."""
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.countDistinct("l_orderkey").alias("nd_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+SELECT c_mktsegment, c_nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+FROM customer
+GROUP BY ROLLUP (c_mktsegment, c_nationkey)
+""",
+    category="aggregates",
+)
+def agg_rollup(spark, t):
+    """ROLLUP (HiveLexer.g:268; bitset expansion
+    GroupByOperator.java:127-211) → df.rollup."""
+    return t.customer.rollup("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"), dsum("c_acctbal", "sum_bal")
+    )
+
+
+@register(
+    "agg_cube_grouping_id",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    category="aggregates",
+)
+def agg_cube_grouping_id(spark, t):
+    """CUBE + GROUPING__ID virtual column
+    (metadata/VirtualColumn.java:65) → df.cube + F.grouping_id."""
+    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    category="aggregates",
+)
+def agg_grouping_sets(spark, t):
+    """Explicit GROUPING SETS (HiveLexer.g:282) via Spark SQL."""
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 15
+""",
+    category="aggregates",
+)
+def agg_having(spark, t):
+    """HAVING = post-aggregation FilterOperator (SemanticAnalyzer
+    genHavingPlan) → filter over agg output."""
+    return (
+        t.orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "spend"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "agg_stats_suite",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(STDDEV_POP(l_quantity), 4)  AS sd_pop_qty,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS sd_samp_qty,
+       ROUND(VAR_POP(l_quantity), 4)     AS var_pop_qty,
+       ROUND(VAR_SAMP(l_quantity), 4)    AS var_samp_qty,
+       ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(COVAR_POP(l_quantity, l_extendedprice), 2) AS covar_pop_qp,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar_samp_qp
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_stats_suite(spark, t):
+    """Statistical UDAFs (FunctionRegistry.java:370-379). Rounded —
+    variance algorithms are numerically equivalent, not bit-equal."""
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.stddev_pop(q), 4).alias("sd_pop_qty"),
+        F.round(F.stddev_samp(q), 4).alias("sd_samp_qty"),
+        F.round(F.var_pop(q), 4).alias("var_pop_qty"),
+        F.round(F.var_samp(q), 4).alias("var_samp_qty"),
+        F.round(F.corr(q, p), 4).alias("corr_qty_price"),
+        F.round(F.covar_pop(q, p), 2).alias("covar_pop_qp"),
+        F.round(F.covar_samp(q, p), 2).alias("covar_samp_qp"),
+    )
+
+
+@register(
+    "agg_collect",
+    oracle="""
+SELECT o_orderpriority,
+       ARRAY_TO_STRING(LIST_SORT(LIST(DISTINCT o_orderstatus)), ',') AS statuses,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""",
+    category="aggregates",
+)
+def agg_collect(spark, t):
+    """collect_set (FunctionRegistry.java:382) — serialized sorted so
+    the result is deterministic under any partitioning."""
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 4) AS p50_qty,
+       ROUND(QUANTILE_CONT(l_quantity, 0.9), 4) AS p90_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_percentile(spark, t):
+    """Exact interpolated percentile (UDAFPercentile.java,
+    FunctionRegistry.java:392) → F.percentile ≡ DuckDB quantile_cont."""
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", 0.5), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", 0.9), 4).alias("p90_qty"),
+        F.round(F.percentile("l_extendedprice", 0.95), 4).alias("p95_price"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only.
+    category="aggregates",
+)
+def agg_approx_distinct(spark, t):
+    """approx_count_distinct — Hive's compute_stats NDV sketch
+    (NumDistinctValueEstimator.java:28) → HyperLogLog++. Sketch
+    estimates are engine-specific, so no value oracle; the driver
+    records a rows-only check."""
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_nd_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,1 +1,286 @@
-"""pipeline queries (filled in incrementally)."""
+"""Training-data pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing (BASELINE.json north-star extensions).
+
+Oracles: DuckDB brute-force equivalents. The Spark side uses the
+scale path (LSH bucket joins, broadcast query sides); the oracle uses
+O(N²) enumeration — same result set, different cost shape, which is
+exactly the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import textstats as ts
+from .registry import register
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       MIN(doc_id) AS canonical_id,
+       COUNT(*)    AS n_copies
+FROM documents
+GROUP BY 1
+""",
+    category="pipeline",
+)
+def dedup_exact(spark, t):
+    """Exact dedup: normalized-text md5 groups, canonical min-id."""
+    return dd.exact_dedup_groups(t.documents, "text", "doc_id")
+
+
+@register(
+    "dedup_near_minhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+""",
+    category="pipeline",
+)
+def dedup_near_minhash(spark, t):
+    """MinHash+LSH near-dup pairs, exact-verified at Jaccard ≥ 0.6.
+    Spark runs the banded-LSH bucket join (operators/dedup.py);
+    the oracle brute-forces all pairs — identical result set (LSH
+    miss probability ≈ 4e-10 at the threshold)."""
+    return dd.near_duplicate_pairs(
+        t.documents, "doc_id", "text", threshold=0.6
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=None,  # xxhash64 is Spark-specific → rows-only; properties
+    # of the fingerprint are asserted in tests/test_pipeline.py.
+    category="pipeline",
+)
+def dedup_simhash(spark, t):
+    """SimHash fingerprints + near-dup pairs at Hamming ≤ 8 over LSH
+    candidates (full fingerprint table output would be rows-only
+    anyway since xxhash64 has no DuckDB twin)."""
+    d = t.documents
+    fp = dd.simhash_fingerprints(d, "doc_id", "text")
+    cands = dd.lsh_candidate_pairs(d, "doc_id", "text")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", dd.hamming64(F.col("sh_a"), F.col("sh_b")).alias("hamming"))
+        .filter(F.col("hamming") <= 8)
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(q.e, c.e), z -> z[1] * z[2]),
+                     (x, y) -> x + y)
+         / ( SQRT(list_reduce(list_transform(q.e, x -> x * x), (x, y) -> x + y))
+           * SQRT(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)) )
+           AS cosine
+  FROM v q JOIN v c ON q.vec_id < 30 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+""",
+    category="pipeline",
+)
+def ann_cosine_topk(spark, t):
+    """Brute-force cosine top-5 for query vectors (vec_id < 30)
+    against the full corpus. Sequential left-fold dot/norms →
+    bit-identical ranking across engines (operators/similarity.py)."""
+    emb = t.embeddings
+    return sim.cosine_topk(
+        emb.filter(F.col("vec_id") < 30), emb, k=5
+    ).select("query_id", "neighbor_id", "rank", "cosine")
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=None,  # approximate by construction — recall probed in tests
+    category="pipeline",
+)
+def ann_lsh_bucketed(spark, t):
+    """Sign-LSH bucketed ANN (the 100 TB path): only same-bucket
+    pairs scored; top-5 per query within bucket."""
+    return sim.lsh_bucket_topk(t.embeddings, dim=64, n_planes=6, k=5).select(
+        "query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine")
+    )
+
+
+@register(
+    "text_profile",
+    oracle="""
+SELECT doc_id,
+       CAST(LEN(text) AS BIGINT) AS n_chars,
+       CAST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS BIGINT) AS n_words,
+       ROUND(CAST(LEN(REGEXP_EXTRACT_ALL(text, '[.,;:!?''"()\\[\\]{}]')) AS DOUBLE)
+             / LEN(text), 6) AS punct_ratio,
+       CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(text), '\\s+')),
+                 ['the','a','of','and','to','in','is'])) AS BIGINT) AS stopword_hits,
+       ROUND(CAST(LEN(text) - (LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) - 1) AS DOUBLE)
+             / LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')), 6) AS mean_word_len,
+       CAST(LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS BIGINT)
+         AS n_bpe_tokens,
+       MD5(TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+""",
+    category="pipeline",
+)
+def text_profile(spark, t):
+    """Quality scoring + token counting + fingerprint in one pass
+    (operators/textstats.py). lang_guess exercised separately
+    (text_langid) to keep this oracle portable."""
+    return ts.text_profile(t.documents, "text", "doc_id").drop("lang_guess")
+
+
+@register(
+    "text_langid",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, lang, STRING_SPLIT_REGEX(LOWER(text), '\\s+') AS w FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+    LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['der','die','das','und','ist','nicht','ein'], x))) AS de,
+    LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['the','a','of','and','to','in','is'], x))) AS en,
+    LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['el','la','los','y','es','un','una'], x))) AS es,
+    LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['le','la','les','et','est','un','une'], x))) AS fr,
+    LEN(LIST_FILTER(w, x -> LIST_CONTAINS(['的','是','了','在','和','有','不'], x))) AS zh
+  FROM words
+)
+SELECT doc_id, lang AS lang_label,
+       CASE WHEN GREATEST(de, en, es, fr, zh) = 0 THEN 'und'
+            WHEN zh >= GREATEST(de, en, es, fr) THEN 'zh'
+            WHEN fr >= GREATEST(de, en, es) THEN 'fr'
+            WHEN es >= GREATEST(de, en) THEN 'es'
+            WHEN en >= de THEN 'en'
+            ELSE 'de' END AS lang_guess
+FROM scores
+""",
+    category="pipeline",
+)
+def text_langid(spark, t):
+    """Stopword-marker language ID (operators/textstats.py lang_id):
+    argmax score, ties broken toward the later language code —
+    mirrored in the oracle's CASE cascade."""
+    return t.documents.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        ts.lang_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'text/plain' AS mime,
+       CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+       SHA256(text) AS sha
+FROM documents
+""",
+    category="pipeline",
+)
+def multimodal_meta(spark, t):
+    """Binary-payload plumbing (operators/multimodal.py): attach a
+    binary column + typed metadata struct; project the metadata.
+    The payload itself round-trips through the mapInPandas feature
+    path in multimodal_features (rows-only)."""
+    media = mm.attach_binary_payload(t.documents, "text", "doc_id", mime="text/plain")
+    return media.select(
+        "media_id",
+        F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha").alias("sha"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=None,  # mapInPandas + stub decode kernel — not SQL-expressible
+    category="pipeline",
+)
+def multimodal_features(spark, t):
+    """Arrow-batched mapInPandas feature extraction over binary
+    payloads (stub decode kernel — see operators/multimodal.py)."""
+    media = mm.attach_binary_payload(t.documents, "text", "doc_id")
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+        F.size("feature").alias("feat_dim"),
+    )
+
+
+@register(
+    "events_sessionize",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR DATE_DIFF('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+  FROM e
+)
+SELECT user_id, event_id,
+       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+FROM flagged
+""",
+    category="pipeline",
+)
+def events_sessionize(spark, t):
+    """Sessionization (30-min gap): lag + cumulative-sum session ids —
+    the batch equivalent of streaming session windows (SURVEY.md
+    §2.10 maps Hive's ingest-only streaming to Structured Streaming;
+    the batch form is fully oracle-checkable)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    e = t.events.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("prev_ts")
+    )
+    new_sess = F.when(
+        F.col("prev_ts").isNull()
+        | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+        1,
+    ).otherwise(0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(new_sess).over(wrun).alias("session_id"),
+    )

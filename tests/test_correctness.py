@@ -1,0 +1,41 @@
+"""Every registered query vs its DuckDB oracle at sf0.001 — the
+same gate the driver applies at sf0.01 (order-insensitive exact
+compare, hdp2_5_hive_spark/oracle.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hdp2_5_hive_spark.oracle import compare_query
+from hdp2_5_hive_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
+    q = QUERIES[name]
+    df = q.fn(spark, sf_dir)
+    if q.oracle is None:
+        # rows-only contract: must execute and return a well-formed frame
+        assert df.columns, f"{name}: no columns"
+        assert df.count() >= 0
+        return
+    ok, detail = compare_query(df, oracle_con, q.oracle)
+    assert ok, f"{name}: {detail}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_contract_shape():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 50

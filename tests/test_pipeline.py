@@ -1,0 +1,82 @@
+"""Property tests for the pipeline operators that have no SQL oracle
+(LSH recall, SimHash locality, multimodal plumbing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.catalog import load_table
+from hdp2_5_hive_spark.operators import dedup as dd
+from hdp2_5_hive_spark.operators import multimodal as mm
+from hdp2_5_hive_spark.operators import similarity as sim
+
+
+def test_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Banded-LSH candidates must contain every true pair at the
+    dedup threshold (recall 1.0 in practice at these band settings)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        dd.shingles_col(F.col("text")).alias("sh"),
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dd.jaccard_col(F.col("sh_a"), F.col("sh_b")).alias("j"))
+        .filter(F.col("j") >= 0.6)
+    )
+    truth = {(r.id_a, r.id_b) for r in brute.collect()}
+    lsh = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.6)
+    found = {(r.id_a, r.id_b) for r in lsh.collect()}
+    assert found == truth
+    assert truth, "fixture should contain planted near-duplicates"
+
+
+def test_simhash_locality(spark, sf_dir):
+    """Near-duplicate docs (Jaccard ≥ 0.9) must have small SimHash
+    Hamming distance; random pairs should average much larger."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.9)
+    fp = dd.simhash_fingerprints(docs, "doc_id", "text")
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sa"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sb"))
+    joined = pairs.join(fa, "id_a").join(fb, "id_b").select(
+        dd.hamming64(F.col("sa"), F.col("sb")).alias("h")
+    )
+    rows = joined.collect()
+    assert rows, "expect planted near-dups"
+    assert all(r.h <= 16 for r in rows), [r.h for r in rows]
+
+
+def test_ann_lsh_is_subset_of_bruteforce_scores(spark, sf_dir):
+    """Bucketed ANN returns correctly-scored pairs (cosine matches the
+    exact computation for the same pair)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = sim.lsh_bucket_topk(emb, dim=64, n_planes=6, k=3)
+    exact = sim.cosine_topk(emb, emb, k=1_000_000)  # all scored pairs
+    j = approx.select("query_id", "neighbor_id", F.col("cosine").alias("ac")).join(
+        exact.select("query_id", "neighbor_id", F.col("cosine").alias("ec")),
+        ["query_id", "neighbor_id"],
+    )
+    rows = j.collect()
+    assert rows
+    assert all(abs(r.ac - r.ec) < 1e-12 for r in rows)
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = mm.attach_binary_payload(docs, "text", "doc_id")
+    f1 = {r.media_id: r.feature for r in mm.extract_features(media).collect()}
+    f2 = {r.media_id: r.feature for r in mm.extract_features(media).collect()}
+    assert f1 == f2
+    assert all(len(v) == 8 for v in f1.values())
+    assert all(0.0 <= x <= 1.0 for v in f1.values() for x in v)
+
+
+def test_multimodal_stub_raises_on_missing_payload():
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_stub(None)
