@@ -1,0 +1,146 @@
+"""User-extension surface: UDF / UDAF / UDTF / PTF / TRANSFORM.
+
+Reference (SURVEY §2.12):
+- legacy ``UDF`` + ``GenericUDF`` (``ql/.../exec/UDF.java``,
+  ``udf/generic/GenericUDF.java:66``) → ``F.udf`` (slow path) and
+  ``pandas_udf`` (Arrow-vectorized — the default choice).
+- ``GenericUDAFEvaluator`` partial/final lifecycle
+  (``udf/generic/GenericUDAFEvaluator.java:44,63-80``) →
+  ``pandas_udf`` GROUPED_AGG; Spark handles partial/final.
+- ``GenericUDTF`` (``udf/generic/GenericUDTF.java:37``) →
+  ``mapInPandas`` (0..n output rows per input row).
+- PTF plug-ins (``udf/ptf/TableFunctionResolver.java``) →
+  ``groupBy().applyInPandas`` (whole-partition function).
+- ``TRANSFORM ... USING 'cmd'`` (``exec/ScriptOperator.java:64``) →
+  Spark SQL ``TRANSFORM`` (native since 3.0, no Hive needed).
+
+Scale: every pandas path here transfers Arrow record batches, not
+rows; per-group functions assume a group fits in one worker's memory
+(same contract as Hive's PTFPartition spill threshold — callers must
+pick group keys with bounded cardinality per key).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+# ---------------------------------------------------------------------------
+# scalar UDFs
+# ---------------------------------------------------------------------------
+
+
+@F.udf(returnType=StringType())
+def py_priority_bucket(priority: str) -> str | None:
+    """Row-at-a-time Python UDF (legacy ``UDF.java`` analogue).
+    Documented slow path — exists to prove the surface, not for hot
+    loops."""
+    if priority is None:
+        return None
+    n = priority.split("-")[0]
+    return "urgent" if n in ("1", "2") else "normal"
+
+
+@F.pandas_udf(DoubleType())
+def pd_charge(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Arrow-vectorized scalar UDF (GenericUDF analogue, the fast
+    Python path): l_extendedprice*(1-l_discount)*(1+l_tax)."""
+    return extended * (1.0 - discount) * (1.0 + tax)
+
+
+@F.pandas_udf(DoubleType())
+def pd_weighted_avg(value: pd.Series, weight: pd.Series) -> float:
+    """GROUPED_AGG pandas UDAF (GenericUDAFEvaluator analogue):
+    weight-averaged value. Spark runs it per group after a hash
+    shuffle — the iterate/merge/terminate lifecycle is implicit."""
+    w = weight.sum()
+    return float((value * weight).sum() / w) if w else float("nan")
+
+
+# ---------------------------------------------------------------------------
+# PTF: applyInPandas per-group table function
+# ---------------------------------------------------------------------------
+
+
+def zscore_per_group(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "zscore"
+) -> DataFrame:
+    """PTF-style whole-partition function: z-normalize ``value_col``
+    within each group (udf/ptf/TableFunctionResolver analogue via
+    ``applyInPandas``). Population stddev; groups with a single row
+    or zero variance get zscore 0."""
+    from pyspark.sql.types import StructField, StructType
+
+    # Copy — StructType.add mutates in place, and df.schema is the
+    # DataFrame's cached schema object.
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, DoubleType())]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value_col].astype("float64")
+        sd = v.std(ddof=0)
+        pdf[out_col] = 0.0 if (not sd or sd != sd) else (v - v.mean()) / sd
+        return pdf
+
+    return df.groupBy(group_col).applyInPandas(fn, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# UDTF: mapInPandas generator
+# ---------------------------------------------------------------------------
+
+
+def explode_words_udtf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """GenericUDTF analogue over ``mapInPandas``: emit one row per
+    whitespace token (0..n output rows per input row — the
+    ``process/forward`` contract of GenericUDTF.java:37). Arrow
+    batches in and out; never row-at-a-time."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType),
+            StructField("pos", LongType()),
+            StructField("word", StringType()),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            words = pdf[text_col].str.lower().str.split()
+            exploded = pd.DataFrame(
+                {
+                    id_col: pdf[id_col].repeat(words.str.len()),
+                    "word": [w for ws in words for w in ws],
+                }
+            )
+            exploded["pos"] = exploded.groupby(id_col).cumcount()
+            yield exploded[[id_col, "pos", "word"]]
+
+    return df.select(id_col, text_col).mapInPandas(gen, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# TRANSFORM ... USING 'script'
+# ---------------------------------------------------------------------------
+
+
+def transform_using(
+    df: DataFrame,
+    view_name: str,
+    select_cols: str,
+    script: str,
+    as_schema: str,
+) -> DataFrame:
+    """Hive ``TRANSFORM (cols) USING 'cmd' AS (schema)`` —
+    ScriptOperator.java:64. Spark executes the script per partition,
+    feeding tab-separated rows on stdin and parsing stdout. The
+    script is a row-stream mapper exactly as in Hive."""
+    df.createOrReplaceTempView(view_name)
+    return df.sparkSession.sql(
+        f"SELECT TRANSFORM ({select_cols}) USING '{script}' "
+        f"AS ({as_schema}) FROM {view_name}"
+    )

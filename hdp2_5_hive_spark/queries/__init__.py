@@ -24,6 +24,7 @@ _MODULES = (
     "lateral",
     "subqueries",
     "pipeline",
+    "extensions",
 )
 
 

@@ -60,6 +60,12 @@ def get_session(
         # catalog.load_table).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        # Managed-table warehouse (bucketed tables land here; the
+        # metastore-warehouse analogue). Static conf — set at build.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if extra_conf:

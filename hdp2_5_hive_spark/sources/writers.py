@@ -1,0 +1,159 @@
+"""Write-side surface: INSERT OVERWRITE/INTO, dynamic partitions,
+bucketed tables, multi-insert, small-file compaction.
+
+Reference: ``ql/.../exec/FileSinkOperator.java:91`` (file sinks incl.
+dynamic partitions), multi-insert grammar ``parse/HiveParser.g``
+(``FROM src INSERT ... INSERT ...``, exercised by
+``ql/src/test/queries/clientpositive/groupby1.q:12``), bucketed DDL
+``CLUSTERED BY ... SORTED BY ... INTO N BUCKETS``
+(``data/scripts/q_test_init.sql:74-76``), file concatenation
+``exec/OrcFileMergeOperator.java:41``.
+
+Spark-first mapping: every sink is ``df.write`` with the right mode /
+``partitionBy`` / ``bucketBy``; multi-insert is N actions off one
+cached DataFrame (the scan runs once, as in Hive's shared TableScan).
+
+Scale notes (100 TB):
+- Dynamic-partition INSERT OVERWRITE uses partitionOverwriteMode=
+  dynamic so only partitions present in the incoming data are
+  replaced — a full-table overwrite at 100 TB would rewrite
+  everything.
+- Writers repartition by the partition columns before writing so each
+  task writes few files into few partitions (Hive's
+  SortedDynPartitionOptimizer, ``optimizer/SortedDynPartition
+  Optimizer.java``); without it every task can open a file in every
+  partition → small-file explosion.
+- Bucketed writes give downstream joins/aggs a shuffle-free path
+  (SMB join, ``exec/SMBMapJoinOperator.java:60``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Formats guaranteed in this environment. Avro needs the external
+# spark-avro jar; expose it but let callers probe availability.
+CORE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def insert_overwrite(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """``INSERT OVERWRITE DIRECTORY`` (FileSinkOperator overwrite
+    path): replace the target with ``df``'s contents."""
+    df.write.mode("overwrite").format(fmt).options(**options).save(path)
+
+
+def insert_into(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """``INSERT INTO`` append semantics."""
+    df.write.mode("append").format(fmt).options(**options).save(path)
+
+
+def insert_overwrite_dynamic_partitions(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    fmt: str = "parquet",
+) -> None:
+    """Dynamic-partition INSERT OVERWRITE: replace exactly the
+    partitions present in ``df``, leave all others untouched
+    (Hive ``hive.exec.dynamic.partition.mode=nonstrict`` +
+    FileSinkOperator dynamic-partition path).
+
+    The pre-write ``repartition(partition_cols)`` clusters rows so a
+    partition's data lands in few tasks (SortedDynPartitionOptimizer
+    equivalent) — at 1000 executors this is the difference between
+    N_partitions files and N_partitions × N_tasks files.
+    """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            df.repartition(*[F.col(c) for c in partition_cols])
+            .write.mode("overwrite")
+            .format(fmt)
+            .partitionBy(*partition_cols)
+            .save(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    fmt: str = "parquet",
+) -> None:
+    """``CLUSTERED BY (cols) [SORTED BY (cols)] INTO n BUCKETS``
+    (q_test_init.sql:74-76). Bucket+sort metadata lets Spark plan
+    shuffle-free SMB joins and aggregations on the bucket keys."""
+    w = df.write.mode("overwrite").format(fmt).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def multi_insert(
+    df: DataFrame, sinks: Sequence[Callable[[DataFrame], None]]
+) -> None:
+    """``FROM src INSERT OVERWRITE t1 SELECT ... INSERT OVERWRITE t2
+    SELECT ...`` (HiveParser.g multi-insert; groupby1.q:12): run the
+    source once, feed N sinks. Caching materializes the shared scan
+    exactly once — Hive does this with a shared TableScanOperator
+    feeding N FileSinks."""
+    cached = df.persist()
+    try:
+        cached.count()  # materialize before the fan-out
+        for sink in sinks:
+            sink(cached)
+    finally:
+        cached.unpersist()
+
+
+def compact_files(
+    spark: SparkSession,
+    path: str,
+    n_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """``ALTER TABLE ... CONCATENATE`` (OrcFileMergeOperator.java:41):
+    rewrite a directory into ``n_files`` files. ``coalesce`` avoids a
+    shuffle — merge-only, like the reference's stripe-level merge."""
+    df = spark.read.format(fmt).load(path)
+    # Write to a temp sibling then swap via overwrite of the original:
+    # a direct overwrite of the path being read would clobber inputs.
+    tmp = path.rstrip("/") + "__compact_tmp"
+    df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp)
+    out = spark.read.format(fmt).load(tmp)
+    out.write.mode("overwrite").format(fmt).save(path)
+
+
+def round_trip(
+    df: DataFrame, path: str, fmt: str, **options
+) -> DataFrame:
+    """Write ``df`` in ``fmt`` and read it back (schema-on-read check
+    for each SerDe equivalent, SURVEY §2.2)."""
+    df.write.mode("overwrite").format(fmt).options(**options).save(path)
+    reader = df.sparkSession.read.format(fmt).options(**options)
+    if fmt in ("csv", "json"):
+        # Text formats do not carry a schema — pin the writer's schema
+        # (metastore-declared schema in Hive; schema-on-read).
+        reader = reader.schema(df.schema)
+    return reader.load(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Probe for the external spark-avro module (AvroSerDe analogue,
+    ``serde/.../avro/AvroSerDe.java``)."""
+    try:
+        spark.read.format("avro").load("/nonexistent__probe")
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find" not in str(e) and "AVRO" not in str(
+            getattr(e, "errorClass", "") or ""
+        )
+    return True

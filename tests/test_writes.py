@@ -1,0 +1,130 @@
+"""Write-side surface tests (SURVEY §2.2 sinks; FileSinkOperator.java:91).
+
+Round-trips, dynamic-partition overwrite, bucketed tables,
+multi-insert, compaction — each against the sf0.001 testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.sources import writers
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def nation(spark):
+    return spark.read.parquet(f"{SF}/nation.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+@pytest.mark.parametrize("fmt", writers.CORE_FORMATS)
+def test_round_trip_formats(nation, tmp_path, fmt):
+    got = writers.round_trip(nation, str(tmp_path / fmt), fmt, header="true")
+    assert got.count() == nation.count()
+    assert [f.name for f in got.schema.fields] == [
+        f.name for f in nation.schema.fields
+    ]
+    # Values survive (keys + one string col; csv/json stringify types)
+    want = {(r.n_nationkey, r.n_name) for r in nation.collect()}
+    have = {(int(r.n_nationkey), r.n_name) for r in got.collect()}
+    assert have == want
+
+
+def test_insert_into_appends(nation, tmp_path):
+    p = str(tmp_path / "t")
+    writers.insert_overwrite(nation, p)
+    writers.insert_into(nation, p)
+    assert nation.sparkSession.read.parquet(p).count() == 2 * nation.count()
+
+
+def test_insert_overwrite_replaces(nation, tmp_path):
+    p = str(tmp_path / "t")
+    writers.insert_overwrite(nation, p)
+    writers.insert_overwrite(nation.limit(5), p)
+    assert nation.sparkSession.read.parquet(p).count() == 5
+
+
+def test_dynamic_partition_overwrite(orders, tmp_path):
+    """Only partitions present in the incoming frame are replaced."""
+    p = str(tmp_path / "po")
+    spark = orders.sparkSession
+    base = orders.withColumn("status", F.col("o_orderstatus"))
+    writers.insert_overwrite_dynamic_partitions(base, p, ["status"])
+    full = spark.read.parquet(p).count()
+    assert full == orders.count()
+
+    # Overwrite ONLY status='F' with a 1-row slice; other partitions intact.
+    one = base.filter(F.col("status") == "F").limit(1)
+    writers.insert_overwrite_dynamic_partitions(one, p, ["status"])
+    after = spark.read.parquet(p)
+    n_f = after.filter(F.col("status") == "F").count()
+    n_rest = after.filter(F.col("status") != "F").count()
+    rest_before = base.filter(F.col("status") != "F").count()
+    assert n_f == 1
+    assert n_rest == rest_before
+
+
+def test_bucketed_table_smb_no_exchange(orders, tmp_path, spark):
+    """Bucketed+sorted tables join without a shuffle (SMB join,
+    exec/SMBMapJoinOperator.java:60 → Spark bucketed SMJ)."""
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    try:
+        writers.write_bucketed_table(
+            orders, "b_orders", ["o_custkey"], 4, sort_cols=["o_custkey"]
+        )
+        writers.write_bucketed_table(
+            cust, "b_customer", ["c_custkey"], 4, sort_cols=["c_custkey"]
+        )
+        bo = spark.table("b_orders")
+        bc = spark.table("b_customer")
+        # Disable broadcast so the join would otherwise shuffle.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = bo.join(bc, bo.o_custkey == bc.c_custkey)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_multi_insert(nation, tmp_path, spark):
+    """FROM src INSERT ... INSERT ... — one scan, two sinks."""
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    writers.multi_insert(
+        nation,
+        [
+            lambda d: writers.insert_overwrite(
+                d.groupBy("n_regionkey").count(), p1
+            ),
+            lambda d: writers.insert_overwrite(
+                d.select("n_nationkey", "n_name"), p2
+            ),
+        ],
+    )
+    assert spark.read.parquet(p1).count() == 5
+    assert spark.read.parquet(p2).count() == nation.count()
+
+
+def test_compact_files(nation, tmp_path, spark):
+    """ALTER TABLE CONCATENATE analogue: many files → few."""
+    p = str(tmp_path / "frag")
+    nation.repartition(8).write.parquet(p)
+    writers.compact_files(spark, p, 1)
+    df = spark.read.parquet(p)
+    assert df.count() == nation.count()
+    import glob
+
+    assert len(glob.glob(f"{p}/part-*")) == 1
