@@ -25,6 +25,7 @@ _MODULES = (
     "subqueries",
     "pipeline",
     "extensions",
+    "streaming_batch",
 )
 
 

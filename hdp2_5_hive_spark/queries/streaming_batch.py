@@ -1,0 +1,71 @@
+"""Window-operator queries runnable in batch mode (oracle-checkable).
+
+``F.window`` tumbling/sliding windows are the same Catalyst operator
+in batch and streaming; running them on the static ``events`` table
+lets the driver hash-check the window semantics that the streaming
+tests (tests/test_streaming.py) exercise with watermarks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def stream_tumbling_counts(spark, t):
+    """Tumbling 1-hour window counts per event type — §2.10 windowed
+    aggregation (batch-mode twin of windowed_counts)."""
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour").alias("win"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+WITH offsets AS (SELECT UNNEST([0, 30]) AS off_min)
+SELECT time_bucket(INTERVAL 1 HOUR,
+                   CAST(ts AS TIMESTAMP) - (off_min * INTERVAL 1 MINUTE))
+         + (off_min * INTERVAL 1 MINUTE) AS window_start,
+       COUNT(*) AS n
+FROM events, offsets
+WHERE CAST(ts AS TIMESTAMP) >= time_bucket(INTERVAL 1 HOUR,
+                   CAST(ts AS TIMESTAMP) - (off_min * INTERVAL 1 MINUTE))
+         + (off_min * INTERVAL 1 MINUTE)
+GROUP BY 1
+""",
+    category="streaming",
+)
+def stream_sliding_counts(spark, t):
+    """Sliding window (1 hour, 30-minute slide): every event lands in
+    two overlapping windows — the Expand-based multi-assignment the
+    streaming engine uses."""
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "n")
+    )

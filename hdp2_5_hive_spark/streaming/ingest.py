@@ -1,0 +1,186 @@
+"""Streaming ingest + stream-query surface.
+
+Reference (SURVEY §2.10): Hive 1.2 has NO stream-query engine — its
+streaming surface is the transactional ingest API
+(``hcatalog/streaming/.../HiveEndPoint.java:62``:
+``newConnection`` → ``TransactionBatchImpl:555`` with
+``beginNextTransaction/write/commit/abort`` + heartbeats) appending
+micro-batches to ACID tables so concurrent readers see only committed
+data; record writers ``DelimitedInputWriter.java:50`` and
+``StrictJsonWriter.java:41`` parse byte payloads.
+
+Spark-first mapping:
+- ``TransactionBatch`` → an atomic micro-batch append: rows buffer
+  client-side, ``commit()`` lands them as one parquet append job.
+  Parquet file appends are all-or-nothing per task commit, giving the
+  same readers-see-committed-only contract.
+- ``DelimitedInputWriter``/``StrictJsonWriter`` → ``from_csv`` /
+  ``from_json`` projections.
+- The *query* side (beyond the reference, Spark-native): file-source
+  ``readStream`` with watermarked tumbling/sliding windows, and
+  exactly-once sinks via checkpointed ``writeStream``.
+
+Scale: the ingest path is append-only partitioned parquet — at
+1000 executors each commit is one distributed write job; the query
+side shards state by group key in the state store, with watermarks
+bounding state size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+# ---------------------------------------------------------------------------
+# Transactional ingest facade (HiveEndPoint analogue)
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: str, simple_type: str):
+    """Delimited-text field → schema type (LazySimpleSerDe projection;
+    Hive semantics: unparseable → NULL, never error)."""
+    try:
+        if simple_type in ("tinyint", "smallint", "int", "bigint"):
+            return int(value)
+        if simple_type in ("float", "double") or simple_type.startswith("decimal"):
+            return float(value)
+        if simple_type == "boolean":
+            return value.strip().lower() == "true"
+        return value
+    except (ValueError, AttributeError):
+        return None
+
+
+@dataclass
+class TransactionBatch:
+    """One open transaction batch (TransactionBatchImpl:555 analogue).
+
+    ``write`` buffers rows; ``commit`` lands them atomically as a
+    single append job; ``abort`` discards. A batch can carry many
+    logical transactions — matching Hive's N-txns-per-batch model —
+    but each commit is one atomic append."""
+
+    endpoint: "StreamingEndpoint"
+    _rows: list[Row] = field(default_factory=list)
+    _open: bool = True
+
+    def write(self, row: dict) -> None:
+        if not self._open:
+            raise RuntimeError("batch closed")
+        self._rows.append(Row(**row))
+
+    def write_delimited(self, line: str, sep: str = ",") -> None:
+        """DelimitedInputWriter.java:50 analogue: positional parse
+        against the endpoint schema."""
+        parts = line.split(sep)
+        fields = self.endpoint.schema.fields
+        if len(parts) != len(fields):
+            raise ValueError(f"expected {len(fields)} fields, got {len(parts)}")
+        self.write(
+            {
+                f.name: _coerce(v, f.dataType.simpleString())
+                for f, v in zip(fields, parts)
+            }
+        )
+
+    def write_json(self, doc: str) -> None:
+        """StrictJsonWriter.java:41 analogue: strict JSON→schema."""
+        import json
+
+        obj = json.loads(doc)
+        names = {f.name for f in self.endpoint.schema.fields}
+        unknown = set(obj) - names
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}")
+        self.write({n: obj.get(n) for n in (f.name for f in self.endpoint.schema.fields)})
+
+    def commit(self) -> None:
+        if not self._open:
+            raise RuntimeError("batch closed")
+        self._open = False
+        if not self._rows:
+            return
+        spark = self.endpoint.spark
+        df = spark.createDataFrame(self._rows, schema=self.endpoint.schema)
+        df.write.mode("append").parquet(self.endpoint.path)
+
+    def abort(self) -> None:
+        self._open = False
+        self._rows.clear()
+
+
+@dataclass
+class StreamingEndpoint:
+    """HiveEndPoint.java:62 analogue: (path, schema) ingest target.
+    ``new_batch()`` ≈ ``newConnection().fetchTransactionBatch()``."""
+
+    spark: SparkSession
+    path: str
+    schema: StructType
+
+    def new_batch(self) -> TransactionBatch:
+        return TransactionBatch(self)
+
+    def read_committed(self) -> DataFrame:
+        """Readers see exactly the committed appends (ACID snapshot
+        analogue — parquet appends are atomic per job)."""
+        return self.spark.read.schema(self.schema).parquet(self.path)
+
+
+# ---------------------------------------------------------------------------
+# Stream-query surface (Spark-native, beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, schema: StructType
+) -> DataFrame:
+    """File-source stream over an append directory — the read side of
+    the ingest contract (new files = newly committed batches)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "1 minute",
+    slide: str | None = None,
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts per key. Watermark
+    bounds state: groups older than max(event_time) - watermark are
+    finalized and evicted — this is what keeps unbounded streams
+    bounded-memory at any scale."""
+    win = (
+        F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def run_to_completion(stream_df: DataFrame, checkpoint: str, out_path: str) -> None:
+    """Drain all available input (Trigger.AvailableNow) into an
+    exactly-once parquet sink, then stop — micro-batch commit
+    semantics, checkpointed for restart."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,100 @@
+"""Custom stateful streaming operator: session windows via
+``applyInPandasWithState``.
+
+The reference has no stateful stream operators at all (SURVEY §2.10)
+— this is the Spark-native extension a modern pipeline needs: per-key
+session aggregation with timeout-driven emission. State is sharded by
+key across the cluster's state store; the processing-time timeout
+closes idle sessions, bounding state exactly as a watermark bounds
+windowed aggs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = (
+    "start_us long, end_us long, n long, s double"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_ms: int = 30 * 60 * 1000,
+) -> DataFrame:
+    """Streaming sessionization: group events by user; a session
+    closes after ``gap_ms`` of processing-time inactivity, emitting
+    (user, start, end, n_events, sum_value).
+
+    Input columns: user_id long, ts timestamp, value double.
+    """
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start_us, end_us, n, s = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "sum_value": [s],
+                }
+            )
+            return
+        start_us = end_us = None
+        n, s = 0, 0.0
+        if state.exists:
+            start_us, end_us, n, s = state.get
+        for pdf in pdfs:
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns → us
+            lo, hi = int(ts_us.min()), int(ts_us.max())
+            start_us = lo if start_us is None else min(start_us, lo)
+            end_us = hi if end_us is None else max(end_us, hi)
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((start_us, end_us, n, s))
+        state.setTimeoutDuration(gap_ms)
+        yield pd.DataFrame(
+            columns=[f.name for f in SESSION_SCHEMA.fields]
+        ).astype(
+            {
+                "user_id": "int64",
+                "n_events": "int64",
+                "sum_value": "float64",
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

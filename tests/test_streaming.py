@@ -1,0 +1,129 @@
+"""Streaming surface tests (SURVEY §2.10): transactional ingest
+facade + watermarked windowed stream aggregation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from hdp2_5_hive_spark.streaming.ingest import (
+    StreamingEndpoint,
+    read_event_stream,
+    run_to_completion,
+    windowed_counts,
+)
+
+SCHEMA = StructType(
+    [
+        StructField("user_id", StringType()),
+        StructField("action", StringType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+
+@pytest.fixture()
+def endpoint(spark, tmp_path):
+    return StreamingEndpoint(spark, str(tmp_path / "ingest"), SCHEMA)
+
+
+def test_commit_visible_abort_invisible(endpoint):
+    b1 = endpoint.new_batch()
+    b1.write({"user_id": "u1", "action": "view", "n": 1})
+    b1.write({"user_id": "u2", "action": "click", "n": 2})
+    b1.commit()
+
+    b2 = endpoint.new_batch()
+    b2.write({"user_id": "u3", "action": "view", "n": 3})
+    b2.abort()  # never lands
+
+    b3 = endpoint.new_batch()
+    b3.write({"user_id": "u4", "action": "buy", "n": 4})
+    b3.commit()
+
+    users = {r.user_id for r in endpoint.read_committed().collect()}
+    assert users == {"u1", "u2", "u4"}
+
+
+def test_closed_batch_rejects_writes(endpoint):
+    b = endpoint.new_batch()
+    b.write({"user_id": "u1", "action": "view", "n": 1})
+    b.commit()
+    with pytest.raises(RuntimeError):
+        b.write({"user_id": "u2", "action": "view", "n": 2})
+    with pytest.raises(RuntimeError):
+        b.commit()
+
+
+def test_delimited_and_json_writers(endpoint):
+    b = endpoint.new_batch()
+    b.write_delimited("u1,view,1")
+    b.write_json('{"user_id": "u2", "action": "click", "n": 2}')
+    with pytest.raises(ValueError):
+        b.write_delimited("too,few")
+    with pytest.raises(ValueError):
+        b.write_json('{"user_id": "u3", "bogus": 1}')
+    b.commit()
+    got = {
+        (r.user_id, r.action)
+        for r in endpoint.read_committed().collect()
+    }
+    assert got == {("u1", "view"), ("u2", "click")}
+
+
+def test_windowed_stream_counts(spark, tmp_path):
+    """End-to-end: ingest → file stream → watermarked tumbling window
+    → exactly-once sink (availableNow drains and stops)."""
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows = [
+        ("2024-01-01 00:00:10", "a"),
+        ("2024-01-01 00:00:50", "a"),
+        ("2024-01-01 00:01:10", "a"),
+        ("2024-01-01 00:01:20", "b"),
+    ]
+    df = spark.createDataFrame(rows, "ts string, user_id string").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    )
+    df.write.parquet(src)
+
+    stream = read_event_stream(spark, src, schema)
+    assert stream.isStreaming
+    agg = windowed_counts(stream, "ts", "user_id", window="1 minute")
+    out = str(tmp_path / "out")
+    run_to_completion(agg, str(tmp_path / "ckpt"), out)
+
+    # Append mode emits only watermark-finalized windows; with a
+    # 2-minute watermark and max event 00:01:20, the 00:00 window for
+    # 'a' may not finalize in a single drain — so re-run after adding
+    # a late high-watermark event to flush.
+    df2 = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "c")], "ts string, user_id string"
+    ).select(F.to_timestamp("ts").alias("ts"), "user_id")
+    df2.write.mode("append").parquet(src)
+    stream2 = read_event_stream(spark, src, schema)
+    run_to_completion(
+        windowed_counts(stream2, "ts", "user_id", window="1 minute"),
+        str(tmp_path / "ckpt"),
+        out,
+    )
+
+    got = {
+        (str(r.window_start), r.user_id): r.n
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("2024-01-01 00:00:00", "a")] == 2
+    assert got[("2024-01-01 00:01:00", "a")] == 1
+    assert got[("2024-01-01 00:01:00", "b")] == 1
