@@ -56,3 +56,12 @@ def nvl(col: Column, default: Column) -> Column:
 def hive_if(cond: Column, then: Column, otherwise: Column) -> Column:
     """Hive ``if(cond, a, b)`` (FunctionRegistry.java:322)."""
     return F.when(cond, then).otherwise(otherwise)
+
+
+def field(needle: Column, *haystack: Column | str) -> Column:
+    """Hive/MySQL ``field(x, v1, v2, ...)`` (FunctionRegistry.java:248,
+    ``udf/generic/GenericUDFField.java``): 1-based index of ``x`` in
+    the argument list, 0 if absent. No Spark builtin —
+    ``array_position`` has exactly these semantics."""
+    vals = [v if isinstance(v, Column) else F.lit(v) for v in haystack]
+    return F.array_position(F.array(*vals), needle)

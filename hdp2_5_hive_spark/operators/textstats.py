@@ -82,6 +82,27 @@ def lang_id(text: Column) -> Column:
     )
 
 
+ROLLING_MOD = 1_000_000_007
+ROLLING_BASE = 31
+
+
+def rolling_hash(text: Column) -> Column:
+    """Polynomial rolling hash (Rabin–Karp) over the character
+    stream: h = (h*31 + code(ch)) mod 1e9+7. Modulo applied at each
+    step keeps the accumulator in int64 on every engine (DuckDB
+    BIGINT overflow errors; Spark would silently wrap) — portable,
+    deterministic, and incremental (the property rolling hashes
+    exist for)."""
+    chars = F.filter(F.split(text, ""), lambda ch: ch != F.lit(""))
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * ROLLING_BASE + F.ascii(ch), F.lit(ROLLING_MOD)
+        ),
+    )
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text
     (Hive md5, FunctionRegistry.java:230 — portable to any engine)."""

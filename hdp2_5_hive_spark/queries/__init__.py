@@ -26,6 +26,7 @@ _MODULES = (
     "pipeline",
     "extensions",
     "streaming_batch",
+    "scalars2",
 )
 
 

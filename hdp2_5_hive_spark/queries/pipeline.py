@@ -284,3 +284,131 @@ def events_sessionize(spark, t):
         "event_id",
         F.sum(new_sess).over(wrun).alias("session_id"),
     )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_reduce(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]),
+                         (x, y) -> x + y)
+       / ( SQRT(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+         * SQRT(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)) ),
+         6) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_reduce(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]),
+                  (x, y) -> x + y)
+      / ( SQRT(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+        * SQRT(list_reduce(list_transform(b.e, x -> x * x), (x, y) -> x + y)) )
+      >= 0.35
+""",
+    category="pipeline",
+)
+def dedup_embedding_cosine(spark, t):
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.35,
+    id_a < id_b). Exact all-pairs self-join — the correctness
+    baseline for the LSH-bucketed scale path (ann_lsh_bucketed);
+    sequential left-fold math keeps it bit-identical to DuckDB."""
+    from ..operators import similarity as s
+
+    v = t.embeddings.select("vec_id", "embedding")
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    cos = s.cosine_col(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cosine")
+    ).filter(cos >= 0.35)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+  WHERE doc_id < 200
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+              ELSE [] END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+""",
+    category="pipeline",
+)
+def dedup_ngram_jaccard(spark, t):
+    """Exact bigram-shingle Jaccard over all pairs (doc_id < 200
+    slice): the no-LSH baseline for near-dedup — quadratic by
+    construction, used to validate the MinHash path's recall."""
+    from ..operators import dedup as d
+
+    docs = t.documents.filter(F.col("doc_id") < 200)
+    sh = docs.select(
+        F.col("doc_id"), d.shingles_col(F.col("text"), 2).alias("s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    jac = d.jaccard_col(F.col("sa"), F.col("sb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(jac >= 0.2)
+    )
+
+
+@register(
+    "text_token_counts",
+    oracle="""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
+         AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))
+         AS n_bpe_tokens
+FROM documents
+""",
+    category="pipeline",
+)
+def text_token_counts(spark, t):
+    """Token counting two ways: whitespace tokens and BPE-ish regex
+    tokens (word chunks + individual punctuation marks)."""
+    from ..operators import textstats as x
+
+    return t.documents.select(
+        "doc_id",
+        x.token_count(F.col("text")).alias("n_ws_tokens"),
+        x.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_rolling_fingerprint",
+    oracle="""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+         (acc, c) -> (acc * 31 + c) % 1000000007) AS fp
+FROM documents
+WHERE length(text) > 0
+""",
+    category="pipeline",
+)
+def text_rolling_fingerprint(spark, t):
+    """Rabin–Karp rolling-hash document fingerprint: h = (h*31 +
+    code) mod 1e9+7 over the char stream — portable across engines
+    because the modulo is applied per step (no int64 overflow)."""
+    from ..operators import textstats as x
+
+    return t.documents.filter(F.length("text") > 0).select(
+        "doc_id", x.rolling_hash(F.col("text")).alias("fp")
+    )

@@ -1,0 +1,324 @@
+"""Scalar-function breadth, part 2 (SURVEY §2.9 long tail).
+
+Covers: the remaining string functions, xpath family, interval
+arithmetic, the uniontype struct encoding (§1.2), mask functions,
+ngrams/context_ngrams composition (§2.5), histogram_numeric, and the
+INPUT__FILE__NAME virtual column (§1.3).
+
+Oracle notes: DuckDB lacks soundex/next_day/months_between/xpath/
+histogram_numeric — those queries either restrict to the
+DuckDB-expressible subset or register rows-only with value assertions
+in tests/test_scalars2.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions import hive_compat as hc
+from .registry import register
+
+
+@register(
+    "fn_string_suite2",
+    oracle="""
+SELECT s_suppkey,
+       translate(s_name, 'ae', '43') AS leeted,
+       levenshtein(s_name, reverse(s_name)) AS lev_rev,
+       instr(s_name, 'er') AS pos_er,
+       lpad(CAST(s_suppkey AS VARCHAR), 8, '0') AS padded_key,
+       rpad(s_name, 30, '.') AS padded_name,
+       repeat('-', 5) AS dashes,
+       printf('%s #%d', s_name, s_suppkey) AS labeled,
+       ascii(s_name) AS first_code,
+       reverse(s_name) AS rev_name
+FROM supplier
+""",
+    category="scalars",
+)
+def fn_string_suite2(spark, t):
+    """String long tail: translate/levenshtein/instr/lpad/rpad/
+    repeat/printf/ascii/reverse (FunctionRegistry.java:183-261,
+    413-423)."""
+    s = t.supplier
+    return s.select(
+        "s_suppkey",
+        F.translate("s_name", "ae", "43").alias("leeted"),
+        F.levenshtein(F.col("s_name"), F.reverse("s_name")).alias("lev_rev"),
+        F.instr(F.col("s_name"), "er").alias("pos_er"),
+        F.lpad(F.col("s_suppkey").cast("string"), 8, "0").alias("padded_key"),
+        F.rpad("s_name", 30, ".").alias("padded_name"),
+        F.repeat(F.lit("-"), 5).alias("dashes"),
+        F.format_string("%s #%d", "s_name", "s_suppkey").alias("labeled"),
+        F.ascii("s_name").alias("first_code"),
+        F.reverse("s_name").alias("rev_name"),
+    )
+
+
+@register(
+    "fn_initcap_elt_field",
+    oracle="""
+SELECT n_nationkey,
+       upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS capped,
+       CASE ((n_nationkey % 3) + 1) WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
+            ELSE 'gamma' END AS elt_pick,
+       CASE n_name WHEN 'CANADA' THEN 1 WHEN 'BRAZIL' THEN 2 ELSE 0 END AS fld,
+       CASE WHEN strpos(',b,c,' , ',' || lower(substr(n_name,1,1)) || ',') > 0
+            THEN length(substr(',b,c,', 1,
+                 strpos(',b,c,', ',' || lower(substr(n_name,1,1)) || ',')))
+            ELSE 0 END AS fis
+FROM nation
+""",
+    category="scalars",
+)
+def fn_initcap_elt_field(spark, t):
+    """initcap / elt / field / find_in_set
+    (FunctionRegistry.java:250,415,248,249). Oracle re-expresses each
+    via portable CASE/strpos logic; nation names are single words so
+    initcap == capitalize-first."""
+    n = t.nation
+    return n.select(
+        "n_nationkey",
+        F.initcap(F.lower("n_name")).alias("capped"),
+        F.expr("elt((n_nationkey % 3) + 1, 'alpha', 'beta', 'gamma')").alias(
+            "elt_pick"
+        ),
+        hc.field(F.col("n_name"), "CANADA", "BRAZIL").alias("fld"),
+        F.expr("find_in_set(lower(substr(n_name, 1, 1)), 'b,c')").alias("fis"),
+    )
+
+
+@register(
+    "fn_xpath_suite",
+    oracle=None,  # DuckDB has no xpath; values asserted in tests.
+    category="scalars",
+)
+def fn_xpath_suite(spark, t):
+    """xpath family (FunctionRegistry.java:289-297) over XML
+    synthesized from nation rows."""
+    xml = F.concat(
+        F.lit("<n><k>"),
+        F.col("n_nationkey").cast("string"),
+        F.lit("</k><name>"),
+        F.col("n_name"),
+        F.lit("</name><r>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</r></n>"),
+    )
+    return t.nation.select(
+        "n_nationkey",
+        F.xpath_string(xml, F.lit("n/name")).alias("x_name"),
+        F.xpath_int(xml, F.lit("n/k")).alias("x_key"),
+        F.xpath(xml, F.lit("n/*/text()")).alias("x_all"),
+    )
+
+
+@register(
+    "fn_interval_arith",
+    oracle="""
+SELECT o_orderkey,
+       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus_30d,
+       CAST(o_orderdate - INTERVAL 90 DAY AS DATE) AS minus_90d,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       date_diff('day', DATE '1995-01-01', o_orderdate) AS days_since_95,
+       CAST(last_day(o_orderdate) AS DATE) AS month_end,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       date_diff('day', o_orderdate, o_orderdate + INTERVAL 1 YEAR) AS yr_len
+FROM orders WHERE o_orderkey <= 2000
+""",
+    category="scalars",
+)
+def fn_interval_arith(spark, t):
+    """Interval arithmetic (+/- over date/interval,
+    GenericUDFOPPlus/Minus via FunctionRegistry.java:299-300) plus
+    add_months/datediff/last_day/trunc (:276-284)."""
+    o = t.orders.filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.date_add("o_orderdate", 30).alias("plus_30d"),
+        F.date_sub("o_orderdate", 90).alias("minus_90d"),
+        F.add_months("o_orderdate", 3).alias("plus_3m"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.trunc("o_orderdate", "month").alias("month_start"),
+        F.datediff(
+            F.col("o_orderdate") + F.expr("INTERVAL 1 YEAR"), F.col("o_orderdate")
+        ).alias("yr_len"),
+    )
+
+
+@register(
+    "fn_uniontype_encoding",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS tag,
+       CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice END AS num_val,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS str_val
+FROM orders WHERE o_orderkey <= 2000
+""",
+    category="scalars",
+)
+def fn_uniontype_encoding(spark, t):
+    """uniontype<double,string> modeled as struct(tag, field0,
+    field1) per SURVEY §1.2 (StandardUnionObjectInspector) — built,
+    then flattened back out so values are engine-portable."""
+    o = t.orders.filter(F.col("o_orderkey") <= 2000)
+    tag = (F.col("o_orderkey") % 2 != 0).cast("int")
+    union = F.struct(
+        tag.alias("tag"),
+        F.when(tag == 0, F.col("o_totalprice")).alias("field0"),
+        F.when(tag == 1, F.col("o_orderpriority")).alias("field1"),
+    )
+    u = o.select("o_orderkey", union.alias("u"))
+    return u.select(
+        "o_orderkey",
+        F.col("u.tag").alias("tag"),
+        F.col("u.field0").alias("num_val"),
+        F.col("u.field1").alias("str_val"),
+    )
+
+
+@register(
+    "fn_mask_suite",
+    oracle="""
+SELECT c_custkey,
+       regexp_replace(regexp_replace(regexp_replace(c_name,
+           '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+       regexp_replace(regexp_replace(regexp_replace(c_mktsegment,
+           '[0-9]', '*', 'g'), '[A-Z]', '*', 'g'), '[a-z]', '*', 'g')
+         AS masked_segment
+FROM customer WHERE c_custkey <= 500
+""",
+    category="scalars",
+)
+def fn_mask_suite(spark, t):
+    """mask family (FunctionRegistry.java:463-468 → F.mask): default
+    X/x/n masking plus custom digit masking."""
+    c = t.customer.filter(F.col("c_custkey") <= 500)
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("masked"),
+        F.mask(
+            F.col("c_mktsegment"),
+            upperChar=F.lit("*"),
+            lowerChar=F.lit("*"),
+            digitChar=F.lit("*"),
+        ).alias("masked_segment"),
+    )
+
+
+@register(
+    "agg_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT g.gram
+  FROM toks, UNNEST(CASE WHEN len(w) >= 2
+       THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+       ELSE [] END) AS g(gram)
+)
+SELECT gram, COUNT(*) AS n
+FROM grams GROUP BY gram
+ORDER BY n DESC, gram LIMIT 20
+""",
+    category="aggregates",
+)
+def agg_ngrams(spark, t):
+    """ngrams(sentences, 2, 20) equivalent (FunctionRegistry.java:385,
+    GenericUDAFnGrams): top-20 bigrams by frequency, composed as
+    split → explode → count (SURVEY §2.5 composition plan)."""
+    w = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(w) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        t.documents.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "gram")
+        .limit(20)
+    )
+
+
+@register(
+    "agg_context_ngrams",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                             x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT w[i+1] AS nxt
+  FROM toks, UNNEST(range(1, len(w))) AS r(i)
+  WHERE w[i] = 'the'
+)
+SELECT nxt, COUNT(*) AS n
+FROM grams GROUP BY nxt
+ORDER BY n DESC, nxt LIMIT 10
+""",
+    category="aggregates",
+)
+def agg_context_ngrams(spark, t):
+    """context_ngrams(sentences, array('the', null), 10) equivalent
+    (FunctionRegistry.java:386): most frequent words following
+    'the'."""
+    w = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
+    )
+    nxt = F.transform(
+        F.filter(
+            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+            lambda i: F.element_at(w, i) == "the",
+        ),
+        lambda i: F.element_at(w, i + 1),
+    )
+    return (
+        t.documents.select(F.explode(nxt).alias("nxt"))
+        .groupBy("nxt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "nxt")
+        .limit(10)
+    )
+
+
+@register(
+    "agg_histogram_numeric",
+    oracle=None,  # approximate sketch (NumericHistogram) — rows-only;
+    # shape properties asserted in tests/test_scalars2.py.
+    category="aggregates",
+)
+def agg_histogram_numeric(spark, t):
+    """histogram_numeric(o_totalprice, 10)
+    (FunctionRegistry.java:380; Hive's NumericHistogram sketch =
+    Spark's histogram_numeric)."""
+    return t.orders.select(
+        F.explode(F.expr("histogram_numeric(o_totalprice, 10)")).alias("bin")
+    ).select(F.col("bin.x").alias("x"), F.col("bin.y").alias("y"))
+
+
+@register(
+    "virtual_input_file_name",
+    oracle=None,  # paths are engine-specific — rows-only.
+    category="scalars",
+)
+def virtual_input_file_name(spark, t):
+    """INPUT__FILE__NAME virtual column (VirtualColumn.java:48) →
+    F.input_file_name(); grouped to per-file row counts."""
+    return (
+        t.nation.select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

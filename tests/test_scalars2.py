@@ -1,0 +1,46 @@
+"""Value assertions for scalar queries whose oracle is rows-only
+(DuckDB lacks the function): xpath family, histogram_numeric."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.queries import query_map
+
+
+def test_xpath_values(spark):
+    out = query_map()["fn_xpath_suite"](spark, "/root/testdata/sf0.001")
+    rows = {r.n_nationkey: r for r in out.collect()}
+    some_key = next(iter(rows))
+    r = rows[some_key]
+    assert r.x_key == some_key
+    assert isinstance(r.x_name, str) and len(r.x_name) > 0
+    # n/*/text() yields [key, name, regionkey] in document order
+    assert r.x_all[0] == str(some_key)
+    assert r.x_all[1] == r.x_name
+    assert len(r.x_all) == 3
+
+
+def test_histogram_numeric_shape(spark):
+    out = query_map()["agg_histogram_numeric"](spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    assert len(rows) == 10
+    # bins ordered by center, weights positive, total weight = row count
+    xs = [r.x for r in rows]
+    assert xs == sorted(xs)
+    assert all(r.y > 0 for r in rows)
+    n_orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    ).count()
+    assert abs(sum(r.y for r in rows) - n_orders) < 1e-6
+
+
+def test_field_semantics(spark):
+    from hdp2_5_hive_spark.functions.hive_compat import field
+
+    df = spark.createDataFrame([("b",), ("z",), (None,)], "x string")
+    got = [
+        r.i for r in df.select(field(F.col("x"), "a", "b", "c").alias("i")).collect()
+    ]
+    assert got[0] == 2  # 1-based hit
+    assert got[1] == 0  # absent → 0
