@@ -71,6 +71,8 @@ def normalize_text(text: Column) -> Column:
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Group identical (normalized) texts: keep min id as canonical,
     report group size. One hash-shuffle on the md5 fingerprint."""
+    # No repartition here: md5+normalize is cheap enough that a
+    # pre-shuffle of the raw text costs more than it buys (measured).
     fp = F.md5(normalize_text(F.col(text_col)).cast("binary"))
     return (
         df.select(F.col(id_col), fp.alias("fingerprint"))
@@ -87,6 +89,24 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+# Odd multipliers/offsets for the permutation family h_i = a_i*h + b_i
+# (mod 2^64, Java long wrap). Derived from splitmix64-style constants;
+# fixed seeds → reproducible on any cluster.
+_PERM_A = 0x9E3779B97F4A7C15
+_PERM_B = 0xBF58476D1CE4E5B9
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    def to_long(x: int) -> int:  # two's-complement into signed 64-bit
+        x &= (1 << 64) - 1
+        return x - (1 << 64) if x >= 1 << 63 else x
+
+    return [
+        (to_long(_PERM_A * (2 * i + 1)), to_long(_PERM_B * (i + 1)))
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -97,21 +117,43 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc minhash signature as columns _mh0.._mh{k-1}.
 
-    Shape: explode shingles → ONE hash-aggregate with k vectorized
-    MIN expressions. A single pass over the data with map-side
-    partial mins; the shuffle carries k longs per doc — the layout
-    that survives 100 TB (vs per-row array re-traversal, which is
-    O(k·|shingles|) codegen inside one projection).
+    Shape: explode shingles → hash each shingle ONCE (xxhash64) →
+    derive the k lanes as integer permutations a_i*h+b_i (wrap-around
+    64-bit multiply — the classic universal-hash family) → ONE
+    hash-aggregate with k vectorized MINs. One string hash per
+    shingle instead of k cuts the dominant CPU cost k-fold; map-side
+    partial mins mean the shuffle carries k longs per doc — the
+    layout that survives 100 TB.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(shingles_col(F.col(text_col), shingle_k)).alias("_s"),
+    return _signatures_from_shingles(
+        _shingle_table(df, id_col, text_col, shingle_k), num_hashes
     )
+
+
+def _shingle_table(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int
+) -> DataFrame:
+    """(_id, _sh: array<string>) — the one place shingles are built.
+    Input is re-split if the scan under-parallelized (single-file
+    tables): shingling is the CPU-dominant stage."""
+    from .util import ensure_parallelism
+
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("_sh"),
+    )
+
+
+def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
+    hashed = sh.select(
+        "_id", F.explode("_sh").alias("_s")
+    ).select("_id", F.xxhash64(F.col("_s")).alias("_h"))
+    consts = _perm_consts(num_hashes)
     aggs = [
-        F.min(F.xxhash64(F.col("_s"), F.lit(i))).alias(f"_mh{i}")
-        for i in range(num_hashes)
+        F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"_mh{i}")
+        for i, (a, b) in enumerate(consts)
     ]
-    return sh.groupBy("_id").agg(*aggs)
+    return hashed.groupBy("_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -131,8 +173,8 @@ def lsh_candidate_pairs(
     only same-bucket pairs are ever enumerated.
     """
     n_bands = num_hashes // rows_per_band
-    with_sig = minhash_signatures(
-        df, id_col, text_col, num_hashes=num_hashes, shingle_k=shingle_k
+    with_sig = _signatures_from_shingles(
+        _shingle_table(df, id_col, text_col, shingle_k), num_hashes
     )
     bands = with_sig.select(
         "_id",
@@ -178,21 +220,45 @@ def near_duplicate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidates exact-verified by n-gram Jaccard ≥
     threshold. Output: (id_a, id_b, jaccard). Semantically equal to
-    the O(N²) brute force (the oracle), at bucket-join cost."""
-    cands = lsh_candidate_pairs(
-        df,
-        id_col,
-        text_col,
-        num_hashes=num_hashes,
-        rows_per_band=rows_per_band,
-        shingle_k=shingle_k,
+    the O(N²) brute force (the oracle), at bucket-join cost.
+
+    The shingle table is built once and persisted for the run: the
+    signature path explodes it, the verification path joins it —
+    without the persist the expensive tokenize+shingle projection
+    runs three times."""
+    sh = _shingle_table(df, id_col, text_col, shingle_k).persist()
+    sig = _signatures_from_shingles(sh, num_hashes)
+    n_bands = num_hashes // rows_per_band
+    bands = sig.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col(f"_mh{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("_id", "bb.band", "bb.bucket")
+    cands = (
+        bands.select(F.col("_id").alias("id_a"), "band", "bucket")
+        .join(bands.select(F.col("_id").alias("id_b"), "band", "bucket"),
+              ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("_sid"),
-        shingles_col(F.col(text_col), shingle_k).alias("_sh"),
-    )
-    a = sh.select(F.col("_sid").alias("id_a"), F.col("_sh").alias("sh_a"))
-    b = sh.select(F.col("_sid").alias("id_b"), F.col("_sh").alias("sh_b"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
         cands.join(a, "id_a")
         .join(b, "id_b")
@@ -224,7 +290,9 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
     bit). Map-side partial sums collapse the shuffle to 64 longs per
     doc -- the same one-pass shape as minhash_signatures.
     """
-    toks = df.select(
+    from .util import ensure_parallelism
+
+    toks = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(words_col(F.col(text_col))).alias("_w"),
     ).select("_id", F.xxhash64(F.col("_w")).alias("_h"))

@@ -60,10 +60,13 @@ def cosine_topk(
     The corpus side is the big side — Spark broadcasts the (small)
     query side; ranking is a bounded per-query window.
     """
+    from .util import ensure_parallelism
+
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(
+    # Per-pair fold math is the CPU cost — split the big side wide.
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     scored = (
@@ -116,7 +119,9 @@ def lsh_bucket_topk(
     """Approximate all-pairs top-k: score only same-bucket pairs.
     2^n_planes buckets shrink the pair space ~2^n_planes-fold; the
     bucket join shuffles on bucket id (AQE splits skewed buckets)."""
-    withb = df.select(
+    from .util import ensure_parallelism
+
+    withb = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         hyperplane_bucket(F.col(vec_col), dim=dim, n_planes=n_planes).alias(

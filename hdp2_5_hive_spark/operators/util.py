@@ -1,0 +1,24 @@
+"""Shared operator utilities."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
+    """Repartition iff the input has fewer partitions than the
+    cluster can use (Hive's split-generation tuning,
+    ``mapreduce.input.fileinputformat.split.maxsize`` analogue).
+
+    CPU-heavy projections (shingling, hashing, per-vector math)
+    otherwise serialize on however many splits the scan produced — a
+    single-file, single-row-group parquet table runs on ONE core no
+    matter how wide the cluster. At warehouse scale inputs carry
+    thousands of splits and this is a no-op; the round-robin shuffle
+    of raw rows only triggers on pathologically under-split inputs.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+        return df.repartition(target)
+    return df

@@ -1,0 +1,85 @@
+"""Plan-shape gates (SURVEY §4 'net: Catalyst built-ins do the
+optimizing — we assert they actually fired'): predicate pushdown,
+column pruning, broadcast joins, codegen."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.plans import audit
+from hdp2_5_hive_spark.queries import all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_q1_filter_pushed_and_pruned(spark, sf_dir, qs):
+    """TPC-H Q1: shipdate predicate reaches the parquet scan; scan
+    reads only the 7 referenced columns of 16."""
+    df = qs["q1_pricing_summary"].fn(spark, sf_dir)
+    facts = audit.analyze(df)
+    assert any("l_shipdate" in f for f in facts.pushed_filters), facts.text
+    assert facts.read_schemas and all(
+        "l_comment" not in rs for rs in facts.read_schemas
+    ), facts.read_schemas
+    # Codegen only materializes in the finalized (post-AQE) plan of
+    # THIS DataFrame — collect() finalizes it (a noop-sink write
+    # would execute a copy).
+    df.collect()
+    plan = audit.executed_plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in simpleString.
+    assert "*(1)" in plan or "WholeStageCodegen" in plan, plan
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir, qs):
+    """Q3 customer (filtered dim) should broadcast, not shuffle-join."""
+    df = qs["q3_shipping_priority"].fn(spark, sf_dir)
+    audit.assert_broadcast(df, at_least=1)
+
+
+def test_q5_multiway_join_broadcasts_small_dims(spark, sf_dir, qs):
+    df = qs["q5_local_supplier"].fn(spark, sf_dir)
+    facts = audit.analyze(df)
+    # region (5 rows) and nation (25) must never be the big side of a
+    # shuffle join.
+    assert facts.n_broadcast_joins >= 2, facts.text
+
+
+def test_scan_column_pruning_projection(spark, sf_dir):
+    """A 2-column projection reads a 2-column schema."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    facts = audit.analyze(df)
+    assert facts.scans_read_only("l_orderkey", "l_quantity"), facts.read_schemas
+
+
+def test_partition_pruning_on_partitioned_write(spark, tmp_path):
+    """Partition-column predicate prunes directories at plan time
+    (PartitionPruner.java analogue — Spark PruneFileSourcePartitions)."""
+    src = spark.createDataFrame(
+        [(i, i % 3, f"v{i}") for i in range(30)], "id int, p int, v string"
+    )
+    path = str(tmp_path / "pt")
+    src.write.partitionBy("p").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("p") == 1).select("id", "v")
+    # Partition filters appear as PartitionFilters in the scan node.
+    text = audit.formatted_plan(df)
+    assert "PartitionFilters" in text and "p#" in text
+    assert df.count() == 10
+
+
+def test_orderby_limit_is_top_k(spark, sf_dir, qs):
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject (TopNHash.java
+    analogue), not a full sort."""
+    df = qs["orderby_limit"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in audit.formatted_plan(df)
+
+
+def test_semi_join_strategy(spark, sf_dir, qs):
+    """IN-subquery compiles to a semi join (QBSubQuery.java rewrite)."""
+    df = qs["subq_in"].fn(spark, sf_dir)
+    text = audit.formatted_plan(df)
+    assert "LeftSemi" in text, text
