@@ -53,6 +53,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_session(app_name="hdp2_5_hive_spark-bench")
 
+    # Warm the executor pool + codegen pipeline once so per-query
+    # times measure steady-state work, not JVM spin-up.
+    spark.range(1_000_000).selectExpr("sum(id) AS s").write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     qs = all_queries()
     times: dict[str, float] = {}
     for name in HEADLINE:

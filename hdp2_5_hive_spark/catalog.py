@@ -30,7 +30,6 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
@@ -43,6 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     df = spark.read.parquet(table_path(sf_dir, name))
+    # NOTE: no blanket re-split here. The testdata's single-row-group
+    # files scan on one core, but measurements show a round-robin
+    # shuffle of the raw rows costs more than it buys for scan+agg
+    # shapes at this size; only CPU-dominant operators (shingling,
+    # vector math — see operators/util.ensure_parallelism) re-split.
     if name == "events":
         # ts is parquet TIMESTAMP(NANOS) → read as long nanos
         # (spark.sql.legacy.parquet.nanosAsLong), truncate to micros.

@@ -322,3 +322,78 @@ def virtual_input_file_name(spark, t):
         .groupBy("f")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "fn_misc_math",
+    oracle="""
+SELECT o_orderkey,
+       ROUND(cbrt(o_totalprice), 6) AS cbrt_price,
+       factorial(CAST(o_orderkey % 10 AS INTEGER)) AS fact_mod,
+       upper(to_hex(o_orderkey)) AS hex_key,
+       strpos(o_orderpriority, '-') AS dash_pos,
+       ROUND(pi(), 6) AS pi_val,
+       ROUND(exp(1), 6) AS e_val,
+       repeat(' ', 3) || '|' AS spaced
+FROM orders WHERE o_orderkey <= 2000
+""",
+    category="scalars",
+)
+def fn_misc_math(spark, t):
+    """Math/misc long tail: cbrt/factorial/conv/locate/pi/e/space
+    (FunctionRegistry.java:195,220,223,414,214,219,182)."""
+    o = t.orders.filter(F.col("o_orderkey") <= 2000)
+    return o.select(
+        "o_orderkey",
+        F.round(F.cbrt("o_totalprice"), 6).alias("cbrt_price"),
+        F.factorial((F.col("o_orderkey") % 10).cast("int")).alias("fact_mod"),
+        F.conv(F.col("o_orderkey").cast("string"), 10, 16).alias("hex_key"),
+        F.locate("-", F.col("o_orderpriority")).alias("dash_pos"),
+        F.round(F.expr("pi()"), 6).alias("pi_val"),
+        F.round(F.expr("e()"), 6).alias("e_val"),
+        F.concat(F.expr("space(3)"), F.lit("|")).alias("spaced"),
+    )
+
+
+@register(
+    "fn_datetime_parts",
+    oracle="""
+SELECT event_id,
+       hour(CAST(ts AS TIMESTAMP)) AS h,
+       minute(CAST(ts AS TIMESTAMP)) AS m,
+       second(CAST(ts AS TIMESTAMP)) AS s,
+       strftime(to_timestamp(3600), '%Y-%m-%d %H:%M:%S') AS from_epoch,
+       dayofweek(CAST(ts AS TIMESTAMP)) % 7 + 1 AS dow,
+       CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week_start
+FROM events WHERE event_id <= 3000
+""",
+    category="scalars",
+)
+def fn_datetime_parts(spark, t):
+    """hour/minute/second/from_unixtime/dayofweek/trunc-week
+    (FunctionRegistry.java:270-273; DuckDB dayofweek is 0=Sunday vs
+    Spark 1=Sunday — oracle normalizes)."""
+    e = t.events.filter(F.col("event_id") <= 3000)
+    return e.select(
+        "event_id",
+        F.hour("ts").alias("h"),
+        F.minute("ts").alias("m"),
+        F.second("ts").alias("s"),
+        F.from_unixtime(F.lit(3600)).alias("from_epoch"),
+        F.dayofweek("ts").alias("dow"),
+        F.trunc("ts", "week").alias("week_start"),
+    )
+
+
+@register(
+    "sample_percent",
+    oracle=None,  # Bernoulli sampling is engine-specific — rows-only;
+    # the fraction tolerance is asserted in tests/test_scalars2.py.
+    category="setops",
+)
+def sample_percent(spark, t):
+    """TABLESAMPLE (n PERCENT) (FromClauseParser.g:170-179
+    TOK_TABLESPLITSAMPLE) → df.sample with a fixed seed."""
+    return t.orders.sample(fraction=0.1, seed=42).select(
+        "o_orderkey", "o_totalprice"
+    )
