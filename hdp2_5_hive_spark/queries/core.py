@@ -233,3 +233,330 @@ def q18_large_orders(spark, t):
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    category="core",
+)
+def q6_forecast_revenue(spark, t):
+    """TPC-H Q6 shape: scan-only conjunctive filter + ungrouped agg —
+    the pure predicate-pushdown benchmark (FilterOperator
+    ``exec/FilterOperator.java:37`` + map-side agg)."""
+    li = t.lineitem
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q4_priority_exists",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+""",
+    category="core",
+)
+def q4_priority_exists(spark, t):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join
+    (QBSubQuery.java rewrite), grouped count by priority. (The
+    reference schema's commit/receipt dates aren't in the testdata;
+    the EXISTS predicate filters returned lines instead.)"""
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= '1996-07-01' AND o.o_orderdate < '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q12_priority_case_agg",
+    oracle="""
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+""",
+    category="core",
+)
+def q12_priority_case_agg(spark, t):
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation — the
+    canonical SUM(CASE WHEN ...) pivot pattern."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.join(
+            t.lineitem, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+              THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+              AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+              AS DECIMAL(38,6))) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+  AND l_shipdate < TIMESTAMP '1995-10-01'
+""",
+    category="core",
+)
+def q14_promo_revenue(spark, t):
+    """TPC-H Q14 shape: broadcast part join + conditional revenue
+    ratio (promo share of revenue for one month)."""
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= "1995-09-01")
+            & (F.col("l_shipdate") < "1995-10-01")
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(promo.cast("decimal(38,6)")).cast("double")
+                / F.sum(disc.cast("decimal(38,6)")).cast("double"),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "q16_supplier_cnt",
+    oracle="""
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%#000000001')
+GROUP BY p_brand, p_type, p_size
+""",
+    category="core",
+)
+def q16_supplier_cnt(spark, t):
+    """TPC-H Q16 shape: NOT IN subquery (anti join), IN-list +
+    NOT LIKE filters, COUNT(DISTINCT). The part↔supplier link rides
+    lineitem (testdata has no partsupp table)."""
+    t.lineitem.createOrReplaceTempView("lineitem")
+    t.part.createOrReplaceTempView("part")
+    t.supplier.createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_type NOT LIKE 'PROMO%'
+          AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_name LIKE '%#000000001')
+        GROUP BY p_brand, p_type, p_size
+        """
+    )
+
+
+@register(
+    "q19_disjunctive_pred",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 20 AND l_quantity <= 30)
+""",
+    category="core",
+)
+def q19_disjunctive_pred(spark, t):
+    """TPC-H Q19 shape: OR-of-ANDs join residual — exercises
+    disjunction pushdown/CNF handling (PointLookupOptimizer
+    territory in the reference)."""
+    li, p = t.lineitem, t.part
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+WITH avg_bal AS (
+  SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM customer, avg_bal
+WHERE c_acctbal > a
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+    category="core",
+)
+def q22_global_sales_opportunity(spark, t):
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global avg) +
+    NOT EXISTS anti join (customers with no urgent orders) + grouped agg. (Testdata has no c_phone, so
+    the grouping key is market segment rather than country code.)"""
+    t.customer.createOrReplaceTempView("customer")
+    t.orders.createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS numcust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+                           WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+WITH link AS (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(l_extendedprice / l_quantity) OVER
+           (PARTITION BY l_partkey) AS min_unit,
+         l_extendedprice / l_quantity AS unit
+  FROM lineitem WHERE l_quantity > 0
+)
+SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,
+       ROUND(k.unit, 6) AS unit_cost
+FROM link k
+JOIN part p ON p.p_partkey = k.partkey
+JOIN supplier s ON s.s_suppkey = k.suppkey
+WHERE k.unit = k.min_unit AND p.p_size <= 3
+""",
+    category="core",
+)
+def q2_min_cost_supplier(spark, t):
+    """TPC-H Q2 shape: per-part minimum-cost supplier via a
+    correlated-minimum (window-min) + join back — the classic
+    argmin-per-group pattern (the testdata's partsupp equivalent is
+    the lineitem part↔supplier link)."""
+    from pyspark.sql import Window as W
+
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    link = (
+        t.lineitem.filter(F.col("l_quantity") > 0)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            unit.alias("unit"),
+        )
+        .distinct()
+        .withColumn(
+            "min_unit", F.min("unit").over(W.partitionBy("partkey"))
+        )
+    )
+    return (
+        link.filter(F.col("unit") == F.col("min_unit"))
+        .join(
+            F.broadcast(t.part.filter(F.col("p_size") <= 3)),
+            F.col("p_partkey") == F.col("partkey"),
+        )
+        .join(
+            F.broadcast(t.supplier), F.col("s_suppkey") == F.col("suppkey")
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            F.round("unit", 6).alias("unit_cost"),
+        )
+    )
