@@ -238,3 +238,26 @@ def agg_approx_distinct(spark, t):
         F.approx_count_distinct("l_partkey").alias("approx_nd_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "agg_salted_skew",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_salted_skew(spark, t):
+    """Skew-proof two-phase aggregation (salt -> partial -> de-salt;
+    Hive hive.groupby.skewindata 2MR plan,
+    SemanticAnalyzer.java:5571): byte-identical result to the direct
+    groupBy, different shuffle layout. l_returnflag has only 3 values
+    — exactly the hot-key shape salting exists for."""
+    from ..operators.skew import salted_sum_count
+
+    return salted_sum_count(
+        t.lineitem, ["l_returnflag"], F.col("l_quantity"), n_salts=32
+    )

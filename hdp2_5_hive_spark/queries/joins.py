@@ -229,3 +229,37 @@ def join_theta_residual(spark, t):
             dsum("l_extendedprice", "sum_price"),
         )
     )
+
+
+@register(
+    "join_unique_preserve",
+    oracle="""
+SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+       c.c_name, o.n_orders
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 800) c
+FULL OUTER JOIN (SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+                 WHERE o_custkey BETWEEN 400 AND 1200
+                 GROUP BY o_custkey) o
+  ON c.c_custkey = o.o_custkey
+""",
+    category="joins",
+)
+def join_unique_preserve(spark, t):
+    """FROM UNIQUEJOIN PRESERVE (JoinDesc.java:46, type UNIQUE=4):
+    rows from every PRESERVEd side survive regardless of matches —
+    semantically a full outer join on the join key over deduplicated
+    sides (SURVEY §2.4 mapping)."""
+    c = t.customer.filter(F.col("c_custkey") <= 800).select(
+        "c_custkey", "c_name"
+    )
+    o = (
+        t.orders.filter(F.col("o_custkey").between(400, 1200))
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    j = c.join(o, c.c_custkey == o.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        "c_name",
+        "n_orders",
+    )

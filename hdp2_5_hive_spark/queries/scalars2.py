@@ -397,3 +397,95 @@ def sample_percent(spark, t):
     return t.orders.sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_totalprice"
     )
+
+
+@register(
+    "fn_crypto_roundtrip",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS aes_roundtrip,
+       n_name AS b64_roundtrip,
+       n_name AS hex_roundtrip,
+       n_name AS enc_roundtrip
+FROM nation
+""",
+    category="scalars",
+)
+def fn_crypto_roundtrip(spark, t):
+    """aes_encrypt/aes_decrypt, base64/unbase64, hex/unhex,
+    encode/decode round-trips (FunctionRegistry.java:225-237) — each
+    pair must reproduce its input, so the oracle is the identity."""
+    key = F.lit("0123456789abcdef")  # 128-bit AES key
+    name = F.col("n_name")
+    return t.nation.select(
+        "n_nationkey",
+        F.aes_decrypt(
+            F.aes_encrypt(name, key, F.lit("ECB")), key, F.lit("ECB")
+        )
+        .cast("string")
+        .alias("aes_roundtrip"),
+        F.unbase64(F.base64(name.cast("binary"))).cast("string").alias(
+            "b64_roundtrip"
+        ),
+        F.unhex(F.hex(name)).cast("string").alias("hex_roundtrip"),
+        F.decode(F.encode(name, "UTF-8"), "UTF-8").alias("enc_roundtrip"),
+    )
+
+
+@register(
+    "fn_hash_extra",
+    oracle=None,  # crc32/sha1/xxhash64 have no DuckDB twins — value
+    # properties asserted in tests/test_scalars2.py.
+    category="scalars",
+)
+def fn_hash_extra(spark, t):
+    """crc32/sha1/xxhash64/hash (FunctionRegistry.java:221,231-232,
+    409). Hive's hash() uses Java hashCode conventions; Spark's
+    Murmur3 differs — documented divergence (SURVEY §2.9), only
+    observable if hashes are persisted."""
+    return t.nation.select(
+        "n_nationkey",
+        F.crc32(F.col("n_name").cast("binary")).alias("crc"),
+        F.sha1(F.col("n_name").cast("binary")).alias("sha1_hex"),
+        F.xxhash64("n_name").alias("xx64"),
+        F.hash("n_name").alias("murmur"),
+    )
+
+
+@register(
+    "fn_date_tail",
+    oracle=None,  # DuckDB lacks next_day / Hive months_between
+    # semantics — value assertions in tests/test_scalars2.py.
+    category="scalars",
+)
+def fn_date_tail(spark, t):
+    """next_day / months_between / from_utc_timestamp /
+    to_utc_timestamp (FunctionRegistry.java:277,285,427-428)."""
+    o = t.orders.filter(F.col("o_orderkey") <= 100)
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.next_day("o_orderdate", "Mon").alias("next_monday"),
+        F.round(
+            F.months_between(F.col("o_orderdate"), F.lit("1995-01-01")), 6
+        ).alias("mb"),
+        F.from_utc_timestamp("o_orderdate", "America/New_York").alias("ny_time"),
+        F.to_utc_timestamp("o_orderdate", "Asia/Tokyo").alias("from_tokyo"),
+    )
+
+
+@register(
+    "fn_sentences_soundex",
+    oracle=None,  # no DuckDB twins — assertions in tests.
+    category="scalars",
+)
+def fn_sentences_soundex(spark, t):
+    """sentences() tokenizer (FunctionRegistry.java:419) and
+    soundex (:188) over document text / supplier names."""
+    return t.documents.filter(F.col("doc_id") < 50).select(
+        "doc_id",
+        F.sentences(F.col("text")).alias("sent_tokens"),
+        F.soundex(F.split(F.col("text"), " ").getItem(0)).alias(
+            "first_word_soundex"
+        ),
+    )

@@ -44,3 +44,42 @@ def test_field_semantics(spark):
     ]
     assert got[0] == 2  # 1-based hit
     assert got[1] == 0  # absent → 0
+
+
+def test_hash_extra_known_values(spark):
+    df = spark.createDataFrame([("abc",)], "s string")
+    r = df.select(
+        F.crc32(F.col("s").cast("binary")).alias("crc"),
+        F.sha1(F.col("s").cast("binary")).alias("sha"),
+    ).first()
+    assert r.crc == 891568578  # public CRC-32 of "abc"
+    assert r.sha == "a9993e364706816aba3e25717850c26c9cd0d89d"  # SHA-1("abc")
+
+
+def test_date_tail_known_values(spark):
+    from datetime import date
+
+    df = spark.createDataFrame([(date(1995, 6, 15),)], "d date")
+    r = df.select(
+        F.next_day("d", "Mon").alias("nm"),
+        F.months_between(F.lit("1995-08-15").cast("date"), F.col("d")).alias(
+            "mb"
+        ),
+        F.from_utc_timestamp(
+            F.lit("1995-06-15 12:00:00").cast("timestamp"), "America/New_York"
+        ).alias("ny"),
+    ).first()
+    assert str(r.nm) == "1995-06-19"  # 1995-06-15 is a Thursday
+    assert abs(r.mb - 2.0) < 1e-9
+    assert str(r.ny) == "1995-06-15 08:00:00"  # EDT = UTC-4
+
+
+def test_sentences_soundex(spark):
+    df = spark.createDataFrame(
+        [("Hello world. Second sentence here.", "Robert")], "t string, n string"
+    )
+    r = df.select(
+        F.sentences("t").alias("s"), F.soundex("n").alias("sx")
+    ).first()
+    assert r.s == [["Hello", "world"], ["Second", "sentence", "here"]]
+    assert r.sx == "R163"  # published soundex of Robert
