@@ -92,3 +92,78 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_stub(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize kernel (real: PIL/libvips). Deterministic fake:
+    payload truncated/cycled to width*height bytes — preserves the
+    (payload, dims) → payload contract shape."""
+    if not payload:
+        raise NotImplementedError("real resize requires an image codec library")
+    n = width * height
+    reps = -(-n // len(payload))
+    return (payload * reps)[:n]
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Batch image resize over mapInPandas: (media_id, payload) →
+    (media_id, width, height, payload'). Arrow both ways; the kernel
+    sees a pandas batch, never a row."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "payload": pdf["payload"].map(
+                        lambda p: resize_stub(p, width, height)
+                    ),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame sampling (video → n evenly-spaced frames): UDTF-shaped
+    mapInPandas emitting 0..n rows per input row. STUB frame cut:
+    byte-range slices of the payload standing in for decoded frames;
+    the row-explosion plumbing (schema, 1→N fan-out, Arrow batches)
+    is the real contract."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) == 0:
+                    continue
+                step = max(1, len(payload) // n_frames)
+                for i in range(min(n_frames, len(payload))):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * step : i * step + step]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)
