@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY §5: Hive 1.2 has no randomized testing).
+
+Each property pins an invariant the engine's determinism story rests
+on: order-independent sums, partition-invariant results, portable
+hashes, Jaccard ∈ [0,1] symmetry.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.functions.hive_compat import dsum
+from hdp2_5_hive_spark.operators.textstats import (
+    ROLLING_BASE,
+    ROLLING_MOD,
+    rolling_hash,
+)
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+prices = st.lists(
+    st.floats(
+        min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(xs=prices, parts=st.integers(min_value=1, max_value=8))
+@SET
+def test_dsum_partition_invariant(spark, xs, parts):
+    """dsum is identical no matter how rows are partitioned —
+    the decimal accumulator makes addition associative."""
+    df = spark.createDataFrame([(x,) for x in xs], "v double")
+    a = df.repartition(parts).agg(dsum("v").alias("s")).first().s
+    b = df.coalesce(1).agg(dsum("v").alias("s")).first().s
+    assert a == b  # bit-identical, not approximately
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(
+                min_codepoint=32, max_codepoint=126
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@SET
+def test_rolling_hash_matches_reference(spark, texts):
+    """Spark rolling hash == independent pure-Python implementation."""
+
+    def py_hash(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * ROLLING_BASE + ord(ch)) % ROLLING_MOD
+        return h
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    got = [
+        r.h
+        for r in df.select(rolling_hash(F.col("t")).alias("h"))
+        .collect()
+    ]
+    want = [py_hash(t) for t in texts]
+    assert sorted(got) == sorted(want)
+
+
+@given(
+    a=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                      min_size=1, max_size=5), max_size=15),
+    b=st.sets(st.text(st.characters(min_codepoint=97, max_codepoint=122),
+                      min_size=1, max_size=5), max_size=15),
+)
+@SET
+def test_jaccard_symmetric_and_bounded(spark, a, b):
+    from hdp2_5_hive_spark.operators.dedup import jaccard_col
+
+    df = spark.createDataFrame(
+        [(sorted(a), sorted(b))], "a array<string>, b array<string>"
+    )
+    r = df.select(
+        jaccard_col(F.col("a"), F.col("b")).alias("ab"),
+        jaccard_col(F.col("b"), F.col("a")).alias("ba"),
+    ).first()
+    if not a and not b:
+        assert r.ab is None  # 0/0 — Hive NULL semantics
+    else:
+        assert r.ab == r.ba
+        assert 0.0 <= r.ab <= 1.0
+        inter = len(a & b)
+        assert abs(r.ab - inter / (len(a) + len(b) - inter)) < 1e-12
+
+
+@given(xs=prices)
+@SET
+def test_salted_agg_equals_direct_property(spark, xs):
+    from hdp2_5_hive_spark.operators.skew import salted_sum_count
+
+    df = spark.createDataFrame([("k", x) for x in xs], "k string, v double")
+    direct = df.agg(dsum("v").alias("s")).first().s
+    salted = salted_sum_count(df, ["k"], F.col("v"), n_salts=4).first()
+    assert salted.sum_value == direct
+    assert salted.n == len(xs)
