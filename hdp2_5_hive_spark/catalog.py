@@ -53,8 +53,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB oracle side does CAST(ts AS TIMESTAMP) for parity.
         from pyspark.sql import functions as F
 
+        # Integer DIV, not floor(double /): nanosecond epochs are
+        # ~2^60 and double's 52-bit mantissa silently rounds them
+        # (observed ±1 µs drift vs the oracle).
         df = df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
         )
     return df
 

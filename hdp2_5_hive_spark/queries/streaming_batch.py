@@ -69,3 +69,49 @@ def stream_sliding_counts(spark, t):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("window_start"), "n")
     )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER
+           (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM e
+), sess AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n
+FROM sess GROUP BY user_id, sid
+""",
+    category="streaming",
+)
+def stream_session_window(spark, t):
+    """Gap-based session windows via F.session_window (the Spark
+    stream-native operator; batch-mode here so the driver can
+    hash-check it). window.end = last event + gap — mirrored in the
+    oracle's islands construction."""
+    return (
+        t.events.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n",
+        )
+    )
