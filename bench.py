@@ -32,6 +32,7 @@ HEADLINE = [
     "q5_local_supplier",
     "q10_returned_items",
     "q18_large_orders",
+    "q7_volume_shipping",
     "join_inner_basic",
     "agg_distinct_multi",
     "agg_cube_grouping_id",

@@ -560,3 +560,158 @@ def q2_min_cost_supplier(spark, t):
             F.round("unit", 6).alias("unit_cost"),
         )
     )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation sn ON sn.n_nationkey = s_nationkey
+JOIN nation cn ON cn.n_nationkey = c_nationkey
+WHERE ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+""",
+    category="core",
+)
+def q7_volume_shipping(spark, t):
+    """TPC-H Q7 shape: 6-way join with a disjunctive cross-table
+    predicate and per-year revenue. nation joins broadcast (25
+    rows); the lineitem-orders join shuffles on orderkey."""
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = t.nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t.customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+WITH all_rev AS (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation sn ON sn.n_nationkey = s_nationkey
+  WHERE p_type = 'ECONOMY'
+)
+SELECT o_year,
+       ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE),
+             6) AS mkt_share
+FROM all_rev GROUP BY o_year
+""",
+    category="core",
+)
+def q8_market_share(spark, t):
+    """TPC-H Q8 shape: national market share = conditional share of
+    revenue per year over a 5-way join."""
+    sn = t.nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(t.part.filter(F.col("p_type") == "ECONOMY")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    brazil = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(
+        F.lit(0.0)
+    )
+    return rev.groupBy("o_year").agg(
+        F.round(
+            F.sum(brazil.cast("decimal(38,6)")).cast("double")
+            / F.sum(F.col("volume").cast("decimal(38,6)")).cast("double"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) - l_quantity * 10.0
+                     AS DECIMAL(38,6))) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+JOIN part     ON p_partkey = l_partkey
+WHERE p_name LIKE '%a%'
+GROUP BY n_name, year(o_orderdate)
+""",
+    category="core",
+)
+def q9_profit_by_nation_year(spark, t):
+    """TPC-H Q9 shape: profit per supplier nation per year (testdata
+    has no partsupp/ps_supplycost; unit cost fixed at 10.0)."""
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "l_quantity"
+    ) * F.lit(10.0)
+    return (
+        t.lineitem.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t.supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t.nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(t.part.filter(F.col("p_name").like("%a%"))),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            F.sum(profit.cast("decimal(38,6)")).cast("double").alias("profit")
+        )
+    )

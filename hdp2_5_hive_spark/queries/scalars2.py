@@ -62,7 +62,7 @@ SELECT n_nationkey,
        upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS capped,
        CASE ((n_nationkey % 3) + 1) WHEN 1 THEN 'alpha' WHEN 2 THEN 'beta'
             ELSE 'gamma' END AS elt_pick,
-       CASE n_name WHEN 'CANADA' THEN 1 WHEN 'BRAZIL' THEN 2 ELSE 0 END AS fld,
+       CASE n_name WHEN 'NATION_5' THEN 1 WHEN 'NATION_7' THEN 2 ELSE 0 END AS fld,
        CASE WHEN strpos(',b,c,' , ',' || lower(substr(n_name,1,1)) || ',') > 0
             THEN length(substr(',b,c,', 1,
                  strpos(',b,c,', ',' || lower(substr(n_name,1,1)) || ',')))
@@ -83,7 +83,7 @@ def fn_initcap_elt_field(spark, t):
         F.expr("elt((n_nationkey % 3) + 1, 'alpha', 'beta', 'gamma')").alias(
             "elt_pick"
         ),
-        hc.field(F.col("n_name"), "CANADA", "BRAZIL").alias("fld"),
+        hc.field(F.col("n_name"), "NATION_5", "NATION_7").alias("fld"),
         F.expr("find_in_set(lower(substr(n_name, 1, 1)), 'b,c')").alias("fis"),
     )
 
