@@ -28,15 +28,23 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Cache of registered-view Tables per (session id, sf_dir) so each
-# query call doesn't re-register ten views.
+# Cache of Tables per (session id, sf_dir) so each query call doesn't
+# re-read ten parquet footers; plus the sf_dir whose views are
+# CURRENTLY registered per session — temp view names are global to
+# the session, so switching sf_dir (driver: entry at sf0.001, then
+# correctness at sf0.01) must re-point them or SQL-text queries would
+# silently read the wrong scale.
 _TABLES_CACHE: dict[tuple[int, str], Tables] = {}
+_ACTIVE_SF: dict[int, str] = {}
 
 
 def tables_for(spark: SparkSession, sf_dir: str) -> Tables:
     key = (id(spark), sf_dir)
     if key not in _TABLES_CACHE:
         _TABLES_CACHE[key] = register_views(spark, sf_dir)
+    elif _ACTIVE_SF.get(id(spark)) != sf_dir:
+        register_views(spark, sf_dir)
+    _ACTIVE_SF[id(spark)] = sf_dir
     return _TABLES_CACHE[key]
 
 

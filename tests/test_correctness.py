@@ -39,3 +39,17 @@ def test_contract_shape():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 50
+
+
+def test_view_registration_follows_sf_dir(spark):
+    """Interleaving sf_dirs (driver: entry at sf0.001, correctness
+    at sf0.01) must re-point the session's temp views — a cached
+    registration would silently serve the wrong scale."""
+    from hdp2_5_hive_spark.queries import query_map
+
+    qm = query_map()
+    a = qm["subq_in"](spark, "/root/testdata/sf0.001").count()
+    b = qm["subq_in"](spark, "/root/testdata/sf0.01").count()
+    a2 = qm["subq_in"](spark, "/root/testdata/sf0.001").count()
+    assert a == a2
+    assert b != a
