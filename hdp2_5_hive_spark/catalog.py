@@ -30,6 +30,52 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Hive-1.2 parity confs that MUST hold on whatever session runs our
+# queries — including a session WE did not build (the verify driver
+# passes its own vanilla SparkSession into ``queries()[name]``; on
+# Spark 4.x that session has ANSI mode ON and no nanos handling, which
+# made every round-1 query die at the parquet scan). All of these are
+# runtime-settable, so the query choke points apply them to the
+# incoming session instead of trusting the session factory.
+#
+# - nanosAsLong: events.parquet stores TIMESTAMP(NANOS); Spark has no
+#   nanos type, so scan it as long (catalog converts to micros below).
+# - ansi.enabled=false: Hive casts/arithmetic that fail yield NULL,
+#   not errors (reference ql/.../udf/generic/GenericUDFToInteger.java).
+# - timeZone=UTC: session-local timestamps pinned so results compare
+#   bit-for-bit with the DuckDB oracle.
+# - arrow: vectorized transfer for every pandas-UDF path.
+# - AQE + broadcast threshold: Hive's runtime join conversion / skew
+#   handling analogues (optimizer/physical/CommonJoinResolver.java,
+#   exec/SkewJoinHandler.java:74) — plan parity on any session.
+PARITY_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.ansi.enabled": "false",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def ensure_parity_confs(spark: SparkSession) -> None:
+    """Apply the Hive-parity confs to an ARBITRARY incoming session.
+
+    Idempotent and cheap (a handful of py4j conf calls); every query
+    entry point calls this before touching parquet. Individual keys
+    are best-effort so one static/renamed conf on a future Spark
+    can't take the whole catalog down."""
+    for k, v in PARITY_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
@@ -63,12 +109,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 class Tables:
-    """Lazy per-sf_dir table accessor: ``t.lineitem``, ``t['orders']``."""
+    """Lazy per-sf_dir table accessor: ``t.lineitem``, ``t['orders']``.
+
+    Load failures are remembered per table and re-raised only when
+    THAT table is accessed — one unreadable file costs one query, not
+    the whole suite (round-1 lesson: eager loading let a single
+    nanos-typed table poison all 117 registered queries)."""
 
     def __init__(self, spark: SparkSession, sf_dir: str):
         self.spark = spark
         self.sf_dir = sf_dir
         self._cache: dict[str, DataFrame] = {}
+        self._load_errors: dict[str, Exception] = {}
 
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
@@ -76,16 +128,31 @@ class Tables:
         return self[name]
 
     def __getitem__(self, name: str) -> DataFrame:
+        if name in self._load_errors:
+            raise self._load_errors[name]
         if name not in self._cache:
-            self._cache[name] = load_table(self.spark, self.sf_dir, name)
+            try:
+                self._cache[name] = load_table(self.spark, self.sf_dir, name)
+            except Exception as exc:  # remember; fail only this table
+                self._load_errors[name] = exc
+                raise
         return self._cache[name]
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> Tables:
     """Register every testdata table as a temp view (CREATE VIEW
     equivalent — reference ``exec/DDLTask.java`` create-view path) so
-    SQL-text queries resolve the same names the DuckDB oracle uses."""
+    SQL-text queries resolve the same names the DuckDB oracle uses.
+
+    Fault-isolated: a table that fails to load is skipped (its error
+    is kept on the ``Tables`` object and resurfaces only for queries
+    that actually reference it via attribute access or its missing
+    temp view)."""
+    ensure_parity_confs(spark)
     tables = Tables(spark, sf_dir)
     for name in TABLES:
-        tables[name].createOrReplaceTempView(name)
+        try:
+            tables[name].createOrReplaceTempView(name)
+        except Exception:
+            continue  # recorded in tables._load_errors by __getitem__
     return tables

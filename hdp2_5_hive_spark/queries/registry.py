@@ -12,7 +12,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import Tables, register_views
+from ..catalog import Tables, ensure_parity_confs, register_views
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -28,23 +28,30 @@ class Query:
 
 _REGISTRY: dict[str, Query] = {}
 
-# Cache of Tables per (session id, sf_dir) so each query call doesn't
+# Cache of Tables per (session, sf_dir) so each query call doesn't
 # re-read ten parquet footers; plus the sf_dir whose views are
 # CURRENTLY registered per session — temp view names are global to
 # the session, so switching sf_dir (driver: entry at sf0.001, then
 # correctness at sf0.01) must re-point them or SQL-text queries would
-# silently read the wrong scale.
-_TABLES_CACHE: dict[tuple[int, str], Tables] = {}
-_ACTIVE_SF: dict[int, str] = {}
+# silently read the wrong scale. Keys hold the SparkSession object
+# itself (strong ref, so a GC'd session can't recycle an id() and
+# serve stale state to a different session).
+_TABLES_CACHE: dict[tuple[SparkSession, str], Tables] = {}
+_ACTIVE_SF: dict[SparkSession, str] = {}
 
 
 def tables_for(spark: SparkSession, sf_dir: str) -> Tables:
-    key = (id(spark), sf_dir)
+    # The driver calls queries with ITS OWN vanilla session — parity
+    # confs must be (re)applied here, the one choke point every query
+    # passes through, not just in our session factory. Re-applied on
+    # cache hits too: confs are runtime-mutable and cheap to pin.
+    ensure_parity_confs(spark)
+    key = (spark, sf_dir)
     if key not in _TABLES_CACHE:
         _TABLES_CACHE[key] = register_views(spark, sf_dir)
-    elif _ACTIVE_SF.get(id(spark)) != sf_dir:
+    elif _ACTIVE_SF.get(spark) != sf_dir:
         register_views(spark, sf_dir)
-    _ACTIVE_SF[id(spark)] = sf_dir
+    _ACTIVE_SF[spark] = sf_dir
     return _TABLES_CACHE[key]
 
 
