@@ -58,6 +58,23 @@ def hive_if(cond: Column, then: Column, otherwise: Column) -> Column:
     return F.when(cond, then).otherwise(otherwise)
 
 
+def cast_varchar(col: Column, n: int) -> Column:
+    """Hive ``CAST(x AS VARCHAR(n))``: silently truncate to ``n``
+    characters (reference ``serde/.../typeinfo/VarcharTypeInfo.java:51``,
+    ``HiveVarchar.java`` enforceMaxLength). Spark 4's SQL cast keeps
+    the full string (char/varchar are length-checked only on table
+    write), so parity needs the explicit substring."""
+    return F.substring(col, 1, n)
+
+
+def cast_char(col: Column, n: int) -> Column:
+    """Hive ``CAST(x AS CHAR(n))``: truncate to ``n`` then blank-pad
+    to exactly ``n`` characters (reference
+    ``serde/.../typeinfo/CharTypeInfo.java:50``, ``HiveChar.java``
+    getPaddedValue). NULL stays NULL (rpad of NULL is NULL)."""
+    return F.rpad(F.substring(col, 1, n), n, " ")
+
+
 def field(needle: Column, *haystack: Column | str) -> Column:
     """Hive/MySQL ``field(x, v1, v2, ...)`` (FunctionRegistry.java:248,
     ``udf/generic/GenericUDFField.java``): 1-based index of ``x`` in

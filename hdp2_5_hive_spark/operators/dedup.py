@@ -208,6 +208,11 @@ def lsh_candidate_pairs(
     )
 
 
+# Most recent persisted shingle table (bounded cache — see
+# near_duplicate_pairs docstring).
+_last_shingles: DataFrame | None = None
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     id_col: str,
@@ -225,8 +230,18 @@ def near_duplicate_pairs(
     The shingle table is built once and persisted for the run: the
     signature path explodes it, the verification path joins it —
     without the persist the expensive tokenize+shingle projection
-    runs three times."""
+    runs three times. Only the most recent call's shingle table stays
+    cached (the previous one is unpersisted on entry), so repeated
+    invocations — the bench loops this query — can't accumulate
+    executor memory for the session's lifetime."""
+    global _last_shingles
+    if _last_shingles is not None:
+        try:
+            _last_shingles.unpersist()
+        except Exception:
+            pass
     sh = _shingle_table(df, id_col, text_col, shingle_k).persist()
+    _last_shingles = sh
     sig = _signatures_from_shingles(sh, num_hashes)
     n_bands = num_hashes // rows_per_band
     bands = sig.select(

@@ -66,7 +66,9 @@ def q1_pricing_summary(spark, t):
 # ---------------------------------------------------------------------------
 # q3_shipping_priority — 3-way join + agg + top-k. Hive: two shuffle
 # joins + TopNHash limit pushdown (exec/TopNHash.java:45). Spark:
-# customer is broadcast (small dim), TakeOrderedAndProject does the
+# no forced hints — customer/orders are the LARGE tables (1.5M+ rows
+# per sf unit); size stats + AQE pick broadcast when they actually
+# fit, shuffle join when they don't. TakeOrderedAndProject does the
 # bounded top-k per partition then merges — no global sort at scale.
 # ---------------------------------------------------------------------------
 @register(
@@ -94,8 +96,8 @@ def q3_shipping_priority(spark, t):
     orders = t.orders.filter(F.col("o_orderdate") < cutoff)
     li = t.lineitem.filter(F.col("l_shipdate") > cutoff)
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
@@ -135,7 +137,9 @@ def q5_local_supplier(spark, t):
     region = t.region.filter(F.col("r_name") == "ASIA")
     return (
         t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        # customer is the largest dim (1.5M rows × sf) — no forced
+        # hint; AQE decides. Hints stay on the true smalls below.
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             F.broadcast(t.supplier),
             (F.col("l_suppkey") == F.col("s_suppkey"))
@@ -179,7 +183,7 @@ def q10_returned_items(spark, t):
     li = t.lineitem.filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -227,7 +231,7 @@ def q18_large_orders(spark, t):
     )
     return (
         t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t.customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(dsum("l_quantity", "sum_qty"))
         .orderBy(F.desc("o_totalprice"), "o_orderkey")

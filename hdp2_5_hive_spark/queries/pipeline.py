@@ -291,6 +291,7 @@ def events_sessionize(spark, t):
     oracle="""
 WITH v AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE vec_id < 500
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_reduce(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]),
@@ -309,12 +310,14 @@ WHERE list_reduce(list_transform(list_zip(a.e, b.e), z -> z[1] * z[2]),
 )
 def dedup_embedding_cosine(spark, t):
     """Embedding-cosine near-duplicate pairs (cosine >= 0.35,
-    id_a < id_b). Exact all-pairs self-join — the correctness
-    baseline for the LSH-bucketed scale path (ann_lsh_bucketed);
-    sequential left-fold math keeps it bit-identical to DuckDB."""
+    id_a < id_b). Exact all-pairs self-join, CAPPED at vec_id < 500:
+    this is a correctness fixture only — quadratic by construction,
+    it validates the LSH-bucketed scale path. ``ann_lsh_bucketed``
+    (operators/similarity.py) is the production path at 100 TB.
+    Sequential left-fold math keeps it bit-identical to DuckDB."""
     from ..operators import similarity as s
 
-    v = t.embeddings.select("vec_id", "embedding")
+    v = t.embeddings.filter(F.col("vec_id") < 500).select("vec_id", "embedding")
     a = v.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
     b = v.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -368,7 +371,7 @@ def dedup_ngram_jaccard(spark, t):
 
 @register(
     "text_token_counts",
-    oracle="""
+    oracle=r"""
 SELECT doc_id,
        len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''))
          AS n_ws_tokens,

@@ -489,3 +489,95 @@ def fn_sentences_soundex(spark, t):
             "first_word_soundex"
         ),
     )
+
+
+@register(
+    "fn_char_varchar",
+    oracle="""
+SELECT n_nationkey,
+       substr(n_name, 1, 6) AS vc6,
+       substr(n_name, 1, 64) AS vc64,
+       rpad(substr(n_name, 1, 6), 6, ' ') AS ch6,
+       rpad(substr(n_name, 1, 12), 12, ' ') AS ch12,
+       length(rpad(substr(n_name, 1, 12), 12, ' ')) AS ch12_len,
+       rpad(substr(CAST(NULL AS VARCHAR), 1, 4), 4, ' ') AS ch_null
+FROM nation
+""",
+    category="scalars",
+)
+def fn_char_varchar(spark, t):
+    """char(n)/varchar(n) length semantics (reference
+    ``serde/.../typeinfo/CharTypeInfo.java:50``,
+    ``VarcharTypeInfo.java:51``): varchar truncates past n, char
+    truncates then blank-pads to exactly n, NULL propagates. Spark 4
+    casts don't enforce length outside table writes, so the engine
+    ships explicit shims (functions/hive_compat.cast_char/
+    cast_varchar); the oracle spells out the same substr/rpad."""
+    name = F.col("n_name")
+    return t.nation.select(
+        "n_nationkey",
+        hc.cast_varchar(name, 6).alias("vc6"),      # truncation
+        hc.cast_varchar(name, 64).alias("vc64"),    # shorter than n: unchanged
+        hc.cast_char(name, 6).alias("ch6"),         # truncate, no pad needed
+        hc.cast_char(name, 12).alias("ch12"),       # pad to 12
+        F.length(hc.cast_char(name, 12)).alias("ch12_len"),
+        hc.cast_char(F.lit(None).cast("string"), 4).alias("ch_null"),
+    )
+
+
+@register(
+    "fn_decimal_division",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       'decimal(27,15)' AS spark_result_type,
+       CAST(((2 * CAST(round(l_extendedprice * 100) AS HUGEINT) * 1000000
+              + CAST(round(l_quantity * 100) AS HUGEINT))
+             // (2 * CAST(round(l_quantity * 100) AS HUGEINT)))
+            AS DOUBLE) / 1000000.0 AS unit_price
+FROM lineitem
+WHERE l_orderkey < 2000
+""",
+    category="scalars",
+)
+def fn_decimal_division(spark, t):
+    """Decimal division scale promotion (reference
+    ``ql/.../udf/generic/GenericUDFOPDivide.java`` deriveResultDecimal
+    TypeInfo): decimal(12,2)/decimal(12,2) must yield decimal(27,15)
+    — precision p1-s1+s2+max(6, s1+p2+1), scale max(6, s1+p2+1).
+    Spark implements exactly Hive's rule; the query asserts the
+    result type at plan time, then emits the value rounded half-up to
+    6 via a (38,6) cast. DuckDB divides decimals in double space, so
+    the oracle reproduces exact half-up rounding with integer math:
+    floor((2*p*10^6 + q) / (2*q)) on cent-scaled HUGEINTs."""
+    li = t.lineitem.filter(F.col("l_orderkey") < 2000)
+    p = F.col("l_extendedprice").cast("decimal(12,2)")
+    q = F.col("l_quantity").cast("decimal(12,2)")
+    quot = p / q
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.lit("decimal(27,15)").alias("spark_result_type"),
+        quot.cast("decimal(38,6)").cast("double").alias("unit_price"),
+    )
+    # Pin Hive's scale-promotion rule: if a Spark upgrade changes the
+    # division result type, fail here, not with a silent value drift.
+    observed = dict(li.select(quot.alias("_q")).dtypes)["_q"]
+    assert observed == "decimal(27,15)", observed
+    return df
+
+
+@register(
+    "sample_rows",
+    oracle="""
+SELECT CAST(least(500, (SELECT count(*) FROM orders)) AS BIGINT) AS n_rows
+""",
+    category="setops",
+)
+def sample_rows(spark, t):
+    """TABLESAMPLE(n ROWS) (reference ``parse/FromClauseParser.g:
+    170-179`` TOK_TABLESPLITSAMPLE rows form): take n arbitrary rows
+    — Hive serves the first n per input split; ``df.limit(n)`` is the
+    Spark analogue (LocalLimit per partition, then GlobalLimit,
+    without reading remaining splits). WHICH rows is engine-defined,
+    so the oracle-checked result is the row count of the sample."""
+    return t.orders.limit(500).agg(F.count(F.lit(1)).alias("n_rows"))

@@ -127,10 +127,18 @@ def compact_files(
     df = spark.read.format(fmt).load(path)
     # Write to a temp sibling then swap via overwrite of the original:
     # a direct overwrite of the path being read would clobber inputs.
+    # NOTE: the final overwrite is not atomic (same constraint as
+    # Hive's CONCATENATE on a filesystem without atomic dir rename);
+    # a crash between the two writes leaves the tmp copy as the only
+    # complete one, which is why the tmp dir is removed only after the
+    # final write succeeds.
     tmp = path.rstrip("/") + "__compact_tmp"
     df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp)
     out = spark.read.format(fmt).load(tmp)
     out.write.mode("overwrite").format(fmt).save(path)
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def round_trip(
