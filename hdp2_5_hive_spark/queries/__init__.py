@@ -31,6 +31,7 @@ _MODULES = (
     "extensions",
     "streaming_batch",
     "scalars2",
+    "formats",
 )
 
 

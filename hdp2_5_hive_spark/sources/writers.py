@@ -34,9 +34,12 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# Formats guaranteed in this environment. Avro needs the external
-# spark-avro jar; expose it but let callers probe availability.
+# Formats served by Spark's built-in datasources in this environment.
 CORE_FORMATS = ("parquet", "orc", "json", "csv")
+# Avro rides the engine's own container-file codec (sources/avro_py)
+# when the external spark-avro jar is absent, the native source when
+# it's present — either way it round-trips.
+ALL_FORMATS = CORE_FORMATS + ("avro",)
 
 
 def insert_overwrite(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
@@ -146,6 +149,11 @@ def round_trip(
 ) -> DataFrame:
     """Write ``df`` in ``fmt`` and read it back (schema-on-read check
     for each SerDe equivalent, SURVEY §2.2)."""
+    if fmt == "avro":
+        from . import avro_py
+
+        avro_py.write_avro(df, path)
+        return avro_py.read_avro(df.sparkSession, path)
     df.write.mode("overwrite").format(fmt).options(**options).save(path)
     reader = df.sparkSession.read.format(fmt).options(**options)
     if fmt in ("csv", "json"):

@@ -1,0 +1,128 @@
+"""Avro source/sink (sources/avro_py — AvroSerDe analogue,
+``serde/.../avro/AvroSerDe.java``). The container-file codec is
+written from the public Avro 1.11 spec; these tests pin the binary
+format invariants and the distributed mapInPandas plumbing.
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import io
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from hdp2_5_hive_spark.sources import avro_py
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_roundtrip_all_testdata_types(spark, tmp_path):
+    """orders (date), events (timestamp), embeddings (float array),
+    documents (text) all survive bit-exact."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    t = register_views(spark, SF)
+    for name in ("orders", "events", "documents", "embeddings"):
+        df = t[name]
+        path = str(tmp_path / name)
+        n = avro_py.write_avro(df, path)
+        back = avro_py.read_avro(spark, path)
+        assert back.schema == df.schema, name
+        a = sorted(map(str, df.collect()))
+        b = sorted(map(str, back.collect()))
+        assert a == b, name
+        assert n == df.count()
+
+
+def test_write_is_one_file_per_partition(spark, tmp_path):
+    df = spark.range(1000).repartition(7)
+    path = str(tmp_path / "parts")
+    avro_py.write_avro(df, path)
+    assert len(glob.glob(f"{path}/part-*.avro")) == 7
+    assert avro_py.read_avro(spark, path).count() == 1000
+
+
+def test_nulls_round_trip(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField("d", T.DateType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("arr", T.ArrayType(T.LongType(), True), True),
+        ]
+    )
+    rows = [
+        Row(
+            id=1,
+            s="x",
+            i=7,
+            d=datetime.date(2001, 2, 3),
+            ts=datetime.datetime(2026, 8, 13, 1, 2, 3, 456789),
+            arr=[1, None, 3],
+        ),
+        Row(id=2, s=None, i=None, d=None, ts=None, arr=None),
+        Row(id=3, s="", i=0, d=datetime.date(1969, 12, 31), ts=None, arr=[]),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "nulls")
+    avro_py.write_avro(df, path)
+    back = avro_py.read_avro(spark, path)
+    assert back.schema == df.schema
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_timestamp_microsecond_exact(spark, tmp_path):
+    """timedelta decode path: micros survive exactly even at epochs
+    where float-seconds arithmetic rounds."""
+    ts = datetime.datetime(2026, 8, 13, 23, 59, 59, 999999)
+    df = spark.createDataFrame([(ts,)], "ts timestamp")
+    path = str(tmp_path / "micro")
+    avro_py.write_avro(df, path)
+    assert avro_py.read_avro(spark, path).collect()[0].ts == ts
+
+
+def test_zigzag_varint_encoding():
+    """Spec examples: 0→0x00, -1→0x01, 1→0x02, -64→0x7f, 64→0x80 0x01."""
+    for value, expect in [
+        (0, b"\x00"),
+        (-1, b"\x01"),
+        (1, b"\x02"),
+        (-64, b"\x7f"),
+        (64, b"\x80\x01"),
+    ]:
+        buf = io.BytesIO()
+        avro_py._write_long(buf, value)
+        assert buf.getvalue() == expect, value
+        assert avro_py._read_long(io.BytesIO(buf.getvalue())) == value
+
+
+def test_long_round_trip_extremes():
+    for v in (2**62, -(2**62), 2**31, -(2**31), 123456789012345):
+        buf = io.BytesIO()
+        avro_py._write_long(buf, v)
+        assert avro_py._read_long(io.BytesIO(buf.getvalue())) == v
+
+
+def test_container_magic_and_sync(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "id long, s string")
+    path = str(tmp_path / "magic")
+    avro_py.write_avro(df, path)
+    fname = glob.glob(f"{path}/part-*.avro")[0]
+    raw = open(fname, "rb").read()
+    assert raw[:4] == b"Obj\x01"
+    # corrupt one data byte → sync/size check must catch it
+    bad = bytearray(raw)
+    bad[-18] ^= 0xFF
+    with pytest.raises(ValueError):
+        avro_py.read_container(io.BytesIO(bytes(bad)))
+
+
+def test_unsupported_type_is_loud(spark):
+    df = spark.createDataFrame([({"k": 1},)], "m map<string,int>")
+    with pytest.raises(Exception, match="unsupported"):
+        avro_py.write_avro(df, "/tmp/avro_unsupported_probe")

@@ -24,7 +24,7 @@ def orders(spark):
     return spark.read.parquet(f"{SF}/orders.parquet")
 
 
-@pytest.mark.parametrize("fmt", writers.CORE_FORMATS)
+@pytest.mark.parametrize("fmt", writers.ALL_FORMATS)
 def test_round_trip_formats(nation, tmp_path, fmt):
     got = writers.round_trip(nation, str(tmp_path / fmt), fmt, header="true")
     assert got.count() == nation.count()
