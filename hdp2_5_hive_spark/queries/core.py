@@ -719,3 +719,268 @@ def q9_profit_by_nation_year(spark, t):
             F.sum(profit.cast("decimal(38,6)")).cast("double").alias("profit")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (q11/q13/q15/q17/q20/q21), adapted to the
+# testdata's simplified schema: there is no partsupp table and no
+# l_commitdate/l_receiptdate/comment columns, so each query keeps the
+# REFERENCE SHAPE (the operator tree Hive compiles — scalar-subquery
+# HAVING, outer-join histogram, view-over-max, correlated-avg filter,
+# grouped-IN, EXISTS/NOT-EXISTS pair) over the columns that exist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+WITH inv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS value
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value FROM inv
+WHERE value > (SELECT 0.001 * SUM(value) FROM inv)
+""",
+    category="core",
+)
+def q11_important_stock(spark, t):
+    """TPC-H Q11 shape: group value per part for one nation's
+    suppliers, keep parts above a fraction of the grand total —
+    scalar-subquery HAVING (Hive compiles the subquery to a
+    map-join against a 1-row reduction; Spark: the grand total is a
+    separate 1-row aggregate broadcast-crossed back in — NOT a
+    window-over-(), which would funnel every per-part row through a
+    single partition at scale)."""
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(38,6)"
+    )
+    inv = (
+        t.lineitem.join(
+            F.broadcast(t.supplier.filter(F.col("s_nationkey") == 7)),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("_dval"))
+    )
+    total = inv.agg(F.sum("_dval").alias("_total"))
+    return (
+        inv.crossJoin(F.broadcast(total))
+        .filter(F.col("_dval").cast("double") > 0.001 * F.col("_total").cast("double"))
+        .select("l_partkey", F.col("_dval").cast("double").alias("value"))
+    )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> 'URGENT'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+""",
+    category="core",
+)
+def q13_customer_distribution(spark, t):
+    """TPC-H Q13 shape: left-outer join with a join-side filter
+    (customers with zero qualifying orders count as c_count=0), then
+    a histogram of counts — two shuffles, the second tiny."""
+    o = t.orders.filter(F.col("o_orderpriority") != "URGENT")
+    per_cust = (
+        t.customer.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    category="core",
+)
+def q15_top_supplier(spark, t):
+    """TPC-H Q15 shape: revenue view → supplier(s) at the max
+    (CREATE VIEW + scalar MAX subquery in Hive). The MAX is a 1-row
+    aggregate broadcast-crossed against the view (a window-over-()
+    would single-partition the per-supplier frame at scale);
+    decimal-exact revenue makes the equality against MAX
+    deterministic across engines."""
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(38,6)"
+                )
+            ).alias("_drev")
+        )
+    )
+    mx = rev.agg(F.max("_drev").alias("_mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(F.col("_drev") == F.col("_mx"))
+    return (
+        F.broadcast(top)
+        .join(t.supplier, F.col("s_suppkey") == F.col("supplier_no"))
+        .select(
+            "s_suppkey", "s_name", F.col("_drev").cast("double").alias("total_revenue")
+        )
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+WITH pa AS (
+  SELECT l_partkey AS a_partkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity)
+           AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+         AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON a_partkey = l_partkey
+WHERE p_brand = 'Brand#3' AND p_size <= 10
+  AND l_quantity < 0.2 * avg_qty
+""",
+    category="core",
+)
+def q17_small_quantity_revenue(spark, t):
+    """TPC-H Q17 shape: correlated AVG subquery decorrelated into a
+    per-part aggregate joined back to lineitem (Hive rewrites the
+    correlated subquery the same way). The per-part average is a
+    small frame → broadcast; lineitem never shuffles. Decimal-exact
+    avg keeps the 0.2×avg comparison boundary identical to DuckDB."""
+    pa = t.lineitem.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        davg("l_quantity", "avg_qty")
+    )
+    parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
+    return (
+        t.lineitem.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(pa), F.col("a_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly")
+        )
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_type = 'PROMO' AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 50
+)
+""",
+    category="core",
+)
+def q20_potential_promotion(spark, t):
+    """TPC-H Q20 shape: IN over a grouped-HAVING subquery (suppliers
+    who moved enough PROMO volume in 1996) → semi join against the
+    aggregated set. Hive plans IN-subquery as LEFT SEMI JOIN
+    (QBSubQuery.java); Spark does the same, and the aggregate side
+    is small → broadcast semi."""
+    movers = (
+        t.lineitem.join(
+            F.broadcast(t.part.filter(F.col("p_type") == "PROMO")),
+            F.col("p_partkey") == F.col("l_partkey"),
+        )
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return t.supplier.join(
+        F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders
+WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND s_nationkey = 3
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""",
+    category="core",
+)
+def q21_waiting_supplier(spark, t):
+    """TPC-H Q21 shape: the EXISTS / NOT-EXISTS pair over the same
+    fact table (the supplier solely responsible for a returned item
+    in a finalized multi-supplier order). Hive compiles these to a
+    semi and an anti join on (orderkey, suppkey≠) — so does this
+    plan, explicitly; at scale all three lineitem legs co-shuffle on
+    l_orderkey, so AQE folds them into one exchange."""
+    l1 = (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(
+            t.orders.filter(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = t.lineitem.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("k2") == F.col("l_orderkey")) & (F.col("s2") != F.col("l_suppkey")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("k3") == F.col("l_orderkey")) & (F.col("s3") != F.col("l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(
+            F.broadcast(t.supplier.filter(F.col("s_nationkey") == 3)),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
