@@ -1,0 +1,110 @@
+"""Connected components over a pair/edge set — dedup resolution.
+
+The near-dup stages (``operators/dedup.py``) emit PAIRS; turning
+pairs into keep/drop decisions needs the transitive closure: if A~B
+and B~C, then {A,B,C} is one duplicate cluster even when A~C never
+scored above threshold. This is the standard final stage of a
+corpus-dedup pipeline (MinHash → candidate pairs → connected
+components → keep one doc per component).
+
+Algorithm: iterative *hash-min* label propagation — every node
+starts labeled with its own id; each round takes the min of its
+label and its neighbors' labels; fixpoint = every node carries the
+min id of its component. Rounds needed = graph diameter, and
+near-dup graphs are piles of small dense clusters (diameter ≤ a few)
+— the 100 TB shape is many tiny components, not one long chain. For
+adversarially long chains the alternating large-star/small-star
+variant (Kiveris et al., "Connected Components in MapReduce and
+Beyond", SoCC'14) converges in O(log n) rounds; ``max_iter`` guards
+the difference loudly instead of silently returning partial labels.
+
+Scale notes: each round is one join + one groupBy on the edge list
+(both partition on node id, so AQE reuses the exchange); labels are
+``localCheckpoint``-ed every round — without lineage truncation the
+iterated plan tree grows exponentially and Catalyst analysis, not
+the data, becomes the bottleneck (on a real cluster prefer
+``spark.sparkContext.setCheckpointDir`` + ``checkpoint`` so a lost
+executor can recompute).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+class ConvergenceError(RuntimeError):
+    """Raised when label propagation hits max_iter before fixpoint."""
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Return ``(node, component)`` where ``component`` is the min
+    node id reachable from ``node``. Nodes are those appearing in
+    ``edges``; add isolated nodes by unioning self-loops upstream."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Size the iteration's parallelism to the edge list: every round
+    # shuffles this frame, and running 32-task stages over a few
+    # hundred candidate pairs costs more in scheduling than in work.
+    # One count up front (the frame is about to be checkpointed
+    # anyway) buys right-sized rounds; at scale the cap is the
+    # session's default parallelism.
+    n_edges = sym.count()
+    spark = edges.sparkSession
+    target = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
+    sym = sym.repartition(target, "b")
+    sym = sym.localCheckpoint(eager=True)  # edge list reused every round
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nb_min"))
+        )
+        proposed = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("nb_min", F.col("component"))
+            ).alias("new_component"),
+            "component",
+        )
+        proposed = proposed.localCheckpoint(eager=True)
+        changed = (
+            proposed.filter(F.col("new_component") < F.col("component"))
+            .limit(1)
+            .count()
+        )
+        labels = proposed.select(
+            "node", F.col("new_component").alias("component")
+        )
+        if changed == 0:
+            return labels
+    raise ConvergenceError(
+        f"connected_components: no fixpoint after {max_iter} rounds — "
+        "long-chain graph; raise max_iter or switch to large-star/small-star"
+    )
+
+
+def keep_list(components: DataFrame) -> DataFrame:
+    """Dedup resolution over ``connected_components`` output: the
+    canonical (kept) doc of each cluster is its min id — which is
+    exactly the component label — so the decision is a projection,
+    no extra shuffle."""
+    return components.select(
+        F.col("node"),
+        F.col("component").alias("canonical_id"),
+        (F.col("node") == F.col("component")).alias("is_kept"),
+    )

@@ -415,3 +415,78 @@ def text_rolling_fingerprint(spark, t):
     return t.documents.filter(F.length("text") > 0).select(
         "doc_id", x.rolling_hash(F.col("text")).alias("fp")
     )
+
+
+_MINHASH_PAIR_CTE = """
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+)
+"""
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTE}
+SELECT node AS doc_id, MIN(label) AS component_id
+FROM reach GROUP BY node
+""",
+    category="pipeline",
+)
+def dedup_components(spark, t):
+    """Transitive closure of the near-dup pair set (the dedup
+    pipeline's resolution stage): MinHash-LSH pairs → iterative
+    hash-min connected components (operators/components.py). The
+    oracle recomputes the same clusters via brute-force pairs + a
+    recursive CTE — different algorithm, identical fixpoint."""
+    from ..operators import components as cc
+
+    pairs = dd.near_duplicate_pairs(t.documents, "doc_id", "text", threshold=0.6)
+    comps = cc.connected_components(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+@register(
+    "dedup_keep_list",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTE}
+SELECT node AS doc_id, MIN(label) AS canonical_id,
+       node = MIN(label) AS is_kept
+FROM reach GROUP BY node
+""",
+    category="pipeline",
+)
+def dedup_keep_list(spark, t):
+    """Dedup resolution: one kept (canonical = min-id) doc per
+    near-dup cluster, drop decisions for the rest — what a corpus
+    pipeline feeds into the filter stage. Projection over the
+    component labels; no shuffle beyond the components themselves."""
+    from ..operators import components as cc
+
+    pairs = dd.near_duplicate_pairs(t.documents, "doc_id", "text", threshold=0.6)
+    comps = cc.connected_components(pairs, "id_a", "id_b")
+    return cc.keep_list(comps).select(
+        F.col("node").alias("doc_id"), "canonical_id", "is_kept"
+    )

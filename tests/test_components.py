@@ -1,0 +1,80 @@
+"""Connected-components operator (operators/components.py) — the
+dedup-resolution stage. Shapes: multi-cluster graphs, chains (worst
+diameter), rings, convergence guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.operators import components as cc
+
+
+def _components(spark, edges, **kw):
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = cc.connected_components(df, **kw)
+    return {(r.node, r.component) for r in out.collect()}
+
+
+def test_two_clusters(spark):
+    got = _components(spark, [(1, 2), (2, 3), (10, 11)])
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_chain_converges_to_min(spark):
+    # 0-1-2-...-9: worst-case diameter for hash-min
+    got = _components(spark, [(i, i + 1) for i in range(9)])
+    assert got == {(i, 0) for i in range(10)}
+
+
+def test_ring(spark):
+    got = _components(spark, [(i, (i + 1) % 6) for i in range(6)])
+    assert got == {(i, 0) for i in range(6)}
+
+
+def test_direction_irrelevant(spark):
+    # all edges point "down" toward the min — propagation must still
+    # reach every node because the edge list is symmetrized
+    got = _components(spark, [(5, 1), (4, 1), (3, 1)])
+    assert got == {(1, 1), (3, 1), (4, 1), (5, 1)}
+
+
+def test_convergence_guard_raises(spark):
+    edges = [(i, i + 1) for i in range(30)]
+    with pytest.raises(cc.ConvergenceError):
+        cc.connected_components(
+            spark.createDataFrame(edges, "src long, dst long"), max_iter=3
+        )
+
+
+def test_keep_list_marks_min_per_cluster(spark):
+    df = spark.createDataFrame([(7, 3), (3, 9), (20, 21)], "src long, dst long")
+    kl = cc.keep_list(cc.connected_components(df))
+    rows = {(r.node, r.canonical_id, r.is_kept) for r in kl.collect()}
+    assert rows == {
+        (3, 3, True),
+        (7, 3, False),
+        (9, 3, False),
+        (20, 20, True),
+        (21, 20, False),
+    }
+
+
+def test_pair_set_transitivity(spark, sf_dir):
+    """A~B and B~C ⇒ same component even when A~C is absent from the
+    pair list (the reason components exist at all)."""
+    from hdp2_5_hive_spark.operators import dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.6)
+    comps = cc.connected_components(pairs, "id_a", "id_b")
+    joined = (
+        pairs.join(
+            comps.select(F.col("node").alias("id_a"), F.col("component").alias("ca")),
+            "id_a",
+        ).join(
+            comps.select(F.col("node").alias("id_b"), F.col("component").alias("cb")),
+            "id_b",
+        )
+    )
+    assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
