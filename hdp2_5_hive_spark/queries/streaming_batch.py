@@ -115,3 +115,27 @@ def stream_session_window(spark, t):
             "n",
         )
     )
+
+
+@register(
+    "stream_dedup_first",
+    oracle="""
+SELECT user_id, event_type,
+       MIN(CAST(ts AS TIMESTAMP)) AS first_ts,
+       COUNT(*) - 1 AS n_dropped
+FROM events
+GROUP BY user_id, event_type
+""",
+    category="streaming",
+)
+def stream_dedup_first(spark, t):
+    """Streaming dedup twin: ``dropDuplicates`` on a key keeps the
+    first arrival (state-store entry per key; in a stream,
+    ``withWatermark`` bounds that state — exercised live in
+    tests/test_streaming.py). Batch mode makes "first" deterministic
+    as min event time, and reports how many later duplicates the
+    state would have absorbed."""
+    return t.events.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("first_ts"),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

@@ -127,3 +127,47 @@ def test_windowed_stream_counts(spark, tmp_path):
     assert got[("2024-01-01 00:00:00", "a")] == 2
     assert got[("2024-01-01 00:01:00", "a")] == 1
     assert got[("2024-01-01 00:01:00", "b")] == 1
+
+
+def test_streaming_dedup_with_watermark(spark, tmp_path):
+    """dropDuplicates on a stream: one state-store entry per key,
+    later duplicates absorbed; watermark bounds the state (§2.10 —
+    the streaming twin of the stream_dedup_first registered query)."""
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+            StructField("event_id", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows = [
+        ("2024-01-01 00:00:10", "a", "e1"),
+        ("2024-01-01 00:00:20", "a", "e1"),  # duplicate event id
+        ("2024-01-01 00:00:30", "a", "e2"),
+        ("2024-01-01 00:00:40", "b", "e1"),
+        ("2024-01-01 00:00:50", "b", "e1"),  # duplicate
+    ]
+    spark.createDataFrame(
+        rows, "ts string, user_id string, event_id string"
+    ).select(
+        F.to_timestamp("ts").alias("ts"), "user_id", "event_id"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicates(["user_id", "event_id"])
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.user_id, r.event_id) for r in spark.read.parquet(out).collect()}
+    assert got == {("a", "e1"), ("a", "e2"), ("b", "e1")}
