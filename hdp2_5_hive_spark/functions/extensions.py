@@ -138,9 +138,14 @@ def transform_using(
     """Hive ``TRANSFORM (cols) USING 'cmd' AS (schema)`` —
     ScriptOperator.java:64. Spark executes the script per partition,
     feeding tab-separated rows on stdin and parsing stdout. The
-    script is a row-stream mapper exactly as in Hive."""
+    script is a row-stream mapper exactly as in Hive.
+
+    The command is embedded as a SQL single-quoted literal (the
+    grammar offers no placeholder for it), so embedded ``'`` are
+    escaped by doubling — same rule as any SQL string literal."""
     df.createOrReplaceTempView(view_name)
+    quoted = script.replace("'", "''")
     return df.sparkSession.sql(
-        f"SELECT TRANSFORM ({select_cols}) USING '{script}' "
+        f"SELECT TRANSFORM ({select_cols}) USING '{quoted}' "
         f"AS ({as_schema}) FROM {view_name}"
     )

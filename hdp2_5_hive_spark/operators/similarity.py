@@ -21,6 +21,8 @@ the DuckDB oracle at any parallelism.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -146,6 +148,135 @@ def lsh_bucket_topk(
             "neighbor_id",
             cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the second scale path, complementing
+# sign-LSH: a coarse quantizer learned from a bounded sample assigns
+# every vector to its nearest centroid cell; queries probe only the
+# n_probe nearest cells. FAISS's IndexIVFFlat shape, re-expressed as
+# DataFrame ops: train on the driver (sample is bounded), assign
+# distributed via an Arrow-batched pandas UDF (numpy matmul — the
+# vector math is the CPU cost, exactly where pandas UDFs beat
+# per-row expressions), search = cell-keyed join + bounded window.
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_limit: int = 2048,
+    iters: int = 8,
+):
+    """Spherical k-means on a DETERMINISTIC bounded sample (lowest
+    ids — no RNG, reproducible across clusters/runs). The sample is
+    collected to the driver: IVF training is O(sample × cells), and
+    at 100 TB you still train on a few thousand vectors — assignment,
+    not training, is the distributed part. Returns a unit-normalized
+    (n_cells × dim) numpy array."""
+    import numpy as np
+
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_limit)
+        .collect()
+    )
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    C = X[:n_cells].copy()
+    for _ in range(iters):
+        assign = (X @ C.T).argmax(axis=1)
+        for c in range(n_cells):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 5,
+    sample_limit: int = 2048,
+) -> DataFrame:
+    """Approximate all-pairs top-k via IVF cells: corpus vectors live
+    in exactly one cell; each query probes its n_probe nearest cells.
+    Pair space shrinks ~n_cells/n_probe-fold; recall rises with
+    n_probe (n_probe == n_cells degenerates to brute force). The
+    cell join shuffles on cell id; AQE splits hot cells the same way
+    it handles any skewed key."""
+
+
+    from .util import ensure_parallelism
+
+    centroids = train_ivf_centroids(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        sample_limit=sample_limit,
+    )
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C = bc.value
+        X = np.asarray([list(v) for v in vecs], dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        return pd.Series((X @ C.T).argmax(axis=1).astype("int32"))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        C = bc.value
+        X = np.asarray([list(v) for v in vecs], dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(X @ C.T), axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    corpus = base.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_vec").alias("c_vec"),
+        nearest_cell("_vec").alias("_cell"),
+    )
+    queries = base.select(
+        F.col("_id").alias("query_id"),
+        F.col("_vec").alias("q_vec"),
+        F.explode(probe_cells("_vec")).alias("_cell"),
+    )
+    scored = (
+        queries.join(corpus, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        )
+        # a (query, neighbor) pair can surface from several probed
+        # cells — dedup before ranking
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

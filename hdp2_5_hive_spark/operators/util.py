@@ -19,6 +19,16 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+    # Partition count from the physical plan's RDD lineage WITHOUT
+    # df.rdd: .rdd builds a Python-facing RDD (deserializer plan +
+    # analysis barrier) per call; the JVM-side executedPlan RDD is
+    # already there.
+    try:
+        n_parts = (
+            df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        )
+    except Exception:  # future-proof: fall back to the public API
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts < max(1, int(target * min_factor)):
         return df.repartition(target)
     return df

@@ -490,3 +490,22 @@ def dedup_keep_list(spark, t):
     return cc.keep_list(comps).select(
         F.col("node").alias("doc_id"), "canonical_id", "is_kept"
     )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=None,  # approximate by construction — recall probed in tests
+    category="pipeline",
+)
+def ann_ivf_topk(spark, t):
+    """IVF-cell ANN (FAISS IndexIVFFlat shape, DataFrame-native):
+    spherical-kmeans coarse quantizer trained on a deterministic
+    bounded sample, Arrow-batched numpy assignment, cell-keyed join,
+    n_probe=3 of 8 cells. The second scale path next to sign-LSH
+    (ann_lsh_bucketed); recall vs the exact baseline is pinned in
+    tests/test_pipeline.py — the synthetic testdata's RANDOM vectors
+    are IVF's worst case (no cluster structure); real embedding
+    corpora cluster and recall rises accordingly."""
+    return sim.ivf_topk(
+        t.embeddings, n_cells=8, n_probe=3, k=5
+    ).select("query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine"))

@@ -80,3 +80,35 @@ def test_multimodal_stub_raises_on_missing_payload():
 
     with pytest.raises(NotImplementedError):
         mm.decode_image_stub(None)
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF with n_probe=3/8 cells must recover most of the exact
+    top-5 (recall pinned ≥ 0.6 on RANDOM vectors — IVF's worst case;
+    the scale/recall dial is n_probe), and every returned pair's
+    cosine must equal the exact score."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = sim.ivf_topk(emb, n_cells=8, n_probe=3, k=5)
+    exact = sim.cosine_topk(emb, emb, k=5)
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.6, f"recall {len(a & e) / len(e):.3f}"
+    # score fidelity on the overlap
+    j = approx.select("query_id", "neighbor_id", F.col("cosine").alias("ac")).join(
+        sim.cosine_topk(emb, emb, k=1_000_000).select(
+            "query_id", "neighbor_id", F.col("cosine").alias("ec")
+        ),
+        ["query_id", "neighbor_id"],
+    )
+    assert all(abs(r.ac - r.ec) < 1e-12 for r in j.collect())
+
+
+def test_ann_ivf_full_probe_equals_bruteforce(spark, sf_dir):
+    """n_probe == n_cells degenerates to exact brute force — the
+    recall dial's upper endpoint."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    approx = sim.ivf_topk(emb, n_cells=4, n_probe=4, k=3)
+    exact = sim.cosine_topk(emb, emb, k=3)
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in approx.collect()}
+    e = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    assert a == e
