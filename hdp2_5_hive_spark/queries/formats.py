@@ -86,3 +86,129 @@ def fmt_dynamic_partition_sink(spark, t):
         F.count(F.lit(1)).alias("n"),
         F.sum("o_orderkey").alias("key_sum"),
     )
+
+
+@register(
+    "fmt_smb_bucketed_join",
+    oracle="""
+SELECT o.o_orderkey, o.o_totalprice, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE o.o_totalprice > 450000
+""",
+    category="formats",
+)
+def fmt_smb_bucketed_join(spark, t):
+    """SMB (sort-merge-bucket) map join surface
+    (``exec/SMBMapJoinOperator.java:60`` + bucketed DDL
+    ``CLUSTERED BY ... SORTED BY ... INTO n BUCKETS``,
+    ``data/scripts/q_test_init.sql:74-76``): both sides written
+    bucketed+sorted on the join key as external tables, then joined —
+    with matching bucket counts Spark plans the join without an
+    Exchange on either side (asserted in tests/test_writes.py; here
+    the driver hash-checks the result set)."""
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="fmt_smb_")
+    (
+        t.orders.filter(F.col("o_totalprice") > 450000)
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", f"{d}/orders_b")
+        .saveAsTable("fmt_smb_orders")
+    )
+    (
+        t.customer.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", f"{d}/customer_b")
+        .saveAsTable("fmt_smb_customer")
+    )
+    o = spark.table("fmt_smb_orders")
+    c = spark.table("fmt_smb_customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_name"
+    )
+
+
+@register(
+    "fmt_multi_insert",
+    oracle="""
+SELECT 'big' AS sink, o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 450000
+UNION ALL
+SELECT 'urgent' AS sink, o_orderkey, o_totalprice FROM orders
+WHERE o_orderpriority = 'URGENT' AND o_totalprice > 450000
+""",
+    category="formats",
+)
+def fmt_multi_insert(spark, t):
+    """Multi-insert (``FROM src INSERT OVERWRITE t1 ... INSERT
+    OVERWRITE t2 ...``, HiveParser.g / groupby1.q:12): one cached
+    source scan feeds two sinks (writers.multi_insert); the query
+    reads both sinks back and unions them so the driver verifies
+    both writes."""
+    import tempfile
+
+    from ..sources import writers
+
+    d = tempfile.mkdtemp(prefix="fmt_multi_")
+    src = t.orders.filter(F.col("o_totalprice") > 450000).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    writers.multi_insert(
+        src,
+        [
+            lambda df: df.select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(f"{d}/big"),
+            lambda df: df.filter(F.col("o_orderpriority") == "URGENT")
+            .select("o_orderkey", "o_totalprice")
+            .write.mode("overwrite")
+            .parquet(f"{d}/urgent"),
+        ],
+    )
+    big = spark.read.parquet(f"{d}/big").select(
+        F.lit("big").alias("sink"), "o_orderkey", "o_totalprice"
+    )
+    urgent = spark.read.parquet(f"{d}/urgent").select(
+        F.lit("urgent").alias("sink"), "o_orderkey", "o_totalprice"
+    )
+    return big.unionAll(urgent)
+
+
+@register(
+    "fmt_concatenate_compact",
+    oracle="""
+SELECT 2 AS n_files_after,
+       COUNT(*) AS n_rows,
+       SUM(o_orderkey) AS key_sum
+FROM orders WHERE o_totalprice > 400000
+""",
+    category="formats",
+)
+def fmt_concatenate_compact(spark, t):
+    """``ALTER TABLE ... CONCATENATE`` (OrcFileMergeOperator.java:41):
+    a deliberately fragmented write (16 files) compacted to 2 via
+    writers.compact_files; the result row proves both the file-count
+    contract and that no rows were lost or duplicated in the merge."""
+    import glob as _glob
+    import tempfile
+
+    from ..sources import writers
+
+    d = tempfile.mkdtemp(prefix="fmt_compact_") + "/frag"
+    src = t.orders.filter(F.col("o_totalprice") > 400000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    src.repartition(16).write.mode("overwrite").parquet(d)
+    writers.compact_files(spark, d, 2)
+    n_files = len(_glob.glob(f"{d}/part-*.parquet"))
+    return (
+        spark.read.parquet(d)
+        .agg(
+            F.lit(n_files).alias("n_files_after"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_sum"),
+        )
+    )
