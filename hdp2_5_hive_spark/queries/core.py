@@ -869,16 +869,24 @@ WHERE p_brand = 'Brand#3' AND p_size <= 10
 def q17_small_quantity_revenue(spark, t):
     """TPC-H Q17 shape: correlated AVG subquery decorrelated into a
     per-part aggregate joined back to lineitem (Hive rewrites the
-    correlated subquery the same way). The per-part average is a
-    small frame → broadcast; lineitem never shuffles. Decimal-exact
-    avg keeps the 0.2×avg comparison boundary identical to DuckDB."""
-    pa = t.lineitem.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+    correlated subquery the same way). Order matters at scale: the
+    part-attribute filter restricts WHICH parts qualify, so lineitem
+    is first narrowed to those parts' rows, and the per-part average
+    is computed over that narrowed frame — identical values (the
+    filter touches only part columns), but the broadcast frame is
+    |qualifying parts|, not |all parts| (20M rows at sf100).
+    Decimal-exact avg keeps the 0.2×avg comparison boundary
+    identical to DuckDB."""
+    parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
+    li_of_parts = t.lineitem.join(
+        F.broadcast(parts.select("p_partkey")),
+        F.col("p_partkey") == F.col("l_partkey"),
+    )
+    pa = li_of_parts.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
         davg("l_quantity", "avg_qty")
     )
-    parts = t.part.filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 10))
     return (
-        t.lineitem.join(F.broadcast(parts), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(pa), F.col("a_partkey") == F.col("l_partkey"))
+        li_of_parts.join(F.broadcast(pa), F.col("a_partkey") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             (dsum("l_extendedprice") / 7.0).alias("avg_yearly")

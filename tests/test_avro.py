@@ -126,3 +126,49 @@ def test_unsupported_type_is_loud(spark):
     df = spark.createDataFrame([({"k": 1},)], "m map<string,int>")
     with pytest.raises(Exception, match="unsupported"):
         avro_py.write_avro(df, "/tmp/avro_unsupported_probe")
+
+
+def test_codec_property_roundtrip():
+    """Hypothesis: arbitrary rows of (long, optional string, optional
+    double-array) survive write_container → read_container without a
+    Spark session — pins the binary codec itself."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("arr", T.ArrayType(T.DoubleType(), False), True),
+        ]
+    )
+
+    rows_strategy = st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.text(max_size=40)),
+            st.one_of(
+                st.none(),
+                st.lists(
+                    st.floats(allow_nan=False, allow_infinity=True, width=64),
+                    max_size=8,
+                ),
+            ),
+        ),
+        max_size=30,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(rows_strategy)
+    def check(rows):
+        buf = io.BytesIO()
+        n = avro_py.write_container(buf, schema, iter([rows]))
+        assert n == len(rows)
+        buf.seek(0)
+        got_schema, got_rows = avro_py.read_container(buf)
+        assert got_schema == schema
+        assert [tuple(r) for r in got_rows] == [
+            (i, s, list(a) if a is not None else None) for i, s, a in rows
+        ]
+
+    check()

@@ -83,3 +83,24 @@ def test_semi_join_strategy(spark, sf_dir, qs):
     df = qs["subq_in"].fn(spark, sf_dir)
     text = audit.formatted_plan(df)
     assert "LeftSemi" in text, text
+
+
+def test_q21_semi_and_anti_join(spark, sf_dir, qs):
+    """EXISTS → LeftSemi, NOT EXISTS → LeftAnti in one plan
+    (QBSubQuery.java rewrite pair)."""
+    text = audit.formatted_plan(qs["q21_waiting_supplier"].fn(spark, sf_dir))
+    assert "LeftSemi" in text, text
+    assert "LeftAnti" in text, text
+
+
+def test_q17_broadcasts_only_narrowed_average(spark, sf_dir, qs):
+    """The decorrelated per-part average must broadcast (it is
+    narrowed to qualifying parts first — broadcasting an all-parts
+    aggregate would OOM at sf100)."""
+    df = qs["q17_small_quantity_revenue"].fn(spark, sf_dir)
+    audit.assert_broadcast(df, at_least=2)  # parts + narrowed pa
+
+
+def test_q13_plans_left_outer(spark, sf_dir, qs):
+    text = audit.formatted_plan(qs["q13_customer_distribution"].fn(spark, sf_dir))
+    assert "LeftOuter" in text, text
