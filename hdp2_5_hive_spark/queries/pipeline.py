@@ -509,3 +509,113 @@ def ann_ivf_topk(spark, t):
     return sim.ivf_topk(
         t.embeddings, n_cells=8, n_probe=3, k=5
     ).select("query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine"))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+SELECT doc_id AS media_id, 8 AS width, 8 AS height,
+       64 AS payload_len
+FROM documents WHERE doc_id < 100 AND length(text) > 0
+""",
+    category="pipeline",
+)
+def multimodal_resize(spark, t):
+    """Image-resize plumbing over mapInPandas (stub kernel — no codec
+    libs in this container; the Arrow batch path, schema, and
+    deterministic payload contract are real). The oracle checks the
+    SHAPE contract: every payload resized to exactly width×height
+    bytes."""
+    docs = t.documents.filter((F.col("doc_id") < 100) & (F.length("text") > 0))
+    media = mm.attach_binary_payload(docs, "text", "doc_id")
+    resized = mm.resize_images(media, 8, 8)
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.length("payload").alias("payload_len"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT doc_id AS media_id, COUNT(*) AS n_frames,
+       SUM(fi) AS frame_idx_sum
+FROM documents, (SELECT UNNEST([0,1,2,3]) AS fi)
+WHERE doc_id < 100 AND length(text) >= 4
+GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def multimodal_frame_sample(spark, t):
+    """Video frame-sampling plumbing: UDTF-shaped 1→N mapInPandas
+    fan-out (stub frame cut). Oracle pins the fan-out contract —
+    exactly 4 frames with indices 0..3 per payload of length ≥ 4."""
+    docs = t.documents.filter((F.col("doc_id") < 100) & (F.length("text") >= 4))
+    media = mm.attach_binary_payload(docs, "text", "doc_id")
+    frames = mm.sample_frames(media, n_frames=4)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum("frame_idx").alias("frame_idx_sum"),
+    )
+
+
+@register(
+    "corpus_clean",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTE},
+dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label)
+),
+quality AS (
+  SELECT doc_id, lang, text,
+         LEN(text) AS n_chars,
+         LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS n_words
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM quality
+WHERE doc_id NOT IN (SELECT node FROM dropped)
+  AND n_words >= 5 AND n_chars >= 20
+GROUP BY lang
+""",
+    category="pipeline",
+)
+def corpus_clean(spark, t):
+    """Flagship end-to-end training-corpus cleaning pipeline in ONE
+    plan: MinHash near-dup pairs → connected components → drop
+    non-canonical docs (anti join) → length quality gate → per-lang
+    corpus statistics. The composition a 100 TB pre-training pipeline
+    runs nightly; every stage is the scale path (banded LSH, hash-min
+    components, codegen'd filters) and the whole thing is one
+    hash-checkable result."""
+    from ..operators import components as cc
+
+    pairs = dd.near_duplicate_pairs(t.documents, "doc_id", "text", threshold=0.6)
+    comps = cc.connected_components(pairs, "id_a", "id_b")
+    dropped = cc.keep_list(comps).filter(~F.col("is_kept")).select(
+        F.col("node").alias("doc_id")
+    )
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    # no broadcast hint on the drop list: at 100 TB the duplicate
+    # fraction of a crawl is a large share of the corpus — AQE picks
+    # broadcast only when the list actually fits.
+    kept = (
+        t.documents.join(dropped, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.size(words).alias("n_words"),
+        )
+        .filter((F.col("n_words") >= 5) & (F.col("n_chars") >= 20))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

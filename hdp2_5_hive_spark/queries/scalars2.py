@@ -581,3 +581,38 @@ def sample_rows(spark, t):
     without reading remaining splits). WHICH rows is engine-defined,
     so the oracle-checked result is the row count of the sample."""
     return t.orders.limit(500).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "fn_decimal_round",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       round(CAST(l_quantity / 2 AS DECIMAL(10,1)), 0) AS half_up_dec,
+       round_even(CAST(l_quantity / 2 AS DECIMAL(10,1)), 0) AS half_even_dec,
+       round(l_quantity / 2) AS half_up_dbl,
+       round(CAST(l_extendedprice AS DECIMAL(12,2)), -2) AS neg_scale_dec,
+       round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS one_dec
+FROM lineitem WHERE l_orderkey < 500
+""",
+    category="scalars",
+)
+def fn_decimal_round(spark, t):
+    """round (HALF_UP, away from zero — Hive
+    ``udf/generic/GenericUDFRound.java``) vs bround (HALF_EVEN,
+    banker's — ``GenericUDFBRound.java``) on decimals, plus
+    negative-scale rounding. l_quantity/2 lands exactly on .5
+    boundaries, so the two modes visibly diverge; DuckDB's
+    round/round_even have the same semantics, making this
+    hash-checkable."""
+    li = t.lineitem.filter(F.col("l_orderkey") < 500)
+    half = (F.col("l_quantity") / 2).cast("decimal(10,1)")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(half, 0).alias("half_up_dec"),
+        F.bround(half, 0).alias("half_even_dec"),
+        F.round(F.col("l_quantity") / 2).alias("half_up_dbl"),
+        F.round(price, -2).alias("neg_scale_dec"),
+        F.round(price, 1).alias("one_dec"),
+    )
