@@ -1,0 +1,274 @@
+"""Corpus-preparation operators: test-set decontamination, sequence
+packing, repetition/quality statistics, vocabulary heavy hitters.
+
+These extend the reference's query surface the way a training-data
+pipeline needs (SURVEY.md §2.14 north star): everything is built-in
+expression composition — no Python in the hot path — and every
+shuffle is a keyed partial-aggregate or a broadcast, so each operator
+is a 1000-executor plan, not a driver loop.
+
+Reference anchors: n-gram machinery parallels Hive's ngrams/
+context_ngrams UDAFs (ql/.../udf/generic/GenericUDAFnGrams.java);
+the prefix-sum is the distributed replacement for the reference's
+single-reducer ROW_NUMBER trick (ql/.../udf/ptf/WindowingTableFunction.java).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import shingles_col, words_col
+
+
+def kgrams_all(text: Column, k: int) -> Column:
+    """ALL word k-grams in order (duplicates kept) — the multiset
+    twin of dedup.shingles_col's distinct set."""
+    w = words_col(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + off) for off in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# ---------------------------------------------------------------------------
+# test-set decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag corpus documents whose k-gram overlap with an evaluation
+    set exceeds ``threshold`` (benchmark-contamination detection).
+
+    Scale shape: the eval side collapses to DISTINCT k-gram hashes —
+    a few million longs even for a large benchmark suite — and is
+    broadcast; the corpus side is one explode + one hash per gram and
+    a map-side join, then a keyed partial aggregate on ``id_col``.
+    No shuffle ever carries gram strings, only 8-byte hashes.
+
+    Output per corpus doc: total distinct grams, matched grams,
+    contamination fraction, flag.
+    """
+    grams = corpus.select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), k)).alias("gram"),
+    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    eval_hashes = (
+        eval_df.select(F.explode(shingles_col(F.col(text_col), k)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = grams.join(F.broadcast(eval_hashes), "gh", "left")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").alias("n_grams"),
+        F.count("hit").alias("n_matched"),
+    )
+    frac = F.col("n_matched").cast("double") / F.col("n_grams")
+    return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        F.round(frac, 6).alias("contamination"),
+        (frac >= threshold).alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed prefix sum + sequence packing
+# ---------------------------------------------------------------------------
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "cum_before",
+    block_size: int = 4096,
+) -> DataFrame:
+    """EXCLUSIVE prefix sum of ``value_col`` in ``order_col`` order
+    without a single-partition global window.
+
+    Two-phase scan: (1) cumsum within ``order_col DIV block_size``
+    blocks — a window PARTITIONED by block, so it parallelizes across
+    executors; (2) per-block totals (one row per block — tiny) get an
+    exclusive block-offset cumsum and broadcast-join back. The classic
+    Blelloch scan mapped onto DataFrame ops: a 100 TB corpus prefix-sums
+    in two map passes + one broadcast, where the naive
+    ``Window.orderBy(...)`` (Hive PTF single reducer,
+    ql/.../udf/ptf/WindowingTableFunction.java) funnels everything
+    through one task.
+
+    ``order_col`` must be unique and numeric (row ids / doc ids).
+    """
+    block = (F.col(order_col).cast("long") / F.lit(block_size)).cast("long")
+    w_in = (
+        Window.partitionBy("_blk")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_blk = df.withColumn("_blk", block)
+    in_block = with_blk.withColumn(
+        "_cum_in", F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    )
+    totals = with_blk.groupBy("_blk").agg(F.sum(value_col).alias("_tot"))
+    # One row per block: at 100 TB / 4096-row blocks this is still
+    # ~millions of rows — keep the window partitioned by a coarse
+    # super-block and iterate? Not needed: a second-level exclusive
+    # sum over block totals is itself tiny (collected row count =
+    # n_blocks), and n_blocks is bounded by rows/block_size; for
+    # truly unbounded inputs recurse. Here one level + a small
+    # single-partition window over block totals is the right trade.
+    w_blk = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_tot").over(w_blk), F.lit(0))
+    ).select("_blk", "_off")
+    return (
+        in_block.join(F.broadcast(offsets), "_blk")
+        .withColumn(out_col, (F.col("_cum_in") + F.col("_off")).cast("long"))
+        .drop("_blk", "_cum_in")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 512,
+    block_size: int = 4096,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay documents end-to-end in
+    ``id_col`` order and cut the token stream into ``ctx_len`` bins —
+    the standard LLM pretraining packing strategy.
+
+    Per doc: its token count, start offset in the global stream, the
+    bin its first token lands in, and whether it straddles a bin
+    boundary (would be split across training sequences).
+    """
+    from .textstats import token_count
+
+    toks = df.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    )
+    cum = distributed_prefix_sum(
+        toks, id_col, "n_tokens", out_col="start_offset", block_size=block_size
+    )
+    start_bin = (F.col("start_offset") / F.lit(ctx_len)).cast("long")
+    end_bin = (
+        (F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(ctx_len)
+    ).cast("long")
+    return cum.select(
+        id_col,
+        F.col("n_tokens").cast("bigint"),
+        "start_offset",
+        start_bin.alias("bin_id"),
+        (start_bin != end_bin).alias("crosses_boundary"),
+    )
+
+
+def packing_stats(packed: DataFrame, ctx_len: int = 512) -> DataFrame:
+    """Per-bin fill statistics over a pack_sequences assignment:
+    docs starting in the bin, tokens contributed by them, fill ratio
+    of docs fully contained. Keyed partial agg — scale-free."""
+    return packed.groupBy("bin_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(~F.col("crosses_boundary"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("contained_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition / diversity statistics (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition signals used by Gopher/C4-style
+    filters: distinct-word ratio, most-frequent-word share, duplicate
+    2-gram fraction.
+
+    The word-share part is one explode + (id, word) partial agg +
+    (id) partial agg — two keyed shuffles that both combine map-side.
+    The 2-gram fraction never leaves the row: ALL-grams vs distinct
+    grams sizes are computed inline with array expressions.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    per_word = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
+    shares = per_word.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"),
+    )
+    g2_all = kgrams_all(F.col(text_col), 2)
+    inline = df.select(
+        F.col(id_col),
+        F.size(g2_all).alias("n_2grams"),
+        F.size(F.array_distinct(g2_all)).alias("n_distinct_2grams"),
+    )
+    return (
+        shares.join(inline, id_col)
+        .select(
+            id_col,
+            F.col("n_words").cast("bigint"),
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_words"), 6
+            ).alias("distinct_word_ratio"),
+            F.round(
+                F.col("top_count").cast("double") / F.col("n_words"), 6
+            ).alias("top_word_share"),
+            F.when(
+                F.col("n_2grams") > 0,
+                F.round(
+                    1
+                    - F.col("n_distinct_2grams").cast("double")
+                    / F.col("n_2grams"),
+                    6,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("dup_2gram_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def top_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 2,
+    top: int = 20,
+) -> DataFrame:
+    """Global most-frequent word k-grams (corpus vocabulary heavy
+    hitters). Explode + keyed count (map-side combine collapses the
+    per-partition gram space before the shuffle) + TakeOrdered top-k —
+    the exact-count analogue of Hive's ngrams() UDAF estimator
+    (ql/.../udf/generic/GenericUDAFnGrams.java), scale-safe because
+    the shuffle carries one row per distinct gram per partition."""
+    grams = df.select(F.explode(kgrams_all(F.col(text_col), k)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("*").cast("bigint").alias("occurrences"))
+        .orderBy(F.desc("occurrences"), F.asc("gram"))
+        .limit(top)
+    )

@@ -32,6 +32,7 @@ _MODULES = (
     "streaming_batch",
     "scalars2",
     "formats",
+    "pipeline2",
 )
 
 

@@ -1,0 +1,194 @@
+"""Corpus-preparation queries: decontamination, sequence packing,
+repetition quality, vocabulary heavy hitters (operators/corpus.py).
+
+Training-pipeline extensions beyond the reference surface (SURVEY
+§2.14): each query is the scale-shaped Spark plan; the DuckDB oracle
+recomputes the same result with list comprehensions / window SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import corpus as cp
+from .registry import register
+
+# DuckDB k-gram list comprehension fragments (match
+# operators/dedup.words_col = split(lower(text), ' ')).
+_TOKS = "SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents"
+_G5 = (
+    "CASE WHEN len(w) >= 5 THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' "
+    "|| w[i+3] || ' ' || w[i+4] for i in range(1, len(w) - 3)] ELSE [] END"
+)
+_G2 = (
+    "CASE WHEN len(w) >= 2 THEN [w[i] || ' ' || w[i+1] "
+    "for i in range(1, len(w))] ELSE [] END"
+)
+
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle=f"""
+WITH toks AS ({_TOKS}),
+grams AS (
+  SELECT doc_id, source, list_distinct({_G5}) AS g FROM toks
+),
+ev AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest(g) AS gram FROM grams WHERE source = 'src0')
+),
+evl AS (SELECT list(gram) AS egrams FROM ev)
+SELECT doc_id,
+       CAST(len(g) AS BIGINT) AS n_grams,
+       CAST(len(list_intersect(g, egrams)) AS BIGINT) AS n_matched,
+       ROUND(CAST(len(list_intersect(g, egrams)) AS DOUBLE) / len(g), 6)
+         AS contamination,
+       CAST(len(list_intersect(g, egrams)) AS DOUBLE) / len(g) >= 0.5
+         AS is_contaminated
+FROM grams, evl
+WHERE source <> 'src0' AND len(g) > 0
+""",
+    category="pipeline",
+)
+def decontaminate_eval_overlap(spark, t):
+    """Test-set decontamination: treat source='src0' docs as the
+    held-out benchmark; flag training docs whose distinct 5-gram
+    overlap with the benchmark gram set is ≥ 50%. Spark side joins
+    8-byte gram hashes against a broadcast eval-set hash table
+    (operators/corpus.decontaminate); the oracle intersects the gram
+    strings directly."""
+    d = t.documents
+    return cp.decontaminate(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        k=5,
+        threshold=0.5,
+    ).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_matched").cast("bigint").alias("n_matched"),
+        "contamination",
+        "is_contaminated",
+    )
+
+
+@register(
+    "pack_sequences_ctx512",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_offset,
+       CAST(start_offset // 512 AS BIGINT) AS bin_id,
+       (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512)
+         AS crosses_boundary
+FROM cum
+""",
+    category="pipeline",
+)
+def pack_sequences_ctx512(spark, t):
+    """Concat-and-chunk sequence packing into 512-token bins. The
+    global token-stream offset comes from a two-phase distributed
+    prefix sum (operators/corpus.distributed_prefix_sum) — no
+    single-partition window; the oracle uses plain window SQL."""
+    return cp.pack_sequences(t.documents, ctx_len=512)
+
+
+@register(
+    "pack_bin_stats",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM toks
+),
+packed AS (
+  SELECT doc_id, n_tokens, start_offset // 512 AS bin_id,
+         (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512)
+           AS crosses
+  FROM cum
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN NOT crosses THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS contained_tokens
+FROM packed GROUP BY 1
+""",
+    category="pipeline",
+)
+def pack_bin_stats(spark, t):
+    """Per-bin fill statistics over the ctx-512 packing assignment
+    (keyed partial aggregate over the packed table)."""
+    return cp.packing_stats(cp.pack_sequences(t.documents, ctx_len=512))
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+WITH toks AS ({_TOKS}),
+ex AS (SELECT doc_id, unnest(w) AS word FROM toks),
+pw AS (SELECT doc_id, word, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS topc
+  FROM pw GROUP BY 1
+),
+g2 AS (SELECT doc_id, {_G2} AS g FROM toks)
+SELECT s.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_words, 6) AS distinct_word_ratio,
+       ROUND(CAST(topc AS DOUBLE) / n_words, 6) AS top_word_share,
+       CASE WHEN len(g) > 0
+            THEN ROUND(1 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g), 6)
+            ELSE 0.0 END AS dup_2gram_ratio
+FROM sh s JOIN g2 USING (doc_id)
+""",
+    category="pipeline",
+)
+def text_repetition_stats(spark, t):
+    """Gopher-style repetition signals per document: distinct-word
+    ratio, top-word share (two map-side-combining keyed aggs), and
+    duplicate-2-gram fraction (computed inline with array
+    expressions — never leaves the row)."""
+    return cp.repetition_stats(t.documents)
+
+
+@register(
+    "vocab_top_ngrams",
+    oracle=f"""
+WITH toks AS ({_TOKS}),
+g2 AS (SELECT doc_id, {_G2} AS g FROM toks),
+ex AS (SELECT unnest(g) AS gram FROM g2)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS occurrences
+FROM ex GROUP BY 1
+ORDER BY occurrences DESC, gram
+LIMIT 20
+""",
+    category="pipeline",
+)
+def vocab_top_ngrams(spark, t):
+    """Global top-20 word 2-grams (exact-count heavy hitters —
+    Hive ngrams() UDAF analogue, GenericUDAFnGrams.java). Partial
+    agg collapses the gram space map-side; TakeOrdered returns the
+    head without a global sort."""
+    return cp.top_ngrams(t.documents, k=2, top=20)

@@ -1,0 +1,104 @@
+"""Corpus-preparation operator tests: distributed prefix sum
+equivalence, packing invariants, decontamination plan shape."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.operators import corpus as cp
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_prefix_sum_matches_global_window(spark):
+    """Two-phase block scan == naive global-window cumsum, with a
+    block size small enough (7) to force many blocks + offsets."""
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") % 13 + 1).alias("v")
+    )
+    fast = cp.distributed_prefix_sum(df, "id", "v", block_size=7)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, -1)
+    naive = df.withColumn(
+        "expect", F.coalesce(F.sum("v").over(w), F.lit(0)).cast("long")
+    )
+    joined = fast.join(naive, "id")
+    assert joined.filter(F.col("cum_before") != F.col("expect")).count() == 0
+
+
+def test_prefix_sum_no_global_exchange_funnel(spark):
+    """The big-side window must be partitioned by block (parallel),
+    not a single global sort partition: the plan's first window runs
+    under `partitionBy _blk`."""
+    df = spark.range(0, 1000).select(F.col("id"), F.lit(2).alias("v"))
+    plan = cp.distributed_prefix_sum(df, "id", "v")._jdf.queryExecution().toString()
+    assert "_blk" in plan  # block-partitioned window present
+
+
+def test_pack_sequences_invariants(docs):
+    packed = cp.pack_sequences(docs, ctx_len=128)
+    rows = packed.orderBy("doc_id").collect()
+    # offsets are the exclusive cumsum of token counts in id order
+    run = 0
+    for r in rows:
+        assert r.start_offset == run
+        run += r.n_tokens
+    # bin assignment consistent with offsets
+    for r in rows:
+        assert r.bin_id == r.start_offset // 128
+        crosses = (r.start_offset // 128) != (
+            (r.start_offset + r.n_tokens - 1) // 128
+        )
+        assert r.crosses_boundary == crosses
+
+
+def test_packing_stats_conserve_tokens(docs):
+    packed = cp.pack_sequences(docs, ctx_len=128)
+    stats = cp.packing_stats(packed, ctx_len=128)
+    total_direct = packed.agg(F.sum("n_tokens")).collect()[0][0]
+    total_binned = stats.agg(F.sum("n_tokens")).collect()[0][0]
+    assert total_direct == total_binned
+    assert stats.filter(F.col("contained_tokens") > F.col("n_tokens")).count() == 0
+
+
+def test_decontaminate_broadcasts_eval_side(docs):
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    out = cp.decontaminate(corpus, eval_df, k=5, threshold=0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # self-decontamination: every eval doc fully overlaps itself
+    self_out = cp.decontaminate(eval_df, eval_df, k=5, threshold=0.99)
+    bad = self_out.filter(~F.col("is_contaminated")).count()
+    assert bad == 0
+
+
+def test_repetition_stats_bounds(docs):
+    stats = cp.repetition_stats(docs)
+    n = stats.count()
+    assert n == docs.count()
+    in_range = stats.filter(
+        (F.col("distinct_word_ratio") > 0)
+        & (F.col("distinct_word_ratio") <= 1)
+        & (F.col("top_word_share") > 0)
+        & (F.col("top_word_share") <= 1)
+        & (F.col("dup_2gram_ratio") >= 0)
+        & (F.col("dup_2gram_ratio") < 1)
+    ).count()
+    assert in_range == n
+
+
+def test_top_ngrams_is_top_k(docs):
+    out = cp.top_ngrams(docs, k=2, top=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = out.collect()
+    assert len(rows) == 10
+    counts = [r.occurrences for r in rows]
+    assert counts == sorted(counts, reverse=True)
