@@ -616,3 +616,83 @@ def fn_decimal_round(spark, t):
         F.round(price, -2).alias("neg_scale_dec"),
         F.round(price, 1).alias("one_dec"),
     )
+
+
+@register(
+    "fn_java_hashcode",
+    oracle="""
+WITH folded AS (
+  SELECT p_partkey,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(p_name, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (h, c) -> (h * 31 + c) % 4294967296) AS hm
+  FROM part WHERE p_partkey <= 200
+)
+SELECT p_partkey,
+       CAST(CASE WHEN hm >= 2147483648 THEN hm - 4294967296 ELSE hm END
+            AS BIGINT) AS hive_hash
+FROM folded
+""",
+    category="scalar",
+)
+def fn_java_hashcode(spark, t):
+    """Hive's hash() on strings is Java String.hashCode (reference
+    ``ql/.../udf/generic/GenericUDFHash.java`` →
+    ``ObjectInspectorUtils.hashCode``): h = h*31 + char. Spark's
+    built-in hash() is Murmur3 — NOT compatible — so parity needs the
+    fold spelled out: aggregate over char codes in mod-2^32 bigint
+    space (no overflow ambiguity in either engine), then re-sign to
+    int32. Pure codegen'd expression; the oracle runs the identical
+    fold in DuckDB lambda SQL."""
+    p = t.part.filter(F.col("p_partkey") <= 200)
+    codes = F.transform(
+        F.split(F.col("p_name"), ""), lambda c: F.ascii(c).cast("bigint")
+    )
+    hm = F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * F.lit(31) + c) % F.lit(4294967296),
+    )
+    signed = F.when(
+        hm >= F.lit(2147483648), hm - F.lit(4294967296)
+    ).otherwise(hm)
+    return p.select(
+        "p_partkey", signed.cast("bigint").alias("hive_hash")
+    )
+
+
+@register(
+    "fn_reflect_suite",
+    oracle="""
+SELECT p_partkey,
+       CAST(p_partkey AS VARCHAR) AS str_of,
+       bin(CAST(p_partkey AS INT)) AS bin_str,
+       sqrt(CAST(p_retailprice AS DOUBLE)) AS sqrt_price
+FROM part WHERE p_partkey <= 100
+""",
+    category="scalar",
+)
+def fn_reflect_suite(spark, t):
+    """Hive's reflect()/java_method() UDFs (reference
+    ``ql/.../udf/generic/GenericUDFReflect.java``) exist natively in
+    Spark as CallMethodViaReflection — same name, same semantics.
+    Exercised against JDK methods with engine-independent results
+    (String.valueOf, Integer.toBinaryString, Math.sqrt)."""
+    p = t.part.filter(F.col("p_partkey") <= 100)
+    return p.select(
+        "p_partkey",
+        F.reflect(
+            F.lit("java.lang.String"), F.lit("valueOf"),
+            F.col("p_partkey").cast("int"),
+        ).alias("str_of"),
+        F.java_method(
+            F.lit("java.lang.Integer"), F.lit("toBinaryString"),
+            F.col("p_partkey").cast("int"),
+        ).alias("bin_str"),
+        F.reflect(
+            F.lit("java.lang.Math"), F.lit("sqrt"),
+            F.col("p_retailprice").cast("double"),
+        ).cast("double").alias("sqrt_price"),
+    )

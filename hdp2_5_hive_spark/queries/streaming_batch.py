@@ -139,3 +139,58 @@ def stream_dedup_first(spark, t):
         F.min("ts").alias("first_ts"),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle="""
+SELECT a.event_id AS view_id, b.event_id AS purchase_id, a.user_id,
+       CAST((epoch_us(CAST(b.ts AS TIMESTAMP))
+             - epoch_us(CAST(a.ts AS TIMESTAMP))) // 1000000 AS BIGINT)
+         AS gap_sec
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'view' AND b.event_type = 'purchase'
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+""",
+    category="streaming",
+)
+def stream_interval_join(spark, t):
+    """Time-interval join: views attributed to a purchase by the same
+    user within 10 minutes — the batch twin of a watermarked
+    stream-stream join (tests/test_streaming.py runs the live
+    streaming form with state cleanup). The plan is an equi-join on
+    user_id with the time range as residual filter: one keyed
+    shuffle, no nested loop, so it holds at 100 TB where a pure
+    range-condition join would not."""
+    e = t.events
+    a = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("b_user"))
+            & (F.col("b_ts") >= F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            # Integer DIV, not double /: micros deltas near 2^40 are
+            # exact in int64 but not guaranteed bit-stable through a
+            # double round-trip (memory: the nanos DIV lesson).
+            F.expr(
+                "CAST((unix_micros(b_ts) - unix_micros(a_ts)) DIV 1000000 AS BIGINT)"
+            ).alias("gap_sec"),
+        )
+    )

@@ -171,3 +171,73 @@ def test_streaming_dedup_with_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = {(r.user_id, r.event_id) for r in spark.read.parquet(out).collect()}
     assert got == {("a", "e1"), ("a", "e2"), ("b", "e1")}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: views matched to purchases by
+    the same user within 10 minutes. Both sides carry watermarks so
+    Spark can bound the join state (§2.10 — the live form of the
+    stream_interval_join registered query)."""
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+            StructField("event_id", StringType()),
+        ]
+    )
+    views_src = str(tmp_path / "views")
+    buys_src = str(tmp_path / "buys")
+    views = [
+        ("2024-01-01 00:00:00", "u1", "v1"),
+        ("2024-01-01 00:30:00", "u1", "v2"),
+        ("2024-01-01 00:00:00", "u2", "v3"),
+    ]
+    buys = [
+        ("2024-01-01 00:05:00", "u1", "p1"),  # matches v1 (5 min)
+        ("2024-01-01 00:31:00", "u1", "p2"),  # matches v2 (1 min)
+        ("2024-01-01 01:00:00", "u2", "p3"),  # 60 min after v3 — no match
+    ]
+    for src, rows in [(views_src, views), (buys_src, buys)]:
+        spark.createDataFrame(
+            rows, "ts string, user_id string, event_id string"
+        ).select(F.to_timestamp("ts").alias("ts"), "user_id", "event_id").write.parquet(src)
+
+    v = (
+        spark.readStream.schema(schema)
+        .parquet(views_src)
+        .withWatermark("ts", "20 minutes")
+        .select(
+            F.col("ts").alias("v_ts"),
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+        )
+    )
+    b = (
+        spark.readStream.schema(schema)
+        .parquet(buys_src)
+        .withWatermark("ts", "20 minutes")
+        .select(
+            F.col("ts").alias("b_ts"),
+            F.col("user_id").alias("b_user"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = v.join(
+        b,
+        (F.col("v_user") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("v_ts"))
+        & (F.col("b_ts") <= F.col("v_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("view_id", "purchase_id")
+    out = str(tmp_path / "out")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.view_id, r.purchase_id) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("v1", "p1"), ("v2", "p2")}
