@@ -103,8 +103,14 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 )
 def agg_cube_grouping_id(spark, t):
     """CUBE + GROUPING__ID virtual column
-    (metadata/VirtualColumn.java:65) → df.cube + F.grouping_id."""
-    return t.lineitem.cube("l_returnflag", "l_linestatus").agg(
+    (metadata/VirtualColumn.java:65) → df.cube + F.grouping_id.
+
+    Expand(4×) + decimal accumulators make the partial phase
+    CPU-bound like q1 — re-split under-split scans only
+    (0.92s→0.62s at sf0.1; no-op on a many-split warehouse scan)."""
+    from ..operators.util import ensure_parallelism
+
+    return ensure_parallelism(t.lineitem).cube("l_returnflag", "l_linestatus").agg(
         F.grouping_id().alias("gid"),
         F.count(F.lit(1)).alias("n"),
         dsum("l_quantity", "sum_qty"),
