@@ -144,6 +144,33 @@ def compact_files(
     shutil.rmtree(tmp, ignore_errors=True)
 
 
+def write_range_layout(
+    df: DataFrame,
+    path: str,
+    order_cols: Sequence[str],
+    n_files: int,
+    fmt: str = "parquet",
+) -> None:
+    """Range-clustered data layout: ``repartitionByRange`` +
+    ``sortWithinPartitions`` before the sink, so each output file owns
+    a disjoint key range and its footer min/max statistics prune
+    whole files for range predicates.
+
+    Hive's analogue is ``SORTED BY`` table layout feeding ORC stripe
+    stats (``ql/.../io/orc/WriterImpl.java`` row-group index); on a
+    100 TB time-series table this turns a one-day scan into reading
+    1/365th of the files. The range exchange samples keys to build
+    balanced boundaries — skew in ``order_cols`` becomes file-size
+    skew, not task failure."""
+    (
+        df.repartitionByRange(n_files, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def round_trip(
     df: DataFrame, path: str, fmt: str, **options
 ) -> DataFrame:

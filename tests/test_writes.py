@@ -128,3 +128,56 @@ def test_compact_files(nation, tmp_path, spark):
     import glob
 
     assert len(glob.glob(f"{p}/part-*")) == 1
+
+
+def test_range_layout_files_own_disjoint_ranges(spark, tmp_path):
+    """write_range_layout: every output file covers a disjoint key
+    range, proven from the parquet footer min/max stats — the file-
+    pruning contract a range predicate relies on at scale."""
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = str(tmp_path / "range_layout")
+    writers.write_range_layout(ev.select("event_id", "user_id"), out, ["event_id"], 4)
+
+    spans = []
+    for f in _glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col = None
+        for i in range(md.row_group(0).num_columns):
+            c = md.row_group(0).column(i)
+            if c.path_in_schema == "event_id":
+                col = i
+        lo = min(md.row_group(g).column(col).statistics.min for g in range(md.num_row_groups))
+        hi = max(md.row_group(g).column(col).statistics.max for g in range(md.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    assert len(spans) == 4
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint: a range predicate skips whole files
+
+    # and the readback is complete
+    assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A join whose key is the fact table's partition column and whose
+    dim side carries a selective filter must plan a dynamicpruning
+    subquery on the fact scan (Spark DPP — the runtime analogue of
+    Hive's static partition pruner, optimizer/ppr/PartitionPruner.java).
+    At 100 TB this is the difference between scanning every partition
+    and scanning the 1-2 the dim selects."""
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    fact_path = str(tmp_path / "orders_part")
+    orders.repartition(F.col("o_orderstatus")).write.partitionBy(
+        "o_orderstatus"
+    ).mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")], "st string, label string"
+    ).filter(F.col("label") == "final")
+
+    joined = fact.join(dim, fact.o_orderstatus == dim.st).groupBy("st").count()
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:2000]
