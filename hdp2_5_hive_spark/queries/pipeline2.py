@@ -192,3 +192,53 @@ def vocab_top_ngrams(spark, t):
     agg collapses the gram space map-side; TakeOrdered returns the
     head without a global sort."""
     return cp.top_ngrams(t.documents, k=2, top=20)
+
+
+@register(
+    "retrieval_bm25",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id >= 5
+),
+q AS (
+  SELECT doc_id AS query_id, list_distinct(string_split(lower(text), ' ')) AS qw
+  FROM documents WHERE doc_id < 5
+),
+ex AS (SELECT doc_id, unnest(w) AS term FROM corpus),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT query_id, unnest(qw) AS term FROM q)
+SELECT qt.query_id, tf.doc_id,
+       ROUND(SUM(
+         ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+         * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+       ), 4) AS score
+FROM qt
+JOIN tf USING (term)
+JOIN dft USING (term)
+JOIN dl ON tf.doc_id = dl.doc_id, stats
+GROUP BY 1, 2
+""",
+    category="pipeline",
+)
+def retrieval_bm25(spark, t):
+    """BM25 lexical retrieval (operators/retrieval.py): docs with
+    doc_id < 5 act as queries against the rest of the corpus. The
+    corpus never shuffles for scoring — query terms, their document
+    frequencies, and the corpus scalars all broadcast; only the
+    (query, doc) partial sums exchange."""
+    from ..operators import retrieval as rt
+
+    d = t.documents
+    return rt.bm25_scores(
+        d.filter(F.col("doc_id") >= 5),
+        d.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+    )

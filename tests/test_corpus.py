@@ -102,3 +102,24 @@ def test_top_ngrams_is_top_k(docs):
     assert len(rows) == 10
     counts = [r.occurrences for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bm25_broadcasts_query_side_only(spark, docs):
+    """BM25: the three broadcast exchanges are query terms, narrowed
+    dfs, and corpus scalars — the corpus-side term table must join as
+    the probe (streamed) side, never broadcast."""
+    from hdp2_5_hive_spark.operators import retrieval as rt
+
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    queries = docs.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "text"
+    )
+    out = rt.bm25_scores(corpus, queries)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # self-retrieval sanity: a query's own text scores every doc that
+    # shares a term; scores are finite and positive
+    n_bad = out.filter(
+        F.col("score").isNull() | F.isnan("score") | (F.col("score") < 0)
+    ).count()
+    assert n_bad == 0
