@@ -114,3 +114,59 @@ def test_salted_agg_equals_direct_property(spark, xs):
     salted = salted_sum_count(df, ["k"], F.col("v"), n_salts=4).first()
     assert salted.sum_value == direct
     assert salted.n == len(xs)
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@SET
+def test_java_hashcode_fold_matches_jdk_definition(spark, texts):
+    """The fn_java_hashcode expression fold == Java String.hashCode
+    (h = h*31 + c over UTF-16 units; printable-ASCII inputs so char
+    units == code points) for arbitrary printable strings."""
+    from functools import reduce
+
+    def jdk(s: str) -> int:
+        h = reduce(lambda a, c: (a * 31 + ord(c)) & 0xFFFFFFFF, s, 0)
+        return h - 4294967296 if h >= 2147483648 else h
+
+    df = spark.createDataFrame([(i, s) for i, s in enumerate(texts)], "i int, s string")
+    codes = F.transform(F.split(F.col("s"), ""), lambda c: F.ascii(c).cast("bigint"))
+    hm = F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda h, c: (h * F.lit(31) + c) % F.lit(4294967296)
+    )
+    signed = F.when(hm >= F.lit(2147483648), hm - F.lit(4294967296)).otherwise(hm)
+    got = {r.i: r.h for r in df.select("i", signed.alias("h")).collect()}
+    for i, s in enumerate(texts):
+        assert got[i] == jdk(s), (s, got[i], jdk(s))
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=80),
+    block=st.integers(min_value=1, max_value=16),
+)
+@SET
+def test_prefix_sum_any_block_size(spark, vals, block):
+    """distributed_prefix_sum is exact for every block size ≥ 1 —
+    the two-phase scan must not depend on block/data alignment."""
+    from hdp2_5_hive_spark.operators.corpus import distributed_prefix_sum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r.id: r.cum_before
+        for r in distributed_prefix_sum(df, "id", "v", block_size=block).collect()
+    }
+    run = 0
+    for i, v in enumerate(vals):
+        assert got[i] == run
+        run += v
