@@ -94,6 +94,108 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL decode path: PPM (P6) — an uncompressed public format needing
+# no codec library, so decode here is genuine (header parse + numpy
+# frombuffer), not a stub. Compressed formats (JPEG/PNG/audio) stay
+# behind decode_image_stub until a codec lib ships.
+# ---------------------------------------------------------------------------
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+    ]
+)
+
+
+def encode_ppm(width: int, height: int, rgb) -> bytes:
+    """Binary PPM (P6, maxval 255) from an (h*w*3,) uint8 buffer —
+    the public netpbm format (en.wikipedia.org/wiki/Netpbm)."""
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8)
+    if arr.size != width * height * 3:
+        raise ValueError(f"need {width*height*3} bytes, got {arr.size}")
+    return f"P6 {width} {height} 255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
+    """REAL decode: parse the P6 header, reinterpret the raster with
+    numpy, return (width, height, per-channel means). Means are
+    integer-summed then divided once so they hash-compare exactly
+    against an engine that never saw the bytes."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    header, _, raster = payload.partition(b"\n")
+    _, w, h, maxval = header.split()
+    w, h = int(w), int(h)
+    if int(maxval) != 255:
+        raise ValueError("only maxval 255 supported")
+    px = np.frombuffer(raster, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    sums = px.sum(axis=(0, 1), dtype=np.int64)
+    n = w * h
+    return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
+
+
+def extract_image_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL image decode over mapInPandas:
+    (media_id, payload[PPM]) → dims + channel means."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in IMAGE_STATS_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, mr, mg, mb = decode_ppm(payload)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_r"].append(mr)
+                rows["mean_g"].append(mg)
+                rows["mean_b"].append(mb)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, IMAGE_STATS_SCHEMA
+    )
+
+
+def synthesize_ppm_media(df: DataFrame, id_col: str, width: int = 8, height: int = 4) -> DataFrame:
+    """Deterministic PPM payload per id (pixel i channels =
+    (id*7+13i, id*11+17i, id*13+19i) mod 256) — reproducible by any
+    engine from the id alone, which is what lets an oracle verify the
+    decode path without ever touching bytes."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rgb = np.empty(n * 3, dtype=np.uint8)
+                rgb[0::3] = (mid * 7 + i * 13) % 256
+                rgb[1::3] = (mid * 11 + i * 17) % 256
+                rgb[2::3] = (mid * 13 + i * 19) % 256
+                payloads.append(encode_ppm(width, height, rgb))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return src.mapInPandas(kernel, schema)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

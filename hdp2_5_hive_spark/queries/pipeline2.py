@@ -242,3 +242,38 @@ def retrieval_bm25(spark, t):
             F.col("doc_id").alias("query_id"), "text"
         ),
     )
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT doc_id, i,
+         (doc_id * 7  + i * 13) % 256 AS r,
+         (doc_id * 11 + i * 17) % 256 AS g,
+         (doc_id * 13 + i * 19) % 256 AS b
+  FROM ids, generate_series(0, 31) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(SUM(r) AS DOUBLE) / 32 AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / 32 AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / 32 AS mean_b
+FROM px GROUP BY 1
+""",
+    category="pipeline",
+)
+def multimodal_decode_stats(spark, t):
+    """REAL image decode end-to-end: synthesize binary PPM (P6)
+    payloads per doc (deterministic pixel formula), decode them with
+    the numpy kernel (header parse + frombuffer — no codec stub), and
+    emit per-image channel means. The oracle recomputes the means
+    from the pixel formula alone — it never sees the bytes, so a
+    decode bug cannot cancel out."""
+    from ..operators import multimodal as mm
+
+    media = mm.synthesize_ppm_media(
+        t.documents.filter(F.col("doc_id") < 100), "doc_id"
+    )
+    return mm.extract_image_stats(media)

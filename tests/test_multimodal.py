@@ -53,3 +53,41 @@ def test_frame_sampling_fanout(media):
 def test_decode_stub_raises_on_none():
     with pytest.raises(NotImplementedError):
         mm.decode_image_stub(None)
+
+
+def test_ppm_round_trip_and_errors():
+    """encode_ppm → decode_ppm is exact; malformed payloads raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    rgb = np.arange(8 * 4 * 3, dtype=np.uint8)
+    payload = mm.encode_ppm(8, 4, rgb)
+    w, h, mr, mg, mb = mm.decode_ppm(payload)
+    assert (w, h) == (8, 4)
+    assert mr == float(rgb[0::3].sum()) / 32
+    assert mg == float(rgb[1::3].sum()) / 32
+    assert mb == float(rgb[2::3].sum()) / 32
+    with _pytest.raises(ValueError):
+        mm.decode_ppm(b"JFIF not a ppm")
+    with _pytest.raises(ValueError):
+        mm.encode_ppm(8, 4, rgb[:-1])
+
+
+def test_extract_image_stats_distributed(spark):
+    """The decode kernel runs over Arrow batches on executors and
+    matches the local decoder bit-for-bit."""
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 64).withColumnRenamed("id", "doc_id")
+    media = mm.synthesize_ppm_media(docs, "doc_id", width=5, height=3)
+    got = {r.media_id: r for r in mm.extract_image_stats(media).collect()}
+    local = {
+        r.media_id: mm.decode_ppm(bytes(r.payload)) for r in media.collect()
+    }
+    assert len(got) == 64
+    for mid, (w, h, mr, mg, mb) in local.items():
+        row = got[mid]
+        assert (row.width, row.height) == (w, h)
+        assert (row.mean_r, row.mean_g, row.mean_b) == (mr, mg, mb)
