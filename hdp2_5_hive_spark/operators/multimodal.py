@@ -196,6 +196,120 @@ def synthesize_ppm_media(df: DataFrame, id_col: str, width: int = 8, height: int
     return src.mapInPandas(kernel, schema)
 
 
+# ---------------------------------------------------------------------------
+# REAL audio decode: WAV (RIFF/PCM16) — header layout is public
+# (multimedia.cx/mirror RIFF spec); numpy parses it without codecs.
+# ---------------------------------------------------------------------------
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("mean_square", T.DoubleType(), True),
+        T.StructField("peak", T.IntegerType(), True),
+    ]
+)
+
+
+def encode_wav(samples, sample_rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM WAV from an int16 sample buffer (canonical
+    44-byte RIFF header)."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    n = len(pcm)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + pcm
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, float, int]:
+    """REAL decode: walk the RIFF chunks, require PCM16 mono, and
+    return (sample_rate, n_samples, mean_square, peak). mean_square
+    is integer-summed (int64 exact for any real clip length) then
+    divided once — cross-engine hashable."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if (fmt, channels, bits) != (1, 1, 16):
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n = len(s)
+    return rate, n, float((s * s).sum()) / n, int(np.abs(s).max())
+
+
+def extract_audio_stats(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL WAV decode via mapInPandas."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in AUDIO_STATS_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, n, ms, peak = decode_wav(payload)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["mean_square"].append(ms)
+                rows["peak"].append(peak)
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, AUDIO_STATS_SCHEMA
+    )
+
+
+def synthesize_wav_media(
+    df: DataFrame, id_col: str, n_samples: int = 64, sample_rate: int = 16000
+) -> DataFrame:
+    """Deterministic PCM16 clip per id: sample i =
+    ((id*31 + i*7) mod 65536) - 32768 — reproducible by a bytes-blind
+    oracle, like synthesize_ppm_media."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                s = ((mid * 31 + i * 7) % 65536) - 32768
+                payloads.append(encode_wav(s.astype("<i2"), sample_rate))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return src.mapInPandas(kernel, schema)
+
+
 RESIZED_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),

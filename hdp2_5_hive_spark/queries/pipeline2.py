@@ -277,3 +277,35 @@ def multimodal_decode_stats(spark, t):
         t.documents.filter(F.col("doc_id") < 100), "doc_id"
     )
     return mm.extract_image_stats(media)
+
+
+@register(
+    "multimodal_audio_stats",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+smp AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+  FROM ids, generate_series(0, 63) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(SUM(s * s) AS DOUBLE) / 64 AS mean_square,
+       CAST(MAX(ABS(s)) AS INT) AS peak
+FROM smp GROUP BY 1
+""",
+    category="pipeline",
+)
+def multimodal_audio_stats(spark, t):
+    """REAL audio decode end-to-end: synthesize RIFF/PCM16 WAV clips
+    per doc (deterministic sample formula), walk the RIFF chunks and
+    decode with numpy, emit rate / length / energy / peak. The
+    oracle recomputes from the sample formula — bytes-blind, so a
+    chunk-walk or endianness bug cannot cancel out."""
+    from ..operators import multimodal as mm
+
+    media = mm.synthesize_wav_media(
+        t.documents.filter(F.col("doc_id") < 100), "doc_id"
+    )
+    return mm.extract_audio_stats(media)

@@ -91,3 +91,27 @@ def test_extract_image_stats_distributed(spark):
         row = got[mid]
         assert (row.width, row.height) == (w, h)
         assert (row.mean_r, row.mean_g, row.mean_b) == (mr, mg, mb)
+
+
+def test_wav_round_trip_and_errors():
+    import numpy as np
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    s = (np.arange(100, dtype=np.int64) * 997 % 65536 - 32768).astype("<i2")
+    payload = mm.encode_wav(s, 8000)
+    rate, n, ms, peak = mm.decode_wav(payload)
+    assert (rate, n) == (8000, 100)
+    s64 = s.astype(np.int64)
+    assert ms == float((s64 * s64).sum()) / 100
+    assert peak == int(np.abs(s64).max())
+    with _pytest.raises(ValueError):
+        mm.decode_wav(b"OggS not a wav")
+    # odd-sized LIST chunk before data exercises 2-byte alignment
+    import struct
+
+    extra = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    aligned = payload[:12] + extra + payload[12:]
+    head = b"RIFF" + struct.pack("<I", len(aligned) - 8) + b"WAVE"
+    assert mm.decode_wav(head + aligned[12:]) == (rate, n, ms, peak)
