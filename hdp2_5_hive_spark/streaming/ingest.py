@@ -184,3 +184,37 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str, out_path: str) -> N
         .start()
     )
     q.awaitTermination()
+
+
+def idempotent_batch_sink(out_path: str):
+    """foreachBatch sink that stays exactly-once under micro-batch
+    REPLAY: each batch lands in its own ``batch_id=N`` partition with
+    dynamic partition overwrite, so re-delivery of a batch (restart
+    between sink write and checkpoint commit — the at-least-once
+    window of foreachBatch) overwrites its own partition instead of
+    appending duplicates. This is the standard Spark recipe for
+    exactly-once into non-transactional stores; Hive streaming got
+    the same guarantee from TransactionBatch commit/abort
+    (hcatalog/streaming/.../TransactionBatch.java).
+
+    Returns the (batch_df, batch_id) callable for
+    ``writeStream.foreachBatch``.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        prev = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .partitionBy("batch_id")
+                .parquet(out_path)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    return sink

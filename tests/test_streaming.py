@@ -241,3 +241,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
         (r.view_id, r.purchase_id) for r in spark.read.parquet(out).collect()
     }
     assert got == {("v1", "p1"), ("v2", "p2")}
+
+
+def test_foreach_batch_sink_idempotent_under_replay(spark, tmp_path):
+    """idempotent_batch_sink: replaying a micro-batch (the
+    at-least-once window of foreachBatch) must not duplicate rows —
+    the batch's partition is overwritten, others untouched."""
+    from hdp2_5_hive_spark.streaming.ingest import idempotent_batch_sink
+
+    out = str(tmp_path / "sink_out")
+    sink = idempotent_batch_sink(out)
+    b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    b1 = spark.createDataFrame([("c", 3)], "k string, v int")
+    sink(b0, 0)
+    sink(b1, 1)
+    sink(b0, 0)  # replay of batch 0
+    rows = sorted((r.k, r.v, r.batch_id) for r in spark.read.parquet(out).collect())
+    assert rows == [("a", 1, 0), ("b", 2, 0), ("c", 3, 1)]
+
+    # and end-to-end through a real stream
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("x", 10), ("y", 20)], "k string, v int"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k string, v int").parquet(src)
+    out2 = str(tmp_path / "sink2")
+    q = (
+        stream.writeStream.foreachBatch(idempotent_batch_sink(out2))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert {(r.k, r.v) for r in spark.read.parquet(out2).collect()} == {
+        ("x", 10),
+        ("y", 20),
+    }
