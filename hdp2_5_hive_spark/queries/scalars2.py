@@ -696,3 +696,62 @@ def fn_reflect_suite(spark, t):
             F.col("p_retailprice").cast("double"),
         ).cast("double").alias("sqrt_price"),
     )
+
+
+@register(
+    "fn_format_number",
+    oracle="""
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_extendedprice AS DECIMAL(12,2)) AS p
+  FROM lineitem WHERE l_orderkey < 200
+)
+SELECT l_orderkey, l_linenumber,
+       format('{:,}', CAST(trunc(p) AS BIGINT)) || '.' ||
+       lpad(CAST(CAST(p * 100 AS BIGINT) % 100 AS VARCHAR), 2, '0')
+         AS pretty
+FROM d
+""",
+    category="scalar",
+)
+def fn_format_number(spark, t):
+    """format_number (Hive ``udf/generic/GenericUDFFormatNumber.java``):
+    thousands-grouped fixed-decimal rendering. Input routed through
+    DECIMAL(12,2) so no rounding happens at format time on either
+    engine — the oracle reconstructs the grouped string from exact
+    integer math (DuckDB's fmt can't comma-group floats)."""
+    li = t.lineitem.filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.format_number(
+            F.col("l_extendedprice").cast("decimal(12,2)"), 2
+        ).alias("pretty"),
+    )
+
+
+@register(
+    "agg_hll_sketch",
+    oracle=None,  # Apache DataSketches HLL has no DuckDB twin —
+    # rows-only here; accuracy + partition invariance pinned in
+    # tests/test_corpus.py::test_hll_sketch_accuracy_and_invariance.
+    category="aggregates",
+)
+def agg_hll_sketch(spark, t):
+    """Mergeable NDV sketches (Hive compute_stats' FM-sketch NDV,
+    ``ql/.../udf/generic/GenericUDAFComputeStats.java``, modernized
+    to DataSketches HLL): per-group sketch aggregation whose partial
+    states union associatively — the property that lets 1000
+    executors estimate distinct counts with one tiny shuffle
+    (a few KB per sketch, vs the exact path's one row per distinct
+    value)."""
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").alias(
+                "ndv_parts_est"
+            ),
+            F.countDistinct("l_partkey").alias("ndv_parts_exact"),
+        )
+        .orderBy("l_returnflag")
+    )

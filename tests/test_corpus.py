@@ -123,3 +123,17 @@ def test_bm25_broadcasts_query_side_only(spark, docs):
         F.col("score").isNull() | F.isnan("score") | (F.col("score") < 0)
     ).count()
     assert n_bad == 0
+
+
+def test_hll_sketch_accuracy_and_invariance(spark):
+    """HLL NDV estimate: ≤2% relative error at this cardinality and
+    identical under any partitioning (sketch union associativity)."""
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    est = lambda d: d.selectExpr(  # noqa: E731
+        "hll_sketch_estimate(hll_sketch_agg(l_partkey)) e",
+        "count(distinct l_partkey) x",
+    ).collect()[0]
+    r1 = est(li)
+    r17 = est(li.repartition(17))
+    assert r1.e == r17.e  # partition-invariant
+    assert abs(r1.e - r1.x) / r1.x < 0.02
