@@ -1,0 +1,144 @@
+"""Time-series operators: as-of join and multi-resolution rollups.
+
+Spark has no native AS-OF join (DuckDB/kdb do); the classic
+distributed formulation is union-the-streams + one keyed window —
+ONE shuffle on the join key, no range self-join, no per-row probe.
+That is the shape that survives 100 TB of events: the window state
+per (key, ts) partition is a single carried value.
+
+Reference anchor: Hive 1.2 has no as-of either; users emulated it
+with correlated subqueries (O(N²)) — this operator is the engine
+extension that replaces that pattern (SURVEY §2.14 custom-operator
+clause).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    right_value_cols: Sequence[str],
+    tolerance: str | None = None,
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` sharing the ``on`` keys (AS OF
+    semantics, ties resolved toward the right row).
+
+    Implementation: tag and union both inputs, then one window per
+    key ordered by (ts, side) carrying ``last_value(..., ignorenulls)``
+    of the right columns; left rows read the carried value. Exactly
+    one hash exchange on ``on`` — compare a range self-join, which
+    explodes quadratically within key groups.
+
+    ``tolerance``: optional max staleness (e.g. ``"30 minutes"``) —
+    matches older than that become NULL, like pandas ``merge_asof``.
+    """
+    lcols = [c for c in left.columns if c not in set(on) | {ts_col}]
+    tagged_l = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+          for c in right_value_cols],
+        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+    )
+    tagged_r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
+        F.col(ts_col).alias("_r_ts"),
+    )
+    # Right rows sort BEFORE left rows at equal ts (side desc) so a
+    # same-instant right row is visible to the left row — `<=`.
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r).select(
+        "*",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_value_cols
+        ],
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+    )
+    out = carried.filter(F.col("_side") == 0)
+    if tolerance is not None:
+        fresh = F.col("_c_ts") >= F.col(ts_col) - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.select(
+            *on,
+            ts_col,
+            *lcols,
+            *[
+                F.when(fresh, F.col(f"_c_{c}")).alias(f"_c_{c}")
+                for c in right_value_cols
+            ],
+            F.when(fresh, F.col("_c_ts")).alias("_c_ts"),
+        )
+    return out.select(
+        *on,
+        ts_col,
+        *lcols,
+        *[F.col(f"_c_{c}").alias(f"right_{c}") for c in right_value_cols],
+        F.col("_c_ts").alias(f"right_{ts_col}"),
+    )
+
+
+def rollup_reuse(
+    events: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    fine: str = "1 hour",
+    coarse_unit: str = "day",
+) -> tuple[DataFrame, DataFrame]:
+    """Hypertable-style continuous-aggregate chain: the fine rollup
+    (e.g. hourly) is computed from raw events ONCE; the coarse rollup
+    (e.g. daily) re-aggregates the fine one — at 100 TB the daily
+    pass reads |hours × keys| rows, not the raw table. Sums/counts
+    are decomposable so the reuse is exact; avg is derived at read
+    time as sum/count (never averaged-of-averages).
+
+    Returns (fine_df, coarse_df).
+    """
+    fine_df = (
+        events.groupBy(
+            F.window(ts_col, fine).alias("win"), F.col(key_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col(value_col).cast("decimal(38,6)")).alias("sum_v"),
+        )
+        .select(
+            F.col("win.start").alias("bucket_start"), key_col, "n", "sum_v"
+        )
+    )
+    coarse_df = (
+        fine_df.groupBy(
+            F.date_trunc(coarse_unit, "bucket_start").alias("bucket_start"),
+            F.col(key_col),
+        )
+        .agg(F.sum("n").alias("n"), F.sum("sum_v").alias("sum_v"))
+        .select(
+            "bucket_start",
+            key_col,
+            F.col("n").cast("bigint").alias("n"),
+            F.col("sum_v").cast("double").alias("sum_v"),
+            (F.col("sum_v").cast("double") / F.col("n")).alias("avg_v"),
+        )
+    )
+    return fine_df, coarse_df

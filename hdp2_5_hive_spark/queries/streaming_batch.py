@@ -194,3 +194,70 @@ def stream_interval_join(spark, t):
             ).alias("gap_sec"),
         )
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+SELECT a.user_id, CAST(a.ts AS TIMESTAMP) AS ts, a.event_id AS click_id,
+       b.event_id AS view_id, CAST(b.ts AS TIMESTAMP) AS view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id
+ AND CAST(b.ts AS TIMESTAMP) <= CAST(a.ts AS TIMESTAMP)
+""",
+    category="streaming",
+)
+def events_asof_join(spark, t):
+    """AS-OF join: every click annotated with the user's most recent
+    prior (or same-instant) view. Spark lacks a native ASOF operator;
+    operators/timeseries.asof_join composes it as union + one keyed
+    window — a single hash exchange, where the naive correlated/range
+    self-join is quadratic per user. Oracle: DuckDB's native
+    ASOF LEFT JOIN over the same streams."""
+    from ..operators import timeseries as tsx
+
+    e = t.events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = tsx.asof_join(
+        clicks, views, on=["user_id"], ts_col="ts", right_value_cols=["event_id"]
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("right_event_id").alias("view_id"),
+        F.col("right_ts").alias("view_ts"),
+    )
+
+
+@register(
+    "events_rollup_daily",
+    oracle="""
+SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket_start,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_v,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_v
+FROM events
+GROUP BY 1, 2
+""",
+    category="streaming",
+)
+def events_rollup_daily(spark, t):
+    """Hypertable-style continuous-aggregate chain: hourly rollup
+    from raw, daily rollup FROM THE HOURLY ONE (timeseries.
+    rollup_reuse) — the oracle aggregates raw directly, proving the
+    decomposable-reuse chain is exact (sums/counts re-aggregate;
+    avg derived once at the end, never averaged-of-averages)."""
+    from ..operators import timeseries as tsx
+
+    _, daily = tsx.rollup_reuse(
+        t.events, "ts", "event_type", "value", fine="1 hour", coarse_unit="day"
+    )
+    return daily

@@ -137,3 +137,67 @@ def test_hll_sketch_accuracy_and_invariance(spark):
     r17 = est(li.repartition(17))
     assert r1.e == r17.e  # partition-invariant
     assert abs(r1.e - r1.x) / r1.x < 0.02
+
+
+def test_asof_join_semantics_and_plan(spark):
+    """asof_join: picks the latest right row with ts <= left ts,
+    same-instant rows match, tolerance nulls stale matches — and the
+    physical plan contains NO join node (window composition, one
+    keyed exchange)."""
+    from hdp2_5_hive_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", "L1"),
+         ("u", "2024-01-01 12:00:00", "L2"),
+         ("v", "2024-01-01 09:00:00", "L3")],
+        "k string, ts string, lid string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:30:00", "R1"),
+         ("u", "2024-01-01 10:00:00", "R2"),   # same instant as L1
+         ("u", "2024-01-01 11:00:00", "R3")],
+        "k string, ts string, rid string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "rid")
+
+    out = asof_join(left, right, on=["k"], ts_col="ts", right_value_cols=["rid"])
+    got = {r.lid: r.right_rid for r in out.collect()}
+    assert got == {"L1": "R2", "L2": "R3", "L3": None}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # window carry, not a join
+
+    tol = asof_join(
+        left, right, on=["k"], ts_col="ts", right_value_cols=["rid"],
+        tolerance="30 minutes",
+    )
+    got_tol = {r.lid: r.right_rid for r in tol.collect()}
+    assert got_tol == {"L1": "R2", "L2": None, "L3": None}  # R3 is 1h stale
+
+
+def test_rollup_reuse_exact(spark):
+    """Daily-from-hourly == daily-from-raw (decomposable aggregates)."""
+    from hdp2_5_hive_spark.operators.timeseries import rollup_reuse
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.timestamp_micros(F.expr("ts DIV 1000").cast("long")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    _, daily = rollup_reuse(ev, "ts", "event_type", "value")
+    direct = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("bucket_start"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_v"),
+        )
+    )
+    diff = (
+        daily.select("bucket_start", "event_type", "n", "sum_v")
+        .exceptAll(direct)
+        .count()
+    )
+    assert diff == 0 and daily.count() == direct.count()
