@@ -309,3 +309,117 @@ def multimodal_audio_stats(spark, t):
         t.documents.filter(F.col("doc_id") < 100), "doc_id"
     )
     return mm.extract_audio_stats(media)
+
+
+@register(
+    "corpus_clean_v2",
+    oracle=f"""
+WITH RECURSIVE toks0 AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), reach AS (
+  SELECT DISTINCT a AS node, a AS label FROM edges
+  UNION
+  SELECT e.b AS node, r.label FROM reach r JOIN edges e ON e.a = r.node
+), dup_dropped AS (
+  SELECT node FROM reach GROUP BY node HAVING node <> MIN(label)
+), toks AS (
+  SELECT doc_id, source, lang, text, string_split(lower(text), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, list_distinct({_G5}) AS g FROM toks
+), ev AS (
+  SELECT DISTINCT gram
+  FROM (SELECT unnest(g) AS gram FROM grams WHERE source = 'src0')
+), evl AS (SELECT list(gram) AS egrams FROM ev),
+contaminated AS (
+  SELECT doc_id FROM grams, evl
+  WHERE source <> 'src0' AND len(g) > 0
+    AND CAST(len(list_intersect(g, egrams)) AS DOUBLE) / len(g) >= 0.5
+), rep AS (
+  SELECT doc_id, {_G2} AS g2 FROM toks
+), kept AS (
+  SELECT t.doc_id, t.lang,
+         LEN(t.text) AS n_chars,
+         LEN(STRING_SPLIT_REGEX(LOWER(t.text), '\\s+')) AS n_words
+  FROM toks t JOIN rep r USING (doc_id)
+  WHERE t.source <> 'src0'
+    AND t.doc_id NOT IN (SELECT node FROM dup_dropped)
+    AND t.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    AND (len(r.g2) = 0 OR
+         1 - CAST(len(list_distinct(r.g2)) AS DOUBLE) / len(r.g2) <= 0.12)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_words) AS BIGINT) AS total_words,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM kept
+WHERE n_words >= 5 AND n_chars >= 20
+GROUP BY lang
+""",
+    category="pipeline",
+)
+def corpus_clean_v2(spark, t):
+    """Flagship v2: the full pre-training corpus pipeline in ONE
+    plan — MinHash-LSH near-dup resolution (keep-list anti join) +
+    test-set decontamination (≥50% 5-gram overlap with the src0
+    benchmark dropped) + repetition gate (dup-2-gram ratio ≤ 0.12,
+    computed inline — never leaves the row) + length quality gates →
+    per-language corpus stats. Every stage is the scale path; the
+    oracle rebuilds the whole chain from brute force."""
+    from ..operators import components as cc
+    from ..operators import corpus as cp
+    from ..operators import dedup as dd
+
+    docs = t.documents
+    pairs = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.6)
+    comps = cc.connected_components(pairs, "id_a", "id_b")
+    dup_dropped = cc.keep_list(comps).filter(~F.col("is_kept")).select(
+        F.col("node").alias("doc_id")
+    )
+    corpus = docs.filter(F.col("source") != "src0")
+    eval_df = docs.filter(F.col("source") == "src0")
+    contaminated = (
+        cp.decontaminate(corpus, eval_df, k=5, threshold=0.5)
+        .filter(F.col("is_contaminated"))
+        .select("doc_id")
+    )
+    g2 = cp.kgrams_all(F.col("text"), 2)
+    words = F.split(F.lower(F.col("text")), r"\s+")
+    kept = (
+        corpus.join(dup_dropped, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .withColumn("_n2", F.size(g2))
+        .withColumn("_nd2", F.size(F.array_distinct(g2)))
+        .filter(
+            (F.col("_n2") == 0)
+            | (1 - F.col("_nd2").cast("double") / F.col("_n2") <= 0.12)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.length("text").alias("n_chars"),
+            F.size(words).alias("n_words"),
+        )
+        .filter((F.col("n_words") >= 5) & (F.col("n_chars") >= 20))
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
