@@ -60,12 +60,17 @@ def decontaminate(
     Output per corpus doc: total distinct grams, matched grams,
     contamination fraction, flag.
     """
-    grams = corpus.select(
+    from .util import ensure_parallelism
+
+    # Shingling + hashing is CPU-bound: re-split under-split scans
+    # so the explode runs on every core (no-op at warehouse scale).
+    grams = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), k)).alias("gram"),
     ).select(id_col, F.xxhash64("gram").alias("gh"))
     eval_hashes = (
-        eval_df.select(F.explode(shingles_col(F.col(text_col), k)).alias("gram"))
+        ensure_parallelism(eval_df)
+        .select(F.explode(shingles_col(F.col(text_col), k)).alias("gram"))
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -207,7 +212,10 @@ def repetition_stats(
     The 2-gram fraction never leaves the row: ALL-grams vs distinct
     grams sizes are computed inline with array expressions.
     """
-    words = df.select(
+    from .util import ensure_parallelism
+
+    par = ensure_parallelism(df)
+    words = par.select(
         F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
     )
     per_word = words.groupBy(id_col, "w").agg(F.count("*").alias("c"))
@@ -217,7 +225,7 @@ def repetition_stats(
         F.max("c").alias("top_count"),
     )
     g2_all = kgrams_all(F.col(text_col), 2)
-    inline = df.select(
+    inline = par.select(
         F.col(id_col),
         F.size(g2_all).alias("n_2grams"),
         F.size(F.array_distinct(g2_all)).alias("n_distinct_2grams"),
@@ -265,7 +273,11 @@ def top_ngrams(
     the exact-count analogue of Hive's ngrams() UDAF estimator
     (ql/.../udf/generic/GenericUDAFnGrams.java), scale-safe because
     the shuffle carries one row per distinct gram per partition."""
-    grams = df.select(F.explode(kgrams_all(F.col(text_col), k)).alias("gram"))
+    from .util import ensure_parallelism
+
+    grams = ensure_parallelism(df).select(
+        F.explode(kgrams_all(F.col(text_col), k)).alias("gram")
+    )
     return (
         grams.groupBy("gram")
         .agg(F.count("*").cast("bigint").alias("occurrences"))

@@ -25,10 +25,19 @@ from pyspark.sql import functions as F
 
 from .dedup import words_col
 
+# Single-slot persisted term index (same bounded-cache contract as
+# dedup._last_shingles): the tf table feeds three consumers (corpus
+# scalars, document frequencies, scoring) — without the persist each
+# one re-runs the tokenize+explode+agg chain. The previous persisted
+# index is dropped on the next build.
+_last_tf: DataFrame | None = None
+
 
 def term_frequencies(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term, tf, dl): per-document term counts + doc length."""
-    words = df.select(
+    from .util import ensure_parallelism
+
+    words = ensure_parallelism(df).select(
         F.col(id_col), F.explode(words_col(F.col(text_col))).alias("term")
     )
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
@@ -51,7 +60,11 @@ def bm25_scores(
 
     Returns (query_id, doc_id, score) with score rounded to 4 dp.
     """
-    tf = term_frequencies(corpus, id_col, text_col)
+    global _last_tf
+    if _last_tf is not None:
+        _last_tf.unpersist()
+    tf = term_frequencies(corpus, id_col, text_col).persist()
+    _last_tf = tf
     stats = corpus.select(
         F.count("*").alias("n_docs")
     ).crossJoin(
