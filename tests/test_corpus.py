@@ -201,3 +201,43 @@ def test_rollup_reuse_exact(spark):
         .count()
     )
     assert diff == 0 and daily.count() == direct.count()
+
+
+def test_asof_join_empty_right_side(spark):
+    """No right rows at all → every left row matches NULL (left
+    semantics preserved, no crash in the window carry)."""
+    from hdp2_5_hive_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", "L1")], "k string, ts string, lid string"
+    ).select("k", F.to_timestamp("ts").alias("ts"), "lid")
+    right = left.filter(F.lit(False)).select(
+        "k", "ts", F.col("lid").alias("rid")
+    )
+    out = asof_join(left, right, on=["k"], ts_col="ts", right_value_cols=["rid"])
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].right_rid is None
+
+
+def test_decontaminate_empty_eval_set(spark, docs):
+    """Empty benchmark → nothing is contaminated (left join keeps
+    every corpus doc; zero matches)."""
+    from hdp2_5_hive_spark.operators.corpus import decontaminate
+
+    out = decontaminate(docs, docs.filter(F.lit(False)), k=5, threshold=0.5)
+    assert out.filter(F.col("is_contaminated")).count() == 0
+    assert out.filter(F.col("n_matched") != 0).count() == 0
+
+
+def test_pack_sequences_doc_larger_than_ctx(spark):
+    """A doc longer than the context window must mark
+    crosses_boundary and still keep offsets exact."""
+    from hdp2_5_hive_spark.operators.corpus import pack_sequences
+
+    rows = [(0, "w " * 10), (1, "x " * 300), (2, "y " * 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in pack_sequences(df, ctx_len=128).collect()}
+    assert out[1].crosses_boundary  # 300 tokens > 128-token bin
+    assert out[0].start_offset == 0
+    assert out[1].start_offset == out[0].n_tokens
+    assert out[2].start_offset == out[0].n_tokens + out[1].n_tokens
