@@ -149,3 +149,24 @@ def transform_using(
         f"SELECT TRANSFORM ({select_cols}) USING '{quoted}' "
         f"AS ({as_schema}) FROM {view_name}"
     )
+
+
+def ngram_udtf_class():
+    """Spark 4 native Python UDTF (the modern GenericUDTF analogue —
+    reference ``ql/.../udf/generic/GenericUDTF.java:39``): a class
+    with ``eval`` yielding 0..N rows per input row, registered via
+    ``spark.udtf.register`` and callable from SQL as a table
+    function. Arrow-optimized when
+    spark.sql.execution.pythonUDTF.arrow.enabled is set."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string, pos: int")
+    class NgramUDTF:
+        def eval(self, text: str, n: int):  # noqa: D102
+            if text is None or n is None or n < 1:
+                return
+            toks = text.lower().split()
+            for i in range(len(toks) - n + 1):
+                yield " ".join(toks[i : i + n]), i
+
+    return NgramUDTF

@@ -64,3 +64,25 @@ def test_pandas_udf_matches_builtin(spark, sf_dir):
         ).alias("want"),
     )
     assert got.filter(F.abs(F.col("c") - F.col("want")) > 1e-9).count() == 0
+
+
+def test_native_python_udtf_from_sql(spark):
+    """Spark 4 @udtf class: registered as a SQL table function and
+    invoked with LATERAL — the HiveQL `LATERAL VIEW udtf()` shape."""
+    from hdp2_5_hive_spark.functions.extensions import ngram_udtf_class
+
+    spark.udtf.register("ngrams_tf", ngram_udtf_class())
+    out = spark.sql(
+        """
+        SELECT t.id, g.gram, g.pos
+        FROM VALUES (1, 'a b c d'), (2, 'x y') AS t(id, txt),
+             LATERAL ngrams_tf(t.txt, 2) AS g
+        ORDER BY t.id, g.pos
+        """
+    ).collect()
+    assert [(r.id, r.gram, r.pos) for r in out] == [
+        (1, "a b", 0),
+        (1, "b c", 1),
+        (1, "c d", 2),
+        (2, "x y", 0),
+    ]
