@@ -170,3 +170,57 @@ def test_prefix_sum_any_block_size(spark, vals, block):
     for i, v in enumerate(vals):
         assert got[i] == run
         run += v
+
+
+@given(
+    n_left=st.integers(min_value=1, max_value=25),
+    n_right=st.integers(min_value=0, max_value=25),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@SET
+def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, seed):
+    """asof_join (union + window carry) == pandas merge_asof
+    (by-key, backward direction) on random keyed timestamp data."""
+    import numpy as np
+    import pandas as pd
+
+    from hdp2_5_hive_spark.operators.timeseries import asof_join
+
+    rng = np.random.default_rng(seed)
+    base = pd.Timestamp("2024-01-01")
+
+    def mk(n, prefix):
+        return pd.DataFrame(
+            {
+                "k": rng.choice(["a", "b", "c"], size=n),
+                "ts": base + pd.to_timedelta(
+                    rng.choice(10_000, size=n, replace=False), unit="s"
+                ),
+                "val": [f"{prefix}{i}" for i in range(n)],
+            }
+        )
+
+    lp, rp = mk(n_left, "L"), mk(n_right, "R")
+    left = spark.createDataFrame(lp)
+    if n_right:
+        right = spark.createDataFrame(rp)
+    else:
+        right = spark.createDataFrame([], "k string, ts timestamp, val string")
+    got = {
+        r.val: r.right_val
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts", right_value_cols=["val"]
+        ).collect()
+    }
+    expect_df = pd.merge_asof(
+        lp.sort_values("ts"),
+        rp.sort_values("ts").rename(columns={"val": "right_val"}),
+        on="ts",
+        by="k",
+        direction="backward",
+    )
+    expect = {
+        r.val: (None if pd.isna(r.right_val) else r.right_val)
+        for r in expect_df.itertuples()
+    }
+    assert got == expect
