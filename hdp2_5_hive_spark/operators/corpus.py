@@ -284,3 +284,36 @@ def top_ngrams(
         .orderBy(F.desc("occurrences"), F.asc("gram"))
         .limit(top)
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/holdout split
+# ---------------------------------------------------------------------------
+
+
+def train_holdout_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    holdout_pct: int = 5,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Reproducible content-hash split: bucket = first 8 hex chars of
+    md5(salt || text) as an int mod 100; the top ``holdout_pct``
+    buckets are held out. Content-keyed (not id-keyed) so exact
+    duplicates land on the same side — no train/holdout leakage via
+    copies — and md5 is engine-portable, so any system (or the DuckDB
+    oracle) re-derives the identical split. Map-only: no shuffle, no
+    RNG state, stable under repartitioning and re-runs."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(text_col))), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return df.select(
+        F.col(id_col),
+        bucket.cast("int").alias("bucket"),
+        F.when(bucket >= 100 - holdout_pct, F.lit("holdout"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )

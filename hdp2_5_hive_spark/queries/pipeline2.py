@@ -423,3 +423,28 @@ def corpus_clean_v2(spark, t):
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "split_train_holdout",
+    oracle="""
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('split-v1' || text), 1, 8) AS BIGINT) % 100
+           AS bucket
+  FROM documents
+)
+SELECT doc_id, CAST(bucket AS INT) AS bucket,
+       CASE WHEN bucket >= 95 THEN 'holdout' ELSE 'train' END AS split
+FROM b
+""",
+    category="pipeline",
+)
+def split_train_holdout(spark, t):
+    """Deterministic 95/5 train-holdout split keyed on content md5
+    (operators/corpus.train_holdout_split): duplicates cannot
+    straddle the split, any engine re-derives it byte-for-byte, and
+    the plan is map-only (no RNG, no shuffle)."""
+    from ..operators import corpus as cp
+
+    return cp.train_holdout_split(t.documents)

@@ -241,3 +241,20 @@ def test_pack_sequences_doc_larger_than_ctx(spark):
     assert out[0].start_offset == 0
     assert out[1].start_offset == out[0].n_tokens
     assert out[2].start_offset == out[0].n_tokens + out[1].n_tokens
+
+
+def test_train_holdout_split_map_only_and_leakproof(spark, docs):
+    """Split is map-only (no Exchange in the plan), deterministic
+    across invocations, and exact duplicates land on the same side."""
+    from hdp2_5_hive_spark.operators.corpus import train_holdout_split
+
+    out = train_holdout_split(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    a = {(r.doc_id, r.split) for r in out.collect()}
+    b = {(r.doc_id, r.split) for r in train_holdout_split(docs).collect()}
+    assert a == b
+    # duplicate texts share a bucket (content-keyed)
+    two = docs.limit(1).union(docs.limit(1))
+    buckets = [r.bucket for r in train_holdout_split(two).collect()]
+    assert buckets[0] == buckets[1]
