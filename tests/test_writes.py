@@ -181,3 +181,35 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     joined = fact.join(dim, fact.o_orderstatus == dim.st).groupBy("st").count()
     plan = joined._jdf.queryExecution().executedPlan().toString().lower()
     assert "dynamicpruning" in plan, plan[:2000]
+
+
+def test_parquet_codec_options(nation, tmp_path, spark):
+    """Compression codecs on the sink (Hive TBLPROPERTIES
+    parquet.compression analogue): zstd + snappy round-trip."""
+    for codec in ("zstd", "snappy"):
+        p = str(tmp_path / f"codec_{codec}")
+        nation.write.option("compression", codec).parquet(p)
+        assert spark.read.parquet(p).count() == nation.count()
+        import glob as _g
+        import pyarrow.parquet as pq
+
+        f = _g.glob(f"{p}/part-*.parquet")[0]
+        meta = pq.ParquetFile(f).metadata.row_group(0).column(0)
+        assert meta.compression.lower() == codec
+
+
+def test_schema_evolution_merge_schema(nation, tmp_path, spark):
+    """Schema-on-read evolution (Hive ALTER TABLE ADD COLUMNS,
+    metastore alterTable path): files written before the column
+    addition read as NULL for the new column under mergeSchema."""
+    p = str(tmp_path / "evolving")
+    nation.select("n_nationkey", "n_name").write.parquet(p)
+    nation.select(
+        "n_nationkey", "n_name", F.lit(9).alias("extra_col")
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"n_nationkey", "n_name", "extra_col"}
+    n = nation.count()
+    assert df.count() == 2 * n
+    assert df.filter(F.col("extra_col").isNull()).count() == n  # old files
+    assert df.filter(F.col("extra_col") == 9).count() == n      # new files
