@@ -98,3 +98,59 @@ def sessionize_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def running_totals_stream(events, key_col: str = "user_id", value_col: str = "value"):
+    """Arbitrary stateful processing on the modern Spark 4 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` — the
+    successor to applyInPandasWithState): per-key running count/sum
+    carried in a ValueState across micro-batches, emitted in Update
+    mode each time the key sees data.
+
+    Hive's streaming surface had no stateful operators at all
+    (SURVEY §2.10 — ingest only); this is the engine extension that
+    covers the continuous-aggregation half of the gap. State lives in
+    the state store (RocksDB/HDFS-backed on a cluster) keyed by the
+    shuffle partitioning, so 1000 executors each own their key range.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = 0, 0.0
+            if self._state.exists():
+                prev = self._state.get()
+                n, s = int(prev[0]), float(prev[1])
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].sum())
+            self._state.update((n, s))
+            yield pd.DataFrame({key_col: [key[0]], "n": [n], "total": [s]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

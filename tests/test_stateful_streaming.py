@@ -65,3 +65,54 @@ def test_session_emitted_on_timeout(spark, tmp_path):
         assert by_user[2].n_events == 1
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas: ValueState persists across
+    micro-batches (maxFilesPerTrigger=1 forces two batches); the
+    second emission for a key includes the first batch's rows.
+
+    Spark's TransformWithStateInPySpark server requires a working
+    google.protobuf in the Python env; this container ships a broken
+    one (no pip allowed), so skip when the import fails — the
+    applyInPandasWithState path above covers stateful semantics."""
+    import pytest as _pytest
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        _pytest.skip("google.protobuf unavailable: transformWithState "
+                     "driver worker cannot start in this container")
+    from hdp2_5_hive_spark.streaming.stateful import running_totals_stream
+
+    src = str(tmp_path / "src")
+    b1 = [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:00:01", 5.0)]
+    b2 = [(1, "2024-01-01 00:10:00", 2.0)]
+    for i, rows in enumerate([b1, b2]):
+        (
+            spark.createDataFrame(rows, "user_id long, ts string, value double")
+            .select("user_id", F.to_timestamp("ts").alias("ts"), "value")
+            .write.mode("append" if i else "overwrite").parquet(src)
+        )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    totals = running_totals_stream(stream)
+    q = (
+        totals.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("totals_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM totals_out").collect()
+    # final state per key: user 1 saw both batches (n=2, total=3.0)
+    final = {}
+    for r in rows:
+        final[r.user_id] = (r.n, r.total)  # later emissions overwrite
+    assert final[1] == (2, 3.0)
+    assert final[2] == (1, 5.0)
