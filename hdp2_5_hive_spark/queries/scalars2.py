@@ -755,3 +755,38 @@ def agg_hll_sketch(spark, t):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "fn_next_day_tz_suite",
+    oracle="""
+SELECT event_id,
+       CAST(CAST(ts AS DATE)
+            + INTERVAL ((7 + 1 - isodow(CAST(ts AS DATE)) - 1) % 7 + 1) DAY
+            AS DATE) AS next_mon,
+       CAST(timezone('America/Los_Angeles', CAST(CAST(ts AS TIMESTAMP) AS TIMESTAMPTZ))
+            AS TIMESTAMP) AS la_local,
+       CAST(timezone('America/Los_Angeles', CAST(ts AS TIMESTAMP))
+            AS TIMESTAMP) AS assume_la_utc
+FROM events WHERE event_id < 200
+""",
+    category="scalar",
+)
+def fn_next_day_tz_suite(spark, t):
+    """next_day + from/to_utc_timestamp with value-checked oracles
+    (upgrades the rows-only date tail): Hive GenericUDFNextDay +
+    GenericUDFFromUtcTimestamp/ToUtcTimestamp. The DuckDB twin
+    derives next-Monday from isodow arithmetic and the zone shifts
+    via timezone() with explicit TIMESTAMPTZ casts (UTC session on
+    both engines; January data — no DST boundary in range)."""
+    e = t.events.filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.next_day(F.col("ts"), "MON").alias("next_mon"),
+        F.from_utc_timestamp(F.col("ts"), "America/Los_Angeles").alias(
+            "la_local"
+        ),
+        F.to_utc_timestamp(F.col("ts"), "America/Los_Angeles").alias(
+            "assume_la_utc"
+        ),
+    )
