@@ -169,10 +169,14 @@ def pack_sequences(
     cum = distributed_prefix_sum(
         toks, id_col, "n_tokens", out_col="start_offset", block_size=block_size
     )
-    start_bin = (F.col("start_offset") / F.lit(ctx_len)).cast("long")
-    end_bin = (
-        (F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(ctx_len)
-    ).cast("long")
+    # Integer division, not double-divide-then-cast: double math loses
+    # exactness past 2^53 total tokens. greatest(n_tokens, 1) keeps the
+    # numerator non-negative (a 0-token doc occupies its start bin), so
+    # truncating DIV and floor division agree for every input.
+    start_bin = F.expr(f"start_offset DIV {int(ctx_len)}")
+    end_bin = F.expr(
+        f"(start_offset + greatest(n_tokens, 1) - 1) DIV {int(ctx_len)}"
+    )
     return cum.select(
         id_col,
         F.col("n_tokens").cast("bigint"),

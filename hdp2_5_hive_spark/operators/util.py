@@ -22,11 +22,20 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     # Partition count from the physical plan's RDD lineage WITHOUT
     # df.rdd: .rdd builds a Python-facing RDD (deserializer plan +
     # analysis barrier) per call; the JVM-side executedPlan RDD is
-    # already there.
+    # already there. BUT only when the plan is non-adaptive: calling
+    # execute() on AdaptiveSparkPlanExec eagerly materializes every
+    # intermediate query stage (runs the shuffles) at inspection time,
+    # and that work re-runs when the returned df actually executes.
     try:
-        n_parts = (
-            df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
-        )
+        plan = df._jdf.queryExecution().executedPlan()
+        if "AdaptiveSparkPlan" in plan.getClass().getSimpleName():
+            # Adaptive wrapper => the plan contains an exchange, so the
+            # input is shuffle output already sized by
+            # spark.sql.shuffle.partitions — parallelism is ensured by
+            # construction, and ANY partition probe (plan.execute() or
+            # df.rdd) would eagerly run the upstream stages twice.
+            return df
+        n_parts = plan.execute().getNumPartitions()
     except Exception:  # future-proof: fall back to the public API
         n_parts = df.rdd.getNumPartitions()
     if n_parts < max(1, int(target * min_factor)):

@@ -62,7 +62,8 @@ def fmt_orc_round_trip(spark, t):
 @register(
     "fmt_dynamic_partition_sink",
     oracle="""
-SELECT o_orderpriority, count(*) AS n, sum(o_orderkey) AS key_sum
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum
 FROM orders GROUP BY o_orderpriority
 """,
     category="formats",
@@ -182,7 +183,7 @@ def fmt_multi_insert(spark, t):
     oracle="""
 SELECT 2 AS n_files_after,
        COUNT(*) AS n_rows,
-       SUM(o_orderkey) AS key_sum
+       CAST(SUM(o_orderkey) AS BIGINT) AS key_sum
 FROM orders WHERE o_totalprice > 400000
 """,
     category="formats",

@@ -256,8 +256,9 @@ WITH e AS (
   FROM e
 )
 SELECT user_id, event_id,
-       SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS session_id
 FROM flagged
 """,
     category="pipeline",
@@ -541,7 +542,7 @@ def multimodal_resize(spark, t):
     "multimodal_frame_sample",
     oracle="""
 SELECT doc_id AS media_id, COUNT(*) AS n_frames,
-       SUM(fi) AS frame_idx_sum
+       CAST(SUM(fi) AS BIGINT) AS frame_idx_sum
 FROM documents, (SELECT UNNEST([0,1,2,3]) AS fi)
 WHERE doc_id < 100 AND length(text) >= 4
 GROUP BY doc_id

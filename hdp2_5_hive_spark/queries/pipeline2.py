@@ -91,7 +91,8 @@ cum AS (
 )
 SELECT doc_id, n_tokens, start_offset,
        CAST(start_offset // 512 AS BIGINT) AS bin_id,
-       (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512)
+       (start_offset // 512) <>
+         ((start_offset + greatest(n_tokens, 1) - 1) // 512)
          AS crosses_boundary
 FROM cum
 """,
@@ -124,7 +125,8 @@ cum AS (
 ),
 packed AS (
   SELECT doc_id, n_tokens, start_offset // 512 AS bin_id,
-         (start_offset // 512) <> ((start_offset + n_tokens - 1) // 512)
+         (start_offset // 512) <>
+           ((start_offset + greatest(n_tokens, 1) - 1) // 512)
            AS crosses
   FROM cum
 )

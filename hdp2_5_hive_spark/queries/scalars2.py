@@ -329,7 +329,7 @@ def virtual_input_file_name(spark, t):
     oracle="""
 SELECT o_orderkey,
        ROUND(cbrt(o_totalprice), 6) AS cbrt_price,
-       factorial(CAST(o_orderkey % 10 AS INTEGER)) AS fact_mod,
+       CAST(factorial(CAST(o_orderkey % 10 AS INTEGER)) AS BIGINT) AS fact_mod,
        upper(to_hex(o_orderkey)) AS hex_key,
        strpos(o_orderpriority, '-') AS dash_pos,
        ROUND(pi(), 6) AS pi_val,

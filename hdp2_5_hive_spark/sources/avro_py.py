@@ -170,8 +170,9 @@ class _FieldCodec:
     """Per-field encode/decode closure pair, resolved from the Spark type
     once per file instead of per value."""
 
-    def __init__(self, dt: T.DataType, nullable: bool):
+    def __init__(self, dt: T.DataType, nullable: bool, ts_millis: bool = False):
         self.nullable = nullable
+        self.ts_millis = ts_millis
         self.enc, self.dec = self._resolve(dt)
 
     def _resolve(self, dt):
@@ -213,11 +214,16 @@ class _FieldCodec:
             from datetime import timedelta
 
             epoch = datetime(1970, 1, 1)
+            # timestamp-millis files store milliseconds; everything we
+            # write is micros, but externally-written millis files must
+            # scale on decode (Avro spec, logical types).
+            scale = 1000 if self.ts_millis else 1
             return (
-                lambda buf, v: _write_long(buf, _to_micros(v)),
+                lambda buf, v: _write_long(buf, _to_micros(v) // scale),
                 # timedelta math, not fromtimestamp(float): float seconds
                 # round off sub-microsecond bits at 2026-era epochs.
-                lambda src: epoch + timedelta(microseconds=_read_long(src)),
+                lambda src: epoch
+                + timedelta(microseconds=_read_long(src) * scale),
             )
         if isinstance(dt, T.ArrayType):
             inner = _FieldCodec(dt.elementType, dt.containsNull)
@@ -349,10 +355,23 @@ def read_header(src: io.BufferedIOBase) -> tuple[dict, bytes]:
     return json.loads(meta["avro.schema"]), src.read(16)
 
 
+def _field_ts_millis(avro_type: object) -> bool:
+    """True when an Avro field type (possibly union-wrapped) carries the
+    timestamp-millis logical type — its long payload is milliseconds."""
+    t = avro_type
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        t = branches[0] if len(branches) == 1 else None
+    return isinstance(t, dict) and t.get("logicalType") == "timestamp-millis"
+
+
 def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
     avro_schema, sync = read_header(src)
     spark_schema = avro_to_spark_schema(avro_schema)
-    codecs = [_FieldCodec(f.dataType, f.nullable) for f in spark_schema.fields]
+    codecs = [
+        _FieldCodec(f.dataType, f.nullable, ts_millis=_field_ts_millis(af["type"]))
+        for f, af in zip(spark_schema.fields, avro_schema["fields"])
+    ]
     rows: list[tuple] = []
     buf = io.BytesIO(src.read())  # container files are partition-sized
     while True:
@@ -392,8 +411,11 @@ def native_avro_available(spark: SparkSession) -> bool:
 
 def write_avro(df: DataFrame, path: str) -> int:
     """Distributed Avro write: one container file per partition,
-    written inside the executors via Arrow-batched ``mapInPandas``
-    (the report — not the data — is what reaches the driver).
+    written inside the executors via ``mapInArrow`` (the report — not
+    the data — is what reaches the driver). Arrow batches, not pandas:
+    the Arrow->pandas bridge turns a nullable int64 column into
+    float64, silently corrupting longs above 2^53; ``to_pylist`` on
+    the RecordBatch keeps exact ints with None for nulls.
     Delegates to native spark-avro when present. Returns row count."""
     spark = df.sparkSession
     if native_avro_available(spark):
@@ -405,23 +427,27 @@ def write_avro(df: DataFrame, path: str) -> int:
     schema = df.schema
 
     def write_partition(batches):
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.avro")
-        import pandas as pd
 
         def rows():
-            for pdf in batches:
-                yield list(pdf.itertuples(index=False, name=None))
+            for batch in batches:
+                cols = [
+                    batch.column(i).to_pylist()
+                    for i in range(batch.num_columns)
+                ]
+                yield list(zip(*cols))
 
         with open(fname, "wb") as fh:
             n = write_container(fh, schema, rows())
         if n == 0:
             os.remove(fname)  # empty partition — no file
-        yield pd.DataFrame({"path": [fname], "n_rows": [n]})
+        yield pa.RecordBatch.from_pydict({"path": [fname], "n_rows": [n]})
 
-    report = df.mapInPandas(write_partition, "path string, n_rows long")
+    report = df.mapInArrow(write_partition, "path string, n_rows long")
     return sum(r.n_rows for r in report.collect())
 
 

@@ -172,3 +172,73 @@ def test_codec_property_roundtrip():
         ]
 
     check()
+
+
+def test_nullable_bigint_above_2_53_exact(spark, tmp_path):
+    """A nullable long column with NULLs must round-trip values above
+    2^53 bit-exact — the Arrow->pandas bridge would have coerced the
+    column to float64 and silently rounded (mapInArrow keeps int64)."""
+    big = 2**62 + 12345  # not representable in float64
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("v", T.LongType(), True),
+        ]
+    )
+    df = spark.createDataFrame(
+        [Row(id=1, v=big), Row(id=2, v=None), Row(id=3, v=-big)], schema
+    )
+    path = str(tmp_path / "bigints")
+    assert avro_py.write_avro(df, path) == 3
+    got = {r.id: r.v for r in avro_py.read_avro(spark, path).collect()}
+    assert got == {1: big, 2: None, 3: -big}
+
+
+def test_external_timestamp_millis_decodes_scaled(spark, tmp_path):
+    """A container file written externally with logicalType
+    timestamp-millis must decode with millis->micros scaling
+    (AvroSerDe.java accepts both units; we always WRITE micros)."""
+    ts = datetime.datetime(2026, 8, 13, 7, 30, 15, 250000)
+    epoch = datetime.datetime(1970, 1, 1)
+    millis = (ts - epoch) // datetime.timedelta(milliseconds=1)
+    avro_schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "ts",
+                "type": ["null", {"type": "long", "logicalType": "timestamp-millis"}],
+            },
+        ],
+    }
+    import json as _json
+
+    buf = io.BytesIO()
+    buf.write(avro_py.MAGIC)
+    meta = io.BytesIO()
+    avro_py._write_long(meta, 2)
+    avro_py._write_bytes(meta, b"avro.schema")
+    avro_py._write_bytes(meta, _json.dumps(avro_schema).encode())
+    avro_py._write_bytes(meta, b"avro.codec")
+    avro_py._write_bytes(meta, b"null")
+    avro_py._write_long(meta, 0)
+    buf.write(meta.getvalue())
+    buf.write(avro_py.SYNC)
+    block = io.BytesIO()
+    # row 1: id=7, ts=millis (union branch 1); row 2: id=8, ts=null
+    avro_py._write_long(block, 7)
+    avro_py._write_long(block, 1)
+    avro_py._write_long(block, millis)
+    avro_py._write_long(block, 8)
+    avro_py._write_long(block, 0)
+    head = io.BytesIO()
+    avro_py._write_long(head, 2)
+    avro_py._write_long(head, block.tell())
+    buf.write(head.getvalue())
+    buf.write(block.getvalue())
+    buf.write(avro_py.SYNC)
+    buf.seek(0)
+    got_schema, rows = avro_py.read_container(buf)
+    assert got_schema["ts"].dataType == T.TimestampType()
+    assert rows == [(7, ts), (8, None)]
