@@ -232,17 +232,38 @@ def agg_percentile(spark, t):
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines — rows-only.
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_parts_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
     category="aggregates",
 )
 def agg_approx_distinct(spark, t):
     """approx_count_distinct — Hive's compute_stats NDV sketch
-    (NumDistinctValueEstimator.java:28) → HyperLogLog++. Sketch
-    estimates are engine-specific, so no value oracle; the driver
-    records a rows-only check."""
-    return t.lineitem.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_nd_parts"),
-        F.count(F.lit(1)).alias("n_rows"),
+    (NumDistinctValueEstimator.java:28) → HyperLogLog++. The raw
+    estimate is engine-specific, so the oracle checks the exact NDV
+    plus a 5%-relative-error bound on the estimate (HLL++ default rsd
+    = 0.05, and the error at these cardinalities is far below it)."""
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("est"),
+            F.countDistinct("l_partkey").alias("ndv_parts_exact"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            "ndv_parts_exact",
+            "n_rows",
+            (
+                F.abs(F.col("est") - F.col("ndv_parts_exact"))
+                / F.col("ndv_parts_exact")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
     )
 
 

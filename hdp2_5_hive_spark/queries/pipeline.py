@@ -226,12 +226,24 @@ def multimodal_meta(spark, t):
 
 @register(
     "multimodal_features",
-    oracle=None,  # mapInPandas + stub decode kernel — not SQL-expressible
+    oracle="""
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       ROUND(CAST(CAST(
+           CAST(concat('0x', substr(sha256(text), 1, 2)) AS INTEGER) / 255.0
+           AS REAL) AS DOUBLE), 6) AS f0,
+       CAST(8 AS INTEGER) AS feat_dim
+FROM documents
+""",
     category="pipeline",
 )
 def multimodal_features(spark, t):
     """Arrow-batched mapInPandas feature extraction over binary
-    payloads (stub decode kernel — see operators/multimodal.py)."""
+    payloads (stub decode kernel — see operators/multimodal.py). The
+    stub feature is sha256(payload) bytes / 255, so the oracle
+    restates it exactly: DuckDB sha256 over the same utf-8 payload,
+    first byte via hex-literal cast, float32-quantized like the
+    engine's array<float> column."""
     media = mm.attach_binary_payload(t.documents, "text", "doc_id")
     feats = mm.extract_features(media)
     return feats.select(

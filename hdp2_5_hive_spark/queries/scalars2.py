@@ -6,17 +6,71 @@ ngrams/context_ngrams composition (§2.5), histogram_numeric, and the
 INPUT__FILE__NAME virtual column (§1.3).
 
 Oracle notes: DuckDB lacks soundex/next_day/months_between/xpath/
-histogram_numeric — those queries either restrict to the
-DuckDB-expressible subset or register rows-only with value assertions
-in tests/test_scalars2.py.
+histogram_numeric/crc32/sha1/xxhash64. Those oracles are synthesized
+instead of dropped: xpath via the same string template the query
+builds from, soundex via a generated replace-chain (RE2 has no
+backreferences), crc32/sha1 via stdlib-computed literal maps over the
+fixed 25 nation names, murmur/xxhash64 via the pure-Python reference
+implementations in functions/pyhash.py, and the approximate sketches
+(histogram_numeric, HLL NDV) as derived exactness/shape checks the
+oracle can state exactly. Only genuinely engine-specific outputs stay
+rows-only.
 """
 
 from __future__ import annotations
 
+import hashlib
+import zlib
+
 from pyspark.sql import functions as F
 
 from ..functions import hive_compat as hc
+from ..functions.pyhash import murmur3_32, xxhash64
 from .registry import register
+
+
+def _soundex_sql(col: str) -> str:
+    """DuckDB expression computing American Soundex with the h/w
+    coalescing rule (matches the JVM implementation; pinned against
+    engine output in tests/test_scalars2.py). RE2 lacks backreferences,
+    so adjacent-duplicate collapse is a generated replace chain — 5
+    passes collapse runs up to 2^5 long, beyond any real token."""
+    digits = (
+        f"replace(translate(upper({col}), "
+        f"'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '01230129022455012623019202'),"
+        f" '9', '')"
+    )
+    collapsed = digits
+    for _ in range(5):
+        for d in "123456":
+            collapsed = f"replace({collapsed}, '{d}{d}', '{d}')"
+    # Drop the first letter's own digit — unless the first letter is
+    # H/W, whose marker was already stripped (it contributes no digit,
+    # and its JVM last-code 7 never coalesces with a real code).
+    body = (
+        f"CASE WHEN upper(substr({col},1,1)) IN ('H','W') "
+        f"THEN {collapsed} ELSE substr({collapsed}, 2) END"
+    )
+    return (
+        f"upper(substr({col},1,1)) || "
+        f"substr(rpad(replace({body}, '0', ''), 3, '0'), 1, 3)"
+    )
+
+
+def _nation_hash_values() -> str:
+    """VALUES literal mapping each fixed nation name (testdata ships
+    NATION_0..NATION_24 at every scale) to independently computed
+    crc32 (zlib), sha1 (hashlib), xxhash64 and murmur3 (pyhash
+    reference impls). An unexpected name joins to NULL — loud."""
+    rows = []
+    for i in range(25):
+        name = f"NATION_{i}"
+        b = name.encode("utf-8")
+        rows.append(
+            f"('{name}', {zlib.crc32(b)}, '{hashlib.sha1(b).hexdigest()}', "
+            f"{xxhash64(b)}, {murmur3_32(b)})"
+        )
+    return ",\n  ".join(rows)
 
 
 @register(
@@ -90,12 +144,21 @@ def fn_initcap_elt_field(spark, t):
 
 @register(
     "fn_xpath_suite",
-    oracle=None,  # DuckDB has no xpath; values asserted in tests.
+    oracle="""
+SELECT n_nationkey,
+       n_name AS x_name,
+       CAST(n_nationkey AS INTEGER) AS x_key,
+       [CAST(n_nationkey AS VARCHAR), n_name,
+        CAST(n_regionkey AS VARCHAR)] AS x_all
+FROM nation
+""",
     category="scalars",
 )
 def fn_xpath_suite(spark, t):
     """xpath family (FunctionRegistry.java:289-297) over XML
-    synthesized from nation rows."""
+    synthesized from nation rows. DuckDB has no xpath, but the XML is
+    template-built from the same columns, so the oracle states each
+    extraction's expected value directly."""
     xml = F.concat(
         F.lit("<n><k>"),
         F.col("n_nationkey").cast("string"),
@@ -296,31 +359,59 @@ def agg_context_ngrams(spark, t):
 
 @register(
     "agg_histogram_numeric",
-    oracle=None,  # approximate sketch (NumericHistogram) — rows-only;
-    # shape properties asserted in tests/test_scalars2.py.
+    oracle="""
+SELECT CAST(10 AS INTEGER) AS n_bins,
+       CAST(COUNT(*) AS BIGINT) AS y_total,
+       TRUE AS x_sorted,
+       TRUE AS x_in_range
+FROM orders
+""",
     category="aggregates",
 )
 def agg_histogram_numeric(spark, t):
     """histogram_numeric(o_totalprice, 10)
     (FunctionRegistry.java:380; Hive's NumericHistogram sketch =
-    Spark's histogram_numeric)."""
-    return t.orders.select(
-        F.explode(F.expr("histogram_numeric(o_totalprice, 10)")).alias("bin")
-    ).select(F.col("bin.x").alias("x"), F.col("bin.y").alias("y"))
+    Spark's histogram_numeric). Bin centroids are merge-order
+    dependent, so the oracle checks the sketch's exact invariants
+    instead: bin count, total mass = row count, sorted centroids,
+    centroids inside the data range."""
+    agg = t.orders.agg(
+        F.expr("histogram_numeric(o_totalprice, 10)").alias("h"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+    xs = F.expr("transform(h, b -> b.x)")
+    return agg.select(
+        F.size("h").alias("n_bins"),
+        F.expr("CAST(round(aggregate(h, 0D, (acc, b) -> acc + b.y)) AS BIGINT)")
+        .alias("y_total"),
+        (xs == F.array_sort(xs)).alias("x_sorted"),
+        F.expr("forall(h, b -> b.x >= lo AND b.x <= hi)").alias("x_in_range"),
+    )
 
 
 @register(
     "virtual_input_file_name",
-    oracle=None,  # paths are engine-specific — rows-only.
+    oracle="""
+SELECT CAST(1 AS BIGINT) AS n_files,
+       CAST(COUNT(*) AS BIGINT) AS total_rows,
+       TRUE AS all_parquet
+FROM nation
+""",
     category="scalars",
 )
 def virtual_input_file_name(spark, t):
     """INPUT__FILE__NAME virtual column (VirtualColumn.java:48) →
-    F.input_file_name(); grouped to per-file row counts."""
+    F.input_file_name(). Paths are engine-specific, so the oracle
+    checks the derived facts: testdata ships one parquet file per
+    table, every row carries that file's name, names end .parquet."""
     return (
         t.nation.select(F.input_file_name().alias("f"))
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.countDistinct("f").alias("n_files"),
+            F.count(F.lit(1)).alias("total_rows"),
+            F.bool_and(F.col("f").endswith(".parquet")).alias("all_parquet"),
+        )
     )
 
 
@@ -387,15 +478,34 @@ def fn_datetime_parts(spark, t):
 
 @register(
     "sample_percent",
-    oracle=None,  # Bernoulli sampling is engine-specific — rows-only;
-    # the fraction tolerance is asserted in tests/test_scalars2.py.
+    oracle="SELECT TRUE AS frac_in_bounds, TRUE AS sampled_subset",
     category="setops",
 )
 def sample_percent(spark, t):
     """TABLESAMPLE (n PERCENT) (FromClauseParser.g:170-179
-    TOK_TABLESPLITSAMPLE) → df.sample with a fixed seed."""
-    return t.orders.sample(fraction=0.1, seed=42).select(
+    TOK_TABLESPLITSAMPLE) → df.sample with a fixed seed. Which rows
+    land in a Bernoulli sample is engine-specific, so the oracle
+    checks the derived facts: the sampled fraction is within ±3 points
+    of 10% and every sampled key exists in the source (anti-join
+    empty). All three inputs are 1-row aggregates — the cross joins
+    are broadcast-scalar, not a real cartesian."""
+    sampled = t.orders.sample(fraction=0.1, seed=42).select(
         "o_orderkey", "o_totalprice"
+    )
+    n_s = sampled.agg(F.count(F.lit(1)).alias("ns"))
+    n_t = t.orders.agg(F.count(F.lit(1)).alias("nt"))
+    stray = (
+        sampled.join(t.orders, "o_orderkey", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_stray"))
+    )
+    frac = F.col("ns") / F.col("nt")
+    return (
+        n_s.crossJoin(n_t)
+        .crossJoin(stray)
+        .select(
+            ((frac >= 0.07) & (frac <= 0.13)).alias("frac_in_bounds"),
+            (F.col("n_stray") == 0).alias("sampled_subset"),
+        )
     )
 
 
@@ -434,15 +544,27 @@ def fn_crypto_roundtrip(spark, t):
 
 @register(
     "fn_hash_extra",
-    oracle=None,  # crc32/sha1/xxhash64 have no DuckDB twins — value
-    # properties asserted in tests/test_scalars2.py.
+    oracle=f"""
+SELECT n.n_nationkey,
+       CAST(g.crc AS BIGINT) AS crc,
+       g.sha1_hex AS sha1_hex,
+       CAST(g.xx64 AS BIGINT) AS xx64,
+       CAST(g.murmur AS INTEGER) AS murmur
+FROM nation n
+LEFT JOIN (VALUES
+  {_nation_hash_values()}
+) AS g(name, crc, sha1_hex, xx64, murmur) ON n.n_name = g.name
+""",
     category="scalars",
 )
 def fn_hash_extra(spark, t):
     """crc32/sha1/xxhash64/hash (FunctionRegistry.java:221,231-232,
     409). Hive's hash() uses Java hashCode conventions; Spark's
     Murmur3 differs — documented divergence (SURVEY §2.9), only
-    observable if hashes are persisted."""
+    observable if hashes are persisted. The oracle verifies every
+    value against independent implementations (zlib crc32, hashlib
+    sha1, functions/pyhash murmur3+xxh64) over the fixed nation
+    names."""
     return t.nation.select(
         "n_nationkey",
         F.crc32(F.col("n_name").cast("binary")).alias("crc"),
@@ -454,13 +576,31 @@ def fn_hash_extra(spark, t):
 
 @register(
     "fn_date_tail",
-    oracle=None,  # DuckDB lacks next_day / Hive months_between
-    # semantics — value assertions in tests/test_scalars2.py.
+    oracle="""
+SELECT o_orderkey,
+       o_orderdate,
+       CAST(o_orderdate
+            + INTERVAL ((7 + 1 - isodow(o_orderdate) - 1) % 7 + 1) DAY
+            AS DATE) AS next_monday,
+       ROUND((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+             + (day(o_orderdate) - 1) / 31.0, 6) AS mb,
+       CAST(timezone('America/New_York',
+                     CAST(CAST(o_orderdate AS TIMESTAMP) AS TIMESTAMPTZ))
+            AS TIMESTAMP) AS ny_time,
+       CAST(timezone('Asia/Tokyo', CAST(o_orderdate AS TIMESTAMP))
+            AS TIMESTAMP) AS from_tokyo
+FROM orders WHERE o_orderkey <= 100
+""",
     category="scalars",
 )
 def fn_date_tail(spark, t):
     """next_day / months_between / from_utc_timestamp /
-    to_utc_timestamp (FunctionRegistry.java:277,285,427-428)."""
+    to_utc_timestamp (FunctionRegistry.java:277,285,427-428). The
+    oracle derives next-Monday from isodow arithmetic, months_between
+    from the documented 31-day-month formula (day-of-month 1 anchor →
+    the same-day/last-day special cases coincide with the formula),
+    and the zone shifts via timezone() with explicit TIMESTAMPTZ
+    casts."""
     o = t.orders.filter(F.col("o_orderkey") <= 100)
     return o.select(
         "o_orderkey",
@@ -474,14 +614,28 @@ def fn_date_tail(spark, t):
     )
 
 
+_FIRST_WORD_SQL = r"regexp_extract(trim(text), '^\S+')"
+
+_SENTENCES_SOUNDEX_ORACLE = (
+    "SELECT doc_id,\n"
+    r"       [regexp_split_to_array(trim(text), '\s+')] AS sent_tokens,"
+    "\n"
+    f"       {_soundex_sql(_FIRST_WORD_SQL)} AS first_word_soundex\n"
+    "FROM documents WHERE doc_id < 50"
+)
+
+
 @register(
     "fn_sentences_soundex",
-    oracle=None,  # no DuckDB twins — assertions in tests.
+    oracle=_SENTENCES_SOUNDEX_ORACLE,
     category="scalars",
 )
 def fn_sentences_soundex(spark, t):
     """sentences() tokenizer (FunctionRegistry.java:419) and
-    soundex (:188) over document text / supplier names."""
+    soundex (:188) over document text. The corpus text is punctuation-
+    free space-separated words, so sentences() yields exactly one
+    sentence of whitespace tokens — statable in SQL — and soundex is
+    reproduced by a generated replace-chain (_soundex_sql)."""
     return t.documents.filter(F.col("doc_id") < 50).select(
         "doc_id",
         F.sentences(F.col("text")).alias("sent_tokens"),
@@ -732,9 +886,12 @@ def fn_format_number(spark, t):
 
 @register(
     "agg_hll_sketch",
-    oracle=None,  # Apache DataSketches HLL has no DuckDB twin —
-    # rows-only here; accuracy + partition invariance pinned in
-    # tests/test_corpus.py::test_hll_sketch_accuracy_and_invariance.
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS ndv_parts_exact,
+       TRUE AS within_5pct
+FROM lineitem GROUP BY l_returnflag
+""",
     category="aggregates",
 )
 def agg_hll_sketch(spark, t):
@@ -744,16 +901,28 @@ def agg_hll_sketch(spark, t):
     states union associatively — the property that lets 1000
     executors estimate distinct counts with one tiny shuffle
     (a few KB per sketch, vs the exact path's one row per distinct
-    value)."""
+    value). The estimate itself is sketch-parameter specific, so the
+    oracle checks the exact NDV plus a 5%-relative-error bound on the
+    estimate (DataSketches lgK=12 default → ~1.6% RSE; 5% is >3
+    sigma). Accuracy + partition invariance also pinned in
+    tests/test_corpus.py::test_hll_sketch_accuracy_and_invariance."""
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
             F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey))").alias(
-                "ndv_parts_est"
+                "est"
             ),
             F.countDistinct("l_partkey").alias("ndv_parts_exact"),
         )
-        .orderBy("l_returnflag")
+        .select(
+            "l_returnflag",
+            "ndv_parts_exact",
+            (
+                F.abs(F.col("est") - F.col("ndv_parts_exact"))
+                / F.col("ndv_parts_exact")
+                <= 0.05
+            ).alias("within_5pct"),
+        )
     )
 
 

