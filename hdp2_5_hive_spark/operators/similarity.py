@@ -109,6 +109,47 @@ def hyperplane_bucket(vec: Column, *, dim: int, n_planes: int = 8) -> Column:
     return bucket
 
 
+def _salted_buckets(
+    df: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int,
+    max_bucket_rows: int,
+) -> DataFrame:
+    """Bucket assignment with a size guard: buckets larger than
+    ``max_bucket_rows`` are hash-split into ceil(size/max) salt
+    groups, so within-group pair counts stay ~max² no matter how
+    degenerate the corpus (a boilerplate-heavy 100 TB crawl
+    concentrates vectors in few buckets; AQE splits a skewed
+    SHUFFLE, but cannot cap the pair COUNT of a quadratic self-join).
+    Cost of the guard: one tiny aggregation (≤2^n_planes rows,
+    broadcast back). Recall cost: pairs across salt groups of the
+    same bucket are not scored — only degenerate buckets pay it."""
+    withb = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        hyperplane_bucket(F.col(vec_col), dim=dim, n_planes=n_planes).alias(
+            "_bucket"
+        ),
+    )
+    sizes = withb.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsize"))
+    n_salts = F.greatest(
+        F.lit(1),
+        F.ceil(F.col("_bsize") / F.lit(max_bucket_rows)),
+    ).cast("int")
+    return (
+        withb.join(F.broadcast(sizes), "_bucket")
+        .select(
+            "_id",
+            "_vec",
+            "_bucket",
+            F.pmod(F.xxhash64("_id"), n_salts).cast("int").alias("_salt"),
+        )
+    )
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     *,
@@ -117,31 +158,37 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_planes: int = 8,
     k: int = 5,
+    max_bucket_rows: int = 4096,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: score only same-bucket pairs.
-    2^n_planes buckets shrink the pair space ~2^n_planes-fold; the
-    bucket join shuffles on bucket id (AQE splits skewed buckets)."""
+    """Approximate all-pairs top-k: score only same-(bucket, salt)
+    pairs. 2^n_planes buckets shrink the pair space ~2^n_planes-fold;
+    the join shuffles on (bucket, salt); the salt guard
+    (_salted_buckets) bounds the quadratic within-bucket blowup on
+    skewed corpora at a documented recall cost."""
     from .util import ensure_parallelism
 
-    withb = ensure_parallelism(df).select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
-        hyperplane_bucket(F.col(vec_col), dim=dim, n_planes=n_planes).alias(
-            "_bucket"
-        ),
+    salted = _salted_buckets(
+        ensure_parallelism(df),
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        n_planes=n_planes,
+        max_bucket_rows=max_bucket_rows,
     )
-    a = withb.select(
+    a = salted.select(
         F.col("_id").alias("query_id"),
         F.col("_vec").alias("q_vec"),
         "_bucket",
+        "_salt",
     )
-    b = withb.select(
+    b = salted.select(
         F.col("_id").alias("neighbor_id"),
         F.col("_vec").alias("c_vec"),
         "_bucket",
+        "_salt",
     )
     scored = (
-        a.join(b, "_bucket")
+        a.join(b, ["_bucket", "_salt"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",

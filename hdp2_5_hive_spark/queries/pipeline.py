@@ -126,12 +126,18 @@ def ann_cosine_topk(spark, t):
 
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # approximate by construction — recall probed in tests
+    oracle=None,  # approximate by construction — rows-only. A recall
+    # threshold would be dishonest here: a single 6-plane sign-LSH
+    # table finds near-COLLINEAR vectors, and the synthetic testdata's
+    # random vectors have none (measured recall@5 ≈ 0.05 — correct
+    # behavior, meaningless gate). Subset/validity properties are
+    # pinned in tests/test_pipeline.py instead.
     category="pipeline",
 )
 def ann_lsh_bucketed(spark, t):
     """Sign-LSH bucketed ANN (the 100 TB path): only same-bucket
-    pairs scored; top-5 per query within bucket."""
+    pairs scored; top-5 per query within bucket; oversized buckets
+    salt-split (similarity._salted_buckets) to bound the quadratic."""
     return sim.lsh_bucket_topk(t.embeddings, dim=64, n_planes=6, k=5).select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine")
     )
@@ -507,7 +513,11 @@ def dedup_keep_list(spark, t):
 
 @register(
     "ann_ivf_topk",
-    oracle=None,  # approximate by construction — recall probed in tests
+    oracle="""
+SELECT CAST(5 * COUNT(*) AS BIGINT) AS n_pairs_exact,
+       TRUE AS recall_ge_half
+FROM embeddings WHERE vec_id < 200
+""",
     category="pipeline",
 )
 def ann_ivf_topk(spark, t):
@@ -515,13 +525,28 @@ def ann_ivf_topk(spark, t):
     spherical-kmeans coarse quantizer trained on a deterministic
     bounded sample, Arrow-batched numpy assignment, cell-keyed join,
     n_probe=3 of 8 cells. The second scale path next to sign-LSH
-    (ann_lsh_bucketed); recall vs the exact baseline is pinned in
-    tests/test_pipeline.py — the synthetic testdata's RANDOM vectors
-    are IVF's worst case (no cluster structure); real embedding
-    corpora cluster and recall rises accordingly."""
-    return sim.ivf_topk(
-        t.embeddings, n_cells=8, n_probe=3, k=5
-    ).select("query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine"))
+    (ann_lsh_bucketed). The output is the derived correctness fact:
+    recall@5 against the exact brute-force baseline over a bounded
+    200-query probe is ≥ 0.5 (measured 0.64-0.66 on the RANDOM
+    testdata vectors — IVF's worst case, no cluster structure; real
+    embedding corpora cluster and recall rises accordingly)."""
+    ann = sim.ivf_topk(t.embeddings, n_cells=8, n_probe=3, k=5).filter(
+        F.col("query_id") < 200
+    )
+    exact = sim.cosine_topk(
+        t.embeddings.filter(F.col("vec_id") < 200), t.embeddings, k=5
+    )
+    hits = ann.join(exact.select("query_id", "neighbor_id"),
+                    ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    total = exact.agg(F.count(F.lit(1)).alias("n_pairs_exact"))
+    return total.crossJoin(hits).select(
+        "n_pairs_exact",
+        (F.col("n_hits") / F.col("n_pairs_exact") >= 0.5).alias(
+            "recall_ge_half"
+        ),
+    )
 
 
 @register(
