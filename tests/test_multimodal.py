@@ -115,3 +115,48 @@ def test_wav_round_trip_and_errors():
     aligned = payload[:12] + extra + payload[12:]
     head = b"RIFF" + struct.pack("<I", len(aligned) - 8) + b"WAVE"
     assert mm.decode_wav(head + aligned[12:]) == (rate, n, ms, peak)
+
+
+def test_png_round_trip_all_filters():
+    """encode_png cycles scanline filters 0-4 (row % 5); decoding a
+    >=5-row image therefore proves every unfilter path, and the PPM
+    decode of the same raster must agree exactly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    for w, h in [(8, 6), (1, 7), (13, 5)]:
+        rgb = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8)
+        png = mm.encode_png(w, h, rgb)
+        ppm = mm.encode_ppm(w, h, rgb)
+        assert mm.decode_png(png) == mm.decode_ppm(ppm)
+        assert mm.decode_image(png) == mm.decode_image(ppm)
+    with _pytest.raises(ValueError):
+        mm.decode_png(b"\x89PNG\r\n\x1a\nnothing")
+    with _pytest.raises(ValueError):
+        mm.decode_png(b"GIF89a not a png")
+
+
+def test_png_stats_distributed(spark):
+    """PNG and PPM synthesizers share the pixel formula, so the
+    distributed decode of both containers must produce identical
+    stats rows."""
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 48).withColumnRenamed("id", "doc_id")
+    png_stats = {
+        r.media_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        for r in mm.extract_image_stats(
+            mm.synthesize_png_media(docs, "doc_id", width=6, height=5)
+        ).collect()
+    }
+    ppm_stats = {
+        r.media_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        for r in mm.extract_image_stats(
+            mm.synthesize_ppm_media(docs, "doc_id", width=6, height=5)
+        ).collect()
+    }
+    assert len(png_stats) == 48
+    assert png_stats == ppm_stats
