@@ -1,0 +1,130 @@
+"""Persistent catalog: a file-backed metastore facade.
+
+The engine's default catalog is session temp views (catalog.py) — the
+right choice for query execution. What Hive additionally provides is
+DURABILITY: table metadata survives the session that created it
+(reference ``metastore/src/java/org/apache/hadoop/hive/metastore/
+HiveMetaStore.java:258`` ``create_table`` / ``:1870`` ``get_table``,
+backed by an RDBMS; DDL surface ``ql/exec/DDLTask.java``).
+
+Spark-first mapping: table DATA is self-describing parquet/orc under a
+warehouse directory (exactly what ``saveAsTable`` produces); table
+METADATA (name → relative path, format, partition columns) is a single
+JSON document written atomically next to the data. A brand-new
+SparkSession — or a brand-new JVM — calls ``Metastore.attach`` to
+re-register every table as a view. No Derby, no Hive jars, no driver
+state: the warehouse directory IS the metastore, so at cluster scale
+it lives on the shared filesystem (S3/HDFS) like a real warehouse.
+
+Scale notes: attach() reads one small JSON and registers lazy scans —
+no data is touched until a query runs; partitioned tables keep their
+directory layout so partition pruning works across sessions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+META_FILE = "_metastore.json"
+
+
+class NoSuchTableError(KeyError):
+    pass
+
+
+class Metastore:
+    """File-backed table catalog rooted at ``warehouse_dir``."""
+
+    def __init__(self, warehouse_dir: str):
+        self.warehouse_dir = warehouse_dir.rstrip("/")
+        os.makedirs(self.warehouse_dir, exist_ok=True)
+        self._meta_path = os.path.join(self.warehouse_dir, META_FILE)
+
+    # -- metadata document ------------------------------------------------
+    def _read_meta(self) -> dict:
+        if not os.path.exists(self._meta_path):
+            return {"tables": {}}
+        with open(self._meta_path, encoding="utf-8") as f:
+            return json.load(f)
+
+    def _write_meta(self, meta: dict) -> None:
+        # Atomic replace — a crashed writer can never leave a torn
+        # metastore (HiveMetaStore gets this from RDBMS transactions).
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse_dir, suffix=".tmp")
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._meta_path)
+
+    # -- DDL surface ------------------------------------------------------
+    def create_table(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: Sequence[str] = (),
+        fmt: str = "parquet",
+        mode: str = "overwrite",
+    ) -> None:
+        """``CREATE TABLE name AS SELECT ...`` with durable metadata
+        (HiveMetaStore.create_table:258). ``mode='append'`` is
+        ``INSERT INTO`` on an existing table."""
+        if not name.isidentifier():
+            raise ValueError(f"invalid table name {name!r}")
+        path = os.path.join(self.warehouse_dir, name)
+        writer = df.write.mode(mode).format(fmt)
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = df.repartition(
+                *[F.col(c) for c in partition_by]
+            ).write.mode(mode).format(fmt).partitionBy(*partition_by)
+        writer.save(path)
+        meta = self._read_meta()
+        meta["tables"][name] = {
+            "path": name,  # relative → the warehouse can be moved/mounted
+            "format": fmt,
+            "partition_by": list(partition_by),
+        }
+        self._write_meta(meta)
+
+    def get_table(self, spark: SparkSession, name: str) -> DataFrame:
+        """Resolve a table on ANY session (HiveMetaStore.get_table:1870)."""
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        return spark.read.format(m["format"]).load(
+            os.path.join(self.warehouse_dir, m["path"])
+        )
+
+    def drop_table(self, name: str, purge: bool = True) -> None:
+        """``DROP TABLE [PURGE]``: metadata always, data iff purge."""
+        meta = self._read_meta()
+        m = meta["tables"].pop(name, None)
+        if m is None:
+            raise NoSuchTableError(name)
+        self._write_meta(meta)
+        if purge:
+            import shutil
+
+            shutil.rmtree(
+                os.path.join(self.warehouse_dir, m["path"]), ignore_errors=True
+            )
+
+    def tables(self) -> list[str]:
+        """``SHOW TABLES``."""
+        return sorted(self._read_meta()["tables"])
+
+    def attach(self, spark: SparkSession, prefix: str = "") -> list[str]:
+        """Register every catalog table as a temp view on ``spark`` —
+        the new-session / new-JVM recovery path. Lazy scans only; no
+        data read here."""
+        names = []
+        for name in self.tables():
+            self.get_table(spark, name).createOrReplaceTempView(prefix + name)
+            names.append(prefix + name)
+        return names

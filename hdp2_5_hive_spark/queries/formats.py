@@ -213,3 +213,40 @@ def fmt_concatenate_compact(spark, t):
             F.sum("o_orderkey").alias("key_sum"),
         )
     )
+
+
+@register(
+    "ddl_persistent_catalog",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 3
+""",
+    category="formats",
+)
+def ddl_persistent_catalog(spark, t):
+    """Persistent catalog round-trip (metastore.py — HiveMetaStore
+    ``create_table:258`` / ``get_table:1870`` facade): CREATE TABLE
+    (partitioned) + INSERT INTO through one Metastore instance, then
+    resolve it on a BRAND-NEW SparkSession through a brand-new
+    Metastore that knows only the warehouse path. The returned rows
+    therefore went disk-metadata → fresh-session scan; a temp-view
+    shortcut cannot fake this."""
+    import tempfile
+
+    from ..metastore import Metastore
+
+    wh = tempfile.mkdtemp(prefix="ddl_wh_")
+    ms = Metastore(wh)
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    ms.create_table(
+        src.filter(F.col("n_regionkey") < 3), "nations_p",
+        partition_by=["n_regionkey"],
+    )
+    ms.create_table(
+        src.filter(F.col("n_regionkey") == 3), "nations_p",
+        partition_by=["n_regionkey"], mode="append",
+    )
+    s2 = spark.newSession()
+    Metastore(wh).attach(s2)
+    return s2.table("nations_p").select(
+        "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
+    )

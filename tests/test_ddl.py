@@ -50,3 +50,67 @@ def test_sample_percent_fraction(spark, sf_dir):
 
     r = query_map()["sample_percent"](spark, sf_dir).first()
     assert r.frac_in_bounds and r.sampled_subset
+
+
+def test_metastore_cross_session_round_trip(spark, sf_dir, tmp_path):
+    """Persistent catalog (metastore.py): table created via one
+    session+Metastore instance is resolvable from a DIFFERENT session
+    (fresh temp-view namespace) through a DIFFERENT Metastore instance
+    that knows only the warehouse path — i.e. metadata durability
+    lives entirely on disk, as in HiveMetaStore."""
+    from hdp2_5_hive_spark.metastore import Metastore, NoSuchTableError
+
+    wh = str(tmp_path / "wh")
+    ms1 = Metastore(wh)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms1.create_table(nation.filter("n_regionkey < 2"), "nations_small")
+
+    # brand-new session: empty temp-view namespace, no shared state
+    s2 = spark.newSession()
+    assert "nations_small" not in [
+        v.name for v in s2.catalog.listTables()
+    ]
+    ms2 = Metastore(wh)  # rebuilt purely from the warehouse dir
+    assert ms2.tables() == ["nations_small"]
+    views = ms2.attach(s2)
+    assert views == ["nations_small"]
+    got = s2.sql(
+        "SELECT COUNT(*) AS n, MIN(n_regionkey) AS lo FROM nations_small"
+    ).first()
+    want = nation.filter("n_regionkey < 2").count()
+    assert (got.n, got.lo) == (want, 0)
+
+    # append = INSERT INTO; drop removes both metadata and data
+    ms2.create_table(
+        nation.filter("n_regionkey = 2"), "nations_small", mode="append"
+    )
+    assert ms1.get_table(spark, "nations_small").count() == nation.filter(
+        "n_regionkey <= 2"
+    ).count()
+    ms1.drop_table("nations_small")
+    import pytest as _pytest
+
+    with _pytest.raises(NoSuchTableError):
+        ms2.get_table(spark, "nations_small")
+
+
+def test_metastore_partitioned_prunes(spark, sf_dir, tmp_path):
+    """Partitioned persistent table keeps its directory layout, so a
+    new session's scan prunes partitions (PartitionFilters in plan)."""
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    wh = str(tmp_path / "whp")
+    ms = Metastore(wh)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ms.create_table(
+        orders.select("o_orderkey", "o_totalprice", "o_orderpriority"),
+        "orders_bypriority",
+        partition_by=["o_orderpriority"],
+    )
+    s2 = spark.newSession()
+    df = Metastore(wh).get_table(s2, "orders_bypriority").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan
+    assert df.count() == orders.filter("o_orderpriority = '1-URGENT'").count()
