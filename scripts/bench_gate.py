@@ -1,0 +1,115 @@
+"""Bench regression gate — fail on >1.3x per-query regression.
+
+Compares a fresh ``bench.py`` result (pass its JSON line via a file
+argument, or pipe it in) against the best-known time for each query
+across every ``BENCH_r*.json`` the driver has recorded plus the local
+``BENCH_BEST.json`` ledger, then updates the ledger with any new
+bests. Mirrors the reference's perf-regression discipline (its JMH
+harnesses, ``itests/hive-jmh/``, carry no recorded numbers, so the
+ledger here IS the recorded baseline).
+
+Usage:
+    python bench.py 2>/dev/null | python scripts/bench_gate.py
+    python scripts/bench_gate.py result.json
+
+Exit 0 = no regression; exit 1 = some query >1.3x its best-known
+time (prints the offenders). New queries (no history) always pass
+and seed the ledger.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+THRESHOLD = 1.3
+# Sub-100ms timings are dominated by scheduler jitter on local[32];
+# a 1.3x blowup of 50ms is noise, not a plan regression.
+MIN_SECONDS = 0.1
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER = os.path.join(ROOT, "BENCH_BEST.json")
+
+
+def _load_history() -> dict[str, float]:
+    best: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
+        try:
+            doc = json.loads(open(path).read())
+        except (OSError, ValueError):
+            continue
+        queries = (doc.get("parsed") or {}).get("queries") or doc.get(
+            "queries"
+        ) or {}
+        for name, sec in queries.items():
+            if isinstance(sec, (int, float)) and (
+                name not in best or sec < best[name]
+            ):
+                best[name] = float(sec)
+    if os.path.exists(LEDGER):
+        try:
+            for name, sec in json.loads(open(LEDGER).read()).items():
+                if name not in best or sec < best[name]:
+                    best[name] = float(sec)
+        except (OSError, ValueError):
+            pass
+    return best
+
+
+def main() -> int:
+    raw = (
+        open(sys.argv[1]).read()
+        if len(sys.argv) > 1
+        else sys.stdin.read()
+    )
+    # bench.py prints ONE JSON line; tolerate surrounding log noise.
+    result = None
+    for line in raw.splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                doc = json.loads(line)
+            except ValueError:
+                continue
+            if "queries" in doc:
+                result = doc
+    if result is None:
+        print("bench_gate: no bench JSON found on input", file=sys.stderr)
+        return 2
+
+    best = _load_history()
+    failures = []
+    for name, sec in result["queries"].items():
+        known = best.get(name)
+        if known is None or known < MIN_SECONDS:
+            continue
+        if sec > known * THRESHOLD:
+            failures.append((name, sec, known))
+
+    merged = dict(best)
+    for name, sec in result["queries"].items():
+        if name not in merged or sec < merged[name]:
+            merged[name] = sec
+    with open(LEDGER, "w") as fh:
+        json.dump(dict(sorted(merged.items())), fh, indent=2)
+        fh.write("\n")
+
+    if failures:
+        for name, sec, known in failures:
+            print(
+                f"REGRESSION {name}: {sec:.3f}s vs best {known:.3f}s "
+                f"({sec / known:.2f}x > {THRESHOLD}x)"
+            )
+        return 1
+    print(
+        f"bench_gate: OK — {len(result['queries'])} queries within "
+        f"{THRESHOLD}x of best-known; ledger updated ({LEDGER})"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    main_rc = main()
+    sys.exit(main_rc)
