@@ -283,10 +283,25 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
     return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
+def decode_jpeg_stats(payload: bytes) -> tuple[int, int, float, float, float]:
+    """REAL baseline-JPEG decode (operators/jpeg_py.py — marker walk,
+    file-declared Huffman tables, IDCT) -> dims + channel means, same
+    contract as decode_ppm/decode_png."""
+    from .jpeg_py import decode_jpeg
+
+    w, h, rgb = decode_jpeg(payload)
+    sums = rgb.sum(axis=(0, 1), dtype="int64")
+    n = w * h
+    return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
+
+
 def decode_image(payload: bytes) -> tuple[int, int, float, float, float]:
-    """Magic-byte dispatch over the real decoders (PPM P6, PNG)."""
+    """Magic-byte dispatch over the real decoders (PPM P6, PNG,
+    baseline JPEG)."""
     if payload is not None and payload[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(payload)
+    if payload is not None and payload[:2] == b"\xff\xd8":
+        return decode_jpeg_stats(payload)
     return decode_ppm(payload)
 
 
@@ -360,6 +375,45 @@ def synthesize_png_media(df: DataFrame, id_col: str, width: int = 8, height: int
                 rgb[1::3] = (mid * 11 + i * 17) % 256
                 rgb[2::3] = (mid * 13 + i * 19) % 256
                 payloads.append(encode_png(width, height, rgb))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return src.mapInPandas(kernel, schema)
+
+
+def synthesize_jpeg_media(
+    df: DataFrame, id_col: str, blocks_x: int = 2, blocks_y: int = 2
+) -> DataFrame:
+    """Deterministic baseline-JPEG payload per id: a grid of 8x8
+    blocks, block j uniformly gray g = (id*7 + j*13) mod 256, unit
+    quant tables. Block-constant + unit tables means the DCT path is
+    EXACT (DC-only blocks, no quantization error), so the bytes-blind
+    oracle can predict the decoded means from the block formula alone
+    — same verification pattern as synthesize_ppm/png_media, but the
+    payload now rides a full entropy-coded JPEG (Huffman + zigzag +
+    bit-stuffing), not a raw raster."""
+    import numpy as np
+
+    from .jpeg_py import encode_jpeg
+
+    w, h = blocks_x * 8, blocks_y * 8
+    n_blocks = blocks_x * blocks_y
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        j = np.arange(n_blocks, dtype=np.int64).reshape(blocks_y, blocks_x)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                grays = ((mid * 7 + j * 13) % 256).astype(np.uint8)
+                img = np.kron(grays, np.ones((8, 8), dtype=np.uint8))
+                rgb = np.stack([img] * 3, axis=-1)
+                payloads.append(encode_jpeg(w, h, rgb.reshape(-1)))
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))

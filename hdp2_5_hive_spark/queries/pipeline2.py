@@ -351,6 +351,42 @@ def multimodal_audio_stats(spark, t):
 
 
 @register(
+    "multimodal_jpeg_stats",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+blk AS (
+  SELECT doc_id, j, (doc_id * 7 + j * 13) % 256 AS g
+  FROM ids, generate_series(0, 3) AS t(j)
+)
+SELECT doc_id AS media_id,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(SUM(g) AS DOUBLE) / 4 AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / 4 AS mean_g,
+       CAST(SUM(g) AS DOUBLE) / 4 AS mean_b
+FROM blk GROUP BY 1
+""",
+    category="pipeline",
+)
+def multimodal_jpeg_stats(spark, t):
+    """REAL baseline-JPEG decode end-to-end with NO codec library:
+    synthesize entropy-coded JPEGs per doc (operators/jpeg_py.py —
+    FDCT, quantize, zigzag run-length, canonical Huffman, byte
+    stuffing), decode them from scratch (marker walk, file-declared
+    Huffman tables, IDCT), emit channel means. Block-constant fixture
+    + unit quant tables make the lossy codec exact here (DC-only
+    blocks), so the bytes-blind oracle predicts the decoded means
+    from the block-gray formula alone — a Huffman/zigzag/DCT bug
+    cannot cancel out. General-image loss bounds are property-tested
+    in tests/test_multimodal.py."""
+    from ..operators import multimodal as mm
+
+    media = mm.synthesize_jpeg_media(
+        t.documents.filter(F.col("doc_id") < 100), "doc_id"
+    )
+    return mm.extract_image_stats(media)
+
+
+@register(
     "corpus_clean_v2",
     oracle=f"""
 WITH RECURSIVE toks0 AS (

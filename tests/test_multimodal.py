@@ -160,3 +160,77 @@ def test_png_stats_distributed(spark):
     }
     assert len(png_stats) == 48
     assert png_stats == ppm_stats
+
+
+def test_jpeg_exact_round_trip_block_constant():
+    """Block-constant images + unit quant tables round-trip EXACTLY
+    through the full entropy-coded pipeline (DC-only blocks have no
+    quantization or IDCT rounding error) — gray, color, and odd grid
+    shapes, plus the single-component grayscale scan."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators import jpeg_py as J
+
+    rng = np.random.default_rng(7)
+    for bx, by in [(2, 2), (3, 1), (1, 4)]:
+        w, h = bx * 8, by * 8
+        blocks = rng.integers(0, 256, size=(by, bx))
+        img = np.kron(blocks, np.ones((8, 8), dtype=np.int64)).astype(
+            np.uint8
+        )
+        rgb = np.stack([img] * 3, axis=-1)
+        dw, dh, out = J.decode_jpeg(J.encode_jpeg(w, h, rgb.reshape(-1)))
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(out, rgb)
+        dw, dh, outg = J.decode_jpeg(
+            J.encode_jpeg(w, h, img.reshape(-1), grayscale=True)
+        )
+        assert np.array_equal(outg, rgb)
+    with _pytest.raises(ValueError):
+        J.decode_jpeg(b"\x89PNG not a jpeg")
+
+
+def test_jpeg_lossy_error_bounded():
+    """Random images through the lossy table: reconstruction error is
+    bounded by the quantization step (here max step 43 -> allow 64),
+    and unit-table encoding stays within color-conversion rounding
+    (+-5: two chroma roundings compound through the 1.772 gain).
+    Proves the decoder handles dense AC coefficients, ZRL,
+    EOB, and non-multiple-of-8 dims — the general path, not just the
+    DC-only fixture."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators import jpeg_py as J
+
+    rng = np.random.default_rng(11)
+    for w, h in [(24, 16), (21, 13)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        _, _, exact = J.decode_jpeg(J.encode_jpeg(w, h, img.reshape(-1)))
+        assert np.abs(exact.astype(int) - img.astype(int)).max() <= 5
+        _, _, lossy = J.decode_jpeg(
+            J.encode_jpeg(w, h, img.reshape(-1), qtable=J.LOSSY_QTABLE)
+        )
+        assert np.abs(lossy.astype(int) - img.astype(int)).max() <= 64
+
+
+def test_jpeg_stats_distributed(spark):
+    """Distributed JPEG decode: synthesized block-constant JPEGs
+    decode to the means the block formula predicts — the same
+    bytes-blind check the DuckDB oracle of multimodal_jpeg_stats
+    performs."""
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    docs = spark.range(0, 32).withColumnRenamed("id", "doc_id")
+    stats = {
+        r.media_id: (r.width, r.height, r.mean_r, r.mean_g, r.mean_b)
+        for r in mm.extract_image_stats(
+            mm.synthesize_jpeg_media(docs, "doc_id")
+        ).collect()
+    }
+    assert len(stats) == 32
+    for mid, (w, h, mr, mg, mb) in stats.items():
+        grays = [(mid * 7 + j * 13) % 256 for j in range(4)]
+        want = sum(grays) / 4
+        assert (w, h) == (16, 16)
+        assert mr == mg == mb == want
