@@ -387,6 +387,43 @@ def multimodal_jpeg_stats(spark, t):
 
 
 @register(
+    "multimodal_video_frames",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 50),
+fr AS (SELECT UNNEST([0, 2, 4, 6]) AS f),
+blk AS (
+  SELECT doc_id, f, j, (doc_id * 7 + f * 29 + j * 13) % 256 AS g
+  FROM ids, fr, generate_series(0, 3) AS t(j)
+)
+SELECT doc_id AS media_id,
+       CAST(f AS INT) AS frame_idx,
+       CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+       CAST(SUM(g) AS DOUBLE) / 4 AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / 4 AS mean_g,
+       CAST(SUM(g) AS DOUBLE) / 4 AS mean_b
+FROM blk GROUP BY 1, 2
+""",
+    category="pipeline",
+)
+def multimodal_video_frames(spark, t):
+    """REAL video frame sampling end-to-end: synthesize MJPEG-in-AVI
+    payloads (RIFF container, one baseline JPEG per '00dc' chunk),
+    walk the RIFF tree, pick 4 of 8 evenly spaced frames, decode each
+    with the from-scratch JPEG decoder, emit per-frame channel means.
+    The oracle recomputes every sampled frame's means from the
+    (id, frame, block) gray formula — bytes-blind through TWO
+    container layers (AVI chunk walk AND JPEG entropy decode).
+    Upgrades the former byte-slice frame-sampling stub to genuine
+    video decode; the 1->N UDTF fan-out contract is unchanged."""
+    from ..operators import multimodal as mm
+
+    media = mm.synthesize_avi_media(
+        t.documents.filter(F.col("doc_id") < 50), "doc_id"
+    )
+    return mm.sample_video_frames_decoded(media, n_frames=4)
+
+
+@register(
     "corpus_clean_v2",
     oracle=f"""
 WITH RECURSIVE toks0 AS (

@@ -80,13 +80,22 @@ def main() -> int:
         return 2
 
     best = _load_history()
+    # Machine-speed normalization: rounds run on different VMs (a
+    # uniform 1.3x-slower host is common), so compare each query's
+    # slowdown RATIO against the run's median ratio — a plan
+    # regression shows up as one query far off the run's own norm,
+    # not as absolute seconds.
+    ratios = {
+        name: sec / best[name]
+        for name, sec in result["queries"].items()
+        if best.get(name, 0) >= MIN_SECONDS
+    }
+    factor = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+    factor = max(factor, 1.0)
     failures = []
-    for name, sec in result["queries"].items():
-        known = best.get(name)
-        if known is None or known < MIN_SECONDS:
-            continue
-        if sec > known * THRESHOLD:
-            failures.append((name, sec, known))
+    for name, ratio in ratios.items():
+        if ratio > THRESHOLD * factor:
+            failures.append((name, result["queries"][name], best[name]))
 
     merged = dict(best)
     for name, sec in result["queries"].items():
@@ -100,12 +109,14 @@ def main() -> int:
         for name, sec, known in failures:
             print(
                 f"REGRESSION {name}: {sec:.3f}s vs best {known:.3f}s "
-                f"({sec / known:.2f}x > {THRESHOLD}x)"
+                f"({sec / known:.2f}x > {THRESHOLD}x * machine factor "
+                f"{factor:.2f})"
             )
         return 1
     print(
         f"bench_gate: OK — {len(result['queries'])} queries within "
-        f"{THRESHOLD}x of best-known; ledger updated ({LEDGER})"
+        f"{THRESHOLD}x of best-known (machine factor {factor:.2f}); "
+        f"ledger updated ({LEDGER})"
     )
     return 0
 

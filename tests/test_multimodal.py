@@ -234,3 +234,34 @@ def test_jpeg_stats_distributed(spark):
         want = sum(grays) / 4
         assert (w, h) == (16, 16)
         assert mr == mg == mb == want
+
+
+def test_avi_mjpeg_round_trip_and_sampling(spark):
+    """AVI container round-trip (RIFF walk returns the exact frame
+    bytes, odd-sized frames 2-byte aligned) and the distributed
+    sampled-frame decode matches the block-gray formula frame by
+    frame."""
+    import numpy as np
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators import multimodal as mm
+    from hdp2_5_hive_spark.operators.jpeg_py import encode_jpeg
+
+    frames = [
+        encode_jpeg(8, 8, np.full(8 * 8 * 3, g, dtype=np.uint8))
+        for g in (0, 17, 255)
+    ]
+    avi = mm.encode_avi_mjpeg(8, 8, frames)
+    assert mm.decode_avi_mjpeg(avi) == frames
+    with _pytest.raises(ValueError):
+        mm.decode_avi_mjpeg(b"RIFF\x04\x00\x00\x00WAVE")
+
+    docs = spark.range(0, 16).withColumnRenamed("id", "doc_id")
+    media = mm.synthesize_avi_media(docs, "doc_id", n_total_frames=8)
+    got = mm.sample_video_frames_decoded(media, n_frames=4).collect()
+    assert len(got) == 16 * 4
+    for r in got:
+        assert r.frame_idx in (0, 2, 4, 6)
+        grays = [(r.media_id * 7 + r.frame_idx * 29 + j * 13) % 256 for j in range(4)]
+        assert r.mean_r == r.mean_g == r.mean_b == sum(grays) / 4
+        assert (r.width, r.height) == (16, 16)
