@@ -82,3 +82,28 @@ def field(needle: Column, *haystack: Column | str) -> Column:
     ``array_position`` has exactly these semantics."""
     vals = [v if isinstance(v, Column) else F.lit(v) for v in haystack]
     return F.array_position(F.array(*vals), needle)
+
+
+def in_file(df, col, path: str, *, flag_name: str = "in_file"):
+    """Hive ``in_file(str, filename)`` (FunctionRegistry.java:412,
+    ``udf/generic/GenericUDFInFile.java``): true when the string
+    equals a line of the file. Hive reads the file on the task node;
+    the Spark-first shape loads the line set ONCE as a DataFrame and
+    broadcast-joins it — no per-row IO, no driver loop, works at any
+    corpus size (the FILE is small by construction; the corpus side
+    never shuffles)."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    lines = (
+        spark.read.text(path)
+        .select(F.col("value").alias("__line"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    joined = df.join(
+        F.broadcast(lines), df[col] == F.col("__line"), "left"
+    )
+    return joined.select(
+        *df.columns, F.coalesce("__hit", F.lit(False)).alias(flag_name)
+    )

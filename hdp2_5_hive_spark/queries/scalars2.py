@@ -959,3 +959,68 @@ def fn_next_day_tz_suite(spark, t):
             "assume_la_utc"
         ),
     )
+
+
+@register(
+    "fn_in_file",
+    oracle="""
+SELECT n_name,
+       n_name IN ('ALGERIA', 'BRAZIL', 'CHINA', 'NO SUCH NATION')
+           AS in_file
+FROM nation
+""",
+    category="scalar",
+)
+def fn_in_file(spark, t):
+    """Hive in_file(str, filename) (FunctionRegistry.java:412,
+    GenericUDFInFile.java) — closes the one documented §2.9 skip.
+    The line file is materialized at plan time, loaded once, and
+    broadcast — never read per row. The oracle restates membership as
+    an IN list over the same line set."""
+    import os
+    import tempfile
+
+    from ..functions.hive_compat import in_file
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hdp25_in_file_fixture.txt"
+    )
+    if not os.path.exists(path):
+        with open(path, "w") as fh:
+            fh.write("ALGERIA\nBRAZIL\nCHINA\nNO SUCH NATION\n")
+    return in_file(t.nation.select("n_name"), "n_name", path)
+
+
+@register(
+    "virtual_row_offset",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(0 AS BIGINT) AS min_off,
+       CAST(COUNT(*) - 1 AS BIGINT) AS max_off,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_off,
+       CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS sum_off
+FROM orders
+""",
+    category="scalars",
+)
+def virtual_row_offset(spark, t):
+    """BLOCK__OFFSET__INSIDE__FILE / ROW__OFFSET__INSIDE__BLOCK
+    (VirtualColumn.java:49-50) — previously documented as skipped;
+    Spark's parquet ``_metadata.row_index`` hidden column provides
+    the same per-file row-position fact. Row order is engine
+    internal, so the oracle pins the derived invariants: offsets are
+    dense 0..N-1 (min/max/distinct/sum all follow the closed form) —
+    any off-by-one, duplicate, or gap breaks at least one aggregate.
+    Reads the parquet path directly: hidden metadata columns attach
+    to file scans, not views."""
+    import os
+
+    orders = spark.read.parquet(os.path.join(t.sf_dir, "orders.parquet"))
+    off = orders.select(F.col("_metadata.row_index").alias("off"))
+    return off.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.min("off").alias("min_off"),
+        F.max("off").alias("max_off"),
+        F.countDistinct("off").alias("n_distinct_off"),
+        F.sum("off").alias("sum_off"),
+    )
