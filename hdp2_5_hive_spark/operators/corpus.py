@@ -321,3 +321,93 @@ def train_holdout_split(
         .otherwise(F.lit("train"))
         .alias("split"),
     )
+
+
+def line_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_words: int = 10,
+) -> DataFrame:
+    """Corpus-global line-level dedup (the C4/RefinedWeb recipe: a
+    boilerplate line repeated across pages is kept once, corpus-wide).
+    The testdata has no newlines, so a "line" is a fixed
+    ``chunk_words``-word chunk — same shuffle shape as real lines.
+
+    Plan: chunk in-array (slice — no per-word explode), ONE explode
+    to (doc, chunk_idx, chunk), ONE hash shuffle partitioned by chunk
+    text where row_number over (doc_id, chunk_idx) keeps the first
+    occurrence, then rebuild each doc ordered by chunk_idx. At 100 TB
+    this is exactly one exchange on the line hash plus one on doc_id
+    — the known-scalable shape — and skew (a line repeated millions
+    of times) only affects the degenerate key's partition, which AQE
+    splits; the row_number window needs no global sort.
+
+    Output: (id, text_clean, n_kept) — docs whose every chunk was a
+    repeat drop out entirely (both engines derive this the same way).
+    """
+    w = words_col(F.col(text_col))
+    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    chunks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * chunk_words + 1, chunk_words)
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    first = (
+        chunks.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("chunk").orderBy("_id", "chunk_idx")
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        first.groupBy("_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
+def redact_pii(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """PII scrubbing for training corpora: email / simple phone
+    patterns replaced with typed placeholder tokens, counts reported
+    per doc. Pure JVM regexp (codegen, no UDF); patterns restricted
+    to the RE2-compatible subset so the DuckDB oracle runs the exact
+    same expressions."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}-\d{4}\b"
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(
+            F.regexp_replace(t, email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("text_redacted"),
+        F.size(F.regexp_extract_all(t, F.lit(email), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(t, F.lit(phone), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )

@@ -560,3 +560,97 @@ def split_train_holdout(spark, t):
     from ..operators import corpus as cp
 
     return cp.train_holdout_split(t.documents)
+
+
+@register(
+    "corpus_line_dedup",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+ex AS (
+  SELECT doc_id, w,
+         unnest([i for i in range(0, CAST(ceil(len(w) / 10.0) AS INT))])
+           AS chunk_idx
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(
+           list_slice(w, chunk_idx * 10 + 1, chunk_idx * 10 + 10), ' ')
+           AS chunk
+  FROM ex
+),
+kept AS (
+  SELECT doc_id, chunk_idx, chunk,
+         row_number() OVER (
+           PARTITION BY chunk ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM ch
+)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_clean,
+       CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept WHERE rn = 1 GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def corpus_line_dedup(spark, t):
+    """C4-style corpus-global line dedup (10-word chunks standing in
+    for lines — the testdata has no newlines): a chunk repeated
+    anywhere in the corpus survives only at its first (doc_id,
+    chunk_idx) occurrence; docs rebuild in chunk order. One exchange
+    on the chunk hash + one on doc_id — the scalable recipe shape.
+    The duplicate documents planted in the testdata make the filter
+    fire corpus-wide."""
+    from ..operators.corpus import line_dedup
+
+    return line_dedup(t.documents, "doc_id", "text", chunk_words=10)
+
+
+@register(
+    "text_redact_pii",
+    oracle="""
+WITH fixture AS (
+  SELECT doc_id,
+         text || ' reach me at user' || CAST(doc_id % 50 AS VARCHAR)
+              || '@mail.example.com or 555-' ||
+              lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g'),
+         '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(
+         text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+         AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b')) AS INT)
+         AS n_phones
+FROM fixture
+""",
+    category="pipeline",
+)
+def text_redact_pii(spark, t):
+    """PII redaction over a deterministically injected fixture (the
+    corpus ships no emails/phones, so both engines append the same
+    synthetic contact tail): email/phone regexes -> typed
+    placeholders + per-doc match counts. JVM regexp codegen on the
+    Spark side; identical RE2-compatible patterns in the oracle."""
+    from ..operators.corpus import redact_pii
+
+    docs = t.documents.filter(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return redact_pii(docs, "doc_id", "text")

@@ -258,3 +258,48 @@ def test_train_holdout_split_map_only_and_leakproof(spark, docs):
     two = docs.limit(1).union(docs.limit(1))
     buckets = [r.bucket for r in train_holdout_split(two).collect()]
     assert buckets[0] == buckets[1]
+
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    """A chunk repeated across docs survives only at its first
+    (doc_id, chunk_idx); unique chunks are untouched; a doc that is
+    entirely repeats drops out."""
+    from hdp2_5_hive_spark.operators.corpus import line_dedup
+
+    a = "a b c"          # unique
+    rep = "x y z"        # repeated everywhere
+    rows = [
+        (1, rep + " " + a),   # chunk0=rep (first), chunk1=a
+        (2, rep),             # chunk0=rep (dup) -> doc drops out
+        (3, a + " " + rep),   # both chunks are dups of doc1's
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.text_clean, r.n_kept)
+        for r in line_dedup(df, "doc_id", "text", chunk_words=3).collect()
+    }
+    # doc1 keeps both chunks (first occurrence of rep AND of a)
+    assert out[1] == (rep + " " + a, 2)
+    # doc2 was nothing but a repeat of rep -> gone
+    assert 2 not in out
+    # doc3: its "a b c" chunk is a dup of doc1's, its rep chunk too
+    assert 3 not in out
+    assert len(out) == 1
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    from hdp2_5_hive_spark.operators.corpus import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@c.io and x@y.org now"),
+            (2, "call 555-0199 or 555-0100"),
+            (3, "clean text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert out[1].n_emails == 2 and out[1].n_phones == 0
+    assert out[1].text_redacted == "mail <EMAIL> and <EMAIL> now"
+    assert out[2].n_phones == 2 and "<PHONE>" in out[2].text_redacted
+    assert out[3].text_redacted == "clean text"
