@@ -25,9 +25,9 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     all oracle-backed — proves the §2.1 physical-operator rows
 #     (ReduceSink/Union/UDTF/LateralView/Script/FileSink/SMB/merge),
 #     §2.2 formats, §2.10 streaming twins, §2.11 subqueries, §2.12.
-#   round 4 should front: pipeline(20) pipeline2(10) scalars2(26)
-#     (the LLM-pipeline ops + remaining §2.9 inventory), then the
-#     leftovers (windows tail, rows-only conversions).
+#   round 4 should front: pipeline(20+) pipeline2(12) acid(2)
+#     scalars2(26) (the LLM-pipeline ops, ACID DML + remaining §2.9
+#     inventory), then the leftovers (windows tail).
 _MODULES = (
     "scalars",
     "setops",
@@ -36,6 +36,7 @@ _MODULES = (
     "extensions",
     "streaming_batch",
     "formats",
+    "acid",
     "pipeline",
     "pipeline2",
     "scalars2",

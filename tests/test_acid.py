@@ -1,0 +1,229 @@
+"""ACID DML tests: UPDATE / DELETE / MERGE INTO as copy-on-write
+partition-pruned rewrites (UpdateDeleteSemanticAnalyzer.java:50,68-94;
+SURVEY §2.2 "UPDATE/DELETE → DataFrame rewrite").
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hdp2_5_hive_spark.sources import acid
+
+SF = "/root/testdata/sf0.001"
+
+
+def _seed_partitioned(spark, path: str):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    (
+        orders.repartition("o_orderpriority")
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    return orders
+
+
+def _files_by_partition(path: str) -> dict[str, set[str]]:
+    out: dict[str, set[str]] = {}
+    for d in os.listdir(path):
+        if d.startswith("o_orderpriority="):
+            out[d] = {
+                f for f in os.listdir(os.path.join(path, d))
+                if f.endswith(".parquet")
+            }
+    return out
+
+
+def test_delete_prunes_untouched_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    orders = _seed_partitioned(spark, path)
+    before = _files_by_partition(path)
+
+    acid.delete_from(
+        spark,
+        path,
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000),
+        partition_cols=["o_orderpriority"],
+    )
+
+    after = _files_by_partition(path)
+    # Only the 1-URGENT partition's files changed.
+    for part in before:
+        if part == "o_orderpriority=1-URGENT":
+            assert before[part] != after[part]
+        else:
+            assert before[part] == after[part], f"{part} was rewritten"
+
+    back = spark.read.parquet(path)
+    expected = orders.filter(
+        ~((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 200000))
+    ).count()
+    assert back.count() == expected
+    assert (
+        back.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > 200000)
+        ).count()
+        == 0
+    )
+
+
+def test_delete_no_match_zero_io(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed_partitioned(spark, path)
+    before = _files_by_partition(path)
+    acid.delete_from(
+        spark, path, F.col("o_totalprice") < -1, partition_cols=["o_orderpriority"]
+    )
+    assert _files_by_partition(path) == before
+
+
+def test_update_patches_only_matches(spark, tmp_path):
+    path = str(tmp_path / "t")
+    orders = _seed_partitioned(spark, path)
+    n_before = orders.count()
+    hit = F.col("o_totalprice") > 300000
+
+    acid.update_table(
+        spark,
+        path,
+        {"o_totalprice": F.col("o_totalprice") * 0.9},
+        hit,
+        partition_cols=["o_orderpriority"],
+    )
+
+    back = spark.read.parquet(path)
+    assert back.count() == n_before  # updates never change cardinality
+    expected_gt = orders.filter(
+        hit & (F.col("o_totalprice") * 0.9 > 300000)
+    ).count()
+    assert back.filter(F.col("o_totalprice") > 300000).count() == expected_gt
+    assert back.agg(F.max("o_totalprice")).first()[0] == pytest.approx(
+        0.9 * orders.agg(F.max("o_totalprice")).first()[0], rel=1e-12
+    )
+    # Non-matching rows preserved, matches scaled: totals agree.
+    expected_total = (
+        orders.filter(~hit).agg(F.sum("o_totalprice")).first()[0]
+        + 0.9 * orders.filter(hit).agg(F.sum("o_totalprice")).first()[0]
+    )
+    got_total = back.agg(F.sum("o_totalprice")).first()[0]
+    assert got_total == pytest.approx(expected_total, rel=1e-9)
+
+
+def test_update_partition_column_rejected(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed_partitioned(spark, path)
+    with pytest.raises(ValueError, match="partition column"):
+        acid.update_table(
+            spark,
+            path,
+            {"o_orderpriority": F.lit("5-LOW")},
+            F.lit(True),
+            partition_cols=["o_orderpriority"],
+        )
+
+
+def test_unpartitioned_full_rewrite(spark, tmp_path):
+    path = str(tmp_path / "t")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    nation.write.parquet(path)
+    acid.delete_from(spark, path, F.col("n_regionkey") == 0)
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("n_regionkey") == 0).count() == 0
+    assert back.count() == nation.filter(F.col("n_regionkey") != 0).count()
+
+
+def test_merge_update_insert_delete(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    ).write.parquet(path)
+    source = spark.createDataFrame(
+        [(2, "b2", 99.0), (3, "c", -1.0), (4, "d", 40.0)],
+        "id long, name string, v double",
+    )
+
+    acid.merge_into(
+        spark,
+        path,
+        source,
+        on=["id"],
+        matched_update={"name": F.col("s.name"), "v": F.col("s.v")},
+        matched_delete=F.col("s.v") < 0,
+        not_matched_insert=True,
+    )
+
+    got = {
+        r.id: (r.name, r.v) for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),   # untouched
+        2: ("b2", 99.0),  # matched update
+        4: ("d", 40.0),   # not-matched insert
+    }  # id=3 deleted by WHEN MATCHED AND s.v < 0 THEN DELETE
+
+
+def test_merge_partitioned_prunes(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _seed_partitioned(spark, path)
+    before = _files_by_partition(path)
+
+    # Source touches only 2-HIGH rows (update) + inserts a 2-HIGH row.
+    tgt = spark.read.parquet(path)
+    keys = (
+        tgt.filter(F.col("o_orderpriority") == "2-HIGH")
+        .select("o_orderkey")
+        .limit(5)
+    )
+    source = keys.select(
+        "o_orderkey", F.lit(123.45).alias("new_price")
+    ).union(
+        spark.createDataFrame([(999999999, 1.0)], "o_orderkey long, new_price double")
+    )
+    # Give the insert row full target shape via merge insert of source cols
+    source = source.withColumn("o_custkey", F.lit(1).cast("long")).withColumn(
+        "o_orderpriority", F.lit("2-HIGH")
+    )
+
+    acid.merge_into(
+        spark,
+        path,
+        source,
+        on=["o_orderkey"],
+        matched_update={"o_totalprice": F.col("s.new_price")},
+        not_matched_insert=True,
+        partition_cols=["o_orderpriority"],
+    )
+
+    after = _files_by_partition(path)
+    for part in before:
+        if part == "o_orderpriority=2-HIGH":
+            assert before[part] != after[part]
+        else:
+            assert before[part] == after[part], f"{part} was rewritten"
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("o_totalprice") == 123.45).count() == 5
+    assert back.filter(F.col("o_orderkey") == 999999999).count() == 1
+
+
+def test_merge_cardinality_violation(spark, tmp_path):
+    path = str(tmp_path / "t")
+    spark.createDataFrame([(1, 1.0)], "id long, v double").write.parquet(path)
+    dup_source = spark.createDataFrame(
+        [(1, 2.0), (1, 3.0)], "id long, v double"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        acid.merge_into(
+            spark,
+            path,
+            dup_source,
+            on=["id"],
+            matched_update={"v": F.col("s.v")},
+        )
