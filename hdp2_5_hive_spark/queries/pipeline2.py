@@ -654,3 +654,38 @@ def text_redact_pii(spark, t):
         ).alias("text"),
     )
     return redact_pii(docs, "doc_id", "text")
+
+
+@register(
+    "multimodal_audio_spectrogram",
+    oracle="""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+smp AS (
+  SELECT doc_id, i,
+         ((doc_id * 31 + i * 7) % 65536) - 32768 AS s
+  FROM ids, generate_series(0, 63) AS t(i)
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS INT) AS n_frames,
+       CAST(SUM(s) AS DOUBLE) AS dc_total,
+       CAST(SUM(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS DOUBLE)
+         AS nyquist_total,
+       TRUE AS parseval_ok
+FROM smp GROUP BY 1
+""",
+    category="pipeline",
+)
+def multimodal_audio_spectrogram(spark, t):
+    """Spectrogram front-end over REAL WAV decode: frame the PCM into
+    16-sample frames, rfft each (vectorized 2-D FFT per Arrow batch),
+    and emit FFT-bin features the oracle derives WITHOUT an FFT:
+    bin-0 (= plain sample sum), the Nyquist bin (= sign-alternating
+    sum — catches framing/order bugs), and a Parseval energy check.
+    DC/Nyquist bins of integer samples are exact in float64 at these
+    magnitudes, so the hashes match bit-for-bit."""
+    from ..operators import multimodal as mm
+
+    media = mm.synthesize_wav_media(
+        t.documents.filter(F.col("doc_id") < 100), "doc_id"
+    )
+    return mm.extract_audio_spectrogram(media, frame_len=16)

@@ -265,3 +265,47 @@ def test_avi_mjpeg_round_trip_and_sampling(spark):
         grays = [(r.media_id * 7 + r.frame_idx * 29 + j * 13) % 256 for j in range(4)]
         assert r.mean_r == r.mean_g == r.mean_b == sum(grays) / 4
         assert (r.width, r.height) == (16, 16)
+
+
+def test_audio_spectrogram_known_signals(spark):
+    """Constant signal -> all energy in DC; alternating signal ->
+    all in the Nyquist bin. Both analytically known, so the FFT
+    path is pinned, not just self-consistent."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    const = np.full(32, 100, dtype="<i2")          # DC only
+    alt = np.array([100, -100] * 16, dtype="<i2")  # Nyquist only
+    rows = [
+        (1, mm.encode_wav(const)),
+        (2, mm.encode_wav(alt)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {
+        r.media_id: r
+        for r in mm.extract_audio_spectrogram(media, frame_len=16).collect()
+    }
+    # 32 samples / 16-frame -> 2 frames each.
+    assert out[1].n_frames == 2 and out[2].n_frames == 2
+    assert out[1].dc_total == 32 * 100.0   # sum of samples
+    assert out[1].nyquist_total == 0.0
+    assert out[2].dc_total == 0.0
+    assert out[2].nyquist_total == 32 * 100.0  # (-1)^i * s_i all +100
+    assert out[1].parseval_ok and out[2].parseval_ok
+
+
+def test_audio_spectrogram_partial_frame_dropped(spark):
+    """A trailing incomplete frame is excluded from every feature
+    (the oracle's complete-frames contract)."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    s = np.arange(20, dtype="<i2")  # 1 full 16-frame + 4 leftover
+    media = spark.createDataFrame(
+        [(7, mm.encode_wav(s))], "media_id long, payload binary"
+    )
+    r = mm.extract_audio_spectrogram(media, frame_len=16).collect()[0]
+    assert r.n_frames == 1
+    assert r.dc_total == float(sum(range(16)))  # leftover 16..19 dropped
