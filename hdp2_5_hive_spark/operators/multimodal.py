@@ -789,36 +789,101 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def resize_stub(payload: bytes, width: int, height: int) -> bytes:
-    """STUB resize kernel (real: PIL/libvips). Deterministic fake:
-    payload truncated/cycled to width*height bytes — preserves the
-    (payload, dims) → payload contract shape."""
-    if not payload:
-        raise NotImplementedError("real resize requires an image codec library")
-    n = width * height
-    reps = -(-n // len(payload))
-    return (payload * reps)[:n]
+IMAGE_CHECKSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+        T.StructField("wsum", T.LongType(), True),
+    ]
+)
 
 
-def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """Batch image resize over mapInPandas: (media_id, payload) →
-    (media_id, width, height, payload'). Arrow both ways; the kernel
-    sees a pandas batch, never a row."""
+def resize_area(payload: bytes, factor: int = 2) -> bytes:
+    """REAL image resize: factor×factor box-filter (area) downsample
+    of the decoded raster — each output pixel is the floor of the
+    mean of its source block, all-integer arithmetic so any engine
+    can reproduce the exact bytes. PPM (P6) in → PPM out; trailing
+    rows/cols that don't fill a block are cropped (the standard
+    area-resize contract for non-divisible dims)."""
+    import numpy as np
+
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("resize_area expects a P6 PPM payload")
+    header, _, raster = payload.partition(b"\n")
+    _, w, h, _maxval = header.split()
+    w, h = int(w), int(h)
+    px = (
+        np.frombuffer(raster, dtype=np.uint8, count=w * h * 3)
+        .reshape(h, w, 3)
+        .astype(np.int64)
+    )
+    H, W = h // factor, w // factor
+    if H == 0 or W == 0:
+        raise ValueError(f"image {w}x{h} too small for factor {factor}")
+    block = px[: H * factor, : W * factor].reshape(H, factor, W, factor, 3)
+    out = block.sum(axis=(1, 3)) // (factor * factor)
+    return encode_ppm(W, H, out.astype(np.uint8).reshape(-1))
+
+
+def resize_images_area(media: DataFrame, factor: int = 2) -> DataFrame:
+    """Batch REAL area resize over mapInPandas: decode → box filter →
+    re-encode, Arrow both ways. Output dims come from each payload's
+    own header (images in one batch may differ in size)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "width": width,
-                    "height": height,
-                    "payload": pdf["payload"].map(
-                        lambda p: resize_stub(p, width, height)
-                    ),
-                }
-            )
+            rows = {k: [] for k in RESIZED_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                small = resize_area(payload, factor)
+                header = small.split(b"\n", 1)[0].split()
+                rows["media_id"].append(mid)
+                rows["width"].append(int(header[1]))
+                rows["height"].append(int(header[2]))
+                rows["payload"].append(small)
+            yield pd.DataFrame(rows)
 
-    return media.select("media_id", "payload").mapInPandas(kernel, RESIZED_SCHEMA)
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, RESIZED_SCHEMA
+    )
+
+
+def extract_image_checksum(media: DataFrame) -> DataFrame:
+    """Position-weighted raster checksum: per-channel integer sums
+    plus Σ (1 + y·w + x)·(r + 2g + 3b) — unlike a plain mean, the
+    weight makes pixel ORDER matter, so a transposed / flipped /
+    misindexed raster cannot hash the same."""
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in IMAGE_CHECKSUM_SCHEMA.fieldNames()}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                header, _, raster = payload.partition(b"\n")
+                _, w, h, _mx = header.split()
+                w, h = int(w), int(h)
+                px = (
+                    np.frombuffer(raster, dtype=np.uint8, count=w * h * 3)
+                    .reshape(h * w, 3)
+                    .astype(np.int64)
+                )
+                weight = 1 + np.arange(h * w, dtype=np.int64)
+                value = px[:, 0] + 2 * px[:, 1] + 3 * px[:, 2]
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["r_sum"].append(int(px[:, 0].sum()))
+                rows["g_sum"].append(int(px[:, 1].sum()))
+                rows["b_sum"].append(int(px[:, 2].sum()))
+                rows["wsum"].append(int((weight * value).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, IMAGE_CHECKSUM_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:

@@ -552,27 +552,41 @@ def ann_ivf_topk(spark, t):
 @register(
     "multimodal_resize",
     oracle="""
-SELECT doc_id AS media_id, 8 AS width, 8 AS height,
-       64 AS payload_len
-FROM documents WHERE doc_id < 100 AND length(text) > 0
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+blk AS (
+  SELECT doc_id, X, Y,
+         SUM((doc_id * 7  + 13 * ((2*Y+dy) * 8 + 2*X+dx)) % 256) // 4 AS r,
+         SUM((doc_id * 11 + 17 * ((2*Y+dy) * 8 + 2*X+dx)) % 256) // 4 AS g,
+         SUM((doc_id * 13 + 19 * ((2*Y+dy) * 8 + 2*X+dx)) % 256) // 4 AS b
+  FROM ids,
+       generate_series(0, 3) AS tx(X),
+       generate_series(0, 1) AS ty(Y),
+       generate_series(0, 1) AS tdx(dx),
+       generate_series(0, 1) AS tdy(dy)
+  GROUP BY doc_id, X, Y
+)
+SELECT doc_id AS media_id,
+       CAST(4 AS INT) AS width, CAST(2 AS INT) AS height,
+       CAST(SUM(r) AS BIGINT) AS r_sum,
+       CAST(SUM(g) AS BIGINT) AS g_sum,
+       CAST(SUM(b) AS BIGINT) AS b_sum,
+       CAST(SUM((1 + Y*4 + X) * (r + 2*g + 3*b)) AS BIGINT) AS wsum
+FROM blk GROUP BY doc_id
 """,
     category="pipeline",
 )
 def multimodal_resize(spark, t):
-    """Image-resize plumbing over mapInPandas (stub kernel — no codec
-    libs in this container; the Arrow batch path, schema, and
-    deterministic payload contract are real). The oracle checks the
-    SHAPE contract: every payload resized to exactly width×height
-    bytes."""
-    docs = t.documents.filter((F.col("doc_id") < 100) & (F.length("text") > 0))
-    media = mm.attach_binary_payload(docs, "text", "doc_id")
-    resized = mm.resize_images(media, 8, 8)
-    return resized.select(
-        "media_id",
-        "width",
-        "height",
-        F.length("payload").alias("payload_len"),
+    """REAL image resize (upgraded from the r2 stub): synthesize 8x4
+    PPMs, 2x2 box-filter downsample to 4x2 (all-integer floor-mean —
+    operators/multimodal.resize_area), then a position-weighted
+    checksum of the RESIZED raster. The oracle reconstructs every
+    output pixel from the synthesis formula with the same floor
+    division — resampling, indexing, and re-encode are all pinned
+    (a flipped or transposed raster changes wsum)."""
+    media = mm.synthesize_ppm_media(
+        t.documents.filter(F.col("doc_id") < 100), "doc_id"
     )
+    return mm.extract_image_checksum(mm.resize_images_area(media, factor=2))
 
 
 @register(

@@ -28,11 +28,37 @@ def test_features_deterministic(media):
     assert all(len(v) == 8 for v in f1.values())
 
 
-def test_resize_contract(media):
-    out = mm.resize_images(media, 16, 8).collect()
-    assert all(len(r.payload) == 16 * 8 for r in out)
-    assert all(r.width == 16 and r.height == 8 for r in out)
-    assert len(out) == media.count()
+def test_resize_area_exact(spark):
+    """2x2 box downsample of a known 4x2 image: each output pixel is
+    the floor-mean of its block, verified by hand."""
+    import numpy as np
+
+    # 4x2 image, R channel = [[0,10,20,30],[40,50,60,70]], G=R+1, B=R+2
+    r = np.array([[0, 10, 20, 30], [40, 50, 60, 70]], dtype=np.int64)
+    rgb = np.stack([r, r + 1, r + 2], axis=2).astype(np.uint8).reshape(-1)
+    payload = mm.encode_ppm(4, 2, rgb)
+    small = mm.resize_area(payload, factor=2)
+    header, _, raster = small.partition(b"\n")
+    assert header.split()[1:3] == [b"2", b"1"]
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(1, 2, 3)
+    # block means: (0+10+40+50)//4=25, (20+30+60+70)//4=45
+    assert px[0, 0].tolist() == [25, 26, 27]
+    assert px[0, 1].tolist() == [45, 46, 47]
+
+
+def test_resize_images_area_batch(spark):
+    """Distributed resize keeps per-image dims and row count."""
+    import numpy as np
+
+    rows = []
+    for mid, (w, h) in [(1, (8, 4)), (2, (6, 2))]:
+        n = w * h * 3
+        rows.append((mid, mm.encode_ppm(w, h, np.arange(n) % 256)))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r.media_id: r for r in mm.resize_images_area(media, 2).collect()}
+    assert (out[1].width, out[1].height) == (4, 2)
+    assert (out[2].width, out[2].height) == (3, 1)
+    assert out[1].payload.startswith(b"P6 4 2")
 
 
 def test_frame_sampling_fanout(media):
