@@ -104,3 +104,48 @@ def test_q17_broadcasts_only_narrowed_average(spark, sf_dir, qs):
 def test_q13_plans_left_outer(spark, sf_dir, qs):
     text = audit.formatted_plan(qs["q13_customer_distribution"].fn(spark, sf_dir))
     assert "LeftOuter" in text, text
+
+
+def _exchange_nodes(text: str) -> set[str]:
+    """Distinct numbered Exchange nodes in a formatted plan (the tree
+    and detail sections both print '(N) Exchange' — dedup by N)."""
+    import re as _re
+
+    return set(_re.findall(r"\((\d+)\) Exchange", text))
+
+
+def test_line_dedup_exactly_two_exchanges(spark, sf_dir):
+    """Corpus-global line dedup must shuffle exactly twice — once on
+    the chunk hash (first-occurrence window), once on doc_id (doc
+    rebuild). A third exchange would mean a plan regression that
+    multiplies at 100 TB."""
+    from hdp2_5_hive_spark.operators.corpus import line_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    facts = audit.analyze(line_dedup(docs, "doc_id", "text"))
+    assert len(_exchange_nodes(facts.text)) == 2, facts.text
+    assert "CartesianProduct" not in facts.text
+
+
+def test_redact_pii_map_only(spark, sf_dir):
+    """PII redaction is pure per-row regexp — any Exchange in this
+    plan is a bug."""
+    from hdp2_5_hive_spark.operators.corpus import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    facts = audit.analyze(redact_pii(docs, "doc_id", "text"))
+    assert len(_exchange_nodes(facts.text)) == 0, facts.text
+    assert "[codegen id" in facts.text, facts.text  # JVM regexp, no UDF
+
+
+def test_audio_spectrogram_map_only(spark, sf_dir):
+    """Synthesize → decode → FFT is mapInPandas end-to-end: no
+    shuffle anywhere in the media path."""
+    from hdp2_5_hive_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = mm.synthesize_wav_media(
+        docs.filter(docs.doc_id < 50), "doc_id"
+    )
+    facts = audit.analyze(mm.extract_audio_spectrogram(media))
+    assert len(_exchange_nodes(facts.text)) == 0, facts.text
