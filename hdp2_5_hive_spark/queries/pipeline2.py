@@ -689,3 +689,73 @@ def multimodal_audio_spectrogram(spark, t):
         t.documents.filter(F.col("doc_id") < 100), "doc_id"
     )
     return mm.extract_audio_spectrogram(media, frame_len=16)
+
+
+@register(
+    "text_hash_features",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 64 AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM toks WHERE tok <> '' GROUP BY 1, 2
+""",
+    category="pipeline",
+)
+def text_hash_features(spark, t):
+    """Hashing-trick featurization (HashingTF shape, md5 buckets so
+    the oracle reproduces the exact hash): sparse (doc, bucket,
+    count) term vectors in one explode + one shuffle — the standard
+    fixed-width, vocabulary-free first featurization of a corpus."""
+    from ..operators.features import hash_token_features
+
+    return hash_token_features(
+        t.documents.filter(F.col("doc_id") < 300), "doc_id", "text", dim=64
+    )
+
+
+@register(
+    "dedup_hash_cosine",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents WHERE doc_id < 300
+),
+sp AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS bucket,
+         COUNT(*) AS cnt
+  FROM toks WHERE tok <> '' GROUP BY 1, 2
+),
+norms AS (
+  SELECT doc_id, sqrt(SUM(cnt * cnt)) AS norm FROM sp GROUP BY 1
+),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.cnt * b.cnt) AS dot
+  FROM sp a JOIN sp b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot / (na.norm * nb.norm) AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE dot / (na.norm * nb.norm) >= 0.95
+""",
+    category="pipeline",
+)
+def dedup_hash_cosine(spark, t):
+    """Near-duplicate detection via hashed bag-of-words cosine over
+    the INVERTED-INDEX join (pairs meet only on shared buckets —
+    never an all-pairs product; the df-cut dial in
+    operators/features.sparse_cosine_pairs caps hot posting lists at
+    scale). Every arithmetic step (integer dots, IEEE sqrt/divide)
+    is reproduced exactly by the SQL oracle."""
+    from ..operators.features import hash_token_features, sparse_cosine_pairs
+
+    sparse = hash_token_features(
+        t.documents.filter(F.col("doc_id") < 300), "doc_id", "text", dim=256
+    )
+    return sparse_cosine_pairs(sparse, "doc_id", threshold=0.95)
