@@ -94,17 +94,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # shapes at this size; only CPU-dominant operators (shingling,
     # vector math — see operators/util.ensure_parallelism) re-split.
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) → read as long nanos
-        # (spark.sql.legacy.parquet.nanosAsLong), truncate to micros.
-        # DuckDB oracle side does CAST(ts AS TIMESTAMP) for parity.
+        # Schema-on-read for ts: adapt to whatever the file declares
+        # (reference serde/.../lazy/LazySimpleSerDe.java:82 — the
+        # SerDe projects the file's own type; it never assumes one).
+        # Known encodings seen from the testdata generator:
+        #   - TIMESTAMP(NANOS): Spark has no nanos type, so with
+        #     spark.sql.legacy.parquet.nanosAsLong it scans as BIGINT
+        #     nanos → truncate to micros. Integer DIV, not
+        #     floor(double /): nanosecond epochs are ~2^60 and
+        #     double's 52-bit mantissa silently rounds them
+        #     (observed ±1 µs drift vs the oracle).
+        #   - timestamp[us]/[ms] (current generator): scans as
+        #     TIMESTAMP or TIMESTAMP_NTZ → normalize NTZ to session-TZ
+        #     timestamp (session pinned UTC, so values are identical).
+        # DuckDB oracle side does CAST(ts AS TIMESTAMP) for parity
+        # with either encoding.
         from pyspark.sql import functions as F
 
-        # Integer DIV, not floor(double /): nanosecond epochs are
-        # ~2^60 and double's 52-bit mantissa silently rounds them
-        # (observed ±1 µs drift vs the oracle).
-        df = df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
-        )
+        ts_dtype = dict(df.dtypes).get("ts", "")
+        if ts_dtype == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000").cast("long"))
+            )
+        elif ts_dtype.startswith("timestamp"):
+            if ts_dtype != "timestamp":  # timestamp_ntz → timestamp
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            raise TypeError(
+                f"events.ts scanned as unsupported dtype {ts_dtype!r}; "
+                "expected bigint (legacy nanos) or timestamp[_ntz]"
+            )
     return df
 
 

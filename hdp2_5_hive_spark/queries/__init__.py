@@ -25,9 +25,15 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     all oracle-backed — proves the §2.1 physical-operator rows
 #     (ReduceSink/Union/UDTF/LateralView/Script/FileSink/SMB/merge),
 #     §2.2 formats, §2.10 streaming twins, §2.11 subqueries, §2.12.
-#   round 4 should front: pipeline(20+) pipeline2(12) acid(2)
-#     scalars2(26) (the LLM-pipeline ops, ACID DML + remaining §2.9
-#     inventory), then the leftovers (windows tail).
+#   round 4 window (SAMPLE_FRONT below): the 9 events-loader ERR rows
+#     of r3 (json ×2, streaming_batch ×7 — loader fixed this round),
+#     the 2 fixed-but-unproven rows (q12, agg_approx_distinct),
+#     ddl_persistent_catalog (cut from r3's 50 at position 51), ACID
+#     DML (2), and the never-sampled LLM-pipeline family (pipeline 20
+#     + pipeline2 16) = 50.
+#   round 5 should front: pipeline2 tail (2), scalars2 (28),
+#     win_topk_per_group, win_agg_over, sample_percent/rows — then
+#     every registered query has had >=1 CORRECTNESS row.
 _MODULES = (
     "scalars",
     "setops",
@@ -44,6 +50,104 @@ _MODULES = (
     "joins",
     "aggregates",
     "windows",
+)
+
+# Explicit sample-window order: ``all_queries()`` yields these names
+# first (in this order), then every other registered query in module
+# registration order. The driver checks a ~50-query prefix, so this
+# list IS the round's correctness window — update it per the rotation
+# ledger above each round.
+SAMPLE_FRONT: tuple[str, ...] = (
+    # fixed-but-unproven from r2/r3 (2 free greens)
+    "q12_priority_case_agg",
+    "agg_approx_distinct",
+    # r3 ERR rows — all shared the events-loader root cause, fixed
+    "json_extract",
+    "json_tuple_fields",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_window",
+    "stream_dedup_first",
+    "stream_interval_join",
+    "events_asof_join",
+    "events_rollup_daily",
+    # never sampled: ACID DML + persistent metastore
+    "acid_update_delete",
+    "acid_merge_upsert",
+    "ddl_persistent_catalog",
+    # never sampled: LLM-pipeline family (pipeline, all 20)
+    "dedup_exact",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "text_profile",
+    "text_langid",
+    "multimodal_meta",
+    "multimodal_features",
+    "events_sessionize",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "text_token_counts",
+    "text_rolling_fingerprint",
+    "dedup_components",
+    "dedup_keep_list",
+    "ann_ivf_topk",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "corpus_clean",
+    # never sampled: pipeline2 (first 16 of 18 — tail rolls to r5)
+    "decontaminate_eval_overlap",
+    "pack_sequences_ctx512",
+    "pack_bin_stats",
+    "text_repetition_stats",
+    "vocab_top_ngrams",
+    "retrieval_bm25",
+    "multimodal_decode_stats",
+    "multimodal_png_stats",
+    "multimodal_audio_stats",
+    "multimodal_jpeg_stats",
+    "multimodal_video_frames",
+    "corpus_clean_v2",
+    "split_train_holdout",
+    "corpus_line_dedup",
+    "text_redact_pii",
+    "multimodal_audio_spectrogram",
+    # ---- position 51+: round-5 ledger starts here ----
+    "text_hash_features",
+    "dedup_hash_cosine",
+    "fn_string_suite2",
+    "fn_initcap_elt_field",
+    "fn_xpath_suite",
+    "fn_interval_arith",
+    "fn_uniontype_encoding",
+    "fn_mask_suite",
+    "agg_ngrams",
+    "agg_context_ngrams",
+    "agg_histogram_numeric",
+    "virtual_input_file_name",
+    "fn_misc_math",
+    "fn_datetime_parts",
+    "sample_percent",
+    "fn_crypto_roundtrip",
+    "fn_hash_extra",
+    "fn_date_tail",
+    "fn_sentences_soundex",
+    "fn_char_varchar",
+    "fn_decimal_division",
+    "sample_rows",
+    "fn_decimal_round",
+    "fn_java_hashcode",
+    "fn_reflect_suite",
+    "fn_format_number",
+    "agg_hll_sketch",
+    "fn_next_day_tz_suite",
+    "fn_in_file",
+    "virtual_row_offset",
+    "win_topk_per_group",
+    "win_agg_over",
+    "fmt_csv_round_trip",
+    "fmt_text_serde_round_trip",
 )
 
 

@@ -216,6 +216,67 @@ def fmt_concatenate_compact(spark, t):
 
 
 @register(
+    "fmt_csv_round_trip",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_acctbal > 9000
+""",
+    category="formats",
+)
+def fmt_csv_round_trip(spark, t):
+    """CSV (OpenCSVSerde analogue, ``serde/.../OpenCSVSerde.java``)
+    write→read round-trip: header + quoted fields out, schema-on-read
+    back (CSV itself is untyped — the declared read schema plays the
+    SerDe's type-projection role). Doubles survive exactly: Spark
+    writes shortest-round-trip decimal and reads it back to the same
+    binary64."""
+    d = tempfile.mkdtemp(prefix="fmt_csv_")
+    src = t.customer.filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    src.write.mode("overwrite").option("header", True).csv(d)
+    return spark.read.schema(
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal double, c_mktsegment string"
+    ).option("header", True).csv(d)
+
+
+@register(
+    "fmt_text_serde_round_trip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_nationkey < 10
+""",
+    category="formats",
+)
+def fmt_text_serde_round_trip(spark, t):
+    """Hive TEXTFILE + LazySimpleSerDe round-trip
+    (``serde/.../lazy/LazySimpleSerDe.java:82``): rows serialized with
+    Hive's default field delimiter \\x01 into plain text files, read
+    back via ``spark.read.text`` + split/cast — schema-on-read exactly
+    as the SerDe does it (deserialize is just byte-slicing + lazy
+    primitive parse)."""
+    d = tempfile.mkdtemp(prefix="fmt_text_")
+    src = t.supplier.filter(F.col("s_nationkey") < 10).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    src.select(
+        F.concat_ws(
+            "\x01",
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+            F.col("s_nationkey").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(d)
+    raw = spark.read.text(d)
+    parts = F.split(F.col("value"), "\x01")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("s_suppkey"),
+        parts.getItem(1).alias("s_name"),
+        parts.getItem(2).cast("int").alias("s_nationkey"),
+    )
+
+
+@register(
     "ddl_persistent_catalog",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 3

@@ -84,10 +84,22 @@ def register(
 
 
 def all_queries() -> dict[str, Query]:
-    from . import load_all
+    """Every registered query, ordered for the driver's sample window.
+
+    The driver's correctness run checks a prefix (~50) of this dict,
+    so ``SAMPLE_FRONT`` (the per-round rotation ledger in
+    ``queries/__init__``) comes first, then the rest in module
+    registration order. A front name that doesn't exist is a bug —
+    fail loudly rather than silently shrinking the window."""
+    from . import SAMPLE_FRONT, load_all
 
     load_all()
-    return dict(_REGISTRY)
+    missing = [n for n in SAMPLE_FRONT if n not in _REGISTRY]
+    if missing:
+        raise KeyError(f"SAMPLE_FRONT names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in SAMPLE_FRONT}
+    ordered.update((n, q) for n, q in _REGISTRY.items() if n not in ordered)
+    return ordered
 
 
 def query_map() -> dict[str, QueryFn]:
