@@ -86,12 +86,17 @@ def cosine_topk(
     )
 
 
-def hyperplane_bucket(vec: Column, *, dim: int, n_planes: int = 8) -> Column:
+def hyperplane_bucket(
+    vec: Column, *, dim: int, n_planes: int = 8, table: int = 0
+) -> Column:
     """Sign-LSH bucket id from n deterministic pseudo-random
     hyperplanes. Plane j's component i is a zero-mean value derived
-    from xxhash64(j, i) — reproducible on any cluster, no RNG state."""
+    from xxhash64(j, i) — reproducible on any cluster, no RNG state.
+    ``table`` offsets the plane indices so each hash table draws an
+    independent set of hyperplanes (OR-amplification)."""
     bucket = F.lit(0).cast("long")
-    for j in range(n_planes):
+    for j0 in range(n_planes):
+        j = table * n_planes + j0
         comps = F.array(
             *[
                 (F.xxhash64(F.lit(j), F.lit(i)) % 1000).cast("double")
@@ -104,7 +109,7 @@ def hyperplane_bucket(vec: Column, *, dim: int, n_planes: int = 8) -> Column:
             lambda acc, x: acc + x,
         )
         bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            F.when(proj > 0, F.lit(1 << j0)).otherwise(F.lit(0))
         )
     return bucket
 
@@ -117,6 +122,7 @@ def _salted_buckets(
     dim: int,
     n_planes: int,
     max_bucket_rows: int,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Bucket assignment with a size guard: buckets larger than
     ``max_bucket_rows`` are hash-split into ceil(size/max) salt
@@ -124,26 +130,43 @@ def _salted_buckets(
     degenerate the corpus (a boilerplate-heavy 100 TB crawl
     concentrates vectors in few buckets; AQE splits a skewed
     SHUFFLE, but cannot cap the pair COUNT of a quadratic self-join).
-    Cost of the guard: one tiny aggregation (≤2^n_planes rows,
-    broadcast back). Recall cost: pairs across salt groups of the
-    same bucket are not scored — only degenerate buckets pay it."""
+    Cost of the guard: one tiny aggregation (≤n_tables·2^n_planes
+    rows, broadcast back). Recall cost: pairs across salt groups of
+    the same bucket are not scored — only degenerate buckets pay it.
+
+    ``n_tables > 1`` = OR-amplification: each row is assigned one
+    bucket per independent hyperplane table (a ``posexplode`` of the
+    per-table bucket array — rows fan out n_tables-fold, the standard
+    linear memory/recall trade of multi-table LSH), and all keys
+    downstream are (table, bucket, salt). Single-table collision
+    probability for angle θ is (1-θ/π)^p; with T tables it becomes
+    1-(1-(1-θ/π)^p)^T — e.g. cosine 0.95, p=6: 0.53 → 0.95 at T=4."""
+    buckets = F.array(
+        *[
+            hyperplane_bucket(
+                F.col(vec_col), dim=dim, n_planes=n_planes, table=t
+            )
+            for t in range(n_tables)
+        ]
+    )
     withb = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        hyperplane_bucket(F.col(vec_col), dim=dim, n_planes=n_planes).alias(
-            "_bucket"
-        ),
+        F.posexplode(buckets).alias("_table", "_bucket"),
     )
-    sizes = withb.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_bsize"))
+    sizes = withb.groupBy("_table", "_bucket").agg(
+        F.count(F.lit(1)).alias("_bsize")
+    )
     n_salts = F.greatest(
         F.lit(1),
         F.ceil(F.col("_bsize") / F.lit(max_bucket_rows)),
     ).cast("int")
     return (
-        withb.join(F.broadcast(sizes), "_bucket")
+        withb.join(F.broadcast(sizes), ["_table", "_bucket"])
         .select(
             "_id",
             "_vec",
+            "_table",
             "_bucket",
             F.pmod(F.xxhash64("_id"), n_salts).cast("int").alias("_salt"),
         )
@@ -159,12 +182,19 @@ def lsh_bucket_topk(
     n_planes: int = 8,
     k: int = 5,
     max_bucket_rows: int = 4096,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate all-pairs top-k: score only same-(bucket, salt)
-    pairs. 2^n_planes buckets shrink the pair space ~2^n_planes-fold;
-    the join shuffles on (bucket, salt); the salt guard
-    (_salted_buckets) bounds the quadratic within-bucket blowup on
-    skewed corpora at a documented recall cost."""
+    """Approximate all-pairs top-k: score only same-(table, bucket,
+    salt) pairs. 2^n_planes buckets shrink the pair space
+    ~2^n_planes-fold; the join shuffles on (table, bucket, salt); the
+    salt guard (_salted_buckets) bounds the quadratic within-bucket
+    blowup on skewed corpora at a documented recall cost; multiple
+    tables (OR-amplification) buy recall linearly in candidate cost.
+
+    With n_tables > 1 the same pair can surface in several tables, so
+    candidates dedup on (query_id, neighbor_id) via max() — one extra
+    shuffle that only the multi-table path pays (the aggregate's
+    map-side combine removes most duplicates before it moves)."""
     from .util import ensure_parallelism
 
     salted = _salted_buckets(
@@ -174,21 +204,17 @@ def lsh_bucket_topk(
         dim=dim,
         n_planes=n_planes,
         max_bucket_rows=max_bucket_rows,
+        n_tables=n_tables,
     )
+    keys = ["_table", "_bucket", "_salt"]
     a = salted.select(
-        F.col("_id").alias("query_id"),
-        F.col("_vec").alias("q_vec"),
-        "_bucket",
-        "_salt",
+        F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec"), *keys
     )
     b = salted.select(
-        F.col("_id").alias("neighbor_id"),
-        F.col("_vec").alias("c_vec"),
-        "_bucket",
-        "_salt",
+        F.col("_id").alias("neighbor_id"), F.col("_vec").alias("c_vec"), *keys
     )
     scored = (
-        a.join(b, ["_bucket", "_salt"])
+        a.join(b, keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -196,6 +222,10 @@ def lsh_bucket_topk(
             cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
         )
     )
+    if n_tables > 1:
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("cosine").alias("cosine")
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (
         scored.select("*", F.row_number().over(w).alias("rank"))

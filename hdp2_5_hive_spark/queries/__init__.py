@@ -31,9 +31,14 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     ddl_persistent_catalog (cut from r3's 50 at position 51), ACID
 #     DML (2), and the never-sampled LLM-pipeline family (pipeline 20
 #     + pipeline2 16) = 50.
-#   round 5 should front: pipeline2 tail (2), scalars2 (28),
-#     win_topk_per_group, win_agg_over, sample_percent/rows — then
-#     every registered query has had >=1 CORRECTNESS row.
+#   round 5 window (SAMPLE_FRONT below): the full never-sampled tail —
+#     text_hash_features/dedup_hash_cosine (2), scalars2 (28),
+#     win_topk_per_group + win_agg_over (stale r1 ERRs), fmt_csv/
+#     fmt_text round-trips (34 total) — then the new round-5 surface
+#     (hiveql text suite 9 + fmt_sequencefile_round_trip), then 6
+#     re-green heavy hitters at the tail (cut-safe if the window is
+#     shorter). After this round every registered query has >=1
+#     CORRECTNESS row.
 _MODULES = (
     "scalars",
     "setops",
@@ -43,6 +48,7 @@ _MODULES = (
     "streaming_batch",
     "formats",
     "acid",
+    "hiveql",
     "pipeline",
     "pipeline2",
     "scalars2",
@@ -58,64 +64,10 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
-    # fixed-but-unproven from r2/r3 (2 free greens)
-    "q12_priority_case_agg",
-    "agg_approx_distinct",
-    # r3 ERR rows — all shared the events-loader root cause, fixed
-    "json_extract",
-    "json_tuple_fields",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_window",
-    "stream_dedup_first",
-    "stream_interval_join",
-    "events_asof_join",
-    "events_rollup_daily",
-    # never sampled: ACID DML + persistent metastore
-    "acid_update_delete",
-    "acid_merge_upsert",
-    "ddl_persistent_catalog",
-    # never sampled: LLM-pipeline family (pipeline, all 20)
-    "dedup_exact",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "ann_lsh_bucketed",
-    "text_profile",
-    "text_langid",
-    "multimodal_meta",
-    "multimodal_features",
-    "events_sessionize",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "text_token_counts",
-    "text_rolling_fingerprint",
-    "dedup_components",
-    "dedup_keep_list",
-    "ann_ivf_topk",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "corpus_clean",
-    # never sampled: pipeline2 (first 16 of 18 — tail rolls to r5)
-    "decontaminate_eval_overlap",
-    "pack_sequences_ctx512",
-    "pack_bin_stats",
-    "text_repetition_stats",
-    "vocab_top_ngrams",
-    "retrieval_bm25",
-    "multimodal_decode_stats",
-    "multimodal_png_stats",
-    "multimodal_audio_stats",
-    "multimodal_jpeg_stats",
-    "multimodal_video_frames",
-    "corpus_clean_v2",
-    "split_train_holdout",
-    "corpus_line_dedup",
-    "text_redact_pii",
-    "multimodal_audio_spectrogram",
-    # ---- position 51+: round-5 ledger starts here ----
+    # pipeline2 tail cut from r4's window at positions 51-52
     "text_hash_features",
     "dedup_hash_cosine",
+    # never sampled: the scalars2 tail (28)
     "fn_string_suite2",
     "fn_initcap_elt_field",
     "fn_xpath_suite",
@@ -144,10 +96,31 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_next_day_tz_suite",
     "fn_in_file",
     "virtual_row_offset",
+    # stale r1 ERRs — env cause fixed in r2, never re-sampled
     "win_topk_per_group",
     "win_agg_over",
+    # never sampled: format round-trips cut from earlier windows
     "fmt_csv_round_trip",
     "fmt_text_serde_round_trip",
+    # new this round: HiveQL-text qfile suite (textual interface)
+    "hiveql_lateral_view",
+    "hiveql_distribute_sort",
+    "hiveql_cluster_by",
+    "hiveql_multi_insert",
+    "hiveql_transform",
+    "hiveql_grouping_sets",
+    "hiveql_semi_join",
+    "hiveql_mapjoin_hint",
+    "hiveql_window_topk",
+    # new this round: SequenceFile read path
+    "fmt_sequencefile_round_trip",
+    # ---- re-green heavy hitters (cut-safe tail; all green r2-r4) ----
+    "q1_pricing_summary",
+    "q5_local_supplier",
+    "q7_volume_shipping",
+    "join_inner_basic",
+    "q18_large_orders",
+    "agg_distinct_multi",
 )
 
 

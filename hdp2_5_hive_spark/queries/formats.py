@@ -11,10 +11,9 @@ full write→read path, not just that a write didn't throw. Reference:
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import functions as F
 
+from ..scratch import scratch_dir
 from .registry import register
 
 
@@ -33,7 +32,7 @@ def fmt_avro_round_trip(spark, t):
     one container file per partition, decoded in parallel."""
     from ..sources import avro_py
 
-    d = tempfile.mkdtemp(prefix="fmt_avro_")
+    d = scratch_dir("fmt_avro_")
     avro_py.write_avro(t.nation.repartition(4), d)
     return avro_py.read_avro(spark, d).select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -51,7 +50,7 @@ FROM orders WHERE o_totalprice > 400000
 def fmt_orc_round_trip(spark, t):
     """ORC write→read round-trip (OrcSerde.java / OrcInputFormat
     analogue): Spark's built-in vectorized ORC source."""
-    d = tempfile.mkdtemp(prefix="fmt_orc_")
+    d = scratch_dir("fmt_orc_")
     src = t.orders.filter(F.col("o_totalprice") > 400000).select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
     )
@@ -76,7 +75,7 @@ def fmt_dynamic_partition_sink(spark, t):
     pruning metadata and data fidelity survive the sink."""
     from ..sources import writers
 
-    d = tempfile.mkdtemp(prefix="fmt_dynpart_")
+    d = scratch_dir("fmt_dynpart_")
     writers.insert_overwrite_dynamic_partitions(
         t.orders.select("o_orderkey", "o_orderpriority"),
         d,
@@ -107,9 +106,7 @@ def fmt_smb_bucketed_join(spark, t):
     with matching bucket counts Spark plans the join without an
     Exchange on either side (asserted in tests/test_writes.py; here
     the driver hash-checks the result set)."""
-    import tempfile
-
-    d = tempfile.mkdtemp(prefix="fmt_smb_")
+    d = scratch_dir("fmt_smb_")
     (
         t.orders.filter(F.col("o_totalprice") > 450000)
         .write.mode("overwrite")
@@ -149,11 +146,9 @@ def fmt_multi_insert(spark, t):
     source scan feeds two sinks (writers.multi_insert); the query
     reads both sinks back and unions them so the driver verifies
     both writes."""
-    import tempfile
-
     from ..sources import writers
 
-    d = tempfile.mkdtemp(prefix="fmt_multi_")
+    d = scratch_dir("fmt_multi_")
     src = t.orders.filter(F.col("o_totalprice") > 450000).select(
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
@@ -194,11 +189,9 @@ def fmt_concatenate_compact(spark, t):
     writers.compact_files; the result row proves both the file-count
     contract and that no rows were lost or duplicated in the merge."""
     import glob as _glob
-    import tempfile
-
     from ..sources import writers
 
-    d = tempfile.mkdtemp(prefix="fmt_compact_") + "/frag"
+    d = scratch_dir("fmt_compact_") + "/frag"
     src = t.orders.filter(F.col("o_totalprice") > 400000).select(
         "o_orderkey", "o_totalprice"
     )
@@ -230,7 +223,7 @@ def fmt_csv_round_trip(spark, t):
     SerDe's type-projection role). Doubles survive exactly: Spark
     writes shortest-round-trip decimal and reads it back to the same
     binary64."""
-    d = tempfile.mkdtemp(prefix="fmt_csv_")
+    d = scratch_dir("fmt_csv_")
     src = t.customer.filter(F.col("c_acctbal") > 9000).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
@@ -255,7 +248,7 @@ def fmt_text_serde_round_trip(spark, t):
     back via ``spark.read.text`` + split/cast — schema-on-read exactly
     as the SerDe does it (deserialize is just byte-slicing + lazy
     primitive parse)."""
-    d = tempfile.mkdtemp(prefix="fmt_text_")
+    d = scratch_dir("fmt_text_")
     src = t.supplier.filter(F.col("s_nationkey") < 10).select(
         "s_suppkey", "s_name", "s_nationkey"
     )
@@ -268,6 +261,51 @@ def fmt_text_serde_round_trip(spark, t):
         ).alias("value")
     ).write.mode("overwrite").text(d)
     raw = spark.read.text(d)
+    parts = F.split(F.col("value"), "\x01")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("s_suppkey"),
+        parts.getItem(1).alias("s_name"),
+        parts.getItem(2).cast("int").alias("s_nationkey"),
+    )
+
+
+@register(
+    "fmt_sequencefile_round_trip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_nationkey >= 10
+""",
+    category="formats",
+)
+def fmt_sequencefile_round_trip(spark, t):
+    """SequenceFile + LazySimpleSerDe round-trip
+    (``ql/io/HiveSequenceFileOutputFormat.java:35`` writing
+    ``BytesWritable→Text`` records whose value bytes are the
+    \\x01-delimited LazySimpleSerDe row,
+    ``serde/.../lazy/LazySimpleSerDe.java:82``) — the default STORED
+    AS SEQUENCEFILE layout every HDP 2.5 warehouse migration hits.
+
+    The RDD API is the honest analogue here: SequenceFile is a
+    Hadoop container of writables, below the DataFrame source API,
+    so write goes through ``saveAsSequenceFile`` (key = row key as
+    Text, value = serialized row) and read through
+    ``sc.sequenceFile`` + schema-on-read split/cast — the one place
+    in the repo where per-partition imperative RDD logic is the
+    right tool. Scale: both sides are narrow map-only passes; the
+    file format splits by sync markers exactly as in Hadoop."""
+    d = scratch_dir("fmt_seq_") + "/seq"
+    src = t.supplier.filter(F.col("s_nationkey") >= 10).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    (
+        src.rdd.map(
+            lambda r: (
+                str(r.s_suppkey),
+                f"{r.s_suppkey}\x01{r.s_name}\x01{r.s_nationkey}",
+            )
+        ).saveAsSequenceFile(d)
+    )
+    back = spark.sparkContext.sequenceFile(d)  # (Text,Text) → (str,str)
+    raw = spark.createDataFrame(back.map(lambda kv: (kv[1],)), "value string")
     parts = F.split(F.col("value"), "\x01")
     return raw.select(
         parts.getItem(0).cast("long").alias("s_suppkey"),
@@ -291,11 +329,9 @@ def ddl_persistent_catalog(spark, t):
     Metastore that knows only the warehouse path. The returned rows
     therefore went disk-metadata → fresh-session scan; a temp-view
     shortcut cannot fake this."""
-    import tempfile
-
     from ..metastore import Metastore
 
-    wh = tempfile.mkdtemp(prefix="ddl_wh_")
+    wh = scratch_dir("ddl_wh_")
     ms = Metastore(wh)
     src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
     ms.create_table(

@@ -1,0 +1,280 @@
+r"""HiveQL-text mini-qfile suite — the reference's PRIMARY interface.
+
+Every other query family exercises the DataFrame API; this module
+proves the *textual* SQL surface the reference exposes through
+``parse/HiveParser.g`` (2,421 lines) and tests with 2,172 qfiles
+(``ql/src/test/queries/clientpositive/*.q``). Each query here is one
+``spark.sql(...)`` call whose text uses Hive-dialect constructs —
+LATERAL VIEW, DISTRIBUTE/SORT/CLUSTER BY, multi-insert FROM…INSERT,
+TRANSFORM…USING, GROUPING SETS, LEFT SEMI JOIN, MAPJOIN hint —
+parsed by Spark's SQL parser, which keeps Hive's grammar for all of
+these. Temp views registered by ``catalog.register_views`` give the
+text the same table names the DuckDB oracle uses.
+
+Scale: identical plans to the DataFrame twins (Catalyst compiles both
+to the same logical operators), so every pushdown/broadcast/partial-
+agg property proven there holds here; nothing below adds a shuffle
+the DataFrame form doesn't have.
+"""
+
+from __future__ import annotations
+
+from ..scratch import scratch_dir
+from .registry import register
+
+
+@register(
+    "hiveql_lateral_view",
+    oracle=r"""
+SELECT doc_id, w, count(*) AS n
+FROM documents,
+     UNNEST(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '')) AS u(w)
+GROUP BY doc_id, w
+""",
+    category="hiveql",
+)
+def hiveql_lateral_view(spark, t):
+    """``LATERAL VIEW explode(...)`` as SQL text
+    (HiveParser.g lateralView rule; qfile
+    ``clientpositive/lateral_view.q``). UDTF + forward in one
+    statement — word counts per document."""
+    t.documents  # ensure view registered even on cache-hit sessions
+    return spark.sql(
+        r"""
+        SELECT doc_id, w, count(*) AS n
+        FROM documents
+        LATERAL VIEW explode(split(lower(text), '\\s+')) tok AS w
+        WHERE w <> ''
+        GROUP BY doc_id, w
+        """
+    )
+
+
+@register(
+    "hiveql_distribute_sort",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders WHERE o_totalprice > 400000
+""",
+    category="hiveql",
+)
+def hiveql_distribute_sort(spark, t):
+    """``DISTRIBUTE BY … SORT BY …`` as SQL text (HiveLexer.g:93-95,
+    genReduceSinkPlan SemanticAnalyzer.java:7190). Row SET is the
+    checkable contract; per-partition order is an execution property
+    (driver compare is order-insensitive — Hive SORT_QUERY_RESULTS)."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM orders WHERE o_totalprice > 400000
+        DISTRIBUTE BY o_custkey SORT BY o_custkey, o_orderkey
+        """
+    )
+
+
+@register(
+    "hiveql_cluster_by",
+    oracle="""
+SELECT l_suppkey, count(*) AS n
+FROM lineitem GROUP BY l_suppkey
+""",
+    category="hiveql",
+)
+def hiveql_cluster_by(spark, t):
+    """``CLUSTER BY`` as SQL text (= DISTRIBUTE BY + SORT BY on the
+    same keys, HiveLexer.g:95) over an aggregate."""
+    t.lineitem
+    return spark.sql(
+        """
+        SELECT l_suppkey, count(*) AS n
+        FROM lineitem GROUP BY l_suppkey
+        CLUSTER BY l_suppkey
+        """
+    )
+
+
+@register(
+    "hiveql_multi_insert",
+    oracle="""
+SELECT 'big' AS sink, o_orderkey, o_totalprice FROM orders
+WHERE o_totalprice > 450000
+UNION ALL
+SELECT 'urgent' AS sink, o_orderkey, o_totalprice FROM orders
+WHERE o_orderpriority = 'URGENT' AND o_totalprice > 420000
+""",
+    category="hiveql",
+)
+def hiveql_multi_insert(spark, t):
+    """Multi-insert ``FROM src INSERT OVERWRITE TABLE t1 …
+    INSERT OVERWRITE TABLE t2 …`` as ONE SQL statement
+    (HiveParser.g fromStatement/multi-insert; qfile
+    ``clientpositive/groupby1.q:12`` and ``input12.q``) — the source
+    is scanned once and feeds both sinks. Targets are real catalog
+    tables on scratch paths; the returned union reads both back so
+    the oracle certifies both writes."""
+    t.orders
+    d = scratch_dir("hiveql_mi_")
+    for name, where in (
+        ("hiveql_mi_big", "o_totalprice > 450000"),
+        ("hiveql_mi_urgent", "o_orderpriority = 'URGENT' AND o_totalprice > 420000"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(
+            f"""
+            CREATE TABLE {name} USING parquet LOCATION '{d}/{name}'
+            AS SELECT o_orderkey, o_totalprice FROM orders
+            WHERE {where} LIMIT 0
+            """
+        )
+    spark.sql(
+        """
+        FROM orders
+        INSERT OVERWRITE TABLE hiveql_mi_big
+          SELECT o_orderkey, o_totalprice WHERE o_totalprice > 450000
+        INSERT OVERWRITE TABLE hiveql_mi_urgent
+          SELECT o_orderkey, o_totalprice
+          WHERE o_orderpriority = 'URGENT' AND o_totalprice > 420000
+        """
+    )
+    return spark.sql(
+        """
+        SELECT 'big' AS sink, o_orderkey, o_totalprice FROM hiveql_mi_big
+        UNION ALL
+        SELECT 'urgent' AS sink, o_orderkey, o_totalprice FROM hiveql_mi_urgent
+        """
+    )
+
+
+@register(
+    "hiveql_transform",
+    oracle="""
+SELECT CAST(n_nationkey AS VARCHAR) AS k, n_name AS name_out
+FROM nation
+""",
+    category="hiveql",
+)
+def hiveql_transform(spark, t):
+    """``SELECT TRANSFORM(…) USING 'cmd' AS (…)`` as raw SQL text
+    (ScriptOperator.java:64; qfile ``clientpositive/transform1.q``).
+    ``cat`` is the identity script — rows stream through the child
+    process's stdin/stdout in Hive's tab-delimited script encoding,
+    so the round-trip proves the serialization contract itself."""
+    t.nation
+    return spark.sql(
+        """
+        SELECT TRANSFORM(n_nationkey, n_name)
+        USING 'cat' AS (k string, name_out string)
+        FROM nation
+        """
+    )
+
+
+@register(
+    "hiveql_grouping_sets",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus) AS gid,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+    category="hiveql",
+)
+def hiveql_grouping_sets(spark, t):
+    """Hive grouping-sets *syntax* — ``GROUP BY a, b GROUPING SETS
+    (…)`` with the GROUPING__ID virtual column
+    (HiveLexer.g:282, metadata/VirtualColumn.java:65; qfile
+    ``clientpositive/groupby_grouping_sets1.q``)."""
+    t.lineitem
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, grouping_id() AS gid,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "hiveql_semi_join",
+    oracle="""
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+""",
+    category="hiveql",
+)
+def hiveql_semi_join(spark, t):
+    """``LEFT SEMI JOIN`` as SQL text (HiveParser.g joinToken;
+    qfile ``clientpositive/semijoin.q``) — Hive's only pre-0.13 way
+    to write an existential join."""
+    t.customer, t.orders
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c LEFT SEMI JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000
+        """
+    )
+
+
+@register(
+    "hiveql_mapjoin_hint",
+    oracle="""
+SELECT n_name, COUNT(*) AS n_cust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+    category="hiveql",
+)
+def hiveql_mapjoin_hint(spark, t):
+    """``/*+ MAPJOIN(n) */`` broadcast hint as SQL text — Hive's
+    MapJoinProcessor hint (``optimizer/MapJoinProcessor.java:71``;
+    qfile ``clientpositive/mapjoin_hint.q``). Spark's parser accepts
+    the MAPJOIN hint name natively and plans a broadcast-hash join
+    (plan-gated in tests/test_hiveql.py)."""
+    t.customer, t.nation
+    return spark.sql(
+        """
+        SELECT /*+ MAPJOIN(n) */ n.n_name, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 AS sum_bal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """
+    )
+
+
+@register(
+    "hiveql_window_topk",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         rank() OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders
+) x WHERE rnk <= 2
+""",
+    category="hiveql",
+)
+def hiveql_window_topk(spark, t):
+    """Windowing as SQL text — PTF invocation through the parser
+    (PTFOperator.java:47; qfile ``clientpositive/windowing_rank.q``):
+    top-2 orders per customer, deterministic via the o_orderkey
+    tiebreak."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice,
+                 rank() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders
+        ) x WHERE rnk <= 2
+        """
+    )

@@ -137,8 +137,13 @@ def ann_cosine_topk(spark, t):
 def ann_lsh_bucketed(spark, t):
     """Sign-LSH bucketed ANN (the 100 TB path): only same-bucket
     pairs scored; top-5 per query within bucket; oversized buckets
-    salt-split (similarity._salted_buckets) to bound the quadratic."""
-    return sim.lsh_bucket_topk(t.embeddings, dim=64, n_planes=6, k=5).select(
+    salt-split (similarity._salted_buckets) to bound the quadratic;
+    4 independent hash tables (OR-amplification) — measured
+    planted-near-dup recall 0.18 (1 table) -> 0.63 (4) -> 0.81 (8)
+    at cosine≈0.97, pinned in tests/test_pipeline.py."""
+    return sim.lsh_bucket_topk(
+        t.embeddings, dim=64, n_planes=6, k=5, n_tables=4
+    ).select(
         "query_id", "neighbor_id", "rank", F.round("cosine", 8).alias("cosine")
     )
 

@@ -178,10 +178,10 @@ def test_rollup_reuse_exact(spark):
     """Daily-from-hourly == daily-from-raw (decomposable aggregates)."""
     from hdp2_5_hive_spark.operators.timeseries import rollup_reuse
 
-    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
-        F.timestamp_micros(F.expr("ts DIV 1000").cast("long")).alias("ts"),
-        "event_type",
-        "value",
+    from hdp2_5_hive_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
     )
     _, daily = rollup_reuse(ev, "ts", "event_type", "value")
     direct = (

@@ -1,0 +1,85 @@
+"""HiveQL-text suite gates: the textual interface must not only
+return the right rows (oracle-checked by scripts/check_oracle +
+driver) but also compile to the same optimized shapes as the
+DataFrame twins — hints honored, semi joins planned as LeftSemi,
+lateral views as Generate."""
+
+from __future__ import annotations
+
+import pytest
+
+from hdp2_5_hive_spark.plans import audit
+from hdp2_5_hive_spark.queries import SAMPLE_FRONT, all_queries
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return all_queries()
+
+
+def test_sample_front_names_all_registered(qs):
+    """Registry invariant (fail-loud guard in all_queries): every
+    SAMPLE_FRONT name resolves, and the front has no duplicates —
+    catches a query rename/removal BEFORE the driver does."""
+    assert len(set(SAMPLE_FRONT)) == len(SAMPLE_FRONT)
+    missing = [n for n in SAMPLE_FRONT if n not in qs]
+    assert not missing, missing
+    # Front order is the prefix of the driver's sample window.
+    assert list(qs)[: len(SAMPLE_FRONT)] == list(SAMPLE_FRONT)
+
+
+def test_mapjoin_hint_plans_broadcast(spark, sf_dir, qs):
+    """/*+ MAPJOIN(n) */ must plan a broadcast-hash join — Hive's
+    MapJoinProcessor contract, Spark's MAPJOIN hint alias."""
+    df = qs["hiveql_mapjoin_hint"].fn(spark, sf_dir)
+    audit.assert_broadcast(df, at_least=1)
+
+
+def test_semi_join_plans_left_semi(spark, sf_dir, qs):
+    df = qs["hiveql_semi_join"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan, plan
+
+
+def test_lateral_view_plans_generate(spark, sf_dir, qs):
+    """LATERAL VIEW explode compiles to a Generate node (Hive's
+    UDTF+LateralViewForward pair collapsed into one operator)."""
+    df = qs["hiveql_lateral_view"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Generate explode" in plan, plan
+
+
+def test_window_topk_single_shuffle(spark, sf_dir, qs):
+    """The windowed top-k reads orders, shuffles ONCE on o_custkey,
+    sorts within partitions, filters — no second exchange."""
+    df = qs["hiveql_window_topk"].fn(spark, sf_dir)
+    # Tree-form plan lists each node once (analyze()'s formatted text
+    # would double-count: tree + per-node detail section).
+    plan = audit.executed_plan(df)
+    assert plan.count("Exchange") <= 1, plan
+    # Spark 3.5+ pushes a partial top-k below the shuffle
+    # (WindowGroupLimit) — the map-side combine of windowed rank.
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_grouping_sets_matches_dataframe_twin(spark, sf_dir, qs):
+    """Hive `GROUP BY a,b GROUPING SETS(...)` text and the DataFrame
+    grouping-sets API agree row-for-row (gid encoding included)."""
+    from pyspark.sql import functions as F
+
+    sql_rows = {
+        tuple(r)
+        for r in qs["hiveql_grouping_sets"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    df_rows = {
+        tuple(r)
+        for r in li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert sql_rows == df_rows

@@ -119,7 +119,26 @@ def test_events_loads_for_both_encodings(spark, tmp_path) -> None:
             "props": pa.array(["{}"] * 5),
         }
     )
-    pq.write_table(table, str(nanos_dir / "events.parquet"))
+    # Pin the writer format: parquet 2.6 preserves timestamp[ns]. A
+    # future pyarrow default that coerces ns→us on write would make
+    # this fixture silently test the timestamp branch twice and the
+    # nanos/bigint coverage would vanish without a failure.
+    pq.write_table(
+        table,
+        str(nanos_dir / "events.parquet"),
+        version="2.6",
+        coerce_timestamps=None,
+    )
+    # The fixture only covers the legacy branch if Spark actually
+    # scans ts as bigint (nanosAsLong); assert it, don't assume it.
+    raw_dtype = dict(
+        spark.read.parquet(str(nanos_dir / "events.parquet")).dtypes
+    )["ts"]
+    assert raw_dtype == "bigint", (
+        f"nanos fixture scanned as {raw_dtype!r}, not bigint — pyarrow "
+        "stopped writing TIMESTAMP(NANOS); fixture no longer tests the "
+        "legacy branch"
+    )
     redux = load_table(spark, str(nanos_dir), "events")
     assert dict(redux.dtypes)["ts"] == "timestamp"
     got = {r.event_id: r.ts for r in redux.select("event_id", "ts").collect()}
