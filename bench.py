@@ -79,17 +79,37 @@ def main() -> None:
         print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+
+    # Self-gating (scripts/bench_gate.py): compare against best-known
+    # per-query times, normalized by this run's median slowdown so a
+    # uniformly slower VM doesn't false-alarm. Loud on stderr; the
+    # stdout JSON contract and exit code stay untouched for the
+    # driver unless SPARK_GRAFT_BENCH_GATE=strict.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+        import io
+        from contextlib import redirect_stdout
+
+        import bench_gate
+
+        sys.argv = ["bench_gate.py"]
+        sys.stdin = io.StringIO(json.dumps(result))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            gate_rc = bench_gate.main()
+        print(buf.getvalue().rstrip(), file=sys.stderr)
+        if gate_rc and os.environ.get("SPARK_GRAFT_BENCH_GATE") == "strict":
+            sys.exit(gate_rc)
+    except Exception as e:  # gate trouble must never kill the bench
+        print(f"# bench_gate skipped: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":
