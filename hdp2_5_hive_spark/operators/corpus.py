@@ -15,6 +15,8 @@ single-reducer ROW_NUMBER trick (ql/.../udf/ptf/WindowingTableFunction.java).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,6 +84,144 @@ def decontaminate(
     )
     frac = F.col("n_matched").cast("double") / F.col("n_grams")
     return per_doc.select(
+        id_col,
+        "n_grams",
+        "n_matched",
+        F.round(frac, 6).alias("contamination"),
+        (frac >= threshold).alias("is_contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination prefilter
+# ---------------------------------------------------------------------------
+
+# Power-of-two bit count: position extraction is a multiply + shift
+# (multiplicative hashing — Knuth §6.4); 2^20 bits = 128 KiB per
+# filter, ~5 bits/element headroom for a million-gram eval suite.
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 5
+# Odd 64-bit multipliers (golden-ratio family); odd ⇒ bijective
+# mod 2^64, so the k probes stay decorrelated.
+_BLOOM_MULTS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+    0x85EBCA77C2B2AE63,
+)
+
+
+def _bloom_positions(u, m_bits: int, k: int):
+    """k bit positions for uint64 hash array ``u`` (numpy, wraparound
+    multiply then top bits — identical on build and probe side)."""
+    shift = np.uint64(64 - int(m_bits).bit_length() + 1)
+    return [
+        ((u * np.uint64(m)) >> shift) & np.uint64(m_bits - 1)
+        for m in _BLOOM_MULTS[:k]
+    ]
+
+
+def bloom_build(
+    hashes: DataFrame, hash_col: str = "gh",
+    m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K,
+):
+    """Build a Bloom filter over a DataFrame of 64-bit hashes,
+    returning a numpy uint64 word array of fixed size m_bits/64.
+
+    Distributed the way ``spark.util.sketch.BloomFilter`` does it
+    (treeAggregate of fixed-size bitsets): each hash explodes to its
+    k positions via an Arrow-batched pandas UDF, positions OR into
+    per-word masks with a keyed BIT_OR aggregate (map-side combine ⇒
+    at most m_bits/64 rows per partition shuffle), and the driver
+    collects ≤ m_bits/64 rows — bounded by the FILTER size, never by
+    the input size. 10⁹ eval grams still collect 16 Ki rows."""
+    @F.pandas_udf("array<int>")
+    def positions(gh: pd.Series) -> pd.Series:
+        u = gh.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        pos = _bloom_positions(u, m_bits, k)
+        return pd.Series(np.stack(pos, axis=1).astype(np.int64).tolist())
+
+    rows = (
+        hashes.select(F.explode(positions(F.col(hash_col))).alias("pos"))
+        .select(
+            F.expr("pos DIV 64").cast("int").alias("word_idx"),
+            # shiftleft() the function form takes a literal count only;
+            # the SQL form shifts by a column.
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    )
+    arr = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in rows:
+        arr[r.word_idx] = np.uint64(r.mask & 0xFFFFFFFFFFFFFFFF)
+    return arr
+
+
+def bloom_contains_col(bloom_words, m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K):
+    """Column function: membership probe against a built filter. The
+    word array rides to executors inside the UDF closure (128 KiB —
+    one copy per worker, Arrow batches through it vectorized)."""
+    @F.pandas_udf("boolean")
+    def contains(gh: pd.Series) -> pd.Series:
+        u = gh.to_numpy(dtype=np.int64, na_value=0).astype(np.uint64)
+        ok = np.ones(len(u), dtype=bool)
+        for pos in _bloom_positions(u, m_bits, k):
+            ok &= (
+                (bloom_words[(pos >> np.uint64(6)).astype(np.int64)]
+                 >> (pos & np.uint64(63)))
+                & np.uint64(1)
+            ).astype(bool)
+        return pd.Series(ok)
+
+    return contains
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.5,
+    m_bits: int = BLOOM_M_BITS,
+) -> DataFrame:
+    """``decontaminate`` with a Bloom prefilter — same output, built
+    for the regime where the eval gram set is too big to broadcast as
+    an exact hash table (a full benchmark battery reaches 10⁸ grams =
+    GBs; the Bloom stays 128 KiB at any cardinality).
+
+    Three-phase: (1) build the filter from eval gram hashes (bounded
+    collect — see bloom_build); (2) corpus gram hashes probe it
+    vectorized, discarding the overwhelming majority map-side; (3)
+    survivors — true matches plus the ~FP-rate sliver — are confirmed
+    with an exact semi join against the eval hashes, so false
+    positives never reach the output and results are IDENTICAL to
+    exact ``decontaminate`` (the oracle is shared; the FP-rate
+    property is pinned in tests/test_corpus.py). The confirm join's
+    input is tiny post-filter, which is the whole point at 100 TB."""
+    from .util import ensure_parallelism
+
+    grams = ensure_parallelism(corpus).select(
+        F.col(id_col),
+        F.explode(shingles_col(F.col(text_col), k)).alias("gram"),
+    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    eval_hashes = (
+        ensure_parallelism(eval_df)
+        .select(F.explode(shingles_col(F.col(text_col), k)).alias("gram"))
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+    )
+    bloom = bloom_build(eval_hashes, m_bits=m_bits)
+    candidates = grams.filter(bloom_contains_col(bloom, m_bits)(F.col("gh")))
+    confirmed = candidates.join(eval_hashes, "gh", "left_semi")
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    matches = confirmed.groupBy(id_col).agg(F.count("*").alias("n_matched"))
+    joined = totals.join(matches, id_col, "left").fillna({"n_matched": 0})
+    frac = F.col("n_matched").cast("double") / F.col("n_grams")
+    return joined.select(
         id_col,
         "n_grams",
         "n_matched",

@@ -1,0 +1,64 @@
+"""Corpus-statistical quality scoring: unigram language-model
+perplexity (the CCNet/RedPajama-style filter signal).
+
+Extends the reference's text-function surface (SURVEY.md §2.14 north
+star; Hive's own stats live in ``ql/.../udf/generic/
+GenericUDAFComputeStats.java`` — per-column NDV/histograms, never a
+corpus LM) with the scoring step every large-scale training-data
+pipeline runs: score each document by how surprising its tokens are
+under a model trained on the corpus itself, then filter the tails
+(gibberish scores high, boilerplate scores low).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import words_col
+
+
+def unigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean negative log2-probability of its tokens
+    under the corpus's own unigram distribution (bits/token).
+
+    Scale shape (two keyed shuffles + one count-keyed join, all with
+    map-side combine; no Python anywhere):
+
+    1. explode → (doc, word) partial counts — collapses each doc's
+       repeated words before anything shuffles;
+    2. vocabulary = (word → corpus count) from the (doc, word)
+       aggregate (NOT from raw tokens — input rows to the second
+       shuffle are already deduped per doc);
+    3. total-token count is a 1-row aggregate, broadcast;
+    4. score join keyed on word. The vocabulary can reach ~10⁸ rows
+       on a web corpus, so this stays a shuffle join by default and
+       lets AQE broadcast it when it measures small.
+
+    Float-parity discipline: per-(doc,word) bits are rounded to 6
+    decimals and accumulated as DECIMAL(38,6) — exact, order-
+    independent addition, so the DuckDB oracle can reproduce the sum
+    no matter how partitions interleave (same trick as functions.dsum).
+    """
+    from .util import ensure_parallelism
+
+    words = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    )
+    doc_word = words.groupBy(id_col, "w").agg(F.count("*").alias("dc"))
+    vocab = doc_word.groupBy("w").agg(F.sum("dc").alias("c"))
+    total = vocab.agg(F.sum("c").alias("n_total"))
+    scored = doc_word.join(vocab, "w").crossJoin(F.broadcast(total))
+    bits = F.round(
+        -F.log2(F.col("c").cast("double") / F.col("n_total").cast("double")), 6
+    ).cast("decimal(38,6)")
+    return scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_tokens"),
+        F.round(
+            F.sum(bits * F.col("dc")).cast("double")
+            / F.sum("dc").cast("double"),
+            6,
+        ).alias("bits_per_token"),
+    )

@@ -51,6 +51,7 @@ _MODULES = (
     "hiveql",
     "pipeline",
     "pipeline2",
+    "pipeline3",
     "scalars2",
     "core",
     "joins",
@@ -114,6 +115,12 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_window_topk",
     # new this round: SequenceFile read path
     "fmt_sequencefile_round_trip",
+    # new this round: pipeline3 (LM quality, bloom decon, int8
+    # quantization, stratified sampling)
+    "quality_unigram_bits",
+    "decontaminate_bloom_prefilter",
+    "emb_int8_quantize",
+    "sample_stratified",
     # ---- re-green heavy hitters (cut-safe tail; all green r2-r4) ----
     "q1_pricing_summary",
     "q5_local_supplier",

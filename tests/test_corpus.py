@@ -303,3 +303,92 @@ def test_redact_pii_counts_and_placeholders(spark):
     assert out[1].text_redacted == "mail <EMAIL> and <EMAIL> now"
     assert out[2].n_phones == 2 and "<PHONE>" in out[2].text_redacted
     assert out[3].text_redacted == "clean text"
+
+
+def test_bloom_filter_no_false_negatives_and_fp_bound(spark):
+    """Bloom contract on seeded hashes: every inserted hash probes
+    true (no false negatives — structural guarantee), and the FP rate
+    on 20k non-members stays under 2% (theory: (1-e^{-kn/m})^k ≈ 3e-5
+    at n=5k, m=2^20, k=5; the 2% bound is loud-failure headroom, not
+    the expectation)."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators.corpus import (
+        bloom_build,
+        bloom_contains_col,
+    )
+
+    rng = np.random.default_rng(11)
+    members = rng.integers(-(2**62), 2**62, size=5000, dtype=np.int64)
+    non = rng.integers(-(2**62), 2**62, size=20000, dtype=np.int64)
+    non = np.setdiff1d(non, members)
+    mdf = spark.createDataFrame([(int(x),) for x in members], "gh long")
+    bloom = bloom_build(mdf)
+    contains = bloom_contains_col(bloom)
+    got_m = (
+        mdf.select(contains(F.col("gh")).alias("ok"))
+        .agg(F.sum(F.col("ok").cast("int")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert got_m == len(members)  # zero false negatives
+    ndf = spark.createDataFrame([(int(x),) for x in non], "gh long")
+    fp = (
+        ndf.select(contains(F.col("gh")).alias("ok"))
+        .agg(F.sum(F.col("ok").cast("int")).alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert fp / len(non) < 0.02, f"FP rate {fp / len(non):.4f}"
+
+
+def test_decontaminate_bloom_equals_exact(spark, sf_dir):
+    """The Bloom-prefiltered decontamination must return EXACTLY the
+    exact path's rows — the confirm join removes every false
+    positive."""
+    from hdp2_5_hive_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("source") != "src0")
+    ev = d.filter(F.col("source") == "src0")
+    exact = cp.decontaminate(corpus, ev, k=5, threshold=0.5)
+    bloomed = cp.decontaminate_bloom(corpus, ev, k=5, threshold=0.5)
+    assert exact.exceptAll(bloomed).count() == 0
+    assert bloomed.exceptAll(exact).count() == 0
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """3-doc corpus with hand-computable unigram stats: 'a' appears
+    4/8 tokens (1 bit), 'b' 2/8 (2 bits), 'c'/'d' 1/8 (3 bits)."""
+    from hdp2_5_hive_spark.operators.quality import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "a d")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in unigram_logprob(df, "doc_id", "text").collect()}
+    assert out[1].n_tokens == 3 and abs(out[1].bits_per_token - (1 + 1 + 2) / 3) < 1e-6
+    assert out[2].n_tokens == 3 and abs(out[2].bits_per_token - (1 + 2 + 3) / 3) < 1e-6
+    assert out[3].n_tokens == 2 and abs(out[3].bits_per_token - (1 + 3) / 2) < 1e-6
+
+
+def test_quantize_int8_roundtrip_bounds(spark):
+    """Quantization invariants: |err| <= scale/2 elementwise (round
+    to nearest), cosine(orig, dequant) ~ 1, saturation only at the
+    max-|x| element(s)."""
+    from hdp2_5_hive_spark.operators.quantize import quantize_int8_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [127.0, 1.0, -127.0, 64.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in quantize_int8_stats(df).collect()}
+    assert out[1].n_saturated == 1  # the 1.0 element maps to ±127
+    assert out[1].max_abs_err <= out[1].scale / 2 + 1e-12
+    assert out[1].cos_dequant > 0.9999
+    assert out[2].n_saturated == 2
+    assert out[3].max_abs_err == 0.0  # zero vector: guarded scale
