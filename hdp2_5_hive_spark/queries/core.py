@@ -232,23 +232,40 @@ LIMIT 100
     category="core",
 )
 def q18_large_orders(spark, t):
-    """TPC-H Q18 shape: large-quantity orders via HAVING + semi join."""
+    """TPC-H Q18 shape: large-quantity orders via HAVING + semi join.
+
+    One lineitem pass total: the HAVING aggregate's per-order sum IS
+    the output ``sum_qty`` (o_orderkey is unique per group), so the
+    textbook plan's second lineitem join + re-aggregate are dropped —
+    at 100 TB that removes the single biggest shuffle (raw lineitem
+    re-keyed by orderkey). The filtered aggregate (few rows) then
+    broadcasts through orders and customer.
+
+    Measured at sf0.1/local[32]: wall-clock ties the two-pass plan
+    (~1.6s A/B, both bound by the 3-row-group lineitem scan — parquet
+    decode can't split finer than row groups, so the saved shuffle is
+    invisible at this file size); the win is strictly the plan shape
+    at warehouse scale."""
+    from ..operators.util import ensure_parallelism
+
     big = (
-        t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("q"))
-        .filter(F.col("q") > 300)
-        .select("l_orderkey")
-    )
-    orders = t.orders.join(
-        big.withColumnRenamed("l_orderkey", "bk"),
-        F.col("o_orderkey") == F.col("bk"),
-        "left_semi",
+        ensure_parallelism(t.lineitem.select("l_orderkey", "l_quantity"))
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
+        .filter(F.col("_q") > 300)
     )
     return (
-        t.lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        t.orders.join(
+            F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey")
+        )
         .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .agg(dsum("l_quantity", "sum_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_q").cast("double").alias("sum_qty"),
+        )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
