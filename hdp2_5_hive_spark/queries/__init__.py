@@ -121,6 +121,14 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "decontaminate_bloom_prefilter",
     "emb_int8_quantize",
     "sample_stratified",
+    # new this round: HiveQL-text suite, part 2 (overflow past the
+    # ~50-query window rolls to the round-6 ledger)
+    "hiveql_cte_chain",
+    "hiveql_correlated_exists",
+    "hiveql_union_mixed",
+    "hiveql_tablesample_bucket",
+    "hiveql_null_ordering",
+    "hiveql_case_cast_expr",
     # ---- re-green heavy hitters (cut-safe tail; all green r2-r4) ----
     "q1_pricing_summary",
     "q5_local_supplier",

@@ -278,3 +278,193 @@ def hiveql_window_topk(spark, t):
         ) x WHERE rnk <= 2
         """
     )
+
+
+@register(
+    "hiveql_cte_chain",
+    oracle="""
+WITH big AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, spend FROM big WHERE spend > 1500000
+)
+SELECT c.c_custkey, c.c_name, r.spend
+FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+""",
+    category="hiveql",
+)
+def hiveql_cte_chain(spark, t):
+    """Chained WITH clauses as SQL text (HiveParser.g withClause;
+    qfile ``clientpositive/cte_2.q``) — CTE referencing CTE, then a
+    join against a base table."""
+    t.orders, t.customer
+    return spark.sql(
+        """
+        WITH big AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS spend
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT o_custkey, spend FROM big WHERE spend > 1500000
+        )
+        SELECT c.c_custkey, c.c_name, r.spend
+        FROM ranked r JOIN customer c ON r.o_custkey = c.c_custkey
+        """
+    )
+
+
+@register(
+    "hiveql_correlated_exists",
+    oracle="""
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50
+)
+AND NOT EXISTS (
+  SELECT 1 FROM lineitem l2
+  WHERE l2.l_suppkey = s.s_suppkey
+    AND l2.l_quantity = 50 AND l2.l_discount > 0.09
+)
+""",
+    category="hiveql",
+)
+def hiveql_correlated_exists(spark, t):
+    """Correlated EXISTS + NOT EXISTS as SQL text
+    (SemanticAnalyzer subquery rewrite to semi/anti join;
+    qfile ``clientpositive/subquery_exists.q``)."""
+    t.supplier, t.lineitem
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity = 50
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_suppkey = s.s_suppkey
+            AND l2.l_quantity = 50 AND l2.l_discount > 0.09
+        )
+        """
+    )
+
+
+@register(
+    "hiveql_union_mixed",
+    oracle="""
+SELECT k, src FROM (
+  SELECT n_nationkey AS k, 'nation' AS src FROM nation
+  UNION ALL
+  SELECT r_regionkey AS k, 'region' AS src FROM region
+  UNION
+  SELECT s_nationkey AS k, 'supplier' AS src FROM supplier
+)
+""",
+    category="hiveql",
+)
+def hiveql_union_mixed(spark, t):
+    """Mixed UNION ALL / UNION [DISTINCT] precedence as SQL text
+    (HiveParser.g:2131-2135 — Hive 1.2 added UNION DISTINCT;
+    qfile ``clientpositive/union34.q``). The DISTINCT applies to the
+    whole accumulated branch set, same in both dialects."""
+    t.nation, t.region, t.supplier
+    return spark.sql(
+        """
+        SELECT k, src FROM (
+          SELECT n_nationkey AS k, 'nation' AS src FROM nation
+          UNION ALL
+          SELECT r_regionkey AS k, 'region' AS src FROM region
+          UNION
+          SELECT s_nationkey AS k, 'supplier' AS src FROM supplier
+        )
+        """
+    )
+
+
+@register(
+    "hiveql_tablesample_bucket",
+    oracle="""
+SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 8 = 3
+""",
+    category="hiveql",
+)
+def hiveql_tablesample_bucket(spark, t):
+    """Deterministic TABLESAMPLE(BUCKET x OUT OF y ON col) semantics
+    as SQL text (FromClauseParser.g:167; qfile
+    ``clientpositive/sample2.q``): Hive's ON-column form buckets by
+    the column VALUE, so the key-mod predicate is the exact portable
+    equivalent (Spark's TABLESAMPLE is percent/rows-based — the
+    bucket form is expressed through its defining predicate)."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_orderkey % 8 = 3
+        """
+    )
+
+
+@register(
+    "hiveql_null_ordering",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS p
+FROM orders WHERE o_orderkey <= 200
+ORDER BY p ASC NULLS FIRST, o_orderkey
+""",
+    category="hiveql",
+)
+def hiveql_null_ordering(spark, t):
+    """NULL ordering parity as SQL text: Hive sorts NULLs FIRST on
+    ASC (``SemanticAnalyzer.java`` genReduceSinkPlan's nullOrder
+    default), which is also Spark's default — pinned explicitly so
+    the contract survives either engine changing its default."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice END AS p
+        FROM orders WHERE o_orderkey <= 200
+        ORDER BY p ASC NULLS FIRST, o_orderkey
+        """
+    )
+
+
+@register(
+    "hiveql_case_cast_expr",
+    oracle="""
+SELECT o_orderkey,
+       CASE o_orderstatus WHEN 'F' THEN 'finished'
+                          WHEN 'O' THEN 'open'
+                          ELSE 'partial' END AS status_word,
+       CAST(TRUNC(o_totalprice) AS BIGINT) AS price_floor,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d
+FROM orders WHERE o_orderkey <= 500
+""",
+    category="hiveql",
+)
+def hiveql_case_cast_expr(spark, t):
+    """Simple-CASE (value-match form) + CAST chains as SQL text
+    (HiveParser.g caseExpression; qfile ``clientpositive/udf_case.q``).
+    CAST(double AS BIGINT) truncates toward zero in Hive/Spark (ANSI
+    off — legacy cast); DuckDB's cast ROUNDS, so the oracle spells
+    the truncation as CAST(TRUNC(x) AS BIGINT)."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                  WHEN 'O' THEN 'open'
+                                  ELSE 'partial' END AS status_word,
+               CAST(o_totalprice AS BIGINT) AS price_floor,
+               CAST(CAST(o_orderdate AS DATE) AS STRING) AS d
+        FROM orders WHERE o_orderkey <= 500
+        """
+    )
