@@ -171,6 +171,53 @@ def write_range_layout(
     )
 
 
+def zvalue_col(cols: Sequence[str], bits: int = 16):
+    """Morton (Z-order) interleave of 2+ numeric columns, each first
+    rank-compressed into ``bits``-bit integers by the caller or used
+    raw if already small. Bit i of every column interleaves into the
+    combined z-value — pure JVM bit expressions (shiftleft/or), no
+    UDF."""
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for ci, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(
+                F.shiftleft(bit, b * len(cols) + ci)
+            )
+    return z
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    zorder_cols: Sequence[str],
+    n_files: int,
+    bits: int = 16,
+    fmt: str = "parquet",
+) -> None:
+    """Z-order-clustered layout: range-partition + sort on the Morton
+    interleave of ``zorder_cols``, so footer min/max statistics stay
+    TIGHT on every interleaved column at once — the multi-dimensional
+    generalization of ``write_range_layout`` (which clusters
+    perfectly on its leading column and not at all on later ones).
+
+    The Delta/Iceberg OPTIMIZE ZORDER recipe re-expressed as plain
+    DataFrame ops; Hive's nearest analogue is (SORTED BY a, b) ORC
+    stripe stats, which this strictly improves for predicates on the
+    second column. At 100 TB: one range exchange on the z-value (key
+    sampling builds balanced file boundaries), then per-file sort —
+    the same two-step shape as any clustered write."""
+    with_z = df.withColumn("_z", zvalue_col(list(zorder_cols), bits))
+    (
+        with_z.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )
+
+
 def round_trip(
     df: DataFrame, path: str, fmt: str, **options
 ) -> DataFrame:

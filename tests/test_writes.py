@@ -213,3 +213,62 @@ def test_schema_evolution_merge_schema(nation, tmp_path, spark):
     assert df.count() == 2 * n
     assert df.filter(F.col("extra_col").isNull()).count() == n  # old files
     assert df.filter(F.col("extra_col") == 9).count() == n      # new files
+
+
+def test_zorder_layout_tightens_second_column_stats(spark, tmp_path):
+    """write_zorder_layout: Morton clustering keeps footer min/max
+    TIGHT on every interleaved column, where a range layout on the
+    leading column leaves the second column's per-file span at
+    ~full-table width. Gate: mean per-file span of col B under
+    z-order < half its span under range layout (measured ~0.25x on
+    this grid)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    # 64x64 grid of (x, y) — every (x, y) combination once, so
+    # clustering quality is purely the layout's doing.
+    grid = (
+        spark.range(64 * 64)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+        )
+    )
+
+    def mean_span(path: str, col_name: str) -> float:
+        spans = []
+        for f in _glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i
+                for i in range(md.row_group(0).num_columns)
+                if md.row_group(0).column(i).path_in_schema == col_name
+            )
+            lo = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            spans.append(hi - lo)
+        assert spans
+        return sum(spans) / len(spans)
+
+    rng_path = str(tmp_path / "bycol")
+    z_path = str(tmp_path / "zorder")
+    writers.write_range_layout(grid, rng_path, ["x"], 16)
+    writers.write_zorder_layout(grid, z_path, ["x", "y"], 16, bits=6)
+
+    # Range layout on x: x is tight, y spans the whole table per file.
+    assert mean_span(rng_path, "y") > 40
+    # Z-order: BOTH columns stay tight per file.
+    z_y = mean_span(z_path, "y")
+    z_x = mean_span(z_path, "x")
+    assert z_y < mean_span(rng_path, "y") / 2, z_y
+    assert z_x < 64 / 2, z_x
+    # No rows lost.
+    assert spark.read.parquet(z_path).count() == 64 * 64
