@@ -98,6 +98,89 @@ def connected_components(
     )
 
 
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — same output contract as ``connected_components``
+    ((node, component=min reachable id)) but O(log n) rounds on ANY
+    graph, including the long chains where hash-min needs
+    O(diameter) rounds and trips its ConvergenceError.
+
+    Each round: large-star points every neighbor v > u at
+    m = min(Γ(u) ∪ {u}); small-star points every neighbor v ≤ u (and
+    u itself) at m. Both are one groupBy + one join over the edge
+    list — the same shuffle shape as a hash-min round — and the edge
+    set contracts toward star graphs, so later rounds shrink. Labels
+    localCheckpoint per round for the same lineage reasons as
+    hash-min."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+
+    def _sym(ed: DataFrame) -> DataFrame:
+        return ed.union(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+
+    def _minmap(sym: DataFrame) -> DataFrame:
+        # m(u) = min over neighbors and u itself
+        return (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mn"))
+            .select("a", F.least(F.col("a"), F.col("_mn")).alias("m"))
+        )
+
+    def _large(ed: DataFrame) -> DataFrame:
+        sym = _sym(ed)
+        mm = _minmap(sym)
+        out = (
+            sym.join(mm, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        # keep (u, m) so singleton-star roots don't drop out of the set
+        return out.union(mm.select(F.col("a"), F.col("m").alias("b"))).distinct()
+
+    def _small(ed: DataFrame) -> DataFrame:
+        sym = _sym(ed)
+        mm = _minmap(sym)
+        out = (
+            sym.join(mm, "a")
+            .filter(F.col("b") <= F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+        )
+        return out.union(mm.select(F.col("a"), F.col("m").alias("b"))).distinct()
+
+    cur = e.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        cur = _large(cur).localCheckpoint(eager=True)
+        nxt = _small(cur).localCheckpoint(eager=True)
+        unchanged = (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        )
+        cur = nxt
+        if unchanged:
+            # star graphs: every edge is (node, component-min)
+            return (
+                cur.select(F.col("a").alias("node"), F.col("b").alias("component"))
+                .union(
+                    cur.select(
+                        F.col("b").alias("node"), F.col("b").alias("component")
+                    )
+                )
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+            )
+    raise ConvergenceError(
+        f"connected_components_star: no fixpoint after {max_iter} rounds"
+    )
+
+
 def keep_list(components: DataFrame) -> DataFrame:
     """Dedup resolution over ``connected_components`` output: the
     canonical (kept) doc of each cluster is its min id — which is

@@ -129,6 +129,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_tablesample_bucket",
     "hiveql_null_ordering",
     "hiveql_case_cast_expr",
+    # new this round: O(log n) star-algorithm components
+    "dedup_components_star",
     # ---- re-green heavy hitters (cut-safe tail; all green r2-r4) ----
     "q1_pricing_summary",
     "q5_local_supplier",

@@ -493,6 +493,32 @@ def dedup_components(spark, t):
 
 
 @register(
+    "dedup_components_star",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTE}
+SELECT node AS doc_id, MIN(label) AS component_id
+FROM reach GROUP BY node
+""",
+    category="pipeline",
+)
+def dedup_components_star(spark, t):
+    """Same clusters as ``dedup_components`` via the alternating
+    large-star/small-star algorithm (Kiveris SoCC'14,
+    operators/components.connected_components_star) — O(log n)
+    rounds on ANY graph shape, where hash-min needs O(diameter);
+    the variant to run when candidate graphs may contain long chains
+    (boilerplate-heavy crawls). Oracle identical to hash-min's: both
+    must reach the same fixpoint."""
+    from ..operators import components as cc
+
+    pairs = dd.near_duplicate_pairs(t.documents, "doc_id", "text", threshold=0.6)
+    comps = cc.connected_components_star(pairs, "id_a", "id_b")
+    return comps.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("component_id")
+    )
+
+
+@register(
     "dedup_keep_list",
     oracle=f"""
 WITH RECURSIVE {_MINHASH_PAIR_CTE}

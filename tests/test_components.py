@@ -78,3 +78,44 @@ def test_pair_set_transitivity(spark, sf_dir):
         )
     )
     assert joined.filter(F.col("ca") != F.col("cb")).count() == 0
+
+
+def test_star_equals_hashmin_on_clustered_graph(spark):
+    """large-star/small-star and hash-min must reach the identical
+    fixpoint on a random clustered graph (seeded)."""
+    import random
+
+    from hdp2_5_hive_spark.operators.components import (
+        connected_components,
+        connected_components_star,
+    )
+
+    rng = random.Random(3)
+    edges = [(rng.randrange(0, 200), rng.randrange(0, 200)) for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    a = {(r.node, r.component) for r in connected_components(df).collect()}
+    b = {(r.node, r.component) for r in connected_components_star(df).collect()}
+    assert a == b and a
+
+
+def test_star_converges_on_long_chain_where_hashmin_cannot(spark):
+    """A 400-edge path graph has diameter 400: hash-min at its
+    default 20-round budget must raise ConvergenceError, while the
+    star variant converges in O(log n) rounds and labels every node
+    with the chain head."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators.components import (
+        ConvergenceError,
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(400)], "src long, dst long"
+    )
+    with _pytest.raises(ConvergenceError):
+        connected_components(chain)
+    labels = connected_components_star(chain).collect()
+    assert len(labels) == 401
+    assert all(r.component == 0 for r in labels)
