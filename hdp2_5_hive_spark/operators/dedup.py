@@ -21,7 +21,7 @@ reproducible across runs/cluster sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
@@ -220,6 +220,77 @@ def _banded_buckets(
 # see near_duplicate_pairs docstring).
 _last_shingles: DataFrame | None = None
 _last_signatures: DataFrame | None = None
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard similarity self-join via prefix filtering — the
+    AllPairs/PPJoin family (Bayardo et al., WWW'07; Xiao et al.,
+    "Efficient Similarity Joins for Near Duplicate Detection",
+    WWW'08): the deterministic complement to MinHash-LSH. LSH is
+    probabilistic (recall < 1 in theory); prefix filtering prunes
+    with a guarantee — two sets with J ≥ θ MUST share a token within
+    each one's first |x| - ⌈θ·|x|⌉ + 1 tokens when every set is
+    ordered by ascending global token frequency. Candidates share a
+    PREFIX token; everything else is provably below threshold.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b — identical to the
+    O(N²) brute force.
+
+    Scale shape: one explode + token-count aggregate (map-side
+    combine), one window per doc (partition by doc id — parallel),
+    a candidate join keyed on prefix tokens — the RAREST tokens of
+    each set by construction, so join keys are low-frequency and the
+    skew a naive token join hits on stopwords never materializes —
+    then pair-distinct + one verify join. Every shuffle is keyed;
+    nothing is quadratic except provably-candidate pairs."""
+    from .util import ensure_parallelism
+
+    sets = ensure_parallelism(df).select(
+        F.col(id_col).alias("_id"),
+        shingles_col(F.col(text_col), shingle_k).alias("_s"),
+    ).filter(F.size("_s") > 0)
+    toks = sets.select("_id", F.size("_s").alias("_n"), F.explode("_s").alias("_t"))
+    freq = toks.groupBy("_t").agg(F.count("*").alias("_df"))
+    # Rarity order (ties broken by token text) → prefix length
+    # p = n - ceil(θ·n) + 1 of each doc's sorted token list.
+    w = Window.partitionBy("_id").orderBy("_df", "_t")
+    prefix = (
+        toks.join(freq, "_t")
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(
+            F.col("_rank")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select("_id", "_t")
+    )
+    cand = (
+        prefix.alias("p1")
+        .join(prefix.alias("p2"), "_t")
+        .filter(F.col("p1._id") < F.col("p2._id"))
+        .select(
+            F.col("p1._id").alias("_ida"), F.col("p2._id").alias("_idb")
+        )
+        .distinct()
+    )
+    a = sets.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
+    b = sets.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    return (
+        cand.join(a, "_ida")
+        .join(b, "_idb")
+        .select(
+            F.col("_ida").alias("id_a"),
+            F.col("_idb").alias("id_b"),
+            jaccard_col(F.col("_sa"), F.col("_sb")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def near_duplicate_pairs(

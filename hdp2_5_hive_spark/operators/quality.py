@@ -12,10 +12,43 @@ under a model trained on the corpus itself, then filter the tails
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .dedup import words_col
+
+
+def compression_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document zlib compression ratio — the entropy-proxy
+    quality signal (RedPajama/Gopher family: machine-generated
+    boilerplate compresses far below ~0.4, high-entropy gibberish
+    stays near 1.0).
+
+    zlib is Python-side by necessity, so it runs as an Arrow-batched
+    pandas UDF (one C call per doc inside the batch loop — the cost
+    IS the compression, not the transfer). Deterministic for a fixed
+    level, so values are pinned in pytest; no SQL oracle exists for
+    DEFLATE, which is why the registered query is rows-only."""
+    import zlib
+
+    @F.pandas_udf("double")
+    def ratio(texts: pd.Series) -> pd.Series:
+        def one(s: str | None) -> float:
+            if not s:
+                return 1.0
+            raw = s.encode("utf-8")
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        ratio(F.col(text_col)).alias("zlib_ratio"),
+    )
 
 
 def unigram_logprob(

@@ -129,8 +129,11 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_tablesample_bucket",
     "hiveql_null_ordering",
     "hiveql_case_cast_expr",
-    # new this round: O(log n) star-algorithm components
+    # new this round: O(log n) star-algorithm components, exact
+    # prefix-filtered Jaccard join, compression-ratio signal
     "dedup_components_star",
+    "dedup_jaccard_prefix",
+    "text_compression_ratio",
     # ---- re-green heavy hitters (cut-safe tail; all green r2-r4) ----
     "q1_pricing_summary",
     "q5_local_supplier",

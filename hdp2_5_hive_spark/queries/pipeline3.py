@@ -182,3 +182,57 @@ def sample_stratified(spark, t):
         .filter(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+""",
+    category="pipeline",
+)
+def dedup_jaccard_prefix(spark, t):
+    """EXACT Jaccard similarity self-join via prefix filtering
+    (operators/dedup.jaccard_prefix_pairs — AllPairs/PPJoin family):
+    the deterministic complement to MinHash-LSH with a pruning
+    GUARANTEE instead of probabilistic recall. Candidates must share
+    one of each doc's rarest-token prefix; the oracle is the O(N²)
+    brute force — results must be identical."""
+    from ..operators import dedup as dd
+
+    return dd.jaccard_prefix_pairs(
+        t.documents, "doc_id", "text", threshold=0.6
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "text_compression_ratio",
+    oracle=None,  # DEFLATE has no SQL twin — rows-only; values pinned
+    # in tests/test_corpus.py on fixed strings.
+    category="pipeline",
+)
+def text_compression_ratio(spark, t):
+    """zlib compression-ratio quality signal
+    (operators/quality.compression_ratio): entropy proxy — repetitive
+    machine text compresses low, natural text sits mid-range. Arrow-
+    batched pandas UDF; deterministic at fixed level 6."""
+    from ..operators import quality as q
+
+    return q.compression_ratio(t.documents, "doc_id", "text")

@@ -392,3 +392,53 @@ def test_quantize_int8_roundtrip_bounds(spark):
     assert out[1].cos_dequant > 0.9999
     assert out[2].n_saturated == 2
     assert out[3].max_abs_err == 0.0  # zero vector: guarded scale
+
+
+def test_compression_ratio_signal(spark):
+    """zlib ratio separates repetitive from high-entropy text, and
+    empty text is guarded to 1.0."""
+    from hdp2_5_hive_spark.operators.quality import compression_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "spam " * 200),
+            (2, "the quick brown fox jumps over the lazy dog and keeps going"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.zlib_ratio for r in compression_ratio(df).collect()}
+    assert out[1] < 0.05          # 200x repetition collapses
+    assert 0.5 < out[2] <= 1.2    # normal sentence barely compresses
+    assert out[3] == 1.0          # empty guarded
+
+
+def test_jaccard_prefix_equals_bruteforce(spark, sf_dir):
+    """Prefix-filtered exact join == O(N²) brute force, pair for
+    pair (the pruning is lossless by theorem, this pins it)."""
+    from hdp2_5_hive_spark.catalog import load_table
+    from hdp2_5_hive_spark.operators import dedup as dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.col("doc_id").alias("id"), dd.shingles_col(F.col("text")).alias("s")
+    ).filter(F.size("s") > 0)
+    a = sh.select(F.col("id").alias("id_a"), F.col("s").alias("sa"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("s").alias("sb"))
+    brute = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", dd.jaccard_col(F.col("sa"), F.col("sb")).alias("j")
+        )
+        .filter(F.col("j") >= 0.6)
+        .collect()
+    }
+    fast = {
+        (r.id_a, r.id_b)
+        for r in dd.jaccard_prefix_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert fast == brute and brute
