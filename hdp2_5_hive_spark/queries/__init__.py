@@ -121,25 +121,26 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "decontaminate_bloom_prefilter",
     "emb_int8_quantize",
     "sample_stratified",
-    # new this round: HiveQL-text suite, part 2 (overflow past the
-    # ~50-query window rolls to the round-6 ledger)
+    # new this round: O(log n) star-algorithm components + exact
+    # prefix-filtered Jaccard join (the round's flagship operators —
+    # keep inside the ~50 window) and q18, whose plan changed this
+    # round (single-pass rewrite — re-prove it driver-side)
+    "dedup_components_star",
+    "dedup_jaccard_prefix",
+    "q18_large_orders",
+    # ---- position ~52+: round-6 ledger starts here ----
+    # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",
     "hiveql_union_mixed",
     "hiveql_tablesample_bucket",
     "hiveql_null_ordering",
     "hiveql_case_cast_expr",
-    # new this round: O(log n) star-algorithm components, exact
-    # prefix-filtered Jaccard join, compression-ratio signal
-    "dedup_components_star",
-    "dedup_jaccard_prefix",
     "text_compression_ratio",
-    # ---- re-green heavy hitters (cut-safe tail; all green r2-r4) ----
     "q1_pricing_summary",
     "q5_local_supplier",
     "q7_volume_shipping",
     "join_inner_basic",
-    "q18_large_orders",
     "agg_distinct_multi",
 )
 
