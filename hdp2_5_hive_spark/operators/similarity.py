@@ -119,6 +119,8 @@ def _bucket_arrays_udf(dim: int, n_planes: int, n_tables: int):
 
     @F.pandas_udf("array<long>")
     def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:  # empty Arrow batch: vstack would throw
+            return pd.Series([], dtype=object)
         x = np.vstack(vecs.to_numpy()).astype(np.float64)  # (b, dim)
         signs = (x @ planes) > 0  # (b, planes*tables)
         per_table = [

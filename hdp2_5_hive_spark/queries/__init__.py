@@ -34,11 +34,15 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #   round 5 window (SAMPLE_FRONT below): the full never-sampled tail —
 #     text_hash_features/dedup_hash_cosine (2), scalars2 (28),
 #     win_topk_per_group + win_agg_over (stale r1 ERRs), fmt_csv/
-#     fmt_text round-trips (34 total) — then the new round-5 surface
-#     (hiveql text suite 9 + fmt_sequencefile_round_trip), then 6
-#     re-green heavy hitters at the tail (cut-safe if the window is
-#     shorter). After this round every registered query has >=1
-#     CORRECTNESS row.
+#     fmt_text round-trips (34 total) — then the new round-5 surface:
+#     hiveql text suite part 1 (9), fmt_sequencefile_round_trip,
+#     pipeline3 (4), and at ~49-51 the flagship new operators
+#     (dedup_components_star, dedup_jaccard_prefix) plus q18 (plan
+#     rewritten this round). After the 34 land, every PRE-round-5
+#     query has >=1 CORRECTNESS row.
+#   round 6 should front: whatever of positions ~52+ the r5 window
+#     cut — hiveql part 2 (6), text_compression_ratio, and re-greens
+#     (q1/q5/q7/join_inner_basic/agg_distinct_multi).
 _MODULES = (
     "scalars",
     "setops",
