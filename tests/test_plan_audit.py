@@ -149,3 +149,23 @@ def test_audio_spectrogram_map_only(spark, sf_dir):
     )
     facts = audit.analyze(mm.extract_audio_spectrogram(media))
     assert len(_exchange_nodes(facts.text)) == 0, facts.text
+
+
+def test_stratified_sample_pushes_rank_below_shuffle(spark, sf_dir, qs):
+    """sample_stratified: the per-stratum top-10 heap must run
+    map-side (WindowGroupLimit below the exchange), so the shuffle
+    carries <=10 rows per stratum per input partition."""
+    df = qs["sample_stratified"].fn(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_jaccard_prefix_join_never_cartesian(spark, sf_dir, qs):
+    """dedup_jaccard_prefix: candidate generation is a keyed join on
+    prefix tokens — a cartesian/broadcast-nested-loop anywhere means
+    the pruning silently degenerated to all-pairs."""
+    df = qs["dedup_jaccard_prefix"].fn(spark, sf_dir)
+    plan = audit.executed_plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
