@@ -120,6 +120,16 @@ def connected_components_star(
     localCheckpoint per round for the same lineage reasons as
     hash-min."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Right-size round parallelism to the edge list, like hash-min:
+    # every round runs ~6 keyed stages over this frame, and 32-task
+    # stages over a few hundred pairs cost more in scheduling than
+    # work. At scale the cap is the session default.
+    spark = edges.sparkSession
+    n_edges = e.count()
+    _target = max(
+        1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
 
     def _sym(ed: DataFrame) -> DataFrame:
         return ed.union(
@@ -155,13 +165,24 @@ def connected_components_star(
         )
         return out.union(mm.select(F.col("a"), F.col("m").alias("b"))).distinct()
 
-    cur = e.localCheckpoint(eager=True)
+    cur = e.repartition(_target).localCheckpoint(eager=True)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(_target))
+        return _star_iterate(cur, _large, _small, max_iter)
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _star_iterate(cur, _large, _small, max_iter: int):
     for _ in range(max_iter):
         cur = _large(cur).localCheckpoint(eager=True)
         nxt = _small(cur).localCheckpoint(eager=True)
+        # Both sets are distinct, so equal counts + empty one-sided
+        # difference ⇒ set equality (one exceptAll job, not two).
         unchanged = (
-            nxt.exceptAll(cur).limit(1).count() == 0
-            and cur.exceptAll(nxt).limit(1).count() == 0
+            nxt.count() == cur.count()
+            and nxt.exceptAll(cur).limit(1).count() == 0
         )
         cur = nxt
         if unchanged:
