@@ -52,6 +52,7 @@ _MODULES = (
     "streaming_batch",
     "formats",
     "acid",
+    "analytics",
     "hiveql",
     "pipeline",
     "pipeline2",
@@ -141,6 +142,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_null_ordering",
     "hiveql_case_cast_expr",
     "text_compression_ratio",
+    "events_funnel",
+    "events_retention",
     "q1_pricing_summary",
     "q5_local_supplier",
     "q7_volume_shipping",

@@ -1,0 +1,123 @@
+"""Event-analytics queries over the events table: conversion funnel
+and cohort retention — the classic warehouse workloads an HDP 2.5
+deployment runs on clickstream tables (reference surface: plain
+HiveQL aggregation/join compositions; e.g. the multi-step CTE shapes
+of ``ql/src/test/queries/clientpositive/cte_mat_*.q``).
+
+Scale notes: every stage is a keyed aggregate (map-side combine on
+user_id) followed by a user-keyed join whose left side only shrinks
+(each funnel stage is a subset of the previous), so AQE broadcasts
+the later stages; retention is two keyed aggregates and one
+day-offset rollup. Nothing scans events more than once per stage and
+no shuffle carries more than one row per (user, stage/day).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import register
+
+# Ordered conversion steps present in the testdata's event_type.
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+
+
+@register(
+    "events_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY e.user_id
+),
+s4 AS (
+  SELECT e.user_id, MIN(e.ts) AS t FROM events e
+  JOIN s3 ON e.user_id = s3.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4
+""",
+    category="analytics",
+)
+def events_funnel(spark, t):
+    """Ordered conversion funnel signup → view → click → purchase:
+    a user advances a stage only with an event strictly AFTER their
+    entry into the previous stage (the sequential-pattern semantics
+    a MATCH_RECOGNIZE engine gives; composed here — and in the
+    oracle — from per-stage min-ts aggregates + user-keyed joins).
+    Each stage's frame shrinks, so later joins broadcast under AQE."""
+    e = t.events.select("user_id", "event_type", "ts")
+    stage = None
+    counts = []
+    for step, ev in enumerate(_FUNNEL_STEPS, start=1):
+        cur = e.filter(F.col("event_type") == ev)
+        if stage is not None:
+            cur = cur.join(
+                stage.select("user_id", F.col("t").alias("_prev")), "user_id"
+            ).filter(F.col("ts") > F.col("_prev"))
+        stage = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        counts.append(
+            stage.agg(
+                F.lit(step).alias("step"),
+                F.lit(ev).alias("stage"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+@register(
+    "events_retention",
+    oracle="""
+WITH first_day AS (
+  SELECT user_id, CAST(date_trunc('day', MIN(ts)) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+)
+SELECT date_diff('day', f.cohort_day, a.d) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM active a JOIN first_day f ON a.user_id = f.user_id
+WHERE date_diff('day', f.cohort_day, a.d) <= 14
+GROUP BY day_offset
+""",
+    category="analytics",
+)
+def events_retention(spark, t):
+    """Cohort retention: users active N days after their first-ever
+    event, day offsets 0-14. Two keyed aggregates (first day, active
+    days) + one join + a 15-row rollup — the standard retention
+    curve, computable at any event volume because nothing holds more
+    than one row per (user, day)."""
+    e = t.events.select("user_id", "ts")
+    first_day = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+    )
+    active = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    j = active.join(first_day, "user_id").select(
+        "user_id", F.datediff(F.col("d"), F.col("cohort_day")).alias("day_offset")
+    )
+    return (
+        j.filter(F.col("day_offset") <= 14)
+        .groupBy("day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
