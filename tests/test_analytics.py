@@ -1,0 +1,39 @@
+"""Event-analytics invariants (oracle equality is the driver's job;
+these pin the semantic properties)."""
+
+from __future__ import annotations
+
+from hdp2_5_hive_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_funnel_counts_monotonically_shrink(spark):
+    qs = all_queries()
+    rows = sorted(
+        qs["events_funnel"].fn(spark, SF).collect(), key=lambda r: r.step
+    )
+    assert [r.stage for r in rows] == ["signup", "view", "click", "purchase"]
+    counts = [r.n_users for r in rows]
+    assert counts[0] > 0
+    assert all(a >= b for a, b in zip(counts, counts[1:])), counts
+
+
+def test_retention_day_zero_counts_every_user(spark):
+    """Every user is active on their own cohort day, so offset 0 must
+    equal the distinct-user count; offsets are bounded to 0..14."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.catalog import load_table
+
+    qs = all_queries()
+    rows = {r.day_offset: r.n_users
+            for r in qs["events_retention"].fn(spark, SF).collect()}
+    n_users = (
+        load_table(spark, SF, "events")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()[0]
+        .n
+    )
+    assert rows[0] == n_users
+    assert all(0 <= k <= 14 for k in rows)
