@@ -144,6 +144,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "text_compression_ratio",
     "events_funnel",
     "events_retention",
+    "events_top_transitions",
     "q1_pricing_summary",
     "q5_local_supplier",
     "q7_volume_shipping",

@@ -121,3 +121,45 @@ def events_retention(spark, t):
         .groupBy("day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@register(
+    "events_top_transitions",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       COUNT(*) AS n
+FROM seq WHERE next_type IS NOT NULL
+GROUP BY event_type, next_type
+ORDER BY n DESC, from_type, to_type
+LIMIT 10
+""",
+    category="analytics",
+)
+def events_top_transitions(spark, t):
+    """Top event-to-event transitions (clickstream path analysis):
+    LEAD over each user's ts-ordered stream, then a keyed count +
+    top-10. One exchange on user_id for the window, one partial-agg
+    shuffle on the 25-cell transition matrix, TakeOrdered for the
+    limit — the matrix is bounded by |event_type|², so the rollup
+    never grows with event volume. (event_id tiebreak makes the
+    sequence — and therefore the counts — engine-deterministic.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "from_type", "to_type")
+        .limit(10)
+    )
