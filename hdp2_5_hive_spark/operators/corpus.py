@@ -551,3 +551,152 @@ def redact_pii(
             "n_phones"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# repeated-span statistics (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def span_dup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-span coverage: the fraction of tokens
+    lying inside a word ``k``-gram that occurs ≥ ``min_count`` times
+    anywhere in the corpus (including within the same document) —
+    the filtering signal behind substring-level dedup ("Deduplicating
+    Training Data Makes Language Models Better", Lee et al. 2022,
+    which removes repeated ≥50-token spans; ``k`` plays the span-seed
+    length). Output: (id, n_tokens, dup_tokens, dup_ratio).
+
+    Scale shape: grams travel as 8-byte xxhash64 values, never as
+    strings — one explode + one hash-keyed groupBy (map-side combine)
+    finds the duplicated hashes, one shuffle hash join flags each
+    occurrence. Coverage is then computed WITHOUT exploding the k
+    covered positions: a per-doc window ordered by gram start keeps a
+    running max of span ends, and each flagged gram contributes
+    ``max(0, (pos+k) - max(prev_end, pos))`` new covered tokens —
+    O(#dup-grams) rows through one keyed window, exact interval-union
+    arithmetic. 64-bit hash collisions mis-flag a gram with
+    probability ~n²/2⁶⁴ — negligible against any real corpus size.
+    """
+    w = words_col(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(kgrams_all(F.col(text_col), k)).alias("pos", "gram"),
+    ).select("_id", "pos", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    hits = grams.join(dup_h, "h").select("_id", "pos")
+    win = (
+        Window.partitionBy("_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + k).over(win)
+    add = F.greatest(
+        F.lit(0),
+        F.col("pos") + k - F.greatest(F.coalesce(prev_end, F.col("pos")), F.col("pos")),
+    )
+    cov = hits.select("_id", add.alias("add")).groupBy("_id").agg(
+        F.sum("add").alias("dup_tokens")
+    )
+    base = df.select(F.col(id_col).alias("_id"), F.size(w).alias("n_tokens"))
+    return (
+        base.join(cov, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain mixing (temperature-weighted sampling plan)
+# ---------------------------------------------------------------------------
+
+
+def mix_temperature(
+    df: DataFrame,
+    domain_col: str = "source",
+    alpha: float = 0.5,
+    budget: int = 100_000,
+) -> DataFrame:
+    """Temperature-weighted domain mixing plan: sampling weight per
+    domain ∝ count^alpha (alpha<1 up-weights small domains — the
+    multilingual/temperature-sampling recipe of mT5/XLM-R), plus the
+    integer document budget allocated to each domain.
+
+    One tiny aggregate (domains number in the dozens even at 100 TB);
+    everything after the groupBy is driver-scale arithmetic kept in
+    the plan. pow() results are rounded to 6 dp and accumulated as
+    DECIMAL(38,6) so the normalizing sum is exact and
+    order-independent — both engines derive bit-identical weights.
+    """
+    counts = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    wa = F.round(F.pow(F.col("n_docs").cast("double"), F.lit(alpha)), 6).cast(
+        "decimal(38,6)"
+    )
+    tot = counts.select(F.sum(wa).alias("tot"))
+    out = counts.withColumn("wa", wa).crossJoin(F.broadcast(tot))
+    weight = F.col("wa").cast("double") / F.col("tot").cast("double")
+    return out.select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(weight, 6).alias("weight"),
+        F.floor(weight * budget).cast("long").alias("target_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training-order assignment)
+# ---------------------------------------------------------------------------
+
+
+def shuffle_seeded(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: str = "shuffle-v1",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Seeded deterministic global shuffle for training order:
+    shard = md5(seed || id) mod n_shards, position-in-shard = rank of
+    the same md5 key within the shard. Reading shards 0..n-1 in
+    position order yields a fixed pseudo-random permutation of the
+    corpus — reproducible on any engine, any partitioning, any run
+    (no RNG state; md5 is the permutation).
+
+    Scale shape: one hash shuffle into shards, one per-shard window
+    for positions — never a global single-partition sort. Shard
+    count scales with the cluster; at 100 TB you'd set n_shards to
+    O(output files) and each window sorts ~1/n_shards of the keys.
+    """
+    key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    keyed = df.select(
+        F.col(id_col), key.alias("skey"), shard.alias("shard")
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("skey", id_col)
+    )
+    return keyed.select(
+        id_col, "shard", (pos - 1).cast("long").alias("pos")
+    )

@@ -124,11 +124,9 @@ def encode_ppm(width: int, height: int, rgb) -> bytes:
     return f"P6 {width} {height} 255\n".encode("ascii") + arr.tobytes()
 
 
-def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
-    """REAL decode: parse the P6 header, reinterpret the raster with
-    numpy, return (width, height, per-channel means). Means are
-    integer-summed then divided once so they hash-compare exactly
-    against an engine that never saw the bytes."""
+def decode_ppm_pixels(payload: bytes):
+    """REAL decode to pixels: parse the P6 header, reinterpret the
+    raster with numpy → (width, height, (h,w,3) uint8 array)."""
     import numpy as np
 
     if payload is None or not payload.startswith(b"P6"):
@@ -139,7 +137,16 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
     if int(maxval) != 255:
         raise ValueError("only maxval 255 supported")
     px = np.frombuffer(raster, dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
-    sums = px.sum(axis=(0, 1), dtype=np.int64)
+    return w, h, px
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
+    """REAL decode: parse the P6 header, reinterpret the raster with
+    numpy, return (width, height, per-channel means). Means are
+    integer-summed then divided once so they hash-compare exactly
+    against an engine that never saw the bytes."""
+    w, h, px = decode_ppm_pixels(payload)
+    sums = px.sum(axis=(0, 1), dtype="int64")
     n = w * h
     return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
@@ -212,11 +219,10 @@ def encode_png(width: int, height: int, rgb) -> bytes:
     )
 
 
-def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
-    """REAL decode: walk the chunk list, inflate IDAT with stdlib
-    zlib, undo the per-scanline filter (all five types), and return
-    (width, height, per-channel means) — same contract as decode_ppm
-    so a bytes-blind oracle verifies it identically."""
+def decode_png_pixels(payload: bytes):
+    """REAL decode to pixels: walk the chunk list, inflate IDAT with
+    stdlib zlib, undo the per-scanline filter (all five types) →
+    (width, height, (h,w,3) uint8 array)."""
     import struct
     import zlib
 
@@ -277,7 +283,15 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
             raise ValueError(f"unknown PNG filter type {ftype}")
         px[y] = recon.astype(np.uint8)
         prev = px[y]
-    rgbv = px.reshape(h, w, 3)
+    return w, h, px.reshape(h, w, 3)
+
+
+def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
+    """REAL decode: pixel decode + per-channel means — same contract
+    as decode_ppm so a bytes-blind oracle verifies it identically."""
+    import numpy as np
+
+    w, h, rgbv = decode_png_pixels(payload)
     sums = rgbv.sum(axis=(0, 1), dtype=np.int64)
     n = w * h
     return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n

@@ -57,6 +57,7 @@ _MODULES = (
     "pipeline",
     "pipeline2",
     "pipeline3",
+    "pipeline4",
     "scalars2",
     "core",
     "joins",

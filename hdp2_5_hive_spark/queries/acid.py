@@ -6,11 +6,11 @@ pure-SQL oracle (``ql/parse/UpdateDeleteSemanticAnalyzer.java:50,
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import functions as F
 
 from ..functions.hive_compat import dsum
+from ..scratch import scratch_dir
 from .registry import register
 
 
@@ -42,7 +42,7 @@ def acid_update_delete(spark, t):
     bit-for-bit."""
     from ..sources import acid
 
-    d = tempfile.mkdtemp(prefix="acid_ud_")
+    d = scratch_dir("acid_ud_")
     seed = t.orders.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
     )
@@ -112,7 +112,7 @@ def acid_merge_upsert(spark, t):
     of the merge join is hash-verified."""
     from ..sources import acid
 
-    d = tempfile.mkdtemp(prefix="acid_merge_")
+    d = scratch_dir("acid_merge_")
     target = t.customer.select("c_custkey", "c_name", "c_acctbal")
     target.write.mode("overwrite").parquet(d)
 

@@ -1,0 +1,268 @@
+r"""LLM-pipeline queries, round 5 part 2: repeated-span dedup
+statistics, temperature-weighted domain mixing, seeded deterministic
+corpus shuffle, MinHash fuzzy decontamination, and perceptual-hash
+image near-dup.
+
+Beyond-reference operators under the training-data-pipeline mandate
+(HDP 2.5 Hive has none of these — SURVEY §6): each pairs a
+scale-first Spark plan with a DuckDB oracle that re-derives the
+semantics from portable primitives (string grams, md5, window
+interval arithmetic); hash-bucket internals (xxhash64, pHash) stay
+implementation details the oracle never sees.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators import corpus as cp
+from ..operators import dedup as dd
+from ..operators import phash as ph
+from .registry import register
+
+
+@register(
+    "corpus_span_dedup",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+15], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 14)) AS i) s
+  WHERE len(t) >= 16
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+cov AS (
+  SELECT doc_id, pos,
+         MAX(pos + 16) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_end
+  FROM hits
+),
+agg AS (
+  SELECT doc_id,
+         SUM(GREATEST(0, pos + 16 - GREATEST(COALESCE(prev_end, pos), pos)))
+           AS dup_tokens
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(len(d.t) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(d.t), 6)
+         AS dup_ratio
+FROM toks d LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+""",
+    category="pipeline",
+)
+def corpus_span_dedup(spark, t):
+    """Duplicated-span coverage per document (substring-level dedup
+    signal, Lee et al. 2022): tokens inside any 16-gram occurring ≥2
+    times corpus-wide. Spark flags grams by 8-byte hash and unions
+    intervals with a per-doc running-max window (operators/
+    corpus.span_dup_stats); the oracle recomputes with literal gram
+    strings and the same window arithmetic — positions are 0-based in
+    Spark, 1-based in the oracle, and the coverage algebra is
+    translation-invariant so results agree exactly."""
+    return cp.span_dup_stats(t.documents, "doc_id", "text", k=16).orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "corpus_mix_temperature",
+    oracle="""
+WITH counts AS (
+  SELECT source AS domain, COUNT(*) AS n_docs FROM documents GROUP BY source
+),
+wa AS (
+  SELECT domain, n_docs,
+         CAST(ROUND(POW(CAST(n_docs AS DOUBLE), 0.5), 6) AS DECIMAL(38,6)) AS w
+  FROM counts
+),
+tot AS (SELECT SUM(w) AS tw FROM wa)
+SELECT domain,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       ROUND(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE), 6) AS weight,
+       CAST(FLOOR(CAST(w AS DOUBLE) / CAST(tw AS DOUBLE) * 100000) AS BIGINT)
+         AS target_docs
+FROM wa, tot
+ORDER BY domain
+""",
+    category="pipeline",
+)
+def corpus_mix_temperature(spark, t):
+    """Temperature-weighted domain mixing plan (mT5/XLM-R recipe:
+    weight ∝ count^α, α=0.5 up-weights rare domains) with integer
+    budget allocation. DECIMAL-accumulated normalizer keeps both
+    engines' weight sums exact and order-independent
+    (operators/corpus.mix_temperature)."""
+    return cp.mix_temperature(
+        t.documents, "source", alpha=0.5, budget=100_000
+    ).orderBy("domain")
+
+
+@register(
+    "corpus_shuffle_seeded",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id,
+         md5('shuffle-v1' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, skey,
+         CAST(CAST('0x' || substr(skey, 1, 8) AS BIGINT) % 8 AS INT) AS shard
+  FROM keyed
+)
+SELECT doc_id, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id) - 1
+            AS BIGINT) AS pos
+FROM sharded
+ORDER BY shard, pos
+""",
+    category="pipeline",
+)
+def corpus_shuffle_seeded(spark, t):
+    """Deterministic seeded global shuffle for training order:
+    md5(seed||id) → shard + rank-within-shard. Reproducible on any
+    engine and any partitioning — the permutation IS the hash, no RNG
+    state (operators/corpus.shuffle_seeded). One hash shuffle + one
+    per-shard window; never a global single-partition sort."""
+    return cp.shuffle_seeded(
+        t.documents, "doc_id", seed="shuffle-v1", n_shards=8
+    ).orderBy("shard", "pos")
+
+
+@register(
+    "decontaminate_fuzzy_minhash",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS train_id, b.doc_id AS eval_id,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+  FROM sh a JOIN sh b ON a.source <> 'src0' AND b.source = 'src0'
+  WHERE len(a.s) + len(b.s) > 0
+)
+SELECT train_id AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+       MAX(jaccard) AS max_jaccard
+FROM pairs WHERE jaccard >= 0.5
+GROUP BY train_id ORDER BY doc_id
+""",
+    category="pipeline",
+)
+def decontaminate_fuzzy_minhash(spark, t):
+    """FUZZY test-set decontamination: training docs near-duplicating
+    an eval doc at Jaccard ≥ 0.5 — catches paraphrased/whitespace-
+    mangled benchmark leakage that exact/Bloom gram matching
+    (decontaminate_eval_overlap) misses. Spark reuses the MinHash-LSH
+    candidate machinery (one banded bucket join between corpus sides,
+    never train×eval all-pairs) with exact Jaccard confirm; the
+    oracle brute-forces all cross-side pairs. 'src0' documents play
+    the eval suite."""
+    docs = t.documents
+    pairs = dd.near_duplicate_pairs(
+        docs, "doc_id", "text", threshold=0.5
+    )
+    side = docs.select("doc_id", (F.col("source") == "src0").alias("is_eval"))
+    a = side.select(
+        F.col("doc_id").alias("id_a"), F.col("is_eval").alias("eval_a")
+    )
+    b = side.select(
+        F.col("doc_id").alias("id_b"), F.col("is_eval").alias("eval_b")
+    )
+    crossed = (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .filter(F.col("eval_a") != F.col("eval_b"))
+        .select(
+            F.when(F.col("eval_a"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("doc_id"),
+            "jaccard",
+        )
+    )
+    return (
+        crossed.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_phash_dedup",
+    oracle=None,  # pHash bit patterns have no SQL twin → rows-only;
+    # locality, format-invariance, and planted-group recovery are
+    # pinned in tests/test_phash.py.
+    category="pipeline",
+)
+def multimodal_phash_dedup(spark, t):
+    """Perceptual-hash image near-dup over a deterministic synthetic
+    media corpus: documents are assigned images in groups of ~10
+    (same base raster per group, one slightly-brightened pixel per
+    member — a re-encode/thumbnail stand-in), then decode → 64-bit
+    DCT pHash (Arrow-batched mapInPandas) → 16-bit-banded bucket join
+    → exact Hamming ≤ 6 (operators/phash.py). Returns the near-dup
+    pair list; byte-level exact dedup finds NONE of these pairs
+    (every payload differs)."""
+    media = _synthesize_grouped_media(t.documents)
+    hashes = ph.phash_table(media)
+    return ph.phash_near_pairs(hashes, max_distance=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _synthesize_grouped_media(docs):
+    """(doc_id, payload) with planted perceptual near-dup groups:
+    base 16×16 raster keyed on doc_id % 40, per-doc single-pixel
+    brightness tweak so no two payloads are byte-identical."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..operators.multimodal import encode_ppm
+
+    schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                gid = int(doc_id) % 40
+                rng = np.random.RandomState(1000 + gid)
+                base = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+                px = base.copy()
+                y, x = (int(doc_id) // 40) % 16, int(doc_id) % 16
+                px[y, x] = (px[y, x].astype(np.int64) + 12) % 256
+                ids.append(str(doc_id))
+                payloads.append(encode_ppm(16, 16, px.reshape(-1)))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(kernel, schema)
