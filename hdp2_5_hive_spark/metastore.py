@@ -128,3 +128,58 @@ class Metastore:
             self.get_table(spark, name).createOrReplaceTempView(prefix + name)
             names.append(prefix + name)
         return names
+
+    # -- EXPORT / IMPORT --------------------------------------------------
+    def export_table(self, name: str, dest_dir: str) -> None:
+        """``EXPORT TABLE name TO 'dest'`` (reference
+        ``ql/parse/ExportSemanticAnalyzer.java:48`` +
+        ``ql/exec/CopyTask``): copy the table's data directory plus a
+        self-contained ``_metadata.json`` describing format and
+        partition spec, so the archive imports into ANY warehouse —
+        the HDP migration / replication path. Data files are copied
+        byte-for-byte; no re-encode, no Spark job."""
+        import shutil
+
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        os.makedirs(dest_dir, exist_ok=True)
+        with open(
+            os.path.join(dest_dir, "_metadata.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump({"table": name, **m}, f, indent=1, sort_keys=True)
+        shutil.copytree(
+            os.path.join(self.warehouse_dir, m["path"]),
+            os.path.join(dest_dir, "data"),
+            dirs_exist_ok=True,
+        )
+
+    def import_table(self, archive_dir: str, as_name: str | None = None) -> str:
+        """``IMPORT [TABLE as_name] FROM 'archive'`` (reference
+        ``ql/parse/ImportSemanticAnalyzer.java:71``): read the
+        archive's ``_metadata.json``, copy the data directory into
+        THIS warehouse, register the table. Returns the table name."""
+        import shutil
+
+        with open(
+            os.path.join(archive_dir, "_metadata.json"), encoding="utf-8"
+        ) as f:
+            m = json.load(f)
+        name = as_name or m["table"]
+        if not name.isidentifier():
+            raise ValueError(f"invalid table name {name!r}")
+        meta = self._read_meta()
+        if name in meta["tables"]:
+            raise ValueError(f"table {name!r} already exists")
+        shutil.copytree(
+            os.path.join(archive_dir, "data"),
+            os.path.join(self.warehouse_dir, name),
+        )
+        meta["tables"][name] = {
+            "path": name,
+            "format": m["format"],
+            "partition_by": list(m["partition_by"]),
+        }
+        self._write_meta(meta)
+        return name

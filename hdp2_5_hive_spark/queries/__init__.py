@@ -135,6 +135,15 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "dedup_jaccard_prefix",
     "q18_large_orders",
     # ---- position ~52+: round-6 ledger starts here ----
+    # round-5 part-2 surface (added after the r5 window was frozen):
+    # span dedup, domain mixing, seeded shuffle, fuzzy decon, image
+    # pHash (rows-only), EXPORT/IMPORT — front these in round 6
+    "corpus_span_dedup",
+    "corpus_mix_temperature",
+    "corpus_shuffle_seeded",
+    "decontaminate_fuzzy_minhash",
+    "multimodal_phash_dedup",
+    "ddl_export_import",
     # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",

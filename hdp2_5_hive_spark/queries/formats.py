@@ -347,3 +347,42 @@ def ddl_persistent_catalog(spark, t):
     return s2.table("nations_p").select(
         "n_nationkey", "n_name", F.col("n_regionkey").cast("long").alias("n_regionkey")
     )
+
+
+@register(
+    "ddl_export_import",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_nationkey < 7
+""",
+    category="formats",
+)
+def ddl_export_import(spark, t):
+    """EXPORT TABLE → archive → IMPORT TABLE into a DIFFERENT
+    warehouse (metastore.export_table/import_table — reference
+    ``ql/parse/ExportSemanticAnalyzer.java:48`` /
+    ``ImportSemanticAnalyzer.java:71``): the replication/migration
+    path. The archive is self-contained (data files byte-copied +
+    ``_metadata.json``), so the importing warehouse never saw the
+    exporting one; rows come back through the imported table's scan
+    in a brand-new session."""
+    from ..metastore import Metastore
+
+    src_wh = scratch_dir("exp_src_wh_")
+    dst_wh = scratch_dir("exp_dst_wh_")
+    archive = scratch_dir("exp_archive_")
+    rows = t.supplier.filter(F.col("s_nationkey") < 7).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    ms_src = Metastore(src_wh)
+    ms_src.create_table(rows, "supp_small", partition_by=["s_nationkey"])
+    ms_src.export_table("supp_small", archive)
+
+    ms_dst = Metastore(dst_wh)
+    ms_dst.import_table(archive, as_name="supp_imported")
+    s2 = spark.newSession()
+    Metastore(dst_wh).attach(s2)
+    return s2.table("supp_imported").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_nationkey").cast("int").alias("s_nationkey"),
+    )

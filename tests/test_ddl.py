@@ -114,3 +114,33 @@ def test_metastore_partitioned_prunes(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "o_orderpriority" in plan
     assert df.count() == orders.filter("o_orderpriority = '1-URGENT'").count()
+
+
+def test_export_import_round_trip(spark, sf_dir, tmp_path):
+    """EXPORT → IMPORT into a different warehouse: identical rows,
+    self-contained archive (source warehouse can be dropped), import
+    refuses to clobber an existing table."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    src_wh, dst_wh = str(tmp_path / "src"), str(tmp_path / "dst")
+    archive = str(tmp_path / "arch")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms1 = Metastore(src_wh)
+    ms1.create_table(nation, "nation_all", partition_by=["n_regionkey"])
+    ms1.export_table("nation_all", archive)
+    ms1.drop_table("nation_all", purge=True)  # archive must stand alone
+
+    ms2 = Metastore(dst_wh)
+    name = ms2.import_table(archive)
+    assert name == "nation_all"
+    got = ms2.get_table(spark, "nation_all")
+    assert got.count() == nation.count()
+    keys = sorted(r.n_nationkey for r in got.select("n_nationkey").collect())
+    assert keys == sorted(
+        r.n_nationkey for r in nation.select("n_nationkey").collect()
+    )
+    with _pytest.raises(ValueError):
+        ms2.import_table(archive)  # no silent clobber
+    assert ms2.import_table(archive, as_name="nation_copy") == "nation_copy"
