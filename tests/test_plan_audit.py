@@ -169,3 +169,61 @@ def test_jaccard_prefix_join_never_cartesian(spark, sf_dir, qs):
     plan = audit.executed_plan(df)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_span_dup_stats_three_exchanges_no_strings(spark, sf_dir):
+    """Duplicated-span coverage shuffles exactly three times — gram
+    hash groupBy (dup set), gram hash join (flagging), doc window +
+    final doc join share the doc-keyed exchange(s) — and the shuffled
+    gram key is the 8-byte xxhash64, never the gram string. A fourth
+    gram-keyed Exchange or a shuffled string gram multiplies at
+    100 TB."""
+    from hdp2_5_hive_spark.operators.corpus import span_dup_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    facts = audit.analyze(span_dup_stats(docs, "doc_id", "text", k=16))
+    n_ex = len(_exchange_nodes(facts.text))
+    assert n_ex <= 4, f"{n_ex} exchanges:\n{facts.text}"
+    assert "CartesianProduct" not in facts.text
+    # the join key is the hash column, projected before the exchange
+    assert "xxhash64" in facts.text
+
+
+def test_shuffle_seeded_no_global_sort(spark, sf_dir):
+    """Seeded shuffle must never plan a global (single-partition)
+    Sort: positions come from per-shard windows, so the only
+    exchange is hashpartitioning on the shard key — rangepartitioning
+    (a global sort) would serialize the whole corpus through one
+    task's sampler at 100 TB."""
+    from hdp2_5_hive_spark.operators.corpus import shuffle_seeded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    facts = audit.analyze(shuffle_seeded(docs, "doc_id", n_shards=8))
+    assert "rangepartitioning" not in facts.text.lower(), facts.text
+    assert "hashpartitioning(shard" in facts.text, facts.text
+
+
+def test_phash_near_pairs_bucket_join_not_cartesian(spark, sf_dir):
+    """pHash pair search must plan a hash-equality join on
+    (band, bucket) — never BroadcastNestedLoop/Cartesian. The banded
+    join IS the reason this scales; an all-pairs fallback at 100 TB
+    of images is the classic quadratic blowup."""
+    import pandas as pd
+
+    from hdp2_5_hive_spark.operators import multimodal as mm
+    from hdp2_5_hive_spark.operators import phash as ph
+
+    import numpy as np
+
+    rows = []
+    for i in range(12):
+        rng = np.random.RandomState(i)
+        px = rng.randint(0, 256, (8, 8, 3)).astype(np.uint8)
+        rows.append(
+            {"media_id": f"m{i}", "payload": mm.encode_ppm(8, 8, px.reshape(-1))}
+        )
+    media = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = ph.phash_near_pairs(ph.phash_table(media))
+    facts = audit.analyze(pairs)
+    assert "CartesianProduct" not in facts.text, facts.text
+    assert "BroadcastNestedLoopJoin" not in facts.text, facts.text
