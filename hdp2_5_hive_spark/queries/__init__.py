@@ -144,6 +144,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "decontaminate_fuzzy_minhash",
     "multimodal_phash_dedup",
     "ddl_export_import",
+    "ddl_analyze_stats",
     # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",

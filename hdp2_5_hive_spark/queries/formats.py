@@ -386,3 +386,55 @@ def ddl_export_import(spark, t):
         "s_name",
         F.col("s_nationkey").cast("int").alias("s_nationkey"),
     )
+
+
+@register(
+    "ddl_analyze_stats",
+    oracle="""
+SELECT 'o_custkey' AS column_name,
+       COUNT(DISTINCT o_custkey) AS ndv,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+       CAST(MAX(o_custkey) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderkey', COUNT(DISTINCT o_orderkey),
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+       CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority),
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(MIN(o_orderpriority) AS VARCHAR),
+       CAST(MAX(o_orderpriority) AS VARCHAR)
+FROM orders
+ORDER BY column_name
+""",
+    category="formats",
+)
+def ddl_analyze_stats(spark, t):
+    """ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS
+    (``ql/exec/ColumnStatsTask.java:58``): stats are computed in ONE
+    aggregation pass (every NDV/null/min/max is an expression in a
+    single agg — one scan, partial-agg tree, no extra shuffles),
+    persisted in the metastore document, then read back through a
+    SECOND metastore instance — proving durability, not a driver-side
+    echo. Exact NDV here for oracle parity; ``exact_ndv=False`` (HLL)
+    is the 100 TB dial, mirroring Hive's own FM-sketch."""
+    from ..metastore import Metastore
+
+    wh = scratch_dir("analyze_wh_")
+    ms = Metastore(wh)
+    cols = ["o_custkey", "o_orderkey", "o_orderpriority"]
+    ms.create_table(t.orders.select(*cols), "orders_stats")
+    ms.analyze_table(spark, "orders_stats", cols)
+    stats = Metastore(wh).table_stats("orders_stats")
+    rows = [
+        (c, int(s["ndv"]), int(s["nulls"]), s["min"], s["max"])
+        for c, s in stats["columns"].items()
+    ]
+    return spark.createDataFrame(
+        rows,
+        "column_name string, ndv long, n_nulls long, "
+        "min_val string, max_val string",
+    ).orderBy("column_name")

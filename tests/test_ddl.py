@@ -144,3 +144,25 @@ def test_export_import_round_trip(spark, sf_dir, tmp_path):
     with _pytest.raises(ValueError):
         ms2.import_table(archive)  # no silent clobber
     assert ms2.import_table(archive, as_name="nation_copy") == "nation_copy"
+
+
+def test_analyze_stats_durable_and_approx(spark, sf_dir, tmp_path):
+    """ANALYZE results survive a metastore re-open; the approx-NDV
+    dial (the 100 TB path) lands within 10% of exact."""
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    wh = str(tmp_path / "wh")
+    ms = Metastore(wh)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ms.create_table(cust.select("c_custkey", "c_mktsegment"), "cust_s")
+    exact = ms.analyze_table(spark, "cust_s")
+    reread = Metastore(wh).table_stats("cust_s")
+    assert reread == exact
+    assert exact["numRows"] == cust.count()
+    assert exact["columns"]["c_custkey"]["ndv"] == cust.select(
+        "c_custkey"
+    ).distinct().count()
+    approx = ms.analyze_table(spark, "cust_s", exact_ndv=False)
+    e = exact["columns"]["c_custkey"]["ndv"]
+    a = approx["columns"]["c_custkey"]["ndv"]
+    assert abs(a - e) / e < 0.10
