@@ -700,3 +700,72 @@ def shuffle_seeded(
     return keyed.select(
         id_col, "shard", (pos - 1).cast("long").alias("pos")
     )
+
+
+def span_mask(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove duplicated spans from the corpus: every token covered
+    by a word ``k``-gram occurring ≥ ``min_count`` times corpus-wide
+    is dropped, the survivors rejoin into the cleaned text — the
+    destructive twin of span_dup_stats (Lee et al. 2022 §4 removes
+    such spans before training; like their ExactSubstr they drop ALL
+    occurrences, which over-removes vs keep-first but needs no global
+    occurrence ordering). Output: (id, text_clean, n_kept,
+    n_removed).
+
+    Scale shape: same hash-keyed dup-gram flagging as span_dup_stats
+    (grams shuffle as 8-byte hashes); covered positions explode only
+    for FLAGGED grams (bounded k× on dup rows, not the corpus); the
+    rebuild is one doc-keyed aggregate with an in-place
+    ``array_sort`` — order restored per doc without a sort shuffle.
+    """
+    w = words_col(F.col(text_col))
+    grams = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(kgrams_all(F.col(text_col), k)).alias("pos", "gram"),
+    ).select("_id", "pos", F.xxhash64("gram").alias("h"))
+    dup_h = (
+        grams.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup_h, "h")
+        .select(
+            "_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tokens = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(w).alias("pos", "tok"),
+    )
+    kept = tokens.join(covered, ["_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    base = df.select(F.col(id_col).alias("_id"), F.size(w).alias("n_tokens"))
+    return base.join(rebuilt, "_id", "left").select(
+        F.col("_id").alias(id_col),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

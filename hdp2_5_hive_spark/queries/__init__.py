@@ -139,6 +139,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # span dedup, domain mixing, seeded shuffle, fuzzy decon, image
     # pHash (rows-only), EXPORT/IMPORT — front these in round 6
     "corpus_span_dedup",
+    "corpus_span_mask",
     "corpus_mix_temperature",
     "corpus_shuffle_seeded",
     "decontaminate_fuzzy_minhash",

@@ -266,3 +266,54 @@ def _synthesize_grouped_media(docs):
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return docs.select("doc_id").mapInPandas(kernel, schema)
+
+
+@register(
+    "corpus_span_mask",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+15], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 14)) AS i) s
+  WHERE len(t) >= 16
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, c.p AS pos
+  FROM grams g JOIN dup USING (gram),
+       LATERAL (SELECT unnest(range(g.pos, g.pos + 16)) AS p) c
+),
+tokens AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) s
+),
+kept AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tokens tk ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.text_clean, '') AS text_clean,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(len(d.t) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+FROM toks d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY doc_id
+""",
+    category="pipeline",
+)
+def corpus_span_mask(spark, t):
+    """Substring-level corpus cleaning: drop every token covered by a
+    corpus-duplicated 16-gram and rebuild each document
+    (operators/corpus.span_mask — the destructive twin of
+    corpus_span_dedup). The oracle re-derives the same cleaned text
+    from literal gram strings; Spark's gram flags travel as 8-byte
+    hashes and the rebuild is one doc-keyed aggregate with in-place
+    array_sort (no sort shuffle)."""
+    return cp.span_mask(t.documents, "doc_id", "text", k=16).orderBy(
+        "doc_id"
+    )

@@ -167,3 +167,27 @@ def test_mix_temperature_weights_sum_to_one(spark, sf_dir):
         raw_share = r.n_docs / n_total
         if raw_share < 1.0 / len(rows):
             assert r.weight >= raw_share - 1e-9
+
+
+def test_span_mask_removes_only_covered(spark):
+    """span_mask drops exactly the covered tokens (both copies of the
+    planted span) and preserves surviving token order."""
+    from hdp2_5_hive_spark.operators import corpus as cp
+
+    span = " ".join(f"s{i}" for i in range(16))
+    head = " ".join(f"h{i}" for i in range(3))
+    tail = " ".join(f"z{i}" for i in range(3))
+    df = spark.createDataFrame(
+        [
+            (1, f"{head} {span} {tail}"),
+            (2, f"{span}"),
+            (3, "totally unrelated words here only once repeated never"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in cp.span_mask(df, "doc_id", "text", k=16).collect()}
+    assert out[1].text_clean == f"{head} {tail}"
+    assert out[1].n_removed == 16 and out[1].n_kept == 6
+    assert out[2].text_clean == "" and out[2].n_kept == 0
+    assert out[3].n_removed == 0
+    assert out[3].text_clean == "totally unrelated words here only once repeated never"
