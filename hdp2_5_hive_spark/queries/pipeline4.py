@@ -213,9 +213,11 @@ def decontaminate_fuzzy_minhash(spark, t):
 )
 def multimodal_phash_dedup(spark, t):
     """Perceptual-hash image near-dup over a deterministic synthetic
-    media corpus: documents are assigned images in groups of ~10
-    (same base raster per group, one slightly-brightened pixel per
-    member — a re-encode/thumbnail stand-in), then decode → 64-bit
+    media corpus: documents are assigned images in constant-size
+    groups of ~12 (same base raster per group, one slightly-brightened
+    pixel per member — a re-encode/thumbnail stand-in; constant group
+    size keeps the true-pair count linear in corpus size), then
+    decode → 64-bit
     DCT pHash (Arrow-batched mapInPandas) → 16-bit-banded bucket join
     → exact Hamming ≤ 6 (operators/phash.py). Returns the near-dup
     pair list; byte-level exact dedup finds NONE of these pairs
@@ -229,8 +231,10 @@ def multimodal_phash_dedup(spark, t):
 
 def _synthesize_grouped_media(docs):
     """(doc_id, payload) with planted perceptual near-dup groups:
-    base 16×16 raster keyed on doc_id % 40, per-doc single-pixel
-    brightness tweak so no two payloads are byte-identical."""
+    base 16×16 raster keyed on doc_id // 12 (constant ~12-member
+    groups, so the pair count stays LINEAR in corpus size at any sf),
+    per-doc single-pixel brightness tweak so no two payloads are
+    byte-identical."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -255,11 +259,11 @@ def _synthesize_grouped_media(docs):
         for pdf in batches:
             ids, payloads = [], []
             for doc_id in pdf["doc_id"]:
-                gid = int(doc_id) % 40
+                gid = int(doc_id) // 12
                 rng = np.random.RandomState(1000 + gid)
                 base = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
                 px = base.copy()
-                y, x = (int(doc_id) // 40) % 16, int(doc_id) % 16
+                y, x = (int(doc_id) % 12) % 16, (5 * int(doc_id)) % 16
                 px[y, x] = (px[y, x].astype(np.int64) + 12) % 256
                 ids.append(str(doc_id))
                 payloads.append(encode_ppm(16, 16, px.reshape(-1)))
