@@ -1,0 +1,174 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training.
+
+The canonical subword-vocab algorithm (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"):
+start from characters, repeatedly merge the most frequent adjacent
+symbol pair. The training corpus collapses to the DISTINCT-WORD
+frequency table first — the classic trick that makes BPE tractable:
+merge rounds run over unique words (bounded vocabulary), weighted by
+corpus frequency, never over raw text.
+
+Scale shape: one corpus pass builds (word, freq) — a groupBy with
+map-side combine; each merge round is (a) one pair-count aggregate
+over the word table (pairs shuffle as small structs, partial-agg
+tree) + a TakeOrdered(1) for the argmax — only ONE row ever reaches
+the driver per round — and (b) one Arrow-batched merge rewrite of
+the symbol arrays. The word table is persisted and re-persisted per
+round with lineage truncated (the iterative-algorithm discipline of
+operators/components.py). N merges = N bounded jobs; at 100 TB the
+word table is ~10⁸ rows (language vocabulary, not corpus size), far
+smaller than the corpus it came from.
+
+Determinism: ties in pair frequency break lexicographically, so the
+merge table is a pure function of the corpus — pinned against a
+from-scratch sequential reference in tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .dedup import words_col
+
+_WORD_SCHEMA = StructType(
+    [
+        StructField("syms", ArrayType(StringType())),
+        StructField("freq", LongType()),
+    ]
+)
+
+
+def word_freq_table(
+    df: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """(syms: array<string> of characters, freq): the distinct-word
+    frequency table BPE trains on. One shuffle (word groupBy)."""
+    words = df.select(
+        F.explode(words_col(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    if min_freq > 1:
+        wf = wf.filter(F.col("freq") >= min_freq)
+    return wf.select(
+        F.split(F.col("w"), "(?!$)").alias("syms"), F.col("freq")
+    )
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the word table."""
+    n = F.size("syms")
+    pairs = words.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), n - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("left"),
+                        F.element_at("syms", i + 1).alias("right"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<left:string,right:string>>"))
+        ).alias("p"),
+        "freq",
+    )
+    return pairs.groupBy("p.left", "p.right").agg(
+        F.sum("freq").alias("pair_count")
+    )
+
+
+def _merge_kernel(left: str, right: str):
+    """Arrow-batched rewrite: replace adjacent (left,right) with the
+    concatenation, left-to-right greedy (standard BPE application —
+    'aaa' with merge (a,a) → ['aa','a'])."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for syms in pdf["syms"]:
+                s = list(syms)
+                merged = []
+                i = 0
+                while i < len(s):
+                    if (
+                        i + 1 < len(s)
+                        and s[i] == left
+                        and s[i + 1] == right
+                    ):
+                        merged.append(left + right)
+                        i += 2
+                    else:
+                        merged.append(s[i])
+                        i += 1
+                out.append(merged)
+            yield pd.DataFrame({"syms": out, "freq": pdf["freq"]})
+
+    return kernel
+
+
+def train_bpe(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 24,
+    min_pair_count: int = 2,
+) -> list[tuple[int, str, str, int]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns
+    [(rank, left, right, pair_count)] — the merge table, highest
+    frequency first; stops early when the best pair drops below
+    ``min_pair_count``."""
+    spark = df.sparkSession
+    words = word_freq_table(df, text_col).persist()
+    words.count()  # materialize before the loop
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            top = (
+                _pair_counts(words)
+                .orderBy(F.desc("pair_count"), "left", "right")
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["pair_count"] < min_pair_count:
+                break
+            left, right, cnt = (
+                top[0]["left"],
+                top[0]["right"],
+                int(top[0]["pair_count"]),
+            )
+            merges.append((rank, left, right, cnt))
+            nxt = words.mapInPandas(
+                _merge_kernel(left, right), _WORD_SCHEMA
+            ).persist()
+            nxt.count()  # cut lineage growth: materialize, then swap
+            words.unpersist()
+            words = nxt
+    finally:
+        words.unpersist()
+    return merges
+
+
+def bpe_merge_table(
+    df: DataFrame, text_col: str = "text", n_merges: int = 24
+) -> DataFrame:
+    """train_bpe as a DataFrame: (rank, left, right, merged,
+    pair_count)."""
+    spark = df.sparkSession
+    rows = [
+        (r, lt, rt, lt + rt, c)
+        for r, lt, rt, c in train_bpe(df, text_col, n_merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank int, left string, right string, merged string, pair_count long",
+    )

@@ -146,6 +146,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "multimodal_phash_dedup",
     "ddl_export_import",
     "ddl_analyze_stats",
+    "vocab_bpe_merges",
     # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",

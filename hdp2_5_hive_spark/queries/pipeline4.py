@@ -321,3 +321,23 @@ def corpus_span_mask(spark, t):
     return cp.span_mask(t.documents, "doc_id", "text", k=16).orderBy(
         "doc_id"
     )
+
+
+@register(
+    "vocab_bpe_merges",
+    oracle=None,  # iterative argmax loop — not single-SQL-expressible;
+    # the merge table is pinned EXACTLY (pairs, order, counts) against
+    # a from-scratch sequential reference in tests/test_bpe.py.
+    category="pipeline",
+)
+def vocab_bpe_merges(spark, t):
+    """Distributed BPE vocabulary training (Sennrich et al. 2016) —
+    8 merge rounds over the distinct-word frequency table
+    (operators/bpe.py). Each round: pair-count partial-agg +
+    TakeOrdered(1) argmax (one row to the driver), then an
+    Arrow-batched merge rewrite with lineage cut per round. Returns
+    the learned merge table (rank, left, right, merged, pair_count)
+    — deterministic via lexicographic tie-breaks."""
+    from ..operators import bpe
+
+    return bpe.bpe_merge_table(t.documents, "text", n_merges=8)

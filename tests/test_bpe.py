@@ -1,0 +1,74 @@
+"""Distributed BPE trainer vs a from-scratch sequential reference:
+the merge tables must match exactly (same pairs, same order, same
+counts) — determinism via lexicographic tie-breaks."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hdp2_5_hive_spark.operators import bpe
+
+
+def _reference_bpe(texts: list[str], n_merges: int, min_pair: int = 2):
+    """Sequential Sennrich-style BPE on a word-frequency dict."""
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                wf[w] += 1
+    words = {w: [c for c in w] for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        # max count, ties lexicographic on (left, right)
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        if cnt < min_pair:
+            break
+        merges.append((rank, left, right, cnt))
+        for w, syms in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            words[w] = merged
+    return merges
+
+
+def test_bpe_matches_reference_on_corpus(spark, sf_dir):
+    """12 merges on the real documents table: distributed == reference."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = bpe.train_bpe(docs, "text", n_merges=12)
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _reference_bpe(texts, n_merges=12)
+    assert got == want
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """'aaa' under merge (a,a) becomes ['aa','a'] — left-to-right
+    greedy, no overlapping merge."""
+    df = spark.createDataFrame(
+        [(1, "aaa aaa aaa")], "doc_id long, text string"
+    )
+    got = bpe.train_bpe(df, "text", n_merges=2)
+    want = _reference_bpe(["aaa aaa aaa"], n_merges=2)
+    assert got == want
+    assert got[0][1] == "a" and got[0][2] == "a"
+    # after merging (a,a)->aa, remaining adjacency is (aa, a)
+    assert (got[1][1], got[1][2]) == ("aa", "a")
+
+
+def test_bpe_early_stop_below_min_count(spark):
+    """All-unique pairs (count 1) stop training immediately."""
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    assert bpe.train_bpe(df, "text", n_merges=5, min_pair_count=2) == []
