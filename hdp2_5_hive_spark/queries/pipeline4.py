@@ -341,3 +341,24 @@ def vocab_bpe_merges(spark, t):
     from ..operators import bpe
 
     return bpe.bpe_merge_table(t.documents, "text", n_merges=8)
+
+
+@register(
+    "emb_pca_project",
+    oracle=None,  # eigendecomposition has no SQL twin — rows-only;
+    # components/projection are pinned exactly against an in-memory
+    # numpy PCA in tests/test_embeddings_pca.py.
+    category="pipeline",
+)
+def emb_pca_project(spark, t):
+    """Distributed PCA 64→8 over the embeddings table
+    (operators/embeddings.py): covariance aggregated in ONE pass as
+    per-partition (n, Σx, XᵀX) partials — driver work is O(d²·
+    #partitions), never corpus-sized — then a broadcast-matmul
+    projection, map-only. The projection is the standard pre-step
+    before LSH/IVF at scale (8× fewer shuffle bytes per vector)."""
+    from ..operators import embeddings as emb
+
+    vecs = t.embeddings
+    mean, comps, _ = emb.pca_train(vecs, "embedding", k=8)
+    return emb.pca_project(vecs, mean, comps).orderBy("vec_id")
