@@ -131,3 +131,143 @@ def pca_project(
             )
 
     return df.select(id_col, vec_col).mapInPandas(kernel, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd iterations)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_init(df: DataFrame, vec_col: str, id_col: str, k: int) -> np.ndarray:
+    """Deterministic, engine-portable init: the k vectors whose
+    md5(id) sorts first — a seeded pseudo-random draw with no RNG
+    state (same trick as corpus.shuffle_seeded)."""
+    rows = (
+        df.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(k)
+        .collect()
+    )
+    return np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in rows]
+    )
+
+
+def kmeans_train(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    n_iter: int = 10,
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Full-corpus Lloyd's algorithm. Unlike the IVF quantizer
+    (operators/similarity.py — trained on a bounded 2048-row sample),
+    every iteration here aggregates over ALL rows: per partition one
+    Arrow batch computes nearest centroids (numpy matmul against the
+    broadcast (k,d) array) and emits per-centroid (count, Σx)
+    partials — k·d floats per partition, independent of row count —
+    combined on the driver. Empty clusters keep their old centroid.
+    Stops early when the max centroid shift drops below ``tol``.
+    Driver work per round: O(P·k·d); rounds are bounded jobs exactly
+    like operators/bpe.train_bpe."""
+    cent = _kmeans_init(df, vec_col, id_col, k)
+    d = cent.shape[1]
+    part_schema = StructType(
+        [
+            StructField("cnt", ArrayType(FloatType())),
+            StructField("sums", ArrayType(FloatType())),
+        ]
+    )
+    vecs = df.select(vec_col).persist()
+    try:
+        for _ in range(n_iter):
+            c = cent  # capture for the closure
+
+            def partials(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                cnt = np.zeros(len(c))
+                sums = np.zeros((len(c), d))
+                any_rows = False
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    any_rows = True
+                    x = np.asarray(
+                        [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                    )
+                    # ||x-c||² argmin via the expanded form; x² is
+                    # constant per row so argmin needs only -2xc + c²
+                    dist = -2.0 * (x @ c.T) + (c * c).sum(axis=1)
+                    a = dist.argmin(axis=1)
+                    for j in range(len(c)):
+                        m = a == j
+                        if m.any():
+                            cnt[j] += int(m.sum())
+                            sums[j] += x[m].sum(axis=0)
+                if any_rows:
+                    yield pd.DataFrame(
+                        {"cnt": [cnt.astype(np.float64)],
+                         "sums": [sums.ravel().astype(np.float64)]}
+                    )
+
+            rows = vecs.mapInPandas(partials, part_schema).collect()
+            cnt = np.zeros(len(c))
+            sums = np.zeros((len(c), d))
+            for r in rows:
+                cnt += np.asarray(r["cnt"], dtype=np.float64)
+                sums += np.asarray(r["sums"], dtype=np.float64).reshape(
+                    len(c), d
+                )
+            new = cent.copy()
+            nz = cnt > 0
+            new[nz] = sums[nz] / cnt[nz, None]
+            shift = float(np.abs(new - cent).max())
+            cent = new
+            if shift < tol:
+                break
+    finally:
+        vecs.unpersist()
+    return cent
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, sq_dist): broadcast nearest-centroid assignment,
+    map-only."""
+    c = np.asarray(centroids, dtype=np.float64)
+    out_schema = StructType(
+        [
+            StructField("vec_id", StringType()),
+            StructField("cluster", FloatType()),
+            StructField("sq_dist", FloatType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": [str(v) for v in pdf[id_col]],
+                    "cluster": a.astype(np.float64),
+                    "sq_dist": d2[np.arange(len(a)), a].astype(np.float64),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(kernel, out_schema).select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.col("sq_dist").cast("double").alias("sq_dist"),
+    )

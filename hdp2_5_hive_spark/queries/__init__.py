@@ -148,6 +148,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "ddl_analyze_stats",
     "vocab_bpe_merges",
     "emb_pca_project",
+    "emb_kmeans_clusters",
     # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",

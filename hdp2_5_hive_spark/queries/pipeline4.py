@@ -362,3 +362,25 @@ def emb_pca_project(spark, t):
     vecs = t.embeddings
     mean, comps, _ = emb.pca_train(vecs, "embedding", k=8)
     return emb.pca_project(vecs, mean, comps).orderBy("vec_id")
+
+
+@register(
+    "emb_kmeans_clusters",
+    oracle=None,  # iterative Lloyd loop — no SQL twin; centroids and
+    # assignments are pinned exactly against a sequential numpy
+    # reference from the same deterministic init in
+    # tests/test_embeddings_pca.py.
+    category="pipeline",
+)
+def emb_kmeans_clusters(spark, t):
+    """Distributed k-means (full-corpus Lloyd, k=6, 8 rounds) over
+    the embeddings table (operators/embeddings.kmeans_train): per
+    round, every partition emits per-centroid (count, Σx) partials —
+    k·d floats regardless of row count — against broadcast centroids;
+    assignment is a map-only broadcast matmul. Semantic-clustering
+    building block (cluster-balanced sampling, semantic dedup)."""
+    from ..operators import embeddings as emb
+
+    vecs = t.embeddings
+    cent = emb.kmeans_train(vecs, "embedding", "vec_id", k=6, n_iter=8)
+    return emb.kmeans_assign(vecs, cent).orderBy("vec_id")

@@ -63,3 +63,61 @@ def test_pca_partition_invariant(spark, sf_dir):
     _, c1, _ = emb.pca_train(df, "embedding", k=4)
     _, c2, _ = emb.pca_train(df.repartition(17), "embedding", k=4)
     assert np.allclose(np.abs(c1 @ c2.T), np.eye(4), atol=1e-6)
+
+
+def _numpy_kmeans(x: np.ndarray, init: np.ndarray, n_iter: int = 10,
+                  tol: float = 1e-6):
+    c = init.copy()
+    for _ in range(n_iter):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        new = c.copy()
+        for j in range(len(c)):
+            m = a == j
+            if m.any():
+                new[j] = x[m].mean(axis=0)
+        shift = float(np.abs(new - c).max())
+        c = new
+        if shift < tol:
+            break
+    return c
+
+
+def test_kmeans_matches_reference(spark, sf_dir):
+    """Distributed Lloyd == sequential numpy Lloyd from the same
+    deterministic md5 init: same centroids, same assignments."""
+    from hdp2_5_hive_spark.operators import embeddings as emb
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cent = emb.kmeans_train(df, "embedding", "vec_id", k=6, n_iter=8)
+    init = emb._kmeans_init(df, "embedding", "vec_id", 6)
+    rows = df.select("vec_id", "embedding").collect()
+    x = np.asarray([np.asarray(r.embedding, dtype=np.float64) for r in rows])
+    want = _numpy_kmeans(x, init, n_iter=8)
+    assert np.allclose(cent, want, atol=1e-8)
+
+    assign = {
+        r.vec_id: r.cluster
+        for r in emb.kmeans_assign(df, cent).collect()
+    }
+    d2 = ((x[:, None, :] - want[None, :, :]) ** 2).sum(axis=2)
+    want_a = d2.argmin(axis=1)
+    got_a = np.asarray([assign[str(r.vec_id)] for r in rows])
+    assert (got_a == want_a).all()
+
+
+def test_kmeans_partition_invariant_and_inertia(spark, sf_dir):
+    """Centroids identical under repartitioning (partials combine
+    associatively); total inertia decreases vs the init assignment."""
+    from hdp2_5_hive_spark.operators import embeddings as emb
+
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c1 = emb.kmeans_train(df, "embedding", "vec_id", k=5, n_iter=5)
+    c2 = emb.kmeans_train(
+        df.repartition(11), "embedding", "vec_id", k=5, n_iter=5
+    )
+    assert np.allclose(c1, c2, atol=1e-8)
+    init = emb._kmeans_init(df, "embedding", "vec_id", 5)
+    i_init = emb.kmeans_assign(df, init).agg({"sq_dist": "sum"}).collect()[0][0]
+    i_fit = emb.kmeans_assign(df, c1).agg({"sq_dist": "sum"}).collect()[0][0]
+    assert i_fit < i_init
