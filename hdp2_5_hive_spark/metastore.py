@@ -247,3 +247,61 @@ class Metastore:
         if name not in meta:
             raise NoSuchTableError(name)
         return meta[name].get("stats")
+
+    # -- partitions -------------------------------------------------------
+    def partitions(self, name: str) -> list[dict[str, str]]:
+        """``SHOW PARTITIONS`` (``ql/exec/DDLTask.java showPartitions``):
+        enumerate partition specs from the directory layout —
+        ``col=value`` path segments, exactly the Hive convention Spark
+        writes. Metadata-only: lists directories, reads no data."""
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        cols = m["partition_by"]
+        if not cols:
+            return []
+        specs: list[dict[str, str]] = []
+
+        def walk(path: str, depth: int, spec: dict[str, str]) -> None:
+            if depth == len(cols):
+                specs.append(dict(spec))
+                return
+            for entry in sorted(os.listdir(path)):
+                sub = os.path.join(path, entry)
+                if os.path.isdir(sub) and entry.startswith(cols[depth] + "="):
+                    spec[cols[depth]] = entry.split("=", 1)[1]
+                    walk(sub, depth + 1, spec)
+                    spec.pop(cols[depth], None)
+
+        walk(os.path.join(self.warehouse_dir, m["path"]), 0, {})
+        return specs
+
+    def msck_repair(self, name: str) -> dict:
+        """``MSCK REPAIR TABLE`` (``ql/exec/DDLTask.java msck``): in
+        Hive, reconcile the partition list in the metastore RDBMS with
+        the directories on disk. This catalog derives partitions FROM
+        the directory layout (self-describing warehouse), so repair
+        reduces to validating the layout and reporting what a
+        Hive-side repair would have added — partitions whose
+        directories exist. Raises on a layout that Hive could not
+        repair (a non-``col=`` stray directory)."""
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        cols = m["partition_by"]
+        root = os.path.join(self.warehouse_dir, m["path"])
+        if cols:
+            for entry in os.listdir(root):
+                sub = os.path.join(root, entry)
+                if (
+                    os.path.isdir(sub)
+                    and not entry.startswith(cols[0] + "=")
+                    and not entry.startswith(("_", "."))
+                ):
+                    raise ValueError(
+                        f"unpartitioned directory {entry!r} under "
+                        f"partitioned table {name!r}"
+                    )
+        return {"table": name, "partitions": self.partitions(name)}
