@@ -41,8 +41,14 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     rewritten this round). After the 34 land, every PRE-round-5
 #     query has >=1 CORRECTNESS row.
 #   round 6 should front: whatever of positions ~52+ the r5 window
-#     cut — hiveql part 2 (6), text_compression_ratio, and re-greens
-#     (q1/q5/q7/join_inner_basic/agg_distinct_multi).
+#     cut — the round-5 part-2 surface (corpus_span_dedup/_mask,
+#     corpus_mix_temperature, corpus_shuffle_seeded,
+#     decontaminate_fuzzy_minhash, multimodal_phash_dedup,
+#     ddl_export_import, ddl_analyze_stats, vocab_bpe_merges,
+#     emb_pca_project, emb_kmeans_clusters — all already green in the
+#     end-of-r5 full-registry driver_sim), then hiveql part 2 (6),
+#     text_compression_ratio, and re-greens (q1/q5/q7/
+#     join_inner_basic/agg_distinct_multi).
 _MODULES = (
     "scalars",
     "setops",

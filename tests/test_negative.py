@@ -55,3 +55,53 @@ def test_unknown_catalog_table_rejected(spark):
 
     with pytest.raises(KeyError):
         load_table(spark, "/root/testdata/sf0.001", "nope")
+
+
+def test_phash_rejects_corrupt_payload():
+    from hdp2_5_hive_spark.operators import phash as ph
+
+    with pytest.raises(ValueError):
+        ph._decode_pixels(b"not an image at all")
+
+
+def test_export_missing_table_raises(tmp_path):
+    from hdp2_5_hive_spark.metastore import Metastore, NoSuchTableError
+
+    ms = Metastore(str(tmp_path / "wh"))
+    with pytest.raises(NoSuchTableError):
+        ms.export_table("ghost", str(tmp_path / "arch"))
+    with pytest.raises(NoSuchTableError):
+        ms.analyze_table(None, "ghost")
+
+
+def test_import_bad_name_rejected(spark, sf_dir, tmp_path):
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    ms = Metastore(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms.create_table(nation, "n1")
+    ms.export_table("n1", str(tmp_path / "arch"))
+    with pytest.raises(ValueError):
+        ms.import_table(str(tmp_path / "arch"), as_name="bad name; drop")
+
+
+def test_pca_empty_input_raises(spark):
+    from hdp2_5_hive_spark.operators import embeddings as emb
+
+    empty = spark.createDataFrame(
+        [], "vec_id string, embedding array<float>"
+    )
+    with pytest.raises(ValueError):
+        emb.pca_train(empty, "embedding", k=2)
+
+
+def test_span_stats_short_docs_no_grams(spark):
+    """Docs shorter than k tokens produce zero dup coverage, not an
+    error (the kgram guard)."""
+    from hdp2_5_hive_spark.operators import corpus as cp
+
+    df = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in cp.span_dup_stats(df, "doc_id", "text", k=16).collect()}
+    assert rows[1].dup_tokens == 0 and rows[2].dup_tokens == 0
