@@ -227,3 +227,21 @@ def test_phash_near_pairs_bucket_join_not_cartesian(spark, sf_dir):
     facts = audit.analyze(pairs)
     assert "CartesianProduct" not in facts.text, facts.text
     assert "BroadcastNestedLoopJoin" not in facts.text, facts.text
+
+
+def test_pca_project_and_kmeans_assign_map_only(spark, sf_dir):
+    """PCA projection and k-means assignment are broadcast matmuls
+    inside mapInPandas — an Exchange in either plan means the
+    operator stopped being map-only."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators import embeddings as emb
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean = np.zeros(64)
+    comps = np.eye(8, 64)
+    facts = audit.analyze(emb.pca_project(vecs, mean, comps))
+    assert len(_exchange_nodes(facts.text)) == 0, facts.text
+    cent = np.zeros((4, 64))
+    facts2 = audit.analyze(emb.kmeans_assign(vecs, cent))
+    assert len(_exchange_nodes(facts2.text)) == 0, facts2.text
