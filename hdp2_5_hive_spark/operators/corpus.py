@@ -23,10 +23,16 @@ from pyspark.sql import functions as F
 from .dedup import shingles_col, words_col
 
 
-def kgrams_all(text: Column, k: int) -> Column:
-    """ALL word k-grams in order (duplicates kept) — the multiset
-    twin of dedup.shingles_col's distinct set."""
-    w = words_col(text)
+def kgrams_from_words(w: Column, k: int) -> Column:
+    """ALL word k-grams in order (duplicates kept) from an ALREADY
+    MATERIALIZED token-array column — the multiset twin of
+    dedup.shingles_col's distinct set.
+
+    Callers must project the token array into a real column first
+    (``df.select(words_col(text).alias("w"))``): passing an
+    expression tree inlines it into every ``element_at`` of the
+    lambda — k copies of ``split`` per gram position, O(n²·k) per
+    document (measured 20s → 0.6s on the sf0.1 gram scan)."""
     n = F.size(w)
     idx = F.sequence(F.lit(1), n - (k - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
@@ -35,6 +41,14 @@ def kgrams_all(text: Column, k: int) -> Column:
     return F.when(n >= k, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def kgrams_all(text: Column, k: int) -> Column:
+    """kgrams over a raw text column. ONLY for single-consumption
+    expression contexts (an aggregate over the grams); plans that
+    explode the grams must pre-project the token array and use
+    kgrams_from_words — see its docstring."""
+    return kgrams_from_words(words_col(text), k)
 
 
 # ---------------------------------------------------------------------------
@@ -368,8 +382,10 @@ def repetition_stats(
         F.count("*").alias("n_distinct"),
         F.max("c").alias("top_count"),
     )
-    g2_all = kgrams_all(F.col(text_col), 2)
+    g2_all = kgrams_from_words(F.col("_w"), 2)
     inline = par.select(
+        F.col(id_col), words_col(F.col(text_col)).alias("_w")
+    ).select(
         F.col(id_col),
         F.size(g2_all).alias("n_2grams"),
         F.size(F.array_distinct(g2_all)).alias("n_distinct_2grams"),
@@ -420,8 +436,8 @@ def top_ngrams(
     from .util import ensure_parallelism
 
     grams = ensure_parallelism(df).select(
-        F.explode(kgrams_all(F.col(text_col), k)).alias("gram")
-    )
+        words_col(F.col(text_col)).alias("_w")
+    ).select(F.explode(kgrams_from_words(F.col("_w"), k)).alias("gram"))
     return (
         grams.groupBy("gram")
         .agg(F.count("*").cast("bigint").alias("occurrences"))
@@ -585,9 +601,10 @@ def span_dup_stats(
     probability ~n²/2⁶⁴ — negligible against any real corpus size.
     """
     w = words_col(F.col(text_col))
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(kgrams_all(F.col(text_col), k)).alias("pos", "gram"),
+    toks = df.select(F.col(id_col).alias("_id"), w.alias("_w"))
+    grams = toks.select(
+        "_id",
+        F.posexplode(kgrams_from_words(F.col("_w"), k)).alias("pos", "gram"),
     ).select("_id", "pos", F.xxhash64("gram").alias("h"))
     dup_h = (
         grams.groupBy("h")
@@ -674,6 +691,7 @@ def shuffle_seeded(
     id_col: str = "doc_id",
     seed: str = "shuffle-v1",
     n_shards: int = 8,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Seeded deterministic global shuffle for training order:
     shard = md5(seed || id) mod n_shards, position-in-shard = rank of
@@ -686,19 +704,23 @@ def shuffle_seeded(
     for positions — never a global single-partition sort. Shard
     count scales with the cluster; at 100 TB you'd set n_shards to
     O(output files) and each window sorts ~1/n_shards of the keys.
+    ``carry`` columns ride along through the shuffle so pipelines can
+    keep payloads (cleaned text) without a join-back that would
+    re-evaluate the upstream subtree.
     """
     key = F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string")))
     shard = (
         F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
     ).cast("int")
     keyed = df.select(
-        F.col(id_col), key.alias("skey"), shard.alias("shard")
+        F.col(id_col), key.alias("skey"), shard.alias("shard"),
+        *[F.col(c) for c in carry]
     )
     pos = F.row_number().over(
         Window.partitionBy("shard").orderBy("skey", id_col)
     )
     return keyed.select(
-        id_col, "shard", (pos - 1).cast("long").alias("pos")
+        id_col, "shard", (pos - 1).cast("long").alias("pos"), *carry
     )
 
 
@@ -725,9 +747,10 @@ def span_mask(
     ``array_sort`` — order restored per doc without a sort shuffle.
     """
     w = words_col(F.col(text_col))
-    grams = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(kgrams_all(F.col(text_col), k)).alias("pos", "gram"),
+    toks0 = df.select(F.col(id_col).alias("_id"), w.alias("_w"))
+    grams = toks0.select(
+        "_id",
+        F.posexplode(kgrams_from_words(F.col("_w"), k)).alias("pos", "gram"),
     ).select("_id", "pos", F.xxhash64("gram").alias("h"))
     dup_h = (
         grams.groupBy("h")

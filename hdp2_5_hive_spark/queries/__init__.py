@@ -155,6 +155,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "vocab_bpe_merges",
     "emb_pca_project",
     "emb_kmeans_clusters",
+    "corpus_clean_v3",
     # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",

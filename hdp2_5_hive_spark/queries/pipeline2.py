@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators import corpus as cp
+from ..operators import dedup as dd
 from .registry import register
 
 # DuckDB k-gram list comprehension fragments (match
@@ -511,11 +512,12 @@ def corpus_clean_v2(spark, t):
         .filter(F.col("is_contaminated"))
         .select("doc_id")
     )
-    g2 = cp.kgrams_all(F.col("text"), 2)
+    g2 = cp.kgrams_from_words(F.col("_w2"), 2)
     words = F.split(F.lower(F.col("text")), r"\s+")
     kept = (
         corpus.join(dup_dropped, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
+        .withColumn("_w2", dd.words_col(F.col("text")))
         .withColumn("_n2", F.size(g2))
         .withColumn("_nd2", F.size(F.array_distinct(g2)))
         .filter(

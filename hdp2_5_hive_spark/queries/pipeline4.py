@@ -384,3 +384,115 @@ def emb_kmeans_clusters(spark, t):
     vecs = t.embeddings
     cent = emb.kmeans_train(vecs, "embedding", "vec_id", k=6, n_iter=8)
     return emb.kmeans_assign(vecs, cent).orderBy("vec_id")
+
+
+@register(
+    "corpus_clean_v3",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i AS pos, array_to_string(t[i:i+15], ' ') AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 14)) AS i) s
+  WHERE len(t) >= 16
+),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+cov AS (
+  SELECT DISTINCT g.doc_id, c.p AS pos
+  FROM grams g JOIN dup USING (gram),
+       LATERAL (SELECT unnest(range(g.pos, g.pos + 16)) AS p) c
+),
+tokens AS (
+  SELECT doc_id, i AS pos, t[i] AS tok
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) s
+),
+kept_tok AS (
+  SELECT tk.doc_id, tk.pos, tk.tok
+  FROM tokens tk ANTI JOIN cov ON tk.doc_id = cov.doc_id AND tk.pos = cov.pos
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(tok, ' ' ORDER BY pos) AS text_clean,
+         COUNT(*) AS n_kept
+  FROM kept_tok GROUP BY doc_id
+),
+w3 AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM w3
+),
+contaminated AS (
+  SELECT DISTINCT a.doc_id
+  FROM sh a JOIN sh b ON a.source <> 'src0' AND b.source = 'src0'
+  WHERE len(a.s) + len(b.s) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+survivors AS (
+  SELECT r.doc_id, r.text_clean, r.n_kept
+  FROM rebuilt r
+  JOIN documents d USING (doc_id)
+  WHERE r.n_kept >= 16 AND d.source <> 'src0'
+    AND r.doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+keyed AS (
+  SELECT doc_id, text_clean, n_kept,
+         md5('clean-v3' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM survivors
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(skey, 1, 8) AS BIGINT) % 4 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY CAST('0x' || substr(skey, 1, 8) AS BIGINT) % 4
+              ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+       text_clean,
+       CAST(n_kept AS BIGINT) AS n_kept
+FROM keyed
+ORDER BY shard, pos
+""",
+    category="pipeline",
+)
+def corpus_clean_v3(spark, t):
+    """End-to-end training-corpus pipeline v3, composed ENTIRELY of
+    this round's operators and oracle-checked end to end: substring
+    span masking (drop corpus-duplicated 16-gram spans, rebuild
+    docs) → minimum-length filter (≥16 surviving tokens) → MinHash
+    fuzzy decontamination against the 'src0' eval slice (Jaccard ≥
+    0.5 on ORIGINAL text, LSH candidates + exact confirm, anti join)
+    → seeded deterministic shuffle into 4 training shards. One
+    composed plan; shuffles: gram hash ×2 (dup set + flag join), doc
+    key (rebuild), LSH bands (decon), shard (final order) — each
+    already individually plan-gated."""
+    docs = t.documents
+    masked = cp.span_mask(docs, "doc_id", "text", k=16)
+    kept = masked.filter(F.col("n_kept") >= 16)
+    pairs = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.5)
+    side = docs.select("doc_id", (F.col("source") == "src0").alias("is_eval"))
+    a = side.select(F.col("doc_id").alias("id_a"), F.col("is_eval").alias("ea"))
+    b = side.select(F.col("doc_id").alias("id_b"), F.col("is_eval").alias("eb"))
+    contaminated = (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .filter(F.col("ea") != F.col("eb"))
+        .select(
+            F.when(F.col("ea"), F.col("id_b")).otherwise(F.col("id_a")).alias("doc_id")
+        )
+        .distinct()
+    )
+    survivors = (
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text_clean", "n_kept")
+    )
+    ordered = cp.shuffle_seeded(
+        survivors, "doc_id", seed="clean-v3", n_shards=4,
+        carry=("text_clean", "n_kept"),
+    )
+    return ordered.select(
+        "doc_id", "shard", "pos", "text_clean",
+        F.col("n_kept").cast("long").alias("n_kept"),
+    ).orderBy("shard", "pos")
