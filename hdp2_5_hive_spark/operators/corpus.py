@@ -44,11 +44,17 @@ def kgrams_from_words(w: Column, k: int) -> Column:
 
 
 def kgrams_all(text: Column, k: int) -> Column:
-    """kgrams over a raw text column. ONLY for single-consumption
-    expression contexts (an aggregate over the grams); plans that
-    explode the grams must pre-project the token array and use
-    kgrams_from_words — see its docstring."""
-    return kgrams_from_words(words_col(text), k)
+    """kgrams over a raw text column, with the token array bound once
+    as a lambda variable (same O(n²k)-avoiding trick as
+    dedup.shingles_col) — safe in any expression context. Plans that
+    explode grams may still prefer the explicit two-step
+    kgrams_from_words projection for plan readability."""
+    return F.element_at(
+        F.transform(
+            F.array(words_col(text)), lambda w: kgrams_from_words(w, k)
+        ),
+        1,
+    )
 
 
 # ---------------------------------------------------------------------------
