@@ -509,16 +509,22 @@ def line_dedup(
     Output: (id, text_clean, n_kept) — docs whose every chunk was a
     repeat drop out entirely (both engines derive this the same way).
     """
-    w = words_col(F.col(text_col))
-    n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+    def chunks_of(w):
+        # w is a BOUND lambda variable (materialized once) — closing
+        # over the raw split() expression would re-split per chunk
+        n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * chunk_words + 1, chunk_words)
+            ),
+        )
+
     chunks = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_chunks - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(w, i * chunk_words + 1, chunk_words)
-                ),
+            F.element_at(
+                F.transform(F.array(words_col(F.col(text_col))), chunks_of), 1
             )
         ).alias("chunk_idx", "chunk"),
     )

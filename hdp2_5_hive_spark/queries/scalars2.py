@@ -295,18 +295,23 @@ def agg_ngrams(spark, t):
     """ngrams(sentences, 2, 20) equivalent (FunctionRegistry.java:385,
     GenericUDAFnGrams): top-20 bigrams by frequency, composed as
     split → explode → count (SURVEY §2.5 composition plan)."""
-    w = F.filter(
+    def grams_of(w):
+        # w bound once — closing over the filter(split()) expression
+        # would re-tokenize per gram position (O(n²) per doc)
+        return F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    toks = F.filter(
         F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
     )
-    grams = F.when(
-        F.size(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(w) - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(w, i + 1), F.element_at(w, i + 2)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.element_at(F.transform(F.array(toks), grams_of), 1)
     return (
         t.documents.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
@@ -338,16 +343,20 @@ def agg_context_ngrams(spark, t):
     """context_ngrams(sentences, array('the', null), 10) equivalent
     (FunctionRegistry.java:386): most frequent words following
     'the'."""
-    w = F.filter(
+    def nxt_of(w):
+        # w bound once (see agg_ngrams above)
+        return F.transform(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+                lambda i: F.element_at(w, i) == "the",
+            ),
+            lambda i: F.element_at(w, i + 1),
+        )
+
+    toks2 = F.filter(
         F.split(F.lower("text"), r"\s+"), lambda x: x != F.lit("")
     )
-    nxt = F.transform(
-        F.filter(
-            F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
-            lambda i: F.element_at(w, i) == "the",
-        ),
-        lambda i: F.element_at(w, i + 1),
-    )
+    nxt = F.element_at(F.transform(F.array(toks2), nxt_of), 1)
     return (
         t.documents.select(F.explode(nxt).alias("nxt"))
         .groupBy("nxt")
