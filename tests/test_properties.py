@@ -224,3 +224,86 @@ def test_asof_join_matches_pandas_merge_asof(spark, n_left, n_right, seed):
         for r in expect_df.itertuples()
     }
     assert got == expect
+
+
+# -- round-5 part-2 operators ------------------------------------------------
+
+words_st = st.lists(
+    st.sampled_from([f"w{i}" for i in range(12)]), min_size=1, max_size=40
+)
+corpus_st = st.lists(words_st, min_size=2, max_size=6)
+
+
+@given(docs=corpus_st)
+@SET
+def test_span_dup_stats_matches_bruteforce(spark, docs):
+    """span coverage == a brute-force set-of-covered-positions
+    reference on random small corpora (k=4 so repeats actually
+    happen)."""
+    from hdp2_5_hive_spark.operators import corpus as cp
+
+    k = 4
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in cp.span_dup_stats(df, "doc_id", "text", k=k).collect()
+    }
+    # reference: count every k-gram occurrence corpus-wide, union
+    # covered positions per doc
+    from collections import Counter
+
+    cnt = Counter()
+    for ws in docs:
+        for i in range(len(ws) - k + 1):
+            cnt[tuple(ws[i : i + k])] += 1
+    for doc_id, ws in enumerate(docs):
+        covered = set()
+        for i in range(len(ws) - k + 1):
+            if cnt[tuple(ws[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        assert got[doc_id] == (len(ws), len(covered)), (doc_id, ws)
+
+
+@given(docs=corpus_st, n_merges=st.integers(min_value=1, max_value=5))
+@SET
+def test_bpe_matches_reference_random(spark, docs, n_merges):
+    """Distributed BPE == sequential reference on random corpora."""
+    from hdp2_5_hive_spark.operators import bpe
+    from tests.test_bpe import _reference_bpe
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    assert bpe.train_bpe(df, "text", n_merges=n_merges) == _reference_bpe(
+        texts, n_merges
+    )
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    ),
+    n_shards=st.integers(min_value=1, max_value=6),
+)
+@SET
+def test_shuffle_seeded_bijection_random(spark, ids, n_shards):
+    """Every id appears exactly once; per-shard positions are dense
+    0..n-1 — for arbitrary id sets and shard counts."""
+    from hdp2_5_hive_spark.operators import corpus as cp
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    rows = cp.shuffle_seeded(df, "doc_id", n_shards=n_shards).collect()
+    assert sorted(r.doc_id for r in rows) == sorted(ids)
+    per_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < n_shards
+        per_shard.setdefault(r.shard, []).append(r.pos)
+    for poss in per_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
