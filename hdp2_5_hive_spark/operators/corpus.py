@@ -804,3 +804,112 @@ def span_mask(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def pack_ffd(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ctx_len: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing bin packing for training sequences: docs
+    that would straddle a concat-and-chunk boundary (pack_sequences'
+    ``crosses_boundary``) instead go whole into the first bin with
+    room — no document is ever split, at the cost of some padding
+    waste. The waste/split trade-off is the standard packing decision
+    for instruction-tuning corpora (where truncation hurts most).
+
+    Deterministic-distributed shape: docs hash into ``n_shards`` md5
+    shards (the shuffle_seeded trick — no RNG, partition-invariant),
+    FFD runs per shard in one Arrow batch (sort by tokens desc, ties
+    by id; first fit), and bin ids are (shard, local_bin). Bins never
+    cross shards, so shards pack independently — the embarrassingly
+    parallel form used at warehouse scale; global FFD is inherently
+    sequential and its marginal waste reduction is negligible for
+    n_docs ≫ n_shards. Docs longer than ``ctx_len`` get a bin alone
+    (flagged oversize, they'd be truncated downstream).
+
+    Output: (id, n_tokens, shard, bin_id, oversize).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .textstats import token_count
+
+    out_schema = StructType(
+        [
+            StructField("_id_str", StringType()),
+            StructField("n_tokens", LongType()),
+            StructField("shard", IntegerType()),
+            StructField("bin_id", LongType()),
+            StructField("oversize", BooleanType()),
+        ]
+    )
+
+    key = F.md5(F.concat(F.lit("pack-ffd"), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_shards
+    ).cast("int")
+    toks = df.select(
+        # string id: the FFD tie-break (same token count) must sort
+        # identically on any engine — native int vs lexicographic
+        # ordering would diverge
+        F.col(id_col).cast("string").alias("_id"),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        shard.alias("shard"),
+    ).repartition(n_shards, "shard")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one shard == one partition after the repartition; a
+        # partition may still hold several shards if n_shards >
+        # partitions, so group by shard explicitly
+        parts = [b for b in batches if len(b)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        for sh, grp in pdf.groupby("shard", sort=True):
+            order = grp.sort_values(
+                ["n_tokens", "_id"], ascending=[False, True]
+            )
+            bins: list[int] = []  # remaining capacity per bin
+            rows = {k: [] for k in out_schema.fieldNames()}
+            for _id, n in zip(order["_id"], order["n_tokens"]):
+                n = int(n)
+                oversize = n > ctx_len
+                placed = None
+                if not oversize:
+                    for b, cap in enumerate(bins):
+                        if cap >= n:
+                            placed = b
+                            break
+                if placed is None:
+                    bins.append(0 if oversize else ctx_len)
+                    placed = len(bins) - 1
+                    if not oversize:
+                        bins[placed] -= n
+                else:
+                    bins[placed] -= n
+                rows["_id_str"].append(str(_id))
+                rows["n_tokens"].append(n)
+                rows["shard"].append(int(sh))
+                rows["bin_id"].append(placed)
+                rows["oversize"].append(oversize)
+            yield pd.DataFrame(rows)
+
+    return toks.mapInPandas(kernel, out_schema).select(
+        F.col("_id_str").alias(id_col),
+        "n_tokens",
+        "shard",
+        "bin_id",
+        "oversize",
+    )

@@ -156,6 +156,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "emb_pca_project",
     "emb_kmeans_clusters",
     "corpus_clean_v3",
+    "pack_ffd_bins",
     # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",

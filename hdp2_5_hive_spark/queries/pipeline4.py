@@ -496,3 +496,22 @@ def corpus_clean_v3(spark, t):
         "doc_id", "shard", "pos", "text_clean",
         F.col("n_kept").cast("long").alias("n_kept"),
     ).orderBy("shard", "pos")
+
+
+@register(
+    "pack_ffd_bins",
+    oracle=None,  # first-fit-decreasing is inherently sequential per
+    # shard — no SQL twin; the assignment is pinned EXACTLY against a
+    # sequential reference (same md5 sharding, sort, first-fit) and
+    # capacity/partition-invariance asserted in tests/test_corpus.py.
+    category="pipeline",
+)
+def pack_ffd_bins(spark, t):
+    """First-fit-decreasing sequence packing (operators/
+    corpus.pack_ffd): whole-document bins for ctx=128 — the
+    no-truncation alternative to concat-and-chunk packing
+    (pack_sequences_ctx512). Docs hash into 8 independent md5 shards
+    that pack in parallel; output is partition-invariant."""
+    return cp.pack_ffd(
+        t.documents, "doc_id", "text", ctx_len=128, n_shards=8
+    ).orderBy("shard", "bin_id", "doc_id")

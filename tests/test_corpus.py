@@ -442,3 +442,63 @@ def test_jaccard_prefix_equals_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert fast == brute and brute
+
+
+def test_pack_ffd_matches_reference_and_invariants(spark, sf_dir):
+    """FFD packing: matches a sequential reference per shard (same
+    md5 sharding, same sort, same first-fit), no bin over capacity,
+    partition-invariant."""
+    import hashlib
+
+    from hdp2_5_hive_spark.operators import corpus as cp
+    from hdp2_5_hive_spark.operators.textstats import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ctx = 128
+    out = cp.pack_ffd(docs, "doc_id", "text", ctx_len=ctx, n_shards=4)
+    rows = out.collect()
+    out2 = cp.pack_ffd(
+        docs.repartition(13), "doc_id", "text", ctx_len=ctx, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2))
+
+    toks = {
+        str(r.doc_id): r.n
+        for r in docs.select(
+            "doc_id", token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    # reference FFD per shard
+    def shard_of(doc_id: str) -> int:
+        h = hashlib.md5(f"pack-ffd{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 4
+
+    by_shard: dict[int, list[tuple[int, str]]] = {}
+    for d, n in toks.items():
+        by_shard.setdefault(shard_of(d), []).append((n, d))
+    want: dict[str, tuple[int, int]] = {}
+    for sh, items in by_shard.items():
+        bins: list[int] = []
+        for n, d in sorted(items, key=lambda t: (-t[0], t[1])):
+            oversize = n > ctx
+            placed = None
+            if not oversize:
+                for b, cap in enumerate(bins):
+                    if cap >= n:
+                        placed = b
+                        break
+            if placed is None:
+                bins.append(0 if oversize else ctx - n)
+                placed = len(bins) - 1
+            else:
+                bins[placed] -= n
+            want[d] = (sh, placed)
+    got = {r.doc_id: (r.shard, r.bin_id) for r in rows}
+    assert got == want
+
+    # capacity invariant
+    fill: dict[tuple[int, int], int] = {}
+    for r in rows:
+        if not r.oversize:
+            fill[(r.shard, r.bin_id)] = fill.get((r.shard, r.bin_id), 0) + r.n_tokens
+    assert all(v <= ctx for v in fill.values())
