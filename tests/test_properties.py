@@ -307,3 +307,63 @@ def test_shuffle_seeded_bijection_random(spark, ids, n_shards):
         per_shard.setdefault(r.shard, []).append(r.pos)
     for poss in per_shard.values():
         assert sorted(poss) == list(range(len(poss)))
+
+
+@given(docs=corpus_st)
+@SET
+def test_span_mask_matches_bruteforce(spark, docs):
+    """span_mask cleaned text == brute-force covered-position removal
+    on random corpora (k=4)."""
+    from collections import Counter
+
+    from hdp2_5_hive_spark.operators import corpus as cp
+
+    k = 4
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.text_clean, r.n_kept, r.n_removed)
+        for r in cp.span_mask(df, "doc_id", "text", k=k).collect()
+    }
+    cnt = Counter()
+    for ws in docs:
+        for i in range(len(ws) - k + 1):
+            cnt[tuple(ws[i : i + k])] += 1
+    for doc_id, ws in enumerate(docs):
+        covered = set()
+        for i in range(len(ws) - k + 1):
+            if cnt[tuple(ws[i : i + k])] >= 2:
+                covered.update(range(i, i + k))
+        kept = [w for i, w in enumerate(ws) if i not in covered]
+        assert got[doc_id] == (
+            " ".join(kept),
+            len(kept),
+            len(ws) - len(kept),
+        ), (doc_id, ws)
+
+
+@given(
+    lens=st.lists(
+        st.integers(min_value=1, max_value=40), min_size=1, max_size=30
+    ),
+    ctx=st.integers(min_value=8, max_value=32),
+)
+@SET
+def test_pack_ffd_capacity_and_totals(spark, lens, ctx):
+    """FFD never overfills a bin, packs every doc exactly once, and
+    flags exactly the oversize docs — for random length profiles."""
+    from hdp2_5_hive_spark.operators import corpus as cp
+
+    rows = [(i, " ".join("x" for _ in range(n))) for i, n in enumerate(lens)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = cp.pack_ffd(df, "doc_id", "text", ctx_len=ctx, n_shards=3).collect()
+    assert sorted(int(r.doc_id) for r in out) == list(range(len(lens)))
+    fill: dict[tuple[int, int], int] = {}
+    for r in out:
+        assert r.oversize == (r.n_tokens > ctx)
+        if not r.oversize:
+            key = (r.shard, r.bin_id)
+            fill[key] = fill.get(key, 0) + r.n_tokens
+            assert fill[key] <= ctx
