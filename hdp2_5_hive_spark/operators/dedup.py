@@ -413,3 +413,88 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit fingerprints."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs a persisted MinHash index
+# ---------------------------------------------------------------------------
+
+
+def minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the reusable dedup index for a corpus: (shingle table
+    ``(_id, _sh)``, banded bucket table ``(_id, band, bucket)``).
+
+    This is the production shape of dedup at warehouse scale: the
+    corpus index is computed ONCE, written to storage, and every
+    incoming batch joins against it — re-shingling 100 TB per
+    ingest batch is the anti-pattern this API removes. Both outputs
+    are plain DataFrames: persist, write to parquet, or register as
+    tables; ``near_duplicates_against`` consumes them as-is."""
+    sh = _shingle_table(df, id_col, text_col, shingle_k)
+    sig = _signatures_from_shingles(sh, num_hashes)
+    return sh, _banded_buckets(sig, num_hashes, rows_per_band)
+
+
+def near_duplicates_against(
+    index_shingles: DataFrame,
+    index_buckets: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Incremental near-dup: pairs (batch_id, matched_id, jaccard)
+    where a NEW batch document near-duplicates an INDEXED document
+    at Jaccard ≥ threshold (pairs among batch docs included when the
+    matched id sorts lower — every new doc is checked against
+    everything that precedes it).
+
+    Scale shape: only the batch is shingled/hashed (its size, not the
+    corpus's); candidates come from one band-bucket equality join of
+    batch buckets against index ∪ batch buckets; the exact-verify
+    join touches only candidate shingle rows. The corpus index is
+    read, never recomputed."""
+    b_sh, b_buckets = minhash_index(
+        batch,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        rows_per_band=rows_per_band,
+        shingle_k=shingle_k,
+    )
+    all_buckets = index_buckets.unionByName(b_buckets)
+    cands = (
+        b_buckets.select(F.col("_id").alias("id_new"), "band", "bucket")
+        .join(
+            all_buckets.select(F.col("_id").alias("id_old"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .filter(F.col("id_old") < F.col("id_new"))
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    all_sh = index_shingles.unionByName(b_sh)
+    a = b_sh.select(F.col("_id").alias("id_new"), F.col("_sh").alias("sh_n"))
+    o = all_sh.select(F.col("_id").alias("id_old"), F.col("_sh").alias("sh_o"))
+    return (
+        cands.join(a, "id_new")
+        .join(o, "id_old")
+        .select(
+            "id_new",
+            "id_old",
+            jaccard_col(F.col("sh_n"), F.col("sh_o")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -157,6 +157,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "emb_kmeans_clusters",
     "corpus_clean_v3",
     "pack_ffd_bins",
+    "dedup_incremental_batch",
     # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",

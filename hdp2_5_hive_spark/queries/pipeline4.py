@@ -515,3 +515,45 @@ def pack_ffd_bins(spark, t):
     return cp.pack_ffd(
         t.documents, "doc_id", "text", ctx_len=128, n_shards=8
     ).orderBy("shard", "bin_id", "doc_id")
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks
+)
+SELECT a.doc_id AS id_new, b.doc_id AS id_old,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id >= 400 AND b.doc_id < a.doc_id
+WHERE len(a.s) + len(b.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+ORDER BY id_new, id_old
+""",
+    category="pipeline",
+)
+def dedup_incremental_batch(spark, t):
+    """INCREMENTAL near-dup: docs with doc_id ≥ 400 play the incoming
+    ingest batch, the rest the already-indexed corpus. Only the batch
+    is shingled fresh; candidates come from one band-bucket join of
+    batch buckets against the corpus index ∪ batch
+    (operators/dedup.minhash_index / near_duplicates_against) — the
+    index-reuse shape that avoids re-shingling the warehouse per
+    batch. Oracle brute-forces every (new, earlier) pair."""
+    docs = t.documents
+    corpus = docs.filter(F.col("doc_id") < 400)
+    batch = docs.filter(F.col("doc_id") >= 400)
+    idx_sh, idx_buckets = dd.minhash_index(corpus, "doc_id", "text")
+    return dd.near_duplicates_against(
+        idx_sh, idx_buckets, batch, "doc_id", "text", threshold=0.6
+    ).orderBy("id_new", "id_old")

@@ -212,3 +212,43 @@ def test_lsh_bucket_guard_bounds_degenerate_bucket(spark):
     # every query found neighbors within its salt group; ranks valid
     head = out.filter(F.col("rank") > 3).count()
     assert head == 0 and out.count() > 0
+
+
+def test_incremental_dedup_matches_full_and_survives_parquet(
+    spark, sf_dir, tmp_path
+):
+    """Index-reuse contract: (a) batch-vs-index results equal the
+    pairs a full recompute finds that touch the batch; (b) the index
+    works after a parquet write/read round-trip (the production
+    shape: build once, store, join every ingest batch against it)."""
+    import hdp2_5_hive_spark.operators.dedup as dd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter("doc_id < 400")
+    batch = docs.filter("doc_id >= 400")
+
+    idx_sh, idx_b = dd.minhash_index(corpus, "doc_id", "text")
+    sh_path, b_path = str(tmp_path / "sh"), str(tmp_path / "b")
+    idx_sh.write.parquet(sh_path)
+    idx_b.write.parquet(b_path)
+    got = {
+        (r.id_new, r.id_old): round(r.jaccard, 9)
+        for r in dd.near_duplicates_against(
+            spark.read.parquet(sh_path),
+            spark.read.parquet(b_path),
+            batch,
+            "doc_id",
+            "text",
+            threshold=0.6,
+        ).collect()
+    }
+
+    full = {
+        (max(r.id_a, r.id_b), min(r.id_a, r.id_b)): round(r.jaccard, 9)
+        for r in dd.near_duplicate_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+        if max(r.id_a, r.id_b) >= 400
+    }
+    assert got == full
+    assert got, "expected at least one cross-batch near-dup at sf0.01"
