@@ -60,9 +60,38 @@ def rows_canon(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(canon(r[i]) for i in idx) for r in rows)
 
 
+class ComplexOutputError(TypeError):
+    """An oracle-backed query emitted a top-level array/map/struct
+    column. The real driver's canonicalizer pandas-sorts result cells
+    and dies on ndarray cells (CORRECTNESS_r05 `fn_xpath_suite` /
+    `fn_sentences_soundex` ERRs), so this sim must reject what the
+    driver rejects — serialize complex outputs with
+    to_json/concat_ws before returning them."""
+
+
+def reject_complex_schema(spark_df) -> None:
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise ComplexOutputError(
+            f"oracle-backed query emits complex top-level columns {bad}; "
+            "the driver canonicalizer cannot sort these — serialize with "
+            "to_json()/concat_ws()"
+        )
+
+
 def compare_query(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     """Run a Spark DataFrame against its oracle SQL; exact compare.
-    Returns (ok, detail)."""
+    Returns (ok, detail). Raises ComplexOutputError up front for
+    schemas the real driver cannot canonicalize — every oracle-backed
+    registry query passes through here in tests/test_correctness.py,
+    making that the whole-registry invariant."""
+    reject_complex_schema(spark_df)
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(oracle_sql)

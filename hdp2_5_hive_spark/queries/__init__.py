@@ -40,15 +40,18 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     (dedup_components_star, dedup_jaccard_prefix) plus q18 (plan
 #     rewritten this round). After the 34 land, every PRE-round-5
 #     query has >=1 CORRECTNESS row.
-#   round 6 should front: whatever of positions ~52+ the r5 window
-#     cut — the round-5 part-2 surface (corpus_span_dedup/_mask,
-#     corpus_mix_temperature, corpus_shuffle_seeded,
-#     decontaminate_fuzzy_minhash, multimodal_phash_dedup,
-#     ddl_export_import, ddl_analyze_stats, vocab_bpe_merges,
-#     emb_pca_project, emb_kmeans_clusters — all already green in the
-#     end-of-r5 full-registry driver_sim), then hiveql part 2 (6),
-#     text_compression_ratio, and re-greens (q1/q5/q7/
-#     join_inner_basic/agg_distinct_multi).
+#   round 5 result: 47/50 green; the 3 red rows (fn_decimal_round
+#     oracle half-up-on-double bug; fn_xpath_suite +
+#     fn_sentences_soundex array columns the driver canonicalizer
+#     cannot sort) are all FIXED in round 6 and re-fronted.
+#   round 6 window (SAMPLE_FRONT below): the 24 never-sampled
+#     round-5-part-2 queries (span dedup/mask, domain mixing, seeded
+#     shuffle, fuzzy decon, pHash, EXPORT/IMPORT + ANALYZE, BPE, PCA,
+#     k-means, clean_v3, FFD, incremental dedup, hiveql part 2,
+#     compression ratio, event analytics), then the 3 fixed red rows,
+#     then new round-6 queries, then re-greens. Closes the full
+#     registry ledger: after this window every registered query has
+#     >=1 driver CORRECTNESS row.
 _MODULES = (
     "scalars",
     "setops",
@@ -77,73 +80,7 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
-    # pipeline2 tail cut from r4's window at positions 51-52
-    "text_hash_features",
-    "dedup_hash_cosine",
-    # never sampled: the scalars2 tail (28)
-    "fn_string_suite2",
-    "fn_initcap_elt_field",
-    "fn_xpath_suite",
-    "fn_interval_arith",
-    "fn_uniontype_encoding",
-    "fn_mask_suite",
-    "agg_ngrams",
-    "agg_context_ngrams",
-    "agg_histogram_numeric",
-    "virtual_input_file_name",
-    "fn_misc_math",
-    "fn_datetime_parts",
-    "sample_percent",
-    "fn_crypto_roundtrip",
-    "fn_hash_extra",
-    "fn_date_tail",
-    "fn_sentences_soundex",
-    "fn_char_varchar",
-    "fn_decimal_division",
-    "sample_rows",
-    "fn_decimal_round",
-    "fn_java_hashcode",
-    "fn_reflect_suite",
-    "fn_format_number",
-    "agg_hll_sketch",
-    "fn_next_day_tz_suite",
-    "fn_in_file",
-    "virtual_row_offset",
-    # stale r1 ERRs — env cause fixed in r2, never re-sampled
-    "win_topk_per_group",
-    "win_agg_over",
-    # never sampled: format round-trips cut from earlier windows
-    "fmt_csv_round_trip",
-    "fmt_text_serde_round_trip",
-    # new this round: HiveQL-text qfile suite (textual interface)
-    "hiveql_lateral_view",
-    "hiveql_distribute_sort",
-    "hiveql_cluster_by",
-    "hiveql_multi_insert",
-    "hiveql_transform",
-    "hiveql_grouping_sets",
-    "hiveql_semi_join",
-    "hiveql_mapjoin_hint",
-    "hiveql_window_topk",
-    # new this round: SequenceFile read path
-    "fmt_sequencefile_round_trip",
-    # new this round: pipeline3 (LM quality, bloom decon, int8
-    # quantization, stratified sampling)
-    "quality_unigram_bits",
-    "decontaminate_bloom_prefilter",
-    "emb_int8_quantize",
-    "sample_stratified",
-    # new this round: O(log n) star-algorithm components + exact
-    # prefix-filtered Jaccard join (the round's flagship operators —
-    # keep inside the ~50 window) and q18, whose plan changed this
-    # round (single-pass rewrite — re-prove it driver-side)
-    "dedup_components_star",
-    "dedup_jaccard_prefix",
-    "q18_large_orders",
-    # ---- position ~52+: round-6 ledger starts here ----
-    # round-5 part-2 surface (added after the r5 window was frozen):
-    # span dedup, domain mixing, seeded shuffle, fuzzy decon, image
-    # pHash (rows-only), EXPORT/IMPORT — front these in round 6
+    # the 24 never-sampled round-5-part-2 queries — close the ledger
     "corpus_span_dedup",
     "corpus_span_mask",
     "corpus_mix_temperature",
@@ -158,7 +95,6 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_clean_v3",
     "pack_ffd_bins",
     "dedup_incremental_batch",
-    # HiveQL-text suite part 2 + compression signal, then re-greens
     "hiveql_cte_chain",
     "hiveql_correlated_exists",
     "hiveql_union_mixed",
@@ -169,10 +105,21 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "events_funnel",
     "events_retention",
     "events_top_transitions",
+    # the 3 round-5 red rows, fixed this round (oracle half-up on
+    # double; array outputs serialized for the driver canonicalizer)
+    "fn_decimal_round",
+    "fn_xpath_suite",
+    "fn_sentences_soundex",
+    # ---- new round-6 queries go here (inside the ~50 window);
+    # names are appended as each lands so the registry stays valid ----
+    "fn_java_hashcode",  # widened beyond strings this round
+    # re-greens: the four bench-tail order-effect queries + two
+    # pass(r2) rows whose plans changed since
+    "events_sessionize",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "dedup_near_minhash",
     "q1_pricing_summary",
-    "q5_local_supplier",
-    "q7_volume_shipping",
-    "join_inner_basic",
     "agg_distinct_multi",
 )
 

@@ -148,8 +148,8 @@ def fn_initcap_elt_field(spark, t):
 SELECT n_nationkey,
        n_name AS x_name,
        CAST(n_nationkey AS INTEGER) AS x_key,
-       [CAST(n_nationkey AS VARCHAR), n_name,
-        CAST(n_regionkey AS VARCHAR)] AS x_all
+       CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' ||
+         CAST(n_regionkey AS VARCHAR) AS x_all
 FROM nation
 """,
     category="scalars",
@@ -158,7 +158,10 @@ def fn_xpath_suite(spark, t):
     """xpath family (FunctionRegistry.java:289-297) over XML
     synthesized from nation rows. DuckDB has no xpath, but the XML is
     template-built from the same columns, so the oracle states each
-    extraction's expected value directly."""
+    extraction's expected value directly. The xpath() array result is
+    serialized with concat_ws — the driver's canonicalizer cannot sort
+    array cells (CORRECTNESS_r05), so oracle-backed queries must emit
+    scalar columns only (enforced in registry.py)."""
     xml = F.concat(
         F.lit("<n><k>"),
         F.col("n_nationkey").cast("string"),
@@ -172,7 +175,7 @@ def fn_xpath_suite(spark, t):
         "n_nationkey",
         F.xpath_string(xml, F.lit("n/name")).alias("x_name"),
         F.xpath_int(xml, F.lit("n/k")).alias("x_key"),
-        F.xpath(xml, F.lit("n/*/text()")).alias("x_all"),
+        F.concat_ws("|", F.xpath(xml, F.lit("n/*/text()"))).alias("x_all"),
     )
 
 
@@ -627,8 +630,8 @@ _FIRST_WORD_SQL = r"regexp_extract(trim(text), '^\S+')"
 
 _SENTENCES_SOUNDEX_ORACLE = (
     "SELECT doc_id,\n"
-    r"       [regexp_split_to_array(trim(text), '\s+')] AS sent_tokens,"
-    "\n"
+    r"       array_to_string(regexp_split_to_array(trim(text), '\s+'), '|')"
+    " AS sent_tokens,\n"
     f"       {_soundex_sql(_FIRST_WORD_SQL)} AS first_word_soundex\n"
     "FROM documents WHERE doc_id < 50"
 )
@@ -644,10 +647,15 @@ def fn_sentences_soundex(spark, t):
     soundex (:188) over document text. The corpus text is punctuation-
     free space-separated words, so sentences() yields exactly one
     sentence of whitespace tokens — statable in SQL — and soundex is
-    reproduced by a generated replace-chain (_soundex_sql)."""
+    reproduced by a generated replace-chain (_soundex_sql). The
+    array<array<string>> result is flattened and joined with '|': the
+    driver's canonicalizer cannot sort array cells (CORRECTNESS_r05),
+    so oracle-backed queries emit scalar columns only."""
     return t.documents.filter(F.col("doc_id") < 50).select(
         "doc_id",
-        F.sentences(F.col("text")).alias("sent_tokens"),
+        F.concat_ws("|", F.flatten(F.sentences(F.col("text")))).alias(
+            "sent_tokens"
+        ),
         F.soundex(F.split(F.col("text"), " ").getItem(0)).alias(
             "first_word_soundex"
         ),
@@ -752,7 +760,7 @@ def sample_rows(spark, t):
 SELECT l_orderkey, l_linenumber,
        round(CAST(l_quantity / 2 AS DECIMAL(10,1)), 0) AS half_up_dec,
        round_even(CAST(l_quantity / 2 AS DECIMAL(10,1)), 0) AS half_even_dec,
-       round(l_quantity / 2) AS half_up_dbl,
+       CAST(floor(l_quantity / 2 + 0.5) AS DOUBLE) AS half_up_dbl,
        round(CAST(l_extendedprice AS DECIMAL(12,2)), -2) AS neg_scale_dec,
        round(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS one_dec
 FROM lineitem WHERE l_orderkey < 500
@@ -765,8 +773,11 @@ def fn_decimal_round(spark, t):
     banker's — ``GenericUDFBRound.java``) on decimals, plus
     negative-scale rounding. l_quantity/2 lands exactly on .5
     boundaries, so the two modes visibly diverge; DuckDB's
-    round/round_even have the same semantics, making this
-    hash-checkable."""
+    round/round_even on DECIMAL have the same semantics, making this
+    hash-checkable. On DOUBLE the engines diverge (DuckDB round is
+    banker's, Spark/Hive is HALF_UP — verdict r5 #1), so the oracle
+    spells out half-up explicitly via floor(x + 0.5) (non-negative
+    inputs here)."""
     li = t.lineitem.filter(F.col("l_orderkey") < 500)
     half = (F.col("l_quantity") / 2).cast("decimal(10,1)")
     price = F.col("l_extendedprice").cast("decimal(12,2)")
