@@ -457,15 +457,21 @@ def near_duplicates_against(
 ) -> DataFrame:
     """Incremental near-dup: pairs (batch_id, matched_id, jaccard)
     where a NEW batch document near-duplicates an INDEXED document
-    at Jaccard ≥ threshold (pairs among batch docs included when the
-    matched id sorts lower — every new doc is checked against
-    everything that precedes it).
+    at Jaccard ≥ threshold, plus pairs among batch docs themselves
+    (reported once, with the lexicographically-lower id as id_old).
+
+    Ids carry NO ordering contract: a batch doc matching an indexed
+    doc is reported regardless of how their ids compare (UUIDs,
+    re-ingested ids, lexicographic '99' vs '400' all work). The
+    ``id_old < id_new`` tie-break applies ONLY to batch-batch pairs,
+    where it exists purely to emit each unordered pair once.
 
     Scale shape: only the batch is shingled/hashed (its size, not the
-    corpus's); candidates come from one band-bucket equality join of
-    batch buckets against index ∪ batch buckets; the exact-verify
-    join touches only candidate shingle rows. The corpus index is
-    read, never recomputed."""
+    corpus's); candidates come from two band-bucket equality joins —
+    batch buckets vs index buckets (unfiltered) and batch buckets vs
+    themselves (half-pair filtered) — and the exact-verify join
+    touches only candidate shingle rows. The corpus index is read,
+    never recomputed."""
     b_sh, b_buckets = minhash_index(
         batch,
         id_col,
@@ -474,16 +480,17 @@ def near_duplicates_against(
         rows_per_band=rows_per_band,
         shingle_k=shingle_k,
     )
-    all_buckets = index_buckets.unionByName(b_buckets)
+    new_b = b_buckets.select(F.col("_id").alias("id_new"), "band", "bucket")
+    vs_index = new_b.join(
+        index_buckets.select(F.col("_id").alias("id_old"), "band", "bucket"),
+        ["band", "bucket"],
+    ).filter(F.col("id_old") != F.col("id_new"))
+    vs_batch = new_b.join(
+        b_buckets.select(F.col("_id").alias("id_old"), "band", "bucket"),
+        ["band", "bucket"],
+    ).filter(F.col("id_old") < F.col("id_new"))
     cands = (
-        b_buckets.select(F.col("_id").alias("id_new"), "band", "bucket")
-        .join(
-            all_buckets.select(F.col("_id").alias("id_old"), "band", "bucket"),
-            ["band", "bucket"],
-        )
-        .filter(F.col("id_old") < F.col("id_new"))
-        .select("id_new", "id_old")
-        .distinct()
+        vs_index.unionByName(vs_batch).select("id_new", "id_old").distinct()
     )
     all_sh = index_shingles.unionByName(b_sh)
     a = b_sh.select(F.col("_id").alias("id_new"), F.col("_sh").alias("sh_n"))

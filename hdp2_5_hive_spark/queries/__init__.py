@@ -113,6 +113,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # ---- new round-6 queries go here (inside the ~50 window);
     # names are appended as each lands so the registry stays valid ----
     "fn_java_hashcode",  # widened beyond strings this round
+    "dedup_incremental_unordered_ids",  # ADVICE r5 id-order regression
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

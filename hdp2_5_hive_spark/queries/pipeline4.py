@@ -557,3 +557,51 @@ def dedup_incremental_batch(spark, t):
     return dd.near_duplicates_against(
         idx_sh, idx_buckets, batch, "doc_id", "text", threshold=0.6
     ).orderBy("id_new", "id_old")
+
+
+@register(
+    "dedup_incremental_unordered_ids",
+    oracle="""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS sid, doc_id,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+),
+sh AS (
+  SELECT sid, doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks
+)
+SELECT a.sid AS id_new, b.sid AS id_old,
+       CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jaccard
+FROM sh a JOIN sh b
+  ON a.doc_id >= 400
+ AND (b.doc_id < 400 OR (b.doc_id >= 400 AND b.sid < a.sid))
+WHERE len(a.s) + len(b.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+ORDER BY id_new, id_old
+""",
+    category="pipeline",
+)
+def dedup_incremental_unordered_ids(spark, t):
+    """Incremental near-dup with STRING ids that carry no ordering
+    contract (regression for ADVICE r5: '99' sorts above '400'
+    lexicographically, so an id_old < id_new filter applied to
+    batch-vs-index pairs would silently drop most corpus matches).
+    Batch-vs-index pairs are reported regardless of id order; only
+    batch-batch pairs use the lexicographic tie-break (emit each
+    unordered pair once). Oracle brute-forces under the same rule."""
+    docs = t.documents.select(
+        F.col("doc_id").cast("string").alias("sid"), "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 400).select("sid", "text")
+    batch = docs.filter(F.col("doc_id") >= 400).select("sid", "text")
+    idx_sh, idx_buckets = dd.minhash_index(corpus, "sid", "text")
+    return dd.near_duplicates_against(
+        idx_sh, idx_buckets, batch, "sid", "text", threshold=0.6
+    ).orderBy("id_new", "id_old")

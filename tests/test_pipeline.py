@@ -252,3 +252,31 @@ def test_incremental_dedup_matches_full_and_survives_parquet(
     }
     assert got == full
     assert got, "expected at least one cross-batch near-dup at sf0.01"
+
+
+def test_incremental_dedup_id_order_free(spark):
+    """Regression (ADVICE r5, operators/dedup.py): a batch doc that
+    near-duplicates an indexed doc whose id sorts ABOVE the batch id
+    ('99' > '400' lexicographically) must still be reported — the
+    id_old < id_new tie-break applies only to batch-batch pairs."""
+    import hdp2_5_hive_spark.operators.dedup as dd
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [("99", shared), ("zz", "entirely different words nothing common")],
+        "id string, text string",
+    )
+    batch = spark.createDataFrame(
+        [("400", shared), ("401", shared)], "id string, text string"
+    )
+    idx_sh, idx_b = dd.minhash_index(corpus, "id", "text")
+    got = {
+        (r.id_new, r.id_old)
+        for r in dd.near_duplicates_against(
+            idx_sh, idx_b, batch, "id", "text", threshold=0.6
+        ).collect()
+    }
+    # both batch docs match the indexed doc despite '99' sorting last
+    assert ("400", "99") in got and ("401", "99") in got
+    # batch-batch pair emitted exactly once, lower id as id_old
+    assert ("401", "400") in got and ("400", "401") not in got
