@@ -107,3 +107,66 @@ def in_file(df, col, path: str, *, flag_name: str = "in_file"):
     return joined.select(
         *df.columns, F.coalesce("__hit", F.lit(False)).alias(flag_name)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive hash() parity — ObjectInspectorUtils.hashCode
+# ---------------------------------------------------------------------------
+# Reference ``ql/.../udf/generic/GenericUDFHash.java`` folds
+# ``serde2/objectinspector/ObjectInspectorUtils.hashCode`` per-type
+# hashes with r = r*31 + h across arguments (same fold for structs).
+# All arithmetic runs in unsigned mod-2^32 bigint space (overflow-free
+# in both Spark and DuckDB), re-signed to int32 at the end.
+
+_M32 = 4294967296  # 2^32
+
+
+def _unsigned32(h: Column) -> Column:
+    """Signed int32 value -> its unsigned mod-2^32 representative."""
+    return ((h.cast("bigint") % _M32) + _M32) % _M32
+
+
+def java_hash_int(col: Column) -> Column:
+    """Java Integer.hashCode == identity (unsigned32 form)."""
+    return _unsigned32(col.cast("int"))
+
+
+def java_hash_long(col: Column) -> Column:
+    """Java Long.hashCode == (int)(v ^ (v >>> 32)) (unsigned32)."""
+    v = col.cast("bigint")
+    return _unsigned32(
+        v.bitwiseXOR(F.shiftrightunsigned(v, 32)).cast("int")
+    )
+
+
+def java_hash_bool(col: Column) -> Column:
+    """Java Boolean.hashCode: true->1231, false->1237."""
+    return F.when(col, F.lit(1231)).otherwise(F.lit(1237)).cast("bigint")
+
+
+def java_hash_string(col: Column) -> Column:
+    """Java String.hashCode: h = h*31 + char, mod-2^32 fold."""
+    codes = F.transform(
+        F.split(col, "(?!$)"), lambda c: F.ascii(c).cast("bigint")
+    )
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("bigint"),
+        lambda h, c: (h * F.lit(31) + c) % F.lit(_M32),
+    )
+
+
+def java_hash_fold(*hashes: Column) -> Column:
+    """Multi-arg/struct fold r = r*31 + h_i (NULL hashes as 0, per
+    ObjectInspectorUtils), returned SIGNED int32 as bigint."""
+    r = F.lit(0).cast("bigint")
+    for h in hashes:
+        r = (r * F.lit(31) + F.coalesce(h, F.lit(0))) % F.lit(_M32)
+    return resign32(r)
+
+
+def resign32(h: Column) -> Column:
+    """Unsigned mod-2^32 value -> signed int32 (as bigint)."""
+    return (
+        F.when(h >= F.lit(2147483648), h - F.lit(_M32)).otherwise(h)
+    ).cast("bigint")

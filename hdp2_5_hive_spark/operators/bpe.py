@@ -147,10 +147,15 @@ def train_bpe(
                 int(top[0]["pair_count"]),
             )
             merges.append((rank, left, right, cnt))
+            # localCheckpoint TRUNCATES lineage (persist alone does
+            # not — Catalyst still re-analyzes the ever-growing plan
+            # each round, which at production vocab sizes, 10k-50k
+            # merges, becomes the bottleneck; same discipline as
+            # operators/components.py). Eager: materializes now, so
+            # the old table can be unpersisted immediately.
             nxt = words.mapInPandas(
                 _merge_kernel(left, right), _WORD_SCHEMA
-            ).persist()
-            nxt.count()  # cut lineage growth: materialize, then swap
+            ).localCheckpoint(eager=True)
             words.unpersist()
             words = nxt
     finally:

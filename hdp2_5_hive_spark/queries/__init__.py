@@ -114,6 +114,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # names are appended as each lands so the registry stays valid ----
     "fn_java_hashcode",  # widened beyond strings this round
     "dedup_incremental_unordered_ids",  # ADVICE r5 id-order regression
+    "fn_hash_multiarg",  # hash() parity beyond strings (verdict #6)
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

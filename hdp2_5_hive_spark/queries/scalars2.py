@@ -1044,3 +1044,68 @@ def virtual_row_offset(spark, t):
         F.countDistinct("off").alias("n_distinct_off"),
         F.sum("off").alias("sum_off"),
     )
+
+
+_STR_HASH_SQL = """list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(o_orderstatus, ''),
+                            c -> CAST(ascii(c) AS BIGINT))),
+           (h, c) -> (h * 31 + c) % 4294967296)"""
+
+
+@register(
+    "fn_hash_multiarg",
+    oracle=f"""
+WITH h AS (
+  SELECT o_orderkey,
+         CAST(o_custkey AS BIGINT) AS h_int_u,
+         xor(CAST(o_orderkey AS BIGINT),
+             CAST(o_orderkey AS BIGINT) >> 32) % 4294967296 AS h_long_u,
+         CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1231 ELSE 1237 END
+              AS BIGINT) AS h_bool_u,
+         {_STR_HASH_SQL} AS h_str_u
+  FROM orders WHERE o_orderkey <= 2000
+),
+f AS (
+  SELECT *,
+         ((((h_int_u * 31 + h_long_u) % 4294967296) * 31 + h_bool_u)
+            % 4294967296 * 31 + h_str_u) % 4294967296 AS multi_u
+  FROM h
+)
+SELECT o_orderkey,
+       CAST(CASE WHEN h_int_u >= 2147483648 THEN h_int_u - 4294967296
+                 ELSE h_int_u END AS BIGINT) AS h_int,
+       CAST(CASE WHEN h_long_u >= 2147483648 THEN h_long_u - 4294967296
+                 ELSE h_long_u END AS BIGINT) AS h_long,
+       CAST(h_bool_u AS BIGINT) AS h_bool,
+       CAST(CASE WHEN h_str_u >= 2147483648 THEN h_str_u - 4294967296
+                 ELSE h_str_u END AS BIGINT) AS h_str,
+       CAST(CASE WHEN multi_u >= 2147483648 THEN multi_u - 4294967296
+                 ELSE multi_u END AS BIGINT) AS h_multi
+FROM f
+""",
+    category="scalars",
+)
+def fn_hash_multiarg(spark, t):
+    """Hive hash() parity BEYOND strings (closes verdict-r5 gap #4;
+    reference ``ql/.../udf/generic/GenericUDFHash.java`` →
+    ``serde2/.../ObjectInspectorUtils.hashCode``): int hashes as
+    identity, bigint as (int)(v ^ (v >>> 32)), boolean as 1231/1237,
+    string as the *31 char fold, and multi-argument hash(a,b,c,d)
+    folds component hashes with r = r*31 + h — the same fold Hive
+    applies to struct fields. All pure codegen'd column algebra in
+    unsigned mod-2^32 space (functions/hive_compat.java_hash_*); the
+    oracle spells out identical integer algebra in DuckDB."""
+    o = t.orders.filter(F.col("o_orderkey") <= 2000)
+    h_int = hc.java_hash_int(F.col("o_custkey"))
+    h_long = hc.java_hash_long(F.col("o_orderkey"))
+    h_bool = hc.java_hash_bool(F.col("o_orderkey") % 2 == 0)
+    h_str = hc.java_hash_string(F.col("o_orderstatus"))
+    return o.select(
+        "o_orderkey",
+        hc.resign32(h_int).alias("h_int"),
+        hc.resign32(h_long).alias("h_long"),
+        h_bool.alias("h_bool"),
+        hc.resign32(h_str).alias("h_str"),
+        hc.java_hash_fold(h_int, h_long, h_bool, h_str).alias("h_multi"),
+    )

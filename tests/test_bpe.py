@@ -72,3 +72,23 @@ def test_bpe_early_stop_below_min_count(spark):
     """All-unique pairs (count 1) stop training immediately."""
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     assert bpe.train_bpe(df, "text", n_merges=5, min_pair_count=2) == []
+
+
+def test_bpe_round_time_flat_over_50_merges(spark, sf_dir):
+    """Lineage truncation contract (verdict r5 #4): localCheckpoint
+    per merge round keeps Catalyst analysis cost CONSTANT per round.
+    Without it, round k re-analyzes a k-deep mapInPandas chain and
+    per-round time grows superlinearly — 50 rounds would cost far
+    more than 5x the first 10. Generous 4x slack absorbs machine
+    noise; a quadratic regression blows well past it."""
+    import time
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t0 = time.time()
+    first = bpe.train_bpe(docs, "text", n_merges=10, min_pair_count=1)
+    t10 = time.time() - t0
+    t0 = time.time()
+    full = bpe.train_bpe(docs, "text", n_merges=50, min_pair_count=1)
+    t50 = time.time() - t0
+    assert len(full) == 50 and full[:10] == first
+    assert t50 < 5 * t10 * 4, f"per-round time not flat: t10={t10:.1f}s t50={t50:.1f}s"

@@ -128,3 +128,36 @@ def test_soundex_sql_matches_engine(spark):
     sql = f"SELECT w, {_soundex_sql('w')} AS sx FROM (SELECT unnest([{names_sql}]) AS w)"
     oracle = dict(con.execute(sql).fetchall())
     assert engine == oracle
+
+
+def test_java_hash_helpers_match_jdk(spark):
+    """functions/hive_compat.java_hash_* vs the JDK's own static
+    hashCode methods called through reflection — independent ground
+    truth for the fn_hash_multiarg algebra (Hive's
+    ObjectInspectorUtils.hashCode delegates to exactly these)."""
+    from hdp2_5_hive_spark.functions import hive_compat as hc
+
+    df = spark.createDataFrame(
+        [(-2147483648, -9223372036854775808, False, ""),
+         (-1, -1, True, "Pending"),
+         (0, 0, False, "O"),
+         (123456789, 9223372036854775807, True, "hash me 42!")],
+        "i int, l long, b boolean, s string",
+    )
+    rows = df.select(
+        hc.resign32(hc.java_hash_int(F.col("i"))).alias("hi"),
+        F.java_method(F.lit("java.lang.Integer"), F.lit("hashCode"),
+                      F.col("i")).cast("long").alias("ji"),
+        hc.resign32(hc.java_hash_long(F.col("l"))).alias("hl"),
+        F.java_method(F.lit("java.lang.Long"), F.lit("hashCode"),
+                      F.col("l")).cast("long").alias("jl"),
+        hc.java_hash_bool(F.col("b")).alias("hb"),
+        F.java_method(F.lit("java.lang.Boolean"), F.lit("hashCode"),
+                      F.col("b")).cast("long").alias("jb"),
+        hc.resign32(hc.java_hash_string(F.col("s"))).alias("hs"),
+        F.java_method(F.lit("java.util.Objects"), F.lit("hashCode"),
+                      F.col("s")).cast("long").alias("js"),
+    ).collect()
+    for r in rows:
+        assert r.hi == r.ji and r.hl == r.jl
+        assert r.hb == r.jb and r.hs == r.js
