@@ -26,11 +26,12 @@ from __future__ import annotations
 import json
 import os
 import tempfile
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 META_FILE = "_metastore.json"
+LOCK_FILE = "_metastore.lock"
 
 
 class NoSuchTableError(KeyError):
@@ -55,10 +56,38 @@ class Metastore:
     def _write_meta(self, meta: dict) -> None:
         # Atomic replace — a crashed writer can never leave a torn
         # metastore (HiveMetaStore gets this from RDBMS transactions).
+        meta["version"] = int(meta.get("version", 0)) + 1
         fd, tmp = tempfile.mkstemp(dir=self.warehouse_dir, suffix=".tmp")
         with os.fdopen(fd, "w", encoding="utf-8") as f:
             json.dump(meta, f, indent=1, sort_keys=True)
         os.replace(tmp, self._meta_path)
+
+    def _mutate(self, fn: Callable[[dict], object]) -> object:
+        """Serialized read-modify-write of the metadata document.
+
+        Concurrency contract (ADVICE r5): two writers interleaving
+        read→modify→write would lose updates, so every mutation runs
+        under an exclusive ``flock`` on ``_metastore.lock`` — correct
+        for any POSIX filesystem (local disk, NFS with lockd, most
+        HDFS fuse mounts). On object stores (S3) neither flock nor
+        rename atomicity exists: there the deployment contract is
+        SINGLE WRITER (one driver mutating DDL, any number of
+        readers) — the same contract Hive delegates to its RDBMS and
+        S3-native table formats solve with conditional PUTs. The
+        ``version`` field increments per write so external tooling
+        can detect lost updates after the fact."""
+        lock_path = os.path.join(self.warehouse_dir, LOCK_FILE)
+        with open(lock_path, "a+", encoding="utf-8") as lock:
+            try:
+                import fcntl
+
+                fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: single-writer contract
+                pass
+            meta = self._read_meta()
+            out = fn(meta)
+            self._write_meta(meta)
+            return out
 
     # -- DDL surface ------------------------------------------------------
     def create_table(
@@ -71,9 +100,24 @@ class Metastore:
     ) -> None:
         """``CREATE TABLE name AS SELECT ...`` with durable metadata
         (HiveMetaStore.create_table:258). ``mode='append'`` is
-        ``INSERT INTO`` on an existing table."""
+        ``INSERT INTO`` on an existing table — and must agree with
+        the registered format/partition spec (ADVICE r5: silently
+        rewriting the entry from the call's arguments would corrupt
+        the catalog into mixed-format data)."""
         if not name.isidentifier():
             raise ValueError(f"invalid table name {name!r}")
+        if mode == "append":
+            existing = self._read_meta()["tables"].get(name)
+            if existing is not None and (
+                existing["format"] != fmt
+                or existing["partition_by"] != list(partition_by)
+            ):
+                raise ValueError(
+                    f"INSERT INTO {name!r}: fmt/partition_by "
+                    f"({fmt!r}, {list(partition_by)!r}) disagree with the "
+                    f"registered table ({existing['format']!r}, "
+                    f"{existing['partition_by']!r})"
+                )
         path = os.path.join(self.warehouse_dir, name)
         writer = df.write.mode(mode).format(fmt)
         if partition_by:
@@ -83,13 +127,15 @@ class Metastore:
                 *[F.col(c) for c in partition_by]
             ).write.mode(mode).format(fmt).partitionBy(*partition_by)
         writer.save(path)
-        meta = self._read_meta()
-        meta["tables"][name] = {
-            "path": name,  # relative → the warehouse can be moved/mounted
-            "format": fmt,
-            "partition_by": list(partition_by),
-        }
-        self._write_meta(meta)
+
+        def upsert(meta: dict) -> None:
+            meta["tables"][name] = {
+                "path": name,  # relative → warehouse can be moved/mounted
+                "format": fmt,
+                "partition_by": list(partition_by),
+            }
+
+        self._mutate(upsert)
 
     def get_table(self, spark: SparkSession, name: str) -> DataFrame:
         """Resolve a table on ANY session (HiveMetaStore.get_table:1870)."""
@@ -103,11 +149,14 @@ class Metastore:
 
     def drop_table(self, name: str, purge: bool = True) -> None:
         """``DROP TABLE [PURGE]``: metadata always, data iff purge."""
-        meta = self._read_meta()
-        m = meta["tables"].pop(name, None)
-        if m is None:
-            raise NoSuchTableError(name)
-        self._write_meta(meta)
+
+        def pop(meta: dict) -> dict:
+            entry = meta["tables"].pop(name, None)
+            if entry is None:
+                raise NoSuchTableError(name)
+            return entry
+
+        m = self._mutate(pop)
         if purge:
             import shutil
 
@@ -169,19 +218,23 @@ class Metastore:
         name = as_name or m["table"]
         if not name.isidentifier():
             raise ValueError(f"invalid table name {name!r}")
-        meta = self._read_meta()
-        if name in meta["tables"]:
+        if name in self._read_meta()["tables"]:
             raise ValueError(f"table {name!r} already exists")
         shutil.copytree(
             os.path.join(archive_dir, "data"),
             os.path.join(self.warehouse_dir, name),
         )
-        meta["tables"][name] = {
-            "path": name,
-            "format": m["format"],
-            "partition_by": list(m["partition_by"]),
-        }
-        self._write_meta(meta)
+
+        def insert(meta: dict) -> None:
+            if name in meta["tables"]:
+                raise ValueError(f"table {name!r} already exists")
+            meta["tables"][name] = {
+                "path": name,
+                "format": m["format"],
+                "partition_by": list(m["partition_by"]),
+            }
+
+        self._mutate(insert)
         return name
 
     # -- ANALYZE / statistics ---------------------------------------------
@@ -233,11 +286,12 @@ class Metastore:
                 for c in cols
             },
         }
-        meta = self._read_meta()
-        if name not in meta["tables"]:
-            raise NoSuchTableError(name)
-        meta["tables"][name]["stats"] = stats
-        self._write_meta(meta)
+        def store(meta: dict) -> None:
+            if name not in meta["tables"]:
+                raise NoSuchTableError(name)
+            meta["tables"][name]["stats"] = stats
+
+        self._mutate(store)
         return stats
 
     def table_stats(self, name: str) -> dict | None:
@@ -285,23 +339,30 @@ class Metastore:
         reduces to validating the layout and reporting what a
         Hive-side repair would have added — partitions whose
         directories exist. Raises on a layout that Hive could not
-        repair (a non-``col=`` stray directory)."""
+        repair (a non-``col=`` stray directory at ANY partition
+        depth — ADVICE r5: a first-level-only check lets
+        ``table/a=1/junk/`` corrupt a multi-level layout silently)."""
         meta = self._read_meta()["tables"]
         if name not in meta:
             raise NoSuchTableError(name)
         m = meta[name]
         cols = m["partition_by"]
         root = os.path.join(self.warehouse_dir, m["path"])
-        if cols:
-            for entry in os.listdir(root):
-                sub = os.path.join(root, entry)
-                if (
-                    os.path.isdir(sub)
-                    and not entry.startswith(cols[0] + "=")
-                    and not entry.startswith(("_", "."))
-                ):
+
+        def check(path: str, depth: int) -> None:
+            if depth == len(cols):
+                return
+            for entry in os.listdir(path):
+                sub = os.path.join(path, entry)
+                if not os.path.isdir(sub) or entry.startswith(("_", ".")):
+                    continue
+                if not entry.startswith(cols[depth] + "="):
                     raise ValueError(
-                        f"unpartitioned directory {entry!r} under "
-                        f"partitioned table {name!r}"
+                        f"stray directory {entry!r} at partition depth "
+                        f"{depth} ({'/'.join(cols)}) under table {name!r}"
                     )
+                check(sub, depth + 1)
+
+        if cols:
+            check(root, 0)
         return {"table": name, "partitions": self.partitions(name)}

@@ -60,3 +60,65 @@ def test_unpartitioned_table_has_no_partitions(spark, sf_dir, tmp_path):
     ms.create_table(nation, "nation_flat")
     assert ms.partitions("nation_flat") == []
     assert ms.msck_repair("nation_flat")["partitions"] == []
+
+
+def test_msck_detects_stray_at_deeper_level(spark, sf_dir, tmp_path):
+    """ADVICE r5: a stray directory nested under a deeper partition
+    level (table/a=1/junk/) must fail repair, not pass silently."""
+    ms = Metastore(str(tmp_path / "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    ms.create_table(
+        orders, "orders_p2", partition_by=["o_orderstatus", "o_orderpriority"]
+    )
+    ms.msck_repair("orders_p2")  # clean layout passes
+    first = next(
+        e
+        for e in os.listdir(str(tmp_path / "wh" / "orders_p2"))
+        if e.startswith("o_orderstatus=")
+    )
+    os.makedirs(str(tmp_path / "wh" / "orders_p2" / first / "junk"))
+    with pytest.raises(ValueError, match="depth 1"):
+        ms.msck_repair("orders_p2")
+
+
+def test_append_validates_format_and_partition_spec(spark, sf_dir, tmp_path):
+    """ADVICE r5: INSERT INTO with a different fmt or partition spec
+    than registered must raise, not silently rewrite the entry."""
+    ms = Metastore(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms.create_table(nation, "nat", partition_by=["n_regionkey"])
+    with pytest.raises(ValueError, match="disagree"):
+        ms.create_table(nation, "nat", fmt="orc", mode="append",
+                        partition_by=["n_regionkey"])
+    with pytest.raises(ValueError, match="disagree"):
+        ms.create_table(nation, "nat", mode="append")  # unpartitioned
+    ms.create_table(nation, "nat", mode="append", partition_by=["n_regionkey"])
+    assert ms.get_table(spark, "nat").count() == 2 * nation.count()
+
+
+def test_concurrent_mutations_keep_all_updates(spark, sf_dir, tmp_path):
+    """ADVICE r5: interleaved read-modify-write from multiple threads
+    must not lose catalog updates (flock-serialized _mutate)."""
+    import threading
+
+    ms = Metastore(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms.create_table(nation, "seed")
+
+    def add(i: int) -> None:
+        def fn(meta):
+            meta["tables"][f"t{i}"] = {
+                "path": f"t{i}", "format": "parquet", "partition_by": []
+            }
+
+        ms._mutate(fn)
+
+    threads = [threading.Thread(target=add, args=(i,)) for i in range(16)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert set(ms.tables()) == {"seed"} | {f"t{i}" for i in range(16)}
+    assert ms._read_meta()["version"] >= 17
