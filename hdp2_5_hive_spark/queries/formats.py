@@ -438,3 +438,30 @@ def ddl_analyze_stats(spark, t):
         "column_name string, ndv long, n_nulls long, "
         "min_val string, max_val string",
     ).orderBy("column_name")
+
+
+@register(
+    "fmt_rcfile_round_trip",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey <= 300
+""",
+    category="formats",
+)
+def fmt_rcfile_round_trip(spark, t):
+    """RCFile write→read round-trip (reference ``ql/io/RCFile.java``;
+    the last open §2.2 format row). The engine's from-scratch codec
+    (sources/rcfile_py, public layout: RCF header, Hadoop vlong/Text
+    primitives, per-group columnar key/value buffers with RLE'd cell
+    lengths, sync markers) writes one file per partition in the
+    executors and reads via a parallelized file list — the migration
+    path for a legacy STORED AS RCFILE warehouse. Small row groups
+    here force the multi-group + sync-escape code path."""
+    from ..sources import rcfile_py
+
+    d = scratch_dir("fmt_rcfile_") + "/rc"
+    src = t.customer.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    rcfile_py.write_rcfile(src.repartition(4), d, group_rows=64)
+    return rcfile_py.read_rcfile(spark, d)

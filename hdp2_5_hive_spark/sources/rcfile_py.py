@@ -1,0 +1,408 @@
+"""RCFile source/sink — the last §2.2 format a legacy HDP 2.5
+warehouse can present (reference ``ql/src/java/org/apache/hadoop/
+hive/ql/io/RCFile.java``; layout published in He et al., ICDE 2011,
+"RCFile: A Fast and Space-efficient Data Placement Structure").
+
+Spark has no native RCFile reader and the format is long obsolete
+(Hive itself recommends ORC/parquet), so the engine carries a
+minimal from-scratch codec for MIGRATION reads plus a writer so the
+round-trip is testable end-to-end. Scope: the modern ``RCF\\x01``
+header, UNCOMPRESSED row groups, cells text-serialized as
+ColumnarSerDe does over LazySimpleSerDe strings (NULL = ``\\N``).
+Compressed files raise a clear error pointing at the migration path
+(read once here → write parquet; the CONCATENATE compaction story in
+queries/formats.py).
+
+Layout written/parsed (RCFile.java:505-640 writer, :1060-1270 reader):
+
+- header: magic ``RCF`` + version byte 1; compressed flag byte;
+  metadata (4-byte count, then Hadoop-Text key/value pairs — carries
+  ``hive.io.rcfile.column.number``); 16-byte sync marker.
+- per row group (one "record"): optional sync escape (int -1 + the
+  16-byte sync), record length (int), key length (int), compressed
+  key length (int), then the KEY BUFFER: row count (vlong) and per
+  column [column value bytes length, uncompressed dito, length of
+  the cell-length run buffer, the run buffer itself] — cell lengths
+  run-length encoded exactly as ``RCFile.ColumnBuffer``: a
+  non-negative vlong is a new length, a following negative vlong m
+  repeats it ~m more times. The VALUE BUFFER concatenates each
+  column's cell bytes back-to-back — the columnar layout that lets a
+  projection skip whole column runs per group.
+- ints are 4-byte big-endian; vlong/Text use Hadoop WritableUtils
+  encoding (single byte for [-112, 127], else a sign+size prefix).
+
+Distributed plumbing mirrors sources/avro_py: writes emit one file
+per partition inside executors via ``mapInArrow`` (only the report
+reaches the driver); reads parallelize the file list and decode per
+task; schema is carried as Hive type strings in file metadata
+(``columns``/``columns.types``, the same keys ColumnarSerDe stores).
+"""
+
+from __future__ import annotations
+
+import glob
+import io
+import os
+import struct
+from datetime import date, datetime
+from decimal import Decimal
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"RCF"
+VERSION = 1
+SYNC = bytes(range(100, 116))  # any 16 bytes; fixed → deterministic files
+NULL_TEXT = b"\\N"
+COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
+DEFAULT_GROUP_ROWS = 4096
+
+
+# ---------------------------------------------------------------------------
+# Hadoop writable primitives (WritableUtils.writeVLong / Text)
+# ---------------------------------------------------------------------------
+
+
+def write_vlong(buf: io.BytesIO, i: int) -> None:
+    if -112 <= i <= 127:
+        buf.write(struct.pack("b", i))
+        return
+    length = -112
+    if i < 0:
+        i = ~i
+        length = -120
+    tmp = i
+    while tmp != 0:
+        tmp >>= 8
+        length -= 1
+    buf.write(struct.pack("b", length))
+    length = -(length + 120) if length < -120 else -(length + 112)
+    for idx in range(length - 1, -1, -1):
+        buf.write(bytes([(i >> (8 * idx)) & 0xFF]))
+
+
+def read_vlong(src) -> int:
+    first = struct.unpack("b", src.read(1))[0]
+    if first >= -112:
+        return first
+    neg = first < -120
+    # Hadoop decodeVIntSize returns TOTAL size incl. the prefix byte
+    length = ((-119 - first) if neg else (-111 - first)) - 1
+    i = 0
+    for _ in range(length):
+        i = (i << 8) | src.read(1)[0]
+    return ~i if neg else i
+
+
+def _write_text(buf: io.BytesIO, s: str) -> None:
+    b = s.encode("utf-8")
+    write_vlong(buf, len(b))
+    buf.write(b)
+
+
+def _read_text(src) -> str:
+    n = read_vlong(src)
+    return src.read(n).decode("utf-8")
+
+
+# ---------------------------------------------------------------------------
+# Schema <-> Hive type strings (the metadata ColumnarSerDe stores)
+# ---------------------------------------------------------------------------
+
+_TO_HIVE = {
+    T.LongType: "bigint",
+    T.IntegerType: "int",
+    T.ShortType: "smallint",
+    T.ByteType: "tinyint",
+    T.DoubleType: "double",
+    T.FloatType: "float",
+    T.BooleanType: "boolean",
+    T.StringType: "string",
+    T.DateType: "date",
+    T.TimestampType: "timestamp",
+}
+
+_FROM_HIVE = {v: k() for k, v in _TO_HIVE.items()}
+
+
+def _hive_type(dt: T.DataType) -> str:
+    if isinstance(dt, T.DecimalType):
+        return f"decimal({dt.precision},{dt.scale})"
+    try:
+        return _TO_HIVE[type(dt)]
+    except KeyError:
+        raise NotImplementedError(
+            f"RCFile codec supports primitive columns only, got {dt}"
+        ) from None
+
+
+def _spark_type(h: str) -> T.DataType:
+    if h.startswith("decimal("):
+        p, s = h[8:-1].split(",")
+        return T.DecimalType(int(p), int(s))
+    return _FROM_HIVE[h]
+
+
+def _cell_bytes(v: object) -> bytes:
+    """LazySimpleSerDe text form of one cell (NULL → \\N)."""
+    if v is None:
+        return NULL_TEXT
+    if v is True:
+        return b"true"
+    if v is False:
+        return b"false"
+    if isinstance(v, float):
+        return repr(v).encode()
+    if isinstance(v, datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f").encode()
+    if isinstance(v, (date, Decimal)):
+        return str(v).encode()
+    return str(v).encode()
+
+
+# ---------------------------------------------------------------------------
+# single-file writer / reader
+# ---------------------------------------------------------------------------
+
+
+def _write_lengths_rle(lens: list[int]) -> bytes:
+    """RCFile.ColumnBuffer cell-length encoding: value, then ~extra
+    for a run of equal lengths."""
+    buf = io.BytesIO()
+    prev, run = None, 0
+    for ln in lens:
+        if ln == prev:
+            run += 1
+            continue
+        if prev is not None:
+            write_vlong(buf, prev)
+            if run > 0:
+                write_vlong(buf, ~run)
+        prev, run = ln, 0
+    if prev is not None:
+        write_vlong(buf, prev)
+        if run > 0:
+            write_vlong(buf, ~run)
+    return buf.getvalue()
+
+
+def _read_lengths_rle(raw: bytes, n_rows: int) -> list[int]:
+    src = io.BytesIO(raw)
+    out: list[int] = []
+    while len(out) < n_rows:
+        v = read_vlong(src)
+        if v < 0:
+            out.extend([out[-1]] * (~v))
+        else:
+            out.append(v)
+    return out
+
+
+def write_rcfile_stream(
+    fh, names: list[str], types: list[str], row_iter, group_rows: int
+) -> int:
+    """Write one RCFile to a binary stream; returns rows written."""
+    fh.write(MAGIC + bytes([VERSION]))
+    fh.write(b"\x00")  # uncompressed
+    meta = [
+        (COLUMN_NUMBER_KEY, str(len(names))),
+        ("columns", ",".join(names)),
+        ("columns.types", ":".join(types)),  # colon-sep, as Hive serde props
+    ]
+    fh.write(struct.pack(">i", len(meta)))
+    mb = io.BytesIO()
+    for k, v in meta:
+        _write_text(mb, k)
+        _write_text(mb, v)
+    fh.write(mb.getvalue())
+    fh.write(SYNC)
+
+    total = 0
+    group: list[tuple] = []
+
+    def flush() -> None:
+        nonlocal total
+        if not group:
+            return
+        cols = list(zip(*group))
+        col_bytes = [[_cell_bytes(v) for v in col] for col in cols]
+        key = io.BytesIO()
+        write_vlong(key, len(group))
+        values = b""
+        for cb in col_bytes:
+            data = b"".join(cb)
+            lens = _write_lengths_rle([len(c) for c in cb])
+            write_vlong(key, len(data))
+            write_vlong(key, len(data))  # uncompressed == stored
+            write_vlong(key, len(lens))
+            key.write(lens)
+            values += data
+        kb = key.getvalue()
+        fh.write(struct.pack(">i", -1))  # sync escape before each group
+        fh.write(SYNC)
+        fh.write(struct.pack(">iii", len(kb) + len(values), len(kb), len(kb)))
+        fh.write(kb)
+        fh.write(values)
+        total += len(group)
+        group.clear()
+
+    for row in row_iter:
+        group.append(row)
+        if len(group) >= group_rows:
+            flush()
+    flush()
+    return total
+
+
+def read_rcfile_header(fh) -> tuple[list[str], list[str], bytes]:
+    """Parse the RCF header; returns (names, hive types, sync)."""
+    if fh.read(3) != MAGIC or fh.read(1) != bytes([VERSION]):
+        raise ValueError("not an RCF version-1 file")
+    if fh.read(1) != b"\x00":
+        raise NotImplementedError(
+            "compressed RCFile not supported — decompress with Hive and "
+            "re-export, or migrate to parquet (see queries/formats.py "
+            "CONCATENATE)"
+        )
+    n_meta = struct.unpack(">i", fh.read(4))[0]
+    meta = {}
+    for _ in range(n_meta):
+        k = _read_text(fh)
+        meta[k] = _read_text(fh)
+    sync = fh.read(16)
+    names = meta["columns"].split(",")
+    types = meta["columns.types"].split(":")
+    if int(meta[COLUMN_NUMBER_KEY]) != len(names):
+        raise ValueError("column count metadata mismatch")
+    return names, types, sync
+
+
+def read_rcfile_stream(fh) -> tuple[list[str], list[str], list[list[bytes]]]:
+    """Read one RCFile: (column names, hive types, rows of raw cell
+    bytes)."""
+    names, types, sync = read_rcfile_header(fh)
+
+    rows: list[list[bytes]] = []
+    while True:
+        head = fh.read(4)
+        if len(head) < 4:
+            break
+        rec_len = struct.unpack(">i", head)[0]
+        if rec_len == -1:  # sync escape
+            if fh.read(16) != sync:
+                raise ValueError("sync marker mismatch — corrupt file")
+            continue
+        key_len, _ckey_len = struct.unpack(">ii", fh.read(8))
+        key = io.BytesIO(fh.read(key_len))
+        n_rows = read_vlong(key)
+        col_lens: list[list[int]] = []
+        col_sizes: list[int] = []
+        for _ in range(len(names)):
+            size = read_vlong(key)
+            read_vlong(key)  # uncompressed size (== size here)
+            len_buf_len = read_vlong(key)
+            col_lens.append(
+                _read_lengths_rle(key.read(len_buf_len), n_rows)
+            )
+            col_sizes.append(size)
+        group_rows: list[list[bytes]] = [
+            [b""] * len(names) for _ in range(n_rows)
+        ]
+        for ci, (sizes, size) in enumerate(zip(col_lens, col_sizes)):
+            data = fh.read(size)
+            off = 0
+            for ri, ln in enumerate(sizes):
+                group_rows[ri][ci] = data[off : off + ln]
+                off += ln
+            if off != size:
+                raise ValueError(f"column {names[ci]}: byte count mismatch")
+        rows.extend(group_rows)
+    return names, types, rows
+
+
+# ---------------------------------------------------------------------------
+# distributed write / read
+# ---------------------------------------------------------------------------
+
+
+def write_rcfile(
+    df: DataFrame, path: str, group_rows: int = DEFAULT_GROUP_ROWS
+) -> int:
+    """One RCFile per partition, written inside executors; only the
+    (path, row-count) report reaches the driver."""
+    names = [f.name for f in df.schema.fields]
+    types = [_hive_type(f.dataType) for f in df.schema.fields]
+    os.makedirs(path, exist_ok=True)
+    for old in glob.glob(os.path.join(path, "part-*.rc")):
+        os.remove(old)
+
+    def write_partition(batches):
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.rc")
+
+        def rows():
+            for batch in batches:
+                cols = [
+                    batch.column(i).to_pylist()
+                    for i in range(batch.num_columns)
+                ]
+                yield from zip(*cols)
+
+        with open(fname, "wb") as fh:
+            n = write_rcfile_stream(fh, names, types, rows(), group_rows)
+        if n == 0:
+            os.remove(fname)
+        yield pa.RecordBatch.from_pydict({"path": [fname], "n_rows": [n]})
+
+    report = df.mapInArrow(write_partition, "path string, n_rows long")
+    return sum(r.n_rows for r in report.collect())
+
+
+def read_rcfile(spark: SparkSession, path: str) -> DataFrame:
+    """Parallelize the file list; decode + schema-on-read cast per
+    task (ColumnarSerDe deserialization: text bytes → typed columns)."""
+    files = sorted(glob.glob(os.path.join(path, "*.rc"))) or sorted(
+        glob.glob(path)
+    )
+    if not files:
+        raise FileNotFoundError(f"no .rc files under {path}")
+    with open(files[0], "rb") as fh:
+        names, types, _ = read_rcfile_header(fh)
+
+    par = min(len(files), spark.sparkContext.defaultParallelism)
+    files_df = spark.createDataFrame(
+        [(f,) for f in files], "rcfile_path string"
+    ).repartition(par)
+    text_schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in names]
+    )
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for fname in pdf["rcfile_path"]:
+                with open(fname, "rb") as fh:
+                    _, _, rows = read_rcfile_stream(fh)
+                yield pd.DataFrame(
+                    [
+                        [
+                            None if c == NULL_TEXT else c.decode("utf-8")
+                            for c in row
+                        ]
+                        for row in rows
+                    ],
+                    columns=names,
+                )
+
+    raw = files_df.mapInPandas(decode, text_schema)
+    return raw.select(
+        *[
+            F.col(n).cast(_spark_type(h)).alias(n)
+            for n, h in zip(names, types)
+        ]
+    )

@@ -1,0 +1,100 @@
+"""RCFile codec (sources/rcfile_py): writable primitives vs known
+Hadoop encodings, RLE length buffer round-trip, null/type handling,
+multi-row-group files, compressed-file rejection."""
+
+from __future__ import annotations
+
+import io
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hdp2_5_hive_spark.sources import rcfile_py as rc
+
+
+def test_vlong_known_hadoop_encodings():
+    """Pinned against the published Hadoop WritableUtils scheme:
+    one byte for [-112, 127], else sign+size prefix byte."""
+    cases = {
+        0: b"\x00",
+        127: b"\x7f",
+        -112: b"\x90",
+        128: b"\x8f\x80",          # -113 prefix, 1 payload byte
+        255: b"\x8f\xff",
+        256: b"\x8e\x01\x00",      # -114 prefix, 2 payload bytes
+        -113: b"\x87\x70",         # negative: ~(-113)=112 → -121 prefix
+    }
+    for val, want in cases.items():
+        buf = io.BytesIO()
+        rc.write_vlong(buf, val)
+        assert buf.getvalue() == want, val
+        assert rc.read_vlong(io.BytesIO(want)) == val
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+def test_vlong_round_trip(i):
+    buf = io.BytesIO()
+    rc.write_vlong(buf, i)
+    assert rc.read_vlong(io.BytesIO(buf.getvalue())) == i
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=64), max_size=40))
+def test_rle_lengths_round_trip(lens):
+    raw = rc._write_lengths_rle(lens)
+    assert rc._read_lengths_rle(raw, len(lens)) == lens
+
+
+def test_stream_round_trip_with_nulls_and_groups():
+    rows = [(i, f"name {i}" if i % 3 else None, i / 7.0) for i in range(257)]
+    fh = io.BytesIO()
+    n = rc.write_rcfile_stream(
+        fh, ["k", "s", "x"], ["bigint", "string", "double"],
+        iter(rows), group_rows=50,
+    )
+    assert n == 257
+    fh.seek(0)
+    names, types, raw = rc.read_rcfile_stream(fh)
+    assert names == ["k", "s", "x"] and types[0] == "bigint"
+    assert len(raw) == 257
+    assert raw[0][1] == rc.NULL_TEXT  # i=0 → null
+    assert raw[1][1] == b"name 1"
+    assert float(raw[8][2]) == 8 / 7.0  # shortest-repr double survives
+
+
+def test_compressed_flag_rejected():
+    fh = io.BytesIO()
+    rc.write_rcfile_stream(fh, ["a"], ["int"], iter([(1,)]), 10)
+    data = bytearray(fh.getvalue())
+    data[4] = 1  # flip the compressed flag
+    with pytest.raises(NotImplementedError, match="compressed"):
+        rc.read_rcfile_stream(io.BytesIO(bytes(data)))
+
+
+def test_distributed_round_trip_all_types(spark, tmp_path):
+    from datetime import date
+
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 5 == 0, None)
+         .otherwise(F.concat(F.lit("v"), F.col("id"))).alias("s"),
+        (F.col("id") / 3.0).alias("d"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.lit(date(1995, 6, 15)).alias("dt"),
+        F.col("id").cast("decimal(12,2)").alias("dec"),
+    )
+    path = str(tmp_path / "rc")
+    n = rc.write_rcfile(df.repartition(5), path, group_rows=32)
+    assert n == 500
+    back = rc.read_rcfile(spark, path)
+    # schema-on-read is always nullable; compare names + types
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in df.schema.fields
+    ]
+    a = sorted([tuple(r) for r in df.collect()])
+    b = sorted([tuple(r) for r in back.collect()])
+    assert a == b
