@@ -142,6 +142,9 @@ def hyperplane_bucket(
     )
 
 
+_last_withb: DataFrame | None = None
+
+
 def _salted_buckets(
     df: DataFrame,
     *,
@@ -168,13 +171,25 @@ def _salted_buckets(
     linear memory/recall trade of multi-table LSH), and all keys
     downstream are (table, bucket, salt). Single-table collision
     probability for angle θ is (1-θ/π)^p; with T tables it becomes
-    1-(1-(1-θ/π)^p)^T — e.g. cosine 0.95, p=6: 0.53 → 0.95 at T=4."""
+    1-(1-(1-θ/π)^p)^T — e.g. cosine 0.95, p=6: 0.53 → 0.95 at T=4.
+
+    The exploded bucket table feeds both the size aggregate and the
+    salt join, so it is persisted (bounded: rows × n_tables, vectors
+    included — the same columns the downstream self-join shuffles
+    anyway); the previous call's cache is dropped on entry."""
+    global _last_withb
+    if _last_withb is not None:
+        try:
+            _last_withb.unpersist()
+        except Exception:
+            pass
     buckets = _bucket_arrays_udf(dim, n_planes, n_tables)(F.col(vec_col))
     withb = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         F.posexplode(buckets).alias("_table", "_bucket"),
-    )
+    ).persist()
+    _last_withb = withb
     sizes = withb.groupBy("_table", "_bucket").agg(
         F.count(F.lit(1)).alias("_bsize")
     )
@@ -192,6 +207,9 @@ def _salted_buckets(
             F.pmod(F.xxhash64("_id"), n_salts).cast("int").alias("_salt"),
         )
     )
+
+
+_last_salted: DataFrame | None = None
 
 
 def lsh_bucket_topk(
@@ -215,9 +233,23 @@ def lsh_bucket_topk(
     With n_tables > 1 the same pair can surface in several tables, so
     candidates dedup on (query_id, neighbor_id) via max() — one extra
     shuffle that only the multi-table path pays (the aggregate's
-    map-side combine removes most duplicates before it moves)."""
+    map-side combine removes most duplicates before it moves).
+
+    The salted bucket table feeds BOTH sides of the self-join and
+    Catalyst does not ReuseExchange across the aliased subtrees, so
+    it is persisted for the run (same bounded-cache discipline as
+    dedup.near_duplicate_pairs: the previous call's table is
+    unpersisted on entry) — without it the pandas-UDF bucket
+    assignment and the size aggregation run twice per action at any
+    scale."""
+    global _last_salted
     from .util import ensure_parallelism
 
+    if _last_salted is not None:
+        try:
+            _last_salted.unpersist()
+        except Exception:
+            pass
     salted = _salted_buckets(
         ensure_parallelism(df),
         id_col=id_col,
@@ -226,7 +258,8 @@ def lsh_bucket_topk(
         n_planes=n_planes,
         max_bucket_rows=max_bucket_rows,
         n_tables=n_tables,
-    )
+    ).persist()
+    _last_salted = salted
     keys = ["_table", "_bucket", "_salt"]
     a = salted.select(
         F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec"), *keys

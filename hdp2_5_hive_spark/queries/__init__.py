@@ -116,6 +116,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "dedup_incremental_unordered_ids",  # ADVICE r5 id-order regression
     "fn_hash_multiarg",  # hash() parity beyond strings (verdict #6)
     "fmt_rcfile_round_trip",  # last open §2.2 format row (verdict #7)
+    "ann_lsh_recall",  # quantified LSH recall evidence (verdict #8)
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

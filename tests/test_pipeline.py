@@ -280,3 +280,24 @@ def test_incremental_dedup_id_order_free(spark):
     assert ("400", "99") in got and ("401", "99") in got
     # batch-batch pair emitted exactly once, lower id as id_old
     assert ("401", "400") in got and ("400", "401") not in got
+
+
+def test_lsh_salt_guard_on_degenerate_identical_corpus(spark):
+    """Salt guard under the worst case (verdict r4 #6): an
+    all-identical corpus lands every row in ONE bucket per table;
+    the guard must still cap per-(bucket, salt) group size."""
+    from hdp2_5_hive_spark.operators import similarity as sim
+
+    n, cap = 4000, 256
+    vec = [float((i % 7) - 3) for i in range(16)]
+    df = spark.createDataFrame(
+        [(f"v{i}", vec) for i in range(n)],
+        "vec_id string, embedding array<double>",
+    )
+    salted = sim._salted_buckets(
+        df, id_col="vec_id", vec_col="embedding", dim=16, n_planes=6,
+        max_bucket_rows=cap,
+    )
+    groups = salted.groupBy("_bucket", "_salt").count().collect()
+    assert len(groups) >= n // cap
+    assert max(g["count"] for g in groups) <= 2 * cap
