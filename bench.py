@@ -48,35 +48,53 @@ HEADLINE = [
 ]
 
 
+CHUNK = 6  # queries measured per fresh session (see main())
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_session(app_name="hdp2_5_hive_spark-bench")
 
-    # Warm the executor pool + codegen pipeline once so per-query
-    # times measure steady-state work, not JVM spin-up.
-    spark.range(1_000_000).selectExpr("sum(id) AS s").write.format(
-        "noop"
-    ).mode("overwrite").save()
-
-    qs = all_queries()
+    # r5 diagnosed a position-in-suite ORDER EFFECT: queries measured
+    # after ~260 accumulated stages ran 1.6-5x their best while early
+    # positions improved — accumulated driver/session state, not plan
+    # regressions (a 5-query suite reproduces every best; reversing a
+    # long suite moves the inflation with the position). Fix: measure
+    # in CHUNK-sized groups, each in a FRESH session (stop + rebuild,
+    # ~3s apiece), with A/B order rotation inside the group and
+    # operator caches cleared between queries so a lingering bounded
+    # persist can't eat the memory of — or speed up — whoever runs
+    # next. Every query gets a near-start-of-session slot.
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name].fn
-        df = fn(spark, sf_dir)
-        # One untimed execution absorbs one-off costs (parquet footer
-        # index, whole-stage-codegen compile) that are constant-sized
-        # and amortize to nothing at warehouse scale; then report the
-        # best of two steady-state runs (JMH-style warmup+measure).
-        df.write.format("noop").mode("overwrite").save()
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
-        print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+    for start in range(0, len(HEADLINE), CHUNK):
+        group = HEADLINE[start : start + CHUNK]
+        spark = get_session(app_name="hdp2_5_hive_spark-bench")
+        # Warm the executor pool + codegen pipeline so per-query
+        # times measure steady-state work, not JVM spin-up.
+        spark.range(1_000_000).selectExpr("sum(id) AS s").write.format(
+            "noop"
+        ).mode("overwrite").save()
+        qs = all_queries()
+        for order in (group, list(reversed(group))):
+            for name in order:
+                df = qs[name].fn(spark, sf_dir)
+                if name not in times:
+                    # One untimed execution absorbs one-off costs
+                    # (parquet footer index, codegen compile) that are
+                    # constant-sized and amortize to nothing at
+                    # warehouse scale; then JMH-style best-of runs.
+                    df.write.format("noop").mode("overwrite").save()
+                    times[name] = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    df.write.format("noop").mode("overwrite").save()
+                    times[name] = min(times[name], time.time() - t0)
+                spark.catalog.clearCache()
+        for name in group:
+            times[name] = round(times[name], 3)
+            print(f"# {name}: {times[name]:.2f}s", file=sys.stderr)
+        spark.stop()
 
     total = round(sum(times.values()), 3)
     result = {

@@ -32,6 +32,21 @@ MIN_SECONDS = 0.1
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LEDGER = os.path.join(ROOT, "BENCH_BEST.json")
 
+# Bests invalidated by DELIBERATE plan changes: the historical number
+# came from a plan the repo intentionally abandoned, so comparing
+# against it flags a "regression" that is unreachable by design.
+# Value = floor the stale best is raised to (measured steady-state of
+# the current plan). Keep entries documented or they rot.
+PLAN_RESET = {
+    # r5 single-pass rewrite (queries/core.py q18): the HAVING
+    # aggregate's sum IS the output now — one lineitem shuffle
+    # instead of two. Strictly better at scale (the big join is
+    # gone); at sf0.1 wall-time is pinned by the 3-row-group scan and
+    # sits ~1.0-1.2s vs the old two-join plan's 0.761s. A/B recorded
+    # in the query docstring; verdict r5 adjudicated keep-the-new-plan.
+    "q18_large_orders": 1.0,
+}
+
 
 def _load_history() -> dict[str, float]:
     best: dict[str, float] = {}
@@ -55,6 +70,9 @@ def _load_history() -> dict[str, float]:
                     best[name] = float(sec)
         except (OSError, ValueError):
             pass
+    for name, floor in PLAN_RESET.items():
+        if best.get(name, floor) < floor:
+            best[name] = floor
     return best
 
 
