@@ -68,6 +68,7 @@ _MODULES = (
     "pipeline3",
     "pipeline4",
     "scalars2",
+    "scalars3",
     "core",
     "joins",
     "aggregates",
@@ -117,6 +118,13 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_hash_multiarg",  # hash() parity beyond strings (verdict #6)
     "fmt_rcfile_round_trip",  # last open §2.2 format row (verdict #7)
     "ann_lsh_recall",  # quantified LSH recall evidence (verdict #8)
+    "fn_json_path_suite",
+    "fn_string_edge_cases",
+    "win_first_last_ignore_nulls",
+    "hiveql_order_by_pos",
+    "hiveql_having_alias",
+    "events_windowed_rate",
+    "dedup_cluster_keep_best",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

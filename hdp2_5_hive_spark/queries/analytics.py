@@ -163,3 +163,47 @@ def events_top_transitions(spark, t):
         .orderBy(F.desc("n"), "from_type", "to_type")
         .limit(10)
     )
+
+
+@register(
+    "events_windowed_rate",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(ts AS TIMESTAMP) AS t FROM events
+),
+win AS (
+  SELECT event_type, t,
+         to_timestamp(7200 * CAST(floor(epoch(t) / 7200) AS BIGINT))
+           - i * INTERVAL 2 HOUR AS w_start
+  FROM e, LATERAL (SELECT unnest(range(0, 3)) AS i) s
+)
+SELECT CAST(w_start AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events,
+       round(count(*) / 6.0, 6) AS per_hour
+FROM win
+WHERE t < w_start + INTERVAL 6 HOUR
+GROUP BY w_start, event_type
+""",
+    category="analytics",
+)
+def events_windowed_rate(spark, t):
+    """Sliding-window event rate per type — the batch twin of a
+    Structured Streaming windowed aggregation (``F.window(ts, '6
+    hours', '2 hours')``; reference streaming windowing SURVEY §2.10).
+    Each event lands in duration/slide = 3 windows; Spark aligns
+    window starts to the epoch, which the oracle reproduces with
+    integer floor arithmetic on epoch seconds, enumerating the 3
+    covering windows per event. At scale this is one partial-agg
+    tree over an explode — no shuffle beyond the final groupBy."""
+    e = t.events.select("event_type", F.col("ts").alias("t"))
+    win = F.window("t", "6 hours", "2 hours")
+    return (
+        e.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.round(F.col("n_events") / 6.0, 6).alias("per_hour"),
+        )
+    )

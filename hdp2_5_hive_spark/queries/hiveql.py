@@ -468,3 +468,57 @@ def hiveql_case_cast_expr(spark, t):
         FROM orders WHERE o_orderkey <= 500
         """
     )
+
+
+@register(
+    "hiveql_order_by_pos",
+    oracle="""
+SELECT o_orderpriority AS prio, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+GROUP BY 1 ORDER BY 2 DESC, 1
+""",
+    category="hiveql",
+)
+def hiveql_order_by_pos(spark, t):
+    """Positional GROUP BY / ORDER BY ordinals as SQL text (reference
+    ``hive.groupby.orderby.position.alias`` —
+    ``SemanticAnalyzer.java`` getGroupByForClause resolving integer
+    ordinals against the select list; qfile
+    ``clientpositive/groupby_position.q``). Spark resolves ordinals
+    natively (spark.sql.groupByOrdinal / orderByOrdinal, both on by
+    default); DuckDB likewise — three engines, one text."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS prio, count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS revenue
+        FROM orders WHERE o_orderdate >= DATE '1995-01-01'
+        GROUP BY 1 ORDER BY 2 DESC, 1
+        """
+    )
+
+
+@register(
+    "hiveql_having_alias",
+    oracle="""
+SELECT l_suppkey, count(*) AS n_lines
+FROM lineitem GROUP BY l_suppkey HAVING count(*) >= 40
+""",
+    category="hiveql",
+)
+def hiveql_having_alias(spark, t):
+    """HAVING referencing a SELECT-list alias as SQL text (Hive
+    resolves aliases in HAVING — ``SemanticAnalyzer.java``
+    genHavingPlan; qfile ``clientpositive/having.q``). Spark accepts
+    the same alias reference (resolved against the aggregate child);
+    the oracle restates the aggregate since DuckDB also allows
+    either form."""
+    t.lineitem
+    return spark.sql(
+        """
+        SELECT l_suppkey, count(*) AS n_lines
+        FROM lineitem GROUP BY l_suppkey HAVING n_lines >= 40
+        """
+    )

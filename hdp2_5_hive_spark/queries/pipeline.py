@@ -702,3 +702,63 @@ def corpus_clean(spark, t):
         F.sum("n_words").cast("bigint").alias("total_words"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@register(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+WITH RECURSIVE {_MINHASH_PAIR_CTE},
+comp AS (SELECT node AS doc_id, MIN(label) AS cid FROM reach GROUP BY node),
+alldocs AS (
+  SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cid, d.n_chars
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+),
+best AS (
+  SELECT cid, doc_id AS keeper FROM (
+    SELECT cid, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cid
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM alldocs) t WHERE rn = 1
+)
+SELECT a.doc_id, b.keeper AS canonical_id, a.doc_id = b.keeper AS is_kept
+FROM alldocs a JOIN best b USING (cid)
+""",
+    category="pipeline",
+)
+def dedup_cluster_keep_best(spark, t):
+    """Quality-aware canonical selection: near-dup clusters keep the
+    LONGEST document (tie → lowest id), not the lowest id — the
+    production dedup policy (keep the richest copy of boilerplate
+    variants) vs ``dedup_keep_list``'s min-id baseline. Pipeline:
+    MinHash-LSH pairs → connected components → per-cluster top-1
+    window (WindowGroupLimit pushes the rank below the shuffle);
+    singleton docs are their own canonical. One extra shuffle over
+    keep-list, keyed on cluster id. Oracle: brute-force pairs +
+    recursive-CTE closure + the same argmax."""
+    from pyspark.sql import Window as W
+
+    from ..operators import components as cc
+
+    docs = t.documents
+    pairs = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.6)
+    comps = cc.connected_components(pairs, "id_a", "id_b")
+    full = (
+        docs.select("doc_id", "n_chars")
+        .join(comps.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("component", "doc_id").alias("cid"),
+        )
+    )
+    w = W.partitionBy("cid").orderBy(F.desc("n_chars"), "doc_id")
+    best = (
+        full.select("cid", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select("cid", F.col("doc_id").alias("canonical_id"))
+    )
+    return full.join(best, "cid").select(
+        "doc_id",
+        "canonical_id",
+        (F.col("doc_id") == F.col("canonical_id")).alias("is_kept"),
+    )
