@@ -288,3 +288,51 @@ def agg_salted_skew(spark, t):
     return salted_sum_count(
         t.lineitem, ["l_returnflag"], F.col("l_quantity"), n_salts=32
     )
+
+
+@register(
+    "agg_bitmap_index",
+    oracle="""
+SELECT l_returnflag,
+       count(DISTINCT l_suppkey) AS ndv_bitmap,
+       count(DISTINCT CASE WHEN l_quantity >= 25 THEN l_suppkey END)
+         AS ndv_heavy
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_bitmap_index(spark, t):
+    """Bitmap-index aggregation — closes §2.5's last row (reference
+    ``udf/generic/GenericUDAFEWAHBitmap.java`` + ``GenericUDFEWAHBitmapOr``
+    building compressed bitmaps of row positions). Spark's native
+    twins: ``bitmap_construct_agg(bitmap_bit_position(k))`` builds the
+    per-group bitmap, ``bitmap_or_agg`` merges sub-bitmaps (the
+    bitmap_or role), ``bitmap_count`` reads cardinality. Two-level
+    build here: per-(returnflag, linestatus) bitmaps OR-merged up to
+    returnflag — the exact shape Hive's bitmap-index queries compose.
+    Distinct-count over the merged bitmaps is the checkable fact the
+    oracle restates as COUNT(DISTINCT). Bitmaps are PER-BUCKET
+    (bitmap_bucket_number is a group key — keys 0 and 32768 occupy
+    different buckets at the same bit position, so a bucket-less
+    bitmap conflates them; l_suppkey starts at 0, which lives in
+    bucket 0 alone), then per-bucket cardinalities sum — exactly how
+    a bitmap index scales to arbitrary key ranges."""
+    li = t.lineitem
+    bucket = F.expr("bitmap_bucket_number(l_suppkey)").alias("bkt")
+    sub = li.groupBy("l_returnflag", "l_linestatus", bucket).agg(
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position(l_suppkey))"
+        ).alias("bm_all"),
+        F.expr(
+            "bitmap_construct_agg(bitmap_bit_position("
+            "CASE WHEN l_quantity >= 25 THEN l_suppkey END))"
+        ).alias("bm_heavy"),
+    )
+    merged = sub.groupBy("l_returnflag", "bkt").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm_all))").alias("c_all"),
+        F.expr("bitmap_count(bitmap_or_agg(bm_heavy))").alias("c_heavy"),
+    )
+    return merged.groupBy("l_returnflag").agg(
+        F.sum("c_all").alias("ndv_bitmap"),
+        F.sum("c_heavy").alias("ndv_heavy"),
+    )

@@ -685,3 +685,41 @@ def ann_lsh_recall(spark, t):
         F.lit(100).cast("bigint").alias("n_planted"),
         (F.count(F.lit(1)) >= 70).alias("recall_ok"),
     )
+
+
+@register(
+    "ann_ivf_recall",
+    oracle="""
+SELECT CAST(100 AS BIGINT) AS n_planted, CAST(true AS BOOLEAN) AS recall_ok
+""",
+    category="pipeline",
+)
+def ann_ivf_recall(spark, t):
+    """Quantified recall evidence for the IVF scale path — the
+    symmetric gate to ann_lsh_recall: IVF top-5 (8 cells, 3 probes)
+    over the same deterministic planted corpus must find >= 70% of
+    the 100 planted nearest-neighbor pairs. Planted partners sit at
+    cosine ~0.97, so base and partner quantize to the same or a
+    near cell — exactly the regime IVF is built for; the driver
+    checks the derived pass/fail fact."""
+    from ..operators import similarity as sim
+
+    df = spark.createDataFrame(
+        _planted_vectors(), "vec_id string, embedding array<double>"
+    )
+    topk = sim.ivf_topk(df, n_cells=8, n_probe=3, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    hits = topk.filter(
+        F.expr(
+            "substring(query_id, 2) = substring(neighbor_id, 2)"
+            " AND query_id != neighbor_id"
+        )
+    )
+    n_found = hits.select(
+        F.substring("query_id", 2, 10).alias("pair")
+    ).distinct()
+    return n_found.agg(
+        F.lit(100).cast("bigint").alias("n_planted"),
+        (F.count(F.lit(1)) >= 70).alias("recall_ok"),
+    )
