@@ -177,3 +177,76 @@ def bpe_merge_table(
         rows,
         "rank int, left string, right string, merged string, pair_count long",
     )
+
+
+def apply_bpe(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize a corpus with a LEARNED merge table — the inference
+    half of BPE (Sennrich et al. 2016 §3: apply merges in training
+    rank order, left-to-right greedy within each). Output: (id,
+    tokens concat by space, n_tokens).
+
+    Scale shape: the merge table is vocab-bounded (n_merges rows) and
+    ships inside the Arrow-batched kernel's closure — a broadcast in
+    cluster terms; the pass itself is map-only (no shuffle), so it
+    pipelines with whatever filter/write follows. Per word the kernel
+    caches its tokenization in a dict: corpus word frequency follows
+    Zipf, so the cache turns O(rows × merges) into
+    O(distinct_words × merges) per partition."""
+    ranked = [(left, right) for _, left, right, _ in sorted(merges)]
+    schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("tokens", StringType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def encode_word(w: str) -> list[str]:
+            if w in cache:
+                return cache[w]
+            syms = list(w)
+            for left, right in ranked:
+                i, out = 0, []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        for pdf in batches:
+            toks = []
+            for text in pdf["_text"]:
+                words = [w for w in (text or "").lower().split(" ") if w]
+                doc: list[str] = []
+                for w in words:
+                    doc.extend(encode_word(w))
+                toks.append(doc)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"],
+                    "tokens": [" ".join(d) for d in toks],
+                    "n_tokens": [len(d) for d in toks],
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"), F.col(text_col).alias("_text")
+    )
+    return src.mapInPandas(kernel, schema).withColumnRenamed("_id", id_col)

@@ -127,6 +127,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "dedup_cluster_keep_best",
     "agg_bitmap_index",  # closes §2.5 ewah_bitmap via native bitmap aggs
     "ann_ivf_recall",
+    "vocab_bpe_apply",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

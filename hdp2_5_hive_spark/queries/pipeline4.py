@@ -723,3 +723,24 @@ def ann_ivf_recall(spark, t):
         F.lit(100).cast("bigint").alias("n_planted"),
         (F.count(F.lit(1)) >= 70).alias("recall_ok"),
     )
+
+
+@register(
+    "vocab_bpe_apply",
+    oracle=None,  # BPE application is inherently iterative (merge
+    # ranks learned from the corpus) — not SQL-expressible; pinned
+    # EXACTLY against the sequential reference in tests/test_bpe.py.
+    category="pipeline",
+)
+def vocab_bpe_apply(spark, t):
+    """The inference half of BPE (operators/bpe.apply_bpe): train 16
+    merges on the documents corpus, then tokenize every document with
+    the learned table — map-only, merge table in the kernel closure,
+    per-partition word cache. Returns (doc_id, tokens, n_tokens);
+    token counts shrink monotonically with merges (asserted in
+    tests), the canonical sanity check of a subword tokenizer."""
+    from ..operators import bpe
+
+    docs = t.documents
+    merges = bpe.train_bpe(docs, "text", n_merges=16)
+    return bpe.apply_bpe(docs, merges).orderBy("doc_id")

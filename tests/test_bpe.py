@@ -92,3 +92,46 @@ def test_bpe_round_time_flat_over_50_merges(spark, sf_dir):
     t50 = time.time() - t0
     assert len(full) == 50 and full[:10] == first
     assert t50 < 5 * t10 * 4, f"per-round time not flat: t10={t10:.1f}s t50={t50:.1f}s"
+
+
+def _reference_apply(texts, merges):
+    out = []
+    ranked = [(lt, rt) for _, lt, rt, _ in sorted(merges)]
+    for t in texts:
+        doc = []
+        for w in t.lower().split(" "):
+            if not w:
+                continue
+            syms = list(w)
+            for lt, rt in ranked:
+                i, nxt = 0, []
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == lt and syms[i + 1] == rt:
+                        nxt.append(lt + rt)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            doc.extend(syms)
+        out.append(doc)
+    return out
+
+
+def test_bpe_apply_matches_reference_and_shrinks(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    merges = bpe.train_bpe(docs, "text", n_merges=12)
+    got = {
+        r.doc_id: (r.tokens, r.n_tokens)
+        for r in bpe.apply_bpe(docs, merges).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    want = _reference_apply([r.text for r in rows], merges)
+    for r, w in zip(rows, want):
+        assert got[r.doc_id][0] == " ".join(w)
+        assert got[r.doc_id][1] == len(w)
+    # more merges => token counts never grow
+    fewer = bpe.apply_bpe(docs, merges[:4])
+    n12 = sum(v[1] for v in got.values())
+    n4 = sum(r.n_tokens for r in fewer.collect())
+    assert n12 <= n4
