@@ -245,3 +245,59 @@ def test_pca_project_and_kmeans_assign_map_only(spark, sf_dir):
     cent = np.zeros((4, 64))
     facts2 = audit.analyze(emb.kmeans_assign(vecs, cent))
     assert len(_exchange_nodes(facts2.text)) == 0, facts2.text
+
+
+def test_keep_best_uses_window_group_limit(spark, sf_dir, qs):
+    """dedup_cluster_keep_best's per-cluster argmax must plan as
+    WindowGroupLimit (rank pushed below the shuffle — each map task
+    keeps only its local top-1 per cluster before data moves), not a
+    full window sort over every row."""
+    df = qs["dedup_cluster_keep_best"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_windowed_rate_single_shuffle_partial_agg(spark, sf_dir, qs):
+    """events_windowed_rate: the 3-fold window explode feeds ONE
+    hash aggregate pair (partial above the explode, final after one
+    exchange) — the map-side combine shape that holds at 100 TB."""
+    import re
+
+    df = qs["events_windowed_rate"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_rcfile_read_is_map_only(spark, sf_dir, qs):
+    """RCFile decode (file-list parallelize + mapInPandas + casts)
+    adds no shuffle: one round-robin exchange distributes the file
+    list; decode and type projection pipeline map-only after it."""
+    df = qs["fmt_rcfile_round_trip"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    # the only exchange is the file-list repartition (RoundRobin)
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "RoundRobinPartitioning" for e in exchanges), plan
+
+
+def test_bitmap_index_two_level_partial_agg(spark, sf_dir, qs):
+    """agg_bitmap_index: three aggregation levels (bucket bitmaps
+    -> OR-merge -> sum), each partial-aggregated before its exchange
+    — so only the FIRST exchange moves row-scaled data (bitmap
+    partials); levels 2-3 shuffle at the bounded cardinality
+    |returnflag| x |linestatus| x buckets. No join, no expand, scan
+    pruned to the three referenced columns."""
+    import re
+
+    df = qs["agg_bitmap_index"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "Join" not in plan and "Expand" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan
+    # every exchange is fed by a partial HashAggregate (map-side combine)
+    assert plan.count("partial_") >= 3, plan
+    facts = audit.analyze(df)
+    assert facts.scans_read_only(
+        "l_returnflag", "l_linestatus", "l_suppkey", "l_quantity"
+    ), facts.read_schemas
