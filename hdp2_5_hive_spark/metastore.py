@@ -331,6 +331,89 @@ class Metastore:
         walk(os.path.join(self.warehouse_dir, m["path"]), 0, {})
         return specs
 
+    def insert_overwrite_partitions(self, df: DataFrame, name: str) -> None:
+        """``INSERT OVERWRITE TABLE name PARTITION (col, ...)`` with
+        HIVE semantics (reference ``ql/exec/MoveTask.java`` +
+        ``Hive.loadDynamicPartitions``): only the partitions PRESENT
+        in the incoming data are replaced; untouched partitions
+        survive. Spark's default static overwrite would truncate the
+        whole table — the dynamic partition-overwrite mode is the
+        Hive-parity setting, pinned around this write and restored."""
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        if not m["partition_by"]:
+            raise ValueError(f"table {name!r} is not partitioned")
+        spark = df.sparkSession
+        key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(key, "static")
+        spark.conf.set(key, "dynamic")
+        try:
+            from pyspark.sql import functions as F
+
+            cols = m["partition_by"]
+            (
+                df.repartition(*[F.col(c) for c in cols])
+                .write.mode("overwrite")
+                .format(m["format"])
+                .partitionBy(*cols)
+                .save(os.path.join(self.warehouse_dir, m["path"]))
+            )
+        finally:
+            spark.conf.set(key, prev)
+
+    def drop_partition(self, name: str, spec: dict) -> int:
+        """``ALTER TABLE name DROP PARTITION (col=val, ...)``
+        (reference ``ql/exec/DDLTask.java dropPartitions`` →
+        ``HiveMetaStore.drop_partition``): remove every partition
+        directory matching the (possibly partial) spec; returns the
+        number of LEAF partitions dropped. Metadata needs no update —
+        partitions derive from the directory layout."""
+        import shutil
+
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        cols = m["partition_by"]
+        bad = set(spec) - set(cols)
+        if bad:
+            raise ValueError(f"unknown partition columns {sorted(bad)}")
+        dropped = 0
+        root = os.path.join(self.warehouse_dir, m["path"])
+
+        def leaves(path: str, depth: int) -> int:
+            if depth == len(cols):
+                return 1
+            total = 0
+            for entry in os.listdir(path):
+                sub = os.path.join(path, entry)
+                if os.path.isdir(sub) and entry.startswith(cols[depth] + "="):
+                    total += leaves(sub, depth + 1)
+            return total
+
+        def walk(path: str, depth: int) -> None:
+            nonlocal dropped
+            if depth == len(cols):
+                return
+            col = cols[depth]
+            for entry in sorted(os.listdir(path)):
+                sub = os.path.join(path, entry)
+                if not os.path.isdir(sub) or not entry.startswith(col + "="):
+                    continue
+                want = spec.get(col)
+                if want is not None and str(want) != entry.split("=", 1)[1]:
+                    continue
+                if not any(c in spec for c in cols[depth + 1 :]):
+                    dropped += leaves(sub, depth + 1)
+                    shutil.rmtree(sub)
+                else:
+                    walk(sub, depth + 1)
+
+        walk(root, 0)
+        return dropped
+
     def msck_repair(self, name: str) -> dict:
         """``MSCK REPAIR TABLE`` (``ql/exec/DDLTask.java msck``): in
         Hive, reconcile the partition list in the metastore RDBMS with
@@ -366,3 +449,4 @@ class Metastore:
         if cols:
             check(root, 0)
         return {"table": name, "partitions": self.partitions(name)}
+

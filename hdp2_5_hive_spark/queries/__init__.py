@@ -128,6 +128,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_bitmap_index",  # closes §2.5 ewah_bitmap via native bitmap aggs
     "ann_ivf_recall",
     "vocab_bpe_apply",
+    "ddl_insert_overwrite_partition",
+    "ddl_drop_partition",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

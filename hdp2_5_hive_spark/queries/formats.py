@@ -465,3 +465,67 @@ def fmt_rcfile_round_trip(spark, t):
     )
     rcfile_py.write_rcfile(src.repartition(4), d, group_rows=64)
     return rcfile_py.read_rcfile(spark, d)
+
+
+@register(
+    "ddl_insert_overwrite_partition",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_regionkey <> 0 OR n_nationkey % 2 = 0
+""",
+    category="formats",
+)
+def ddl_insert_overwrite_partition(spark, t):
+    """``INSERT OVERWRITE TABLE ... PARTITION`` with Hive semantics
+    (reference ``ql/exec/MoveTask.java`` / ``Hive.loadDynamicPartitions``
+    — only partitions present in the incoming data are replaced):
+    build a nation table partitioned by region, then overwrite ONLY
+    region 0 with its even-keyed rows. Regions 1-4 must survive
+    untouched — Spark's default static overwrite would truncate them,
+    so the metastore facade pins dynamic partition-overwrite mode
+    (metastore.insert_overwrite_partitions). Final state is what the
+    oracle states: all of regions 1-4, evens of region 0."""
+    from ..metastore import Metastore
+
+    wh = scratch_dir("ddl_iop_")
+    ms = Metastore(wh)
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    ms.create_table(src, "nations_iop", partition_by=["n_regionkey"])
+    replacement = src.filter(
+        (F.col("n_regionkey") == 0) & (F.col("n_nationkey") % 2 == 0)
+    )
+    ms.insert_overwrite_partitions(replacement, "nations_iop")
+    return ms.get_table(spark, "nations_iop").select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+@register(
+    "ddl_drop_partition",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <> 2
+""",
+    category="formats",
+)
+def ddl_drop_partition(spark, t):
+    """``ALTER TABLE ... DROP PARTITION (n_regionkey=2)`` (reference
+    ``ql/exec/DDLTask.java dropPartitions``): partition directories
+    matching the spec are removed; remaining partitions — and SHOW
+    PARTITIONS — reflect the drop immediately (the self-describing
+    layout IS the partition metadata). Exactly one leaf must drop."""
+    from ..metastore import Metastore
+
+    wh = scratch_dir("ddl_dropp_")
+    ms = Metastore(wh)
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    ms.create_table(src, "nations_dp", partition_by=["n_regionkey"])
+    n = ms.drop_partition("nations_dp", {"n_regionkey": 2})
+    assert n == 1, f"expected 1 leaf partition dropped, got {n}"
+    assert {"n_regionkey": "2"} not in ms.partitions("nations_dp")
+    return ms.get_table(spark, "nations_dp").select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )

@@ -122,3 +122,46 @@ def test_concurrent_mutations_keep_all_updates(spark, sf_dir, tmp_path):
         th.join()
     assert set(ms.tables()) == {"seed"} | {f"t{i}" for i in range(16)}
     assert ms._read_meta()["version"] >= 17
+
+
+def test_drop_partition_partial_spec_multi_level(spark, sf_dir, tmp_path):
+    """Partial-spec drop removes every matching leaf at any depth."""
+    ms = Metastore(str(tmp_path / "wh"))
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    ms.create_table(
+        orders, "op", partition_by=["o_orderstatus", "o_orderpriority"]
+    )
+    before = ms.partitions("op")
+    statuses = {p["o_orderstatus"] for p in before}
+    prios = {p["o_orderpriority"] for p in before}
+    target_prio = sorted(prios)[0]
+    n = ms.drop_partition("op", {"o_orderpriority": target_prio})
+    assert n == sum(1 for p in before if p["o_orderpriority"] == target_prio)
+    after = ms.partitions("op")
+    assert all(p["o_orderpriority"] != target_prio for p in after)
+    assert {p["o_orderstatus"] for p in after} == statuses
+    with pytest.raises(ValueError, match="unknown partition columns"):
+        ms.drop_partition("op", {"nope": 1})
+
+
+def test_insert_overwrite_partition_preserves_others(spark, sf_dir, tmp_path):
+    ms = Metastore(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms.create_table(nation, "nat_iop", partition_by=["n_regionkey"])
+    import pyspark.sql.functions as F
+
+    repl = nation.filter((F.col("n_regionkey") == 1) & (F.col("n_nationkey") < 10))
+    ms.insert_overwrite_partitions(repl, "nat_iop")
+    got = ms.get_table(spark, "nat_iop")
+    n_r1 = got.filter("n_regionkey = 1").count()
+    assert n_r1 == repl.count()
+    assert got.filter("n_regionkey <> 1").count() == nation.filter(
+        "n_regionkey <> 1"
+    ).count()
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        != "dynamic"
+    )
