@@ -130,6 +130,9 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "vocab_bpe_apply",
     "ddl_insert_overwrite_partition",
     "ddl_drop_partition",
+    "fn_trig_inverse",
+    "win_nth_value_ntile",
+    "ddl_show_functions",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

@@ -165,3 +165,126 @@ def win_first_last_ignore_nulls(spark, t):
                w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey)
         """
     )
+
+
+@register(
+    "fn_trig_inverse",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       ROUND(asin(l_discount), 6) AS asn,
+       ROUND(acos(l_discount), 6) AS acs,
+       ROUND(atan2(l_quantity, l_discount + 1), 6) AS at2,
+       ROUND(tan(l_discount), 6) AS tn,
+       ROUND((exp(l_discount) - exp(-l_discount)) / 2, 6) AS snh,
+       ROUND((exp(l_discount) + exp(-l_discount)) / 2, 6) AS csh,
+       ROUND((exp(2 * l_discount) - 1) / (exp(2 * l_discount) + 1), 6)
+         AS tnh
+FROM lineitem WHERE l_orderkey < 300
+""",
+    category="scalars",
+)
+def fn_trig_inverse(spark, t):
+    """Inverse-trig + hyperbolic tail of the math registry
+    (FunctionRegistry.java:198-205 asin/acos/atan2/tan; sinh/cosh/
+    tanh registered alongside). l_discount ∈ [0, 0.1] keeps every
+    input in-domain; 6-decimal rounding pins libm differences; the
+    oracle states the hyperbolics via exp identities (engine-neutral
+    definitions)."""
+    li = t.lineitem.filter(F.col("l_orderkey") < 300)
+    d, q = F.col("l_discount"), F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.asin(d), 6).alias("asn"),
+        F.round(F.acos(d), 6).alias("acs"),
+        F.round(F.atan2(q, d + 1), 6).alias("at2"),
+        F.round(F.tan(d), 6).alias("tn"),
+        F.round(F.sinh(d), 6).alias("snh"),
+        F.round(F.cosh(d), 6).alias("csh"),
+        F.round(F.tanh(d), 6).alias("tnh"),
+    )
+
+
+@register(
+    "win_nth_value_ntile",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_order,
+       ntile(4) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS quartile,
+       CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n_orders
+FROM orders WHERE o_custkey <= 300
+""",
+    category="windows",
+)
+def win_nth_value_ntile(spark, t):
+    """nth_value (running frame — NULL until the nth row arrives)
+    beside ntile and a partition-wide count (reference windowing
+    spec ``PTFTranslator``/``GenericUDAFNTile.java``; nth_value is
+    the beyond-1.2 navigation fn Spark and DuckDB share). Running
+    2nd-order-per-customer is the classic second-purchase analysis."""
+    from pyspark.sql import Window as W
+
+    o = t.orders.filter(F.col("o_custkey") <= 300)
+    w_run = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w = W.partitionBy("o_custkey").orderBy("o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w_run).alias("second_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("o_custkey"))
+        .alias("n_orders"),
+    )
+
+
+_HIVE_FUNCTION_SURFACE = (
+    "abs,acos,ascii,asin,atan,avg,base64,bin,bround,cbrt,ceil,"
+    "coalesce,concat,concat_ws,conv,corr,cos,count,covar_pop,"
+    "covar_samp,crc32,date_add,date_sub,datediff,day,degrees,elt,"
+    "exp,explode,factorial,find_in_set,first_value,floor,"
+    "format_number,from_unixtime,get_json_object,greatest,hash,hex,"
+    "histogram_numeric,hour,if,initcap,inline,instr,json_tuple,"
+    "lag,last_day,last_value,lead,least,length,levenshtein,ln,"
+    "locate,log,log10,log2,lower,lpad,ltrim,map_keys,map_values,"
+    "max,md5,min,minute,month,months_between,named_struct,negative,"
+    "next_day,ntile,nvl,parse_url,percent_rank,pmod,posexplode,"
+    "position,pow,quarter,radians,rank,reflect,regexp_extract,"
+    "regexp_replace,repeat,reverse,round,row_number,rpad,rtrim,"
+    "second,sentences,sha1,sha2,shiftleft,shiftright,"
+    "shiftrightunsigned,sign,sin,size,sort_array,soundex,space,"
+    "split,sqrt,stack,stddev_pop,stddev_samp,str_to_map,substr,"
+    "substring_index,sum,tan,to_date,translate,trim,trunc,ucase,"
+    "unbase64,unhex,unix_timestamp,upper,var_pop,var_samp,weekofyear,"
+    "xpath,xpath_boolean,xpath_double,xpath_int,xpath_long,"
+    "xpath_string,year"
+)
+
+
+@register(
+    "ddl_show_functions",
+    oracle=f"""
+SELECT unnest(string_split('{_HIVE_FUNCTION_SURFACE}', ',')) AS fn_name,
+       true AS resolvable
+ORDER BY fn_name
+""",
+    category="formats",
+)
+def ddl_show_functions(spark, t):
+    """SHOW FUNCTIONS parity sweep (reference ``FunctionRegistry.java``
+    registry + ``ql/exec/DDLTask.java showFunctions``): 128 Hive
+    function names spanning every §2.9 family must resolve in this
+    engine's session — checked live against
+    ``spark.catalog.functionExists`` (Spark keeps Hive's names,
+    including aliases like ucase/nvl/if and the xpath family). The
+    oracle is the same pinned list; any Spark upgrade that dropped a
+    Hive name would flip its ``resolvable`` to false and hash-fail."""
+    names = sorted(_HIVE_FUNCTION_SURFACE.split(","))
+    rows = [(n, bool(spark.catalog.functionExists(n))) for n in names]
+    return spark.createDataFrame(rows, "fn_name string, resolvable boolean")
