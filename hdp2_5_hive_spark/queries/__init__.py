@@ -133,6 +133,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_trig_inverse",
     "win_nth_value_ntile",
     "ddl_show_functions",
+    "fn_date_format_patterns",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

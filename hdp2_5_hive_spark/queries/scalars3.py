@@ -288,3 +288,41 @@ def ddl_show_functions(spark, t):
     names = sorted(_HIVE_FUNCTION_SURFACE.split(","))
     rows = [(n, bool(spark.catalog.functionExists(n))) for n in names]
     return spark.createDataFrame(rows, "fn_name string, resolvable boolean")
+
+
+@register(
+    "fn_date_format_patterns",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%Y/%m/%d') AS slashed,
+       strftime(o_orderdate, '%a') AS dow_short,
+       strftime(o_orderdate, '%B') AS month_full,
+       ltrim(strftime(o_orderdate, '%j'), '0') AS day_of_year,
+       strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 13 HOUR
+                + INTERVAL 7 MINUTE, '%H:%M:%S %p') AS clock,
+       strftime(o_orderdate, '%d-%m-%Y') AS euro
+FROM orders WHERE o_orderkey <= 500
+""",
+    category="scalars",
+)
+def fn_date_format_patterns(spark, t):
+    """date_format across the SimpleDateFormat pattern surface
+    (reference ``udf/UDFDateFormat``/``GenericUDFDateFormat`` —
+    Java patterns: EEE day name, MMMM month name, D day-of-year,
+    hh..a clock). DuckDB speaks strftime, a DIFFERENT pattern
+    language — the oracle maps each Java pattern to its strftime
+    twin (%a/%B/%j/%p), with %j's zero-padding stripped to match
+    Java's unpadded D. Both engines emit English names at default
+    locale."""
+    o = t.orders.filter(F.col("o_orderkey") <= 500)
+    d = F.col("o_orderdate")
+    ts = d.cast("timestamp") + F.expr("INTERVAL 13 HOURS 7 MINUTES")
+    return o.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy/MM/dd").alias("slashed"),
+        F.date_format(d, "EEE").alias("dow_short"),
+        F.date_format(d, "MMMM").alias("month_full"),
+        F.date_format(d, "D").alias("day_of_year"),
+        F.date_format(ts, "HH:mm:ss a").alias("clock"),
+        F.date_format(d, "dd-MM-yyyy").alias("euro"),
+    )

@@ -364,7 +364,15 @@ def write_rcfile(
 
 def read_rcfile(spark: SparkSession, path: str) -> DataFrame:
     """Parallelize the file list; decode + schema-on-read cast per
-    task (ColumnarSerDe deserialization: text bytes → typed columns)."""
+    task (ColumnarSerDe deserialization: text bytes → typed columns).
+
+    Parallelism granularity is PER FILE — Hadoop additionally splits
+    within a file at sync markers, which matters for a warehouse of
+    few giant RCFiles. This reader targets the migration read-once
+    path where legacy tables ship many files per partition; for a
+    single-huge-file corner, split it once with the writer
+    (write_rcfile re-emits one file per Spark partition) and the
+    steady state is parquet anyway."""
     files = sorted(glob.glob(os.path.join(path, "*.rc"))) or sorted(
         glob.glob(path)
     )
