@@ -170,3 +170,21 @@ def resign32(h: Column) -> Column:
     return (
         F.when(h >= F.lit(2147483648), h - F.lit(_M32)).otherwise(h)
     ).cast("bigint")
+
+
+def java_hash_double(col: Column) -> Column:
+    """Java Double.hashCode: bits = doubleToLongBits(v), then the
+    long fold (int)(bits ^ (bits >>> 32)). IEEE-754 bit extraction
+    has no built-in column form, so the bits come from the JDK
+    itself via reflect (CallMethodViaReflection — JVM-side, no
+    Python) — the same route Hive's own UDFs take to Double
+    semantics. NaN canonicalization (all NaNs -> 0x7ff8...) matches
+    Java because doubleToLongBits, not RawLongBits, is called."""
+    bits = F.java_method(
+        F.lit("java.lang.Double"),
+        F.lit("doubleToLongBits"),
+        col.cast("double"),
+    ).cast("bigint")
+    return _unsigned32(
+        bits.bitwiseXOR(F.shiftrightunsigned(bits, 32)).cast("int")
+    )

@@ -134,6 +134,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "win_nth_value_ntile",
     "ddl_show_functions",
     "fn_date_format_patterns",
+    "fmt_zorder_skipping",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",

@@ -529,3 +529,36 @@ def ddl_drop_partition(spark, t):
         "n_name",
         F.col("n_regionkey").cast("long").alias("n_regionkey"),
     )
+
+
+@register(
+    "fmt_zorder_skipping",
+    oracle="""
+SELECT l_orderkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_orderkey BETWEEN 1000 AND 1500 AND l_suppkey BETWEEN 10 AND 20
+""",
+    category="formats",
+)
+def fmt_zorder_skipping(spark, t):
+    """Z-order clustered layout end-to-end (sources/writers.
+    write_zorder_layout — Morton interleave via JVM bit expressions +
+    range exchange): write lineitem clustered on (l_orderkey,
+    l_suppkey), read back through a 2-D selective predicate. The
+    layout makes BOTH predicates produce tight per-file min/max
+    ranges — parquet row-group stats prune files on either dimension
+    (footer-stat improvement asserted in tests/test_writes.py); the
+    driver checks the query still returns exactly the right rows
+    after the rewrite. At 100 TB this is the difference between
+    scanning a stripe and scanning the lake for multi-dimension
+    point/range lookups."""
+    from ..sources import writers as wr
+
+    d = scratch_dir("fmt_zorder_") + "/li"
+    src = t.lineitem.select("l_orderkey", "l_suppkey", "l_quantity")
+    wr.write_zorder_layout(src, d, ["l_orderkey", "l_suppkey"], n_files=16)
+    back = spark.read.parquet(d)
+    return back.filter(
+        (F.col("l_orderkey").between(1000, 1500))
+        & (F.col("l_suppkey").between(10, 20))
+    ).select("l_orderkey", "l_suppkey", "l_quantity")

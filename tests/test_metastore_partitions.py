@@ -165,3 +165,34 @@ def test_insert_overwrite_partition_preserves_others(spark, sf_dir, tmp_path):
         spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         != "dynamic"
     )
+
+
+def test_concurrent_mutations_across_processes(tmp_path):
+    """The flock contract is CROSS-PROCESS (two drivers sharing a
+    warehouse): 4 processes x 8 read-modify-write mutations each must
+    lose nothing."""
+    import multiprocessing as mp
+
+    wh = str(tmp_path / "wh")
+    Metastore(wh)  # create dir
+
+    def worker(wid: int) -> None:
+        ms = Metastore(wh)
+        for i in range(8):
+            def fn(meta, wid=wid, i=i):
+                meta["tables"][f"w{wid}_t{i}"] = {
+                    "path": f"w{wid}_t{i}", "format": "parquet",
+                    "partition_by": [],
+                }
+            ms._mutate(fn)
+
+    ctx = mp.get_context("fork")
+    procs = [ctx.Process(target=worker, args=(w,)) for w in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    ms = Metastore(wh)
+    assert len(ms.tables()) == 32
+    assert ms._read_meta()["version"] == 32

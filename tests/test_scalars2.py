@@ -161,3 +161,35 @@ def test_java_hash_helpers_match_jdk(spark):
     for r in rows:
         assert r.hi == r.ji and r.hl == r.jl
         assert r.hb == r.jb and r.hs == r.js
+
+
+def test_java_hash_double_matches_jdk(spark):
+    from hdp2_5_hive_spark.functions import hive_compat as hc
+
+    df = spark.createDataFrame(
+        [(0.0,), (-0.0,), (1.5,), (-273.15,), (float("inf",),),
+         (float("nan"),), (2.2250738585072014e-308,)],
+        "d double",
+    )
+    rows = df.select(
+        hc.resign32(hc.java_hash_double(F.col("d"))).alias("h"),
+        F.java_method(F.lit("java.lang.Double"), F.lit("hashCode"),
+                      F.col("d")).cast("long").alias("j"),
+    ).collect()
+    for r in rows:
+        assert r.h == r.j
+
+
+def test_java_hash_fold_null_is_zero(spark):
+    """ObjectInspectorUtils.hashCode(null) == 0: a NULL component
+    contributes 0 to the 31-fold, not NULL-poisoning the result."""
+    from hdp2_5_hive_spark.functions import hive_compat as hc
+
+    df = spark.createDataFrame([(None, 7)], "s string, i int")
+    r = df.select(
+        hc.java_hash_fold(
+            hc.java_hash_string(F.col("s")), hc.java_hash_int(F.col("i"))
+        ).alias("h")
+    ).first()
+    # r = ((0*31 + 0)*31 + 7) = 7
+    assert r.h == 7
