@@ -326,3 +326,44 @@ def fn_date_format_patterns(spark, t):
         F.date_format(ts, "HH:mm:ss a").alias("clock"),
         F.date_format(d, "dd-MM-yyyy").alias("euro"),
     )
+
+
+@register(
+    "win_range_interval_frame",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+         AS DOUBLE) AS spend_90d,
+       count(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+         AS n_90d
+FROM orders WHERE o_custkey <= 150
+""",
+    category="windows",
+)
+def win_range_interval_frame(spark, t):
+    """RANGE frames bounded by CALENDAR intervals — trailing-90-day
+    spend per customer (reference windowing RANGE frames,
+    ``SemanticAnalyzer`` windowing spec over a date ORDER BY; the
+    value-range twin of the ROWS frames in win_running_*). Peer rows
+    (same orderdate) aggregate together, which ROWS frames get
+    wrong; the decimal trick keeps the double SUM order-independent.
+    Spark and DuckDB accept the identical frame text."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) AS spend_90d,
+               count(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 90 DAYS PRECEDING AND CURRENT ROW)
+                 AS n_90d
+        FROM orders WHERE o_custkey <= 150
+        """
+    )

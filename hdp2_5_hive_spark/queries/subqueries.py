@@ -191,3 +191,39 @@ def view_over_view(spark, t):
         FROM orders_yearly GROUP BY yr
         """
     )
+
+
+@register(
+    "subq_not_in_null_semantics",
+    oracle="""
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE c_custkey <= 200
+  AND c_custkey NOT IN (
+    SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END
+    FROM orders WHERE o_custkey <= 100)
+ORDER BY c_custkey
+""",
+    category="subqueries",
+)
+def subq_not_in_null_semantics(spark, t):
+    """NOT IN three-valued-logic trap (reference
+    ``ql/parse/SubQueryUtils.java`` null-check branches — Hive adds
+    the same correlated null guards ANSI demands): the subquery
+    emits NULLs, so ``x NOT IN (...)`` is never TRUE for ANY row and
+    the correct result is EMPTY — that emptiness is the assertion: a
+    naive anti-join rewrite (what a non-ANSI engine or a blind !=
+    chain produces) would return ~100 customers here. The companion
+    ``subq_not_in`` (NULL-free list) covers the non-empty path; this
+    query pins the trap case both engines must agree on."""
+    t.customer
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey <= 200
+          AND c_custkey NOT IN (
+            SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                        ELSE o_custkey END
+            FROM orders WHERE o_custkey <= 100)
+        ORDER BY c_custkey
+        """
+    )
