@@ -111,9 +111,10 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_decimal_round",
     "fn_xpath_suite",
     "fn_sentences_soundex",
-    # ---- new round-6 queries go here (inside the ~50 window);
-    # names are appended as each lands so the registry stays valid ----
-    "fn_java_hashcode",  # widened beyond strings this round
+    # ---- new round-6 queries (inside the ~50 window); names were
+    # appended as each landed so the registry stayed valid.
+    # (fn_java_hashcode stays OUT of the front — already green r5;
+    # its widened-parity evidence is fn_hash_multiarg below.) ----
     "dedup_incremental_unordered_ids",  # ADVICE r5 id-order regression
     "fn_hash_multiarg",  # hash() parity beyond strings (verdict #6)
     "fmt_rcfile_round_trip",  # last open §2.2 format row (verdict #7)
@@ -135,6 +136,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "ddl_show_functions",
     "fn_date_format_patterns",
     "fmt_zorder_skipping",
+    "win_range_interval_frame",
+    "subq_not_in_null_semantics",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",
