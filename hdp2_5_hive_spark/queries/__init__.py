@@ -138,6 +138,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_zorder_skipping",
     "win_range_interval_frame",
     "subq_not_in_null_semantics",
+    "quality_learned_classifier",
     # re-greens: the four bench-tail order-effect queries + two
     # pass(r2) rows whose plans changed since
     "events_sessionize",
