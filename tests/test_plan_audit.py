@@ -301,3 +301,26 @@ def test_bitmap_index_two_level_partial_agg(spark, sf_dir, qs):
     assert facts.scans_read_only(
         "l_returnflag", "l_linestatus", "l_suppkey", "l_quantity"
     ), facts.read_schemas
+
+
+def test_logreg_predict_map_only_and_featurize_one_shuffle(spark, sf_dir):
+    """logreg: featurization is exactly TWO exchanges — (id, bucket)
+    partial counts (map-side combined before moving), then the
+    per-doc pivot on id; scoring is map-only — the pandas-UDF
+    projection adds no exchange, so the filter it feeds pipelines
+    with the featurized table at any scale."""
+    import re
+
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators import logreg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = logreg.dense_hash_features(docs, "doc_id", "text", dim=16)
+    plan = audit.formatted_plan(feats)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+
+    scored = logreg.predict(feats, np.zeros(16), 0.0)
+    plan2 = audit.formatted_plan(scored.filter(F.col("score") > 0.5))
+    # no exchange beyond the featurization's own two
+    assert len(re.findall(r"\(\d+\) Exchange", plan2)) == 2, plan2
