@@ -138,6 +138,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "win_range_interval_frame",
     "subq_not_in_null_semantics",
     "quality_learned_classifier",
+    "corpus_token_budget_sample",
     # ---- position 51+: outside the expected window; sampled next
     # round if the driver reads further. ann_ivf_recall rides here
     # (its twin ann_lsh_recall is in-window this round), then the

@@ -787,3 +787,70 @@ def quality_learned_classifier(spark, t):
             >= 0.85
         ).alias("acc_ok"),
     )
+
+
+@register(
+    "corpus_token_budget_sample",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tok,
+         md5('budget' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+run AS (
+  SELECT doc_id, source, n_tok, skey,
+         SUM(n_tok) OVER (PARTITION BY source ORDER BY skey, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM toks
+)
+SELECT doc_id, source, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(cum_tok AS BIGINT) AS cum_tok
+FROM run WHERE cum_tok <= 400
+ORDER BY source, skey, doc_id
+""",
+    category="pipeline",
+)
+def corpus_token_budget_sample(spark, t):
+    """Token-budget sampling per domain — the mixing primitive that
+    caps each source at a TOKEN budget rather than a document count
+    (how real data recipes state quotas, e.g. 'x billion tokens of
+    domain d'; complements corpus_mix_temperature's proportion
+    weights). Deterministic: docs are admitted in md5-keyed order
+    (the seeded-shuffle discipline — no RNG, reproducible on any
+    cluster) until the running token total per source exceeds the
+    budget. One window over (source, md5 order) — the running sum
+    shuffles each source's docs once; at 100 TB the window key is
+    the domain, so parallelism is |sources| × AQE-split, and a
+    heavy-domain skew splits exactly like any hot window key."""
+    docs = t.documents
+    from pyspark.sql import Window as W
+
+    from ..operators import textstats as x
+
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        x.token_count(F.col("text")).alias("n_tok"),
+        F.md5(F.concat(F.lit("budget"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            "n_tok",
+            F.sum("n_tok").over(w).alias("cum_tok"),
+        )
+        .filter(F.col("cum_tok") <= 400)
+        .orderBy("source", "skey", "doc_id")
+        .drop("skey")
+    )
