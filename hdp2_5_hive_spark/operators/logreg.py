@@ -89,7 +89,8 @@ def train_logreg(
     l2: float = 1e-4,
 ):
     """Full-batch gradient descent; returns (weights ndarray[dim],
-    bias, final mean loss). ``df`` must have a dense
+    bias, mean training loss as measured at the LAST gradient step —
+    i.e. before the final update). ``df`` must have a dense
     ``array<double>`` features column and a 0/1 double label."""
     import numpy as np
 

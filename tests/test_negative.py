@@ -105,3 +105,21 @@ def test_span_stats_short_docs_no_grams(spark):
     )
     rows = {r.doc_id: r for r in cp.span_dup_stats(df, "doc_id", "text", k=16).collect()}
     assert rows[1].dup_tokens == 0 and rows[2].dup_tokens == 0
+
+
+def test_oracle_compare_rejects_complex_top_level_columns(spark, oracle_con):
+    """Guard for the round-5 driver-ERR class: compare_query must
+    refuse an oracle-backed result whose schema has top-level
+    array/map/struct columns (the real driver's canonicalizer dies
+    on ndarray cells), instead of passing locally and ERRing in the
+    driver."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.oracle import ComplexOutputError, compare_query
+
+    df = spark.range(3).select(
+        "id", F.array(F.lit("a"), F.lit("b")).alias("arr")
+    )
+    with pytest.raises(ComplexOutputError, match="arr"):
+        compare_query(df, oracle_con, "SELECT 1 AS x")
