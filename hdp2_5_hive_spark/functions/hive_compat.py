@@ -140,19 +140,44 @@ def java_hash_long(col: Column) -> Column:
 
 
 def java_hash_bool(col: Column) -> Column:
-    """Java Boolean.hashCode: true->1231, false->1237."""
-    return F.when(col, F.lit(1231)).otherwise(F.lit(1237)).cast("bigint")
+    """Java Boolean.hashCode: true->1231, false->1237; NULL stays
+    NULL (java_hash_fold turns it into 0, Hive's hashCode(null) —
+    an otherwise() here would silently hash NULL as false+6)."""
+    return (
+        F.when(col.isNull(), F.lit(None).cast("bigint"))
+        .when(col, F.lit(1231))
+        .otherwise(F.lit(1237))
+        .cast("bigint")
+    )
 
 
 def java_hash_string(col: Column) -> Column:
-    """Java String.hashCode: h = h*31 + char, mod-2^32 fold."""
-    codes = F.transform(
-        F.split(col, "(?!$)"), lambda c: F.ascii(c).cast("bigint")
-    )
-    return F.aggregate(
-        codes,
-        F.lit(0).cast("bigint"),
-        lambda h, c: (h * F.lit(31) + c) % F.lit(_M32),
+    """Java String.hashCode: h = h*31 + codeUNIT, mod-2^32 fold.
+
+    Java folds UTF-16 CODE UNITS, not codepoints — a supplementary
+    character ('𝄞', emoji) contributes its two surrogates. The
+    column form therefore folds over the UTF-16BE byte pairs
+    (encode → hex → 4-hex-digit units) rather than splitting into
+    characters, matching the JDK for all of Unicode (pinned against
+    Objects.hashCode via reflection in tests/test_scalars2.py)."""
+    hx = F.hex(F.encode(col, "UTF-16BE"))
+    n_units = (F.length(hx) / F.lit(4)).cast("int")
+    units = F.when(
+        n_units > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_units, F.lit(1))),
+            lambda i: F.conv(
+                F.substring(hx, (i - 1) * 4 + 1, 4), 16, 10
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.when(
+        col.isNotNull(),
+        F.aggregate(
+            units,
+            F.lit(0).cast("bigint"),
+            lambda h, c: (h * F.lit(31) + c) % F.lit(_M32),
+        ),
     )
 
 

@@ -82,7 +82,12 @@ class Metastore:
                 import fcntl
 
                 fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: single-writer contract
+            except (ImportError, OSError):
+                # non-POSIX platform (no fcntl) OR a filesystem whose
+                # flock raises ENOLCK/EOPNOTSUPP (NFS without lockd,
+                # some fuse/SMB mounts): degrade to the documented
+                # single-writer contract rather than failing every
+                # DDL mutation.
                 pass
             meta = self._read_meta()
             out = fn(meta)
@@ -129,6 +134,25 @@ class Metastore:
         writer.save(path)
 
         def upsert(meta: dict) -> None:
+            # Re-validate UNDER the lock: the pre-write check above is
+            # advisory (it fails fast before a long Spark write), but a
+            # concurrent drop+recreate could change the entry between
+            # that check and here — never let the catalog entry itself
+            # become inconsistent. (The data files written above may
+            # still mix in that race; full write-vs-DDL isolation is
+            # the single-writer contract — see _mutate.)
+            if mode == "append":
+                cur = meta["tables"].get(name)
+                if cur is not None and (
+                    cur["format"] != fmt
+                    or cur["partition_by"] != list(partition_by)
+                ):
+                    raise ValueError(
+                        f"INSERT INTO {name!r}: table changed concurrently "
+                        f"(registered {cur['format']!r}/"
+                        f"{cur['partition_by']!r} vs appended {fmt!r}/"
+                        f"{list(partition_by)!r})"
+                    )
             meta["tables"][name] = {
                 "path": name,  # relative → warehouse can be moved/mounted
                 "format": fmt,
@@ -369,9 +393,24 @@ class Metastore:
         ``HiveMetaStore.drop_partition``): remove every partition
         directory matching the (possibly partial) spec; returns the
         number of LEAF partitions dropped. Metadata needs no update —
-        partitions derive from the directory layout."""
-        import shutil
+        partitions derive from the directory layout.
 
+        Matching: directory names are unescaped before comparison
+        (Spark writes Hive-style percent-escaped values, e.g.
+        ``a%3Ab`` for ``a:b``), and a spec value of ``None`` matches
+        the ``__HIVE_DEFAULT_PARTITION__`` null directory. Spec
+        values compare as strings — pass the same text Spark wrote
+        (e.g. ``'2.0'`` for a double partition column). An EMPTY spec
+        raises: Hive requires at least one column, and silently
+        matching everything would rmtree the whole table."""
+        import shutil
+        from urllib.parse import unquote
+
+        if not spec:
+            raise ValueError(
+                "DROP PARTITION requires a non-empty spec (an empty "
+                "spec would drop every partition; use drop_table)"
+            )
         meta = self._read_meta()["tables"]
         if name not in meta:
             raise NoSuchTableError(name)
@@ -382,6 +421,12 @@ class Metastore:
             raise ValueError(f"unknown partition columns {sorted(bad)}")
         dropped = 0
         root = os.path.join(self.warehouse_dir, m["path"])
+
+        def matches(want: object, dir_val: str) -> bool:
+            val = unquote(dir_val)
+            if want is None:
+                return val == "__HIVE_DEFAULT_PARTITION__"
+            return str(want) == val
 
         def leaves(path: str, depth: int) -> int:
             if depth == len(cols):
@@ -402,8 +447,9 @@ class Metastore:
                 sub = os.path.join(path, entry)
                 if not os.path.isdir(sub) or not entry.startswith(col + "="):
                     continue
-                want = spec.get(col)
-                if want is not None and str(want) != entry.split("=", 1)[1]:
+                if col in spec and not matches(
+                    spec[col], entry.split("=", 1)[1]
+                ):
                     continue
                 if not any(c in spec for c in cols[depth + 1 :]):
                     dropped += leaves(sub, depth + 1)

@@ -462,9 +462,16 @@ def near_duplicates_against(
 
     Ids carry NO ordering contract: a batch doc matching an indexed
     doc is reported regardless of how their ids compare (UUIDs,
-    re-ingested ids, lexicographic '99' vs '400' all work). The
-    ``id_old < id_new`` tie-break applies ONLY to batch-batch pairs,
-    where it exists purely to emit each unordered pair once.
+    lexicographic '99' vs '400' all work). The ``id_old < id_new``
+    tie-break applies ONLY to batch-batch pairs, where it exists
+    purely to emit each unordered pair once.
+
+    RE-INGESTED ids (a batch id already present in the index) are
+    treated as REPLACEMENTS: the index's version of that id is
+    dropped from both candidate generation and verification (anti
+    join on batch ids), so the new text is compared against the rest
+    of the corpus — not against its own stale copy, and without the
+    duplicate output rows a naive index∪batch union would produce.
 
     Scale shape: only the batch is shingled/hashed (its size, not the
     corpus's); candidates come from two band-bucket equality joins —
@@ -480,11 +487,13 @@ def near_duplicates_against(
         rows_per_band=rows_per_band,
         shingle_k=shingle_k,
     )
+    batch_ids = b_buckets.select("_id").distinct()
+    idx_buckets = index_buckets.join(batch_ids, "_id", "left_anti")
     new_b = b_buckets.select(F.col("_id").alias("id_new"), "band", "bucket")
     vs_index = new_b.join(
-        index_buckets.select(F.col("_id").alias("id_old"), "band", "bucket"),
+        idx_buckets.select(F.col("_id").alias("id_old"), "band", "bucket"),
         ["band", "bucket"],
-    ).filter(F.col("id_old") != F.col("id_new"))
+    )
     vs_batch = new_b.join(
         b_buckets.select(F.col("_id").alias("id_old"), "band", "bucket"),
         ["band", "bucket"],
@@ -492,7 +501,9 @@ def near_duplicates_against(
     cands = (
         vs_index.unionByName(vs_batch).select("id_new", "id_old").distinct()
     )
-    all_sh = index_shingles.unionByName(b_sh)
+    all_sh = index_shingles.join(batch_ids, "_id", "left_anti").unionByName(
+        b_sh
+    )
     a = b_sh.select(F.col("_id").alias("id_new"), F.col("_sh").alias("sh_n"))
     o = all_sh.select(F.col("_id").alias("id_old"), F.col("_sh").alias("sh_o"))
     return (

@@ -142,9 +142,6 @@ def hyperplane_bucket(
     )
 
 
-_last_withb: DataFrame | None = None
-
-
 def _salted_buckets(
     df: DataFrame,
     *,
@@ -174,22 +171,17 @@ def _salted_buckets(
     1-(1-(1-θ/π)^p)^T — e.g. cosine 0.95, p=6: 0.53 → 0.95 at T=4.
 
     The exploded bucket table feeds both the size aggregate and the
-    salt join, so it is persisted (bounded: rows × n_tables, vectors
-    included — the same columns the downstream self-join shuffles
-    anyway); the previous call's cache is dropped on entry."""
-    global _last_withb
-    if _last_withb is not None:
-        try:
-            _last_withb.unpersist()
-        except Exception:
-            pass
+    salt join; it is NOT persisted here — lsh_bucket_topk persists
+    the final salted table (which both self-join sides read), and
+    caching this intermediate too would hold a second full copy of
+    the exploded vectors in executor memory for a one-time saving of
+    a single UDF pass."""
     buckets = _bucket_arrays_udf(dim, n_planes, n_tables)(F.col(vec_col))
     withb = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         F.posexplode(buckets).alias("_table", "_bucket"),
-    ).persist()
-    _last_withb = withb
+    )
     sizes = withb.groupBy("_table", "_bucket").agg(
         F.count(F.lit(1)).alias("_bsize")
     )

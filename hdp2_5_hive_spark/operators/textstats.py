@@ -26,8 +26,12 @@ _TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"  # BPE-ish: words or single marks
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace token count. Empty / whitespace-only text counts
+    0 (split of '' yields [''], which is not a token — matching the
+    filtered-split oracles in queries/pipeline.py)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
 
 
 def bpe_ish_token_count(text: Column) -> Column:

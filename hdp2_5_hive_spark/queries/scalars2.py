@@ -816,24 +816,15 @@ def fn_java_hashcode(spark, t):
     ``ql/.../udf/generic/GenericUDFHash.java`` →
     ``ObjectInspectorUtils.hashCode``): h = h*31 + char. Spark's
     built-in hash() is Murmur3 — NOT compatible — so parity needs the
-    fold spelled out: aggregate over char codes in mod-2^32 bigint
-    space (no overflow ambiguity in either engine), then re-sign to
-    int32. Pure codegen'd expression; the oracle runs the identical
-    fold in DuckDB lambda SQL."""
+    fold spelled out (functions/hive_compat.java_hash_string: UTF-16
+    code-unit fold in mod-2^32 bigint space, JDK-pinned incl.
+    non-BMP), then re-sign to int32. Pure codegen'd expression; the
+    oracle runs the matching fold in DuckDB lambda SQL (codepoint
+    form — identical on this ASCII column)."""
     p = t.part.filter(F.col("p_partkey") <= 200)
-    codes = F.transform(
-        F.split(F.col("p_name"), ""), lambda c: F.ascii(c).cast("bigint")
-    )
-    hm = F.aggregate(
-        codes,
-        F.lit(0).cast("bigint"),
-        lambda h, c: (h * F.lit(31) + c) % F.lit(4294967296),
-    )
-    signed = F.when(
-        hm >= F.lit(2147483648), hm - F.lit(4294967296)
-    ).otherwise(hm)
     return p.select(
-        "p_partkey", signed.cast("bigint").alias("hive_hash")
+        "p_partkey",
+        hc.resign32(hc.java_hash_string(F.col("p_name"))).alias("hive_hash"),
     )
 
 

@@ -395,7 +395,16 @@ def read_rcfile(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for fname in pdf["rcfile_path"]:
                 with open(fname, "rb") as fh:
-                    _, _, rows = read_rcfile_stream(fh)
+                    f_names, f_types, rows = read_rcfile_stream(fh)
+                # every file must carry the directory's schema — a
+                # legacy warehouse with a reordered/widened stray file
+                # must fail loudly, not transpose columns silently
+                if f_names != names or f_types != types:
+                    raise ValueError(
+                        f"{fname}: schema {list(zip(f_names, f_types))} "
+                        f"differs from {files[0]}'s "
+                        f"{list(zip(names, types))}"
+                    )
                 yield pd.DataFrame(
                     [
                         [

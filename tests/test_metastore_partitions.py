@@ -196,3 +196,20 @@ def test_concurrent_mutations_across_processes(tmp_path):
     ms = Metastore(wh)
     assert len(ms.tables()) == 32
     assert ms._read_meta()["version"] == 32
+
+
+def test_drop_partition_empty_spec_refused_and_escaped_values(
+    spark, tmp_path
+):
+    ms = Metastore(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a:b"), (2, "plain"), (3, None)], "k int, part string"
+    )
+    ms.create_table(df, "esc", partition_by=["part"])
+    with pytest.raises(ValueError, match="non-empty spec"):
+        ms.drop_partition("esc", {})
+    # escaped directory value matches the raw spec text
+    assert ms.drop_partition("esc", {"part": "a:b"}) == 1
+    # None matches the Hive null-partition directory
+    assert ms.drop_partition("esc", {"part": None}) == 1
+    assert ms.get_table(spark, "esc").count() == 1

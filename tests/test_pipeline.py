@@ -301,3 +301,27 @@ def test_lsh_salt_guard_on_degenerate_identical_corpus(spark):
     groups = salted.groupBy("_bucket", "_salt").count().collect()
     assert len(groups) >= n // cap
     assert max(g["count"] for g in groups) <= 2 * cap
+
+
+def test_incremental_dedup_reingested_id_replaces(spark):
+    """A batch id already present in the index is a REPLACEMENT: its
+    stale index copy is excluded (no self-match, no duplicate pair
+    rows with conflicting jaccards), and the new text is compared
+    against the rest of the corpus."""
+    import hdp2_5_hive_spark.operators.dedup as dd
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different replacement text with no overlap at all yes"
+    corpus = spark.createDataFrame(
+        [("X", t1), ("Y", t1), ("Z", t2)], "id string, text string"
+    )
+    idx_sh, idx_b = dd.minhash_index(corpus, "id", "text")
+    # re-ingest X with CHANGED text matching Z, not its old self
+    batch = spark.createDataFrame([("X", t2)], "id string, text string")
+    rows = dd.near_duplicates_against(
+        idx_sh, idx_b, batch, "id", "text", threshold=0.6
+    ).collect()
+    pairs = [(r.id_new, r.id_old) for r in rows]
+    assert pairs.count(("X", "Z")) == 1  # exactly once, no dup rows
+    assert ("X", "X") not in pairs  # stale self excluded
+    assert ("X", "Y") not in pairs  # old text no longer matches

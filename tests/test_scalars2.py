@@ -141,6 +141,7 @@ def test_java_hash_helpers_match_jdk(spark):
         [(-2147483648, -9223372036854775808, False, ""),
          (-1, -1, True, "Pending"),
          (0, 0, False, "O"),
+         (7, 42, False, "\U0001D11E clef \u00e9\u4e2d"),
          (123456789, 9223372036854775807, True, "hash me 42!")],
         "i int, l long, b boolean, s string",
     )
@@ -160,7 +161,13 @@ def test_java_hash_helpers_match_jdk(spark):
     ).collect()
     for r in rows:
         assert r.hi == r.ji and r.hl == r.jl
-        assert r.hb == r.jb and r.hs == r.js
+        assert r.hb == r.jb and r.hs == r.js  # incl. non-BMP string
+    # NULL boolean must hash to NULL (fold turns it into 0)
+    from pyspark.sql import Row
+    nb = spark.createDataFrame([Row(b=None)], "b boolean").select(
+        hc.java_hash_bool(F.col("b")).alias("h")
+    ).first()
+    assert nb.h is None
 
 
 def test_java_hash_double_matches_jdk(spark):
