@@ -460,6 +460,38 @@ class Metastore:
         walk(root, 0)
         return dropped
 
+    def show_create_table(
+        self, name: str, spark: SparkSession | None = None
+    ) -> str:
+        """``SHOW CREATE TABLE`` (reference ``ql/exec/DDLTask.java
+        showCreateTable``): reconstruct executable DDL text from the
+        catalog entry — columns (from the data's self-describing
+        schema when a session is given, else omitted), STORED AS
+        format, PARTITIONED BY, LOCATION."""
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        parts = [f"CREATE TABLE {name}"]
+        if spark is not None:
+            df = self.get_table(spark, name)
+            pcols = set(m["partition_by"])
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString()}"
+                for f in df.schema.fields
+                if f.name not in pcols
+            )
+            parts.append(f"(\n  {cols}\n)")
+        if m["partition_by"]:
+            parts.append(
+                "PARTITIONED BY (" + ", ".join(m["partition_by"]) + ")"
+            )
+        parts.append(f"STORED AS {m['format'].upper()}")
+        parts.append(
+            f"LOCATION '{os.path.join(self.warehouse_dir, m['path'])}'"
+        )
+        return "\n".join(parts)
+
     def msck_repair(self, name: str) -> dict:
         """``MSCK REPAIR TABLE`` (``ql/exec/DDLTask.java msck``): in
         Hive, reconcile the partition list in the metastore RDBMS with
@@ -495,4 +527,5 @@ class Metastore:
         if cols:
             check(root, 0)
         return {"table": name, "partitions": self.partitions(name)}
+
 

@@ -854,3 +854,69 @@ def corpus_token_budget_sample(spark, t):
         .orderBy("source", "skey", "doc_id")
         .drop("skey")
     )
+
+
+@register(
+    "corpus_interleave_stride",
+    oracle="""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substr(source, 4) AS INT) < 10
+              THEN 2.0 ELSE 1.0 END AS w,
+         md5('stride' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, w,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY skey, doc_id)
+           AS rank_in_src
+  FROM keyed
+)
+SELECT doc_id, source, CAST(rank_in_src AS BIGINT) AS rank_in_src,
+       ROUND(rank_in_src / w, 6) AS stride_key
+FROM ranked
+ORDER BY stride_key, source, doc_id
+""",
+    category="pipeline",
+)
+def corpus_interleave_stride(spark, t):
+    """Deterministic weighted interleave of domains into one training
+    order — stride scheduling (classic deterministic weighted fair
+    queueing, Waldspurger & Weihl OSDI'94): doc k of source s gets
+    global key (k+1... here k)/weight(s), so a weight-2 source
+    appears twice as often at every prefix of the stream. The
+    runtime twin of corpus_mix_temperature (which computes the
+    weights; here they're stated: 2x for src0-9, 1x for the rest).
+    Within-source order is md5-seeded (no RNG). Plan: one window per
+    source + a key projection — consumers range-partition on
+    stride_key to write interleaved shards without a global sort."""
+    docs = t.documents
+    from pyspark.sql import Window as W
+
+    w_col = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit(2.0)
+    ).otherwise(F.lit(1.0))
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w_col.alias("w"),
+        F.md5(F.concat(F.lit("stride"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    win = W.partitionBy("source").orderBy("skey", "doc_id")
+    return (
+        keyed.select(
+            "doc_id",
+            "source",
+            "w",
+            F.row_number().over(win).alias("rank_in_src"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("rank_in_src").cast("bigint").alias("rank_in_src"),
+            F.round(F.col("rank_in_src") / F.col("w"), 6).alias("stride_key"),
+        )
+        .orderBy("stride_key", "source", "doc_id")
+    )

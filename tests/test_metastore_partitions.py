@@ -213,3 +213,17 @@ def test_drop_partition_empty_spec_refused_and_escaped_values(
     # None matches the Hive null-partition directory
     assert ms.drop_partition("esc", {"part": None}) == 1
     assert ms.get_table(spark, "esc").count() == 1
+
+
+def test_show_create_table_round_trips_metadata(spark, sf_dir, tmp_path):
+    ms = Metastore(str(tmp_path / "wh"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms.create_table(nation, "nat_sct", partition_by=["n_regionkey"])
+    ddl = ms.show_create_table("nat_sct", spark)
+    assert ddl.startswith("CREATE TABLE nat_sct")
+    assert "n_nationkey" in ddl and "n_name string" in ddl
+    assert "PARTITIONED BY (n_regionkey)" in ddl
+    assert "n_regionkey int" not in ddl  # partition col not in body
+    assert "STORED AS PARQUET" in ddl and "LOCATION '" in ddl
+    with pytest.raises(NoSuchTableError):
+        ms.show_create_table("nope")
