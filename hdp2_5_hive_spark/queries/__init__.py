@@ -144,6 +144,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # (its twin ann_lsh_recall is in-window this round), then the
     # re-green tail (bench order-effect queries, already proven). ----
     "ann_ivf_recall",
+    "corpus_interleave_stride",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",
