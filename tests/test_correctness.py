@@ -53,3 +53,13 @@ def test_view_registration_follows_sf_dir(spark):
     a2 = qm["subq_in"](spark, "/root/testdata/sf0.001").count()
     assert a == a2
     assert b != a
+
+
+def test_sample_front_names_unique_and_registered():
+    """SAMPLE_FRONT is the driver's correctness window: a duplicate
+    name silently shrinks the window (dict collapse), a missing name
+    raises in all_queries() — pin both."""
+    from hdp2_5_hive_spark.queries import SAMPLE_FRONT
+
+    assert len(set(SAMPLE_FRONT)) == len(SAMPLE_FRONT)
+    assert set(SAMPLE_FRONT) <= set(QUERIES)
