@@ -53,7 +53,21 @@ from pyspark.sql import types as T
 
 MAGIC = b"RCF"
 VERSION = 1
-SYNC = bytes(range(100, 116))  # any 16 bytes; fixed → deterministic files
+
+
+def make_sync(seed: str) -> bytes:
+    """Per-file sync marker derived from sha256 (deterministic, no
+    RNG). Hadoop uses a random UUID per file so that scanning for
+    the marker inside arbitrary DATA bytes is collision-safe; a
+    fixed ASCII-range marker could legitimately appear inside text
+    cells and derail split scanning. The reader always takes the
+    sync from the header, so any value works per file."""
+    import hashlib
+
+    return hashlib.sha256(f"rcfile-sync:{seed}".encode()).digest()[:16]
+
+
+SYNC = make_sync("default")  # single-stream writes without a seed
 NULL_TEXT = b"\\N"
 COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
 DEFAULT_GROUP_ROWS = 4096
@@ -200,7 +214,12 @@ def _read_lengths_rle(raw: bytes, n_rows: int) -> list[int]:
 
 
 def write_rcfile_stream(
-    fh, names: list[str], types: list[str], row_iter, group_rows: int
+    fh,
+    names: list[str],
+    types: list[str],
+    row_iter,
+    group_rows: int,
+    sync: bytes = SYNC,
 ) -> int:
     """Write one RCFile to a binary stream; returns rows written."""
     fh.write(MAGIC + bytes([VERSION]))
@@ -216,7 +235,7 @@ def write_rcfile_stream(
         _write_text(mb, k)
         _write_text(mb, v)
     fh.write(mb.getvalue())
-    fh.write(SYNC)
+    fh.write(sync)
 
     total = 0
     group: list[tuple] = []
@@ -240,7 +259,7 @@ def write_rcfile_stream(
             values += data
         kb = key.getvalue()
         fh.write(struct.pack(">i", -1))  # sync escape before each group
-        fh.write(SYNC)
+        fh.write(sync)
         fh.write(struct.pack(">iii", len(kb) + len(values), len(kb), len(kb)))
         fh.write(kb)
         fh.write(values)
@@ -278,16 +297,14 @@ def read_rcfile_header(fh) -> tuple[list[str], list[str], bytes]:
     return names, types, sync
 
 
-def read_rcfile_stream(fh) -> tuple[list[str], list[str], list[list[bytes]]]:
-    """Read one RCFile: (column names, hive types, rows of raw cell
-    bytes)."""
-    names, types, sync = read_rcfile_header(fh)
-
-    rows: list[list[bytes]] = []
+def _read_group(fh, sync: bytes, names: list[str]):
+    """Read one row group at the current position (which must be at
+    a sync escape or EOF). Returns rows (list of cell-bytes lists)
+    or None at EOF."""
     while True:
         head = fh.read(4)
         if len(head) < 4:
-            break
+            return None
         rec_len = struct.unpack(">i", head)[0]
         if rec_len == -1:  # sync escape
             if fh.read(16) != sync:
@@ -302,9 +319,7 @@ def read_rcfile_stream(fh) -> tuple[list[str], list[str], list[list[bytes]]]:
             size = read_vlong(key)
             read_vlong(key)  # uncompressed size (== size here)
             len_buf_len = read_vlong(key)
-            col_lens.append(
-                _read_lengths_rle(key.read(len_buf_len), n_rows)
-            )
+            col_lens.append(_read_lengths_rle(key.read(len_buf_len), n_rows))
             col_sizes.append(size)
         group_rows: list[list[bytes]] = [
             [b""] * len(names) for _ in range(n_rows)
@@ -317,7 +332,63 @@ def read_rcfile_stream(fh) -> tuple[list[str], list[str], list[list[bytes]]]:
                 off += ln
             if off != size:
                 raise ValueError(f"column {names[ci]}: byte count mismatch")
-        rows.extend(group_rows)
+        return group_rows
+
+
+def read_rcfile_stream(fh) -> tuple[list[str], list[str], list[list[bytes]]]:
+    """Read one RCFile: (column names, hive types, rows of raw cell
+    bytes)."""
+    names, types, sync = read_rcfile_header(fh)
+    rows: list[list[bytes]] = []
+    while True:
+        g = _read_group(fh, sync, names)
+        if g is None:
+            break
+        rows.extend(g)
+    return names, types, rows
+
+
+def read_rcfile_split(
+    fh, start: int, end: int
+) -> tuple[list[str], list[str], list[list[bytes]]]:
+    """Read the row groups of one byte-range SPLIT of an RCFile —
+    Hadoop split semantics: a group belongs to the split containing
+    its sync-escape offset (``start <= offset < end``); the reader
+    of a non-zero start scans forward for the next
+    ``int(-1) + sync`` boundary, exactly how Hadoop's RCFile record
+    reader re-synchronizes mid-file. Enables many tasks per giant
+    file instead of one."""
+    names, types, sync = read_rcfile_header(fh)
+    header_end = fh.tell()
+    marker = struct.pack(">i", -1) + sync
+    if start <= header_end:
+        pos = header_end
+    else:
+        # scan for the first group boundary at or after `start`
+        pos = None
+        fh.seek(start)
+        window = b""
+        base = start
+        while pos is None:
+            chunk = fh.read(1 << 20)
+            if not chunk:
+                break
+            window += chunk
+            hit = window.find(marker)
+            if hit >= 0:
+                pos = base + hit
+            else:
+                base += len(window) - (len(marker) - 1)
+                window = window[-(len(marker) - 1):]
+        if pos is None or pos >= end:
+            return names, types, []
+    rows: list[list[bytes]] = []
+    fh.seek(pos)
+    while fh.tell() < end:
+        g = _read_group(fh, sync, names)
+        if g is None:
+            break
+        rows.extend(g)
     return names, types, rows
 
 
@@ -353,7 +424,10 @@ def write_rcfile(
                 yield from zip(*cols)
 
         with open(fname, "wb") as fh:
-            n = write_rcfile_stream(fh, names, types, rows(), group_rows)
+            n = write_rcfile_stream(
+                fh, names, types, rows(), group_rows,
+                sync=make_sync(f"part-{pid}"),
+            )
         if n == 0:
             os.remove(fname)
         yield pa.RecordBatch.from_pydict({"path": [fname], "n_rows": [n]})
@@ -362,17 +436,18 @@ def write_rcfile(
     return sum(r.n_rows for r in report.collect())
 
 
-def read_rcfile(spark: SparkSession, path: str) -> DataFrame:
+def read_rcfile(
+    spark: SparkSession, path: str, split_bytes: int | None = None
+) -> DataFrame:
     """Parallelize the file list; decode + schema-on-read cast per
     task (ColumnarSerDe deserialization: text bytes → typed columns).
 
-    Parallelism granularity is PER FILE — Hadoop additionally splits
-    within a file at sync markers, which matters for a warehouse of
-    few giant RCFiles. This reader targets the migration read-once
-    path where legacy tables ship many files per partition; for a
-    single-huge-file corner, split it once with the writer
-    (write_rcfile re-emits one file per Spark partition) and the
-    steady state is parquet anyway."""
+    Parallelism granularity: per FILE by default; pass
+    ``split_bytes`` to additionally split each file into byte-range
+    tasks at sync markers (read_rcfile_split — Hadoop's split
+    semantics), so a warehouse of few giant RCFiles still fans out
+    across the cluster. Every split re-reads only the small header
+    plus its own byte range."""
     files = sorted(glob.glob(os.path.join(path, "*.rc"))) or sorted(
         glob.glob(path)
     )
@@ -381,9 +456,17 @@ def read_rcfile(spark: SparkSession, path: str) -> DataFrame:
     with open(files[0], "rb") as fh:
         names, types, _ = read_rcfile_header(fh)
 
-    par = min(len(files), spark.sparkContext.defaultParallelism)
+    splits: list[tuple[str, int, int]] = []
+    for f in files:
+        size = os.path.getsize(f)
+        if split_bytes is None or size <= split_bytes:
+            splits.append((f, 0, size))
+        else:
+            for off in range(0, size, split_bytes):
+                splits.append((f, off, min(off + split_bytes, size)))
+    par = min(len(splits), spark.sparkContext.defaultParallelism)
     files_df = spark.createDataFrame(
-        [(f,) for f in files], "rcfile_path string"
+        splits, "rcfile_path string, split_start long, split_end long"
     ).repartition(par)
     text_schema = T.StructType(
         [T.StructField(n, T.StringType()) for n in names]
@@ -393,9 +476,13 @@ def read_rcfile(spark: SparkSession, path: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            for fname in pdf["rcfile_path"]:
+            for fname, start, end in zip(
+                pdf["rcfile_path"], pdf["split_start"], pdf["split_end"]
+            ):
                 with open(fname, "rb") as fh:
-                    f_names, f_types, rows = read_rcfile_stream(fh)
+                    f_names, f_types, rows = read_rcfile_split(
+                        fh, int(start), int(end)
+                    )
                 # every file must carry the directory's schema — a
                 # legacy warehouse with a reordered/widened stray file
                 # must fail loudly, not transpose columns silently
