@@ -218,3 +218,44 @@ def idempotent_batch_sink(out_path: str):
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return sink
+
+
+def corpus_ingest_stream(
+    stream: DataFrame,
+    *,
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 3,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming corpus cleaning — the incremental twin of the batch
+    corpus_clean pipeline (SURVEY §6): quality gate (minimum token
+    count) → canonical fingerprint (md5 of whitespace-normalized
+    lowercase text, the same fingerprint text_profile computes) →
+    watermarked streaming dedup on the fingerprint, so a document
+    re-ingested by a later micro-batch inside the watermark horizon
+    is dropped exactly once, with state bounded by the horizon
+    (Spark evicts fingerprints older than the watermark — the
+    standard state-size dial; re-ingests beyond it are a batch
+    dedup's job downstream).
+
+    Every stage is stream-safe (stateless projections + one
+    dropDuplicates state store); output appends (id, fingerprint,
+    n_tok, ts) rows ready for a parquet sink."""
+    from ..operators.textstats import token_count
+
+    fp = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col),
+            F.col(ts_col),
+            token_count(F.col(text_col)).alias("n_tok"),
+            fp.alias("fingerprint"),
+        )
+        .filter(F.col("n_tok") >= min_tokens)
+        .dropDuplicates(["fingerprint"])
+    )

@@ -277,3 +277,62 @@ def test_foreach_batch_sink_idempotent_under_replay(spark, tmp_path):
         ("x", 10),
         ("y", 20),
     }
+
+
+def test_corpus_ingest_stream_dedups_across_batches(spark, tmp_path):
+    """Streaming corpus cleaning end-to-end: two micro-batch
+    arrivals; short docs are quality-gated out, and a duplicate text
+    arriving in the SECOND batch (different doc_id, same normalized
+    fingerprint) is dropped by the streaming dedup state."""
+    from hdp2_5_hive_spark.streaming.ingest import corpus_ingest_stream
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", StringType()),
+            StructField("text", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    b1 = [
+        ("2024-01-01 00:00:01", "d1", "the quick brown fox jumps"),
+        ("2024-01-01 00:00:02", "d2", "tiny"),  # below min_tokens
+        ("2024-01-01 00:00:03", "d3", "another perfectly fine document"),
+    ]
+    spark.createDataFrame(
+        b1, "ts string, doc_id string, text string"
+    ).select(F.to_timestamp("ts").alias("ts"), "doc_id", "text").write.parquet(
+        src
+    )
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out_df = corpus_ingest_stream(stream, min_tokens=3)
+        q = (
+            out_df.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    b2 = [
+        # same text as d1 modulo case/whitespace -> same fingerprint
+        ("2024-01-01 00:02:00", "d9", "  The  QUICK brown fox jumps "),
+        ("2024-01-01 00:02:01", "d10", "a genuinely new third document"),
+    ]
+    spark.createDataFrame(
+        b2, "ts string, doc_id string, text string"
+    ).select(F.to_timestamp("ts").alias("ts"), "doc_id", "text").write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = {r.doc_id: r.fingerprint for r in spark.read.parquet(
+        str(tmp_path / "out")
+    ).collect()}
+    assert set(got) == {"d1", "d3", "d10"}  # d2 gated, d9 deduped
+    assert len(set(got.values())) == 3
