@@ -145,6 +145,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # re-green tail (bench order-effect queries, already proven). ----
     "ann_ivf_recall",
     "corpus_interleave_stride",
+    "events_attribution",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -207,3 +207,81 @@ def events_windowed_rate(spark, t):
             F.round(F.col("n_events") / 6.0, 6).alias("per_hour"),
         )
     )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+WITH p AS (
+  SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT event_id AS cid, user_id, event_type, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type IN ('click', 'view')
+),
+j AS (
+  SELECT p.pid, c.event_type,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY c.cts, c.cid) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY p.pid
+                            ORDER BY c.cts DESC, c.cid DESC) AS rn_last
+  FROM p JOIN c
+    ON c.user_id = p.user_id
+   AND c.cts < p.pts AND c.cts >= p.pts - INTERVAL 7 DAY
+)
+SELECT model, event_type, count(*) AS n FROM (
+  SELECT 'first_touch' AS model, event_type FROM j WHERE rn_first = 1
+  UNION ALL
+  SELECT 'last_touch' AS model, event_type FROM j WHERE rn_last = 1
+) GROUP BY model, event_type
+""",
+    category="analytics",
+)
+def events_attribution(spark, t):
+    """Marketing attribution over the event stream: each purchase is
+    credited to the user's FIRST and LAST click/view touchpoint in
+    the preceding 7 days (the two classic single-touch models).
+    Sessionize/funnel/retention's sibling — the remaining staple of
+    an event-analytics suite. Plan: one banded time-range join per
+    user (the purchase side is small after the event_type filter and
+    broadcasts under AQE), then two WindowGroupLimit-able row_number
+    ranks per purchase; cardinality is bounded by touchpoints within
+    the window, never |events|²."""
+    e = t.events
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+    )
+    c = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("cid"),
+        "user_id",
+        "event_type",
+        F.col("ts").alias("cts"),
+    )
+    from pyspark.sql import Window as W
+
+    j = p.join(
+        c,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w_first = W.partitionBy("pid").orderBy("cts", "cid")
+    w_last = W.partitionBy("pid").orderBy(F.desc("cts"), F.desc("cid"))
+    ranked = j.select(
+        "pid",
+        "event_type",
+        F.row_number().over(w_first).alias("rn_first"),
+        F.row_number().over(w_last).alias("rn_last"),
+    )
+    first = ranked.filter(F.col("rn_first") == 1).select(
+        F.lit("first_touch").alias("model"), "event_type"
+    )
+    last = ranked.filter(F.col("rn_last") == 1).select(
+        F.lit("last_touch").alias("model"), "event_type"
+    )
+    return first.unionByName(last).groupBy("model", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
