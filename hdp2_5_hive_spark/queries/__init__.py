@@ -146,6 +146,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "ann_ivf_recall",
     "corpus_interleave_stride",
     "events_attribution",
+    "agg_min_by_max_by",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

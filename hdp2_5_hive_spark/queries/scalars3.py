@@ -367,3 +367,38 @@ def win_range_interval_frame(spark, t):
         FROM orders WHERE o_custkey <= 150
         """
     )
+
+
+@register(
+    "agg_min_by_max_by",
+    oracle="""
+SELECT l_returnflag,
+       arg_min(l_orderkey, l_extendedprice + l_orderkey / 1e9) AS cheapest_order,
+       arg_max(l_orderkey, l_extendedprice - l_orderkey / 1e9) AS priciest_order,
+       min(l_extendedprice) AS min_price,
+       max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_min_by_max_by(spark, t):
+    """Argmin/argmax aggregates — ``min_by``/``max_by`` (Spark) vs
+    ``arg_min``/``arg_max`` (DuckDB); the SQL-standard companions of
+    Hive's idiom ``struct(price, key)`` + min (which the reference
+    corpus uses for the same question, e.g. TPC-H Q15's top
+    supplier). Ties on price are broken deterministically by folding
+    an orderkey epsilon into the ordering value on BOTH engines —
+    bare min_by/arg_min are tie-unspecified, which would make the
+    hash compare flaky rather than wrong."""
+    li = t.lineitem
+    eps = F.col("l_orderkey") / F.lit(1e9)
+    return li.groupBy("l_returnflag").agg(
+        F.min_by("l_orderkey", F.col("l_extendedprice") + eps).alias(
+            "cheapest_order"
+        ),
+        F.max_by("l_orderkey", F.col("l_extendedprice") - eps).alias(
+            "priciest_order"
+        ),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
