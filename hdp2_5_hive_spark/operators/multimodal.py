@@ -923,3 +923,71 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, method: str = "box"
+) -> DataFrame:
+    """Distributed image RESIZE (the standard preprocessing step of a
+    multimodal training pipeline): decode PPM/PNG pixels, resample to
+    (width, height) with numpy, re-encode as PPM. ``method='box'``
+    averages each source cell block (the downsample that preserves
+    channel means — asserted in tests); ``'nearest'`` picks the
+    block's top-left pixel (exact pixel preservation for integer
+    upscales).
+
+    Scale shape: map-only Arrow-batched kernel (same contract as
+    extract_image_stats) — pipelines with whatever filter/sink
+    follows; per-image memory is one decoded frame. Real codec in,
+    real codec out: the output payload round-trips through
+    decode_image like any other media row."""
+    if method not in ("box", "nearest"):
+        raise ValueError(f"unknown resize method {method!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out_ids, out_payloads = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                if b[:2] == b"P6":
+                    w, h, px = decode_ppm_pixels(b)
+                else:
+                    w, h, px = decode_png_pixels(b)
+                src = np.asarray(px, dtype=np.float64).reshape(h, w, 3)
+                ys = np.linspace(0, h, height + 1)
+                xs = np.linspace(0, w, width + 1)
+                dst = np.empty((height, width, 3))
+                for yi in range(height):
+                    y0, y1 = int(ys[yi]), max(int(ys[yi]), int(ys[yi + 1]))
+                    y1 = min(max(y1, y0 + 1), h)
+                    for xi in range(width):
+                        x0 = int(xs[xi])
+                        x1 = min(max(int(xs[xi + 1]), x0 + 1), w)
+                        block = src[y0:y1, x0:x1]
+                        dst[yi, xi] = (
+                            block.mean(axis=(0, 1))
+                            if method == "box"
+                            else src[y0, x0]
+                        )
+                rgb = [
+                    tuple(int(round(c)) for c in dst[yi, xi])
+                    for yi in range(height)
+                    for xi in range(width)
+                ]
+                out_ids.append(mid)
+                out_payloads.append(encode_ppm(width, height, rgb))
+            yield pd.DataFrame({"media_id": out_ids, "payload": out_payloads})
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, MEDIA_PAYLOAD_SCHEMA
+    )
+
+
+MEDIA_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)

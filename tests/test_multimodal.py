@@ -335,3 +335,42 @@ def test_audio_spectrogram_partial_frame_dropped(spark):
     r = mm.extract_audio_spectrogram(media, frame_len=16).collect()[0]
     assert r.n_frames == 1
     assert r.dc_total == float(sum(range(16)))  # leftover 16..19 dropped
+
+
+def test_resize_box_preserves_means_and_dims(spark, sf_dir):
+    """Box downsample of an exact-multiple grid: dims change, channel
+    means are preserved EXACTLY (each destination pixel averages a
+    disjoint 2x2 block, integer-rounded) and the output is a real
+    PPM that round-trips through decode_image."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    media = mm.synthesize_ppm_media(docs, "doc_id", width=8, height=4)
+    small = mm.resize_images(media, 4, 2, method="box")
+    stats = {r.media_id: r for r in mm.extract_image_stats(small).collect()}
+    orig = {r.media_id: r for r in mm.extract_image_stats(media).collect()}
+    assert len(stats) == 12
+    for mid, r in stats.items():
+        assert (r.width, r.height) == (4, 2)
+        o = orig[mid]
+        # integer rounding of block means shifts a channel mean <= 0.5
+        assert abs(r.mean_r - o.mean_r) <= 0.5
+        assert abs(r.mean_g - o.mean_g) <= 0.5
+        assert abs(r.mean_b - o.mean_b) <= 0.5
+
+
+def test_resize_nearest_integer_upscale_exact(spark, sf_dir):
+    """Nearest-neighbor 2x upscale duplicates pixels exactly: every
+    2x2 destination block equals its source pixel."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
+    media = mm.synthesize_ppm_media(docs, "doc_id", width=4, height=2)
+    big = mm.resize_images(media, 8, 4, method="nearest")
+    src = {r.media_id: bytes(r.payload) for r in media.collect()}
+    out = {r.media_id: bytes(r.payload) for r in big.collect()}
+    import numpy as np
+
+    for mid, payload in out.items():
+        w, h, px = mm.decode_ppm_pixels(payload)
+        sw, sh, spx = mm.decode_ppm_pixels(src[mid])
+        assert (w, h) == (8, 4)
+        for y in range(4):
+            for x in range(8):
+                assert (px[y, x] == spx[y // 2, x // 2]).all()
