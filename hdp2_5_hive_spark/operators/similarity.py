@@ -406,3 +406,70 @@ def ivf_topk(
         scored.select("*", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    threshold: float = 0.9,
+    n_rounds: int = 8,
+    max_cluster_rows: int = 4096,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — public): k-means-cluster the embedding
+    space, then score cosine pairs ONLY within a cluster. The
+    quadratic is bounded per cluster instead of per corpus — the
+    recipe's whole point at web scale — and k is the
+    cost/recall dial (a true pair straddling a cluster boundary is
+    missed; SemDeDup accepts this by construction).
+
+    Scale shape: training state is k×d on the driver
+    (embeddings.kmeans_train partials); assignment is map-only;
+    within-cluster pairs shuffle on (cluster, salt) where oversized
+    clusters hash-split at ``max_cluster_rows`` exactly like the
+    sign-LSH salt guard (boilerplate-heavy corpora collapse into one
+    semantic cluster; the cap keeps the pair count ~max² there).
+    Returns (id_a, id_b, cosine) with id_a < id_b."""
+    from .embeddings import kmeans_assign, kmeans_train
+
+    cent = kmeans_train(
+        df, k=k, n_iter=n_rounds, id_col=id_col, vec_col=vec_col
+    )
+    assign = kmeans_assign(df, cent, id_col=id_col, vec_col=vec_col).select(
+        F.col("vec_id").alias("_id"), "cluster"
+    )
+    vecs = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(vec_col).alias("_vec"),
+    ).join(assign, "_id")
+    sizes = vecs.groupBy("cluster").agg(F.count(F.lit(1)).alias("_csize"))
+    n_salts = F.greatest(
+        F.lit(1), F.ceil(F.col("_csize") / F.lit(max_cluster_rows))
+    ).cast("int")
+    salted = vecs.join(F.broadcast(sizes), "cluster").select(
+        "_id",
+        "_vec",
+        "cluster",
+        F.pmod(F.xxhash64("_id"), n_salts).cast("int").alias("_salt"),
+    )
+    keys = ["cluster", "_salt"]
+    a = salted.select(
+        F.col("_id").alias("id_a"), F.col("_vec").alias("va"), *keys
+    )
+    b = salted.select(
+        F.col("_id").alias("id_b"), F.col("_vec").alias("vb"), *keys
+    )
+    return (
+        a.join(b, keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine_col(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -147,6 +147,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_interleave_stride",
     "events_attribution",
     "agg_min_by_max_by",
+    "dedup_semantic_clusters",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -920,3 +920,40 @@ def corpus_interleave_stride(spark, t):
         )
         .orderBy("stride_key", "source", "doc_id")
     )
+
+
+@register(
+    "dedup_semantic_clusters",
+    oracle="""
+SELECT CAST(60 AS BIGINT) AS n_planted, CAST(true AS BOOLEAN) AS found_ok,
+       CAST(true AS BOOLEAN) AS all_valid
+""",
+    category="pipeline",
+)
+def dedup_semantic_clusters(spark, t):
+    """SemDeDup semantic near-dup pairs (Abbas et al. 2023;
+    operators/similarity.semantic_dedup_pairs): k-means-cluster the
+    embedding space, score cosine pairs only within clusters —
+    cluster-bounded quadratic, the web-scale semantic-dedup recipe.
+    Driver-checked facts over the deterministic planted corpus: >=
+    90% of the 60 planted near-identical pairs found (same-cell
+    quantization) and every reported pair genuinely above the 0.9
+    threshold. K-means/assignment internals are pinned separately
+    (tests/test_embeddings_pca.py); pair-level recall/validity in
+    tests/test_pipeline.py."""
+    from ..operators import similarity as sim
+
+    df = spark.createDataFrame(
+        _planted_vectors(n_pairs=60), "vec_id string, embedding array<double>"
+    )
+    pairs = sim.semantic_dedup_pairs(df, k=6, threshold=0.9)
+    planted_hit = F.sum(
+        (
+            F.substring("id_a", 2, 10) == F.substring("id_b", 2, 10)
+        ).cast("long")
+    )
+    return pairs.agg(
+        F.lit(60).cast("bigint").alias("n_planted"),
+        (planted_hit >= 54).alias("found_ok"),
+        (F.min("cosine") >= 0.9).alias("all_valid"),
+    )

@@ -325,3 +325,26 @@ def test_incremental_dedup_reingested_id_replaces(spark):
     assert pairs.count(("X", "Z")) == 1  # exactly once, no dup rows
     assert ("X", "X") not in pairs  # stale self excluded
     assert ("X", "Y") not in pairs  # old text no longer matches
+
+
+def test_semantic_dedup_finds_planted_duplicates(spark):
+    """SemDeDup recipe (cluster then within-cluster cosine): planted
+    near-identical vector pairs (cosine ~0.97) must be found — they
+    quantize to the same k-means cell — while unrelated vectors pair
+    with nothing at threshold 0.9; every reported pair's cosine is
+    above threshold and correctly valued."""
+    from hdp2_5_hive_spark.operators import similarity as sim
+    from hdp2_5_hive_spark.queries.pipeline4 import _planted_vectors
+
+    df = spark.createDataFrame(
+        _planted_vectors(n_pairs=60), "vec_id string, embedding array<double>"
+    )
+    pairs = sim.semantic_dedup_pairs(df, k=6, threshold=0.9).collect()
+    got = {tuple(sorted((r.id_a, r.id_b))) for r in pairs}
+    planted = {tuple(sorted((f"b{i}", f"d{i}"))) for i in range(60)}
+    found = got & planted
+    # same-cell quantization: expect nearly all planted pairs found
+    assert len(found) >= 54, len(found)
+    assert all(r.cosine >= 0.9 for r in pairs)
+    # false pairs are rare at 0.9 on random 64-dim vectors
+    assert len(got - planted) <= 3, len(got - planted)
