@@ -148,6 +148,9 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "events_attribution",
     "agg_min_by_max_by",
     "dedup_semantic_clusters",
+    "hiveql_create_view_text",
+    "hiveql_insert_directory",
+    "fn_printf_format",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

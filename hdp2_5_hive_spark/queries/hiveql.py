@@ -522,3 +522,66 @@ def hiveql_having_alias(spark, t):
         FROM lineitem GROUP BY l_suppkey HAVING n_lines >= 40
         """
     )
+
+
+@register(
+    "hiveql_create_view_text",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_urgent_lines
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') AND l_quantity >= 30
+GROUP BY o_orderpriority
+""",
+    category="hiveql",
+)
+def hiveql_create_view_text(spark, t):
+    """``CREATE [TEMPORARY] VIEW ... AS SELECT`` as SQL text
+    (HiveParser.g createViewStatement; qfile
+    ``clientpositive/create_view.q``): the view body is a join, the
+    consumer aggregates THROUGH the view — proving view expansion
+    composes with the optimizer (filters/joins inside the view
+    inline into the outer plan; no materialization)."""
+    t.orders
+    t.lineitem
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW urgent_lines_v AS
+        SELECT o_orderpriority, l_quantity
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        """
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_urgent_lines
+        FROM urgent_lines_v WHERE l_quantity >= 30
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "hiveql_insert_directory",
+    oracle="""
+SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+""",
+    category="hiveql",
+)
+def hiveql_insert_directory(spark, t):
+    """``INSERT OVERWRITE DIRECTORY '<path>' ... SELECT`` as SQL text
+    (HiveParser.g TOK_DIR inside insertClause; qfile
+    ``clientpositive/insert_overwrite_directory.q`` family) — the
+    export-to-files form every Hive ETL uses. Spark keeps the exact
+    grammar with ``USING parquet``; the written directory is read
+    back and must equal the SELECT."""
+    from ..scratch import scratch_dir
+
+    t.nation
+    d = scratch_dir("hiveql_dir_") + "/out"
+    spark.sql(
+        f"""
+        INSERT OVERWRITE DIRECTORY '{d}' USING parquet
+        SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1
+        """
+    )
+    return spark.read.parquet(d)

@@ -402,3 +402,36 @@ def agg_min_by_max_by(spark, t):
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
     )
+
+
+@register(
+    "fn_printf_format",
+    oracle="""
+SELECT n_nationkey,
+       printf('%s has key %d', n_name, n_nationkey) AS labeled,
+       printf('%05d|%x', n_nationkey, n_nationkey + 255) AS padded_hex,
+       printf('%.2f', n_nationkey / 4.0) AS fixed2
+FROM nation
+""",
+    category="scalars",
+)
+def fn_printf_format(spark, t):
+    """printf / format_string (reference ``udf/generic/
+    GenericUDFPrintf.java``, FunctionRegistry 'printf'): %s/%d,
+    zero-padding, hex, and fixed-point formatting. Spark's
+    format_string IS printf (Java Formatter); DuckDB's printf is
+    C-style — identical for these conversions, with float precision
+    pinned explicitly on both sides."""
+    n = t.nation
+    return n.select(
+        "n_nationkey",
+        F.format_string(
+            "%s has key %d", F.col("n_name"), F.col("n_nationkey")
+        ).alias("labeled"),
+        F.format_string(
+            "%05d|%x", F.col("n_nationkey"), F.col("n_nationkey") + 255
+        ).alias("padded_hex"),
+        F.format_string(
+            "%.2f", F.col("n_nationkey") / 4.0
+        ).alias("fixed2"),
+    )
