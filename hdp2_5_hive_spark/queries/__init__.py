@@ -151,6 +151,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_create_view_text",
     "hiveql_insert_directory",
     "fn_printf_format",
+    "fn_array_functions",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

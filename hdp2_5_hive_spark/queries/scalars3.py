@@ -435,3 +435,44 @@ def fn_printf_format(spark, t):
             "%.2f", F.col("n_nationkey") / 4.0
         ).alias("fixed2"),
     )
+
+
+@register(
+    "fn_array_functions",
+    oracle="""
+WITH a AS (
+  SELECT n_nationkey,
+         list_sort(string_split(n_name, '')) AS chars
+  FROM nation
+)
+SELECT n_nationkey,
+       array_to_string(chars, '') AS sorted_chars,
+       array_to_string(chars[1:3], '') AS first3,
+       len(chars) AS n_chars,
+       CASE WHEN len(list_filter(chars, c -> c = 'A')) > 0
+            THEN true ELSE false END AS has_a,
+       array_to_string(list_sort(list_distinct(chars)), '') AS distinct_set_sorted
+FROM (SELECT n_nationkey,
+             list_sort(string_split(n_name, '')) AS chars FROM nation) t
+""",
+    category="scalars",
+)
+def fn_array_functions(spark, t):
+    """Array-function suite (reference ``GenericUDFSortArray``,
+    ``GenericUDFArrayContains``, ``GenericUDFSize`` via
+    FunctionRegistry): sort_array, slice, size, array_contains,
+    array_distinct — every array output serialized with concat_ws
+    (driver canonicalizer contract). Spark's array_distinct
+    preserves first-occurrence order (sorted input -> sorted
+    output); DuckDB's list_distinct returns ARBITRARY order, so the
+    oracle re-sorts it — the deterministic statement of the same
+    set."""
+    chars = F.sort_array(F.split(F.col("n_name"), "(?!$)"))
+    return t.nation.select(
+        "n_nationkey",
+        F.concat_ws("", chars).alias("sorted_chars"),
+        F.concat_ws("", F.slice(chars, 1, 3)).alias("first3"),
+        F.size(chars).cast("bigint").alias("n_chars"),
+        F.array_contains(chars, "A").alias("has_a"),
+        F.concat_ws("", F.array_distinct(chars)).alias("distinct_set_sorted"),
+    )
