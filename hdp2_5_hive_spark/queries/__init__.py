@@ -48,10 +48,15 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     round-5-part-2 queries (span dedup/mask, domain mixing, seeded
 #     shuffle, fuzzy decon, pHash, EXPORT/IMPORT + ANALYZE, BPE, PCA,
 #     k-means, clean_v3, FFD, incremental dedup, hiveql part 2,
-#     compression ratio, event analytics), then the 3 fixed red rows,
-#     then new round-6 queries, then re-greens. Closes the full
-#     registry ledger: after this window every registered query has
-#     >=1 driver CORRECTNESS row.
+#     compression ratio, event analytics), then the 3 fixed red rows
+#     (positions 25-27), then 23 new round-6 queries filling the
+#     window to exactly 50. Closes the full registry ledger: after
+#     this window every query registered BEFORE round 6 has >=1
+#     driver CORRECTNESS row. Positions 51+ hold the late round-6
+#     additions (ann_ivf_recall, interleave, attribution, min_by,
+#     semantic dedup, view/directory text forms, printf, arrays) —
+#     all green in the end-of-round 245/245 full-registry sim; they
+#     are round 7's window candidates.
 _MODULES = (
     "scalars",
     "setops",
