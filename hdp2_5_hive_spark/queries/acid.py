@@ -142,3 +142,54 @@ def acid_merge_upsert(spark, t):
         not_matched_insert=True,
     )
     return spark.read.parquet(d)
+
+
+@register(
+    "acid_delta_layout_reader",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 5 = 0 THEN 'REGION_UPDATED'
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+WHERE n_nationkey % 7 <> 0
+""",
+    category="acid",
+)
+def acid_delta_layout_reader(spark, t):
+    """Native Hive ACID base/delta layout, merge-on-read (reference
+    ``ql/io/AcidUtils.java`` getAcidState +
+    ``orc/OrcRecordUpdater.java`` 6-field record schema; closes the
+    §2.2 'delta-file ACID reader' row): a base_0000001 of all nation
+    rows, a delta updating every 5th row's name (operation=1, higher
+    currentTransaction), and a delta deleting every 7th row
+    (operation=2). sources/acid.read_acid_table resolves
+    latest-transaction-wins per (originalTransaction, bucket, rowId)
+    and drops winning deletes — the oracle states the surviving
+    logical table directly."""
+    from ..scratch import scratch_dir
+    from ..sources import acid as ac
+
+    d = scratch_dir("acid_delta_") + "/tbl"
+    n = t.nation.select(
+        F.lit(1).cast("long").alias("originalTransaction"),
+        F.lit(0).alias("bucket"),
+        F.col("n_nationkey").cast("long").alias("rowId"),
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    )
+    ac.write_acid_events(n, d, kind="base", write_id=1)
+    upd = n.filter(F.col("n_nationkey") % 5 == 0).withColumn(
+        "n_name", F.lit("REGION_UPDATED")
+    )
+    ac.write_acid_events(
+        upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE
+    )
+    dele = n.filter(F.col("n_nationkey") % 7 == 0)
+    ac.write_acid_events(
+        dele, d, kind="delta", write_id=3, operation=ac.OP_DELETE
+    )
+    return ac.read_acid_table(spark, d).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

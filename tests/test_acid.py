@@ -227,3 +227,30 @@ def test_merge_cardinality_violation(spark, tmp_path):
             on=["id"],
             matched_update={"v": F.col("s.v")},
         )
+
+
+def test_acid_delta_reader_precedence(spark, tmp_path):
+    """Native layout merge semantics: latest currentTransaction wins
+    per row identity; a later delete beats an earlier update; a
+    re-insert AFTER a delete resurrects the row."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(6)],
+        "originalTransaction long, bucket int, rowId long, k long, val string",
+    )
+    ac.write_acid_events(base, d, kind="base", write_id=1)
+    upd = base.filter("rowId in (1, 2)").withColumn("val", F.lit("updated"))
+    ac.write_acid_events(upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE)
+    # delete row 2 AFTER its update, and row 3
+    dele = base.filter("rowId in (2, 3)")
+    ac.write_acid_events(dele, d, kind="delta", write_id=3, operation=ac.OP_DELETE)
+    # re-insert row 3 after its delete
+    res = base.filter("rowId = 3").withColumn("val", F.lit("back"))
+    ac.write_acid_events(res, d, kind="delta", write_id=4, operation=ac.OP_INSERT)
+
+    got = {r.k: r.val for r in ac.read_acid_table(spark, d).collect()}
+    assert got == {0: "v0", 1: "updated", 3: "back", 4: "v4", 5: "v5"}
