@@ -157,6 +157,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_insert_directory",
     "fn_printf_format",
     "fn_array_functions",
+    "acid_delta_layout_reader",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",
