@@ -158,6 +158,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_printf_format",
     "fn_array_functions",
     "acid_delta_layout_reader",
+    "fmt_thrift_sequencefile_round_trip",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

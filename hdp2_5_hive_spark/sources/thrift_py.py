@@ -1,0 +1,136 @@
+"""Thrift row SerDe — TBinaryProtocol struct codec (reference
+``serde/src/java/org/apache/hadoop/hive/serde2/thrift/
+ThriftDeserializer.java`` + ``ThriftByteStreamTypedSerDe``; wire
+format from the public Apache Thrift spec,
+https://github.com/apache/thrift/blob/master/doc/specs/
+thrift-binary-protocol.md).
+
+A classic HDP-era table layout is thrift-serialized structs stored as
+the values of a SequenceFile — this module decodes (and, for
+round-trip fixtures, encodes) that row format from scratch:
+
+- struct = repeated fields ``[type:i8][field-id:i16 BE][payload]``
+  terminated by T_STOP (0x00);
+- payloads: BOOL 1 byte, I16/I32/I64 big-endian, DOUBLE IEEE-754 BE,
+  STRING/BINARY ``len:i32 BE`` + bytes; LIST ``[elem-type:i8]
+  [count:i32 BE]`` + elements (enough for flat warehouse rows plus
+  primitive-array columns — nested structs/maps raise).
+
+Scope note: this is the SerDe (row bytes <-> typed values), the
+piece Hive's ThriftDeserializer provides; transport/RPC is the
+actual Thrift library's job and stays out of scope. Field ids map
+positionally to columns (id 1 = first column), Hive's default for
+ThriftByteStreamTypedSerDe.
+"""
+
+from __future__ import annotations
+
+import struct
+
+T_STOP = 0
+T_BOOL = 2
+T_BYTE = 3
+T_DOUBLE = 4
+T_I16 = 6
+T_I32 = 8
+T_I64 = 10
+T_STRING = 11
+T_LIST = 15
+
+_TYPE_FOR = {
+    "boolean": T_BOOL,
+    "smallint": T_I16,
+    "int": T_I32,
+    "bigint": T_I64,
+    "double": T_DOUBLE,
+    "string": T_STRING,
+}
+
+
+def encode_row(types: list[str], values: list) -> bytes:
+    """Serialize one row; NULL columns are simply omitted (thrift's
+    optional-field convention — absent id = null)."""
+    out = bytearray()
+    for idx, (t, v) in enumerate(zip(types, values), start=1):
+        if v is None:
+            continue
+        if t.startswith("array<"):
+            elem = t[6:-1]
+            et = _TYPE_FOR[elem]
+            out += struct.pack(">bh", T_LIST, idx)
+            out += struct.pack(">bi", et, len(v))
+            for e in v:
+                out += _encode_value(et, e)
+            continue
+        tt = _TYPE_FOR[t]
+        out += struct.pack(">bh", tt, idx)
+        out += _encode_value(tt, v)
+    out += struct.pack(">b", T_STOP)
+    return bytes(out)
+
+
+def _encode_value(tt: int, v) -> bytes:
+    if tt == T_BOOL:
+        return struct.pack(">b", 1 if v else 0)
+    if tt == T_I16:
+        return struct.pack(">h", v)
+    if tt == T_I32:
+        return struct.pack(">i", v)
+    if tt == T_I64:
+        return struct.pack(">q", v)
+    if tt == T_DOUBLE:
+        return struct.pack(">d", v)
+    if tt == T_STRING:
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        return struct.pack(">i", len(b)) + b
+    raise NotImplementedError(f"thrift type {tt}")
+
+
+def decode_row(payload: bytes, n_cols: int) -> list:
+    """Deserialize one struct into a positional row of ``n_cols``
+    (absent field ids decode as None)."""
+    row = [None] * n_cols
+    pos = 0
+    while True:
+        (tt,) = struct.unpack_from(">b", payload, pos)
+        pos += 1
+        if tt == T_STOP:
+            break
+        (fid,) = struct.unpack_from(">h", payload, pos)
+        pos += 2
+        val, pos = _decode_value(tt, payload, pos)
+        if not 1 <= fid <= n_cols:
+            raise ValueError(f"field id {fid} outside 1..{n_cols}")
+        row[fid - 1] = val
+    return row
+
+
+def _decode_value(tt: int, payload: bytes, pos: int):
+    if tt == T_BOOL:
+        return payload[pos] != 0, pos + 1
+    if tt == T_BYTE:
+        return struct.unpack_from(">b", payload, pos)[0], pos + 1
+    if tt == T_I16:
+        return struct.unpack_from(">h", payload, pos)[0], pos + 2
+    if tt == T_I32:
+        return struct.unpack_from(">i", payload, pos)[0], pos + 4
+    if tt == T_I64:
+        return struct.unpack_from(">q", payload, pos)[0], pos + 8
+    if tt == T_DOUBLE:
+        return struct.unpack_from(">d", payload, pos)[0], pos + 8
+    if tt == T_STRING:
+        (n,) = struct.unpack_from(">i", payload, pos)
+        pos += 4
+        return payload[pos : pos + n].decode("utf-8"), pos + n
+    if tt == T_LIST:
+        et, = struct.unpack_from(">b", payload, pos)
+        (n,) = struct.unpack_from(">i", payload, pos + 1)
+        pos += 5
+        out = []
+        for _ in range(n):
+            v, pos = _decode_value(et, payload, pos)
+            out.append(v)
+        return out, pos
+    raise NotImplementedError(
+        f"thrift wire type {tt} (nested struct/map out of scope)"
+    )

@@ -1,0 +1,51 @@
+"""TBinaryProtocol codec (sources/thrift_py): wire bytes pinned
+against the published spec, null-as-absent, list payloads, and
+hypothesis round-trips."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hdp2_5_hive_spark.sources import thrift_py as tp
+
+
+def test_known_wire_bytes():
+    """Field header [type][id:i16 BE] + BE payloads + T_STOP, per
+    the public thrift-binary-protocol spec."""
+    b = tp.encode_row(["int", "string"], [7, "ab"])
+    assert b == (
+        b"\x08\x00\x01\x00\x00\x00\x07"      # I32 id=1 value 7
+        b"\x0b\x00\x02\x00\x00\x00\x02ab"    # STRING id=2 len 2
+        b"\x00"                               # T_STOP
+    )
+    assert tp.decode_row(b, 2) == [7, "ab"]
+
+
+def test_null_is_absent_field():
+    b = tp.encode_row(["bigint", "string", "double"], [5, None, 2.5])
+    row = tp.decode_row(b, 3)
+    assert row == [5, None, 2.5]
+
+
+def test_list_payload_and_bool():
+    b = tp.encode_row(
+        ["boolean", "array<int>"], [True, [1, 2, 3]]
+    )
+    assert tp.decode_row(b, 2) == [True, [1, 2, 3]]
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.tuples(
+        st.one_of(st.none(), st.integers(-(2**63), 2**63 - 1)),
+        st.one_of(st.none(), st.text(max_size=40)),
+        st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+        st.one_of(st.none(), st.floats(allow_nan=False)),
+        st.one_of(st.none(), st.booleans()),
+    )
+)
+def test_round_trip_property(vals):
+    types = ["bigint", "string", "int", "double", "boolean"]
+    b = tp.encode_row(types, list(vals))
+    assert tp.decode_row(b, 5) == list(vals)
