@@ -473,19 +473,26 @@ class Metastore:
             raise NoSuchTableError(name)
         m = meta[name]
         parts = [f"CREATE TABLE {name}"]
+        types: dict[str, str] = {}
         if spark is not None:
             df = self.get_table(spark, name)
+            types = {
+                f.name: f.dataType.simpleString() for f in df.schema.fields
+            }
             pcols = set(m["partition_by"])
             cols = ",\n  ".join(
-                f"{f.name} {f.dataType.simpleString()}"
-                for f in df.schema.fields
-                if f.name not in pcols
+                f"{n} {t}" for n, t in types.items() if n not in pcols
             )
             parts.append(f"(\n  {cols}\n)")
         if m["partition_by"]:
-            parts.append(
-                "PARTITIONED BY (" + ", ".join(m["partition_by"]) + ")"
+            # Hive DDL requires TYPED partition columns (and they must
+            # not repeat in the body) — emit types whenever the data
+            # schema is available so the text actually parses.
+            spec = ", ".join(
+                f"{c} {types[c]}" if c in types else c
+                for c in m["partition_by"]
             )
+            parts.append(f"PARTITIONED BY ({spec})")
         parts.append(f"STORED AS {m['format'].upper()}")
         parts.append(
             f"LOCATION '{os.path.join(self.warehouse_dir, m['path'])}'"

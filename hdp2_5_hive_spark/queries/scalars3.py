@@ -440,11 +440,6 @@ def fn_printf_format(spark, t):
 @register(
     "fn_array_functions",
     oracle="""
-WITH a AS (
-  SELECT n_nationkey,
-         list_sort(string_split(n_name, '')) AS chars
-  FROM nation
-)
 SELECT n_nationkey,
        array_to_string(chars, '') AS sorted_chars,
        array_to_string(chars[1:3], '') AS first3,

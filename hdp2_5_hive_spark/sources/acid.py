@@ -338,19 +338,36 @@ def read_acid_table(spark: SparkSession, table_dir: str) -> DataFrame:
     ``currentTransaction`` per (originalTransaction, bucket, rowId)
     wins; winning deletes drop. Returns the payload columns only —
     the logical table Hive's reader (OrcInputFormat + AcidUtils
-    merger) would present."""
+    merger) would present.
+
+    Base selection follows ``AcidUtils.getAcidState``: only the
+    HIGHEST base_<writeId> is read (a compacted base already folded
+    the older events — and the cleaner may have removed the delta
+    files those events came from, so unioning an old base would
+    resurrect deleted rows), plus deltas whose write-id range lies
+    ABOVE that base. Assumes all present write ids are committed
+    (the compactor/cleaner's job in a live warehouse; for a
+    decommissioned-warehouse migration read, everything on disk is
+    the final state)."""
     import glob as _glob
 
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    dirs = sorted(
-        d
-        for d in _glob.glob(f"{table_dir}/*")
-        if d.rsplit("/", 1)[-1].startswith(("base_", "delta_"))
-    )
-    if not dirs:
+    bases, deltas = [], []
+    for d in sorted(_glob.glob(f"{table_dir}/*")):
+        name = d.rsplit("/", 1)[-1]
+        if name.startswith("base_"):
+            bases.append((int(name.split("_")[1]), d))
+        elif name.startswith("delta_"):
+            parts = name.split("_")
+            deltas.append((int(parts[1]), int(parts[2]), d))
+    if not bases and not deltas:
         raise FileNotFoundError(f"no base_/delta_ dirs under {table_dir}")
+    base_id = max(b[0] for b in bases) if bases else -1
+    dirs = [d for wid, d in bases if wid == base_id] + [
+        d for lo, hi, d in sorted(deltas) if lo > base_id
+    ]
     # Spark's datasource path resolution special-cases base_/delta_
     # directory NAMES (native Hive-ACID detection) and refuses them;
     # enumerating the ORC part files sidesteps that while reading

@@ -378,8 +378,12 @@ def read_rcfile_split(
             if hit >= 0:
                 pos = base + hit
             else:
-                base += len(window) - (len(marker) - 1)
-                window = window[-(len(marker) - 1):]
+                # keep a marker-sized tail for cross-chunk matches;
+                # advance base only by bytes actually dropped (a short
+                # mid-stream read must not walk base backwards)
+                consumed = max(0, len(window) - (len(marker) - 1))
+                base += consumed
+                window = window[consumed:]
         if pos is None or pos >= end:
             return names, types, []
     rows: list[list[bytes]] = []

@@ -233,12 +233,14 @@ def corpus_ingest_stream(
     corpus_clean pipeline (SURVEY §6): quality gate (minimum token
     count) → canonical fingerprint (md5 of whitespace-normalized
     lowercase text, the same fingerprint text_profile computes) →
-    watermarked streaming dedup on the fingerprint, so a document
-    re-ingested by a later micro-batch inside the watermark horizon
-    is dropped exactly once, with state bounded by the horizon
-    (Spark evicts fingerprints older than the watermark — the
-    standard state-size dial; re-ingests beyond it are a batch
-    dedup's job downstream).
+    watermarked streaming dedup on the fingerprint via
+    ``dropDuplicatesWithinWatermark`` — the variant whose state store
+    IS evicted by the watermark even though the event-time column is
+    not part of the dedup key (plain ``dropDuplicates([fingerprint])``
+    would keep every fingerprint forever: Spark only expires state
+    for keys containing the watermarked column). State is bounded by
+    the horizon; re-ingests beyond it are a batch dedup's job
+    downstream.
 
     Every stage is stream-safe (stateless projections + one
     dropDuplicates state store); output appends (id, fingerprint,
@@ -257,5 +259,5 @@ def corpus_ingest_stream(
             fp.alias("fingerprint"),
         )
         .filter(F.col("n_tok") >= min_tokens)
-        .dropDuplicates(["fingerprint"])
+        .dropDuplicatesWithinWatermark(["fingerprint"])
     )

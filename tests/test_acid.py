@@ -254,3 +254,35 @@ def test_acid_delta_reader_precedence(spark, tmp_path):
 
     got = {r.k: r.val for r in ac.read_acid_table(spark, d).collect()}
     assert got == {0: "v0", 1: "updated", 3: "back", 4: "v4", 5: "v5"}
+
+
+def test_acid_delta_reader_base_selection(spark, tmp_path):
+    """AcidUtils.getAcidState fidelity: only the HIGHEST base is
+    read, and deltas at or below its write id are ignored — an old
+    base plus a cleaner-removed delete delta must NOT resurrect the
+    deleted row."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(4)],
+        "originalTransaction long, bucket int, rowId long, k long, val string",
+    )
+    # old base has rows 0-3; row 3 was deleted at txn 7 and the
+    # compactor folded that into base_10 (which the cleaner left as
+    # the only truth); delta_7_7 itself was cleaned away.
+    ac.write_acid_events(rows, d, kind="base", write_id=5)
+    ac.write_acid_events(
+        rows.filter("rowId < 3"), d, kind="base", write_id=10
+    )
+    # a live delta above the new base updates row 0
+    upd = rows.filter("rowId = 0").withColumn("val", F.lit("new"))
+    ac.write_acid_events(upd, d, kind="delta", write_id=11, operation=ac.OP_UPDATE)
+    # a STALE delta at/below the new base must be ignored
+    stale = rows.filter("rowId = 1").withColumn("val", F.lit("stale"))
+    ac.write_acid_events(stale, d, kind="delta", write_id=9, operation=ac.OP_UPDATE)
+
+    got = {r.k: r.val for r in ac.read_acid_table(spark, d).collect()}
+    assert got == {0: "new", 1: "v1", 2: "v2"}  # no row 3, no 'stale'

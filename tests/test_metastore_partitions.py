@@ -222,8 +222,12 @@ def test_show_create_table_round_trips_metadata(spark, sf_dir, tmp_path):
     ddl = ms.show_create_table("nat_sct", spark)
     assert ddl.startswith("CREATE TABLE nat_sct")
     assert "n_nationkey" in ddl and "n_name string" in ddl
-    assert "PARTITIONED BY (n_regionkey)" in ddl
-    assert "n_regionkey int" not in ddl  # partition col not in body
+    assert "PARTITIONED BY (n_regionkey int)" in ddl
+    # the emitted DDL must actually PARSE (typed partition spec,
+    # partition col absent from the body)
+    spark._jsparkSession.sessionState().sqlParser().parsePlan(ddl)
+    body = ddl.split("PARTITIONED")[0]
+    assert "n_regionkey" not in body  # partition col not in body
     assert "STORED AS PARQUET" in ddl and "LOCATION '" in ddl
     with pytest.raises(NoSuchTableError):
         ms.show_create_table("nope")
