@@ -36,6 +36,13 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+MEDIA_PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -362,13 +369,7 @@ def synthesize_ppm_media(df: DataFrame, id_col: str, width: int = 8, height: int
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-        ]
-    )
-    return src.mapInPandas(kernel, schema)
+    return src.mapInPandas(kernel, MEDIA_PAYLOAD_SCHEMA)
 
 
 def synthesize_png_media(df: DataFrame, id_col: str, width: int = 8, height: int = 4) -> DataFrame:
@@ -392,13 +393,7 @@ def synthesize_png_media(df: DataFrame, id_col: str, width: int = 8, height: int
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-        ]
-    )
-    return src.mapInPandas(kernel, schema)
+    return src.mapInPandas(kernel, MEDIA_PAYLOAD_SCHEMA)
 
 
 def synthesize_jpeg_media(
@@ -431,13 +426,7 @@ def synthesize_jpeg_media(
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-        ]
-    )
-    return src.mapInPandas(kernel, schema)
+    return src.mapInPandas(kernel, MEDIA_PAYLOAD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -627,13 +616,7 @@ def synthesize_wav_media(
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-        ]
-    )
-    return src.mapInPandas(kernel, schema)
+    return src.mapInPandas(kernel, MEDIA_PAYLOAD_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -776,13 +759,7 @@ def synthesize_avi_media(
             yield pd.DataFrame({"media_id": pdf["media_id"], "payload": payloads})
 
     src = df.select(F.col(id_col).cast("long").alias("media_id"))
-    schema = T.StructType(
-        [
-            T.StructField("media_id", T.LongType(), False),
-            T.StructField("payload", T.BinaryType(), True),
-        ]
-    )
-    return src.mapInPandas(kernel, schema)
+    return src.mapInPandas(kernel, MEDIA_PAYLOAD_SCHEMA)
 
 
 RESIZED_SCHEMA = T.StructType(
@@ -956,38 +933,35 @@ def resize_images(
                 else:
                     w, h, px = decode_png_pixels(b)
                 src = np.asarray(px, dtype=np.float64).reshape(h, w, 3)
+                # per-axis block boundaries (clamped to >=1 source px)
                 ys = np.linspace(0, h, height + 1)
                 xs = np.linspace(0, w, width + 1)
-                dst = np.empty((height, width, 3))
-                for yi in range(height):
-                    y0, y1 = int(ys[yi]), max(int(ys[yi]), int(ys[yi + 1]))
-                    y1 = min(max(y1, y0 + 1), h)
-                    for xi in range(width):
-                        x0 = int(xs[xi])
-                        x1 = min(max(int(xs[xi + 1]), x0 + 1), w)
-                        block = src[y0:y1, x0:x1]
-                        dst[yi, xi] = (
-                            block.mean(axis=(0, 1))
-                            if method == "box"
-                            else src[y0, x0]
-                        )
-                rgb = [
-                    tuple(int(round(c)) for c in dst[yi, xi])
-                    for yi in range(height)
-                    for xi in range(width)
-                ]
+                y0 = ys[:-1].astype(np.int64)
+                y1 = np.maximum(np.minimum(ys[1:].astype(np.int64), h), y0 + 1)
+                x0 = xs[:-1].astype(np.int64)
+                x1 = np.maximum(np.minimum(xs[1:].astype(np.int64), w), x0 + 1)
+                if method == "nearest":
+                    dst = src[y0][:, x0]
+                else:
+                    # integral image -> every block mean with NO
+                    # per-pixel Python loop (a 224x224 resize would
+                    # otherwise cost ~50k interpreted iterations/image)
+                    integ = np.zeros((h + 1, w + 1, 3))
+                    integ[1:, 1:] = src.cumsum(axis=0).cumsum(axis=1)
+                    sums = (
+                        integ[y1][:, x1]
+                        - integ[y0][:, x1]
+                        - integ[y1][:, x0]
+                        + integ[y0][:, x0]
+                    )
+                    area = ((y1 - y0)[:, None] * (x1 - x0)[None, :])[..., None]
+                    dst = sums / area
+                raster = np.rint(dst).astype(np.uint8).reshape(-1)
                 out_ids.append(mid)
-                out_payloads.append(encode_ppm(width, height, rgb))
+                out_payloads.append(encode_ppm(width, height, raster))
             yield pd.DataFrame({"media_id": out_ids, "payload": out_payloads})
 
     return media.select("media_id", "payload").mapInPandas(
         kernel, MEDIA_PAYLOAD_SCHEMA
     )
 
-
-MEDIA_PAYLOAD_SCHEMA = T.StructType(
-    [
-        T.StructField("media_id", T.LongType(), False),
-        T.StructField("payload", T.BinaryType(), True),
-    ]
-)

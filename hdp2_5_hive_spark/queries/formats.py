@@ -567,7 +567,8 @@ def fmt_zorder_skipping(spark, t):
 @register(
     "fmt_thrift_sequencefile_round_trip",
     oracle="""
-SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+SELECT s_suppkey, s_name, s_nationkey,
+       CASE WHEN s_suppkey % 3 = 0 THEN NULL ELSE s_acctbal END AS s_acctbal
 FROM supplier WHERE s_suppkey <= 60
 """,
     category="formats",
@@ -587,7 +588,12 @@ def fmt_thrift_sequencefile_round_trip(spark, t):
     d = scratch_dir("fmt_thrift_") + "/seq"
     types = ["bigint", "string", "int", "double"]
     src = t.supplier.filter(F.col("s_suppkey") <= 60).select(
-        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        F.when(F.col("s_suppkey") % 3 == 0, None)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
     )
     (
         src.rdd.map(

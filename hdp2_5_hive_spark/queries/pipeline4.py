@@ -937,23 +937,49 @@ def dedup_semantic_clusters(spark, t):
     cluster-bounded quadratic, the web-scale semantic-dedup recipe.
     Driver-checked facts over the deterministic planted corpus: >=
     90% of the 60 planted near-identical pairs found (same-cell
-    quantization) and every reported pair genuinely above the 0.9
-    threshold. K-means/assignment internals are pinned separately
-    (tests/test_embeddings_pca.py); pair-level recall/validity in
-    tests/test_pipeline.py."""
+    quantization) and every reported pair's cosine INDEPENDENTLY
+    recomputed — via a posexplode + SQL-aggregation path that shares
+    no code with the operator's zip_with fold — must match the
+    reported value and clear the threshold (a min(cosine) over the
+    operator's own output would be tautological: the operator already
+    filtered on it). K-means/assignment internals are pinned
+    separately (tests/test_embeddings_pca.py)."""
     from ..operators import similarity as sim
 
     df = spark.createDataFrame(
         _planted_vectors(n_pairs=60), "vec_id string, embedding array<double>"
     )
     pairs = sim.semantic_dedup_pairs(df, k=6, threshold=0.9)
+    ea = df.select(
+        F.col("vec_id").alias("id_a"), F.posexplode("embedding").alias("i", "xa")
+    )
+    eb = df.select(
+        F.col("vec_id").alias("id_b"), F.posexplode("embedding").alias("i", "xb")
+    )
+    recomputed = (
+        pairs.join(ea, "id_a")
+        .join(eb, ["id_b", "i"])
+        .groupBy("id_a", "id_b", "cosine")
+        .agg(
+            (
+                F.sum(F.col("xa") * F.col("xb"))
+                / (
+                    F.sqrt(F.sum(F.col("xa") * F.col("xa")))
+                    * F.sqrt(F.sum(F.col("xb") * F.col("xb")))
+                )
+            ).alias("cos2")
+        )
+    )
     planted_hit = F.sum(
         (
             F.substring("id_a", 2, 10) == F.substring("id_b", 2, 10)
         ).cast("long")
     )
-    return pairs.agg(
+    return recomputed.agg(
         F.lit(60).cast("bigint").alias("n_planted"),
         (planted_hit >= 54).alias("found_ok"),
-        (F.min("cosine") >= 0.9).alias("all_valid"),
+        (
+            (F.min("cos2") >= 0.9)
+            & (F.max(F.abs(F.col("cos2") - F.col("cosine"))) < 1e-9)
+        ).alias("all_valid"),
     )
