@@ -159,6 +159,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_array_functions",
     "acid_delta_layout_reader",
     "fmt_thrift_sequencefile_round_trip",
+    "events_anomaly_zscore",
+    "hiveql_sessionize_text",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -285,3 +285,48 @@ def events_attribution(spark, t):
     return first.unionByName(last).groupBy("model", "event_type").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day
+),
+stats AS (
+  SELECT event_type,
+         avg(n) AS mu,
+         stddev_samp(n) AS sigma
+  FROM daily GROUP BY event_type
+)
+SELECT d.event_type, d.day, d.n,
+       round((d.n - s.mu) / s.sigma, 6) AS z
+FROM daily d JOIN stats s USING (event_type)
+WHERE abs((d.n - s.mu) / s.sigma) > 2
+""",
+    category="analytics",
+)
+def events_anomaly_zscore(spark, t):
+    """Volume-anomaly detection over the event stream: per-type
+    daily counts z-scored against that type's own mean/stddev; days
+    beyond 2 sigma flag. The monitoring staple beside
+    funnel/retention/attribution. Two aggregates (daily counts, then
+    per-type moments — the second input is |types|x|days| rows, tiny
+    at any corpus scale) and a broadcast join back; both engines
+    compute stddev_samp with the same definition and the 6-decimal
+    round pins fp association order."""
+    e = t.events
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sigma")
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(z) > 2)
+        .select("event_type", "day", "n", F.round(z, 6).alias("z"))
+    )

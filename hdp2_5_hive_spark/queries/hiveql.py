@@ -585,3 +585,64 @@ def hiveql_insert_directory(spark, t):
         """
     )
     return spark.read.parquet(d)
+
+
+@register(
+    "hiveql_sessionize_text",
+    oracle="""
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events
+),
+flagged AS (
+  SELECT user_id, t,
+         CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                   > INTERVAL 30 MINUTE
+              OR lag(t) OVER (PARTITION BY user_id ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM o
+),
+sess AS (
+  SELECT user_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       CAST(min(t) AS TIMESTAMP) AS session_start
+FROM sess GROUP BY user_id, session_no
+""",
+    category="hiveql",
+)
+def hiveql_sessionize_text(spark, t):
+    """Sessionization as PURE SQL TEXT — the lag + cumulative-flag
+    idiom (qfile-era Hive had no session_window; this two-window
+    composition was THE way, and it still is the portable one):
+    gap > 30 min starts a session, a running SUM of the start flags
+    numbers them, then a plain aggregate per session. Text twin of
+    the DataFrame ``events_sessionize``; the identical statement is
+    the oracle."""
+    t.events
+    return spark.sql(
+        """
+        WITH flagged AS (
+          SELECT user_id, ts AS t,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts)
+                           > INTERVAL 30 MINUTES
+                      OR lag(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, t,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING)
+                   AS session_no
+          FROM flagged
+        )
+        SELECT user_id, session_no, count(*) AS n_events,
+               min(t) AS session_start
+        FROM sess GROUP BY user_id, session_no
+        """
+    )
