@@ -95,3 +95,59 @@ def unigram_logprob(
             6,
         ).alias("bits_per_token"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean conditional bits/bigram under the corpus's
+    own MLE bigram model: -log2 C(w1,w2)/C(w1·) averaged over the
+    doc's bigram occurrences — the next strength class of LM quality
+    signal above ``unigram_logprob`` (word-order-scrambled
+    boilerplate scores high here while its unigram score is
+    unchanged). MLE needs no smoothing: every doc bigram occurs in
+    the corpus counts by construction (the corpus contains the doc).
+
+    Same scale/parity discipline as unigram_logprob: per-(doc,
+    bigram) partial counts collapse before the shuffle, the bigram
+    table and its context marginal are keyed aggregates with
+    map-side combine, and per-term bits round to 6 decimals into a
+    DECIMAL(38,6) accumulator — exact, order-independent sums any
+    SQL oracle reproduces."""
+    from .util import ensure_parallelism
+
+    w = words_col(F.col(text_col))
+    grams = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(w) - 1),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("w1"),
+                        F.element_at(w, i + 1).alias("w2"),
+                    ),
+                ),
+            ).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
+            )
+        ).alias("g"),
+    ).select(id_col, "g.w1", "g.w2")
+    doc_gram = grams.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").alias("dc")
+    )
+    bigrams = doc_gram.groupBy("w1", "w2").agg(F.sum("dc").alias("c12"))
+    context = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    scored = doc_gram.join(bigrams, ["w1", "w2"]).join(context, "w1")
+    bits = F.round(
+        -F.log2(F.col("c12").cast("double") / F.col("c1").cast("double")), 6
+    ).cast("decimal(38,6)")
+    return scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(bits * F.col("dc")).cast("double")
+            / F.sum("dc").cast("double"),
+            6,
+        ).alias("bits_per_bigram"),
+    )

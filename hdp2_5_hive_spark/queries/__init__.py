@@ -161,6 +161,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_thrift_sequencefile_round_trip",
     "events_anomaly_zscore",
     "hiveql_sessionize_text",
+    "quality_bigram_bits",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

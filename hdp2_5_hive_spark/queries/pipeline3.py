@@ -236,3 +236,40 @@ def text_compression_ratio(spark, t):
     from ..operators import quality as q
 
     return q.compression_ratio(t.documents, "doc_id", "text")
+
+
+@register(
+    "quality_bigram_bits",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+doc_gram AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS dc FROM grams GROUP BY doc_id, w1, w2
+),
+bigrams AS (SELECT w1, w2, SUM(dc) AS c12 FROM doc_gram GROUP BY w1, w2),
+context AS (SELECT w1, SUM(c12) AS c1 FROM bigrams GROUP BY w1)
+SELECT doc_id,
+       CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+       CAST(ROUND(
+         CAST(SUM(CAST(ROUND(-LOG2(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)),
+                             6) AS DECIMAL(38,6)) * dc) AS DOUBLE)
+         / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_bigram
+FROM doc_gram JOIN bigrams USING (w1, w2) JOIN context USING (w1)
+GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def quality_bigram_bits(spark, t):
+    """Bigram-LM quality score (operators/quality.bigram_logprob):
+    mean conditional bits per bigram under the corpus's own MLE
+    bigram model — the order-sensitive signal unigram bits can't
+    see (scrambled boilerplate keeps its unigram score but spikes
+    here). DECIMAL-accumulated rounded log terms keep both engines'
+    sums exact and order-independent."""
+    return ql.bigram_logprob(t.documents, "doc_id", "text")
