@@ -162,6 +162,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "events_anomaly_zscore",
     "hiveql_sessionize_text",
     "quality_bigram_bits",
+    "agg_bit_ops",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

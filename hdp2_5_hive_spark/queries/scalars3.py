@@ -471,3 +471,31 @@ def fn_array_functions(spark, t):
         F.array_contains(chars, "A").alias("has_a"),
         F.concat_ws("", F.array_distinct(chars)).alias("distinct_set_sorted"),
     )
+
+
+@register(
+    "agg_bit_ops",
+    oracle="""
+SELECT l_returnflag,
+       bit_and(CAST(l_suppkey AS BIGINT)) AS all_and,
+       bit_or(CAST(l_suppkey AS BIGINT)) AS all_or,
+       bit_xor(CAST(l_suppkey AS BIGINT)) AS all_xor
+FROM lineitem GROUP BY l_returnflag
+""",
+    category="aggregates",
+)
+def agg_bit_ops(spark, t):
+    """Bitwise AND/OR/XOR aggregates — the aggregate companions of
+    §2.9's bitwise scalar suite (Hive 1.2 exposes only the scalars
+    ``&``/``|``/``^`` via ``UDFOPBitAnd`` etc.; the aggregates are
+    beyond-ref SQL surface shared by Spark and DuckDB, and the
+    building block of bitmask-rollup reports). Associative +
+    commutative, so partial aggregation is exact at any parallelism
+    — no decimal trick needed."""
+    li = t.lineitem
+    k = F.col("l_suppkey").cast("bigint")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and(k).alias("all_and"),
+        F.bit_or(k).alias("all_or"),
+        F.bit_xor(k).alias("all_xor"),
+    )
