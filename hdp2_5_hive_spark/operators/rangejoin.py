@@ -1,0 +1,55 @@
+"""Banded range join — point-in-interval joins without a nested loop.
+
+A join whose ONLY predicate is an inequality (point BETWEEN lo AND
+hi, no equality key) plans as BroadcastNestedLoopJoin or a cartesian
+product in Spark — O(|L|x|R|) comparisons, the classic scale killer
+of interval/temporal analytics. The standard fix (same idea as
+Databricks' range-join bin optimization and the interval-bucketing
+literature): quantize the range dimension into fixed-width BANDS,
+explode each interval over the bands it covers, map each point to
+its single band, equi-join on the band id, and re-check the exact
+predicate. Comparisons collapse from |L|x|R| to sum over bands of
+|points_in_band| x |intervals_covering_band|.
+
+Band width is the cost dial: ~the median interval length is right —
+much wider re-creates the quadratic inside a band, much narrower
+explodes intervals over many bands. Skewed bands (a giant interval
+covering everything) fan out that INTERVAL, not the points, so the
+explode is bounded by interval_length/band per row; AQE splits hot
+band partitions like any skewed key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def banded_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    *,
+    band_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows of ``points`` to rows of ``intervals`` where
+    ``lo_col <= point_col <= hi_col`` (timestamp/date columns),
+    via band equi-join + exact re-check. Column name collisions
+    between the two inputs must be resolved by the caller."""
+    sec = lambda c: F.unix_timestamp(F.col(c))  # noqa: E731
+    band = F.lit(band_seconds)
+    p = points.withColumn("_pband", (sec(point_col) / band).cast("long"))
+    i = intervals.withColumn(
+        "_bands",
+        F.sequence(
+            (sec(lo_col) / band).cast("long"),
+            (sec(hi_col) / band).cast("long"),
+        ),
+    ).withColumn("_pband", F.explode("_bands")).drop("_bands")
+    joined = p.join(i, "_pband", how).filter(
+        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    )
+    return joined.drop("_pband")

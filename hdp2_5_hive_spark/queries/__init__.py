@@ -163,6 +163,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_sessionize_text",
     "quality_bigram_bits",
     "agg_bit_ops",
+    "join_range_banded",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

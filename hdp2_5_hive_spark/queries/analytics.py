@@ -330,3 +330,53 @@ def events_anomaly_zscore(spark, t):
         .filter(F.abs(z) > 2)
         .select("event_type", "day", "n", F.round(z, 6).alias("z"))
     )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+WITH iv AS (
+  SELECT o_orderkey, o_orderdate AS lo,
+         o_orderdate + CAST(o_orderkey % 20 AS INT) * INTERVAL 1 DAY AS hi
+  FROM orders WHERE o_orderkey <= 1000
+),
+pts AS (
+  SELECT l_orderkey, l_shipdate FROM lineitem WHERE l_orderkey <= 3000
+)
+SELECT iv.o_orderkey, count(*) AS n_in_range
+FROM iv JOIN pts
+  ON pts.l_shipdate >= iv.lo AND pts.l_shipdate <= iv.hi
+GROUP BY iv.o_orderkey
+""",
+    category="analytics",
+)
+def join_range_banded(spark, t):
+    """Pure-inequality (point-in-interval) join at scale
+    (operators/rangejoin.banded_range_join): ship dates of UNRELATED
+    lineitems counted into each order's date interval. With no
+    equality key Spark would plan a BroadcastNestedLoopJoin —
+    O(|L|x|R|) — so the operator quantizes time into 30-day bands,
+    explodes intervals over covered bands, and equi-joins on the
+    band id with an exact re-check; the never-nested-loop shape is
+    plan-gated in tests/test_plan_audit.py. The oracle runs the
+    honest quadratic join (fine at oracle scale, the whole point is
+    that the engine doesn't)."""
+    from ..operators.rangejoin import banded_range_join
+
+    iv = t.orders.filter(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("lo"),
+        (
+            F.col("o_orderdate")
+            + ((F.col("o_orderkey") % 20) * F.expr("INTERVAL 1 DAY"))
+        ).cast("timestamp").alias("hi"),
+    )
+    pts = t.lineitem.filter(F.col("l_orderkey") <= 3000).select(
+        F.col("l_shipdate").cast("timestamp").alias("p")
+    )
+    joined = banded_range_join(
+        pts, iv, "p", "lo", "hi", band_seconds=30 * 86400
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_in_range")
+    )

@@ -324,3 +324,41 @@ def test_logreg_predict_map_only_and_featurize_one_shuffle(spark, sf_dir):
     plan2 = audit.formatted_plan(scored.filter(F.col("score") > 0.5))
     # no exchange beyond the featurization's own two
     assert len(re.findall(r"\(\d+\) Exchange", plan2)) == 2, plan2
+
+
+def test_range_join_banded_never_nested_loop(spark, sf_dir, qs):
+    """join_range_banded: the band equi-join must plan as a hash/SMJ
+    join — never BroadcastNestedLoopJoin or CartesianProduct, the
+    plans Spark falls back to for pure-inequality joins."""
+    df = qs["join_range_banded"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "Join" in plan, plan
+
+
+def test_range_join_banded_matches_naive(spark, sf_dir):
+    """Band + exact recheck must equal the naive inequality join."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.catalog import load_table
+    from hdp2_5_hive_spark.operators.rangejoin import banded_range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = orders.filter("o_orderkey <= 200").select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("timestamp").alias("lo"),
+        (F.col("o_orderdate") + ((F.col("o_orderkey") % 11)
+         * F.expr("INTERVAL 1 DAY"))).cast("timestamp").alias("hi"),
+    )
+    pts = li.filter("l_orderkey <= 500").select(
+        F.col("l_shipdate").cast("timestamp").alias("p")
+    )
+    banded = banded_range_join(pts, iv, "p", "lo", "hi", band_seconds=86400 * 7)
+    naive = pts.crossJoin(iv).filter(
+        F.col("p").between(F.col("lo"), F.col("hi"))
+    )
+    a = sorted(tuple(r) for r in banded.select("o_orderkey", "p").collect())
+    b = sorted(tuple(r) for r in naive.select("o_orderkey", "p").collect())
+    assert a == b and a
