@@ -164,6 +164,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "quality_bigram_bits",
     "agg_bit_ops",
     "join_range_banded",
+    "corpus_ngram_novelty",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -983,3 +983,64 @@ def dedup_semantic_clusters(spark, t):
             & (F.max(F.abs(F.col("cos2") - F.col("cosine"))) < 1e-9)
         ).alias("all_valid"),
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) s
+  WHERE len(w) >= 3
+),
+firsts AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       ROUND(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM grams JOIN firsts USING (g)
+GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def corpus_ngram_novelty(spark, t):
+    """Ordered n-gram NOVELTY per document: the fraction of a doc's
+    distinct 3-grams whose FIRST corpus occurrence (by doc_id order
+    — ingestion order in a real pipeline) is this doc. The curation
+    signal behind dedup-aware sampling: late boilerplate scores near
+    0, genuinely new text near 1 — and unlike pairwise dedup it
+    prices PARTIAL overlap without any pair join. Plan: distinct
+    (doc, gram) partials → one gram-keyed min aggregate → join back
+    on gram; grams shuffle once each way, no pair blowup at any
+    corpus size."""
+    docs = t.documents
+    from ..operators import dedup as dd
+
+    grams = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                dd.shingles_col(F.col("text"), k=3)
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        grams.join(firsts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            F.round(
+                F.sum(novel) / F.count(F.lit(1)).cast("double"), 6
+            ).alias("novelty"),
+        )
+    )
