@@ -151,3 +151,117 @@ def bigram_logprob(
             6,
         ).alias("bits_per_bigram"),
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n_buckets: int = 512,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023 —
+    public): score every raw document by how much more likely its
+    hashed n-gram features are under the TARGET domain's bucket
+    distribution than under the raw corpus's own.
+
+    Features are the paper's hashed bag of unigrams+bigrams: each
+    gram maps to ``md5(gram) mod n_buckets`` (engine-portable hash —
+    see features.md5_bucket), and both distributions are
+    Laplace-smoothed bucket unigram models:
+
+        p[b] = (count[b] + 1) / (N + n_buckets)
+
+    The per-doc importance log-weight is
+
+        sum over grams g of log2( p_target[bucket(g)] / p_raw[...] )
+
+    Selecting the top-weighted docs (downstream ORDER BY + LIMIT, or
+    the md5-ordered deterministic samplers in corpus.py) is the DSIR
+    resampling step; this operator produces the weights.
+
+    Scale shape (100 TB): one explode + one (doc, bucket) keyed
+    aggregate with map-side combine — the word-count shape. Both
+    models are aggregates of that table with AT MOST ``n_buckets``
+    rows, so the score join is an explicit broadcast; totals are a
+    1-row broadcast. No vocabulary table, no driver state beyond the
+    1-row totals, no second pass over text.
+
+    Float-parity discipline: the per-bucket log term is rounded to 6
+    decimals and accumulated as DECIMAL(38,6) times the count —
+    exact, order-independent sums any SQL oracle reproduces (the
+    unigram_logprob trick).
+
+    ``target_filter``: boolean Column over ``df``'s rows marking the
+    in-domain subset (e.g. ``F.col("lang") == "en"`` for an
+    English-Wikipedia-like target). The target is a SUBSET of the
+    corpus, so every target bucket also appears in the raw model.
+    """
+    from .features import md5_bucket
+    from .util import ensure_parallelism
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        target_filter.alias("_is_t"),
+        words_col(F.col(text_col)).alias("_wa"),
+    )
+    wa = F.col("_wa")
+    uni = base.select(
+        id_col, "_is_t", F.explode(wa).alias("g")
+    ).filter(F.col("g") != "")
+    big = base.select(
+        id_col,
+        "_is_t",
+        F.explode(
+            F.when(
+                F.size(wa) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(wa) - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at(wa, i), F.element_at(wa, i + 1)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    grams = uni.unionByName(big)
+    doc_bucket = grams.groupBy(
+        F.col(id_col),
+        F.col("_is_t"),
+        md5_bucket(F.col("g"), n_buckets).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("dc"))
+
+    raw = doc_bucket.groupBy("b").agg(F.sum("dc").alias("cr"))
+    tgt = (
+        doc_bucket.filter(F.col("_is_t"))
+        .groupBy("b")
+        .agg(F.sum("dc").alias("ct"))
+    )
+    model = raw.join(tgt, "b", "left").select(
+        "b", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"), "cr"
+    )
+    totals = model.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    scored = doc_bucket.join(F.broadcast(model), "b").crossJoin(
+        F.broadcast(totals)
+    )
+    term = F.round(
+        F.log2(
+            (F.col("ct") + 1).cast("double")
+            * (F.col("nr") + n_buckets).cast("double")
+            / (
+                (F.col("cr") + 1).cast("double")
+                * (F.col("nt") + n_buckets).cast("double")
+            )
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    return scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_grams"),
+        F.round(F.sum(term * F.col("dc")).cast("double"), 6).alias(
+            "log2_ratio"
+        ),
+    )

@@ -165,6 +165,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_bit_ops",
     "join_range_banded",
     "corpus_ngram_novelty",
+    "quality_dsir_weights",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1044,3 +1044,63 @@ def corpus_ngram_novelty(spark, t):
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "quality_dsir_weights",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, is_t, unnest(w) AS g FROM base
+),
+big AS (
+  SELECT doc_id, is_t, w[i] || ' ' || w[i + 1] AS g
+  FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+grams AS (
+  SELECT * FROM uni WHERE g <> '' UNION ALL SELECT * FROM big
+),
+db AS (
+  SELECT doc_id, is_t,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS b,
+         COUNT(*) AS dc
+  FROM grams GROUP BY ALL
+),
+raw AS (SELECT b, SUM(dc) AS cr FROM db GROUP BY b),
+tgt AS (SELECT b, SUM(dc) AS ct FROM db WHERE is_t GROUP BY b),
+model AS (
+  SELECT r.b, COALESCE(t.ct, 0) AS ct, r.cr
+  FROM raw r LEFT JOIN tgt t USING (b)
+),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model)
+SELECT doc_id,
+       CAST(SUM(dc) AS BIGINT) AS n_grams,
+       CAST(ROUND(CAST(SUM(
+         CAST(ROUND(LOG2(
+           CAST(ct + 1 AS DOUBLE) * CAST(nr + 512 AS DOUBLE)
+           / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 512 AS DOUBLE))
+         ), 6) AS DECIMAL(38,6)) * dc
+       ) AS DOUBLE), 6) AS DOUBLE) AS log2_ratio
+FROM db JOIN model USING (b), tot
+GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def quality_dsir_weights(spark, t):
+    """DSIR importance weights (operators/quality.dsir_logratio; Xie
+    et al. NeurIPS 2023): per-doc log2 likelihood ratio of hashed
+    unigram+bigram features under the target-domain (lang='en')
+    bucket model vs the raw-corpus model — the data-selection weight
+    whose top-k IS the DSIR resampling step. Both models are
+    ≤512-row broadcast aggregates of the one (doc,bucket) shuffle;
+    DECIMAL-accumulated rounded log terms keep both engines exact."""
+    from ..operators import quality as q
+
+    return q.dsir_logratio(
+        t.documents, F.col("lang") == "en", "doc_id", "text", n_buckets=512
+    )

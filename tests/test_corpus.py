@@ -502,3 +502,44 @@ def test_pack_ffd_matches_reference_and_invariants(spark, sf_dir):
         if not r.oversize:
             fill[(r.shard, r.bin_id)] = fill.get((r.shard, r.bin_id), 0) + r.n_tokens
     assert all(v <= ctx for v in fill.values())
+
+
+def test_dsir_logratio_separates_target_domain(spark):
+    """DSIR importance weights (Xie et al. 2023): docs drawn from
+    the target domain's vocabulary must out-score docs from a
+    disjoint vocabulary, the in-between doc lands in between, and
+    weights are invariant to input partitioning (keyed aggregates
+    only). Hand corpus: target = docs 1-2 ('data' dialect), raw
+    additionally holds docs 3-4 ('cat' dialect) and mixed doc 5."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.operators.quality import dsir_logratio
+
+    rows = [
+        (1, "data model trains on data", "t"),
+        (2, "model trains data model", "t"),
+        (3, "cat sat on the mat", "r"),
+        (4, "the cat and the mat", "r"),
+        (5, "data model cat mat", "r"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = {
+        r.doc_id: r
+        for r in dsir_logratio(
+            df, F.col("grp") == "t", "doc_id", "text", n_buckets=64
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5}
+    # unigrams + bigrams: 5-word doc -> 9 grams
+    assert out[1].n_grams == 9 and out[3].n_grams == 9
+    tgt_min = min(out[1].log2_ratio, out[2].log2_ratio)
+    far_max = max(out[3].log2_ratio, out[4].log2_ratio)
+    assert tgt_min > out[5].log2_ratio > far_max
+    repartitioned = {
+        r.doc_id: r.log2_ratio
+        for r in dsir_logratio(
+            df.repartition(7), F.col("grp") == "t", "doc_id", "text",
+            n_buckets=64,
+        ).collect()
+    }
+    assert repartitioned == {k: v.log2_ratio for k, v in out.items()}
