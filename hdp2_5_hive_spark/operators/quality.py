@@ -265,3 +265,70 @@ def dsir_logratio(
             "log2_ratio"
         ),
     )
+
+
+# Correctly-rounded double for ln(2): spelled as a literal so the
+# Spark expression and any SQL oracle use the IDENTICAL constant
+# rather than two engines' runtime LN(2) evaluations.
+_LN2 = 0.6931471805599453
+
+
+def dsir_resample(
+    df: DataFrame,
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 100,
+    n_buckets: int = 512,
+    seed: str = "dsir-v1",
+) -> DataFrame:
+    """The DSIR RESAMPLING step (Xie et al. 2023 §3): draw ``k``
+    documents without replacement with probability proportional to
+    their importance weights, via the Gumbel top-k trick — per doc,
+
+        key = ln(w) + Gumbel(0,1) = _LN2 * log2_ratio - ln(-ln(u))
+
+    and the k largest keys are exactly a proportional-without-
+    replacement sample (Efraimidis & Spirakis 2006 equivalence).
+
+    RNG-free and engine-portable: u is the md5 of (seed, doc id)
+    mapped into (0,1) — the repo-wide deterministic-sampling idiom
+    (corpus.shuffle_seeded / train_holdout_split), so reruns,
+    retries, and any SQL oracle produce the identical sample.
+
+    Scale shape: the weight table is dsir_logratio's output (one
+    gram shuffle + broadcast model); the top-k is orderBy+limit,
+    which Spark executes as TakeOrderedAndProject — per-partition
+    k-heaps, never a global sort."""
+    w = dsir_logratio(
+        df, target_filter, id_col, text_col, n_buckets=n_buckets
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(seed + ":"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    key = F.lit(_LN2) * F.col("log2_ratio") - F.log(-F.log(u))
+    return (
+        w.withColumn("gumbel_key", key)
+        .orderBy(F.col("gumbel_key").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            "n_grams",
+            "log2_ratio",
+            F.round("gumbel_key", 6).alias("gumbel_key"),
+        )
+    )

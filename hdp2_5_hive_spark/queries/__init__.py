@@ -166,6 +166,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "join_range_banded",
     "corpus_ngram_novelty",
     "quality_dsir_weights",
+    "corpus_dsir_resample",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1104,3 +1104,78 @@ def quality_dsir_weights(spark, t):
     return q.dsir_logratio(
         t.documents, F.col("lang") == "en", "doc_id", "text", n_buckets=512
     )
+
+
+@register(
+    "corpus_dsir_resample",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+),
+uni AS (
+  SELECT doc_id, is_t, unnest(w) AS g FROM base
+),
+big AS (
+  SELECT doc_id, is_t, w[i] || ' ' || w[i + 1] AS g
+  FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+grams AS (
+  SELECT * FROM uni WHERE g <> '' UNION ALL SELECT * FROM big
+),
+db AS (
+  SELECT doc_id, is_t,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS b,
+         COUNT(*) AS dc
+  FROM grams GROUP BY ALL
+),
+raw AS (SELECT b, SUM(dc) AS cr FROM db GROUP BY b),
+tgt AS (SELECT b, SUM(dc) AS ct FROM db WHERE is_t GROUP BY b),
+model AS (
+  SELECT r.b, COALESCE(t.ct, 0) AS ct, r.cr
+  FROM raw r LEFT JOIN tgt t USING (b)
+),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+wts AS (
+  SELECT doc_id,
+         CAST(SUM(dc) AS BIGINT) AS n_grams,
+         CAST(ROUND(CAST(SUM(
+           CAST(ROUND(LOG2(
+             CAST(ct + 1 AS DOUBLE) * CAST(nr + 512 AS DOUBLE)
+             / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 512 AS DOUBLE))
+           ), 6) AS DECIMAL(38,6)) * dc
+         ) AS DOUBLE), 6) AS DOUBLE) AS log2_ratio
+  FROM db JOIN model USING (b), tot
+  GROUP BY doc_id
+),
+keyed AS (
+  SELECT doc_id, n_grams, log2_ratio,
+         0.6931471805599453 * log2_ratio
+         - LN(-LN((CAST('0x' || substr(md5('dsir-v1:' || CAST(doc_id
+               AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0))
+           AS gumbel_key
+  FROM wts
+)
+SELECT doc_id, n_grams, log2_ratio,
+       ROUND(gumbel_key, 6) AS gumbel_key
+FROM keyed
+ORDER BY gumbel_key DESC, doc_id
+LIMIT 100
+""",
+    category="pipeline",
+)
+def corpus_dsir_resample(spark, t):
+    """DSIR proportional-without-replacement resampling
+    (operators/quality.dsir_resample): Gumbel top-k over the
+    importance weights with an md5-seeded deterministic uniform —
+    the selection step that turns DSIR weights into the actual
+    training subset. TakeOrderedAndProject top-k (per-partition
+    heaps), never a global sort."""
+    from ..operators import quality as q
+
+    return q.dsir_resample(
+        t.documents, F.col("lang") == "en", "doc_id", "text",
+        k=100, n_buckets=512,
+    )

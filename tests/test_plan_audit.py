@@ -362,3 +362,17 @@ def test_range_join_banded_matches_naive(spark, sf_dir):
     a = sorted(tuple(r) for r in banded.select("o_orderkey", "p").collect())
     b = sorted(tuple(r) for r in naive.select("o_orderkey", "p").collect())
     assert a == b and a
+
+
+def test_dsir_model_broadcasts_and_topk_never_global_sorts(spark, sf_dir, qs):
+    """DSIR (quality.dsir_logratio/dsir_resample) scale gates: the
+    ≤n_buckets-row model and 1-row totals join the (doc,bucket)
+    table as BROADCASTS — document grams shuffle exactly once for
+    the keyed aggregate, never for the scoring join — and the
+    resampling top-k plans as TakeOrderedAndProject (per-partition
+    heaps), not Exchange+Sort over every weight."""
+    w = qs["quality_dsir_weights"].fn(spark, sf_dir)
+    audit.assert_broadcast(w, at_least=2)
+    r = qs["corpus_dsir_resample"].fn(spark, sf_dir)
+    plan = audit.formatted_plan(r)
+    assert "TakeOrderedAndProject" in plan, plan
