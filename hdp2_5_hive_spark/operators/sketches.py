@@ -1,0 +1,92 @@
+"""Mergeable frequency sketches: Count-Min (Cormode & Muthukrishnan
+2005, public) for heavy-hitter estimation over unbounded token
+streams.
+
+The reference's statistics stack estimates NDV per column
+(``ql/.../udf/generic/GenericUDAFComputeStats.java`` — FM/HLL-style
+sketches) but has no frequency sketch; CMS is the standard companion
+(the one-line estimate `min_d cms[d][h_d(x)]`) every large-corpus
+vocabulary/heavy-hitter pipeline carries, and — like the HLL NDV
+sketch beside it in this repo (queries/scalars2.agg_hll_sketch) —
+its whole value at 100 TB is MERGEABILITY: per-partition partial
+counts of fixed width d*w collapse by plain SUM, so the sketch
+costs one keyed aggregate of the token stream and a few KB of state
+no matter the corpus size. Estimation for a probe set joins the
+d*w-row sketch as a broadcast.
+
+Hashing is md5-prefix mod w with the row index mixed into the
+input (``features.md5_bucket`` idiom) — engine-portable, so a SQL
+oracle reproduces the sketch cell-for-cell.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .features import md5_bucket
+
+
+def cms_bucket(col: Column, row: Column, width: int) -> Column:
+    """Hash of token ``col`` for CMS row ``row``: md5 of
+    '<row>:<token>' mod width — independent-enough rows from one
+    engine-portable hash family."""
+    return md5_bucket(F.concat(row.cast("string"), F.lit(":"), col), width)
+
+
+def cms_build(
+    tokens: DataFrame, tok_col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-Min sketch of a token stream: (row s, bucket b, c) cells,
+    c = number of tokens hashing to bucket b under row s's hash.
+    Exactly ``depth`` × ``width`` cells at most; built by ONE keyed
+    aggregate with map-side combine (each input row contributes to
+    ``depth`` cells via a width-``depth`` explode). Merging two
+    sketches (another batch, another day) is SUM over (s, b) —
+    associative, the mergeability that makes it a sketch."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("s")
+    return (
+        tokens.select(F.col(tok_col).alias("_tok"), rows)
+        .groupBy(
+            "s", cms_bucket(F.col("_tok"), F.col("s"), width).alias("b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    probes: DataFrame,
+    sketch: DataFrame,
+    tok_col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-frequency estimates for a probe token set: est(x) =
+    min over rows s of sketch[s][h_s(x)]. Never underestimates
+    (every cell holds x's true count plus non-negative collisions);
+    overestimate is bounded by the classic 2N/w with probability
+    1 - (1/2)^depth. The ≤ depth·width-row sketch joins as an
+    explicit broadcast — probes shuffle only for their own distinct."""
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("ps")
+    keyed = (
+        probes.select(F.col(tok_col).alias("_tok"))
+        .distinct()
+        .select("_tok", rows)
+        .withColumn(
+            "pb", cms_bucket(F.col("_tok"), F.col("ps"), width)
+        )
+    )
+    hit = keyed.join(
+        F.broadcast(sketch),
+        (F.col("ps") == F.col("s")) & (F.col("pb") == F.col("b")),
+    )
+    return (
+        hit.groupBy("_tok")
+        .agg(F.min("c").alias("cms_est"))
+        .select(F.col("_tok").alias(tok_col), "cms_est")
+    )

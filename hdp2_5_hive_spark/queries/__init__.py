@@ -167,6 +167,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_ngram_novelty",
     "quality_dsir_weights",
     "corpus_dsir_resample",
+    "agg_cms_heavy_hitters",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

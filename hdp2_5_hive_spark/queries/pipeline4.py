@@ -1179,3 +1179,69 @@ def corpus_dsir_resample(spark, t):
         t.documents, F.col("lang") == "en", "doc_id", "text",
         k=100, n_buckets=512,
     )
+
+
+@register(
+    "agg_cms_heavy_hitters",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+t AS (SELECT tok FROM toks WHERE tok <> ''),
+cells AS (
+  SELECT s,
+         CAST('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || tok), 1, 8)
+              AS BIGINT) % 256 AS b,
+         COUNT(*) AS c
+  FROM t, LATERAL (SELECT unnest(range(0, 4)) AS s) r
+  GROUP BY s, b
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt FROM t GROUP BY tok
+  ORDER BY exact_cnt DESC, tok LIMIT 20
+),
+probe AS (
+  SELECT tok, exact_cnt, s,
+         CAST('0x' || substr(md5(CAST(s AS VARCHAR) || ':' || tok), 1, 8)
+              AS BIGINT) % 256 AS b
+  FROM exact, LATERAL (SELECT unnest(range(0, 4)) AS s) r
+)
+SELECT tok,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       CAST(MIN(c) AS BIGINT) AS cms_est,
+       CAST(MIN(c) - exact_cnt AS BIGINT) AS over_est
+FROM probe JOIN cells USING (s, b)
+GROUP BY tok, exact_cnt
+""",
+    category="aggregates",
+)
+def agg_cms_heavy_hitters(spark, t):
+    """Count-Min sketch heavy hitters (operators/sketches.py; Cormode
+    & Muthukrishnan 2005): build the d=4 x w=256 mergeable frequency
+    sketch of the token stream in one keyed aggregate, then estimate
+    the top-20 exact tokens' counts from it — over_est >= 0 row by
+    row is the sketch's no-underestimate guarantee, checked exactly
+    by the oracle. Sketch state is fixed KBs at any corpus size;
+    estimation joins it as a broadcast."""
+    from ..operators import dedup as dd
+    from ..operators import sketches as sk
+
+    toks = t.documents.select(
+        F.explode(dd.words_col(F.col("text"))).alias("tok")
+    ).filter(F.col("tok") != "")
+    sketch = sk.cms_build(toks, "tok", depth=4, width=256)
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+        .limit(20)
+    )
+    est = sk.cms_estimate(exact, sketch, "tok", depth=4, width=256)
+    return exact.join(est, "tok").select(
+        "tok",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+        (F.col("cms_est") - F.col("exact_cnt"))
+        .cast("bigint")
+        .alias("over_est"),
+    )

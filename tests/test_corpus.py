@@ -543,3 +543,38 @@ def test_dsir_logratio_separates_target_domain(spark):
         ).collect()
     }
     assert repartitioned == {k: v.log2_ratio for k, v in out.items()}
+
+
+def test_cms_mergeable_and_never_underestimates(spark):
+    """Count-Min invariants: (1) summing the sketches of two corpus
+    halves cell-for-cell equals the whole-corpus sketch (the
+    mergeability that lets 100 TB build as per-partition partials);
+    (2) every estimate >= the true count; (3) with width far above
+    the vocabulary, estimates are exact."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)] * 2 + [("d",)] * 1
+    toks = spark.createDataFrame(rows, "tok string")
+    h1, h2 = toks.limit(6), toks.exceptAll(toks.limit(6))
+    whole = sk.cms_build(toks, "tok", depth=3, width=32)
+    merged = (
+        sk.cms_build(h1, "tok", depth=3, width=32)
+        .unionByName(sk.cms_build(h2, "tok", depth=3, width=32))
+        .groupBy("s", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
+
+    probes = toks.distinct()
+    est = {
+        r.tok: r.cms_est
+        for r in sk.cms_estimate(
+            probes, whole, "tok", depth=3, width=32
+        ).collect()
+    }
+    true = {"a": 7, "b": 3, "c": 2, "d": 1}
+    assert all(est[t] >= c for t, c in true.items())
+    assert est == true  # width 32 >> 4 tokens: no collisions expected
