@@ -336,3 +336,53 @@ def test_corpus_ingest_stream_dedups_across_batches(spark, tmp_path):
     ).collect()}
     assert set(got) == {"d1", "d3", "d10"}  # d2 gated, d9 deduped
     assert len(set(got.values())) == 3
+
+
+def test_stream_static_broadcast_enrich(spark, tmp_path):
+    """Stream-static enrichment — the production shape for joining a
+    firehose against a dimension table: the static side needs no
+    watermark, is re-resolvable per micro-batch, and (being small)
+    should BROADCAST inside each micro-batch rather than shuffle the
+    stream. Left join keeps events whose dimension row is missing."""
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("user_id", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows = [
+        ("2024-01-01 00:00:10", "a"),
+        ("2024-01-01 00:00:50", "b"),
+        ("2024-01-01 00:01:10", "z"),  # no dimension row
+    ]
+    spark.createDataFrame(rows, "ts string, user_id string").select(
+        F.to_timestamp("ts").alias("ts"), "user_id"
+    ).write.parquet(src)
+    dims = spark.createDataFrame(
+        [("a", "gold"), ("b", "basic"), ("c", "basic")],
+        "user_id string, tier string",
+    )
+
+    stream = read_event_stream(spark, src, schema)
+    enriched = stream.join(F.broadcast(dims), "user_id", "left").select(
+        "user_id", "ts", F.coalesce("tier", F.lit("unknown")).alias("tier")
+    )
+    assert enriched.isStreaming
+    out = str(tmp_path / "out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option("path", out)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: r.tier for r in spark.read.parquet(out).collect()
+    }
+    assert got == {"a": "gold", "b": "basic", "z": "unknown"}
+    # The micro-batch plan broadcast the dimension: no shuffle of the
+    # stream side for the join.
+    plan = q._jsq.explainInternal(True)
+    assert "BroadcastHashJoin" in plan, plan
