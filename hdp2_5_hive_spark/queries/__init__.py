@@ -168,6 +168,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "quality_dsir_weights",
     "corpus_dsir_resample",
     "agg_cms_heavy_hitters",
+    "fn_context_aliases",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1100,3 +1100,49 @@ def fn_hash_multiarg(spark, t):
         hc.resign32(h_str).alias("h_str"),
         hc.java_hash_fold(h_int, h_long, h_bool, h_str).alias("h_multi"),
     )
+
+
+@register(
+    "fn_context_aliases",
+    oracle="""
+SELECT CAST(3 AS BIGINT) AS ceiling_val,
+       lcase('AbC') AS lcase_val,
+       (current_date >= DATE '2026-01-01') AS date_after_2026,
+       (current_timestamp >= TIMESTAMP '2026-01-01') AS ts_after_2026,
+       (length(current_database()) > 0) AS has_db,
+       TRUE AS user_known,
+       CAST(NULL AS VARCHAR) AS assert_ok,
+       CAST(1704164645 AS BIGINT) AS unix_val,
+       CAST(1.5 AS DOUBLE) AS xf,
+       CAST(1.5 AS DOUBLE) AS xn,
+       CAST(7 AS INTEGER) AS xs
+""",
+    category="scalars",
+)
+def fn_context_aliases(spark, t):
+    """The tail of FunctionRegistry.java the other scalar suites
+    didn't spell by NAME: alias registrations (``ceiling``→ceil,
+    ``lcase``→lower, ``to_unix_timestamp``→unix_timestamp,
+    ``xpath_float/xpath_number/xpath_short``) and the session-context
+    UDFs (``current_date/current_timestamp/current_database/
+    current_user`` — GenericUDFCurrent*.java) plus ``assert_true``.
+    Every expression below is the HiveQL NAME, evaluated by Spark's
+    own builtin of the same name; context values are asserted by
+    stable predicates (a date/timestamp lower bound, nonempty
+    database, non-null user) because their literal values are
+    session-dependent by definition."""
+    return spark.sql(
+        """
+SELECT CAST(ceiling(2.3) AS BIGINT)                       AS ceiling_val,
+       lcase('AbC')                                       AS lcase_val,
+       current_date() >= DATE '2026-01-01'                AS date_after_2026,
+       current_timestamp() >= TIMESTAMP '2026-01-01'      AS ts_after_2026,
+       length(current_database()) > 0                     AS has_db,
+       current_user() IS NOT NULL                         AS user_known,
+       CAST(assert_true(2 > 1) AS STRING)                 AS assert_ok,
+       to_unix_timestamp('2024-01-02 03:04:05')           AS unix_val,
+       CAST(xpath_float('<a><b>1.5</b></a>', 'sum(a/b)') AS DOUBLE)  AS xf,
+       CAST(xpath_number('<a><b>1.5</b></a>', 'sum(a/b)') AS DOUBLE) AS xn,
+       CAST(xpath_short('<a><b>7</b></a>', 'sum(a/b)') AS INT)       AS xs
+"""
+    )
