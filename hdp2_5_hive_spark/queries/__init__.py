@@ -169,6 +169,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_dsir_resample",
     "agg_cms_heavy_hitters",
     "fn_context_aliases",
+    "dedup_source_overlap",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1245,3 +1245,64 @@ def agg_cms_heavy_hitters(spark, t):
         .cast("bigint")
         .alias("over_est"),
     )
+
+
+@register(
+    "dedup_source_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM toks
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+           / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+           AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.6
+)
+SELECT least(da.source, db.source)    AS src_a,
+       greatest(da.source, db.source) AS src_b,
+       CAST(COUNT(*) AS BIGINT)       AS n_pairs,
+       MAX(jaccard)                   AS max_jaccard
+FROM pairs
+JOIN documents da ON pairs.id_a = da.doc_id
+JOIN documents db ON pairs.id_b = db.doc_id
+GROUP BY 1, 2
+""",
+    category="pipeline",
+)
+def dedup_source_overlap(spark, t):
+    """Cross-source duplication matrix — the curation analytics view
+    over near-dup pairs: for every unordered pair of sources, how
+    many documents near-duplicate each other across (or within)
+    them. This is how a corpus owner finds that crawl A re-scraped
+    crawl B before deciding which to keep. Plan: the banded-LSH pair
+    generation (never all-pairs) + two id-keyed joins to attach each
+    side's source + one tiny |sources|² aggregate; MAX(jaccard) not
+    AVG keeps the float column order-independent, so both engines
+    agree exactly."""
+    docs = t.documents
+    pairs = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.6)
+    sa = docs.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa"))
+    sb = docs.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
