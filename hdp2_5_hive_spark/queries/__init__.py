@@ -170,6 +170,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_cms_heavy_hitters",
     "fn_context_aliases",
     "dedup_source_overlap",
+    "emb_cluster_balanced_sample",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

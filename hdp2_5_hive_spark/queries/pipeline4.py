@@ -1306,3 +1306,37 @@ def dedup_source_overlap(spark, t):
             F.max("jaccard").alias("max_jaccard"),
         )
     )
+
+
+@register(
+    "emb_cluster_balanced_sample",
+    oracle=None,  # k-means is iterative (rows-only like
+    # emb_kmeans_clusters); balance/determinism invariants are pinned
+    # in tests/test_embeddings_pca.py.
+    category="pipeline",
+)
+def emb_cluster_balanced_sample(spark, t):
+    """Cluster-balanced diversity sampling — the coreset-flavored
+    selection step (SemDeDup/DataComp family): k-means the embedding
+    space, then take an EQUAL md5-ordered quota from every cluster,
+    so the sample spans the space instead of mirroring its density.
+    Plan: Lloyd rounds are bounded (k·d partials per round, broadcast
+    centroids), assignment is map-only, and the per-cluster quota is
+    the WindowGroupLimit top-n (map-side heaps) — one final shuffle
+    on the cluster key."""
+    from ..operators import embeddings as em
+
+    from pyspark.sql import Window as W
+
+    vecs = t.embeddings
+    cents = em.kmeans_train(vecs, "embedding", "vec_id", k=8, n_iter=10)
+    assigned = em.kmeans_assign(vecs, cents, "vec_id", "embedding")
+    w = W.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assigned.select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )

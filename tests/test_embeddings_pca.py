@@ -121,3 +121,49 @@ def test_kmeans_partition_invariant_and_inertia(spark, sf_dir):
     i_init = emb.kmeans_assign(df, init).agg({"sq_dist": "sum"}).collect()[0][0]
     i_fit = emb.kmeans_assign(df, c1).agg({"sq_dist": "sum"}).collect()[0][0]
     assert i_fit < i_init
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    """Cluster-balanced sampling: every cluster contributes
+    min(quota, cluster size) rows, and the picked set is identical
+    under a different input partitioning (md5 order, no RNG)."""
+    import numpy as np
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.operators import embeddings as em
+
+    rng = np.random.default_rng(7)
+    # two well-separated blobs of very different sizes
+    rows = [
+        (f"a{i}", (rng.normal(0, 0.05, 4) + [5, 0, 0, 0]).tolist())
+        for i in range(40)
+    ] + [
+        (f"b{i}", (rng.normal(0, 0.05, 4) + [-5, 0, 0, 0]).tolist())
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    def pick(frame):
+        cents = em.kmeans_train(frame, "embedding", "vec_id", k=2, n_iter=8)
+        assigned = em.kmeans_assign(frame, cents, "vec_id", "embedding")
+        w = W.partitionBy("cluster").orderBy(
+            F.md5(F.col("vec_id").cast("string")), "vec_id"
+        )
+        return (
+            assigned.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+        )
+
+    got = pick(df).collect()
+    by_cluster: dict[int, int] = {}
+    for r in got:
+        by_cluster[r.cluster] = by_cluster.get(r.cluster, 0) + 1
+    # big blob capped at 10, small blob contributes all 3
+    assert sorted(by_cluster.values()) == [3, 10]
+    small = {r.vec_id for r in got if r.vec_id.startswith("b")}
+    assert small == {"b0", "b1", "b2"}
+
+    again = {(r.vec_id, r.cluster) for r in pick(df.repartition(9)).collect()}
+    assert again == {(r.vec_id, r.cluster) for r in got}
