@@ -376,3 +376,37 @@ def test_dsir_model_broadcasts_and_topk_never_global_sorts(spark, sf_dir, qs):
     r = qs["corpus_dsir_resample"].fn(spark, sf_dir)
     plan = audit.formatted_plan(r)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
+    """MIN/MAX/COUNT with spark.sql.parquet.aggregatePushdown push
+    into the DSv2 parquet scan (PushedAggregation) and answer from
+    footer statistics — at 100 TB these become metadata reads, not
+    table scans. Confs are restored so the rest of the suite keeps
+    the v1 path it was validated on."""
+    saved_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        agg = li.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan
+        got = agg.collect()[0]
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", saved_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+    ref = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_quantity").alias("mn"),
+            F.max("l_quantity").alias("mx"),
+        )
+        .collect()[0]
+    )
+    assert (got.n, got.mn, got.mx) == (ref.n, ref.mn, ref.mx)
