@@ -171,6 +171,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_context_aliases",
     "dedup_source_overlap",
     "emb_cluster_balanced_sample",
+    "corpus_clean_v4",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

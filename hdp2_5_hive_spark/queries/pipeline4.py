@@ -1340,3 +1340,133 @@ def emb_cluster_balanced_sample(spark, t):
         .filter(F.col("rn") <= 10)
         .drop("rn")
     )
+
+
+@register(
+    "corpus_clean_v4",
+    oracle="""
+WITH w3 AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w
+            FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE [] END AS s
+  FROM w3
+),
+contaminated AS (
+  SELECT DISTINCT a.doc_id
+  FROM sh a JOIN sh b ON a.source <> 'src0' AND b.source = 'src0'
+  WHERE len(a.s) + len(b.s) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.5
+),
+survivors AS (
+  SELECT doc_id, text, lang FROM documents
+  WHERE source <> 'src0'
+    AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+),
+base AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         string_split(lower(text), ' ') AS w
+  FROM survivors
+),
+uni AS (SELECT doc_id, is_t, unnest(w) AS g FROM base),
+big AS (
+  SELECT doc_id, is_t, w[i] || ' ' || w[i + 1] AS g
+  FROM base, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+grams AS (SELECT * FROM uni WHERE g <> '' UNION ALL SELECT * FROM big),
+db AS (
+  SELECT doc_id, is_t,
+         CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 512 AS b,
+         COUNT(*) AS dc
+  FROM grams GROUP BY ALL
+),
+raw AS (SELECT b, SUM(dc) AS cr FROM db GROUP BY b),
+tgt AS (SELECT b, SUM(dc) AS ct FROM db WHERE is_t GROUP BY b),
+model AS (
+  SELECT r.b, COALESCE(t.ct, 0) AS ct, r.cr
+  FROM raw r LEFT JOIN tgt t USING (b)
+),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM model),
+wts AS (
+  SELECT doc_id,
+         CAST(ROUND(CAST(SUM(
+           CAST(ROUND(LOG2(
+             CAST(ct + 1 AS DOUBLE) * CAST(nr + 512 AS DOUBLE)
+             / (CAST(cr + 1 AS DOUBLE) * CAST(nt + 512 AS DOUBLE))
+           ), 6) AS DECIMAL(38,6)) * dc
+         ) AS DOUBLE), 6) AS DOUBLE) AS log2_ratio
+  FROM db JOIN model USING (b), tot
+  GROUP BY doc_id
+),
+sel AS (
+  SELECT doc_id, log2_ratio
+  FROM wts
+  ORDER BY 0.6931471805599453 * log2_ratio
+           - LN(-LN((CAST('0x' || substr(md5('dsir-v1:' || CAST(doc_id
+                 AS VARCHAR)), 1, 8) AS BIGINT) + 0.5) / 4294967296.0))
+           DESC, doc_id
+  LIMIT 150
+),
+keyed AS (
+  SELECT doc_id, log2_ratio,
+         md5('clean-v4' || CAST(doc_id AS VARCHAR)) AS skey
+  FROM sel
+)
+SELECT doc_id,
+       CAST(CAST('0x' || substr(skey, 1, 8) AS BIGINT) % 4 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+              PARTITION BY CAST('0x' || substr(skey, 1, 8) AS BIGINT) % 4
+              ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos,
+       log2_ratio
+FROM keyed
+ORDER BY shard, pos
+""",
+    category="pipeline",
+)
+def corpus_clean_v4(spark, t):
+    """End-to-end training-corpus pipeline v4 — the SELECTION-centric
+    flagship beside v3's masking-centric one, composed from this
+    session's operators and oracle-checked end to end: MinHash fuzzy
+    decontamination against the 'src0' eval slice (LSH candidates +
+    exact confirm, anti join) → DSIR importance weights over the
+    decontaminated corpus (target = lang='en', 512-bucket broadcast
+    models) → Gumbel top-150 proportional resampling (md5-seeded,
+    deterministic) → seeded shuffle into 4 training shards. One
+    composed plan; every stage's scale shape is individually
+    plan-gated by its operator's gate."""
+    from ..operators import quality as q
+
+    docs = t.documents
+    pairs = dd.near_duplicate_pairs(docs, "doc_id", "text", threshold=0.5)
+    side = docs.select("doc_id", (F.col("source") == "src0").alias("is_eval"))
+    a = side.select(F.col("doc_id").alias("id_a"), F.col("is_eval").alias("ea"))
+    b = side.select(F.col("doc_id").alias("id_b"), F.col("is_eval").alias("eb"))
+    contaminated = (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .filter(F.col("ea") != F.col("eb"))
+        .select(
+            F.when(F.col("ea"), F.col("id_b")).otherwise(F.col("id_a")).alias("doc_id")
+        )
+        .distinct()
+    )
+    survivors = (
+        docs.filter(F.col("source") != "src0")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "text", "lang")
+    )
+    sel = q.dsir_resample(
+        survivors, F.col("lang") == "en", "doc_id", "text",
+        k=150, n_buckets=512, seed="dsir-v1",
+    ).select("doc_id", "log2_ratio")
+    ordered = cp.shuffle_seeded(
+        sel, "doc_id", seed="clean-v4", n_shards=4, carry=("log2_ratio",)
+    )
+    return ordered.select("doc_id", "shard", "pos", "log2_ratio").orderBy(
+        "shard", "pos"
+    )
