@@ -172,6 +172,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "dedup_source_overlap",
     "emb_cluster_balanced_sample",
     "corpus_clean_v4",
+    "vocab_pmi_collocations",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

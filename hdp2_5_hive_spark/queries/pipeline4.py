@@ -1470,3 +1470,96 @@ def corpus_clean_v4(spark, t):
     return ordered.select("doc_id", "shard", "pos", "log2_ratio").orderBy(
         "shard", "pos"
     )
+
+
+@register(
+    "vocab_pmi_collocations",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+big AS (SELECT w1, w2, COUNT(*) AS c12 FROM grams GROUP BY w1, w2),
+left_m AS (SELECT w1, SUM(c12) AS c1 FROM big GROUP BY w1),
+right_m AS (SELECT w2, SUM(c12) AS c2 FROM big GROUP BY w2),
+tot AS (SELECT SUM(c12) AS n FROM big),
+scored AS (
+  SELECT w1, w2, c12,
+         ROUND(LOG2(CAST(c12 AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE))), 6) AS pmi
+  FROM big JOIN left_m USING (w1) JOIN right_m USING (w2), tot
+  WHERE c12 >= 5
+)
+SELECT w1, w2, CAST(c12 AS BIGINT) AS c12, pmi
+FROM scored
+ORDER BY pmi DESC, w1, w2
+LIMIT 50
+""",
+    category="pipeline",
+)
+def vocab_pmi_collocations(spark, t):
+    """Collocation mining by pointwise mutual information — the
+    word2phrase step (Mikolov et al. 2013) that finds multi-word
+    units worth fusing before tokenizer training: PMI(w1,w2) =
+    log2(c12·N / (c1·c2)) over adjacent bigrams, support-filtered
+    (c12 ≥ 5), top-50. Plan: one bigram-keyed aggregate; the two
+    marginals are aggregates OF that table (vocab-bounded, not
+    corpus-bounded) joining back on their word keys; N is a 1-row
+    broadcast; top-50 is TakeOrderedAndProject. PMI is rounded to 6
+    decimals BEFORE the ordering, so ranking is ulp-robust across
+    engines."""
+    docs = t.documents
+    # Bind the token array ONCE (the shingles_col discipline —
+    # closing the split() expression into the transform lambda would
+    # re-split per element, O(n^2) per doc).
+    base = docs.select(dd.words_col(F.col("text")).alias("_wa"))
+    wa = F.col("_wa")
+    grams = (
+        base.select(
+            F.explode(
+                F.when(
+                    F.size(wa) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(wa) - 1),
+                        lambda i: F.struct(
+                            F.element_at(wa, i).alias("w1"),
+                            F.element_at(wa, i + 1).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<w1:string,w2:string>>")
+                )
+            ).alias("g")
+        )
+        .select("g.w1", "g.w2")
+    )
+    big = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left_m = big.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    right_m = big.groupBy("w2").agg(F.sum("c12").alias("c2"))
+    tot = big.agg(F.sum("c12").alias("n"))
+    scored = (
+        big.filter(F.col("c12") >= 5)
+        .join(left_m, "w1")
+        .join(right_m, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.round(
+                F.log2(
+                    F.col("c12").cast("double") * F.col("n").cast("double")
+                    / (
+                        F.col("c1").cast("double")
+                        * F.col("c2").cast("double")
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
