@@ -81,12 +81,17 @@ def cms_estimate(
             "pb", cms_bucket(F.col("_tok"), F.col("ps"), width)
         )
     )
+    # LEFT join + coalesce(0): a sketch CELL that was never touched
+    # holds an implicit zero — an inner join would silently drop (or
+    # overestimate from the remaining cells) a probe token the corpus
+    # never contained, whose correct estimate is exactly 0.
     hit = keyed.join(
         F.broadcast(sketch),
         (F.col("ps") == F.col("s")) & (F.col("pb") == F.col("b")),
+        "left",
     )
     return (
         hit.groupBy("_tok")
-        .agg(F.min("c").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
         .select(F.col("_tok").alias(tok_col), "cms_est")
     )

@@ -578,3 +578,23 @@ def test_cms_mergeable_and_never_underestimates(spark):
     true = {"a": 7, "b": 3, "c": 2, "d": 1}
     assert all(est[t] >= c for t, c in true.items())
     assert est == true  # width 32 >> 4 tokens: no collisions expected
+
+
+def test_cms_absent_token_estimates_zero(spark):
+    """A probe token the corpus never contained must estimate 0 —
+    its cells are absent from the sparse sketch representation and
+    count as implicit zeros (regression: an inner cell join dropped
+    or overestimated such probes)."""
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    toks = spark.createDataFrame([("a",), ("b",)], "tok string")
+    sketch = sk.cms_build(toks, "tok", depth=3, width=8)
+    probes = spark.createDataFrame([("zzz",), ("a",)], "tok string")
+    est = {
+        r.tok: r.cms_est
+        for r in sk.cms_estimate(
+            probes, sketch, "tok", depth=3, width=8
+        ).collect()
+    }
+    assert est["zzz"] == 0
+    assert est["a"] >= 1
