@@ -198,6 +198,11 @@ def dsir_logratio(
     in-domain subset (e.g. ``F.col("lang") == "en"`` for an
     English-Wikipedia-like target). The target is a SUBSET of the
     corpus, so every target bucket also appears in the raw model.
+
+    Documents yielding no features (empty text / all-empty tokens)
+    have no likelihood-ratio evidence and are OMITTED from the
+    output — downstream resampling can therefore never select them,
+    which is the conservative choice for a training-data filter.
     """
     from .features import md5_bucket
     from .util import ensure_parallelism
