@@ -69,3 +69,188 @@ def quantize_int8_stats(
         ).alias("max_abs_err"),
         F.round(cosine_col(F.col("_v"), F.col("_dq")), 8).alias("cos_dequant"),
     )
+
+
+def pq_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 8,
+):
+    """Product-quantization codebooks (Jégou, Douze, Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011 — public):
+    split the d dims into ``m`` contiguous subspaces and k-means each
+    independently. Returns an (m, k, d//m) numpy array.
+
+    Each subspace trains via embeddings.kmeans_train on a SLICED
+    column — the same bounded-partial Lloyd rounds (k·(d/m) floats
+    per partition per round, md5-deterministic init), m of them.
+    d must be divisible by m."""
+    import numpy as np
+
+    from .embeddings import kmeans_train
+
+    first = df.select(vec_col).first()
+    d = len(first[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        sl = df.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), j * sub + 1, sub).alias(vec_col),
+        )
+        books.append(
+            kmeans_train(sl, vec_col, id_col, k=k, n_iter=n_iter)
+        )
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes): each vector compressed to ``m`` small ints — the
+    nearest codebook entry per subspace. Map-only (one Arrow pass,
+    broadcast (m,k,sub) codebooks in the closure); at 100 TB this is
+    the IO win — m bytes replace d floats in every downstream
+    shuffle."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    c = np.asarray(codebooks, dtype=np.float64)  # (m, k, sub)
+    m, _, sub = c.shape
+    schema = StructType(
+        [
+            StructField("vec_id", StringType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+    cols = df.select(
+        F.col(id_col).cast("string").alias("vec_id"), F.col(vec_col)
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub : (j + 1) * sub]
+                cj = c[j]
+                dist = -2.0 * (xs @ cj.T) + (cj * cj).sum(axis=1)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    return cols.mapInPandas(encode, schema)
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    queries_df: DataFrame,
+    codebooks,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k_top: int = 5,
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query a
+    (m, k) table of exact squared distances from its subvectors to
+    every codebook entry; a vector's approximate distance is the sum
+    of m table lookups — no float vectors are ever read again.
+
+    Scale shape: the query set is BOUNDED and collected (the same
+    contract as similarity.cosine_topk's broadcast queries); tables
+    ship in the closure; one Arrow pass over the codes emits ONLY
+    each batch's per-query top-k (a superset of the global top-k),
+    and a final window takes exact top-k per query. The big side
+    shuffles k_top·n_queries rows per batch, never n·n_queries."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    c = np.asarray(codebooks, dtype=np.float64)
+    m, k, sub = c.shape
+    q_rows = queries_df.select(
+        F.col(id_col).cast("string").alias("qid"), F.col(vec_col)
+    ).collect()
+    qids = [r.qid for r in q_rows]
+    qv = np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in q_rows]
+    )
+    # tables[t, j, code] = ||q_j - c[j, code]||^2
+    tables = np.empty((len(qids), m, k))
+    for j in range(m):
+        qs = qv[:, j * sub : (j + 1) * sub]  # (nq, sub)
+        cj = c[j]  # (k, sub)
+        tables[:, j, :] = (
+            (qs * qs).sum(axis=1)[:, None]
+            - 2.0 * (qs @ cj.T)
+            + (cj * cj).sum(axis=1)
+        )
+    schema = StructType(
+        [
+            StructField("query_id", StringType()),
+            StructField("neighbor_id", StringType()),
+            StructField("adist", DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["codes"]]
+            )  # (n, m)
+            n = len(codes)
+            # dists[t, i] = sum_j tables[t, j, codes[i, j]]
+            dists = np.zeros((len(qids), n))
+            for j in range(m):
+                dists += tables[:, j, :][:, codes[:, j]]
+            top = min(k_top, n)
+            out_q, out_n, out_d = [], [], []
+            for t, qid in enumerate(qids):
+                idx = np.argpartition(dists[t], top - 1)[:top]
+                out_q.extend([qid] * top)
+                out_n.extend(pdf["vec_id"].iloc[idx])
+                out_d.extend(dists[t, idx])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+            )
+
+    cand = codes_df.select("vec_id", "codes").mapInPandas(scan, schema)
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_top)
+        .drop("rn")
+    )

@@ -173,6 +173,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "emb_cluster_balanced_sample",
     "corpus_clean_v4",
     "vocab_pmi_collocations",
+    "ann_pq_recall",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1563,3 +1563,45 @@ def vocab_pmi_collocations(spark, t):
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(50)
+
+
+@register(
+    "ann_pq_recall",
+    oracle="""
+SELECT CAST(100 AS BIGINT) AS n_planted, CAST(true AS BOOLEAN) AS recall_ok
+""",
+    category="pipeline",
+)
+def ann_pq_recall(spark, t):
+    """Quantified recall evidence for the PRODUCT-QUANTIZATION ANN
+    scale path (operators/quantize.pq_*; Jégou et al. 2011), the
+    third leg beside ann_lsh_recall/ann_ivf_recall: m=4, k=16
+    codebooks compress each 64-d vector to 4 bytes; asymmetric-
+    distance top-5 over the same deterministic planted corpus must
+    find >= 70% of the 100 planted nearest-neighbor pairs. The
+    float vectors are never re-read at query time — the whole
+    search runs on the 4-byte codes."""
+    from ..operators import quantize as qz
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    books = qz.pq_train(df, "vec_id", "embedding", m=4, k=16, n_iter=6)
+    codes = qz.pq_encode(df, books, "vec_id", "embedding")
+    topk = qz.pq_topk(
+        codes, df, books, "vec_id", "embedding", k_top=5
+    ).select("query_id", "neighbor_id")
+    hits = topk.filter(
+        F.expr(
+            "substring(query_id, 2) = substring(neighbor_id, 2)"
+            " AND query_id != neighbor_id"
+        )
+    )
+    found = hits.select(
+        F.substring("query_id", 2, 10).alias("pair")
+    ).distinct()
+    return found.agg(
+        F.lit(100).cast("bigint").alias("n_planted"),
+        (F.count(F.lit(1)) >= 70).alias("recall_ok"),
+    )

@@ -167,3 +167,43 @@ def test_cluster_balanced_sample_quota_and_determinism(spark):
 
     again = {(r.vec_id, r.cluster) for r in pick(df.repartition(9)).collect()}
     assert again == {(r.vec_id, r.cluster) for r in got}
+
+
+def test_pq_codes_partition_invariant_and_recall(spark):
+    """Product quantization: (1) codes are a pure function of the
+    vector (identical under repartition); (2) ADC top-5 finds >= 70%
+    of planted nearest-neighbor pairs; (3) encode is map-only (no
+    Exchange in its plan)."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.operators import quantize as qz
+    from hdp2_5_hive_spark.queries.pipeline4 import _planted_vectors
+
+    rows = _planted_vectors(n_pairs=60)
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    books = qz.pq_train(df, "vec_id", "embedding", m=4, k=16, n_iter=5)
+
+    codes = qz.pq_encode(df, books, "vec_id", "embedding")
+    plan = codes._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    a = {r.vec_id: list(r.codes) for r in codes.collect()}
+    b = {
+        r.vec_id: list(r.codes)
+        for r in qz.pq_encode(
+            df.repartition(11), books, "vec_id", "embedding"
+        ).collect()
+    }
+    assert a == b
+
+    topk = qz.pq_topk(codes, df, books, "vec_id", "embedding", k_top=5)
+    hits = topk.filter(
+        F.expr(
+            "substring(query_id, 2) = substring(neighbor_id, 2)"
+            " AND query_id != neighbor_id"
+        )
+    )
+    n = hits.select(F.substring("query_id", 2, 10).alias("p")).distinct().count()
+    assert n >= 42, f"PQ recall {n}/60 below 70%"
+    # every query returns exactly k_top neighbors
+    sizes = topk.groupBy("query_id").count().select("count").distinct().collect()
+    assert [r["count"] for r in sizes] == [5]
