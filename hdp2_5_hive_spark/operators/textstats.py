@@ -8,6 +8,7 @@ stage with full pushdown.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -124,4 +125,45 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         bpe_ish_token_count(text).alias("n_bpe_tokens"),
         lang_id(text).alias("lang_guess"),
         doc_fingerprint(text).alias("fingerprint"),
+    )
+
+
+def normalize_unicode(
+    df: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Unicode canonicalization — the first normalization pass of
+    every text-cleaning pipeline (and the step HDP-era pipelines ran
+    in TRANSFORM scripts): NFC-compose, strip combining accents
+    (NFD + drop Mn marks), collapse ASCII whitespace runs to single
+    spaces, trim. Case and language content are preserved.
+
+    Python's unicodedata is the reference implementation here, so
+    this runs as an Arrow-batched pandas UDF (the cost IS the
+    normalization); map-only, no shuffle. The whitespace class is
+    explicitly [\\t\\n\\f\\r ] so any RE2-based SQL engine reproduces
+    the collapse byte-for-byte."""
+    import re
+    import unicodedata
+
+    ws = re.compile(r"[\t\n\f\r ]+")
+
+    @F.pandas_udf("string")
+    def norm(texts: pd.Series) -> pd.Series:
+        def one(s: str | None) -> str | None:
+            if s is None:
+                return None
+            nfd = unicodedata.normalize(
+                "NFD", unicodedata.normalize("NFC", s)
+            )
+            stripped = "".join(
+                c for c in nfd if not unicodedata.combining(c)
+            )
+            return ws.sub(" ", stripped).strip("\t\n\f\r ")
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col),
+        norm(F.col(text_col)).alias("text_norm"),
+        (norm(F.col(text_col)) != F.col(text_col)).alias("changed"),
     )

@@ -174,6 +174,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_clean_v4",
     "vocab_pmi_collocations",
     "ann_pq_recall",
+    "text_normalize_unicode",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

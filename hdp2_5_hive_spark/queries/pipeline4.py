@@ -1605,3 +1605,27 @@ def ann_pq_recall(spark, t):
         F.lit(100).cast("bigint").alias("n_planted"),
         (F.count(F.lit(1)) >= 70).alias("recall_ok"),
     )
+
+
+@register(
+    "text_normalize_unicode",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(strip_accents(nfc_normalize(text)),
+                           '[\\t\\n\\f\\r ]+', ' ', 'g')) AS text_norm,
+       (trim(regexp_replace(strip_accents(nfc_normalize(text)),
+                            '[\\t\\n\\f\\r ]+', ' ', 'g')) <> text)
+         AS changed
+FROM documents
+""",
+    category="pipeline",
+)
+def text_normalize_unicode(spark, t):
+    """Unicode canonicalization (operators/textstats.
+    normalize_unicode): NFC + accent stripping + whitespace collapse
+    — map-only Arrow-batched pass; the oracle reproduces it with
+    DuckDB's nfc_normalize/strip_accents and the identical explicit
+    whitespace class."""
+    from ..operators import textstats as ts
+
+    return ts.normalize_unicode(t.documents, "doc_id", "text")

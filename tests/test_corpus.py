@@ -598,3 +598,22 @@ def test_cms_absent_token_estimates_zero(spark):
     }
     assert est["zzz"] == 0
     assert est["a"] >= 1
+
+
+def test_normalize_unicode_edges(spark):
+    """Accent stripping keeps non-accent letters (ß, CJK), collapses
+    mixed whitespace, preserves case, passes None through."""
+    from hdp2_5_hive_spark.operators.textstats import normalize_unicode
+
+    rows = [
+        (1, "Café  déjà\tvu"),
+        (2, "中文 ß  OK"),
+        (3, None),
+        (4, "  plain  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in normalize_unicode(df).collect()}
+    assert out[1].text_norm == "Cafe deja vu" and out[1].changed
+    assert out[2].text_norm == "中文 ß OK" and out[2].changed
+    assert out[3].text_norm is None and out[3].changed is None
+    assert out[4].text_norm == "plain" and out[4].changed
