@@ -410,3 +410,73 @@ def test_parquet_aggregate_pushdown_metadata_only(spark, sf_dir):
         .collect()[0]
     )
     assert (got.n, got.mn, got.mx) == (ref.n, ref.mn, ref.mx)
+
+
+# Registry-wide nested-loop whitelist. Every entry is one of:
+#   baseline — labeled all-pairs correctness baseline (a bucketed
+#              production path exists beside it);
+#   scalar   — crossJoin of a 1-row (or driver-bounded) broadcast
+#              aggregate: the standard scalar-broadcast idiom, the
+#              "nested loop" side holds one row;
+#   cross    — a cartesian product IS the query's semantics.
+NESTED_LOOP_OK = {
+    "join_cross": "cross",
+    "ann_cosine_topk": "baseline",
+    "dedup_embedding_cosine": "baseline",
+    "dedup_ngram_jaccard": "baseline",
+    "ann_ivf_topk": "scalar",  # driver-trained quantizer broadcast
+    "retrieval_bm25": "scalar",
+    "quality_unigram_bits": "scalar",
+    "quality_dsir_weights": "scalar",
+    "corpus_dsir_resample": "scalar",
+    "corpus_clean_v4": "scalar",
+    "corpus_mix_temperature": "scalar",
+    "vocab_pmi_collocations": "scalar",
+    "sample_percent": "scalar",
+    "q11_important_stock": "scalar",
+}
+
+# Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
+# time (k-means rounds, BPE merges, LR epochs); each already has its
+# own map-only/plan gate above and in its operator tests. Excluded
+# here to keep the sweep a plan-only pass.
+SWEEP_SKIP = {
+    "vocab_bpe_merges",
+    "vocab_bpe_apply",
+    "quality_learned_classifier",
+    "ann_pq_recall",
+    "emb_pca_project",
+    "emb_kmeans_clusters",
+    "emb_cluster_balanced_sample",
+    "dedup_components_star",
+    "dedup_components",
+    "dedup_keep_list",
+    "dedup_semantic_clusters",
+}
+
+
+def test_registry_wide_no_unplanned_nested_loop(spark, qs):
+    """Global scale invariant over the WHOLE registry: no query may
+    plan a CartesianProduct or BroadcastNestedLoopJoin unless it is
+    whitelisted as a labeled baseline, a 1-row scalar broadcast, or
+    an intentional cross join. A new operator that accidentally
+    degrades to an all-pairs join fails here by name."""
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, q in qs.items():
+        if name in SWEEP_SKIP:
+            continue
+        df = q.fn(spark, sf)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            n
+            for n in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if n in plan
+        ]
+        if hits and name not in NESTED_LOOP_OK:
+            offenders[name] = hits
+    assert not offenders, offenders
+    stale = [
+        n for n in NESTED_LOOP_OK if n not in qs
+    ] + [n for n in SWEEP_SKIP if n not in qs]
+    assert not stale, f"whitelist entries not in registry: {stale}"
