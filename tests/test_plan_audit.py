@@ -424,7 +424,10 @@ NESTED_LOOP_OK = {
     "ann_cosine_topk": "baseline",
     "dedup_embedding_cosine": "baseline",
     "dedup_ngram_jaccard": "baseline",
-    "ann_ivf_topk": "scalar",  # driver-trained quantizer broadcast
+    # ann_ivf_topk's IVF path itself joins equi on cell id; its plan's
+    # BNLJ nodes are the embedded brute-force cosine_topk RECALL
+    # baseline it compares against, plus the 1-row totals crossJoin.
+    "ann_ivf_topk": "baseline",
     "retrieval_bm25": "scalar",
     "quality_unigram_bits": "scalar",
     "quality_dsir_weights": "scalar",
