@@ -175,6 +175,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "vocab_pmi_collocations",
     "ann_pq_recall",
     "text_normalize_unicode",
+    "hiveql_named_window",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

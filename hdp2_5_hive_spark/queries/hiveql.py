@@ -646,3 +646,43 @@ def hiveql_sessionize_text(spark, t):
         FROM sess GROUP BY user_id, session_no
         """
     )
+
+
+@register(
+    "hiveql_named_window",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       rank() OVER w AS rnk,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w2 AS DOUBLE)
+         AS run_spend
+FROM orders
+WHERE o_custkey < 100
+WINDOW w  AS (PARTITION BY o_custkey
+              ORDER BY o_totalprice DESC, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+""",
+    category="hiveql",
+)
+def hiveql_named_window(spark, t):
+    """Named WINDOW clause as SQL text (HiveParser.g window_clause /
+    WindowingSpec.java; qfile ``clientpositive/windowing_windowspec
+    .q``): two window specs defined once and referenced by alias from
+    different functions — the reference's reusable-windowing-spec
+    surface. Running sum goes through DECIMAL(38,6) so the frame
+    accumulation is exact on both engines."""
+    t.orders
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               rank() OVER w AS rnk,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w2
+                    AS DOUBLE) AS run_spend
+        FROM orders
+        WHERE o_custkey < 100
+        WINDOW w  AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey),
+               w2 AS (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
