@@ -176,6 +176,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "ann_pq_recall",
     "text_normalize_unicode",
     "hiveql_named_window",
+    "fmt_jsonl_round_trip",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -614,3 +614,30 @@ def fmt_thrift_sequencefile_round_trip(spark, t):
         rows,
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
     )
+
+
+@register(
+    "fmt_jsonl_round_trip",
+    oracle="""
+SELECT doc_id, lang, source, n_chars, text FROM documents
+WHERE n_chars > 200
+""",
+    category="formats",
+)
+def fmt_jsonl_round_trip(spark, t):
+    """JSON-Lines (JsonSerDe, ``hcatalog/.../JsonSerDe.java`` — and
+    the interchange format every LLM-data pipeline actually ships)
+    write→read round-trip: one JSON object per line out, schema-on-
+    read back. Text containing newlines/quotes survives because the
+    JSON string encoding escapes them — the property that makes
+    JSONL splittable at any corpus size (each line is a record; a
+    100 TB directory splits on line boundaries with no sync
+    markers)."""
+    d = scratch_dir("fmt_jsonl_")
+    src = t.documents.filter(F.col("n_chars") > 200).select(
+        "doc_id", "lang", "source", "n_chars", "text"
+    )
+    src.write.mode("overwrite").json(d)
+    return spark.read.schema(
+        "doc_id long, lang string, source string, n_chars long, text string"
+    ).json(d)
