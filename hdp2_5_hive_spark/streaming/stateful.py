@@ -19,6 +19,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -153,4 +154,43 @@ def running_totals_stream(events, key_col: str = "user_id", value_col: str = "va
         outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
+    )
+
+
+HH_SCHEMA = StructType(
+    [
+        StructField("tok", StringType()),
+        StructField("count", LongType()),
+    ]
+)
+
+
+def heavy_hitters_stream(tokens: DataFrame) -> DataFrame:
+    """Streaming running token counts — the stateful heavy-hitter
+    feed (top-k is a trivial ORDER BY over the sink's latest rows):
+    per-token state is ONE long, updated per micro-batch and emitted
+    in update mode whenever the token appears. State shards by token
+    across the state store exactly like any keyed agg; memory is
+    O(|vocabulary observed|) — cap upstream with the Count-Min
+    sketch (operators/sketches.py) when the key space is unbounded.
+
+    Input column: tok string."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"tok": [key[0]], "count": [n]})
+
+    return tokens.groupBy("tok").applyInPandasWithState(
+        fn,
+        outputStructType=HH_SCHEMA,
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

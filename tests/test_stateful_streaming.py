@@ -116,3 +116,52 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         final[r.user_id] = (r.n, r.total)  # later emissions overwrite
     assert final[1] == (2, 3.0)
     assert final[2] == (1, 5.0)
+
+
+def test_heavy_hitters_accumulate_across_batches(spark, tmp_path):
+    """Stateful running token counts: a second micro-batch ADDS to
+    each token's state (not restarts it), and the latest emission per
+    token is the true cross-batch total."""
+    src = str(tmp_path / "hh_src")
+    (
+        spark.createDataFrame(
+            [("a",), ("a",), ("b",)], "tok string"
+        ).write.parquet(src)
+    )
+    from hdp2_5_hive_spark.streaming.stateful import heavy_hitters_stream
+
+    out = str(tmp_path / "hh_out")
+
+    def drain():
+        stream = spark.readStream.schema("tok string").parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            heavy_hitters_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # latest emission per token = its max running count
+        return {
+            r.tok: r.mx
+            for r in spark.read.parquet(out)
+            .groupBy("tok")
+            .agg(F.max("count").alias("mx"))
+            .collect()
+        }
+
+    first = drain()
+    assert first == {"a": 2, "b": 1}
+    (
+        spark.createDataFrame(
+            [("a",), ("c",)], "tok string"
+        ).write.mode("append").parquet(src)
+    )
+    second = drain()  # same checkpoint: state carries over
+    assert second.get("a") == 3 and second.get("c") == 1
