@@ -177,6 +177,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "text_normalize_unicode",
     "hiveql_named_window",
     "fmt_jsonl_round_trip",
+    "win_session_window_fn",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1629,3 +1629,53 @@ def text_normalize_unicode(spark, t):
     from ..operators import textstats as ts
 
     return ts.normalize_unicode(t.documents, "doc_id", "text")
+
+
+@register(
+    "win_session_window_fn",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         LAG(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR DATE_DIFF('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+), sess AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess
+GROUP BY user_id, sid
+""",
+    category="windows",
+)
+def win_session_window_fn(spark, t):
+    """Spark's NATIVE session_window aggregate in batch mode — the
+    built-in twin of the lag+cumsum idiom (events_sessionize) and of
+    the streaming session operator (streaming/stateful.py): dynamic-
+    gap windows merge at the aggregate, one shuffle on (user, window
+    merge). The oracle derives identical sessions from the windowed
+    gap algebra; session_end is last_event + gap by session_window's
+    definition."""
+    ev = t.events.select("user_id", "event_id", F.col("ts").alias("tts"))
+    sess = ev.groupBy(
+        "user_id", F.session_window("tts", "30 minutes").alias("w")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
+    )
