@@ -367,3 +367,36 @@ def test_pack_ffd_capacity_and_totals(spark, lens, ctx):
             key = (r.shard, r.bin_id)
             fill[key] = fill.get(key, 0) + r.n_tokens
             assert fill[key] <= ctx
+
+
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=3),
+        min_size=1,
+        max_size=40,
+    ),
+    depth=st.integers(min_value=1, max_value=4),
+    width=st.integers(min_value=2, max_value=16),
+)
+@SET
+def test_cms_never_underestimates_any_corpus(spark, toks, depth, width):
+    """Count-Min's one-sided error guarantee holds on ANY corpus and
+    any (depth, width): estimate >= exact count for every token —
+    including degenerate all-identical and collision-heavy tiny-width
+    cases."""
+    from collections import Counter
+
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(t,) for t in toks], "tok string")
+    sketch = sk.cms_build(df, "tok", depth=depth, width=width)
+    est = {
+        r.tok: r.cms_est
+        for r in sk.cms_estimate(
+            df.distinct(), sketch, "tok", depth=depth, width=width
+        ).collect()
+    }
+    exact = Counter(toks)
+    assert set(est) == set(exact)
+    for tok, c in exact.items():
+        assert est[tok] >= c
