@@ -178,6 +178,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_named_window",
     "fmt_jsonl_round_trip",
     "win_session_window_fn",
+    "events_gap_fill",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -380,3 +380,50 @@ def join_range_banded(spark, t):
     return joined.groupBy("o_orderkey").agg(
         F.count(F.lit(1)).alias("n_in_range")
     )
+
+
+@register(
+    "events_gap_fill",
+    oracle="""
+WITH e AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+),
+counts AS (SELECT user_id, day, COUNT(*) AS n FROM e GROUP BY ALL)
+SELECT g.user_id, g.day, CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+FROM grid g LEFT JOIN counts USING (user_id, day)
+""",
+    category="analytics",
+)
+def events_gap_fill(spark, t):
+    """Time-series gap filling (resample-to-regular-grid): one row
+    per user per DAY between that user's first and last event, with
+    zero-filled quiet days — the densification step every
+    rate/anomaly model needs before it can see silence. Plan: the
+    per-user span is a keyed aggregate; the grid EXPLODES from each
+    span row (rows ∝ users × days, never a cartesian against a
+    calendar table); counts join back on (user, day). At 100 TB the
+    explode stays proportional to the OUTPUT, which is the floor for
+    producing it."""
+    e = t.events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    span = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    counts = e.groupBy("user_id", "day").agg(F.count(F.lit(1)).alias("n"))
+    return grid.join(counts, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+    )
