@@ -179,6 +179,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_jsonl_round_trip",
     "win_session_window_fn",
     "events_gap_fill",
+    "events_gap_fill_locf",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -427,3 +427,73 @@ def events_gap_fill(spark, t):
         "day",
         F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "events_gap_fill_locf",
+    oracle="""
+WITH e AS (
+  SELECT user_id, date_trunc('day', ts) AS day, value FROM events
+),
+span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM e GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+  FROM span
+),
+daily AS (
+  SELECT user_id, day,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value)
+           AS day_avg
+  FROM e GROUP BY user_id, day
+),
+joined AS (
+  SELECT g.user_id, g.day, d.day_avg
+  FROM grid g LEFT JOIN daily d USING (user_id, day)
+)
+SELECT user_id, day, day_avg,
+       last_value(day_avg IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM joined
+""",
+    category="analytics",
+)
+def events_gap_fill_locf(spark, t):
+    """Gap filling + last-observation-carried-forward: the densified
+    daily grid (events_gap_fill) with each quiet day's value carried
+    from the user's most recent active day — the standard time-series
+    imputation before differencing/rate models. day_avg goes through
+    the DECIMAL(38,6) accumulator so both engines agree bit-for-bit;
+    the carry is last_value IGNORE NULLS over an unbounded-preceding
+    ROWS frame (one window pass, same single shuffle as the grid)."""
+    from pyspark.sql import Window as W
+
+    from ..functions.hive_compat import davg
+
+    e = t.events.select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"), "value"
+    )
+    span = e.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    daily = e.groupBy("user_id", "day").agg(davg("value", "day_avg"))
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(w).alias("value_locf"),
+    )
