@@ -165,6 +165,9 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_bit_ops",
     "join_range_banded",
     "corpus_ngram_novelty",
+    # ---- round-7 window candidates: the late-round-6 surface, every
+    # entry sim-green (full sweep 262/262 + 7-query delta sim, both
+    # 0-fail). Next round: move this block into the first ~50. ----
     "quality_dsir_weights",
     "corpus_dsir_resample",
     "agg_cms_heavy_hitters",
