@@ -238,10 +238,17 @@ def pq_topk(
                 dists += tables[:, j, :][:, codes[:, j]]
             top = min(k_top, n)
             out_q, out_n, out_d = [], [], []
+            ids = np.asarray(pdf["vec_id"], dtype=object)
             for t, qid in enumerate(qids):
-                idx = np.argpartition(dists[t], top - 1)[:top]
+                # tie-break by neighbor_id WITHIN the batch pruning,
+                # matching the final window's (adist, neighbor_id)
+                # order — PQ distances collide often (identical
+                # codes), and an arbitrary argpartition boundary
+                # would make the kept candidate set — and thus the
+                # output — depend on batch composition.
+                idx = np.lexsort((ids, dists[t]))[:top]
                 out_q.extend([qid] * top)
-                out_n.extend(pdf["vec_id"].iloc[idx])
+                out_n.extend(ids[idx])
                 out_d.extend(dists[t, idx])
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}

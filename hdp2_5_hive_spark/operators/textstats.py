@@ -162,8 +162,12 @@ def normalize_unicode(
 
         return texts.map(one)
 
-    return df.select(
-        F.col(id_col),
-        norm(F.col(text_col)).alias("text_norm"),
-        (norm(F.col(text_col)) != F.col(text_col)).alias("changed"),
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col).alias("_orig"),
+            norm(F.col(text_col)).alias("text_norm"),  # ONE UDF eval
+        )
+        .withColumn("changed", F.col("text_norm") != F.col("_orig"))
+        .drop("_orig")
     )
