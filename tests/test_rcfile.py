@@ -137,3 +137,42 @@ def test_split_read_distributed_single_giant_file(spark, tmp_path):
     assert back.rdd.getNumPartitions() > 1 or True  # planning smoke
     assert back.count() == 20000
     assert back.agg({"k": "sum"}).first()[0] == sum(range(20000))
+
+
+def test_rcfile_python_datasource_round_trip(spark, tmp_path):
+    """spark.read.format("rcfile_py") — the from-scratch reader
+    surfaced as a native Spark 4 Python DataSource: schema inferred
+    from the file header, typed values match the written frame, and
+    split_bytes fans one file into multiple input partitions with no
+    row loss or duplication."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.sources.rcfile_py import (
+        RCFilePyDataSource,
+        write_rcfile,
+    )
+
+    d = str(tmp_path / "rc_ds")
+    src = spark.range(0, 500).select(
+        F.col("id").cast("long").alias("k"),
+        (F.col("id") * 2).cast("int").alias("v"),
+        (F.col("id") / 4.0).alias("x"),
+        F.concat(F.lit("row-"), F.col("id")).alias("s"),
+    )
+    n = write_rcfile(src.repartition(2), d, group_rows=40)
+    assert n == 500
+
+    spark.dataSource.register(RCFilePyDataSource)
+    back = spark.read.format("rcfile_py").load(d)
+    assert [f.name for f in back.schema.fields] == ["k", "v", "x", "s"]
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+    split = (
+        spark.read.format("rcfile_py")
+        .option("split_bytes", 2048)
+        .load(d)
+    )
+    assert split.rdd.getNumPartitions() > 2  # many splits per file
+    assert split.exceptAll(src).count() == 0
+    assert src.exceptAll(split).count() == 0
