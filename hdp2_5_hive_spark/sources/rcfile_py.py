@@ -624,3 +624,57 @@ class RCFilePyDataSource(DataSource):
 
     def reader(self, schema):
         return RCFilePyReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return RCFilePyWriter(self.options, schema, overwrite)
+
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class RCFileCommit(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class RCFilePyWriter(DataSourceWriter):
+    """``df.write.format("rcfile_py").save(dir)``: one .rc file per
+    input partition, written inside the executor task (only the
+    (path, row-count) commit message reaches the driver — the
+    write_rcfile shape, behind the native writer API)."""
+
+    def __init__(self, options, schema, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rcfile_py: .save(path) is required")
+        self.names = [f.name for f in schema.fields]
+        self.types = [_hive_type(f.dataType) for f in schema.fields]
+        self.group_rows = int(options.get("group_rows", DEFAULT_GROUP_ROWS))
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            for old in glob.glob(os.path.join(self.path, "part-*.rc")):
+                os.remove(old)
+
+    def write(self, iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(self.path, f"part-{pid:05d}.rc")
+        with open(fname, "wb") as fh:
+            n = write_rcfile_stream(
+                fh,
+                self.names,
+                self.types,
+                (tuple(r) for r in iterator),
+                self.group_rows,
+                sync=make_sync(f"part-{pid}"),
+            )
+        if n == 0:
+            os.remove(fname)
+        return RCFileCommit(fname, n)

@@ -176,3 +176,36 @@ def test_rcfile_python_datasource_round_trip(spark, tmp_path):
     assert split.rdd.getNumPartitions() > 2  # many splits per file
     assert split.exceptAll(src).count() == 0
     assert src.exceptAll(split).count() == 0
+
+
+def test_rcfile_python_datasource_write(spark, tmp_path):
+    """df.write.format("rcfile_py") — native writer path: one .rc
+    file per partition written in-executor, readable back through
+    both the datasource and the mapInPandas reader, mode
+    overwrite honored."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.sources.rcfile_py import (
+        RCFilePyDataSource,
+        read_rcfile,
+    )
+
+    spark.dataSource.register(RCFilePyDataSource)
+    d = str(tmp_path / "rc_w")
+    src = spark.range(0, 120).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("s"),
+    )
+    src.repartition(3).write.format("rcfile_py").mode("overwrite").save(d)
+    import glob as g
+
+    assert len(g.glob(d + "/part-*.rc")) == 3
+    back = spark.read.format("rcfile_py").load(d)
+    assert back.exceptAll(src).count() == 0 and src.exceptAll(back).count() == 0
+    # overwrite replaces, never appends
+    src.limit(10).repartition(1).write.format("rcfile_py").mode(
+        "overwrite"
+    ).save(d)
+    assert spark.read.format("rcfile_py").load(d).count() == 10
+    # the classic reader agrees with the datasource files
+    assert read_rcfile(spark, d).count() == 10
