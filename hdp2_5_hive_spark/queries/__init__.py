@@ -183,6 +183,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "win_session_window_fn",
     "events_gap_fill",
     "events_gap_fill_locf",
+    "fmt_rcfile_datasource",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

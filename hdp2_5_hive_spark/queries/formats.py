@@ -641,3 +641,34 @@ def fmt_jsonl_round_trip(spark, t):
     return spark.read.schema(
         "doc_id long, lang string, source string, n_chars long, text string"
     ).json(d)
+
+
+@register(
+    "fmt_rcfile_datasource",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer WHERE c_custkey <= 300
+""",
+    category="formats",
+)
+def fmt_rcfile_datasource(spark, t):
+    """The RCFile codec behind Spark 4's native Python DataSource
+    API: ``df.write.format("rcfile_py").save`` → one file per
+    partition in-executor, ``spark.read.format("rcfile_py")`` back
+    with header-inferred schema and sync-resynchronized byte-range
+    splits (option split_bytes) — the fully idiomatic
+    ``STORED AS RCFILE`` migration surface, same golden rows as
+    fmt_rcfile_round_trip."""
+    from ..sources.rcfile_py import RCFilePyDataSource
+
+    spark.dataSource.register(RCFilePyDataSource)
+    d = scratch_dir("fmt_rcfile_ds_") + "/rc"
+    src = t.customer.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    src.repartition(4).write.format("rcfile_py").option(
+        "group_rows", 64
+    ).mode("overwrite").save(d)
+    return (
+        spark.read.format("rcfile_py").option("split_bytes", 4096).load(d)
+    )
