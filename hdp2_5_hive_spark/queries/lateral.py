@@ -239,3 +239,29 @@ def parse_url_parts(spark, t):
         F.parse_url(url, F.lit("QUERY")).alias("query"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "explode_map_kv",
+    oracle="""
+SELECT n_nationkey, 'name' AS k, n_name AS v FROM nation
+UNION ALL
+SELECT n_nationkey, 'region' AS k, CAST(n_regionkey AS VARCHAR) AS v
+FROM nation
+""",
+    category="lateral",
+)
+def explode_map_kv(spark, t):
+    """Hive's two-column ``explode(MAP)`` UDTF form
+    (``GenericUDTFExplode.java`` — map input yields (key, value)
+    pairs, the shape behind ``LATERAL VIEW explode(properties)``):
+    each nation row becomes one row per map entry. The oracle states
+    the same relation as a UNION of the entries — the map explode
+    never leaves the JVM."""
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    return t.nation.select(
+        "n_nationkey", F.explode(m).alias("k", "v")
+    )
