@@ -1640,9 +1640,13 @@ WITH e AS (
            PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
   FROM events
 ), flagged AS (
+  -- microsecond-precision gap test: DATE_DIFF('second') would
+  -- truncate 1800.4s to 1800 and disagree with session_window,
+  -- which merges on new_ts <= prev_end (probed: ==1800s merges,
+  -- 1800.4s splits)
   SELECT user_id, ts,
          CASE WHEN prev_ts IS NULL
-                   OR DATE_DIFF('second', prev_ts, ts) > 1800
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM e
 ), sess AS (
