@@ -1,0 +1,104 @@
+"""Python streaming DataSource: incremental JSON-Lines corpus ingest.
+
+Spark 4's ``SimpleDataSourceStreamReader`` surface over a growing
+directory of .jsonl shards — the tail-the-corpus shape every
+training-data pipeline runs between the crawler and the cleaning
+job. Offsets are a {file: bytes_consumed} dict, so each micro-batch
+reads exactly the bytes appended since the last one (per-file byte
+ranges — restart-safe, replayable via readBetweenOffsets, no
+rescan of already-ingested shards).
+
+Register per session::
+
+    spark.dataSource.register(JsonlStreamDataSource)
+    stream = (spark.readStream.format("jsonl_stream")
+              .option("path", d).load())
+
+Scale notes: the offset dict is O(#files) driver state; record
+parsing happens in ``read`` which Spark runs on the driver for
+simple stream readers — the right trade for CONTROL-PLANE-sized
+ingest ticks (the heavy lifting happens downstream in the
+distributed plan). For bulk backfill, read the same directory with
+``spark.read.json`` (fmt_jsonl_round_trip) instead.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import (
+    DataSource,
+    SimpleDataSourceStreamReader,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+
+class JsonlStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_stream: option 'path' is required")
+
+    def _sizes(self) -> dict:
+        return {
+            f: os.path.getsize(f)
+            for f in sorted(glob.glob(os.path.join(self.path, "*.jsonl")))
+        }
+
+    def initialOffset(self) -> dict:
+        # start of stream: nothing consumed
+        return {}
+
+    def _read_range(self, start: dict, end: dict):
+        for f, upto in sorted(end.items()):
+            done = int(start.get(f, 0))
+            if upto <= done:
+                continue
+            with open(f, "rb") as fh:
+                fh.seek(done)
+                chunk = fh.read(upto - done)
+            # only whole lines exist in the range: the writer appends
+            # complete records (JSONL contract); a torn final line
+            # would surface as a loud json error, not silent loss
+            for line in chunk.splitlines():
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                yield (rec.get("doc_id"), rec.get("text"))
+
+    def read(self, start: dict):
+        end = self._sizes()
+        # carry files that vanished from disk forward unchanged so
+        # their consumed offsets are never re-read as zero
+        for f, off in start.items():
+            end.setdefault(f, off)
+        # materialized: Spark's prefetch cache copy.copy()s the
+        # iterator, which a lazy generator cannot survive
+        return iter(list(self._read_range(start, end))), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path after restart: deterministic re-read
+        return iter(list(self._read_range(start, end)))
+
+
+class JsonlStreamDataSource(DataSource):
+    """``spark.readStream.format("jsonl_stream")`` — see module doc."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_stream"
+
+    def schema(self):
+        return SCHEMA
+
+    def simpleStreamReader(self, schema):
+        return JsonlStreamReader(self.options)
