@@ -435,3 +435,54 @@ def test_jsonl_stream_source_incremental_offsets(spark, tmp_path):
     # exactly once: no duplicates across drains
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 4
+
+
+def test_jsonl_stream_to_clean_corpus_pipeline(spark, tmp_path):
+    """Capstone: the streaming corpus path end-to-end — jsonl_stream
+    source → unicode normalization (Arrow UDF works on a stream) →
+    min-length quality gate → parquet sink; a second shard drain
+    flows through the SAME checkpointed pipeline incrementally."""
+    import json as j
+
+    from hdp2_5_hive_spark.operators.textstats import normalize_unicode
+    from hdp2_5_hive_spark.streaming.jsonl_source import (
+        JsonlStreamDataSource,
+    )
+
+    spark.dataSource.register(JsonlStreamDataSource)
+    d = tmp_path / "clean_shards"
+    d.mkdir()
+    (d / "s0.jsonl").write_text(
+        j.dumps({"doc_id": 1, "text": "Café  culture  here"}) + "\n"
+        + j.dumps({"doc_id": 2, "text": "xx"}) + "\n"  # too short
+    )
+    out = str(tmp_path / "clean_out")
+
+    def drain():
+        stream = (
+            spark.readStream.format("jsonl_stream")
+            .option("path", str(d))
+            .load()
+        )
+        cleaned = normalize_unicode(stream, "doc_id", "text").filter(
+            F.length("text_norm") >= 10
+        )
+        q = (
+            cleaned.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "clean_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.doc_id: r.text_norm for r in spark.read.parquet(out).collect()
+        }
+
+    assert drain() == {1: "Cafe culture here"}
+    (d / "s1.jsonl").write_text(
+        j.dumps({"doc_id": 3, "text": "déjà vu all over again"})
+        + "\n"
+    )
+    got = drain()
+    assert got == {1: "Cafe culture here", 3: "deja vu all over again"}
