@@ -166,3 +166,35 @@ def test_analyze_stats_durable_and_approx(spark, sf_dir, tmp_path):
     e = exact["columns"]["c_custkey"]["ndv"]
     a = approx["columns"]["c_custkey"]["ndv"]
     assert abs(a - e) / e < 0.10
+
+
+def test_sql_server_rpc_concurrent_clients(spark, sf_dir):
+    """HiveServer2 entry-point analogue (scripts/sql_server.py): two
+    concurrent socket clients run statements against one shared
+    SparkSession; results come back typed-to-text, errors come back
+    as error payloads instead of killing the connection."""
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from sql_server import query, serve_background
+
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = serve_background(spark)
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            a = ex.submit(query, port, "SELECT count(*) AS n FROM nation")
+            b = ex.submit(
+                query, port,
+                "SELECT n_name FROM nation WHERE n_nationkey = 0",
+            )
+            ra, rb = a.result(60), b.result(60)
+        assert ra["columns"] == ["n"] and ra["rows"] == [["25"]]
+        assert rb["rows"][0][0] == "NATION_0"
+        err = query(port, "SELECT bogus FROM nowhere")
+        assert "error" in err and "nowhere" in err["error"].lower() or "TABLE_OR_VIEW_NOT_FOUND" in err["error"]
+    finally:
+        srv.shutdown()
