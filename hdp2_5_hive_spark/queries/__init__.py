@@ -185,6 +185,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "events_gap_fill_locf",
     "fmt_rcfile_datasource",
     "explode_map_kv",
+    "sample_weighted_groups",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1683,3 +1683,60 @@ def win_session_window_fn(spark, t):
         F.col("w.end").alias("session_end"),
         "n_events",
     )
+
+
+@register(
+    "sample_weighted_groups",
+    oracle="""
+WITH keyed AS (
+  SELECT source, doc_id, n_chars,
+         ROUND(LN((CAST('0x' || substr(md5('wsamp-v1:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+               / 4294967296.0) / CAST(n_chars AS DOUBLE), 6) AS skey
+  FROM documents
+)
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY skey DESC, doc_id) AS rn
+  FROM keyed
+) WHERE rn <= 5
+""",
+    category="pipeline",
+)
+def sample_weighted_groups(spark, t):
+    """Weighted sampling WITHOUT replacement per group (Efraimidis &
+    Spirakis 2006): within each source, 5 docs drawn with probability
+    proportional to n_chars — the byte-budget-fair shard sampler (a
+    uniform pick would under-represent long documents' bytes). Key =
+    ln(u)/w with the md5-seeded deterministic uniform (RNG-free, any
+    engine reproduces the sample); top-5 keys per group ARE the
+    proportional draw. Key rounded to 6 decimals BEFORE ranking so
+    ordering is ulp-robust; WindowGroupLimit keeps the per-group
+    heap map-side."""
+    from pyspark.sql import Window as W
+
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("wsamp-v1:"), F.col("doc_id").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    skey = F.round(F.log(u) / F.col("n_chars").cast("double"), 6)
+    w = W.partitionBy("source").orderBy(F.col("skey").desc(), "doc_id")
+    return (
+        t.documents.select("source", "doc_id", "n_chars", skey.alias("skey"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("source", "doc_id", "n_chars")
+    )
