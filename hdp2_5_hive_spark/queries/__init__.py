@@ -186,6 +186,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_rcfile_datasource",
     "explode_map_kv",
     "sample_weighted_groups",
+    "agg_hll_set_ops",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1740,3 +1740,82 @@ def sample_weighted_groups(spark, t):
         .filter(F.col("rn") <= 5)
         .select("source", "doc_id", "n_chars")
     )
+
+
+@register(
+    "agg_hll_set_ops",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1994-01-01'
+    AND o_orderdate < DATE '1995-01-01'
+),
+b AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01'
+    AND o_orderdate < DATE '1996-01-01'
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS exact_a,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS exact_b,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+          FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS exact_both,
+       TRUE AS union_est_ok,
+       TRUE AS intersect_est_ok
+""",
+    category="aggregates",
+)
+def agg_hll_set_ops(spark, t):
+    """HLL sketch SET OPERATIONS — the workflow NDV sketches exist
+    for: build one sketch per cohort (1994 vs 1995 buyers), merge
+    with hll_union for |A∪B| without re-scanning, estimate the
+    intersection by inclusion–exclusion. Sketch bytes are
+    engine-specific, so the driver-checked output is exact cohort
+    cardinalities (oracle-verified) plus the derived facts that both
+    estimates land within 15% of truth — the DataSketches HLL error
+    envelope at default lgK leaves a wide margin."""
+    o = t.orders
+    a = o.filter(
+        (F.col("o_orderdate") >= "1994-01-01")
+        & (F.col("o_orderdate") < "1995-01-01")
+    ).select("o_custkey")
+    b = o.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    ).select("o_custkey")
+    sk = (
+        a.agg(F.hll_sketch_agg("o_custkey").alias("sa"))
+        .crossJoin(b.agg(F.hll_sketch_agg("o_custkey").alias("sb")))
+        .select(
+            F.hll_sketch_estimate("sa").alias("est_a"),
+            F.hll_sketch_estimate("sb").alias("est_b"),
+            F.hll_sketch_estimate(
+                F.hll_union("sa", "sb")
+            ).alias("est_union"),
+        )
+    )
+    exact = (
+        a.distinct()
+        .agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(b.distinct().agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            a.intersect(b).agg(F.count(F.lit(1)).alias("exact_both"))
+        )
+    )
+    j = exact.crossJoin(sk)
+    est_both = F.col("est_a") + F.col("est_b") - F.col("est_union")
+    exact_union = (
+        F.col("exact_a") + F.col("exact_b") - F.col("exact_both")
+    )
+    return j.select(
+        F.col("exact_a").cast("bigint").alias("exact_a"),
+        F.col("exact_b").cast("bigint").alias("exact_b"),
+        F.col("exact_both").cast("bigint").alias("exact_both"),
+        (
+            F.abs(F.col("est_union") - exact_union)
+            <= 0.15 * exact_union
+        ).alias("union_est_ok"),
+        (
+            F.abs(est_both - F.col("exact_both"))
+            <= F.greatest(0.15 * F.col("exact_both"), F.lit(50.0))
+        ).alias("intersect_est_ok"),
+    )
