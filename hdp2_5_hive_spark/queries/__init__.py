@@ -187,6 +187,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "explode_map_kv",
     "sample_weighted_groups",
     "agg_hll_set_ops",
+    "quality_lang_percentile_gate",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1819,3 +1819,50 @@ def agg_hll_set_ops(spark, t):
             <= F.greatest(0.15 * F.col("exact_both"), F.lit(50.0))
         ).alias("intersect_est_ok"),
     )
+
+
+@register(
+    "quality_lang_percentile_gate",
+    oracle="""
+WITH cuts AS (
+  SELECT lang,
+         ROUND(quantile_cont(n_chars, 0.1), 6) AS p10,
+         ROUND(quantile_cont(n_chars, 0.9), 6) AS p90
+  FROM documents GROUP BY lang
+)
+SELECT d.lang, c.p10, c.p90,
+       CAST(SUM(CASE WHEN d.n_chars < c.p10 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN d.n_chars > c.p90 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d JOIN cuts c USING (lang)
+GROUP BY d.lang, c.p10, c.p90
+""",
+    category="pipeline",
+)
+def quality_lang_percentile_gate(spark, t):
+    """Per-language percentile gating — the length-outlier filter
+    computed PER SUBPOPULATION (a global cutoff over-filters the
+    short-text language and under-filters the long one): exact
+    interpolated p10/p90 of n_chars per lang (Hive
+    ``percentile``/GenericUDAFPercentileCont; DuckDB quantile_cont —
+    identical (1-f)·x_i + f·x_{i+1} arithmetic, probed equal to 6
+    decimals) and the outlier counts each band would drop. The cuts
+    table is |langs| rows — broadcast back onto the corpus; two
+    keyed aggregates total."""
+    d = t.documents
+    cuts = d.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.1)"), 6).alias("p10"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90"),
+    )
+    j = d.join(F.broadcast(cuts), "lang")
+    return j.groupBy("lang", "p10", "p90").agg(
+        F.sum((F.col("n_chars") < F.col("p10")).cast("long"))
+        .cast("bigint")
+        .alias("n_below"),
+        F.sum((F.col("n_chars") > F.col("p90")).cast("long"))
+        .cast("bigint")
+        .alias("n_above"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
