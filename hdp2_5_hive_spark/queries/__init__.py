@@ -188,6 +188,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "sample_weighted_groups",
     "agg_hll_set_ops",
     "quality_lang_percentile_gate",
+    "fn_variant_json",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

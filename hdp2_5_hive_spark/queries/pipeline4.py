@@ -1866,3 +1866,32 @@ def quality_lang_percentile_gate(spark, t):
         .alias("n_above"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+SELECT event_type,
+       CAST(SUM(CAST(props::JSON ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY event_type
+""",
+    category="scalars",
+)
+def fn_variant_json(spark, t):
+    """Spark 4 VARIANT ingestion — the modern twin of Hive's
+    get_json_object string re-parsing (``UDFJson.java``): parse the
+    JSON props column ONCE into a variant, then typed field access
+    (``variant_get``) in the aggregate. At 100 TB the difference is
+    parse-once-binary vs regex-per-access; the oracle extracts the
+    same field with DuckDB's JSON operators."""
+    e = t.events
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_type",
+        F.try_variant_get(v, "$.k", "bigint").alias("k"),
+    ).groupBy("event_type").agg(
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
