@@ -437,6 +437,9 @@ NESTED_LOOP_OK = {
     "vocab_pmi_collocations": "scalar",
     "sample_percent": "scalar",
     "q11_important_stock": "scalar",
+    # 1-row sketch/exact-count aggregates crossJoined for the
+    # single-row comparison report
+    "agg_hll_set_ops": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
