@@ -82,3 +82,30 @@ def test_aqe_skew_join_engages(spark, sf_dir):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_aqe_converts_sort_merge_to_broadcast_at_runtime(spark, sf_dir):
+    """AQE join re-optimization: a join whose small side is hidden
+    behind an aggregate (no reliable compile-time stats, so the
+    static plan picks SortMergeJoin) converts to BroadcastHashJoin
+    at RUNTIME once the shuffle materializes and AQE measures the
+    actual size — the mechanism that saves the big-side shuffle on
+    1000-executor clusters without manual hints."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # small side: 3-row aggregate, but behind a shuffle so the
+    # static planner cannot know it is tiny
+    small = (
+        li.filter(F.col("l_orderkey") < 20)
+        .groupBy("l_linestatus")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    joined = li.join(small, "l_linestatus").groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.max("q").alias("mq")
+    )
+    joined.collect()  # finalize the adaptive plan
+    final = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final[:500]
+    assert "BroadcastHashJoin" in final, final
+    assert "SortMergeJoin" not in final, final
