@@ -486,3 +486,54 @@ def test_jsonl_stream_to_clean_corpus_pipeline(spark, tmp_path):
     )
     got = drain()
     assert got == {1: "Cafe culture here", 3: "deja vu all over again"}
+
+
+def test_streaming_cdc_merge_upsert_sink(spark, tmp_path):
+    """Streaming CDC apply — foreachBatch + MERGE (acid.merge_into):
+    a stream of keyed change records upserts into a parquet target
+    per micro-batch (update matched, insert new, delete on op='D').
+    The production change-data shape: the stream never rewrites the
+    whole table, only the merge join's routed rows."""
+    import json as j
+
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.sources.acid import merge_into
+
+    target = str(tmp_path / "cdc_target")
+    spark.createDataFrame(
+        [(1, "old1"), (2, "old2"), (3, "old3")], "k long, v string"
+    ).write.parquet(target)
+
+    src = str(tmp_path / "cdc_src")
+    spark.createDataFrame(
+        [(2, "new2", "U"), (4, "new4", "I"), (3, None, "D")],
+        "k long, v string, op string",
+    ).write.parquet(src)
+
+    def apply_batch(batch_df, batch_id):
+        merge_into(
+            spark,
+            target,
+            batch_df,
+            ["k"],
+            matched_update={"v": F.col("s.v")},
+            matched_delete=F.col("s.op") == "D",
+            not_matched_insert=True,
+        )
+
+    stream = spark.readStream.schema("k long, v string, op string").parquet(
+        src
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.k: r.v
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: "old1", 2: "new2", 4: "new4"}
