@@ -189,6 +189,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_hll_set_ops",
     "quality_lang_percentile_gate",
     "fn_variant_json",
+    "join_on_vs_where_filter",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

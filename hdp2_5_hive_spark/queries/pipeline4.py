@@ -1895,3 +1895,57 @@ def fn_variant_json(spark, t):
         F.sum("k").cast("bigint").alias("sum_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "join_on_vs_where_filter",
+    oracle="""
+SELECT n.n_nationkey,
+       c_on.c_custkey  AS on_custkey,
+       c_wh.c_custkey  AS wh_custkey
+FROM nation n
+LEFT JOIN customer c_on
+  ON n.n_nationkey = c_on.c_nationkey AND c_on.c_acctbal > 9900
+LEFT JOIN customer c_wh
+  ON n.n_nationkey = c_wh.c_nationkey
+WHERE (c_wh.c_acctbal > 9900 OR c_wh.c_custkey IS NULL)
+""",
+    category="joins",
+)
+def join_on_vs_where_filter(spark, t):
+    """The OUTER-JOIN filter-placement trap (reference qfile
+    ``clientpositive/join_filters.q``; Hive's JoinCondTypeCheck):
+    a predicate on the PRESERVED-side's partner in the ON clause
+    filters only which rows MATCH (unmatched nations survive with
+    NULLs), while the same predicate in WHERE filters the JOINED
+    result (dropping nations whose only matches fail it — here kept
+    via the explicit IS NULL escape to make the two forms
+    comparable row-for-row). Both engines must agree on both
+    placements."""
+    n = t.nation
+    c = t.customer
+    c_on = c.select(
+        F.col("c_custkey"),
+        F.col("c_nationkey").alias("nk1"),
+        F.col("c_acctbal").alias("ab1"),
+    )
+    c_wh = c.select(
+        F.col("c_custkey").alias("c_custkey2"),
+        F.col("c_nationkey").alias("nk2"),
+        F.col("c_acctbal").alias("ab2"),
+    )
+    j = (
+        n.join(
+            c_on,
+            (F.col("n_nationkey") == F.col("nk1"))
+            & (F.col("ab1") > 9900),
+            "left",
+        )
+        .join(c_wh, F.col("n_nationkey") == F.col("nk2"), "left")
+        .filter((F.col("ab2") > 9900) | F.col("c_custkey2").isNull())
+    )
+    return j.select(
+        "n_nationkey",
+        F.col("c_custkey").alias("on_custkey"),
+        F.col("c_custkey2").alias("wh_custkey"),
+    )
