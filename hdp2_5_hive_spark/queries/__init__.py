@@ -190,6 +190,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "quality_lang_percentile_gate",
     "fn_variant_json",
     "join_on_vs_where_filter",
+    "agg_null_group_semantics",
+    "setop_union_type_coercion",
     "events_sessionize",
     "dedup_exact",
     "ann_cosine_topk",

@@ -1949,3 +1949,61 @@ def join_on_vs_where_filter(spark, t):
         F.col("c_custkey").alias("on_custkey"),
         F.col("c_custkey2").alias("wh_custkey"),
     )
+
+
+@register(
+    "agg_null_group_semantics",
+    oracle="""
+SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(CASE WHEN c_acctbal < 0 THEN NULL
+                       ELSE c_mktsegment END) AS BIGINT) AS n_nonnull_keys,
+       CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+FROM customer
+GROUP BY 1
+""",
+    category="aggregates",
+)
+def agg_null_group_semantics(spark, t):
+    """NULL grouping-key semantics (reference qfiles
+    ``clientpositive/nullgroup*.q``): NULL keys form ONE group (SQL
+    GROUP BY treats NULLs as equal), count(*) counts its rows while
+    count(key) counts zero of them — the classic count(*)/count(col)
+    divergence, plus a DISTINCT agg inside the null group. GROUP BY
+    ordinal exercises the position-alias parser surface
+    (hive.groupby.position.alias)."""
+    t.customer
+    return spark.sql(
+        """
+        SELECT CASE WHEN c_acctbal < 0 THEN NULL
+                    ELSE c_mktsegment END AS seg,
+               COUNT(*) AS n_rows,
+               COUNT(CASE WHEN c_acctbal < 0 THEN NULL
+                          ELSE c_mktsegment END) AS n_nonnull_keys,
+               COUNT(DISTINCT c_nationkey) AS n_nations
+        FROM customer
+        GROUP BY 1
+        """
+    )
+
+
+@register(
+    "setop_union_type_coercion",
+    oracle="""
+SELECT CAST(o_orderkey AS DOUBLE) AS v FROM orders WHERE o_orderkey < 5
+UNION
+SELECT o_totalprice AS v FROM orders WHERE o_orderkey < 5
+""",
+    category="setops",
+)
+def setop_union_type_coercion(spark, t):
+    """UNION branch type coercion (``FunctionRegistry
+    .getCommonClassForUnionAll``; qfile ``union_type_chk.q``): a
+    BIGINT branch and a DOUBLE branch resolve to DOUBLE, and UNION
+    DISTINCT dedups in the COERCED type — an integer 1 and a float
+    1.0 would collapse. Both engines must pick the same common
+    type."""
+    o = t.orders.filter(F.col("o_orderkey") < 5)
+    a = o.select(F.col("o_orderkey").alias("v"))
+    b = o.select(F.col("o_totalprice").alias("v"))
+    return a.union(b).distinct()
