@@ -486,3 +486,31 @@ def test_registry_wide_no_unplanned_nested_loop(spark, qs):
         n for n in NESTED_LOOP_OK if n not in qs
     ] + [n for n in SWEEP_SKIP if n not in qs]
     assert not stale, f"whitelist entries not in registry: {stale}"
+
+
+def test_shared_shuffle_reused_across_branches(spark, sf_dir):
+    """Hive's CorrelationOptimizer (YSmart; qfile family
+    correlationoptimizer*.q) merges operators sharing a shuffle key;
+    Spark's analogue is ReuseExchange — a self-join of one aggregate
+    computes the shuffle ONCE when the branch subtrees are identical.
+    The nuance this test pins: column pruning beats reuse (branches
+    projecting different aggregate columns produce different
+    exchanges), so the reuse-sensitive rewrite is to keep branch
+    projections identical — exactly what the reference optimizer's
+    shared-scan detection did at the MR level."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q"), F.count(F.lit(1)).alias("n")
+    )
+    a = agg.filter(F.col("q") > 100)
+    b = agg.filter(F.col("n") > 3).select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("q").alias("q2"),
+        F.col("n").alias("n2"),
+    )
+    j = a.join(b, a.l_orderkey == b.k2)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
