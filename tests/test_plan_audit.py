@@ -514,3 +514,24 @@ def test_shared_shuffle_reused_across_branches(spark, sf_dir):
     j.collect()
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_null_intolerant_filter_rewrites_outer_to_inner(spark, sf_dir):
+    """PPD through outer joins (qfile family ppd_outer_join*.q;
+    Hive optimizer/ppd/): a WHERE predicate on the null-producing
+    side is null-INTOLERANT, so the left join is semantically an
+    inner join — Catalyst (EliminateOuterJoin) must rewrite it and
+    then push the predicate into the scan. At scale this turns a
+    preserved-everything join into a filtered equi-join."""
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    j = n.join(c, n.n_nationkey == c.c_nationkey, "left").filter(
+        F.col("c_acctbal") > 0
+    )
+    plan = audit.formatted_plan(j)
+    assert "LeftOuter" not in plan, plan
+    assert "Inner" in plan, plan
+    facts = audit.analyze(j)
+    assert any("c_acctbal" in f for f in facts.pushed_filters), facts.text
