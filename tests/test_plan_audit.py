@@ -535,3 +535,39 @@ def test_null_intolerant_filter_rewrites_outer_to_inner(spark, sf_dir):
     assert "Inner" in plan, plan
     facts = audit.analyze(j)
     assert any("c_acctbal" in f for f in facts.pushed_filters), facts.text
+
+
+def test_bucketed_table_aggregates_without_shuffle(spark, sf_dir):
+    """Hive's sorted/bucketed group-by optimization (qfile family
+    groupby_sort_*.q — bucket-sorted tables aggregate without the
+    shuffle phase): a table bucketed on the grouping key reports its
+    HashPartitioning to Catalyst, so groupBy(bucket_key) plans with
+    ZERO Exchange nodes. At 100 TB the pre-bucketed layout amortizes
+    one write-time shuffle across every downstream aggregation —
+    the same economics as the SMB join gate."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    spark.sql("DROP TABLE IF EXISTS bkt_groupby_gate")
+    try:
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("bkt_groupby_gate")
+        agg = (
+            spark.table("bkt_groupby_gate")
+            .groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        direct = {
+            r.l_orderkey: r.q
+            for r in li.groupBy("l_orderkey")
+            .agg(F.sum("l_quantity").alias("q"))
+            .collect()
+        }
+        got = {r.l_orderkey: r.q for r in agg.collect()}
+        assert got == direct
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_groupby_gate")
