@@ -162,14 +162,109 @@ class Metastore:
         self._mutate(upsert)
 
     def get_table(self, spark: SparkSession, name: str) -> DataFrame:
-        """Resolve a table on ANY session (HiveMetaStore.get_table:1870)."""
+        """Resolve a table on ANY session (HiveMetaStore.get_table:1870).
+
+        With per-partition format overrides present (ALTER TABLE …
+        PARTITION … SET FILEFORMAT), resolution switches to the
+        Hive reader model: one scan PER PARTITION in that
+        partition's effective format, unioned — exactly how the
+        reference attaches a per-partition SerDe
+        (``Partition.getDeserializer``; qfile family
+        ``partition_wise_fileformat*.q``). Partition columns surface
+        as STRING (Hive's untyped-partition default). The partition
+        list is driver metadata, as in the reference metastore."""
         meta = self._read_meta()["tables"]
         if name not in meta:
             raise NoSuchTableError(name)
         m = meta[name]
-        return spark.read.format(m["format"]).load(
-            os.path.join(self.warehouse_dir, m["path"])
+        overrides = m.get("partition_formats") or {}
+        root = os.path.join(self.warehouse_dir, m["path"])
+        if not overrides:
+            return spark.read.format(m["format"]).load(root)
+        from functools import reduce
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        cols = m["partition_by"]
+        parts = []
+        for spec in self.partitions(name):
+            segs = [f"{c}={spec[c]}" for c in cols]
+            key = "/".join(segs)
+            fmt_p = overrides.get(key, m["format"])
+            sub = spark.read.format(fmt_p).load(os.path.join(root, *segs))
+            for c in cols:
+                sub = sub.withColumn(c, F.lit(unquote(spec[c])))
+            parts.append(sub)
+        if not parts:
+            raise ValueError(f"table {name!r} has no partitions to read")
+        return reduce(lambda a, b: a.unionByName(b), parts)
+
+    def alter_partition_fileformat(
+        self, name: str, spec: dict[str, str], fmt: str
+    ) -> None:
+        """``ALTER TABLE name PARTITION (col=val, …) SET FILEFORMAT
+        fmt`` (reference ``DDLTask.alterPartition``; qfile family
+        ``partition_wise_fileformat*.q``): record a per-partition
+        format override. As in Hive, this changes how the partition
+        is READ and how future writes to it serialize — it does not
+        rewrite existing data (overwrite the partition to convert).
+        Requires a FULL partition spec."""
+
+        def mut(meta: dict) -> None:
+            if name not in meta["tables"]:
+                raise NoSuchTableError(name)
+            m = meta["tables"][name]
+            cols = m["partition_by"]
+            if not cols:
+                raise ValueError(f"table {name!r} is not partitioned")
+            if set(spec) != set(cols):
+                raise ValueError(
+                    f"full partition spec required: {cols} (got "
+                    f"{sorted(spec)})"
+                )
+            key = "/".join(f"{c}={spec[c]}" for c in cols)
+            m.setdefault("partition_formats", {})[key] = fmt
+
+        self._mutate(mut)
+
+    def insert_overwrite_static_partition(
+        self, df: DataFrame, name: str, spec: dict[str, str]
+    ) -> None:
+        """``INSERT OVERWRITE TABLE name PARTITION (col='val', …)`` —
+        the STATIC single-partition form (``MoveTask`` static branch):
+        replace exactly one partition directory, serialized in that
+        partition's EFFECTIVE format (honoring SET FILEFORMAT
+        overrides). ``df`` must not contain the partition columns —
+        they are fixed by the spec."""
+        import re as _re
+
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        cols = m["partition_by"]
+        if not cols:
+            raise ValueError(f"table {name!r} is not partitioned")
+        if set(spec) != set(cols):
+            raise ValueError(f"full partition spec required: {cols}")
+        bad = set(cols) & set(df.columns)
+        if bad:
+            raise ValueError(
+                f"df must not carry partition columns {sorted(bad)}"
+            )
+        for v in spec.values():
+            if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", str(v)):
+                raise ValueError(
+                    f"unsupported partition value {v!r} for the static "
+                    "path (use dynamic insert_overwrite_partitions)"
+                )
+        key = "/".join(f"{c}={spec[c]}" for c in cols)
+        fmt = (m.get("partition_formats") or {}).get(key, m["format"])
+        dirpath = os.path.join(
+            self.warehouse_dir, m["path"], *[f"{c}={spec[c]}" for c in cols]
         )
+        df.write.mode("overwrite").format(fmt).save(dirpath)
 
     def drop_table(self, name: str, purge: bool = True) -> None:
         """``DROP TABLE [PURGE]``: metadata always, data iff purge."""

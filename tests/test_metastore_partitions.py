@@ -231,3 +231,42 @@ def test_show_create_table_round_trips_metadata(spark, sf_dir, tmp_path):
     assert "STORED AS PARQUET" in ddl and "LOCATION '" in ddl
     with pytest.raises(NoSuchTableError):
         ms.show_create_table("nope")
+
+
+def test_partition_wise_fileformat(spark, tmp_path):
+    """Mixed file formats across partitions of ONE table (reference
+    qfile family partition_wise_fileformat*.q): ds=a stays parquet,
+    ds=b is ALTERed to ORC and overwritten — the static insert
+    serializes it as ORC files, and get_table reads BOTH partitions
+    seamlessly (per-partition reader union, partition column
+    restored)."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    ms = Metastore(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "y", "a"), (3, "z", "b")],
+        "k long, v string, ds string",
+    )
+    ms.create_table(df, "pwf", partition_by=["ds"], fmt="parquet")
+
+    ms.alter_partition_fileformat("pwf", {"ds": "b"}, "orc")
+    ms.insert_overwrite_static_partition(
+        spark.createDataFrame([(30, "zz"), (31, "wv")], "k long, v string"),
+        "pwf",
+        {"ds": "b"},
+    )
+    orc_files = g.glob(str(tmp_path / "wh" / "pwf" / "ds=b" / "*.orc"))
+    assert orc_files, "partition b not serialized as ORC"
+
+    back = ms.get_table(spark, "pwf")
+    got = {(r.k, r.v, r.ds) for r in back.collect()}
+    assert got == {(1, "x", "a"), (2, "y", "a"), (30, "zz", "b"), (31, "wv", "b")}
+    # SHOW PARTITIONS still enumerates both
+    assert sorted(s["ds"] for s in ms.partitions("pwf")) == ["a", "b"]
+    # full spec is required
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ms.alter_partition_fileformat("pwf", {}, "orc")
