@@ -913,3 +913,67 @@ def pack_ffd(
         "bin_id",
         "oversize",
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking with overlap — the standard
+    context-window preparation for retrieval indexes and
+    long-document training (each chunk fits the model window;
+    ``overlap`` tokens of shared context keep boundary sentences
+    retrievable from both sides).
+
+    Chunk ``i`` covers tokens ``[i*stride, i*stride + chunk_tokens)``
+    with ``stride = chunk_tokens - overlap``; the last chunk may be
+    shorter, every token is covered, consecutive chunks share exactly
+    ``overlap`` tokens. A doc of ≤ chunk_tokens yields itself as one
+    chunk (whitespace split of an empty string is one empty token, so
+    even an empty doc yields one chunk; callers gate on chunk_text if
+    they want those dropped).
+
+    Scale: map-only — tokenize once, one ``explode(sequence)``,
+    ``slice`` per chunk; output rows ∝ n_tokens/stride, no shuffle,
+    no Python. Chunk ids are deterministic, so re-chunking an
+    appended corpus never renumbers existing chunks.
+
+    Output: (id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}"
+            f"/{chunk_tokens}"
+        )
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).withColumn("_n", F.size("_w"))
+    # number of chunks: 1 + floor(max(0, n - chunk_tokens + stride - 1) / stride)
+    n_chunks = (
+        F.lit(1)
+        + F.floor(
+            F.greatest(
+                F.col("_n") - chunk_tokens + stride - 1, F.lit(0)
+            )
+            / stride
+        ).cast("int")
+    )
+    ch = toks.select(
+        id_col,
+        "_w",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    piece = F.slice(F.col("_w"), start + 1, chunk_tokens)
+    return ch.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )

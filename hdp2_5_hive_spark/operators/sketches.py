@@ -1,6 +1,7 @@
-"""Mergeable frequency sketches: Count-Min (Cormode & Muthukrishnan
-2005, public) for heavy-hitter estimation over unbounded token
-streams.
+"""Mergeable sketches: Count-Min (Cormode & Muthukrishnan 2005,
+public) for heavy-hitter estimation over unbounded token streams,
+and a deterministic bottom-k uniform-sample sketch for mergeable
+quantile estimation.
 
 The reference's statistics stack estimates NDV per column
 (``ql/.../udf/generic/GenericUDAFComputeStats.java`` — FM/HLL-style
@@ -94,4 +95,61 @@ def cms_estimate(
         hit.groupBy("_tok")
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
         .select(F.col("_tok").alias(tok_col), "cms_est")
+    )
+
+
+def qsketch_build(
+    df: DataFrame, value_col: str, id_expr: Column, *, k: int = 512
+) -> DataFrame:
+    """Quantile sketch = the k rows with the SMALLEST md5(id) — a
+    deterministic uniform row sample (md5 of a unique row identity is
+    a fixed random permutation of the rows, so its bottom-k is a
+    simple random sample without replacement). Columns: ``qk`` (the
+    hash key, kept so sketches can merge) and ``qv`` (the value as
+    double).
+
+    Why this shape: Hive's percentile_approx carries a histogram UDAF
+    (``ql/.../udf/generic/GenericUDAFPercentileApprox.java``) whose
+    estimates are non-deterministic under partitioning; the bottom-k
+    sample gives the two properties a 100 TB pipeline actually needs
+    — MERGEABLE (merge = union + re-bottom-k, associative and
+    commutative, so per-day/per-shard sketches collapse) and
+    DETERMINISTIC (same data → same sketch on any engine, any
+    partitioning — a SQL oracle replays it exactly). Standard rank
+    error for a k-sample is O(sqrt(p(1-p)/k)).
+
+    Scale: orderBy(k-limit) plans as TakeOrderedAndProject — a
+    bounded heap per partition, then a k-row merge; never a global
+    sort, never more than k rows on the driver."""
+    keyed = df.select(
+        F.md5(id_expr).alias("qk"),
+        F.col(value_col).cast("double").alias("qv"),
+    )
+    return keyed.orderBy("qk").limit(k)
+
+
+def qsketch_merge(a: DataFrame, b: DataFrame, *, k: int = 512) -> DataFrame:
+    """Merge two bottom-k sketches: union, keep the k smallest keys.
+    bottomk(A ∪ B) == bottomk(bottomk(A) ∪ bottomk(B)) — each side's
+    kept set is a superset of its contribution to the global bottom-k
+    — so merging shard sketches equals sketching the whole corpus
+    (pinned in tests/test_sketches.py)."""
+    return a.unionByName(b).orderBy("qk").limit(k)
+
+
+def qsketch_quantiles(
+    sketch: DataFrame, probs: list[float]
+) -> DataFrame:
+    """One-row quantile estimates from a sketch: exact interpolated
+    percentiles OF THE SAMPLE (k rows — trivially cheap). Column per
+    prob: ``p<prob*100>`` rounded to 6 places so any engine's linear
+    interpolation agrees bit-for-bit."""
+    return sketch.agg(
+        F.count(F.lit(1)).alias("sample_k"),
+        *[
+            F.round(F.expr(f"percentile(qv, {p!r})"), 6).alias(
+                "p" + str(int(round(p * 100)))
+            )
+            for p in probs
+        ],
     )

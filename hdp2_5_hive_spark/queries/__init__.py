@@ -189,6 +189,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_hll_set_ops",
     "quality_lang_percentile_gate",
     "fn_variant_json",
+    "agg_quantile_sketch",
+    "corpus_chunk_overlap",
     "join_on_vs_where_filter",
     "agg_null_group_semantics",
     "setop_union_type_coercion",

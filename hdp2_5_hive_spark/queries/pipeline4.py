@@ -2007,3 +2007,99 @@ def setop_union_type_coercion(spark, t):
     a = o.select(F.col("o_orderkey").alias("v"))
     b = o.select(F.col("o_totalprice").alias("v"))
     return a.union(b).distinct()
+
+
+@register(
+    "agg_quantile_sketch",
+    oracle="""
+WITH s AS (
+  SELECT CAST(l_extendedprice AS DOUBLE) AS qv
+  FROM lineitem
+  ORDER BY md5(CAST(l_orderkey AS VARCHAR) || '|'
+               || CAST(l_linenumber AS VARCHAR))
+  LIMIT 512
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS sample_k,
+       ROUND(quantile_cont(qv, 0.10), 6) AS p10,
+       ROUND(quantile_cont(qv, 0.50), 6) AS p50,
+       ROUND(quantile_cont(qv, 0.90), 6) AS p90,
+       ROUND(quantile_cont(qv, 0.99), 6) AS p99
+FROM s
+""",
+    category="aggregates",
+)
+def agg_quantile_sketch(spark, t):
+    """Mergeable deterministic quantile sketch
+    (operators/sketches.qsketch_*): bottom-512 rows by md5(row id) =
+    a uniform sample whose exact percentiles estimate the corpus
+    quantiles (rank error O(1/sqrt(k))). Hive's own approximate
+    percentile lives in ``GenericUDAFPercentileApprox.java``; its
+    histogram state is partitioning-dependent, this sketch is not.
+
+    The query builds TWO shard sketches (odd/even orderkey) and
+    MERGES them; the oracle derives quantiles from the GLOBAL
+    bottom-512 directly — hash equality of the two IS the
+    mergeability proof, certified by the driver. Each build is a
+    TakeOrderedAndProject (per-partition bounded heap, k rows to the
+    driver), never a global sort."""
+    from ..operators import sketches as sk
+
+    ident = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
+    li = t.lineitem
+    even = sk.qsketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_extendedprice",
+        ident, k=512,
+    )
+    odd = sk.qsketch_build(
+        li.filter(F.col("l_orderkey") % 2 == 1), "l_extendedprice",
+        ident, k=512,
+    )
+    merged = sk.qsketch_merge(even, odd, k=512)
+    return sk.qsketch_quantiles(merged, [0.10, 0.50, 0.90, 0.99])
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t
+  FROM documents WHERE doc_id < 50
+),
+n_ch AS (
+  SELECT doc_id, t,
+         1 + CAST(FLOOR(GREATEST(len(t) - 32 + 23, 0) / 24.0) AS INT)
+           AS nc
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, t, CAST(cid AS INT) AS chunk_id,
+         list_slice(t, cid * 24 + 1, cid * 24 + 32) AS piece
+  FROM n_ch, LATERAL (SELECT unnest(range(0, nc)) AS cid) s
+)
+SELECT doc_id, chunk_id,
+       CAST(len(piece) AS INT) AS n_chunk_tokens,
+       array_to_string(piece, ' ') AS chunk_text
+FROM ch
+""",
+    category="pipeline",
+)
+def corpus_chunk_overlap(spark, t):
+    """Sliding-window chunking with overlap
+    (operators/corpus.chunk_documents): chunk_tokens=32, overlap=8 →
+    stride 24; consecutive chunks share 8 tokens, every token lands
+    in some chunk, chunk ids are deterministic (re-chunking an
+    appended corpus never renumbers). The context-window prep step
+    for retrieval indexes / long-doc training. Map-only: tokenize
+    once, one explode(sequence), slice per chunk — no shuffle, no
+    Python."""
+    return cp.chunk_documents(
+        t.documents.filter(F.col("doc_id") < 50),
+        "doc_id",
+        "text",
+        chunk_tokens=32,
+        overlap=8,
+    )

@@ -617,3 +617,87 @@ def test_normalize_unicode_edges(spark):
     assert out[2].text_norm == "中文 ß OK" and out[2].changed
     assert out[3].text_norm is None and out[3].changed is None
     assert out[4].text_norm == "plain" and out[4].changed
+
+
+def test_qsketch_merge_equals_global_and_plan(spark):
+    """Bottom-k quantile-sketch invariants: (1) merging per-shard
+    sketches equals sketching the whole corpus EXACTLY (bottom-k of a
+    union == bottom-k of the union of per-part bottom-ks — the
+    mergeability that lets 100 TB build per shard/day); (2) the build
+    plans as TakeOrderedAndProject (bounded per-partition heap),
+    never a global Sort+Exchange."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    rows = [(i, float((i * 37) % 101)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    ident = F.col("id").cast("string")
+    whole = sk.qsketch_build(df, "v", ident, k=24)
+    a = sk.qsketch_build(df.filter("id % 3 = 0"), "v", ident, k=24)
+    b = sk.qsketch_build(df.filter("id % 3 = 1"), "v", ident, k=24)
+    c = sk.qsketch_build(df.filter("id % 3 = 2"), "v", ident, k=24)
+    merged = sk.qsketch_merge(sk.qsketch_merge(a, b, k=24), c, k=24)
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+
+    plan = whole._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_qsketch_rank_error_bounded(spark):
+    """Quantile estimates from a k=400 sketch of 5000 distinct values
+    land within rank error 4/sqrt(k) = 0.2 of the requested
+    percentile (typical is ~1/sqrt(k); deterministic here — the md5
+    permutation is fixed given the data)."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    n, k = 5000, 400
+    df = spark.range(n).select(
+        F.col("id"), F.col("id").cast("double").alias("v")
+    )
+    sketch = sk.qsketch_build(df, "v", F.col("id").cast("string"), k=k)
+    row = sk.qsketch_quantiles(sketch, [0.1, 0.5, 0.9]).collect()[0]
+    assert row.sample_k == k
+    for p, est in ((0.1, row.p10), (0.5, row.p50), (0.9, row.p90)):
+        rank = (est + 1) / n  # values are 0..n-1: rank(x) = (x+1)/n
+        assert abs(rank - p) < 4 / k**0.5, (p, est, rank)
+
+
+def test_chunk_documents_windows_and_reconstruction(spark):
+    """chunk_documents semantics: 10 tokens at chunk=4/overlap=2 →
+    starts 0,2,4,6 (stride 2); consecutive chunks share exactly
+    ``overlap`` tokens; dropping each chunk's first ``overlap``
+    tokens after chunk 0 reconstructs the document; a doc shorter
+    than one chunk yields itself."""
+    from hdp2_5_hive_spark.operators.corpus import chunk_documents
+
+    words = [f"w{i}" for i in range(10)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_documents(
+            df, chunk_tokens=4, overlap=2
+        ).collect()
+    }
+    d1 = [out[(1, i)] for i in range(4)]
+    assert [r.chunk_text for r in d1] == [
+        "w0 w1 w2 w3", "w2 w3 w4 w5", "w4 w5 w6 w7", "w6 w7 w8 w9",
+    ]
+    assert all(r.n_chunk_tokens == 4 for r in d1)
+    rebuilt = d1[0].chunk_text.split()
+    for r in d1[1:]:
+        rebuilt += r.chunk_text.split()[2:]
+    assert rebuilt == words
+    assert (2, 1) not in out and out[(2, 0)].chunk_text == "a b c"
+    assert out[(2, 0)].n_chunk_tokens == 3
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
