@@ -108,9 +108,11 @@ def main() -> None:
 
     # Self-gating (scripts/bench_gate.py): compare against best-known
     # per-query times, normalized by this run's median slowdown so a
-    # uniformly slower VM doesn't false-alarm. Loud on stderr; the
-    # stdout JSON contract and exit code stay untouched for the
-    # driver unless SPARK_GRAFT_BENCH_GATE=strict.
+    # uniformly slower VM doesn't false-alarm. STRICT by default
+    # (verdict r6 #6): any query >1.3x its best-known time exits
+    # nonzero so a plan regression is loud at commit time, not
+    # discovered in the next verdict. SPARK_GRAFT_BENCH_GATE=warn
+    # restores report-only. The stdout JSON line prints either way.
     try:
         sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
         import io
@@ -124,7 +126,7 @@ def main() -> None:
         with redirect_stdout(buf):
             gate_rc = bench_gate.main()
         print(buf.getvalue().rstrip(), file=sys.stderr)
-        if gate_rc and os.environ.get("SPARK_GRAFT_BENCH_GATE") == "strict":
+        if gate_rc and os.environ.get("SPARK_GRAFT_BENCH_GATE", "strict") != "warn":
             sys.exit(gate_rc)
     except Exception as e:  # gate trouble must never kill the bench
         print(f"# bench_gate skipped: {e!r}", file=sys.stderr)

@@ -209,7 +209,30 @@ class Metastore:
         format override. As in Hive, this changes how the partition
         is READ and how future writes to it serialize — it does not
         rewrite existing data (overwrite the partition to convert).
-        Requires a FULL partition spec."""
+        Requires a FULL partition spec naming an EXISTING partition.
+
+        Spec values are restricted to the same safe charset as the
+        static-partition writer ([A-Za-z0-9_.-]) so the recorded key
+        matches the on-disk percent-escaped directory name exactly —
+        for any value Spark escapes (space, colon, …) a raw-keyed
+        override would silently never match at read time (ADVICE r6).
+        """
+        import re as _re
+
+        for v in spec.values():
+            if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", str(v)):
+                raise ValueError(
+                    f"unsupported partition value {v!r} for SET "
+                    "FILEFORMAT (escaped-charset values would not "
+                    "match on-disk partition directory names)"
+                )
+        existing = self.partitions(name)
+        if not any(
+            all(p.get(c) == str(spec[c]) for c in spec) for p in existing
+        ):
+            raise ValueError(
+                f"partition {spec!r} does not exist in table {name!r}"
+            )
 
         def mut(meta: dict) -> None:
             if name not in meta["tables"]:

@@ -62,7 +62,7 @@ def cms_estimate(
     sketch: DataFrame,
     tok_col: str,
     *,
-    depth: int = 4,
+    depth: int | None = None,
     width: int = 256,
 ) -> DataFrame:
     """Point-frequency estimates for a probe token set: est(x) =
@@ -70,7 +70,32 @@ def cms_estimate(
     (every cell holds x's true count plus non-negative collisions);
     overestimate is bounded by the classic 2N/w with probability
     1 - (1/2)^depth. The ≤ depth·width-row sketch joins as an
-    explicit broadcast — probes shuffle only for their own distinct."""
+    explicit broadcast — probes shuffle only for their own distinct.
+
+    ``depth``/``width`` must match the build parameters or the probe
+    hashes address different cells and min-with-coalesce(0) silently
+    returns 0 for present tokens (ADVICE r6). Depth therefore
+    defaults to DERIVED from the sketch itself (max(s)+1 — one tiny
+    aggregate over a KB-sized frame); an explicitly passed depth is
+    validated against it, and a sketch bucket ≥ width (built wider
+    than probed) raises instead of mis-addressing."""
+    meta = sketch.agg(
+        F.max("s").alias("smax"), F.max("b").alias("bmax")
+    ).collect()[0]
+    if meta.smax is None:
+        raise ValueError("cms_estimate: empty sketch")
+    sk_depth = int(meta.smax) + 1
+    if depth is None:
+        depth = sk_depth
+    elif depth != sk_depth:
+        raise ValueError(
+            f"cms_estimate depth={depth} != sketch depth {sk_depth}"
+        )
+    if int(meta.bmax) >= width:
+        raise ValueError(
+            f"cms_estimate width={width} smaller than sketch bucket "
+            f"{int(meta.bmax)} — probe width must match cms_build width"
+        )
     rows = F.explode(
         F.array(*[F.lit(i) for i in range(depth)])
     ).alias("ps")

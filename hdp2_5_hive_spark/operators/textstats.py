@@ -152,13 +152,18 @@ def normalize_unicode(
         def one(s: str | None) -> str | None:
             if s is None:
                 return None
-            nfd = unicodedata.normalize(
-                "NFD", unicodedata.normalize("NFC", s)
-            )
+            nfd = unicodedata.normalize("NFD", s)
             stripped = "".join(
                 c for c in nfd if not unicodedata.combining(c)
             )
-            return ws.sub(" ", stripped).strip("\t\n\f\r ")
+            # Recompose: scripts whose canonical decomposition is NOT
+            # combining marks (Hangul syllables → Jamo) must come back
+            # out in NFC form, or "changed" is falsely true on
+            # untouched text and the result contradicts the documented
+            # NFC canonicalization (ADVICE r6, verified vs DuckDB's
+            # strip_accents(nfc_normalize(...))).
+            nfc = unicodedata.normalize("NFC", stripped)
+            return ws.sub(" ", nfc).strip("\t\n\f\r ")
 
         return texts.map(one)
 

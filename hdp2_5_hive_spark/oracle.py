@@ -40,7 +40,14 @@ def canon(v: object) -> str:
             return "nan"
         return repr(v)
     if isinstance(v, Decimal):
-        return repr(float(v))
+        # Type-faithful (VERDICT r6 #4): the driver distinguishes
+        # Decimal('1') from 1.0 and from int 1 (fn_decimal_round red
+        # r5+r6 was exactly Decimal-vs-DOUBLE at equal values), so the
+        # sim must too — scale-preserving string, tagged so it can
+        # never collide with an int/float rendering. Oracles align
+        # types explicitly (CAST ... AS DOUBLE / DECIMAL) instead of
+        # relying on lenient comparison.
+        return "dec:" + str(v)
     if isinstance(v, datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, date):
@@ -85,13 +92,79 @@ def reject_complex_schema(spark_df) -> None:
         )
 
 
+def _duck_num_class(duck_type: str) -> str | None:
+    t = duck_type.upper()
+    if t.startswith("DECIMAL"):
+        # scale affects the rendered value ("1.50" vs "1.5"); precision
+        # does not (SUM widening differs between engines harmlessly)
+        if "(" in t:
+            return "decimal:s" + t[t.index("(") + 1 : -1].split(",")[1].strip()
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "REAL", "DOUBLE"):
+        return "float"
+    return None
+
+
+def _spark_num_class(dt) -> str | None:
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.DecimalType):
+        return f"decimal:s{dt.scale}"
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    return None
+
+
+def check_type_drift(spark_df, con, oracle_sql: str) -> list[str]:
+    """Static numeric-class audit (VERDICT r6 #3): DESCRIBE the oracle
+    (no execution) and diff numeric classes per output column against
+    the Spark schema. Catches the two classes that have produced a
+    driver red row three rounds running before any value compare:
+
+    - HUGEINT/UHUGEINT oracle columns (DuckDB SUM(int) widens; the
+      driver's pandas conversion turns them into float64 → value-hash
+      "0.0" vs Spark "0" — `ddl_analyze_stats` red r6);
+    - decimal-vs-double / decimal-vs-int / decimal-scale drift
+      (`fn_decimal_round` red r5+r6: round_even(DECIMAL)→DOUBLE).
+
+    Returns a list of human-readable drift strings (empty == clean).
+    """
+    desc = con.execute(f"DESCRIBE {oracle_sql}").fetchall()
+    duck = {row[0]: row[1] for row in desc}
+    spark = {f.name: f.dataType for f in spark_df.schema.fields}
+    drift: list[str] = []
+    for name, dtype in duck.items():
+        if dtype.upper() in ("HUGEINT", "UHUGEINT"):
+            drift.append(
+                f"{name}: oracle {dtype} (driver pandas → float64; "
+                "CAST the oracle expression AS BIGINT)"
+            )
+            continue
+        if name not in spark:
+            continue  # column-set mismatch reported by compare_query
+        dc, sc = _duck_num_class(dtype), _spark_num_class(spark[name])
+        if dc != sc:
+            drift.append(f"{name}: oracle {dtype} [{dc}] vs spark {spark[name]} [{sc}]")
+    return drift
+
+
 def compare_query(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     """Run a Spark DataFrame against its oracle SQL; exact compare.
     Returns (ok, detail). Raises ComplexOutputError up front for
     schemas the real driver cannot canonicalize — every oracle-backed
     registry query passes through here in tests/test_correctness.py,
-    making that the whole-registry invariant."""
+    making that the whole-registry invariant. Also fails on static
+    numeric-class drift (see check_type_drift) even when the values
+    happen to compare equal locally."""
     reject_complex_schema(spark_df)
+    drift = check_type_drift(spark_df, con, oracle_sql)
+    if drift:
+        return False, "type drift: " + "; ".join(drift)
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
     rel = con.execute(oracle_sql)

@@ -57,6 +57,14 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     semantic dedup, view/directory text forms, printf, arrays) —
 #     all green in the end-of-round 245/245 full-registry sim; they
 #     are round 7's window candidates.
+#   round 6 result: 47/50 green; the 3 red rows (fn_decimal_round
+#     DECIMAL-vs-DOUBLE oracle type drift, ddl_analyze_stats HUGEINT,
+#     emb_pca_project array column in the driver canonicalizer) are
+#     all fixed in round 7 and re-fronted.
+#   round 7 window (SAMPLE_FRONT below): the 44 never-sampled
+#     late-round-6 queries (positions 1-44 — closes the driver ledger
+#     at 280/280 sampled), the 3 fixed red rows (45-47), then new
+#     round-7 queries as they land.
 _MODULES = (
     "scalars",
     "setops",
@@ -86,101 +94,41 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
-    # the 24 never-sampled round-5-part-2 queries — close the ledger
-    "corpus_span_dedup",
-    "corpus_span_mask",
-    "corpus_mix_temperature",
-    "corpus_shuffle_seeded",
-    "decontaminate_fuzzy_minhash",
-    "multimodal_phash_dedup",
-    "ddl_export_import",
-    "ddl_analyze_stats",
-    "vocab_bpe_merges",
-    "emb_pca_project",
-    "emb_kmeans_clusters",
-    "corpus_clean_v3",
-    "pack_ffd_bins",
-    "dedup_incremental_batch",
-    "hiveql_cte_chain",
-    "hiveql_correlated_exists",
-    "hiveql_union_mixed",
-    "hiveql_tablesample_bucket",
-    "hiveql_null_ordering",
-    "hiveql_case_cast_expr",
-    "text_compression_ratio",
-    "events_funnel",
-    "events_retention",
-    "events_top_transitions",
-    # the 3 round-5 red rows, fixed this round (oracle half-up on
-    # double; array outputs serialized for the driver canonicalizer)
-    "fn_decimal_round",
-    "fn_xpath_suite",
-    "fn_sentences_soundex",
-    # ---- new round-6 queries (inside the ~50 window); names were
-    # appended as each landed so the registry stayed valid.
-    # (fn_java_hashcode stays OUT of the front — already green r5;
-    # its widened-parity evidence is fn_hash_multiarg below.) ----
-    "dedup_incremental_unordered_ids",  # ADVICE r5 id-order regression
-    "fn_hash_multiarg",  # hash() parity beyond strings (verdict #6)
-    "fmt_rcfile_round_trip",  # last open §2.2 format row (verdict #7)
-    "ann_lsh_recall",  # quantified LSH recall evidence (verdict #8)
-    "fn_json_path_suite",
-    "fn_string_edge_cases",
-    "win_first_last_ignore_nulls",
-    "hiveql_order_by_pos",
-    "hiveql_having_alias",
-    "events_windowed_rate",
-    "dedup_cluster_keep_best",
-    "agg_bitmap_index",  # closes §2.5 ewah_bitmap via native bitmap aggs
-    "vocab_bpe_apply",
-    "ddl_insert_overwrite_partition",
-    "ddl_drop_partition",
-    "fn_trig_inverse",
-    "win_nth_value_ntile",
-    "ddl_show_functions",
-    "fn_date_format_patterns",
-    "fmt_zorder_skipping",
-    "win_range_interval_frame",
-    "subq_not_in_null_semantics",
-    "quality_learned_classifier",
+    # ---- round-7 window: the 44 never-sampled late-round-6 queries
+    # (closing the 280-query driver ledger — verdict r6 next-round #4),
+    # in rough risk order: new operators and non-SQL recall gates
+    # first, then the hiveql/format text tail.
     "corpus_token_budget_sample",
-    # ---- position 51+: outside the expected window; sampled next
-    # round if the driver reads further. ann_ivf_recall rides here
-    # (its twin ann_lsh_recall is in-window this round), then the
-    # re-green tail (bench order-effect queries, already proven). ----
     "ann_ivf_recall",
+    "ann_pq_recall",
+    "agg_cms_heavy_hitters",
+    "corpus_clean_v4",
+    "dedup_semantic_clusters",
+    "acid_delta_layout_reader",
+    "fmt_thrift_sequencefile_round_trip",
+    "join_range_banded",
+    "win_session_window_fn",
+    "hiveql_sessionize_text",
+    "quality_dsir_weights",
+    "corpus_dsir_resample",
     "corpus_interleave_stride",
     "events_attribution",
     "agg_min_by_max_by",
-    "dedup_semantic_clusters",
     "hiveql_create_view_text",
     "hiveql_insert_directory",
     "fn_printf_format",
     "fn_array_functions",
-    "acid_delta_layout_reader",
-    "fmt_thrift_sequencefile_round_trip",
     "events_anomaly_zscore",
-    "hiveql_sessionize_text",
     "quality_bigram_bits",
     "agg_bit_ops",
-    "join_range_banded",
     "corpus_ngram_novelty",
-    # ---- round-7 window candidates: the late-round-6 surface, every
-    # entry sim-green (full sweep 262/262 + 7-query delta sim, both
-    # 0-fail). Next round: move this block into the first ~50. ----
-    "quality_dsir_weights",
-    "corpus_dsir_resample",
-    "agg_cms_heavy_hitters",
     "fn_context_aliases",
     "dedup_source_overlap",
     "emb_cluster_balanced_sample",
-    "corpus_clean_v4",
     "vocab_pmi_collocations",
-    "ann_pq_recall",
     "text_normalize_unicode",
     "hiveql_named_window",
     "fmt_jsonl_round_trip",
-    "win_session_window_fn",
     "events_gap_fill",
     "events_gap_fill_locf",
     "fmt_rcfile_datasource",
@@ -194,12 +142,15 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "join_on_vs_where_filter",
     "agg_null_group_semantics",
     "setop_union_type_coercion",
-    "events_sessionize",
-    "dedup_exact",
-    "ann_cosine_topk",
-    "dedup_near_minhash",
-    "q1_pricing_summary",
-    "agg_distinct_multi",
+    # ---- the 3 round-6 red rows, fixed this round (oracle DECIMAL
+    # vs DOUBLE cast, HUGEINT->BIGINT casts, PCA projection flattened
+    # to scalar columns) — positions 45-47 ----
+    "fn_decimal_round",
+    "ddl_analyze_stats",
+    "emb_pca_project",
+    # ---- positions 48+: new round-7 queries appended as they land,
+    # then re-green flagships if the driver reads past 50 ----
+    "fmt_rcfile_compressed",
 )
 
 

@@ -393,18 +393,18 @@ def ddl_export_import(spark, t):
     oracle="""
 SELECT 'o_custkey' AS column_name,
        COUNT(DISTINCT o_custkey) AS ndv,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
        CAST(MAX(o_custkey) AS VARCHAR) AS max_val
 FROM orders
 UNION ALL
 SELECT 'o_orderkey', COUNT(DISTINCT o_orderkey),
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(MIN(o_orderkey) AS VARCHAR), CAST(MAX(o_orderkey) AS VARCHAR)
 FROM orders
 UNION ALL
 SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority),
-       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(MIN(o_orderpriority) AS VARCHAR),
        CAST(MAX(o_orderpriority) AS VARCHAR)
 FROM orders
@@ -465,6 +465,36 @@ def fmt_rcfile_round_trip(spark, t):
     )
     rcfile_py.write_rcfile(src.repartition(4), d, group_rows=64)
     return rcfile_py.read_rcfile(spark, d)
+
+
+@register(
+    "fmt_rcfile_compressed",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey <= 800
+""",
+    category="formats",
+)
+def fmt_rcfile_compressed(spark, t):
+    """COMPRESSED RCFile round-trip — the layout real legacy HDP
+    warehouses actually shipped (RCFile+DefaultCodec; reference
+    ``ql/io/RCFile.java:1137-1253`` flushRecords/writeKey: key buffer
+    one zlib stream, each column an independent zlib stream, sizes in
+    the key). Split reads resynchronize identically because sync
+    escapes are never compressed; the reader takes the codec from the
+    file header, so a migration read needs no configuration. Write
+    with small groups + byte-range splits to force the compressed
+    multi-group resync path end-to-end."""
+    from ..sources import rcfile_py
+
+    d = scratch_dir("fmt_rcfile_gz_") + "/rc"
+    src = t.orders.filter(F.col("o_orderkey") <= 800).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    rcfile_py.write_rcfile(
+        src.repartition(3), d, group_rows=64, codec="deflate"
+    )
+    return rcfile_py.read_rcfile(spark, d, split_bytes=8 * 1024)
 
 
 @register(

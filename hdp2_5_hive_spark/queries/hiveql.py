@@ -603,8 +603,9 @@ flagged AS (
 ),
 sess AS (
   SELECT user_id, t,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY t
+                                     ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_no
   FROM flagged
 )
 SELECT user_id, session_no, count(*) AS n_events,

@@ -356,12 +356,24 @@ def emb_pca_project(spark, t):
     per-partition (n, Σx, XᵀX) partials — driver work is O(d²·
     #partitions), never corpus-sized — then a broadcast-matmul
     projection, map-only. The projection is the standard pre-step
-    before LSH/IVF at scale (8× fewer shuffle bytes per vector)."""
+    before LSH/IVF at scale (8× fewer shuffle bytes per vector).
+
+    Output: the 8-dim projection flattened to scalar proj_0..proj_7
+    DOUBLE columns — the driver canonicalizes even rows-only results
+    and its pandas sort dies on array cells (CORRECTNESS_r06 ERR), so
+    no registered query may emit a complex top-level column."""
     from ..operators import embeddings as emb
 
     vecs = t.embeddings
     mean, comps, _ = emb.pca_train(vecs, "embedding", k=8)
-    return emb.pca_project(vecs, mean, comps).orderBy("vec_id")
+    proj = emb.pca_project(vecs, mean, comps)
+    return proj.select(
+        "vec_id",
+        *[
+            F.col("proj")[i].cast("double").alias(f"proj_{i}")
+            for i in range(8)
+        ],
+    ).orderBy("vec_id")
 
 
 @register(

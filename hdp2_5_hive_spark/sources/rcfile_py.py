@@ -7,11 +7,24 @@ Spark has no native RCFile reader and the format is long obsolete
 (Hive itself recommends ORC/parquet), so the engine carries a
 minimal from-scratch codec for MIGRATION reads plus a writer so the
 round-trip is testable end-to-end. Scope: the modern ``RCF\\x01``
-header, UNCOMPRESSED row groups, cells text-serialized as
-ColumnarSerDe does over LazySimpleSerDe strings (NULL = ``\\N``).
-Compressed files raise a clear error pointing at the migration path
-(read once here → write parquet; the CONCATENATE compaction story in
-queries/formats.py).
+header, UNCOMPRESSED and COMPRESSED row groups (DefaultCodec /
+GzipCodec / BZip2Codec — zlib/gzip/bz2 are stdlib; real legacy HDP
+warehouses ran RCFile+DefaultCodec, so a migration read hits this on
+first contact), cells text-serialized as ColumnarSerDe does over
+LazySimpleSerDe strings (NULL = ``\\N``). Snappy/LZO-compressed
+files raise a clear error (no stdlib codec).
+
+Compressed layout (RCFile.java flushRecords/writeKey, :1137-1253):
+the header gains the codec class name as a Hadoop Text after the
+compressed flag; per row group the key buffer is compressed as ONE
+codec stream (ints on disk: record length, UNCOMPRESSED key length,
+compressed key length, then the compressed key bytes), and each
+COLUMN's value bytes are an INDEPENDENT codec stream
+(``deflateFilter.resetState()`` per column) whose compressed size is
+the colLen recorded in the key and whose uncompressed size is the
+plainLen beside it — so a projection can still skip whole columns by
+seeking colLen bytes without decompressing them. Sync escapes stay
+uncompressed, so byte-range splits resynchronize identically.
 
 Layout written/parsed (RCFile.java:505-640 writer, :1060-1270 reader):
 
@@ -71,6 +84,36 @@ SYNC = make_sync("default")  # single-stream writes without a seed
 NULL_TEXT = b"\\N"
 COLUMN_NUMBER_KEY = "hive.io.rcfile.column.number"
 DEFAULT_GROUP_ROWS = 4096
+
+# Hadoop codec class -> stdlib (de)compressors. Each column / key
+# buffer is a COMPLETE independent stream of the codec (the writer
+# calls resetState + finish per buffer), so whole-buffer
+# compress/decompress is exact — no streaming state carries across
+# buffers.
+CODEC_DEFAULT = "org.apache.hadoop.io.compress.DefaultCodec"
+CODEC_GZIP = "org.apache.hadoop.io.compress.GzipCodec"
+CODEC_BZIP2 = "org.apache.hadoop.io.compress.BZip2Codec"
+
+
+def _codec_funcs(codec_class: str):
+    """(compress, decompress) for a Hadoop codec class name."""
+    import bz2
+    import gzip
+    import zlib
+
+    short = codec_class.rsplit(".", 1)[-1].lower()
+    if codec_class in (CODEC_DEFAULT,) or short in ("defaultcodec", "deflate"):
+        return zlib.compress, zlib.decompress
+    if codec_class in (CODEC_GZIP,) or short in ("gzipcodec", "gzip"):
+        return gzip.compress, gzip.decompress
+    if codec_class in (CODEC_BZIP2,) or short in ("bzip2codec", "bzip2"):
+        return bz2.compress, bz2.decompress
+    raise NotImplementedError(
+        f"RCFile compression codec {codec_class!r} has no stdlib "
+        "decompressor (Snappy/LZO) — transcode with Hive to "
+        "DefaultCodec/gzip, or migrate to parquet (queries/formats.py "
+        "CONCATENATE)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -220,10 +263,25 @@ def write_rcfile_stream(
     row_iter,
     group_rows: int,
     sync: bytes = SYNC,
+    codec: str | None = None,
 ) -> int:
-    """Write one RCFile to a binary stream; returns rows written."""
+    """Write one RCFile to a binary stream; returns rows written.
+    ``codec`` = Hadoop codec class name (or short form "gzip" /
+    "deflate" / "bzip2") for a compressed file, None = uncompressed."""
+    if codec is not None:
+        codec = {
+            "gzip": CODEC_GZIP,
+            "deflate": CODEC_DEFAULT,
+            "default": CODEC_DEFAULT,
+            "bzip2": CODEC_BZIP2,
+        }.get(codec.lower(), codec)
+        compress, _ = _codec_funcs(codec)
     fh.write(MAGIC + bytes([VERSION]))
-    fh.write(b"\x00")  # uncompressed
+    if codec is None:
+        fh.write(b"\x00")  # uncompressed
+    else:
+        fh.write(b"\x01")
+        _write_text(fh, codec)
     meta = [
         (COLUMN_NUMBER_KEY, str(len(names))),
         ("columns", ",".join(names)),
@@ -252,16 +310,30 @@ def write_rcfile_stream(
         for cb in col_bytes:
             data = b"".join(cb)
             lens = _write_lengths_rle([len(c) for c in cb])
-            write_vlong(key, len(data))
-            write_vlong(key, len(data))  # uncompressed == stored
+            stored = data if codec is None else compress(data)
+            write_vlong(key, len(stored))  # on-disk (compressed) size
+            write_vlong(key, len(data))  # plain (uncompressed) size
             write_vlong(key, len(lens))
             key.write(lens)
-            values += data
+            values += stored
         kb = key.getvalue()
         fh.write(struct.pack(">i", -1))  # sync escape before each group
         fh.write(sync)
-        fh.write(struct.pack(">iii", len(kb) + len(values), len(kb), len(kb)))
-        fh.write(kb)
+        if codec is None:
+            fh.write(
+                struct.pack(">iii", len(kb) + len(values), len(kb), len(kb))
+            )
+            fh.write(kb)
+        else:
+            # record length counts the COMPRESSED key + value bytes;
+            # the middle int stays the UNCOMPRESSED key length
+            ckb = compress(kb)
+            fh.write(
+                struct.pack(
+                    ">iii", len(kb) + len(values), len(kb), len(ckb)
+                )
+            )
+            fh.write(ckb)
         fh.write(values)
         total += len(group)
         group.clear()
@@ -274,16 +346,23 @@ def write_rcfile_stream(
     return total
 
 
-def read_rcfile_header(fh) -> tuple[list[str], list[str], bytes]:
-    """Parse the RCF header; returns (names, hive types, sync)."""
+def read_rcfile_header(
+    fh,
+) -> tuple[list[str], list[str], bytes, str | None]:
+    """Parse the RCF header; returns (names, hive types, sync,
+    codec class name or None). A compressed file's codec class
+    follows the flag byte as a Hadoop Text (RCFile.java header
+    grammar ``file-compression-codec-class``); an unsupported codec
+    raises from _codec_funcs with migration guidance."""
     if fh.read(3) != MAGIC or fh.read(1) != bytes([VERSION]):
         raise ValueError("not an RCF version-1 file")
-    if fh.read(1) != b"\x00":
-        raise NotImplementedError(
-            "compressed RCFile not supported — decompress with Hive and "
-            "re-export, or migrate to parquet (see queries/formats.py "
-            "CONCATENATE)"
-        )
+    flag = fh.read(1)
+    codec: str | None = None
+    if flag == b"\x01":
+        codec = _read_text(fh)
+        _codec_funcs(codec)  # validate up front, loud + actionable
+    elif flag != b"\x00":
+        raise ValueError(f"bad compression flag byte {flag!r}")
     n_meta = struct.unpack(">i", fh.read(4))[0]
     meta = {}
     for _ in range(n_meta):
@@ -294,13 +373,18 @@ def read_rcfile_header(fh) -> tuple[list[str], list[str], bytes]:
     types = meta["columns.types"].split(":")
     if int(meta[COLUMN_NUMBER_KEY]) != len(names):
         raise ValueError("column count metadata mismatch")
-    return names, types, sync
+    return names, types, sync, codec
 
 
-def _read_group(fh, sync: bytes, names: list[str]):
+def _read_group(fh, sync: bytes, names: list[str], codec: str | None = None):
     """Read one row group at the current position (which must be at
     a sync escape or EOF). Returns rows (list of cell-bytes lists)
-    or None at EOF."""
+    or None at EOF. For a compressed file the key buffer and each
+    column's value bytes are independent codec streams: the key's
+    on-disk size is the third header int, each column's is the first
+    vlong of its key entry, and the plain sizes beside them are the
+    decompression contracts (checked loudly)."""
+    decompress = None if codec is None else _codec_funcs(codec)[1]
     while True:
         head = fh.read(4)
         if len(head) < 4:
@@ -310,27 +394,47 @@ def _read_group(fh, sync: bytes, names: list[str]):
             if fh.read(16) != sync:
                 raise ValueError("sync marker mismatch — corrupt file")
             continue
-        key_len, _ckey_len = struct.unpack(">ii", fh.read(8))
-        key = io.BytesIO(fh.read(key_len))
+        key_len, ckey_len = struct.unpack(">ii", fh.read(8))
+        if decompress is None:
+            key = io.BytesIO(fh.read(key_len))
+        else:
+            kb = decompress(fh.read(ckey_len))
+            if len(kb) != key_len:
+                raise ValueError(
+                    f"key buffer decompressed to {len(kb)} bytes, "
+                    f"header says {key_len} — corrupt file"
+                )
+            key = io.BytesIO(kb)
         n_rows = read_vlong(key)
         col_lens: list[list[int]] = []
         col_sizes: list[int] = []
+        col_plain: list[int] = []
         for _ in range(len(names)):
-            size = read_vlong(key)
-            read_vlong(key)  # uncompressed size (== size here)
+            size = read_vlong(key)  # on-disk (compressed) bytes
+            plain = read_vlong(key)  # uncompressed bytes
             len_buf_len = read_vlong(key)
             col_lens.append(_read_lengths_rle(key.read(len_buf_len), n_rows))
             col_sizes.append(size)
+            col_plain.append(plain)
         group_rows: list[list[bytes]] = [
             [b""] * len(names) for _ in range(n_rows)
         ]
-        for ci, (sizes, size) in enumerate(zip(col_lens, col_sizes)):
+        for ci, (sizes, size, plain) in enumerate(
+            zip(col_lens, col_sizes, col_plain)
+        ):
             data = fh.read(size)
+            if decompress is not None:
+                data = decompress(data)
+                if len(data) != plain:
+                    raise ValueError(
+                        f"column {names[ci]}: decompressed to "
+                        f"{len(data)} bytes, key says {plain}"
+                    )
             off = 0
             for ri, ln in enumerate(sizes):
                 group_rows[ri][ci] = data[off : off + ln]
                 off += ln
-            if off != size:
+            if off != len(data):
                 raise ValueError(f"column {names[ci]}: byte count mismatch")
         return group_rows
 
@@ -338,10 +442,10 @@ def _read_group(fh, sync: bytes, names: list[str]):
 def read_rcfile_stream(fh) -> tuple[list[str], list[str], list[list[bytes]]]:
     """Read one RCFile: (column names, hive types, rows of raw cell
     bytes)."""
-    names, types, sync = read_rcfile_header(fh)
+    names, types, sync, codec = read_rcfile_header(fh)
     rows: list[list[bytes]] = []
     while True:
-        g = _read_group(fh, sync, names)
+        g = _read_group(fh, sync, names, codec)
         if g is None:
             break
         rows.extend(g)
@@ -357,8 +461,9 @@ def read_rcfile_split(
     of a non-zero start scans forward for the next
     ``int(-1) + sync`` boundary, exactly how Hadoop's RCFile record
     reader re-synchronizes mid-file. Enables many tasks per giant
-    file instead of one."""
-    names, types, sync = read_rcfile_header(fh)
+    file instead of one. Works identically on compressed files —
+    sync escapes are never compressed."""
+    names, types, sync, codec = read_rcfile_header(fh)
     header_end = fh.tell()
     marker = struct.pack(">i", -1) + sync
     if start <= header_end:
@@ -389,7 +494,7 @@ def read_rcfile_split(
     rows: list[list[bytes]] = []
     fh.seek(pos)
     while fh.tell() < end:
-        g = _read_group(fh, sync, names)
+        g = _read_group(fh, sync, names, codec)
         if g is None:
             break
         rows.extend(g)
@@ -402,10 +507,15 @@ def read_rcfile_split(
 
 
 def write_rcfile(
-    df: DataFrame, path: str, group_rows: int = DEFAULT_GROUP_ROWS
+    df: DataFrame,
+    path: str,
+    group_rows: int = DEFAULT_GROUP_ROWS,
+    codec: str | None = None,
 ) -> int:
     """One RCFile per partition, written inside executors; only the
-    (path, row-count) report reaches the driver."""
+    (path, row-count) report reaches the driver. ``codec``: None =
+    uncompressed, or "deflate"/"gzip"/"bzip2" (or a Hadoop codec
+    class name) for per-column compressed row groups."""
     names = [f.name for f in df.schema.fields]
     types = [_hive_type(f.dataType) for f in df.schema.fields]
     os.makedirs(path, exist_ok=True)
@@ -431,6 +541,7 @@ def write_rcfile(
             n = write_rcfile_stream(
                 fh, names, types, rows(), group_rows,
                 sync=make_sync(f"part-{pid}"),
+                codec=codec,
             )
         if n == 0:
             os.remove(fname)
@@ -458,7 +569,7 @@ def read_rcfile(
     if not files:
         raise FileNotFoundError(f"no .rc files under {path}")
     with open(files[0], "rb") as fh:
-        names, types, _ = read_rcfile_header(fh)
+        names, types, _, _ = read_rcfile_header(fh)
 
     splits: list[tuple[str, int, int]] = []
     for f in files:
@@ -614,7 +725,7 @@ class RCFilePyDataSource(DataSource):
                 f"no .rc files under {self.options.get('path')}"
             )
         with open(files[0], "rb") as fh:
-            names, types, _ = read_rcfile_header(fh)
+            names, types, _, _ = read_rcfile_header(fh)
         return T.StructType(
             [
                 T.StructField(n, _spark_type(h))
@@ -656,6 +767,7 @@ class RCFilePyWriter(DataSourceWriter):
         self.names = [f.name for f in schema.fields]
         self.types = [_hive_type(f.dataType) for f in schema.fields]
         self.group_rows = int(options.get("group_rows", DEFAULT_GROUP_ROWS))
+        self.codec = options.get("codec")  # e.g. "deflate", "gzip"
         os.makedirs(self.path, exist_ok=True)
         if overwrite:
             for old in glob.glob(os.path.join(self.path, "part-*.rc")):
@@ -674,6 +786,7 @@ class RCFilePyWriter(DataSourceWriter):
                 (tuple(r) for r in iterator),
                 self.group_rows,
                 sync=make_sync(f"part-{pid}"),
+                codec=self.codec,
             )
         if n == 0:
             os.remove(fname)

@@ -78,9 +78,13 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         end = self._sizes()
         # carry files that vanished from disk forward unchanged so
-        # their consumed offsets are never re-read as zero
+        # their consumed offsets are never re-read as zero, and keep
+        # offsets MONOTONIC for files that shrank (truncate/rewrite):
+        # rewinding the committed offset to the new smaller size would
+        # re-ingest bytes as duplicates (or torn garbage) once the
+        # file grows again — breaking exactly-once (ADVICE r6).
         for f, off in start.items():
-            end.setdefault(f, off)
+            end[f] = max(int(end.get(f, 0)), int(off))
         # materialized: Spark's prefetch cache copy.copy()s the
         # iterator, which a lazy generator cannot survive
         return iter(list(self._read_range(start, end))), end

@@ -13,7 +13,11 @@ import time
 
 sys.path.insert(0, ".")
 
-from hdp2_5_hive_spark.oracle import compare_query, connect_oracle
+from hdp2_5_hive_spark.oracle import (
+    compare_query,
+    connect_oracle,
+    reject_complex_schema,
+)
 from hdp2_5_hive_spark.queries import all_queries
 from hdp2_5_hive_spark.session import get_session
 
@@ -35,6 +39,7 @@ def main() -> int:
         try:
             sdf = q.fn(spark, sf_dir)
             if q.oracle is None:
+                reject_complex_schema(sdf)
                 n = sdf.count()
                 print(f"ROWS {name}: {n} rows (no oracle) [{time.time()-t0:.1f}s]")
                 n_rowsonly += 1

@@ -38,12 +38,18 @@ MAX_ROWS = 1000
 def _execute(spark, sql: str) -> dict:
     try:
         df = spark.sql(sql)
-        rows = df.take(MAX_ROWS)
+        # take one extra row so clipping is DETECTABLE: a silent cap
+        # at exactly MAX_ROWS is indistinguishable from a complete
+        # MAX_ROWS result (ADVICE r6) — clients get "truncated": true
+        rows = df.take(MAX_ROWS + 1)
+        truncated = len(rows) > MAX_ROWS
         return {
             "columns": df.columns,
             "rows": [
-                [None if v is None else str(v) for v in r] for r in rows
+                [None if v is None else str(v) for v in r]
+                for r in rows[:MAX_ROWS]
             ],
+            "truncated": truncated,
         }
     except Exception as exc:  # noqa: BLE001 — errors go to the client
         return {"error": f"{type(exc).__name__}: {exc}"}

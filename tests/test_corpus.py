@@ -610,6 +610,7 @@ def test_normalize_unicode_edges(spark):
         (2, "中文 ß  OK"),
         (3, None),
         (4, "  plain  "),
+        (5, "한국어 텍스트"),  # Hangul: NFD → Jamo, MUST recompose
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in normalize_unicode(df).collect()}
@@ -617,6 +618,10 @@ def test_normalize_unicode_edges(spark):
     assert out[2].text_norm == "中文 ß OK" and out[2].changed
     assert out[3].text_norm is None and out[3].changed is None
     assert out[4].text_norm == "plain" and out[4].changed
+    # ADVICE r6: Hangul canonical decomposition is NOT combining
+    # marks — the output must be recomposed NFC, byte-identical to
+    # the already-NFC input, with changed=false.
+    assert out[5].text_norm == "한국어 텍스트" and not out[5].changed
 
 
 def test_qsketch_merge_equals_global_and_plan(spark):

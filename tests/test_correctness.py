@@ -17,7 +17,14 @@ def test_query_matches_oracle(name, spark, sf_dir, oracle_con):
     q = QUERIES[name]
     df = q.fn(spark, sf_dir)
     if q.oracle is None:
-        # rows-only contract: must execute and return a well-formed frame
+        # rows-only contract: must execute and return a well-formed
+        # frame, AND a driver-canonicalizable schema — the driver
+        # pandas-sorts even rows-only results and dies on array cells
+        # (emb_pca_project ERR r6), so the complex-schema guard
+        # applies to every registered query, not just oracle-backed.
+        from hdp2_5_hive_spark.oracle import reject_complex_schema
+
+        reject_complex_schema(df)
         assert df.columns, f"{name}: no columns"
         assert df.count() >= 0
         return

@@ -64,13 +64,90 @@ def test_stream_round_trip_with_nulls_and_groups():
     assert float(raw[8][2]) == 8 / 7.0  # shortest-repr double survives
 
 
-def test_compressed_flag_rejected():
+def test_unsupported_codec_rejected():
+    """Snappy/LZO have no stdlib decompressor — the header parse
+    must raise the actionable migration error, not crash mid-group."""
     fh = io.BytesIO()
-    rc.write_rcfile_stream(fh, ["a"], ["int"], iter([(1,)]), 10)
-    data = bytearray(fh.getvalue())
-    data[4] = 1  # flip the compressed flag
-    with pytest.raises(NotImplementedError, match="compressed"):
-        rc.read_rcfile_stream(io.BytesIO(bytes(data)))
+    fh.write(rc.MAGIC + bytes([rc.VERSION]) + b"\x01")
+    buf = io.BytesIO()
+    rc._write_text(buf, "org.apache.hadoop.io.compress.SnappyCodec")
+    fh.write(buf.getvalue())
+    fh.seek(0)
+    with pytest.raises(NotImplementedError, match="Snappy"):
+        rc.read_rcfile_header(fh)
+
+
+@pytest.mark.parametrize("codec", ["deflate", "gzip", "bzip2"])
+def test_compressed_stream_round_trip(codec):
+    """Compressed row groups (RCFile.java flushRecords/writeKey):
+    key buffer one codec stream, each column an independent stream;
+    every supported codec round-trips bytes exactly, and the file
+    really is smaller than the uncompressed twin on repetitive data."""
+    rows = [
+        (i, ("repetitive text " * 6) + str(i % 3), i / 7.0)
+        for i in range(257)
+    ]
+    plain = io.BytesIO()
+    rc.write_rcfile_stream(
+        plain, ["k", "s", "x"], ["bigint", "string", "double"],
+        iter(rows), group_rows=50,
+    )
+    comp = io.BytesIO()
+    n = rc.write_rcfile_stream(
+        comp, ["k", "s", "x"], ["bigint", "string", "double"],
+        iter(rows), group_rows=50, codec=codec,
+    )
+    assert n == 257
+    assert len(comp.getvalue()) < len(plain.getvalue())
+    comp.seek(0)
+    names, types, raw = rc.read_rcfile_stream(comp)
+    assert names == ["k", "s", "x"]
+    plain.seek(0)
+    assert raw == rc.read_rcfile_stream(plain)[2]
+    # header carries the full Hadoop codec class name
+    comp.seek(0)
+    assert rc.read_rcfile_header(comp)[3].startswith(
+        "org.apache.hadoop.io.compress."
+    )
+
+
+def test_compressed_split_read_resyncs():
+    """Sync escapes are never compressed, so byte-range splits of a
+    compressed file cover every group exactly once — the Hadoop
+    split contract a 1000-executor migration read depends on."""
+    rows = [(i, f"value {i} {'y' * (i % 13)}") for i in range(3000)]
+    fh = io.BytesIO()
+    rc.write_rcfile_stream(
+        fh, ["k", "s"], ["bigint", "string"], iter(rows), group_rows=100,
+        sync=rc.make_sync("comp-split"), codec="deflate",
+    )
+    data = fh.getvalue()
+    for split_size in (len(data) // 5, 2048):
+        got = []
+        for start in range(0, len(data), split_size):
+            end = min(start + split_size, len(data))
+            _, _, part = rc.read_rcfile_split(io.BytesIO(data), start, end)
+            got.extend(part)
+        assert sorted(int(r[0]) for r in got) == list(range(3000))
+
+
+def test_compressed_distributed_round_trip(spark, tmp_path):
+    """write_rcfile(codec=) → read_rcfile: values and schema match
+    the source frame; the reader needs no codec hint (header-driven)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, None)
+         .otherwise(F.concat(F.lit("row "), F.col("id"))).alias("s"),
+    )
+    path = str(tmp_path / "rc_gz")
+    n = rc.write_rcfile(df.repartition(3), path, group_rows=64, codec="gzip")
+    assert n == 400
+    back = rc.read_rcfile(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
 
 
 def test_distributed_round_trip_all_types(spark, tmp_path):
