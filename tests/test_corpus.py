@@ -600,6 +600,33 @@ def test_cms_absent_token_estimates_zero(spark):
     assert est["a"] >= 1
 
 
+def test_cms_estimate_validates_probe_params(spark):
+    """ADVICE r6: mismatched probe depth/width silently returned 0
+    for present tokens (wrong cells addressed). Now: depth defaults
+    to DERIVED from the sketch (max(s)+1), an explicit wrong depth
+    raises, and a probe width smaller than a sketch bucket raises."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    toks = spark.createDataFrame([("a",)] * 5 + [("b",)], "tok string")
+    sketch = sk.cms_build(toks, "tok", depth=3, width=32)
+    probes = toks.distinct()
+    # derived depth — no parameter needed
+    est = {
+        r.tok: r.cms_est
+        for r in sk.cms_estimate(probes, sketch, "tok", width=32).collect()
+    }
+    assert est == {"a": 5, "b": 1}
+    with _pytest.raises(ValueError, match="depth"):
+        sk.cms_estimate(probes, sketch, "tok", depth=5, width=32)
+    # width smaller than an existing bucket index cannot match cells
+    bmax = sketch.agg({"b": "max"}).first()[0]
+    if bmax >= 2:  # overwhelmingly likely with 6 tokens x 3 rows
+        with _pytest.raises(ValueError, match="width"):
+            sk.cms_estimate(probes, sketch, "tok", width=2)
+
+
 def test_normalize_unicode_edges(spark):
     """Accent stripping keeps non-accent letters (ß, CJK), collapses
     mixed whitespace, preserves case, passes None through."""

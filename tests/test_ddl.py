@@ -196,5 +196,17 @@ def test_sql_server_rpc_concurrent_clients(spark, sf_dir):
         assert rb["rows"][0][0] == "NATION_0"
         err = query(port, "SELECT bogus FROM nowhere")
         assert "error" in err and "nowhere" in err["error"].lower() or "TABLE_OR_VIEW_NOT_FOUND" in err["error"]
+        # ADVICE r6: clipping at MAX_ROWS must be detectable — a
+        # complete small result says truncated=false, an over-limit
+        # one says true and returns exactly MAX_ROWS rows
+        assert ra["truncated"] is False
+        import sql_server as _srv_mod
+
+        big = query(
+            port,
+            f"SELECT id FROM range({_srv_mod.MAX_ROWS + 5})",
+        )
+        assert big["truncated"] is True
+        assert len(big["rows"]) == _srv_mod.MAX_ROWS
     finally:
         srv.shutdown()

@@ -270,3 +270,11 @@ def test_partition_wise_fileformat(spark, tmp_path):
 
     with _pytest.raises(ValueError):
         ms.alter_partition_fileformat("pwf", {}, "orc")
+    # ADVICE r6: a spec naming a NONEXISTENT partition must error,
+    # not record a silently-never-matching override
+    with _pytest.raises(ValueError, match="does not exist"):
+        ms.alter_partition_fileformat("pwf", {"ds": "nope"}, "orc")
+    # ...and values outside the safe charset (Spark percent-escapes
+    # them on disk, so a raw-keyed override would never match) refuse
+    with _pytest.raises(ValueError, match="unsupported partition value"):
+        ms.alter_partition_fileformat("pwf", {"ds": "a b"}, "orc")

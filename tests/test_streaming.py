@@ -437,6 +437,43 @@ def test_jsonl_stream_source_incremental_offsets(spark, tmp_path):
     assert len(rows) == 4
 
 
+def test_jsonl_stream_offsets_monotonic_on_truncation(tmp_path):
+    """ADVICE r6: a shard that SHRINKS (truncate/rewrite) must not
+    rewind its committed offset — when it grows back past the old
+    size, only bytes beyond the previously-consumed offset are read,
+    never a re-ingest of the overlap as duplicates."""
+    import json as j
+
+    from hdp2_5_hive_spark.streaming.jsonl_source import JsonlStreamReader
+
+    d = tmp_path / "shards"
+    d.mkdir()
+    f1 = d / "a.jsonl"
+    f1.write_text(
+        "\n".join(j.dumps({"doc_id": i, "text": f"t{i}"}) for i in (1, 2))
+        + "\n"
+    )
+    reader = JsonlStreamReader({"path": str(d)})
+    start = reader.initialOffset()
+    rows, end = reader.read(start)
+    assert {r[0] for r in rows} == {1, 2}
+    consumed = end[str(f1)]
+
+    # shrink the file (rewrite with fewer bytes)
+    f1.write_text(j.dumps({"doc_id": 9, "text": "t9"}) + "\n")
+    rows2, end2 = reader.read(end)
+    assert list(rows2) == []  # nothing re-read from the overlap
+    assert end2[str(f1)] == consumed  # offset held, not rewound
+
+    # grow past the old size: only bytes BEYOND the held offset are
+    # ingested (the first `consumed` bytes are never re-read, so
+    # their content is irrelevant — newline-terminated filler here)
+    tail = j.dumps({"doc_id": 10, "text": "t10"}) + "\n"
+    f1.write_bytes(b"x" * (consumed - 1) + b"\n" + tail.encode())
+    rows3, _ = reader.read(end2)
+    assert {r[0] for r in rows3} == {10}
+
+
 def test_jsonl_stream_to_clean_corpus_pipeline(spark, tmp_path):
     """Capstone: the streaming corpus path end-to-end — jsonl_stream
     source → unicode normalization (Arrow UDF works on a stream) →
