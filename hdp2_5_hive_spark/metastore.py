@@ -53,9 +53,25 @@ class Metastore:
         with open(self._meta_path, encoding="utf-8") as f:
             return json.load(f)
 
-    def _write_meta(self, meta: dict) -> None:
+    def _write_meta(self, meta: dict, expected_version: int | None = None) -> None:
         # Atomic replace — a crashed writer can never leave a torn
         # metastore (HiveMetaStore gets this from RDBMS transactions).
+        # ``expected_version`` is a best-effort compare-and-set: on
+        # filesystems where flock degraded to no-op (see _mutate),
+        # a concurrent writer that slipped between our read and this
+        # write bumps the version, and we fail LOUDLY instead of
+        # silently clobbering its update (a small race window
+        # remains — the full fix is flock, which is active anywhere
+        # POSIX; this turns the degraded path's silent lost-update
+        # into a retryable error).
+        if expected_version is not None:
+            on_disk = self._read_meta().get("version", 0)
+            if int(on_disk) != int(expected_version):
+                raise RuntimeError(
+                    f"metastore concurrent modification: version "
+                    f"{on_disk} on disk, expected {expected_version} "
+                    "— retry the DDL operation"
+                )
         meta["version"] = int(meta.get("version", 0)) + 1
         fd, tmp = tempfile.mkstemp(dir=self.warehouse_dir, suffix=".tmp")
         with os.fdopen(fd, "w", encoding="utf-8") as f:
@@ -90,8 +106,9 @@ class Metastore:
                 # DDL mutation.
                 pass
             meta = self._read_meta()
+            read_version = int(meta.get("version", 0))
             out = fn(meta)
-            self._write_meta(meta)
+            self._write_meta(meta, expected_version=read_version)
             return out
 
     # -- DDL surface ------------------------------------------------------

@@ -151,6 +151,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # ---- positions 48+: new round-7 queries appended as they land,
     # then re-green flagships if the driver reads past 50 ----
     "fmt_rcfile_compressed",
+    "fmt_sequencefile_compressed",
 )
 
 

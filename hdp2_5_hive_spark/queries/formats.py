@@ -315,6 +315,51 @@ def fmt_sequencefile_round_trip(spark, t):
 
 
 @register(
+    "fmt_sequencefile_compressed",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier WHERE s_nationkey < 10
+""",
+    category="formats",
+)
+def fmt_sequencefile_compressed(spark, t):
+    """RECORD-compressed SequenceFile round-trip — the layout Hive
+    writes under ``hive.exec.compress.output=true`` with the default
+    ``mapred.output.compression.type=RECORD``
+    (``ql/exec/FileSinkOperator`` → Hadoop ``SequenceFile.Writer``
+    with DefaultCodec). Spark's JVM Hadoop integration carries the
+    codecs, so write passes ``compressionCodecClass`` to
+    ``saveAsSequenceFile`` and READ needs no hint — the codec class
+    is in the SEQ header, exactly how a migration read encounters a
+    legacy compressed warehouse. Same \\x01 LazySimpleSerDe value
+    layout as fmt_sequencefile_round_trip."""
+    d = scratch_dir("fmt_seq_gz_") + "/seq"
+    src = t.supplier.filter(F.col("s_nationkey") < 10).select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    (
+        src.rdd.map(
+            lambda r: (
+                str(r.s_suppkey),
+                f"{r.s_suppkey}\x01{r.s_name}\x01{r.s_nationkey}",
+            )
+        ).saveAsSequenceFile(
+            d, "org.apache.hadoop.io.compress.DefaultCodec"
+        )
+    )
+    back = spark.sparkContext.sequenceFile(d)
+    raw = spark.createDataFrame(
+        back.map(lambda kv: (kv[1],)), "value string"
+    )
+    parts = F.split(F.col("value"), "\x01")
+    return raw.select(
+        parts.getItem(0).cast("long").alias("s_suppkey"),
+        parts.getItem(1).alias("s_name"),
+        parts.getItem(2).cast("int").alias("s_nationkey"),
+    )
+
+
+@register(
     "ddl_persistent_catalog",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey <= 3
