@@ -80,6 +80,7 @@ _MODULES = (
     "pipeline2",
     "pipeline3",
     "pipeline4",
+    "pipeline5",
     "scalars2",
     "scalars3",
     "core",
@@ -152,6 +153,10 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # then re-green flagships if the driver reads past 50 ----
     "fmt_rcfile_compressed",
     "fmt_sequencefile_compressed",
+    "text_pii_redact",
+    "text_url_host_filter",
+    "text_winnow_fingerprints",
+    "corpus_token_drift",
 )
 
 

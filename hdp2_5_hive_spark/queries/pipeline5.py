@@ -1,0 +1,308 @@
+r"""LLM-pipeline queries, round 7: PII redaction, URL-host blocklist
+filtering, winnowing fingerprints, and token-distribution drift.
+
+Beyond-reference operators under the training-data-pipeline mandate
+(SURVEY §6). Design rules as in pipeline/pipeline2-4: every plan is
+built-in-functions only (regexp/split/window/join — JVM codegen, no
+Python in the hot path), every shuffle is keyed or broadcast, and
+each query carries a DuckDB oracle that re-derives the semantics
+from portable primitives. Regex patterns are restricted to the
+RE2 ∩ java.util.regex common subset (character classes, bounded
+quantifiers, ``\b``, non-capturing groups) so both engines match
+byte-for-byte.
+
+The synthetic documents table is letters-only word salad, so the PII
+and URL queries INJECT deterministic PII/URLs derived from doc_id —
+identically on both sides — before detecting them: the operator is
+exercised on text with known ground truth instead of vacuously
+passing on hit-free input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+
+# RE2 ∩ Java-regex portable PII patterns. Order of application:
+# email first (its local part may contain dots/digits that the IP
+# pattern could nibble), then IP (dots), then phone (dashes) — the
+# three never overlap on the remaining text.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com or call 555-123-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1'
+           AS raw
+  FROM documents WHERE doc_id < 3000
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(raw,
+         '{PII_EMAIL}', '<EMAIL>', 'g'),
+         '{PII_IP}', '<IP>', 'g'),
+         '{PII_PHONE}', '<PHONE>', 'g') AS text_redacted,
+       CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(raw, '{PII_IP}')) AS BIGINT) AS n_ip,
+       CAST(len(regexp_extract_all(raw, '{PII_PHONE}')) AS BIGINT) AS n_phone
+FROM seeded
+""",
+    category="pipeline",
+)
+def text_pii_redact(spark, t):
+    """PII scrubbing — the redaction pass every training-data
+    pipeline runs before release (emails / IPv4s / phone numbers →
+    typed placeholders, plus per-doc hit counts for audit). Map-only:
+    three chained ``regexp_replace`` + three ``regexp_count``, all
+    JVM codegen on one projection — at 100 TB this is a pure scan
+    with zero shuffles, and the counts aggregate partials if a
+    corpus-level audit total is wanted. Patterns are anchored with
+    ``\\b`` and kept in the RE2-compatible subset so the DuckDB
+    oracle replays them exactly. PII is injected deterministically
+    from doc_id (identically in the oracle) because the synthetic
+    corpus is letters-only — ground truth per row: 1 email, 1 IP,
+    1 phone."""
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    doc = t.documents.filter(F.col("doc_id") < 3000).select(
+        "doc_id", raw.alias("raw")
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL, "<EMAIL>"),
+            PII_IP,
+            "<IP>",
+        ),
+        PII_PHONE,
+        "<PHONE>",
+    )
+    return doc.select(
+        "doc_id",
+        red.alias("text_redacted"),
+        F.regexp_count(F.col("raw"), F.lit(PII_EMAIL))
+        .cast("long")
+        .alias("n_email"),
+        F.regexp_count(F.col("raw"), F.lit(PII_IP))
+        .cast("long")
+        .alias("n_ip"),
+        F.regexp_count(F.col("raw"), F.lit(PII_PHONE))
+        .cast("long")
+        .alias("n_phone"),
+    )
+
+
+@register(
+    "text_url_host_filter",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'https://' || source || '-' || CAST(doc_id % 3 AS VARCHAR)
+           || '.example'
+           || CASE doc_id % 3 WHEN 0 THEN '.com'
+                              WHEN 1 THEN '.org' ELSE '.net' END
+           || '/p/' || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+),
+hosts AS (
+  SELECT doc_id, regexp_extract(url, 'https://([^/]+)/', 1) AS host
+  FROM urls
+),
+blocked(host) AS (VALUES ('src0-0.example.com'), ('src1-1.example.org'))
+SELECT h.host, COUNT(*) AS n_docs
+FROM hosts h LEFT JOIN blocked b ON h.host = b.host
+WHERE b.host IS NULL
+GROUP BY h.host
+""",
+    category="pipeline",
+)
+def text_url_host_filter(spark, t):
+    """URL-host blocklist filtering (the RefinedWeb/CCNet curation
+    step: drop documents whose source host is on a deny list). Hive
+    surface: ``parse_url(url, 'HOST')``
+    (``udf/generic/GenericUDFParseUrl.java``) extracts the host
+    JVM-side; the blocklist joins as a BROADCAST left-anti — at
+    100 TB the deny list is a few MB of hosts against billions of
+    docs, so the anti join must never shuffle the corpus. URLs are
+    synthesized deterministically from (source, doc_id) on both
+    sides; the oracle extracts the host with the equivalent regex."""
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example"),
+        F.when(F.col("doc_id") % 3 == 0, ".com")
+        .when(F.col("doc_id") % 3 == 1, ".org")
+        .otherwise(".net"),
+        F.lit("/p/"),
+        F.col("doc_id").cast("string"),
+    )
+    hosts = t.documents.select(
+        "doc_id", F.parse_url(url, F.lit("HOST")).alias("host")
+    )
+    blocked = spark.createDataFrame(
+        [("src0-0.example.com",), ("src1-1.example.org",)], "host string"
+    )
+    kept = hosts.join(F.broadcast(blocked), "host", "left_anti")
+    return kept.groupBy("host").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@register(
+    "text_winnow_fingerprints",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE doc_id < 200
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+4], ' ')) AS h,
+         len(t) - 4 AS n_grams
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s
+  WHERE len(t) >= 5
+),
+wins AS (
+  SELECT doc_id, pos, n_grams,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp
+FROM wins WHERE pos <= n_grams - 3
+""",
+    category="pipeline",
+)
+def text_winnow_fingerprints(spark, t):
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken
+    SIGMOD 2003 — the MOSS algorithm): hash every k-gram (k=5
+    tokens), slide a w=4 window over consecutive gram hashes, keep
+    the window minimum, emit the distinct (doc, fingerprint) set.
+    Guarantee: any shared run of w+k-1 tokens between two documents
+    yields at least one identical fingerprint, with ~2/(w+1)
+    selection density — the local-dedup sweet spot between full
+    k-gram shingling (pipeline MinHash) and whole-doc hashing.
+
+    Plan: split → posexplode → md5 (all codegen), one window
+    function partitioned BY DOCUMENT (never a global sort — each
+    doc's grams sort within its partition), then a keyed distinct.
+    At 100 TB the only shuffle is the per-doc window + distinct, both
+    on doc-sized groups. md5 keeps the fingerprint engine-portable
+    for the oracle; a production deployment would swap xxhash64."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = (
+        t.documents.filter(F.col("doc_id") < 200)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            "toks",
+            (F.size("toks") - 4).alias("n_grams"),
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias(
+                "pos"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.md5(F.concat_ws(" ", F.expr("slice(toks, pos, 5)"))).alias(
+                "h"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    wins = grams.select(
+        "doc_id", "pos", "n_grams", F.min("h").over(w).alias("fp")
+    )
+    return wins.filter(
+        F.col("pos") <= F.col("n_grams") - 3
+    ).select("doc_id", "fp").distinct()
+
+
+@register(
+    "corpus_token_drift",
+    oracle="""
+WITH toks AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+counts AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+),
+totals AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens
+  FROM counts GROUP BY source
+),
+vocab AS (
+  SELECT tok, CAST(SUM(c) AS BIGINT) AS cg FROM counts GROUP BY tok
+),
+grand AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM vocab),
+mat AS (
+  SELECT s.source, s.n_tokens, v.tok, v.cg, g.ng,
+         COALESCE(c.c, 0) AS cs
+  FROM totals s CROSS JOIN vocab v CROSS JOIN grand g
+  LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok
+)
+SELECT source, n_tokens,
+       CAST(SUM(abs(cs * (ng - n_tokens) - (cg - cs) * n_tokens))
+            AS BIGINT) AS l1_drift_scaled
+FROM mat GROUP BY source, n_tokens
+""",
+    category="pipeline",
+)
+def corpus_token_drift(spark, t):
+    """Token-distribution drift per source vs the rest of the corpus
+    — the mixing-validation check run after domain reweighting
+    (corpus_mix_temperature) to see whether a source's unigram
+    distribution diverges from the pool. Metric: total-variation
+    distance scaled to stay in EXACT integer arithmetic,
+    ``sum_tok |c_s·(N-N_s) − (c−c_s)·N_s|`` — equal to
+    ``2·N_s·(N−N_s)·TVD(P_s, P_rest)`` without a single float, so
+    the cross-engine compare is exact where a float KL would drift
+    in the last ulp (same discipline as dsum's decimal trick).
+
+    Plan: one keyed token count (map-side combine), then BROADCAST
+    joins of the tiny (source) and (vocab) dims — the corpus is
+    touched once; the |sources|×|vocab| drift matrix is
+    dimension-sized, never corpus-sized."""
+    toks = t.documents.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
+    )
+    counts = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_tokens")
+    )
+    vocab = counts.groupBy("tok").agg(F.sum("c").cast("long").alias("cg"))
+    ng = vocab.agg(F.sum("cg").cast("long").alias("ng"))
+    mat = (
+        totals.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(ng))
+        .join(counts, ["source", "tok"], "left")
+        .withColumn("cs", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    drift = (
+        F.col("cs") * (F.col("ng") - F.col("n_tokens"))
+        - (F.col("cg") - F.col("cs")) * F.col("n_tokens")
+    )
+    return mat.groupBy("source", "n_tokens").agg(
+        F.sum(F.abs(drift)).cast("long").alias("l1_drift_scaled")
+    )
