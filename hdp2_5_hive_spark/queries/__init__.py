@@ -157,6 +157,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "text_url_host_filter",
     "text_winnow_fingerprints",
     "corpus_token_drift",
+    "fmt_avro_deflate",
 )
 
 

@@ -40,6 +40,31 @@ def fmt_avro_round_trip(spark, t):
 
 
 @register(
+    "fmt_avro_deflate",
+    oracle="""
+SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+WHERE p_partkey <= 500
+""",
+    category="formats",
+)
+def fmt_avro_deflate(spark, t):
+    """Avro round-trip with ``avro.codec=deflate`` — per-block raw
+    RFC-1951 streams per the Avro 1.11 spec, the codec most real OCF
+    exports actually use (AvroContainerOutputFormat honors
+    ``avro.output.codec=deflate``). The reader takes the codec from
+    the file header; block boundaries and sync markers are outside
+    the compressed payload so per-file parallel reads are unchanged."""
+    from ..sources import avro_py
+
+    d = scratch_dir("fmt_avro_df_")
+    src = t.part.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey", "p_name", "p_brand", "p_retailprice"
+    )
+    avro_py.write_avro(src.repartition(3), d, codec="deflate")
+    return avro_py.read_avro(spark, d)
+
+
+@register(
     "fmt_orc_round_trip",
     oracle="""
 SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice

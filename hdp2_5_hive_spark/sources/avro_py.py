@@ -302,9 +302,14 @@ def write_container(
     out: io.BufferedIOBase,
     spark_schema: T.StructType,
     row_batches: Iterator[list[tuple]],
+    codec: str = "null",
 ) -> int:
     """Write one Avro Object Container File; one block per batch.
-    Returns row count."""
+    Returns row count. ``codec``: "null" (uncompressed) or "deflate"
+    (per-block raw RFC-1951 streams, the Avro 1.11 spec's required
+    optional codec — what most real OCF files ship with)."""
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"avro_py: unsupported write codec {codec!r}")
     avro_schema = spark_to_avro_schema(spark_schema)
     codecs = [_FieldCodec(f.dataType, f.nullable) for f in spark_schema.fields]
     out.write(MAGIC)
@@ -313,7 +318,7 @@ def write_container(
     _write_bytes(meta, b"avro.schema")
     _write_bytes(meta, json.dumps(avro_schema).encode())
     _write_bytes(meta, b"avro.codec")
-    _write_bytes(meta, b"null")
+    _write_bytes(meta, codec.encode())
     _write_long(meta, 0)
     out.write(meta.getvalue())
     out.write(SYNC)
@@ -323,20 +328,30 @@ def write_container(
             continue
         block = io.BytesIO()
         for row in rows:
-            for codec, v in zip(codecs, row):
-                codec.encode(block, v)
+            for fc, v in zip(codecs, row):
+                fc.encode(block, v)
+        data = block.getvalue()
+        if codec == "deflate":
+            import zlib
+
+            # raw DEFLATE, no zlib wrapper (Avro spec: RFC 1951)
+            co = zlib.compressobj(wbits=-15)
+            data = co.compress(data) + co.flush()
         head = io.BytesIO()
         _write_long(head, len(rows))
-        _write_long(head, block.tell())
+        _write_long(head, len(data))
         out.write(head.getvalue())
-        out.write(block.getvalue())
+        out.write(data)
         out.write(SYNC)
         total += len(rows)
     return total
 
 
-def read_header(src: io.BufferedIOBase) -> tuple[dict, bytes]:
-    """Parse magic + metadata; returns (avro schema dict, sync marker)."""
+def read_header(
+    src: io.BufferedIOBase,
+) -> tuple[dict, bytes, str]:
+    """Parse magic + metadata; returns (avro schema dict, sync
+    marker, codec name — "null" or "deflate")."""
     if src.read(4) != MAGIC:
         raise ValueError("not an Avro object container file")
     meta: dict[str, bytes] = {}
@@ -350,9 +365,14 @@ def read_header(src: io.BufferedIOBase) -> tuple[dict, bytes]:
         for _ in range(n):
             k = _read_bytes(src).decode()
             meta[k] = _read_bytes(src)
-    if meta.get("avro.codec", b"null") not in (b"null", b""):
-        raise ValueError(f"avro_py: unsupported codec {meta['avro.codec']!r}")
-    return json.loads(meta["avro.schema"]), src.read(16)
+    if meta.get("avro.codec", b"null") not in (b"null", b"", b"deflate"):
+        raise ValueError(
+            f"avro_py: unsupported codec {meta['avro.codec']!r} — "
+            "null and deflate are supported (snappy/zstandard need "
+            "external libs; transcode or use the spark-avro jar)"
+        )
+    codec = (meta.get("avro.codec") or b"null").decode() or "null"
+    return json.loads(meta["avro.schema"]), src.read(16), codec
 
 
 def _field_ts_millis(avro_type: object) -> bool:
@@ -366,7 +386,7 @@ def _field_ts_millis(avro_type: object) -> bool:
 
 
 def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
-    avro_schema, sync = read_header(src)
+    avro_schema, sync, blk_codec = read_header(src)
     spark_schema = avro_to_spark_schema(avro_schema)
     codecs = [
         _FieldCodec(f.dataType, f.nullable, ts_millis=_field_ts_millis(af["type"]))
@@ -382,8 +402,19 @@ def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
         n = _read_long(buf)
         size = _read_long(buf)
         end = buf.tell() + size
-        for _ in range(n):
-            rows.append(tuple(c.decode(buf) for c in codecs))
+        if blk_codec == "deflate":
+            import zlib
+
+            body = io.BytesIO(zlib.decompress(buf.read(size), -15))
+            for _ in range(n):
+                rows.append(tuple(c.decode(body) for c in codecs))
+            if body.read(1):
+                raise ValueError(
+                    "avro_py: deflate block has trailing bytes (corrupt)"
+                )
+        else:
+            for _ in range(n):
+                rows.append(tuple(c.decode(buf) for c in codecs))
         if buf.tell() != end:
             raise ValueError("avro_py: block size mismatch (corrupt block)")
         if buf.read(16) != sync:
@@ -409,17 +440,23 @@ def native_avro_available(spark: SparkSession) -> bool:
         return "Failed to find" not in msg and "FAILED_TO_LOAD" not in msg
 
 
-def write_avro(df: DataFrame, path: str) -> int:
+def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
     """Distributed Avro write: one container file per partition,
     written inside the executors via ``mapInArrow`` (the report — not
     the data — is what reaches the driver). Arrow batches, not pandas:
     the Arrow->pandas bridge turns a nullable int64 column into
     float64, silently corrupting longs above 2^53; ``to_pylist`` on
     the RecordBatch keeps exact ints with None for nulls.
-    Delegates to native spark-avro when present. Returns row count."""
+    Delegates to native spark-avro when present. Returns row count.
+    ``codec``: "null" or "deflate" (per-block raw RFC-1951)."""
     spark = df.sparkSession
     if native_avro_available(spark):
-        df.write.mode("overwrite").format("avro").save(path)
+        (
+            df.write.mode("overwrite")
+            .format("avro")
+            .option("compression", "deflate" if codec == "deflate" else "uncompressed")
+            .save(path)
+        )
         return -1  # native path reports via its own committer
     os.makedirs(path, exist_ok=True)
     for old in glob.glob(os.path.join(path, "part-*.avro")):
@@ -442,7 +479,7 @@ def write_avro(df: DataFrame, path: str) -> int:
                 yield list(zip(*cols))
 
         with open(fname, "wb") as fh:
-            n = write_container(fh, schema, rows())
+            n = write_container(fh, schema, rows(), codec=codec)
         if n == 0:
             os.remove(fname)  # empty partition — no file
         yield pa.RecordBatch.from_pydict({"path": [fname], "n_rows": [n]})
@@ -463,7 +500,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(files[0], "rb") as fh:
-        avro_schema, _ = read_header(fh)
+        avro_schema, _, _ = read_header(fh)
     spark_schema = avro_to_spark_schema(avro_schema)
     par = min(len(files), spark.sparkContext.defaultParallelism)
     files_df = spark.createDataFrame(

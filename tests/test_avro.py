@@ -242,3 +242,48 @@ def test_external_timestamp_millis_decodes_scaled(spark, tmp_path):
     got_schema, rows = avro_py.read_container(buf)
     assert got_schema["ts"].dataType == T.TimestampType()
     assert rows == [(7, ts), (8, None)]
+
+
+def test_deflate_codec_round_trip(spark, tmp_path):
+    """avro.codec=deflate (per-block raw RFC-1951 — the codec most
+    real OCF files ship with): values round-trip exactly, the file
+    is smaller than the uncompressed twin on repetitive data, and
+    the header records the codec so reads need no hint."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("the same prefix again and again "), F.col("id"))
+        .alias("s"),
+    )
+    plain, comp = str(tmp_path / "plain"), str(tmp_path / "comp")
+    avro_py.write_avro(df.coalesce(1), plain)
+    n = avro_py.write_avro(df.coalesce(1), comp, codec="deflate")
+    assert n == 2000
+    p = glob.glob(f"{plain}/part-*.avro")[0]
+    c = glob.glob(f"{comp}/part-*.avro")[0]
+    import os as _os
+
+    assert _os.path.getsize(c) < _os.path.getsize(p)
+    with open(c, "rb") as fh:
+        assert avro_py.read_header(fh)[2] == "deflate"
+    back = avro_py.read_avro(spark, comp)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+
+
+def test_unsupported_avro_codec_is_loud(spark, tmp_path):
+    """A snappy-coded file must raise the actionable error at header
+    parse, not garbage mid-block."""
+    import pytest as _pytest
+
+    df = spark.range(5)
+    path = str(tmp_path / "x")
+    avro_py.write_avro(df.coalesce(1), path)
+    f = glob.glob(f"{path}/part-*.avro")[0]
+    data = open(f, "rb").read()
+    assert b"null" in data
+    open(f, "wb").write(data.replace(b"\x08null", b"\x0csnappy", 1))
+    with _pytest.raises(ValueError, match="snappy"):
+        avro_py.read_avro(spark, f).collect()
