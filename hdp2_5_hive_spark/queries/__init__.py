@@ -158,6 +158,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "text_winnow_fingerprints",
     "corpus_token_drift",
     "fmt_avro_deflate",
+    "fn_arith_edge_semantics",
+    "fn_string_edge_cases2",
 )
 
 

@@ -499,3 +499,103 @@ def agg_bit_ops(spark, t):
         F.bit_or(k).alias("all_or"),
         F.bit_xor(k).alias("all_xor"),
     )
+
+
+@register(
+    "fn_arith_edge_semantics",
+    oracle="""
+SELECT o_orderkey,
+       o_orderkey / NULLIF(o_orderkey % 3, 0)          AS div0_int,
+       CAST(o_totalprice AS DOUBLE) / NULLIF(o_orderkey % 3, 0)
+                                                       AS div0_dbl,
+       o_orderkey % NULLIF(o_orderkey % 5, 0)          AS mod0,
+       CAST((
+         (CAST(o_orderkey AS HUGEINT) * 4611686018427387904
+          + 9223372036854775808) % 18446744073709551616
+         - 9223372036854775808) AS BIGINT)             AS mul_wrap,
+       ((0 - o_orderkey) % 7 + 7) % 7                  AS pmod7
+FROM orders WHERE o_orderkey <= 2000
+""",
+    category="scalars",
+)
+def fn_arith_edge_semantics(spark, t):
+    """Hive arithmetic edge semantics with ANSI off (the parity mode
+    catalog.ensure_parity_confs pins — ``UDFOPDivide``/``UDFOPMod``
+    return NULL on zero divisors instead of erroring, and integer
+    ops wrap in Java two's complement):
+
+    - x/0 and x%0 -> NULL for int and double operands. DuckDB agrees
+      natively; the oracle spells the NULL branch with NULLIF so the
+      intent is explicit.
+    - bigint multiply OVERFLOW wraps (Java semantics). DuckDB would
+      error, so the oracle emulates two's-complement wrap in HUGEINT:
+      ((x*c + 2^63) mod 2^64) - 2^63.
+    - pmod(-x, 7): Hive's always-non-negative modulus vs the
+      %%-operator's sign-of-dividend — oracle re-derives it as
+      ((a % n) + n) % n.
+
+    Note Spark's `/` on integers is Hive double division; the int
+    case therefore divides longs and compares as double."""
+    o = t.orders.filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        (k / (k % 3)).alias("div0_int"),
+        (F.col("o_totalprice").cast("double") / (k % 3)).alias("div0_dbl"),
+        (k % (k % 5)).alias("mod0"),
+        (k * F.lit(4611686018427387904).cast("long")).alias("mul_wrap"),
+        F.pmod(-k, F.lit(7)).alias("pmod7"),
+    )
+
+
+@register(
+    "fn_string_edge_cases2",
+    oracle="""
+SELECT p_partkey,
+       levenshtein(p_name, p_brand) AS lev,
+       array_to_string(
+         list_transform(string_split(p_name, ' '),
+           w -> upper(w[1:1]) || lower(w[2:])), ' ') AS ini,
+       CAST(instr(p_name, 'ol') AS INTEGER) AS ins,
+       translate(p_name, 'aeiou', '12345') AS tr,
+       CAST(COALESCE(list_position(
+         string_split('Brand#1,Brand#13,Brand#20,Brand#7', ','),
+         p_brand), 0) AS INTEGER) AS fis,
+       CASE 1 + p_partkey % 3 WHEN 1 THEN p_brand
+                              WHEN 2 THEN p_name ELSE p_type END AS elt_pick,
+       CAST(p_size AS VARCHAR) AS m_k1,
+       CAST(p_partkey % 7 AS VARCHAR) AS m_k2
+FROM part WHERE p_partkey <= 400
+""",
+    category="scalars",
+)
+def fn_string_edge_cases2(spark, t):
+    """String-function parity, part 2 (FunctionRegistry.java rows not
+    covered by fn_string_edge_cases): levenshtein (UDFLevenshtein),
+    initcap (UDFInitCap — word-split capitalization; DuckDB lacks it,
+    so the oracle re-derives it per word), instr (UDFInstr, 1-based,
+    0 when absent), translate (UDFTranslate char-map), find_in_set
+    (UDFFindInSet — position in a comma list, 0 when absent; oracle
+    uses list_position over the split list), elt (UDFElt 1-based arg
+    pick), and str_to_map (GenericUDFStringToMap) probed through
+    scalar lookups of its entries so no map column reaches the
+    driver canonicalizer. All JVM built-ins, map-only plan."""
+    p = t.part.filter(F.col("p_partkey") <= 400)
+    stm = F.expr(
+        "str_to_map(concat('k1:', p_size, ',k2:', p_partkey % 7), ',', ':')"
+    )
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("lev"),
+        F.initcap("p_name").alias("ini"),
+        F.instr("p_name", "ol").alias("ins"),
+        F.translate("p_name", "aeiou", "12345").alias("tr"),
+        F.expr(
+            "find_in_set(p_brand, 'Brand#1,Brand#13,Brand#20,Brand#7')"
+        ).alias("fis"),
+        F.expr("elt(1 + p_partkey % 3, p_brand, p_name, p_type)").alias(
+            "elt_pick"
+        ),
+        stm.getItem("k1").alias("m_k1"),
+        stm.getItem("k2").alias("m_k2"),
+    )
