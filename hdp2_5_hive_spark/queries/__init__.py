@@ -160,6 +160,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_avro_deflate",
     "fn_arith_edge_semantics",
     "fn_string_edge_cases2",
+    "fn_date_edge_cases2",
 )
 
 

@@ -599,3 +599,53 @@ def fn_string_edge_cases2(spark, t):
         stm.getItem("k1").alias("m_k1"),
         stm.getItem("k2").alias("m_k2"),
     )
+
+
+@register(
+    "fn_date_edge_cases2",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_orderkey <= 1500
+)
+SELECT o_orderkey,
+       CAST(d + INTERVAL 1 MONTH AS DATE) AS add_1m,
+       CAST(d + INTERVAL 13 MONTH AS DATE) AS add_13m,
+       last_day(d) AS month_end,
+       CAST(date_trunc('month', d) AS DATE) AS trunc_mm,
+       CAST(date_trunc('year', d) AS DATE) AS trunc_yy,
+       CAST(week(d) AS INTEGER) AS woy,
+       CAST(dayofweek(d) + 1 AS INTEGER) AS dow,
+       CAST(date_diff('day', DATE '1995-01-01', d) AS INTEGER) AS dd,
+       d + CAST(
+         CASE WHEN (8 - isodow(d)) % 7 = 0 THEN 7
+              ELSE (8 - isodow(d)) % 7 END AS INTEGER) AS next_mon
+FROM o
+""",
+    category="scalars",
+)
+def fn_date_edge_cases2(spark, t):
+    """Date-function parity, part 2 (UDFMonthsBetween-adjacent rows
+    of FunctionRegistry): add_months END-OF-MONTH CLAMP (Jan 31 + 1
+    month = Feb 29 in Hive AND DuckDB interval arithmetic — the
+    corner that breaks naive day-count implementations), last_day,
+    trunc to month/year, ISO weekofyear (both engines use ISO 8601
+    week numbering: 2021-01-01 is week 53), dayofweek (Hive/Spark
+    1=Sunday vs DuckDB 0=Sunday, shifted in the oracle), datediff
+    against an epoch, and next_day(_, 'MON') — STRICTLY later, so a
+    Monday maps 7 days forward; the oracle re-derives it from isodow
+    arithmetic. Map-only projection, all JVM built-ins."""
+    o = t.orders.filter(F.col("o_orderkey") <= 1500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 1).alias("add_1m"),
+        F.add_months(d, 13).alias("add_13m"),
+        F.last_day(d).alias("month_end"),
+        F.trunc(d, "MM").alias("trunc_mm"),
+        F.trunc(d, "YYYY").alias("trunc_yy"),
+        F.weekofyear(d).alias("woy"),
+        F.dayofweek(d).alias("dow"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("dd"),
+        F.next_day(d, "MON").alias("next_mon"),
+    )
