@@ -161,6 +161,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_arith_edge_semantics",
     "fn_string_edge_cases2",
     "fn_date_edge_cases2",
+    "corpus_clean_v5",
 )
 
 

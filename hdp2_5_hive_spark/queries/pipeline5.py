@@ -306,3 +306,178 @@ def corpus_token_drift(spark, t):
     return mat.groupBy("source", "n_tokens").agg(
         F.sum(F.abs(drift)).cast("long").alias("l1_drift_scaled")
     )
+
+
+@register(
+    "corpus_clean_v5",
+    oracle=f"""
+WITH hosts AS (
+  SELECT doc_id, text, source,
+         source || '-' || CAST(doc_id % 3 AS VARCHAR) || '.example'
+           || CASE doc_id % 3 WHEN 0 THEN '.com'
+                              WHEN 1 THEN '.org' ELSE '.net' END AS host
+  FROM documents WHERE doc_id < 1200
+),
+allowed AS (
+  SELECT h.* FROM hosts h
+  LEFT JOIN (VALUES ('src0-0.example.com'), ('src1-1.example.org'))
+    b(host) ON h.host = b.host
+  WHERE b.host IS NULL
+),
+seeded AS (
+  SELECT doc_id, source,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com' AS raw
+  FROM allowed
+),
+red AS (
+  SELECT doc_id, source,
+         regexp_replace(raw, '{PII_EMAIL}', '<EMAIL>', 'g') AS text,
+         CAST(len(regexp_extract_all(raw, '{PII_EMAIL}')) AS BIGINT)
+           AS n_pii
+  FROM seeded
+),
+toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM red
+),
+grams AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(t[i:i+4], ' ')) AS h,
+         len(t) - 4 AS n_grams
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s
+  WHERE len(t) >= 5
+),
+fps AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id, pos, n_grams,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+    FROM grams) w
+  WHERE pos <= n_grams - 3
+),
+common AS (
+  SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 50
+),
+pairs AS (
+  SELECT a.doc_id AS keep_id, b.doc_id AS drop_id
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  JOIN common c ON a.fp = c.fp
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= 2
+),
+kept AS (
+  SELECT r.* FROM red r
+  LEFT JOIN (SELECT DISTINCT drop_id FROM pairs) d
+    ON r.doc_id = d.drop_id
+  WHERE d.drop_id IS NULL
+)
+SELECT source,
+       COUNT(*) AS n_docs_kept,
+       CAST(SUM(n_pii) AS BIGINT) AS n_pii_redactions,
+       CAST(SUM(CASE WHEN text LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_docs_redacted
+FROM kept GROUP BY source
+""",
+    category="pipeline",
+)
+def corpus_clean_v5(spark, t):
+    """Flagship composed pipeline v5 — the round-7 operators chained
+    the way a privacy-first curation run actually executes them:
+
+      URL-host blocklist (broadcast anti join, corpus never shuffles)
+      → PII redaction (map-only regexp chain + audit counts)
+      → winnowing near-dup drop (per-doc window fingerprints; pairs
+        via the fingerprint postings join with a 50-doc
+        stop-fingerprint cap so no posting list can explode the
+        join — the same bound MinHash banding uses; lower doc_id
+        wins, HAVING >= 2 shared fingerprints)
+      → per-source report (docs kept, PII redactions, docs touched).
+
+    One composed DuckDB oracle re-derives the whole chain. Scale
+    story: two corpus-wide passes (redact+fingerprint), one
+    fingerprint-keyed self-join bounded by the stop cap, one keyed
+    aggregate; every other input is dimension-sized or broadcast."""
+    base = t.documents.filter(F.col("doc_id") < 1200)
+    host = F.concat(
+        F.col("source"),
+        F.lit("-"),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit(".example"),
+        F.when(F.col("doc_id") % 3 == 0, ".com")
+        .when(F.col("doc_id") % 3 == 1, ".org")
+        .otherwise(".net"),
+    )
+    blocked = spark.createDataFrame(
+        [("src0-0.example.com",), ("src1-1.example.org",)], "host string"
+    )
+    allowed = (
+        base.withColumn("host", host)
+        .join(F.broadcast(blocked), "host", "left_anti")
+        .drop("host")
+    )
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+    )
+    red = allowed.select(
+        "doc_id",
+        "source",
+        F.regexp_replace(raw, PII_EMAIL, "<EMAIL>").alias("text"),
+        F.regexp_count(raw, F.lit(PII_EMAIL)).cast("long").alias("n_pii"),
+    )
+    toks = F.split(F.lower(F.col("text")), " ")
+    # slice() needs toks in scope post-explode — keep it through
+    grams = (
+        red.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            "toks",
+            (F.size("toks") - 4).alias("n_grams"),
+            F.explode(F.sequence(F.lit(1), F.size("toks") - 4)).alias(
+                "pos"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "pos",
+            F.md5(F.concat_ws(" ", F.expr("slice(toks, pos, 5)"))).alias(
+                "h"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    fps = (
+        grams.select(
+            "doc_id", "pos", "n_grams", F.min("h").over(w).alias("fp")
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - 3)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    common = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    a = fps.join(common.select("fp"), "fp").select(
+        "fp", F.col("doc_id").alias("keep_id")
+    )
+    b = fps.select("fp", F.col("doc_id").alias("drop_id"))
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .groupBy("keep_id", "drop_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    drops = pairs.select(F.col("drop_id").alias("doc_id")).distinct()
+    kept = red.join(drops, "doc_id", "left_anti")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_pii").cast("long").alias("n_pii_redactions"),
+        F.sum(
+            F.when(F.col("text").contains("<EMAIL>"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_docs_redacted"),
+    )
