@@ -253,16 +253,21 @@ vocab AS (
   SELECT tok, CAST(SUM(c) AS BIGINT) AS cg FROM counts GROUP BY tok
 ),
 grand AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM vocab),
-mat AS (
-  SELECT s.source, s.n_tokens, v.tok, v.cg, g.ng,
-         COALESCE(c.c, 0) AS cs
-  FROM totals s CROSS JOIN vocab v CROSS JOIN grand g
-  LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok
+present AS (
+  SELECT c.source,
+         CAST(SUM(abs(c.c * (g.ng - t.n_tokens)
+                      - (v.cg - c.c) * t.n_tokens)) AS BIGINT) AS term,
+         CAST(SUM(v.cg) AS BIGINT) AS cg_present
+  FROM counts c
+  JOIN vocab v USING (tok)
+  JOIN totals t ON c.source = t.source
+  CROSS JOIN grand g
+  GROUP BY c.source
 )
-SELECT source, n_tokens,
-       CAST(SUM(abs(cs * (ng - n_tokens) - (cg - cs) * n_tokens))
-            AS BIGINT) AS l1_drift_scaled
-FROM mat GROUP BY source, n_tokens
+SELECT t.source, t.n_tokens,
+       CAST(p.term + (g.ng - p.cg_present) * t.n_tokens AS BIGINT)
+         AS l1_drift_scaled
+FROM totals t JOIN present p ON t.source = p.source CROSS JOIN grand g
 """,
     category="pipeline",
 )
@@ -277,10 +282,14 @@ def corpus_token_drift(spark, t):
     the cross-engine compare is exact where a float KL would drift
     in the last ulp (same discipline as dsum's decimal trick).
 
-    Plan: one keyed token count (map-side combine), then BROADCAST
-    joins of the tiny (source) and (vocab) dims — the corpus is
-    touched once; the |sources|×|vocab| drift matrix is
-    dimension-sized, never corpus-sized."""
+    Plan: one keyed token count (map-side combine); the zero-count
+    tokens' contribution is computed in CLOSED FORM
+    (``(N_G − Σ_present c_g)·N_s``) instead of materializing the
+    dense |sources|×|vocab| matrix — at 100 TB the vocabulary is
+    tens of millions of tokens, so the dense cross join this
+    replaces would be the bottleneck. Remaining joins: token-keyed
+    equi joins plus two 1-row scalar broadcasts (the whitelisted
+    scalar-crossJoin idiom)."""
     toks = t.documents.select(
         "source",
         F.explode(F.split(F.lower(F.col("text")), " ")).alias("tok"),
@@ -293,18 +302,36 @@ def corpus_token_drift(spark, t):
     )
     vocab = counts.groupBy("tok").agg(F.sum("c").cast("long").alias("cg"))
     ng = vocab.agg(F.sum("cg").cast("long").alias("ng"))
-    mat = (
-        totals.crossJoin(F.broadcast(vocab))
+    present = (
+        counts.join(vocab, "tok")
+        .join(F.broadcast(totals), "source")
         .crossJoin(F.broadcast(ng))
-        .join(counts, ["source", "tok"], "left")
-        .withColumn("cs", F.coalesce(F.col("c"), F.lit(0)))
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("c") * (F.col("ng") - F.col("n_tokens"))
+                    - (F.col("cg") - F.col("c")) * F.col("n_tokens")
+                )
+            )
+            .cast("long")
+            .alias("term"),
+            F.sum("cg").cast("long").alias("cg_present"),
+        )
     )
-    drift = (
-        F.col("cs") * (F.col("ng") - F.col("n_tokens"))
-        - (F.col("cg") - F.col("cs")) * F.col("n_tokens")
-    )
-    return mat.groupBy("source", "n_tokens").agg(
-        F.sum(F.abs(drift)).cast("long").alias("l1_drift_scaled")
+    return (
+        totals.join(present, "source")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "source",
+            "n_tokens",
+            (
+                F.col("term")
+                + (F.col("ng") - F.col("cg_present")) * F.col("n_tokens")
+            )
+            .cast("long")
+            .alias("l1_drift_scaled"),
+        )
     )
 
 

@@ -440,6 +440,10 @@ NESTED_LOOP_OK = {
     # 1-row sketch/exact-count aggregates crossJoined for the
     # single-row comparison report
     "agg_hll_set_ops": "scalar",
+    # 1-row grand-total (ng) crossJoin; the dense source-x-vocab
+    # cross join was eliminated in favor of the closed-form
+    # zero-count contribution (see corpus_token_drift docstring)
+    "corpus_token_drift": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
