@@ -522,6 +522,59 @@ class Metastore:
         finally:
             spark.conf.set(key, prev)
 
+    def exchange_partition(
+        self, src: str, dst: str, spec: dict[str, str]
+    ) -> None:
+        """``ALTER TABLE dst EXCHANGE PARTITION (col=val, …) WITH
+        TABLE src`` (reference ``ql/exec/DDLTask.java:4567``
+        exchangeTablePartition → ``HiveMetaStore.exchange_partition``):
+        MOVE one partition directory from ``src`` into ``dst`` —
+        a metadata-speed rename, no data rewrite, the Hive idiom for
+        promoting a staging table's partition into production.
+
+        Hive preconditions enforced here too: both tables must share
+        the partition-column list and storage format; the partition
+        must exist in ``src`` and must NOT exist in ``dst``. Spec
+        values are restricted to the safe charset (same rule as SET
+        FILEFORMAT) so the on-disk directory name equals the spec."""
+        import re as _re
+
+        meta = self._read_meta()["tables"]
+        for n in (src, dst):
+            if n not in meta:
+                raise NoSuchTableError(n)
+        ms, md = meta[src], meta[dst]
+        if ms["partition_by"] != md["partition_by"]:
+            raise ValueError(
+                f"partition columns differ: {ms['partition_by']} vs "
+                f"{md['partition_by']}"
+            )
+        if ms["format"] != md["format"]:
+            raise ValueError(
+                f"storage formats differ: {ms['format']} vs {md['format']}"
+            )
+        cols = ms["partition_by"]
+        if set(spec) != set(cols):
+            raise ValueError(f"full partition spec required: {cols}")
+        for v in spec.values():
+            if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", str(v)):
+                raise ValueError(f"unsupported partition value {v!r}")
+        segs = [f"{c}={spec[c]}" for c in cols]
+        src_dir = os.path.join(self.warehouse_dir, ms["path"], *segs)
+        dst_dir = os.path.join(self.warehouse_dir, md["path"], *segs)
+        # destination-absent is checked FIRST (as in DDLTask's
+        # precondition order) so a replayed exchange reports the
+        # real conflict, not a misleading missing-source error
+        if os.path.exists(dst_dir):
+            raise ValueError(
+                f"partition {spec!r} already exists in table {dst!r} "
+                "(Hive EXCHANGE requires the destination to be absent)"
+            )
+        if not os.path.isdir(src_dir):
+            raise ValueError(f"partition {spec!r} not in table {src!r}")
+        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+        os.rename(src_dir, dst_dir)
+
     def drop_partition(self, name: str, spec: dict) -> int:
         """``ALTER TABLE name DROP PARTITION (col=val, ...)``
         (reference ``ql/exec/DDLTask.java dropPartitions`` →

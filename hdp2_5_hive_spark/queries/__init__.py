@@ -162,6 +162,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_string_edge_cases2",
     "fn_date_edge_cases2",
     "corpus_clean_v5",
+    "fmt_multidelim_text",
+    "ddl_exchange_partition",
 )
 
 

@@ -295,6 +295,81 @@ def fmt_text_serde_round_trip(spark, t):
 
 
 @register(
+    "ddl_exchange_partition",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+WHERE n_regionkey IN (0, 2)
+""",
+    category="formats",
+)
+def ddl_exchange_partition(spark, t):
+    """``ALTER TABLE … EXCHANGE PARTITION`` (reference
+    ``ql/exec/DDLTask.java:4567``): a staging table's region-2
+    partition is PROMOTED into the serving table by a directory
+    rename — metadata-speed, no data rewrite, the classic
+    staging→production handoff. Final state read through a fresh
+    session: the serving table's original region-0 rows plus the
+    exchanged region-2 rows; the staging table no longer has the
+    partition (enforced in tests)."""
+    from ..metastore import Metastore
+
+    wh = scratch_dir("ddl_xchg_")
+    ms = Metastore(wh)
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    ms.create_table(
+        src.filter(F.col("n_regionkey") == 0), "serving",
+        partition_by=["n_regionkey"],
+    )
+    ms.create_table(
+        src.filter(F.col("n_regionkey").isin(1, 2)), "staging",
+        partition_by=["n_regionkey"],
+    )
+    ms.exchange_partition("staging", "serving", {"n_regionkey": "2"})
+    s2 = spark.newSession()
+    Metastore(wh).attach(s2)
+    return s2.table("serving").select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("n_regionkey"),
+    )
+
+
+@register(
+    "fmt_multidelim_text",
+    oracle="""
+SELECT n_nationkey, n_name, n_regionkey FROM nation
+""",
+    category="formats",
+)
+def fmt_multidelim_text(spark, t):
+    """MultiDelimitSerDe round-trip (reference
+    ``contrib/.../serde2/MultiDelimitSerDe.java`` — the contrib SerDe
+    legacy warehouses used for multi-CHARACTER field delimiters like
+    ``||`` that LazySimpleSerDe's single-byte delimiter cannot
+    express). Spark-first: the write is concat_ws('||'), the read is
+    the native CSV reader's multi-char ``sep`` (Spark 3+) with
+    schema-on-read casts playing the SerDe's type projection. Both
+    directions are map-only scans."""
+    d = scratch_dir("fmt_mdelim_")
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+    src.select(
+        F.concat_ws(
+            "||",
+            F.col("n_nationkey").cast("string"),
+            F.col("n_name"),
+            F.col("n_regionkey").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(d)
+    return (
+        spark.read.schema(
+            "n_nationkey long, n_name string, n_regionkey long"
+        )
+        .option("sep", "||")
+        .csv(d)
+    )
+
+
+@register(
     "fmt_sequencefile_round_trip",
     oracle="""
 SELECT s_suppkey, s_name, s_nationkey FROM supplier WHERE s_nationkey >= 10

@@ -278,3 +278,37 @@ def test_partition_wise_fileformat(spark, tmp_path):
     # them on disk, so a raw-keyed override would never match) refuse
     with _pytest.raises(ValueError, match="unsupported partition value"):
         ms.alter_partition_fileformat("pwf", {"ds": "a b"}, "orc")
+
+
+def test_exchange_partition_moves_and_validates(spark, tmp_path):
+    """EXCHANGE PARTITION (DDLTask.java:4567): the partition MOVES
+    (present in dst, gone from src, rows intact), and the Hive
+    preconditions hold — destination must be absent, partition
+    columns and formats must match."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    ms = Metastore(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+        "k long, v string, ds string",
+    )
+    ms.create_table(df.filter("ds = 'x'"), "serving", partition_by=["ds"])
+    ms.create_table(df.filter("ds = 'y'"), "staging", partition_by=["ds"])
+
+    ms.exchange_partition("staging", "serving", {"ds": "y"})
+    got = {(r.k, r.ds) for r in ms.get_table(spark, "serving").collect()}
+    assert got == {(1, "x"), (2, "y"), (3, "y")}
+    assert [s["ds"] for s in ms.partitions("staging")] == []
+
+    # destination already has the partition
+    with _pytest.raises(ValueError, match="already exists"):
+        ms.exchange_partition("staging", "serving", {"ds": "y"})
+    # partition no longer in source
+    with _pytest.raises(ValueError, match="not in table"):
+        ms.exchange_partition("staging", "serving", {"ds": "zz"})
+    # mismatched layout refuses
+    ms.create_table(df.filter("ds = 'x'"), "flat")  # unpartitioned
+    with _pytest.raises(ValueError, match="partition columns differ"):
+        ms.exchange_partition("flat", "serving", {"ds": "x"})
