@@ -164,6 +164,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_clean_v5",
     "fmt_multidelim_text",
     "ddl_exchange_partition",
+    "agg_grouping_id_legacy",
 )
 
 

@@ -118,6 +118,46 @@ def agg_cube_grouping_id(spark, t):
 
 
 @register(
+    "agg_grouping_id_legacy",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST((1 - GROUPING(l_returnflag)) * 1
+            + (1 - GROUPING(l_linestatus)) * 2 AS INTEGER)
+         AS grouping__id,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+    category="aggregates",
+)
+def agg_grouping_id_legacy(spark, t):
+    """HIVE 1.2 ``GROUPING__ID`` bit semantics — the LEGACY encoding
+    the reference actually computes, which is inverted AND reversed
+    vs the modern SQL standard (and vs Spark's ``grouping_id()``):
+    bit j is SET when the j-th grouping column IS INCLUDED in the
+    grouping set, with the FIRST column at the LEAST significant bit
+    (``SemanticAnalyzer.java:3503`` ``setBit(bitmap, pos)`` building
+    the set id; ``GroupByOperator.groupingSet2BitSet:169`` reading it
+    back; Hive changed to the standard encoding only in 2.3 /
+    HIVE-12833). For ``GROUP BY a,b WITH CUBE``: (a,b)→3, (a)→1,
+    (b)→2, ()→0 — the exact inverse-reverse of Spark's 0/1/2/3. A
+    migration that reads GROUPING__ID-filtering queries needs this
+    mapping, re-derived here from per-column ``grouping()`` bits:
+    ``sum_j (1 − grouping(col_j)) · 2^j``."""
+    g = lambda c: 1 - F.grouping(c)  # noqa: E731 — included-bit
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            (g("l_returnflag") * 1 + g("l_linestatus") * 2)
+            .cast("int")
+            .alias("grouping__id"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("l_returnflag", "l_linestatus", "grouping__id", "n")
+    )
+
+
+@register(
     "agg_grouping_sets",
     oracle="""
 SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
