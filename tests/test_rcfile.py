@@ -286,3 +286,38 @@ def test_rcfile_python_datasource_write(spark, tmp_path):
     assert spark.read.format("rcfile_py").load(d).count() == 10
     # the classic reader agrees with the datasource files
     assert read_rcfile(spark, d).count() == 10
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            st.one_of(st.none(), st.text(
+                alphabet=st.characters(blacklist_categories=("Cs",),
+                                       blacklist_characters="\x01\n\r"),
+                max_size=40)),
+        ),
+        min_size=1, max_size=120,
+    ),
+    codec=st.sampled_from([None, "deflate", "gzip", "bzip2"]),
+    group_rows=st.sampled_from([1, 7, 50]),
+)
+def test_rcfile_any_codec_round_trip_property(rows, codec, group_rows):
+    """Property: arbitrary (bigint, nullable unicode text) rows
+    round-trip bytes-exactly through every codec and any row-group
+    size — nulls, empty strings, non-BMP text, single-row groups."""
+    fh = io.BytesIO()
+    n = rc.write_rcfile_stream(
+        fh, ["k", "s"], ["bigint", "string"], iter(rows),
+        group_rows=group_rows, codec=codec,
+    )
+    assert n == len(rows)
+    fh.seek(0)
+    _, _, raw = rc.read_rcfile_stream(fh)
+    got = [
+        (int(r[0]),
+         None if r[1] == rc.NULL_TEXT else r[1].decode("utf-8"))
+        for r in raw
+    ]
+    assert got == [(k, s) for k, s in rows]
