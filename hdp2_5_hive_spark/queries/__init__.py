@@ -165,6 +165,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_multidelim_text",
     "ddl_exchange_partition",
     "agg_grouping_id_legacy",
+    "acid_major_compaction",
 )
 
 

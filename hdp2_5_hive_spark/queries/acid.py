@@ -193,3 +193,54 @@ def acid_delta_layout_reader(spark, t):
     return ac.read_acid_table(spark, d).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@register(
+    "acid_major_compaction",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 5 = 0 THEN 'REGION_UPDATED'
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+WHERE n_nationkey % 7 <> 0
+""",
+    category="acid",
+)
+def acid_major_compaction(spark, t):
+    """MAJOR compaction of the native base/delta layout (reference
+    ``ql/txn/compactor/Worker.java`` → CompactorMR merge +
+    ``Cleaner.java`` removal): the same base+update+delete state as
+    acid_delta_layout_reader is FOLDED into one base_<maxWriteId> of
+    surviving rows and the stale dirs removed
+    (sources/acid.compact_acid_table), then read back — the answer
+    must be identical to the pre-compaction merge-on-read, which is
+    the compactor's whole correctness contract. Cost shape equals
+    one MoR pass + one ORC write, same as Hive's compactor job."""
+    from ..scratch import scratch_dir
+    from ..sources import acid as ac
+
+    d = scratch_dir("acid_compact_") + "/tbl"
+    n = t.nation.select(
+        F.lit(1).cast("long").alias("originalTransaction"),
+        F.lit(0).alias("bucket"),
+        F.col("n_nationkey").cast("long").alias("rowId"),
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    )
+    ac.write_acid_events(n, d, kind="base", write_id=1)
+    upd = n.filter(F.col("n_nationkey") % 5 == 0).withColumn(
+        "n_name", F.lit("REGION_UPDATED")
+    )
+    ac.write_acid_events(
+        upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE
+    )
+    dele = n.filter(F.col("n_nationkey") % 7 == 0)
+    ac.write_acid_events(
+        dele, d, kind="delta", write_id=3, operation=ac.OP_DELETE
+    )
+    ac.compact_acid_table(spark, d)
+    return ac.read_acid_table(spark, d).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

@@ -385,3 +385,74 @@ def read_acid_table(spark: SparkSession, table_dir: str) -> DataFrame:
         .filter(F.col("operation") != OP_DELETE)
     )
     return latest.select("row.*")
+
+
+def compact_acid_table(
+    spark: SparkSession, table_dir: str, *, clean: bool = True
+) -> str:
+    """MAJOR compaction (reference ``ql/txn/compactor/Worker.java``
+    runs CompactorMR; ``Cleaner.java`` removes the folded files):
+    fold the current base_/delta_ state into ONE new
+    ``base_<maxWriteId>`` whose events are the SURVIVING rows only
+    (latest-txn-wins applied, deletes dropped — exactly what
+    CompactorMR's merge emits), then optionally remove the folded
+    base/delta directories. Readers are correct at every point:
+    before the clean, read_acid_table picks the highest base and
+    ignores the stale dirs; after it, only the new base remains.
+
+    Returns the new base directory path. Scale: one merge-on-read
+    pass (a single identity-keyed window shuffle) + one ORC write —
+    the same cost Hive's compactor job pays."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    old_dirs, max_wid = [], -1
+    for d in sorted(_glob.glob(f"{table_dir}/*")):
+        name = d.rsplit("/", 1)[-1]
+        if name.startswith("base_"):
+            old_dirs.append(d)
+            max_wid = max(max_wid, int(name.split("_")[1]))
+        elif name.startswith("delta_"):
+            old_dirs.append(d)
+            max_wid = max(max_wid, int(name.split("_")[2]))
+    if max_wid < 0:
+        raise FileNotFoundError(f"no base_/delta_ dirs under {table_dir}")
+
+    files = sorted(
+        set(
+            f
+            for d in old_dirs
+            for f in _glob.glob(f"{d}/*.orc") + _glob.glob(f"{d}/part-*")
+        )
+    )
+    events = spark.read.format("orc").load(files)
+    w = W.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
+        F.desc("currentTransaction"), F.desc("operation")
+    )
+    survivors = (
+        events.select("*", F.row_number().over(w).alias("_rn"))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col("operation") != OP_DELETE)
+        .drop("_rn")
+        # compacted events are re-stamped as the folded write id, the
+        # row identity (originalTransaction, bucket, rowId) unchanged
+        .withColumn("operation", F.lit(OP_INSERT).cast("int"))
+        .withColumn("currentTransaction", F.lit(max_wid).cast("long"))
+    )
+    new_base = f"{table_dir}/base_{max_wid:07d}"
+    tmp = f"{table_dir}/_compactor_tmp_base_{max_wid:07d}"
+    survivors.write.mode("overwrite").orc(tmp)
+    # a base_<maxWid> may already exist (re-compaction): replace it
+    if new_base in old_dirs:
+        _shutil.rmtree(new_base, ignore_errors=True)
+        old_dirs.remove(new_base)
+    import os as _os
+
+    _os.rename(tmp, new_base)
+    if clean:
+        for d in old_dirs:
+            _shutil.rmtree(d, ignore_errors=True)
+    return new_base

@@ -32,7 +32,11 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as entrymod
-    from hdp2_5_hive_spark.oracle import compare_query, connect_oracle
+    from hdp2_5_hive_spark.oracle import (
+        compare_query,
+        connect_oracle,
+        reject_complex_schema,
+    )
 
     # entry() smoke first, like the driver
     n_entry = entrymod.entry(spark).count()
@@ -50,6 +54,9 @@ def main() -> int:
             if name in oracles:
                 ok, detail = compare_query(df, con, oracles[name])
             else:
+                # the real driver canonicalizes rows-only results too
+                # (emb_pca_project ERR r6) — enforce the same guard
+                reject_complex_schema(df)
                 cnt = df.count()
                 ok, detail = cnt >= 0, f"{cnt} rows (rows-only)"
                 n_rows_only += 1

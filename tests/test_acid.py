@@ -286,3 +286,62 @@ def test_acid_delta_reader_base_selection(spark, tmp_path):
 
     got = {r.k: r.val for r in ac.read_acid_table(spark, d).collect()}
     assert got == {0: "new", 1: "v1", 2: "v2"}  # no row 3, no 'stale'
+
+
+def test_acid_major_compaction_folds_and_cleans(spark, tmp_path):
+    """Worker/Cleaner analogue (ql/txn/compactor): compaction folds
+    base+deltas into one base_<maxWid> holding exactly the surviving
+    rows; the folded dirs are removed; the reader's answer is
+    IDENTICAL before and after; re-ingest above the new base works."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(6)],
+        "originalTransaction long, bucket int, rowId long, k long, val string",
+    )
+    ac.write_acid_events(base, d, kind="base", write_id=1)
+    upd = base.filter("rowId = 1").withColumn("val", F.lit("updated"))
+    ac.write_acid_events(upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE)
+    dele = base.filter("rowId = 3")
+    ac.write_acid_events(dele, d, kind="delta", write_id=3, operation=ac.OP_DELETE)
+
+    before = {r.k: r.val for r in ac.read_acid_table(spark, d).collect()}
+    new_base = ac.compact_acid_table(spark, d)
+    after = {r.k: r.val for r in ac.read_acid_table(spark, d).collect()}
+    assert before == after == {0: "v0", 1: "updated", 2: "v2", 4: "v4", 5: "v5"}
+    # only the new base remains, named by the max folded write id
+    dirs = sorted(x.rsplit("/", 1)[-1] for x in g.glob(f"{d}/*") if "_tmp_" not in x)
+    assert dirs == ["base_0000003"] and new_base.endswith("base_0000003")
+
+    # life continues: a delta above the compacted base applies
+    more = base.filter("rowId = 0").withColumn("val", F.lit("after"))
+    ac.write_acid_events(more, d, kind="delta", write_id=4, operation=ac.OP_UPDATE)
+    got = {r.k: r.val for r in ac.read_acid_table(spark, d).collect()}
+    assert got[0] == "after" and got[1] == "updated"
+
+
+def test_acid_compaction_without_clean_keeps_readers_correct(spark, tmp_path):
+    """clean=False (Worker done, Cleaner not yet run): stale dirs
+    remain on disk but the reader — picking the highest base — gives
+    the same answer, the invariant that makes compaction safe to run
+    concurrently with readers."""
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(4)],
+        "originalTransaction long, bucket int, rowId long, k long, val string",
+    )
+    ac.write_acid_events(rows, d, kind="base", write_id=1)
+    ac.write_acid_events(
+        rows.filter("rowId = 2"), d, kind="delta", write_id=2,
+        operation=ac.OP_DELETE,
+    )
+    ac.compact_acid_table(spark, d, clean=False)
+    got = {r.k for r in ac.read_acid_table(spark, d).collect()}
+    assert got == {0, 1, 3}
