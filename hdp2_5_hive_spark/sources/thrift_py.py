@@ -35,6 +35,7 @@ T_I16 = 6
 T_I32 = 8
 T_I64 = 10
 T_STRING = 11
+T_MAP = 13
 T_LIST = 15
 
 _TYPE_FOR = {
@@ -61,6 +62,18 @@ def encode_row(types: list[str], values: list) -> bytes:
             out += struct.pack(">bi", et, len(v))
             for e in v:
                 out += _encode_value(et, e)
+            continue
+        if t.startswith("map<"):
+            kt_s, vt_s = t[4:-1].split(",", 1)
+            kt, vt = _TYPE_FOR[kt_s.strip()], _TYPE_FOR[vt_s.strip()]
+            out += struct.pack(">bh", T_MAP, idx)
+            # TBinaryProtocol map header: key type, value type, size
+            out += struct.pack(">bbi", kt, vt, len(v))
+            # deterministic serialization: sorted keys (thrift maps
+            # are unordered; sorting makes files byte-reproducible)
+            for k in sorted(v):
+                out += _encode_value(kt, k)
+                out += _encode_value(vt, v[k])
             continue
         tt = _TYPE_FOR[t]
         out += struct.pack(">bh", tt, idx)
@@ -131,6 +144,16 @@ def _decode_value(tt: int, payload: bytes, pos: int):
             v, pos = _decode_value(et, payload, pos)
             out.append(v)
         return out, pos
+    if tt == T_MAP:
+        kt, vt = struct.unpack_from(">bb", payload, pos)
+        (n,) = struct.unpack_from(">i", payload, pos + 2)
+        pos += 6
+        m = {}
+        for _ in range(n):
+            k, pos = _decode_value(kt, payload, pos)
+            v, pos = _decode_value(vt, payload, pos)
+            m[k] = v
+        return m, pos
     raise NotImplementedError(
         f"thrift wire type {tt} (nested struct/map out of scope)"
     )

@@ -49,3 +49,20 @@ def test_round_trip_property(vals):
     types = ["bigint", "string", "int", "double", "boolean"]
     b = tp.encode_row(types, list(vals))
     assert tp.decode_row(b, 5) == list(vals)
+
+
+def test_map_payload_round_trip():
+    """T_MAP (13) per TBinaryProtocol: header = key type byte, value
+    type byte, i32 size, then alternating key/value payloads. Keys
+    are written sorted so files are byte-reproducible."""
+    types = ["string", "map<string,bigint>", "map<int,double>"]
+    row = ["x", {"b": 2, "a": 1}, {7: 0.5}]
+    payload = tp.encode_row(types, row)
+    assert tp.decode_row(payload, 3) == ["x", {"a": 1, "b": 2}, {7: 0.5}]
+    # sorted-key determinism: same dict, different insertion order
+    assert payload == tp.encode_row(types, ["x", {"a": 1, "b": 2}, {7: 0.5}])
+    # empty map and null map
+    p2 = tp.encode_row(["map<string,int>"], [{}])
+    assert tp.decode_row(p2, 1) == [{}]
+    p3 = tp.encode_row(["map<string,int>"], [None])
+    assert tp.decode_row(p3, 1) == [None]
