@@ -575,3 +575,32 @@ def test_bucketed_table_aggregates_without_shuffle(spark, sf_dir):
         assert got == direct
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_groupby_gate")
+
+
+def test_pii_redact_is_pure_scan(spark, sf_dir, qs):
+    """text_pii_redact must plan as a map-only projection over the
+    scan — zero Exchange nodes: at 100 TB the redaction pass is IO
+    bound and any shuffle would be pure waste."""
+    df = qs["text_pii_redact"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_partitions_by_doc_never_global_sort(spark, sf_dir, qs):
+    """text_winnow_fingerprints: ONE hash exchange on doc_id (the
+    window partition key), per-doc local sort only — a global Sort or
+    rangepartitioning would serialize the corpus at scale. The
+    distinct must reuse the doc_id partitioning (no second
+    exchange)."""
+    df = qs["text_winnow_fingerprints"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_url_host_filter_broadcasts_blocklist(spark, sf_dir, qs):
+    """The deny list joins as a broadcast LEFT ANTI — the corpus must
+    never shuffle for membership checks against a MB-scale list."""
+    df = qs["text_url_host_filter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
