@@ -105,7 +105,10 @@ def _codec_funcs(codec_class: str):
     if codec_class in (CODEC_DEFAULT,) or short in ("defaultcodec", "deflate"):
         return zlib.compress, zlib.decompress
     if codec_class in (CODEC_GZIP,) or short in ("gzipcodec", "gzip"):
-        return gzip.compress, gzip.decompress
+        # mtime=0: gzip's header embeds a timestamp by default, which
+        # would make otherwise-identical writes byte-different —
+        # deterministic output is part of the repo's write contract
+        return (lambda b: gzip.compress(b, mtime=0)), gzip.decompress
     if codec_class in (CODEC_BZIP2,) or short in ("bzip2codec", "bzip2"):
         return bz2.compress, bz2.decompress
     raise NotImplementedError(
