@@ -166,6 +166,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "ddl_exchange_partition",
     "agg_grouping_id_legacy",
     "acid_major_compaction",
+    "fn_months_between",
 )
 
 

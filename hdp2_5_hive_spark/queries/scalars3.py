@@ -649,3 +649,52 @@ def fn_date_edge_cases2(spark, t):
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("dd"),
         F.next_day(d, "MON").alias("next_mon"),
     )
+
+
+@register(
+    "fn_months_between",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         DATE '1995-06-17' AS anchor
+  FROM orders WHERE o_orderkey <= 1500
+)
+SELECT o_orderkey,
+       CASE WHEN day(d) = day(anchor)
+              OR (d = last_day(d) AND anchor = last_day(anchor))
+            THEN CAST((year(d) - year(anchor)) * 12
+                      + (month(d) - month(anchor)) AS DOUBLE)
+            ELSE round((year(d) - year(anchor)) * 12
+                       + (month(d) - month(anchor))
+                       + (day(d) - day(anchor)) / 31.0, 8)
+       END AS mb,
+       CASE WHEN day(anchor) = day(d)
+              OR (anchor = last_day(anchor) AND d = last_day(d))
+            THEN CAST((year(anchor) - year(d)) * 12
+                      + (month(anchor) - month(d)) AS DOUBLE)
+            ELSE round((year(anchor) - year(d)) * 12
+                       + (month(anchor) - month(d))
+                       + (day(anchor) - day(d)) / 31.0, 8)
+       END AS mb_rev
+FROM o
+""",
+    category="scalars",
+)
+def fn_months_between(spark, t):
+    """months_between — Hive's 31-DAY-FRACTION month arithmetic
+    (``udf/generic/GenericUDFMonthsBetween.java``; Spark implements
+    the identical rule): when both dates share the day-of-month or
+    are both month-ends the result is the integer month difference,
+    otherwise the day gap contributes ``(day1 − day2)/31`` and the
+    result rounds to 8 decimals. DuckDB has no months_between, so
+    the oracle re-derives the rule from year/month/day/last_day —
+    pinning the SEMANTICS, not just the happy path, in both argument
+    orders (the fraction's sign flips)."""
+    o = t.orders.filter(F.col("o_orderkey") <= 1500)
+    d = F.col("o_orderdate").cast("date")
+    anchor = F.lit("1995-06-17").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.months_between(d, anchor).alias("mb"),
+        F.months_between(anchor, d).alias("mb_rev"),
+    )
