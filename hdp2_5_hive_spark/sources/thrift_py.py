@@ -35,6 +35,7 @@ T_I16 = 6
 T_I32 = 8
 T_I64 = 10
 T_STRING = 11
+T_STRUCT = 12
 T_MAP = 13
 T_LIST = 15
 
@@ -63,6 +64,10 @@ def encode_row(types: list[str], values: list) -> bytes:
             for e in v:
                 out += _encode_value(et, e)
             continue
+        if t.startswith("struct<"):
+            out += struct.pack(">bh", T_STRUCT, idx)
+            out += _encode_struct(t, v)
+            continue
         if t.startswith("map<"):
             kt_s, vt_s = t[4:-1].split(",", 1)
             kt, vt = _TYPE_FOR[kt_s.strip()], _TYPE_FOR[vt_s.strip()]
@@ -80,6 +85,38 @@ def encode_row(types: list[str], values: list) -> bytes:
         out += _encode_value(tt, v)
     out += struct.pack(">b", T_STOP)
     return bytes(out)
+
+
+def _split_struct_fields(t: str) -> list[tuple[str, str]]:
+    """Parse "struct<a:int,b:string,c:array<int>>" into
+    [(name, type), ...] — commas split only at angle-depth 0."""
+    inner = t[7:-1]
+    fields, depth, start = [], 0, 0
+    for i, ch in enumerate(inner + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            name, ft = inner[start:i].split(":", 1)
+            fields.append((name.strip(), ft.strip()))
+            start = i + 1
+    return fields
+
+
+def _encode_struct(t: str, v) -> bytes:
+    """Nested struct (wire type 12): its fields 1..k, then T_STOP —
+    the same layout as the top-level row (TBinaryProtocol structs
+    nest uniformly). ``v`` may be a dict (by name), a Row, or a
+    positional sequence."""
+    fields = _split_struct_fields(t)
+    if isinstance(v, dict):
+        vals = [v.get(n) for n, _ in fields]
+    elif hasattr(v, "__fields__"):  # pyspark Row
+        vals = [v[n] for n, _ in fields]
+    else:
+        vals = list(v)
+    return encode_row([ft for _, ft in fields], vals)
 
 
 def _encode_value(tt: int, v) -> bytes:
@@ -144,6 +181,19 @@ def _decode_value(tt: int, payload: bytes, pos: int):
             v, pos = _decode_value(et, payload, pos)
             out.append(v)
         return out, pos
+    if tt == T_STRUCT:
+        vals: dict[int, object] = {}
+        while True:
+            (ft,) = struct.unpack_from(">b", payload, pos)
+            pos += 1
+            if ft == T_STOP:
+                break
+            (fid,) = struct.unpack_from(">h", payload, pos)
+            pos += 2
+            v, pos = _decode_value(ft, payload, pos)
+            vals[fid] = v
+        n = max(vals) if vals else 0
+        return [vals.get(i) for i in range(1, n + 1)], pos
     if tt == T_MAP:
         kt, vt = struct.unpack_from(">bb", payload, pos)
         (n,) = struct.unpack_from(">i", payload, pos + 2)

@@ -66,3 +66,21 @@ def test_map_payload_round_trip():
     assert tp.decode_row(p2, 1) == [{}]
     p3 = tp.encode_row(["map<string,int>"], [None])
     assert tp.decode_row(p3, 1) == [None]
+
+
+def test_nested_struct_round_trip():
+    """T_STRUCT (12) nests uniformly — fields then T_STOP, exactly
+    like the top-level row (the reference's src_thrift fixture is a
+    Complex struct of lists/maps/nested structs). Decode is
+    schema-less: positional by field id, absent = None."""
+    types = ["bigint", "struct<a:int,b:string,c:array<bigint>>"]
+    row = [7, {"a": 1, "b": "x", "c": [10, 20]}]
+    payload = tp.encode_row(types, row)
+    assert tp.decode_row(payload, 2) == [7, [1, "x", [10, 20]]]
+    # nested null field: absent on the wire, None on decode
+    p2 = tp.encode_row(types, [8, {"a": None, "b": "y", "c": []}])
+    assert tp.decode_row(p2, 2) == [8, [None, "y", []]]
+    # struct inside struct
+    t3 = ["struct<p:struct<q:int>,r:map<string,int>>"]
+    p3 = tp.encode_row(t3, [{"p": {"q": 5}, "r": {"k": 9}}])
+    assert tp.decode_row(p3, 1) == [[[5], {"k": 9}]]
