@@ -478,10 +478,15 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
                 ]
                 yield list(zip(*cols))
 
-        with open(fname, "wb") as fh:
+        # task-attempt atomicity: tmp + atomic rename so a retried
+        # or speculative attempt never exposes a torn container file
+        tmp = fname + ".inprogress"
+        with open(tmp, "wb") as fh:
             n = write_container(fh, schema, rows(), codec=codec)
         if n == 0:
-            os.remove(fname)  # empty partition — no file
+            os.remove(tmp)  # empty partition — no file
+        else:
+            os.replace(tmp, fname)
         yield pa.RecordBatch.from_pydict({"path": [fname], "n_rows": [n]})
 
     report = df.mapInArrow(write_partition, "path string, n_rows long")

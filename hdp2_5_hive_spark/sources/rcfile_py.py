@@ -540,14 +540,22 @@ def write_rcfile(
                 ]
                 yield from zip(*cols)
 
-        with open(fname, "wb") as fh:
+        # task-attempt atomicity: write to a tmp name, rename into
+        # place — a retried/speculative attempt can never leave a
+        # torn part file visible to readers (os.replace is atomic on
+        # POSIX; last completed attempt wins, both attempts produce
+        # identical bytes)
+        tmp = fname + ".inprogress"
+        with open(tmp, "wb") as fh:
             n = write_rcfile_stream(
                 fh, names, types, rows(), group_rows,
                 sync=make_sync(f"part-{pid}"),
                 codec=codec,
             )
         if n == 0:
-            os.remove(fname)
+            os.remove(tmp)
+        else:
+            os.replace(tmp, fname)
         yield pa.RecordBatch.from_pydict({"path": [fname], "n_rows": [n]})
 
     report = df.mapInArrow(write_partition, "path string, n_rows long")
@@ -781,7 +789,8 @@ class RCFilePyWriter(DataSourceWriter):
 
         pid = TaskContext.get().partitionId()
         fname = os.path.join(self.path, f"part-{pid:05d}.rc")
-        with open(fname, "wb") as fh:
+        tmp = fname + ".inprogress"  # atomic visibility (see write_rcfile)
+        with open(tmp, "wb") as fh:
             n = write_rcfile_stream(
                 fh,
                 self.names,
@@ -792,5 +801,7 @@ class RCFilePyWriter(DataSourceWriter):
                 codec=self.codec,
             )
         if n == 0:
-            os.remove(fname)
+            os.remove(tmp)
+        else:
+            os.replace(tmp, fname)
         return RCFileCommit(fname, n)
