@@ -37,6 +37,13 @@ MAX_ROWS = 1000
 
 def _execute(spark, sql: str) -> dict:
     try:
+        # Hive-parity confs on whatever session serves the socket —
+        # same choke-point rule as registry.tables_for (a vanilla
+        # session would otherwise run ANSI-on, breaking
+        # NULL-on-error casts and arithmetic for clients)
+        from hdp2_5_hive_spark.catalog import ensure_parity_confs
+
+        ensure_parity_confs(spark)
         df = spark.sql(sql)
         # take one extra row so clipping is DETECTABLE: a silent cap
         # at exactly MAX_ROWS is indistinguishable from a complete
