@@ -109,7 +109,7 @@ def main() -> None:
     # Self-gating (scripts/bench_gate.py): compare against best-known
     # per-query times, normalized by this run's median slowdown so a
     # uniformly slower VM doesn't false-alarm. STRICT by default
-    # (verdict r6 #6): any query >1.3x its best-known time exits
+    # (verdict r6 #6): any query >1.5x its best-known time exits
     # nonzero so a plan regression is loud at commit time, not
     # discovered in the next verdict. SPARK_GRAFT_BENCH_GATE=warn
     # restores report-only. The stdout JSON line prints either way.

@@ -1,4 +1,4 @@
-"""Bench regression gate — fail on >1.3x per-query regression.
+"""Bench regression gate — fail on >1.5x per-query regression.
 
 Compares a fresh ``bench.py`` result (pass its JSON line via a file
 argument, or pipe it in) against the best-known time for each query
@@ -24,7 +24,10 @@ import json
 import os
 import sys
 
-THRESHOLD = 1.3
+# 1.5x (verdict r6 #6): tight enough to catch a real plan regression
+# (those show as 2-5x), loose enough that driver-VM noise on a ~0.2s
+# query cannot fail the recorded bench now that the gate is strict.
+THRESHOLD = 1.5
 # Sub-100ms timings are dominated by scheduler jitter on local[32];
 # a 1.3x blowup of 50ms is noise, not a plan regression.
 MIN_SECONDS = 0.1
