@@ -27,10 +27,17 @@ def asof_join(
     ts_col: str,
     right_value_cols: Sequence[str],
     tolerance: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row with
     ``right.ts <= left.ts`` sharing the ``on`` keys (AS OF
     semantics, ties resolved toward the right row).
+
+    ``direction``: "backward" (default — latest right row at or
+    before the left ts, the classic AS OF) or "forward" (earliest
+    right row at or after it, pandas ``merge_asof`` parity); both
+    are the SAME one-exchange union+window plan, only the window
+    order flips.
 
     Implementation: tag and union both inputs, then one window per
     key ordered by (ts, side) carrying ``last_value(..., ignorenulls)``
@@ -59,11 +66,19 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
         F.col(ts_col).alias("_r_ts"),
     )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # Right rows sort BEFORE left rows at equal ts (side desc) so a
-    # same-instant right row is visible to the left row — `<=`.
+    # same-instant right row is visible to the left row — `<=` for
+    # backward, `>=` for forward (where the scan order is reversed).
+    order = (
+        [F.col(ts_col).asc(), F.col("_side").desc()]
+        if direction == "backward"
+        else [F.col(ts_col).desc(), F.col("_side").desc()]
+    )
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").desc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = tagged_l.unionByName(tagged_r).select(
@@ -76,8 +91,10 @@ def asof_join(
     )
     out = carried.filter(F.col("_side") == 0)
     if tolerance is not None:
-        fresh = F.col("_c_ts") >= F.col(ts_col) - F.expr(
-            f"INTERVAL {tolerance}"
+        fresh = (
+            F.col("_c_ts") >= F.col(ts_col) - F.expr(f"INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col("_c_ts") <= F.col(ts_col) + F.expr(f"INTERVAL {tolerance}")
         )
         out = out.select(
             *on,

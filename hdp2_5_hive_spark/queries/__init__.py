@@ -167,6 +167,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_grouping_id_legacy",
     "acid_major_compaction",
     "fn_months_between",
+    "events_asof_forward",
 )
 
 

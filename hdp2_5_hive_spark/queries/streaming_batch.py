@@ -261,3 +261,46 @@ def events_rollup_daily(spark, t):
         t.events, "ts", "event_type", "value", fine="1 hour", coarse_unit="day"
     )
     return daily
+
+
+@register(
+    "events_asof_forward",
+    oracle="""
+SELECT a.user_id, CAST(a.ts AS TIMESTAMP) AS ts, a.event_id AS click_id,
+       b.event_id AS next_view_id, CAST(b.ts AS TIMESTAMP) AS next_view_ts
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') b
+  ON a.user_id = b.user_id
+ AND CAST(b.ts AS TIMESTAMP) >= CAST(a.ts AS TIMESTAMP)
+""",
+    category="streaming",
+)
+def events_asof_forward(spark, t):
+    """FORWARD as-of join (pandas ``merge_asof(direction='forward')``
+    parity): every click annotated with the user's NEXT view at or
+    after it — the time-to-next-action primitive behind response-lag
+    and abandonment metrics. Same one-exchange union+window plan as
+    the backward AS-OF, window order flipped
+    (operators/timeseries.asof_join direction="forward"). Oracle:
+    DuckDB's native ASOF LEFT JOIN with the ``>=`` inequality picks
+    the nearest following row — identical semantics."""
+    from ..operators import timeseries as tsx
+
+    e = t.events
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    out = tsx.asof_join(
+        clicks, views, on=["user_id"], ts_col="ts",
+        right_value_cols=["event_id"], direction="forward",
+    )
+    return out.select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("right_event_id").alias("next_view_id"),
+        F.col("right_ts").alias("next_view_ts"),
+    )
