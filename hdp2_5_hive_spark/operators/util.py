@@ -41,3 +41,50 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     if n_parts < max(1, int(target * min_factor)):
         return df.repartition(target)
     return df
+
+
+def assign_row_ids(df: DataFrame, id_col: str = "row__id") -> DataFrame:
+    """Dense unique surrogate ids 0..n-1 — the scalable zipWithIndex
+    pattern (Hive's ROW__ID assignment in ``OrcRecordUpdater`` plays
+    the same role per bucket): ONE count-per-partition pass (a
+    #partitions-sized collect — bounded driver state), offsets
+    broadcast, then a map-only second pass adds offset + local
+    index. No global sort, no single-partition coalesce, no
+    monotonically_increasing_id gaps — ids are dense, which
+    downstream array/matrix addressing (PQ codes, bitmap indexes)
+    requires. Ordering follows the physical partitioning (like
+    RDD.zipWithIndex); pin it by sorting WITHIN partitions upstream
+    if a stable order matters."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r["pid"]: r["n"]
+        for r in df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(id_col, T.LongType(), False)]
+    )
+
+    def tag(iterator):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in iterator:
+            pdf[id_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(tag, schema)

@@ -168,6 +168,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "acid_major_compaction",
     "fn_months_between",
     "events_asof_forward",
+    "corpus_assign_row_ids",
 )
 
 

@@ -508,3 +508,38 @@ def corpus_clean_v5(spark, t):
         .cast("long")
         .alias("n_docs_redacted"),
     )
+
+
+@register(
+    "corpus_assign_row_ids",
+    oracle="""
+SELECT COUNT(*) AS n,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(0 AS BIGINT) AS min_id,
+       COUNT(*) - 1 AS max_id,
+       COUNT(*) AS n_distinct_ids
+FROM documents
+""",
+    category="pipeline",
+)
+def corpus_assign_row_ids(spark, t):
+    """Dense surrogate row ids 0..n-1 (operators/util.assign_row_ids
+    — the scalable zipWithIndex: count-per-partition pass, broadcast
+    offsets, map-only tag; Hive's ROW__ID assignment per bucket is
+    the same shape). The DENSITY contract is what downstream
+    array-addressed structures (PQ code arrays, bitmap indexes)
+    need and what monotonically_increasing_id cannot give; the
+    oracle checks it exactly: n ids, all distinct, min 0, max n−1.
+    The id→row mapping itself is partitioning-dependent by design
+    (like RDD.zipWithIndex), so the invariants — not the arbitrary
+    assignment — are the contract."""
+    from ..operators.util import assign_row_ids
+
+    tagged = assign_row_ids(t.documents)
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("row__id").alias("min_id"),
+        F.max("row__id").alias("max_id"),
+        F.countDistinct("row__id").alias("n_distinct_ids"),
+    )

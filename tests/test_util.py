@@ -52,3 +52,19 @@ def test_fallback_to_public_api(spark):
     df._jdf = ProxyJdf(df._jdf)
     out = ensure_parallelism(df)
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_assign_row_ids_dense_unique(spark):
+    """Ids are exactly 0..n-1 (dense, unique) across an arbitrary
+    multi-partition frame, and the two-pass plan never coalesces to
+    one partition."""
+    from hdp2_5_hive_spark.operators.util import assign_row_ids
+
+    df = spark.range(0, 1000).repartition(7)
+    out = assign_row_ids(df)
+    rows = out.collect()
+    ids = sorted(r.row__id for r in rows)
+    assert ids == list(range(1000))
+    # payload intact and ids unique per payload row
+    assert len({(r.id, r.row__id) for r in rows}) == 1000
+    assert out.rdd.getNumPartitions() > 1
