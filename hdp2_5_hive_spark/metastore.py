@@ -323,6 +323,83 @@ class Metastore:
                 os.path.join(self.warehouse_dir, m["path"]), ignore_errors=True
             )
 
+    def rename_table(self, name: str, new_name: str) -> None:
+        """``ALTER TABLE name RENAME TO new_name``
+        (``DDLTask.alterTable`` rename branch → metastore
+        ``alter_table``; in managed-table Hive the data directory
+        moves with the name): metadata re-key + directory rename,
+        both under the mutation lock."""
+        if not new_name or "/" in new_name:
+            raise ValueError(f"bad table name {new_name!r}")
+
+        def mut(meta: dict) -> dict:
+            if name not in meta["tables"]:
+                raise NoSuchTableError(name)
+            if new_name in meta["tables"]:
+                raise ValueError(f"table {new_name!r} already exists")
+            entry = meta["tables"].pop(name)
+            old_path = entry["path"]
+            entry["path"] = new_name
+            meta["tables"][new_name] = entry
+            return {"old_path": old_path}
+
+        out = self._mutate(mut)
+        os.rename(
+            os.path.join(self.warehouse_dir, out["old_path"]),
+            os.path.join(self.warehouse_dir, new_name),
+        )
+
+    def truncate_table(self, name: str, spec: dict | None = None) -> None:
+        """``TRUNCATE TABLE name [PARTITION (col=val, …)]``
+        (``DDLTask.truncateTable``): delete the DATA (whole table or
+        one partition directory), keep the table definition. On a
+        partitioned table without a spec every partition directory is
+        removed; the table root stays."""
+        import shutil
+
+        meta = self._read_meta()["tables"]
+        if name not in meta:
+            raise NoSuchTableError(name)
+        m = meta[name]
+        root = os.path.join(self.warehouse_dir, m["path"])
+        if spec:
+            cols = m["partition_by"]
+            if set(spec) != set(cols):
+                raise ValueError(f"full partition spec required: {cols}")
+            target = os.path.join(
+                root, *[f"{c}={spec[c]}" for c in cols]
+            )
+            if not os.path.isdir(target):
+                raise ValueError(f"partition {spec!r} not in {name!r}")
+            shutil.rmtree(target)
+            return
+        if os.path.isdir(root):
+            for entry in os.listdir(root):
+                sub = os.path.join(root, entry)
+                if os.path.isdir(sub):
+                    shutil.rmtree(sub)
+                else:
+                    os.remove(sub)
+
+    def create_table_like(self, src: str, new_name: str) -> None:
+        """``CREATE TABLE new LIKE src`` (``DDLTask.createTableLike``):
+        copy the DEFINITION (format, partition columns) with an empty
+        data directory — no rows, no stats."""
+
+        def mut(meta: dict) -> None:
+            if src not in meta["tables"]:
+                raise NoSuchTableError(src)
+            if new_name in meta["tables"]:
+                raise ValueError(f"table {new_name!r} already exists")
+            entry = dict(meta["tables"][src])
+            entry["path"] = new_name
+            entry.pop("stats", None)
+            entry["partition_formats"] = {}
+            meta["tables"][new_name] = entry
+
+        self._mutate(mut)
+        os.makedirs(os.path.join(self.warehouse_dir, new_name), exist_ok=True)
+
     def tables(self) -> list[str]:
         """``SHOW TABLES``."""
         return sorted(self._read_meta()["tables"])

@@ -312,3 +312,34 @@ def test_exchange_partition_moves_and_validates(spark, tmp_path):
     ms.create_table(df.filter("ds = 'x'"), "flat")  # unpartitioned
     with _pytest.raises(ValueError, match="partition columns differ"):
         ms.exchange_partition("flat", "serving", {"ds": "x"})
+
+
+def test_rename_truncate_create_like(spark, tmp_path):
+    """RENAME TO moves metadata + directory; TRUNCATE drops data and
+    keeps the definition (whole table or one partition);
+    CREATE TABLE LIKE copies the definition empty."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    ms = Metastore(str(tmp_path / "wh"))
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "k long, v string, ds string"
+    )
+    ms.create_table(df, "t1", partition_by=["ds"])
+
+    ms.rename_table("t1", "t2")
+    assert ms.tables() == ["t2"]
+    assert {r.k for r in ms.get_table(spark, "t2").collect()} == {1, 2}
+    with _pytest.raises(Exception):
+        ms.get_table(spark, "t1")
+
+    ms.create_table_like("t2", "t3")
+    assert sorted(ms.tables()) == ["t2", "t3"]
+    assert ms.partitions("t3") == []  # definition only, no data
+
+    ms.truncate_table("t2", {"ds": "x"})
+    assert [s_["ds"] for s_ in ms.partitions("t2")] == ["y"]
+    ms.truncate_table("t2")
+    assert ms.partitions("t2") == []
+    assert "t2" in ms.tables()  # definition survives
