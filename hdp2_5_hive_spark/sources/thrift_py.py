@@ -13,8 +13,13 @@ round-trip fixtures, encodes) that row format from scratch:
   terminated by T_STOP (0x00);
 - payloads: BOOL 1 byte, I16/I32/I64 big-endian, DOUBLE IEEE-754 BE,
   STRING/BINARY ``len:i32 BE`` + bytes; LIST ``[elem-type:i8]
-  [count:i32 BE]`` + elements (enough for flat warehouse rows plus
-  primitive-array columns — nested structs/maps raise).
+  [count:i32 BE]`` + elements; MAP ``[key-type:i8][val-type:i8]
+  [count:i32 BE]`` + alternating key/value payloads (keys written
+  sorted for byte-reproducible files); nested STRUCT nests the field
+  layout uniformly (fields then T_STOP) — the full shape of the
+  reference's ``src_thrift`` Complex fixture (lists, maps, nested
+  structs). Decode is schema-less: positional by field id, absent
+  fields = None.
 
 Scope note: this is the SerDe (row bytes <-> typed values), the
 piece Hive's ThriftDeserializer provides; transport/RPC is the
