@@ -169,6 +169,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_months_between",
     "events_asof_forward",
     "corpus_assign_row_ids",
+    "fmt_thrift_complex_round_trip",
 )
 
 

@@ -792,6 +792,68 @@ def fmt_thrift_sequencefile_round_trip(spark, t):
 
 
 @register(
+    "fmt_thrift_complex_round_trip",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS nested_name,
+       n_regionkey * 2 AS m_double,
+       CAST(n_nationkey % 3 AS BIGINT) AS lst_len
+FROM nation
+""",
+    category="formats",
+)
+def fmt_thrift_complex_round_trip(spark, t):
+    """Thrift COMPLEX rows through SequenceFile — the reference's
+    ``src_thrift`` fixture shape (nested struct + map + list in one
+    row; ``data/scripts/q_test_init.sql:56-64``): each row carries a
+    struct<a:bigint,b:string>, a map<string,bigint> and a variable-
+    length list, TBinaryProtocol-encoded (T_STRUCT nests the field
+    layout uniformly; T_MAP header = key/value types + count). Read
+    back schema-less (positional by field id) and FLATTENED to
+    scalars for the oracle — nested values prove the codec, scalars
+    keep the driver canonicalizer happy."""
+    from ..sources import thrift_py as tp
+
+    d = scratch_dir("fmt_thrift_cx_") + "/seq"
+    types = [
+        "bigint",
+        "struct<a:bigint,b:string>",
+        "map<string,bigint>",
+        "array<int>",
+    ]
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+
+    def enc(r):
+        lst = list(range(r.n_nationkey % 3))
+        return (
+            str(r.n_nationkey),
+            bytearray(
+                tp.encode_row(
+                    types,
+                    [
+                        r.n_nationkey,
+                        {"a": r.n_nationkey, "b": r.n_name},
+                        {"dbl": r.n_regionkey * 2},
+                        lst,
+                    ],
+                )
+            ),
+        )
+
+    src.rdd.map(enc).saveAsSequenceFile(d)
+    back = spark.sparkContext.sequenceFile(d)
+
+    def dec(kv):
+        key, nested, m, lst = tp.decode_row(bytes(kv[1]), 4)
+        return (key, nested[1], m["dbl"], len(lst))
+
+    return spark.createDataFrame(
+        back.map(dec),
+        "n_nationkey long, nested_name string, m_double long, lst_len long",
+    )
+
+
+@register(
     "fmt_jsonl_round_trip",
     oracle="""
 SELECT doc_id, lang, source, n_chars, text FROM documents
