@@ -1,0 +1,603 @@
+"""HiveServer2 Thrift wire protocol — a REAL TCLIService endpoint.
+
+Entry point B of the reference (``service/.../operation/
+SQLOperation.java:76``; JDBC side ``jdbc/.../HiveStatement.java:57``)
+speaks the Thrift TCLIService RPC protocol. The container has no
+thrift library, so this module implements the WIRE FORMAT from
+scratch on the repo's TBinaryProtocol primitives (sources/thrift_py,
+public spec) plus the message/struct layouts from the reference's
+own IDL — every field id below cites ``service/if/TCLIService.thrift``:
+
+- RPC message (strict binary protocol): ``i32 0x8001|type``, method
+  name as string, ``i32 seqid``, then the args/result struct.
+  type: 1=CALL, 2=REPLY, 3=EXCEPTION.
+- ``TOpenSessionReq`` (:555 — 1: client_protocol i32, 2: username,
+  3: password, 4: configuration map) → ``TOpenSessionResp`` (:572 —
+  1: TStatus, 2: serverProtocolVersion, 3: TSessionHandle).
+- ``TExecuteStatementReq`` (:686 — 1: sessionHandle, 2: statement,
+  3: confOverlay, 4: runAsync) → resp (1: status, 2: operationHandle).
+- ``TGetResultSetMetadataReq``/``Resp`` (:1021/:1026 — TTableSchema
+  :277 of TColumnDesc :262 {1: name, 2: TTypeDesc, 3: position}).
+- ``TFetchResultsReq`` (:1061 — 1: op handle, 2: orientation,
+  3: maxRows) → resp (:1077 — 1: status, 2: hasMoreRows,
+  3: TRowSet :400 {1: startRowOffset, 2: rows}).
+- handles: ``THandleIdentifier`` (:483 — 16-byte guid + secret),
+  ``TSessionHandle`` (:497), ``TOperationHandle`` (:516).
+- ``TStatus`` (:417 — 1: statusCode enum [SUCCESS=0, ERROR=3],
+  3: sqlState, 5: errorMessage).
+- row values: ``TRow`` (:339) of ``TColumnValue`` unions (:328 —
+  exactly one field set: 1 bool, 2 byte, 3 i16, 4 i32, 5 i64,
+  6 double, 7 string) — the ROW-based layout every protocol version
+  supports (column-based TColumn arrived with V6); the server
+  reports ``HIVE_CLI_SERVICE_PROTOCOL_V5`` accordingly.
+
+Auth: the NOSASL transport (``jdbc:hive2://…;auth=noSasl``) is raw
+unframed TBinaryProtocol on a TCP socket — no SASL layer — which is
+exactly what this server (and the bundled client) speak. SASL/PLAIN
+framing and Kerberos stay out of scope (deployment security layer).
+
+Scale note: the server is an ENTRY POINT, not an executor — each
+statement is planned and run by Spark; the wire layer only streams
+``take(maxRows)`` batches, mirroring SQLOperation's fetch path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import socketserver
+import struct
+import threading
+
+from . import thrift_py as tp
+
+CALL, REPLY, EXCEPTION = 1, 2, 3
+VERSION_MASK = 0x80010000
+
+# TProtocolVersion enum (TCLIService.thrift:35-62): V1=0 … V8=7
+PROTOCOL_V5 = 4
+# TStatusCode (:408): SUCCESS=0, ERROR=3
+SUCCESS, ERROR = 0, 3
+# TOperationType (:502): EXECUTE_STATEMENT=0
+OP_EXECUTE = 0
+
+# TTypeId enum indexes (TCLIService.thrift:65-92)
+TYPE_ID = {
+    "boolean": 0,
+    "tinyint": 1,
+    "smallint": 2,
+    "int": 3,
+    "bigint": 4,
+    "float": 5,
+    "double": 6,
+    "string": 7,
+    "timestamp": 8,
+    "binary": 9,
+    "decimal": 15,
+    "null": 16,
+    "date": 17,
+}
+
+# TColumnValue union field id per Spark simpleString type
+_VALUE_FIELD = {
+    "boolean": (1, tp.T_BOOL),
+    "tinyint": (2, tp.T_BYTE),
+    "smallint": (3, tp.T_I16),
+    "int": (4, tp.T_I32),
+    "bigint": (5, tp.T_I64),
+    "float": (6, tp.T_DOUBLE),
+    "double": (6, tp.T_DOUBLE),
+}
+
+
+# ---------------------------------------------------------------------------
+# generic struct-building helpers (field bytes → struct bytes)
+# ---------------------------------------------------------------------------
+
+
+def _fld(fid: int, ttype: int, payload: bytes) -> bytes:
+    return struct.pack(">bh", ttype, fid) + payload
+
+
+def _stop() -> bytes:
+    return struct.pack(">b", tp.T_STOP)
+
+
+def _i32(v: int) -> bytes:
+    return struct.pack(">i", v)
+
+
+def _i64(v: int) -> bytes:
+    return struct.pack(">q", v)
+
+
+def _dbl(v: float) -> bytes:
+    return struct.pack(">d", v)
+
+
+def _string(s: str) -> bytes:
+    b = s.encode("utf-8")
+    return struct.pack(">i", len(b)) + b
+
+
+def _binary(b: bytes) -> bytes:
+    return struct.pack(">i", len(b)) + b
+
+
+def _tlist(etype: int, items: list[bytes]) -> bytes:
+    return struct.pack(">bi", etype, len(items)) + b"".join(items)
+
+
+def _status(code: int, message: str | None = None) -> bytes:
+    out = _fld(1, tp.T_I32, _i32(code))
+    if message is not None:
+        out += _fld(3, tp.T_STRING, _string("42000"))
+        out += _fld(5, tp.T_STRING, _string(message))
+    return out + _stop()
+
+
+def _handle(guid: bytes) -> bytes:
+    """THandleIdentifier: 16-byte guid + 16-byte secret."""
+    ident = (
+        _fld(1, tp.T_STRING, _binary(guid))
+        + _fld(
+            2,
+            tp.T_STRING,
+            _binary(hashlib.sha256(guid).hexdigest()[:16].encode()),
+        )
+        + _stop()
+    )
+    return _fld(1, tp.T_STRUCT, ident) + _stop()  # wrapper struct
+
+
+def _read_message(sock_file) -> tuple[str, int, list]:
+    """Parse one strict-protocol message: returns (method, seqid,
+    positional args struct)."""
+    head = sock_file.read(4)
+    if len(head) < 4:
+        raise EOFError
+    (word,) = struct.unpack(">i", head)
+    if word >= 0:
+        raise ValueError(
+            "old-style (non-strict) thrift framing not supported"
+        )
+    mtype = word & 0xFF
+    (nlen,) = struct.unpack(">i", sock_file.read(4))
+    name = sock_file.read(nlen).decode("utf-8")
+    (seqid,) = struct.unpack(">i", sock_file.read(4))
+    if mtype != CALL:
+        raise ValueError(f"unexpected message type {mtype}")
+    # args struct: field 1 = the req struct. Read the full remaining
+    # struct generically (thrift_py decodes nested structs
+    # positionally).
+    payload = _read_struct_bytes(sock_file)
+    args = tp.decode_row(payload, 8)
+    return name, seqid, args
+
+
+def _read_struct_bytes(sock_file) -> bytes:
+    """Consume one struct off the stream byte-exactly (fields until
+    T_STOP, recursing into containers) and return its raw bytes."""
+    out = bytearray()
+
+    def copy(n: int) -> bytes:
+        b = sock_file.read(n)
+        if len(b) < n:
+            raise EOFError
+        out.extend(b)
+        return b
+
+    def skip_value(tt: int) -> None:
+        if tt == tp.T_BOOL or tt == tp.T_BYTE:
+            copy(1)
+        elif tt == tp.T_I16:
+            copy(2)
+        elif tt == tp.T_I32:
+            copy(4)
+        elif tt in (tp.T_I64, tp.T_DOUBLE):
+            copy(8)
+        elif tt == tp.T_STRING:
+            (n,) = struct.unpack(">i", copy(4))
+            copy(n)
+        elif tt == tp.T_STRUCT:
+            while True:
+                (ft,) = struct.unpack(">b", copy(1))
+                if ft == tp.T_STOP:
+                    return
+                copy(2)
+                skip_value(ft)
+        elif tt == tp.T_MAP:
+            kt, vt = struct.unpack(">bb", copy(2))
+            (n,) = struct.unpack(">i", copy(4))
+            for _ in range(n):
+                skip_value(kt)
+                skip_value(vt)
+        elif tt in (tp.T_LIST, 14):  # list / set share the layout
+            (et,) = struct.unpack(">b", copy(1))
+            (n,) = struct.unpack(">i", copy(4))
+            for _ in range(n):
+                skip_value(et)
+        else:
+            raise ValueError(f"unknown thrift wire type {tt}")
+
+    skip_value(tp.T_STRUCT)
+    return bytes(out)
+
+
+def _reply(name: str, seqid: int, result_field: bytes) -> bytes:
+    """REPLY message: result struct with field 0 = success value."""
+    head = struct.pack(">I", VERSION_MASK | REPLY) + _string(name) + struct.pack(
+        ">i", seqid
+    )
+    return head + _fld(0, tp.T_STRUCT, result_field) + _stop()
+
+
+def _exception(name: str, seqid: int, message: str) -> bytes:
+    """TApplicationException reply (1: message, 2: type=1 unknown
+    method)."""
+    head = struct.pack(">I", VERSION_MASK | EXCEPTION) + _string(
+        name
+    ) + struct.pack(">i", seqid)
+    body = (
+        _fld(1, tp.T_STRING, _string(message))
+        + _fld(2, tp.T_I32, _i32(1))
+        + _stop()
+    )
+    return head + body
+
+
+# ---------------------------------------------------------------------------
+# schema / row encoding
+# ---------------------------------------------------------------------------
+
+
+def _type_id_for(simple: str) -> int:
+    if simple.startswith("decimal"):
+        return TYPE_ID["decimal"]
+    if simple.startswith(("array", "map", "struct")):
+        # complex results render as strings (TColumnValue note :382)
+        return TYPE_ID["string"]
+    return TYPE_ID.get(simple, TYPE_ID["string"])
+
+
+def _table_schema(df) -> bytes:
+    """TTableSchema{1: list<TColumnDesc>}; TColumnDesc{1: name,
+    2: TTypeDesc{1: list<TTypeEntry{1: TPrimitiveTypeEntry{1: id}}>},
+    3: position}."""
+    cols = []
+    for pos, f in enumerate(df.schema.fields, start=1):
+        prim = _fld(
+            1, tp.T_I32, _i32(_type_id_for(f.dataType.simpleString()))
+        ) + _stop()
+        entry = _fld(1, tp.T_STRUCT, prim) + _stop()  # TTypeEntry union
+        tdesc = _fld(1, tp.T_LIST, _tlist(tp.T_STRUCT, [entry])) + _stop()
+        cols.append(
+            _fld(1, tp.T_STRING, _string(f.name))
+            + _fld(2, tp.T_STRUCT, tdesc)
+            + _fld(3, tp.T_I32, _i32(pos))
+            + _stop()
+        )
+    return _fld(1, tp.T_LIST, _tlist(tp.T_STRUCT, cols)) + _stop()
+
+
+def _column_value(simple: str, v) -> bytes:
+    """TColumnValue union — exactly one wrapper-struct field set; a
+    NULL is a wrapper with its optional value field absent."""
+    fid, wire = _VALUE_FIELD.get(simple, (7, tp.T_STRING))
+    if v is None:
+        inner = _stop()
+    elif fid == 7:
+        inner = _fld(1, tp.T_STRING, _string(str(v))) + _stop()
+    elif wire == tp.T_BOOL:
+        inner = _fld(1, tp.T_BOOL, struct.pack(">b", 1 if v else 0)) + _stop()
+    elif wire == tp.T_BYTE:
+        inner = _fld(1, tp.T_BYTE, struct.pack(">b", int(v))) + _stop()
+    elif wire == tp.T_I16:
+        inner = _fld(1, tp.T_I16, struct.pack(">h", int(v))) + _stop()
+    elif wire == tp.T_I32:
+        inner = _fld(1, tp.T_I32, _i32(int(v))) + _stop()
+    elif wire == tp.T_I64:
+        inner = _fld(1, tp.T_I64, _i64(int(v))) + _stop()
+    else:
+        inner = _fld(1, tp.T_DOUBLE, _dbl(float(v))) + _stop()
+    return _fld(fid, tp.T_STRUCT, inner) + _stop()
+
+
+def _row_set(df, rows, start_offset: int) -> bytes:
+    simples = [f.dataType.simpleString() for f in df.schema.fields]
+    trows = []
+    for r in rows:
+        vals = [_column_value(s, v) for s, v in zip(simples, r)]
+        trows.append(
+            _fld(1, tp.T_LIST, _tlist(tp.T_STRUCT, vals)) + _stop()
+        )
+    return (
+        _fld(1, tp.T_I64, _i64(start_offset))
+        + _fld(2, tp.T_LIST, _tlist(tp.T_STRUCT, trows))
+        + _stop()
+    )
+
+
+# ---------------------------------------------------------------------------
+# the server
+# ---------------------------------------------------------------------------
+
+
+class _Handler(socketserver.StreamRequestHandler):
+    def handle(self) -> None:  # noqa: C901 — one dispatch table
+        srv = self.server
+        while True:
+            try:
+                name, seqid, args = _read_message(self.rfile)
+            except (EOFError, ConnectionError):
+                return
+            try:
+                out = self._dispatch(srv, name, seqid, args)
+            except Exception as exc:  # noqa: BLE001 — wire errors out
+                out = _exception(name, seqid, f"{type(exc).__name__}: {exc}")
+            self.wfile.write(out)
+            self.wfile.flush()
+
+    def _dispatch(self, srv, name: str, seqid: int, args: list) -> bytes:
+        if name == "OpenSession":
+            sid = srv.new_id()
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_I32, _i32(PROTOCOL_V5))
+                + _fld(3, tp.T_STRUCT, _handle(sid))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
+        if name == "ExecuteStatement":
+            # args[0] = TExecuteStatementReq positional: [sessionHandle,
+            # statement, confOverlay, runAsync]
+            statement = args[0][1]
+            try:
+                from ..catalog import ensure_parity_confs
+
+                ensure_parity_confs(srv.spark)
+                df = srv.spark.sql(statement)
+                oid = srv.new_id()
+                # materialize up to the server result cap; FetchResults
+                # pages through this in max_rows batches (SQLOperation
+                # streams from FetchTask; a driver-side bounded take is
+                # the single-process analogue — raise result_cap for
+                # bigger result sets, or add LIMIT in the statement)
+                srv.ops[oid] = (df, df.take(srv.result_cap), 0)
+                resp = (
+                    _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                    + _fld(
+                        2,
+                        tp.T_STRUCT,
+                        self._op_handle(oid),
+                    )
+                    + _stop()
+                )
+            except Exception as exc:  # noqa: BLE001 — SQL errors → TStatus
+                resp = (
+                    _fld(
+                        1,
+                        tp.T_STRUCT,
+                        _status(ERROR, f"{type(exc).__name__}: {exc}"),
+                    )
+                    + _stop()
+                )
+            return _reply(name, seqid, resp)
+        if name == "GetResultSetMetadata":
+            oid = self._req_guid(args)
+            df, _, _ = srv.ops[oid]
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_STRUCT, _table_schema(df))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
+        if name == "FetchResults":
+            oid = self._req_guid(args)
+            df, rows, served = srv.ops[oid]
+            batch = rows[served : served + srv.max_rows]
+            srv.ops[oid] = (df, rows, served + len(batch))
+            more = served + len(batch) < len(rows)
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_BOOL, struct.pack(">b", 1 if more else 0))
+                + _fld(3, tp.T_STRUCT, _row_set(df, batch, served))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
+        if name in ("CloseOperation", "CloseSession", "CancelOperation"):
+            if name == "CloseOperation":
+                srv.ops.pop(self._req_guid(args), None)
+            resp = _fld(1, tp.T_STRUCT, _status(SUCCESS)) + _stop()
+            return _reply(name, seqid, resp)
+        return _exception(name, seqid, f"unimplemented method {name!r}")
+
+    @staticmethod
+    def _op_handle(guid: bytes) -> bytes:
+        """TOperationHandle{1: THandleIdentifier, 2: opType,
+        3: hasResultSet}."""
+        ident = (
+            _fld(1, tp.T_STRING, _binary(guid))
+            + _fld(
+                2,
+                tp.T_STRING,
+                _binary(hashlib.sha256(guid).hexdigest()[:16].encode()),
+            )
+            + _stop()
+        )
+        return (
+            _fld(1, tp.T_STRUCT, ident)
+            + _fld(2, tp.T_I32, _i32(OP_EXECUTE))
+            + _fld(3, tp.T_BOOL, struct.pack(">b", 1))
+            + _stop()
+        )
+
+    @staticmethod
+    def _req_guid(args: list) -> bytes:
+        """Pull the 16-byte guid out of req.field1 (a handle struct
+        whose field 1 is THandleIdentifier{1: guid})."""
+        handle = args[0][0]
+        ident = handle[0]
+        guid = ident[0]
+        return guid if isinstance(guid, bytes) else guid.encode("latin-1")
+
+
+class HS2WireServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, spark, host: str = "127.0.0.1", port: int = 0,
+                 max_rows: int = 1000, result_cap: int = 100_000):
+        super().__init__((host, port), _Handler)
+        self.spark = spark
+        self.max_rows = max_rows
+        self.result_cap = result_cap
+        self.ops: dict[bytes, tuple] = {}
+        self._counter = 0
+        self._lock = threading.Lock()
+
+    def new_id(self) -> bytes:
+        with self._lock:
+            self._counter += 1
+            n = self._counter
+        # hex-ASCII guid: THandleIdentifier allows any 16 bytes, and
+        # ASCII survives the codec's utf-8 string decode unchanged
+        return hashlib.sha256(f"hs2-handle-{n}".encode()).hexdigest()[:16].encode()
+
+
+def serve_background(spark, port: int = 0, max_rows: int = 1000):
+    """Start the wire server on a daemon thread; returns
+    (server, bound_port)."""
+    srv = HS2WireServer(spark, port=port, max_rows=max_rows)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return srv, srv.server_address[1]
+
+
+# ---------------------------------------------------------------------------
+# a minimal client (same codec — used by tests and sql tooling)
+# ---------------------------------------------------------------------------
+
+
+class HS2WireClient:
+    """NOSASL TCLIService client speaking the same strict binary
+    protocol — the library-free analogue of
+    ``jdbc/.../HiveConnection.java`` + ``HiveStatement``."""
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port))
+        self.rfile = self.sock.makefile("rb")
+        self.seq = 0
+        self.session: bytes | None = None
+
+    def _call(self, name: str, req_struct: bytes) -> list:
+        self.seq += 1
+        msg = (
+            struct.pack(">I", VERSION_MASK | CALL)
+            + _string(name)
+            + struct.pack(">i", self.seq)
+            + _fld(1, tp.T_STRUCT, req_struct)
+            + _stop()
+        )
+        self.sock.sendall(msg)
+        head = self.rfile.read(4)
+        (word,) = struct.unpack(">i", head)
+        mtype = word & 0xFF
+        (nlen,) = struct.unpack(">i", self.rfile.read(4))
+        self.rfile.read(nlen)  # echo of the name
+        self.rfile.read(4)  # seqid
+        payload = _read_struct_bytes(self.rfile)
+        if mtype == EXCEPTION:
+            exc = tp.decode_row(payload, 2)
+            raise RuntimeError(f"server exception: {exc[0]}")
+        # result struct: field 0 is success — decode_row is 1-based,
+        # so re-tag field 0 as field 1 for decoding
+        retagged = bytearray(payload)
+        # field header: [type:1][fid:2]; fid 0 → 1
+        retagged[1:3] = struct.pack(">h", 1)
+        return tp.decode_row(bytes(retagged), 1)[0]
+
+    def open_session(self) -> None:
+        req = (
+            _fld(1, tp.T_I32, _i32(PROTOCOL_V5))
+            + _fld(2, tp.T_STRING, _string("anonymous"))
+            + _stop()
+        )
+        resp = self._call("OpenSession", req)
+        # resp: [TStatus, protocol i32, TSessionHandle]
+        status = resp[0]
+        if status[0] != SUCCESS:
+            raise RuntimeError(f"OpenSession failed: {status}")
+        self.session = resp[2][0][0]
+        if isinstance(self.session, str):
+            self.session = self.session.encode("latin-1")
+
+    def _handle_struct(self, guid: bytes) -> bytes:
+        ident = (
+            _fld(1, tp.T_STRING, _binary(guid))
+            + _fld(2, tp.T_STRING, _binary(b"\x00" * 16))
+            + _stop()
+        )
+        return _fld(1, tp.T_STRUCT, ident) + _stop()
+
+    def _op_struct(self, guid: bytes) -> bytes:
+        ident = (
+            _fld(1, tp.T_STRING, _binary(guid))
+            + _fld(2, tp.T_STRING, _binary(b"\x00" * 16))
+            + _stop()
+        )
+        return (
+            _fld(1, tp.T_STRUCT, ident)
+            + _fld(2, tp.T_I32, _i32(OP_EXECUTE))
+            + _fld(3, tp.T_BOOL, b"\x01")
+            + _stop()
+        )
+
+    def execute(self, sql: str) -> bytes:
+        req = (
+            _fld(1, tp.T_STRUCT, self._handle_struct(self.session))
+            + _fld(2, tp.T_STRING, _string(sql))
+            + _stop()
+        )
+        resp = self._call("ExecuteStatement", req)
+        status = resp[0]
+        if status[0] != SUCCESS:
+            raise RuntimeError(f"SQL error: {status[4] if len(status) > 4 else status}")
+        guid = resp[1][0][0]
+        return guid if isinstance(guid, bytes) else guid.encode("latin-1")
+
+    def schema(self, op: bytes) -> list[tuple[str, int]]:
+        req = _fld(1, tp.T_STRUCT, self._op_struct(op)) + _stop()
+        resp = self._call("GetResultSetMetadata", req)
+        cols = resp[1][0]
+        out = []
+        for c in cols:
+            name = c[0]
+            type_id = c[1][0][0][0][0]
+            out.append((name, type_id))
+        return out
+
+    def fetch(self, op: bytes, max_rows: int = 1000) -> tuple[list, bool]:
+        req = (
+            _fld(1, tp.T_STRUCT, self._op_struct(op))
+            + _fld(2, tp.T_I32, _i32(0))  # FETCH_NEXT
+            + _fld(3, tp.T_I64, _i64(max_rows))
+            + _stop()
+        )
+        resp = self._call("FetchResults", req)
+        has_more = bool(resp[1])
+        trows = resp[2][1]
+        rows = []
+        for tr in trows:
+            vals = []
+            for cv in tr[0]:
+                # union: the single set wrapper's field 1 (or None)
+                wrapper = next((w for w in cv if w is not None), None)
+                vals.append(None if wrapper is None or not wrapper else wrapper[0])
+            rows.append(tuple(vals))
+        return rows, has_more
+
+    def close(self) -> None:
+        if self.session is not None:
+            req = _fld(1, tp.T_STRUCT, self._handle_struct(self.session)) + _stop()
+            self._call("CloseSession", req)
+        self.sock.close()

@@ -1,0 +1,123 @@
+"""TCLIService wire protocol (sources/hs2_wire): known-byte pins
+against the public thrift strict binary protocol, and an E2E
+loopback — open session → execute SQL → metadata → fetch → close —
+over a real TCP socket with the library-free client."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hdp2_5_hive_spark.sources import hs2_wire as hw
+from hdp2_5_hive_spark.sources import thrift_py as tp
+
+
+def test_strict_message_header_bytes():
+    """Strict binary protocol: i32 0x80010000|type, i32-length name,
+    i32 seqid (public thrift spec) — pinned byte-for-byte."""
+    msg = (
+        struct.pack(">I", hw.VERSION_MASK | hw.CALL)
+        + hw._string("OpenSession")
+        + struct.pack(">i", 7)
+    )
+    assert msg[:4] == b"\x80\x01\x00\x01"
+    assert msg[4:8] == struct.pack(">i", 11)
+    assert msg[8:19] == b"OpenSession"
+    assert msg[19:23] == struct.pack(">i", 7)
+
+
+def test_status_struct_bytes():
+    """TStatus{1: i32 SUCCESS} encodes as field header (type 8 =
+    I32, id 1), 4-byte value, T_STOP."""
+    assert hw._status(hw.SUCCESS) == b"\x08\x00\x01\x00\x00\x00\x00\x00"
+    err = hw._status(hw.ERROR, "boom")
+    # field 1 = 3 (ERROR), field 3 = sqlState, field 5 = message
+    decoded = tp.decode_row(err, 5)
+    assert decoded[0] == hw.ERROR
+    assert decoded[2] == "42000"
+    assert decoded[4] == "boom"
+
+
+@pytest.fixture(scope="module")
+def hs2(spark, sf_dir):
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(spark, max_rows=10)
+    yield port
+    srv.shutdown()
+
+
+def test_e2e_open_execute_fetch_close(hs2):
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+    assert cli.session is not None
+    op = cli.execute(
+        "SELECT n_nationkey, n_name, CAST(n_regionkey AS DOUBLE) AS r "
+        "FROM nation ORDER BY n_nationkey LIMIT 3"
+    )
+    schema = cli.schema(op)
+    assert [c[0] for c in schema] == ["n_nationkey", "n_name", "r"]
+    # integer key may register as int or bigint depending on the
+    # catalog's view cast — both are correct TTypeIds
+    assert schema[0][1] in (hw.TYPE_ID["int"], hw.TYPE_ID["bigint"])
+    assert schema[1][1] == hw.TYPE_ID["string"]
+    assert schema[2][1] == hw.TYPE_ID["double"]
+    rows, _ = cli.fetch(op)
+    assert rows[0] == (0, "NATION_0", 0.0)
+    assert len(rows) == 3
+    cli.close()
+
+
+def test_e2e_pagination_and_has_more(hs2):
+    """maxRows=10 server: a 25-row result pages as 10/10/5 with
+    hasMoreRows true/true/false."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+    op = cli.execute("SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+    got, pages = [], 0
+    more = True
+    while more:
+        rows, more = cli.fetch(op)
+        got.extend(r[0] for r in rows)
+        pages += 1
+        assert pages < 10
+    assert got == list(range(25))
+    assert pages == 3
+    cli.close()
+
+
+def test_e2e_null_values_absent_fields(hs2):
+    """NULLs travel as wrapper structs with the optional value field
+    ABSENT (TColumnValue note), not as sentinel values."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+    op = cli.execute(
+        "SELECT CASE WHEN n_nationkey % 2 = 0 THEN NULL "
+        "ELSE n_nationkey END AS k FROM nation ORDER BY n_nationkey LIMIT 4"
+    )
+    rows, _ = cli.fetch(op)
+    assert [r[0] for r in rows] == [None, 1, None, 3]
+    cli.close()
+
+
+def test_e2e_sql_error_is_tstatus_error(hs2):
+    """A failing statement comes back as TStatus ERROR with the
+    message — the connection survives (SQLOperation parity)."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+    with pytest.raises(RuntimeError, match="SQL error"):
+        cli.execute("SELECT bogus FROM nowhere_at_all")
+    # connection still usable
+    op = cli.execute("SELECT 1 AS one")
+    rows, _ = cli.fetch(op)
+    assert rows == [(1,)]
+    cli.close()
+
+
+def test_unknown_method_is_application_exception(hs2):
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    with pytest.raises(RuntimeError, match="server exception"):
+        cli._call("RenewDelegationToken", hw._stop())
+    cli.sock.close()
