@@ -405,6 +405,45 @@ class _Handler(socketserver.StreamRequestHandler):
                 + _stop()
             )
             return _reply(name, seqid, resp)
+        if name in ("GetTables", "GetSchemas", "GetCatalogs", "GetTableTypes"):
+            # JDBC metadata surface (TCLIService.thrift:757-867):
+            # result sets with the ODBC-standard columns, served
+            # through the same operation/fetch machinery. Catalog =
+            # the session's temp views (the engine's table surface).
+            spark = srv.spark
+            if name == "GetTables":
+                tables = sorted(
+                    t.name for t in spark.catalog.listTables()
+                )
+                df = spark.createDataFrame(
+                    [(None, "default", t, "TABLE", None) for t in tables]
+                    or [(None, "default", "__none__", "TABLE", None)],
+                    "TABLE_CAT string, TABLE_SCHEM string, "
+                    "TABLE_NAME string, TABLE_TYPE string, REMARKS string",
+                )
+                if not tables:
+                    df = df.limit(0)
+            elif name == "GetSchemas":
+                df = spark.createDataFrame(
+                    [("default", None)],
+                    "TABLE_SCHEM string, TABLE_CATALOG string",
+                )
+            elif name == "GetTableTypes":
+                df = spark.createDataFrame(
+                    [("TABLE",)], "TABLE_TYPE string"
+                )
+            else:  # GetCatalogs: Hive has a single flat catalog
+                df = spark.createDataFrame(
+                    [("x",)], "TABLE_CAT string"
+                ).limit(0)
+            oid = srv.new_id()
+            srv.ops[oid] = (df, df.take(srv.result_cap), 0)
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
         if name in ("CloseOperation", "CloseSession", "CancelOperation"):
             if name == "CloseOperation":
                 srv.ops.pop(self._req_guid(args), None)

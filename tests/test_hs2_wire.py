@@ -121,3 +121,35 @@ def test_unknown_method_is_application_exception(hs2):
     with pytest.raises(RuntimeError, match="server exception"):
         cli._call("RenewDelegationToken", hw._stop())
     cli.sock.close()
+
+
+def test_jdbc_catalog_methods(hs2):
+    """GetSchemas/GetTables/GetTableTypes — the metadata calls JDBC
+    tooling issues right after connect — serve ODBC-standard result
+    sets through the same fetch machinery."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+
+    op = cli._call(
+        "GetSchemas",
+        hw._fld(1, tp.T_STRUCT, cli._handle_struct(cli.session)) + hw._stop(),
+    )[1][0][0]
+    if isinstance(op, str):
+        op = op.encode("latin-1")
+    rows, _ = cli.fetch(op)
+    assert rows == [("default", None)]
+
+    op = cli._call(
+        "GetTables",
+        hw._fld(1, tp.T_STRUCT, cli._handle_struct(cli.session)) + hw._stop(),
+    )[1][0][0]
+    if isinstance(op, str):
+        op = op.encode("latin-1")
+    schema = cli.schema(op)
+    assert [c[0] for c in schema][:3] == [
+        "TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME",
+    ]
+    rows, _ = cli.fetch(op, max_rows=100)
+    names = {r[2] for r in rows}
+    assert {"nation", "orders", "lineitem"} <= names
+    cli.close()
