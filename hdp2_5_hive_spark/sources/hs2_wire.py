@@ -405,6 +405,20 @@ class _Handler(socketserver.StreamRequestHandler):
                 + _stop()
             )
             return _reply(name, seqid, resp)
+        if name == "GetOperationStatus":
+            # TGetOperationStatusResp (:973): 2 = TOperationState —
+            # execution is synchronous inside ExecuteStatement, so a
+            # known handle is always FINISHED_STATE (2); async
+            # clients (beeline runs runAsync=true) poll this once and
+            # proceed to fetch.
+            oid = self._req_guid(args)
+            state = 2 if oid in srv.ops else 5  # FINISHED / CLOSED
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_I32, _i32(state))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
         if name in ("GetTables", "GetSchemas", "GetCatalogs", "GetTableTypes"):
             # JDBC metadata surface (TCLIService.thrift:757-867):
             # result sets with the ODBC-standard columns, served

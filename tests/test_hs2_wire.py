@@ -153,3 +153,17 @@ def test_jdbc_catalog_methods(hs2):
     names = {r[2] for r in rows}
     assert {"nation", "orders", "lineitem"} <= names
     cli.close()
+
+
+def test_operation_status_finished(hs2):
+    """GetOperationStatus: sync execution means a live handle is
+    FINISHED_STATE (2) — the one poll an async JDBC client needs."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+    op = cli.execute("SELECT 1 AS one")
+    resp = cli._call(
+        "GetOperationStatus",
+        hw._fld(1, tp.T_STRUCT, cli._op_struct(op)) + hw._stop(),
+    )
+    assert resp[1] == 2  # FINISHED_STATE
+    cli.close()
