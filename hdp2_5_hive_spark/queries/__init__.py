@@ -170,6 +170,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "events_asof_forward",
     "corpus_assign_row_ids",
     "fmt_thrift_complex_round_trip",
+    "hs2_wire_round_trip",
 )
 
 

@@ -909,3 +909,43 @@ def fmt_rcfile_datasource(spark, t):
     return (
         spark.read.format("rcfile_py").option("split_bytes", 4096).load(d)
     )
+
+
+@register(
+    "hs2_wire_round_trip",
+    oracle="""
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey <= 200
+""",
+    category="formats",
+)
+def hs2_wire_round_trip(spark, t):
+    """Entry point B over the REAL wire: the statement travels as a
+    TCLIService ExecuteStatement call (strict TBinaryProtocol over a
+    TCP socket — sources/hs2_wire, field ids from the reference's
+    ``service/if/TCLIService.thrift``), rows come back as paged
+    TRowSet fetches through the library-free client, and the driver
+    hash-checks what crossed the wire. Typed round-trip: bigint/int
+    ride i64/i32 TColumnValues, doubles ride doubleVal, strings
+    stringVal; NULLs are absent optional fields."""
+    from ..sources.hs2_wire import HS2WireClient, serve_background
+
+    t.customer  # ensure views exist on THIS session before serving
+    srv, port = serve_background(spark, max_rows=64)
+    try:
+        cli = HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        op = cli.execute(
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey <= 200"
+        )
+        rows, more = [], True
+        while more:
+            batch, more = cli.fetch(op, max_rows=64)
+            rows.extend(batch)
+        cli.close()
+    finally:
+        srv.shutdown()
+    return spark.createDataFrame(
+        rows, "c_custkey long, c_name string, c_acctbal double"
+    )
