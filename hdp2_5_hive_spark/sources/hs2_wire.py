@@ -56,6 +56,7 @@ VERSION_MASK = 0x80010000
 
 # TProtocolVersion enum (TCLIService.thrift:35-62): V1=0 … V8=7
 PROTOCOL_V5 = 4
+PROTOCOL_V6 = 5
 # TStatusCode (:408): SUCCESS=0, ERROR=3
 SUCCESS, ERROR = 0, 3
 # TOperationType (:502): EXECUTE_STATEMENT=0
@@ -303,17 +304,60 @@ def _column_value(simple: str, v) -> bytes:
     return _fld(fid, tp.T_STRUCT, inner) + _stop()
 
 
-def _row_set(df, rows, start_offset: int) -> bytes:
+def _row_set(df, rows, start_offset: int, columnar: bool = False) -> bytes:
     simples = [f.dataType.simpleString() for f in df.schema.fields]
-    trows = []
-    for r in rows:
-        vals = [_column_value(s, v) for s, v in zip(simples, r)]
-        trows.append(
-            _fld(1, tp.T_LIST, _tlist(tp.T_STRUCT, vals)) + _stop()
+    if not columnar:
+        trows = []
+        for r in rows:
+            vals = [_column_value(s, v) for s, v in zip(simples, r)]
+            trows.append(
+                _fld(1, tp.T_LIST, _tlist(tp.T_STRUCT, vals)) + _stop()
+            )
+        return (
+            _fld(1, tp.T_I64, _i64(start_offset))
+            + _fld(2, tp.T_LIST, _tlist(tp.T_STRUCT, trows))
+            + _stop()
         )
+    # COLUMN-based TRowSet (protocol V6+, TCLIService.thrift:344-398):
+    # field 3 = list<TColumn>; each TColumn union wraps
+    # T*Column{1: list<values>, 2: binary nulls} — nulls is a
+    # little-endian bitmask (bit i set = row i NULL) and the values
+    # list carries type-default placeholders at null slots. The
+    # REQUIRED rows field (2) is sent empty, exactly as Hive does
+    # when serving columnar rowsets.
+    cols = []
+    for ci, simple in enumerate(simples):
+        fid, wire = _VALUE_FIELD.get(simple, (7, tp.T_STRING))
+        nulls = bytearray((len(rows) + 7) // 8)
+        vals: list[bytes] = []
+        for ri, r in enumerate(rows):
+            v = r[ci]
+            if v is None:
+                nulls[ri // 8] |= 1 << (ri % 8)
+            if fid == 7:
+                vals.append(_string("" if v is None else str(v)))
+            elif wire == tp.T_BOOL:
+                vals.append(struct.pack(">b", 1 if v else 0))
+            elif wire == tp.T_BYTE:
+                vals.append(struct.pack(">b", 0 if v is None else int(v)))
+            elif wire == tp.T_I16:
+                vals.append(struct.pack(">h", 0 if v is None else int(v)))
+            elif wire == tp.T_I32:
+                vals.append(_i32(0 if v is None else int(v)))
+            elif wire == tp.T_I64:
+                vals.append(_i64(0 if v is None else int(v)))
+            else:
+                vals.append(_dbl(0.0 if v is None else float(v)))
+        inner = (
+            _fld(1, tp.T_LIST, _tlist(wire if fid != 7 else tp.T_STRING, vals))
+            + _fld(2, tp.T_STRING, _binary(bytes(nulls)))
+            + _stop()
+        )
+        cols.append(_fld(fid, tp.T_STRUCT, inner) + _stop())
     return (
         _fld(1, tp.T_I64, _i64(start_offset))
-        + _fld(2, tp.T_LIST, _tlist(tp.T_STRUCT, trows))
+        + _fld(2, tp.T_LIST, _tlist(tp.T_STRUCT, []))
+        + _fld(3, tp.T_LIST, _tlist(tp.T_STRUCT, cols))
         + _stop()
     )
 
@@ -343,7 +387,7 @@ class _Handler(socketserver.StreamRequestHandler):
             sid = srv.new_id()
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
-                + _fld(2, tp.T_I32, _i32(PROTOCOL_V5))
+                + _fld(2, tp.T_I32, _i32(srv.protocol))
                 + _fld(3, tp.T_STRUCT, _handle(sid))
                 + _stop()
             )
@@ -401,7 +445,14 @@ class _Handler(socketserver.StreamRequestHandler):
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_BOOL, struct.pack(">b", 1 if more else 0))
-                + _fld(3, tp.T_STRUCT, _row_set(df, batch, served))
+                + _fld(
+                    3,
+                    tp.T_STRUCT,
+                    _row_set(
+                        df, batch, served,
+                        columnar=srv.protocol >= PROTOCOL_V6,
+                    ),
+                )
                 + _stop()
             )
             return _reply(name, seqid, resp)
@@ -500,11 +551,13 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
     daemon_threads = True
 
     def __init__(self, spark, host: str = "127.0.0.1", port: int = 0,
-                 max_rows: int = 1000, result_cap: int = 100_000):
+                 max_rows: int = 1000, result_cap: int = 100_000,
+                 protocol: int = PROTOCOL_V5):
         super().__init__((host, port), _Handler)
         self.spark = spark
         self.max_rows = max_rows
         self.result_cap = result_cap
+        self.protocol = protocol  # V5 row-based / V6+ column-based
         self.ops: dict[bytes, tuple] = {}
         self._counter = 0
         self._lock = threading.Lock()
@@ -518,10 +571,12 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
         return hashlib.sha256(f"hs2-handle-{n}".encode()).hexdigest()[:16].encode()
 
 
-def serve_background(spark, port: int = 0, max_rows: int = 1000):
+def serve_background(spark, port: int = 0, max_rows: int = 1000,
+                     protocol: int = PROTOCOL_V5):
     """Start the wire server on a daemon thread; returns
     (server, bound_port)."""
-    srv = HS2WireServer(spark, port=port, max_rows=max_rows)
+    srv = HS2WireServer(spark, port=port, max_rows=max_rows,
+                        protocol=protocol)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, srv.server_address[1]
 
@@ -638,7 +693,8 @@ class HS2WireClient:
         )
         resp = self._call("FetchResults", req)
         has_more = bool(resp[1])
-        trows = resp[2][1]
+        rowset = resp[2]
+        trows = rowset[1]
         rows = []
         for tr in trows:
             vals = []
@@ -647,6 +703,19 @@ class HS2WireClient:
                 wrapper = next((w for w in cv if w is not None), None)
                 vals.append(None if wrapper is None or not wrapper else wrapper[0])
             rows.append(tuple(vals))
+        if not rows and len(rowset) > 2 and rowset[2]:
+            # column-based (V6+): field 3 list<TColumn>; per column a
+            # wrapper [values, nulls-bitmask]
+            cols = []
+            for cv in rowset[2]:
+                wrapper = next((w for w in cv if w is not None), None)
+                values, nulls = wrapper[0], wrapper[1]
+                nb = nulls if isinstance(nulls, bytes) else nulls.encode("latin-1")
+                cols.append([
+                    None if nb[i // 8] & (1 << (i % 8)) else v
+                    for i, v in enumerate(values)
+                ])
+            rows = [tuple(c[i] for c in cols) for i in range(len(cols[0]))] if cols else []
         return rows, has_more
 
     def close(self) -> None:

@@ -167,3 +167,31 @@ def test_operation_status_finished(hs2):
     )
     assert resp[1] == 2  # FINISHED_STATE
     cli.close()
+
+
+def test_columnar_rowset_protocol_v6(spark, sf_dir):
+    """Protocol V6+ serves COLUMN-based TRowSets (list<TColumn> with
+    null bitmasks, empty required rows field — Hive's columnar
+    layout): values, NULLs, and pagination all survive."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(
+        spark, max_rows=10, protocol=hw.PROTOCOL_V6
+    )
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        op = cli.execute(
+            "SELECT n_nationkey, CASE WHEN n_nationkey % 2 = 0 THEN NULL "
+            "ELSE n_name END AS nm FROM nation ORDER BY n_nationkey"
+        )
+        got, more = [], True
+        while more:
+            rows, more = cli.fetch(op)
+            got.extend(rows)
+        assert len(got) == 25
+        assert got[0] == (0, None) and got[1][1] == "NATION_1"
+        cli.close()
+    finally:
+        srv.shutdown()
