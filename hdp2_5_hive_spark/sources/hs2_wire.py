@@ -439,7 +439,14 @@ class _Handler(socketserver.StreamRequestHandler):
         if name == "FetchResults":
             oid = self._req_guid(args)
             df, rows, served = srv.ops[oid]
-            batch = rows[served : served + srv.max_rows]
+            # honor the CLIENT's maxRows (TFetchResultsReq field 3 —
+            # Hive does); the server cap only bounds it above
+            try:
+                want = int(args[0][2])
+            except (TypeError, IndexError):
+                want = srv.max_rows
+            want = max(1, min(want or srv.max_rows, srv.max_rows))
+            batch = rows[served : served + want]
             srv.ops[oid] = (df, rows, served + len(batch))
             more = served + len(batch) < len(rows)
             resp = (

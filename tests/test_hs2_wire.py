@@ -139,6 +139,10 @@ def test_jdbc_catalog_methods(hs2):
     rows, _ = cli.fetch(op)
     assert rows == [("default", None)]
 
+    # create a marker view THROUGH THE WIRE so the listing assertion
+    # is self-contained (other suite tests may re-point or drop the
+    # shared session's views)
+    cli.execute("CREATE OR REPLACE TEMPORARY VIEW hs2_marker AS SELECT 1 AS x")
     op = cli._call(
         "GetTables",
         hw._fld(1, tp.T_STRUCT, cli._handle_struct(cli.session)) + hw._stop(),
@@ -149,9 +153,11 @@ def test_jdbc_catalog_methods(hs2):
     assert [c[0] for c in schema][:3] == [
         "TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME",
     ]
-    rows, _ = cli.fetch(op, max_rows=100)
-    names = {r[2] for r in rows}
-    assert {"nation", "orders", "lineitem"} <= names
+    names, more = set(), True
+    while more:
+        rows, more = cli.fetch(op, max_rows=1000)
+        names |= {r[2] for r in rows}
+    assert "hs2_marker" in names
     cli.close()
 
 
