@@ -477,6 +477,39 @@ class _Handler(socketserver.StreamRequestHandler):
                 + _stop()
             )
             return _reply(name, seqid, resp)
+        if name == "GetColumns":
+            # TGetColumnsReq (:840): 1 session, 2 catalog, 3 schema
+            # pattern, 4 table pattern, 5 column pattern. Result set
+            # uses the ODBC column layout (subset: the fields JDBC
+            # tooling reads).
+            spark = srv.spark
+            table_pat = args[0][3] if len(args[0]) > 3 else None
+            rows = []
+            for t in spark.catalog.listTables():
+                if table_pat and table_pat not in ("%", None, "")                         and table_pat != t.name:
+                    continue
+                for pos, c in enumerate(
+                    spark.catalog.listColumns(t.name), start=1
+                ):
+                    rows.append(
+                        (None, "default", t.name, c.name,
+                         c.dataType, pos)
+                    )
+            df = spark.createDataFrame(
+                rows or [(None, "d", "t", "c", "string", 1)],
+                "TABLE_CAT string, TABLE_SCHEM string, TABLE_NAME string, "
+                "COLUMN_NAME string, TYPE_NAME string, ORDINAL_POSITION int",
+            )
+            if not rows:
+                df = df.limit(0)
+            oid = srv.new_id()
+            srv.ops[oid] = (df, df.take(srv.result_cap), 0)
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
         if name in ("GetTables", "GetSchemas", "GetCatalogs", "GetTableTypes"):
             # JDBC metadata surface (TCLIService.thrift:757-867):
             # result sets with the ODBC-standard columns, served

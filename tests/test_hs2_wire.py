@@ -201,3 +201,29 @@ def test_columnar_rowset_protocol_v6(spark, sf_dir):
         cli.close()
     finally:
         srv.shutdown()
+
+
+def test_get_columns_for_table(hs2):
+    """GetColumns with a table pattern returns the ODBC column rows
+    (name, type, ordinal) for that table."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+    cli.execute(
+        "CREATE OR REPLACE TEMPORARY VIEW hs2_cols AS "
+        "SELECT 1 AS a, 'x' AS b, CAST(2.5 AS DOUBLE) AS c"
+    )
+    req = (
+        hw._fld(1, tp.T_STRUCT, cli._handle_struct(cli.session))
+        + hw._fld(4, tp.T_STRING, hw._string("hs2_cols"))
+        + hw._stop()
+    )
+    op = cli._call("GetColumns", req)[1][0][0]
+    if isinstance(op, str):
+        op = op.encode("latin-1")
+    rows, more = [], True
+    while more:
+        batch, more = cli.fetch(op)
+        rows.extend(batch)
+    cols = [(r[3], r[4], r[5]) for r in rows]
+    assert cols == [("a", "int", 1), ("b", "string", 2), ("c", "double", 3)]
+    cli.close()
