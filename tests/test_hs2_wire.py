@@ -227,3 +227,23 @@ def test_get_columns_for_table(hs2):
     cols = [(r[3], r[4], r[5]) for r in rows]
     assert cols == [("a", "int", 1), ("b", "string", 2), ("c", "double", 3)]
     cli.close()
+
+
+def test_concurrent_wire_clients(hs2):
+    """Two clients with interleaved operations on one server: the
+    threading server keeps sessions/operations isolated."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run(tag: int):
+        cli = hw.HS2WireClient("127.0.0.1", hs2)
+        cli.open_session()
+        op = cli.execute(f"SELECT {tag} AS t, count(*) AS n FROM nation")
+        rows, _ = cli.fetch(op)
+        cli.close()
+        return rows
+
+    with ThreadPoolExecutor(2) as ex:
+        a = ex.submit(run, 1)
+        b = ex.submit(run, 2)
+        ra, rb = a.result(120), b.result(120)
+    assert ra == [(1, 25)] and rb == [(2, 25)]
