@@ -171,6 +171,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_assign_row_ids",
     "fmt_thrift_complex_round_trip",
     "hs2_wire_round_trip",
+    "quality_gopher_gate",
 )
 
 

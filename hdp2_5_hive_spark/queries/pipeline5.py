@@ -543,3 +543,73 @@ def corpus_assign_row_ids(spark, t):
         F.max("row__id").alias("max_id"),
         F.countDistinct("row__id").alias("n_distinct_ids"),
     )
+
+
+@register(
+    "quality_gopher_gate",
+    oracle="""
+WITH feats AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' ')) AS n_words,
+         (length(replace(text, ' ', '')) * 1.0)
+           / len(string_split(text, ' ')) AS mean_word_len,
+         len(list_filter(string_split(text, ' '),
+                         w -> w IN ('the','a','of','to','and','in')))
+           AS n_stop
+  FROM documents
+),
+gated AS (
+  SELECT source,
+         CASE WHEN n_words >= 15 AND n_words <= 500
+               AND mean_word_len >= 2.5 AND mean_word_len <= 9.0
+               AND n_stop >= 1
+              THEN 1 ELSE 0 END AS keep
+  FROM feats
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept
+FROM gated GROUP BY source
+""",
+    category="pipeline",
+)
+def quality_gopher_gate(spark, t):
+    """Composite Gopher-style quality GATE (Rae et al. 2021 §A1.1 —
+    the rule set every web-corpus pipeline applies before model
+    training): word-count bounds, mean-word-length bounds, and
+    required stopword presence, combined into one boolean keep
+    decision and reported per source. One projection + one keyed
+    aggregate — at 100 TB this is scan-bound with map-side combine;
+    the rules are pure JVM expressions (split/size/translate), no
+    UDF. Thresholds are tuned to SPLIT the synthetic corpus (letters-
+    only word salad) so the gate is exercised, not vacuous; the
+    repetition-based Gopher rules live in pipeline2
+    (quality_repetition_stats) and compose with this gate."""
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks)
+    mean_wlen = (
+        F.length(F.regexp_replace(F.col("text"), " ", "")) / n_words
+    )
+    stop = F.size(
+        F.filter(
+            toks,
+            lambda w: w.isin("the", "a", "of", "to", "and", "in"),
+        )
+    )
+    keep = (
+        (n_words >= 15)
+        & (n_words <= 500)
+        & (mean_wlen >= 2.5)
+        & (mean_wlen <= 9.0)
+        & (stop >= 1)
+    )
+    return (
+        t.documents.select(
+            "source", keep.cast("int").alias("keep")
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+        )
+    )
