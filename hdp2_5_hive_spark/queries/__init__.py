@@ -172,6 +172,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_thrift_complex_round_trip",
     "hs2_wire_round_trip",
     "quality_gopher_gate",
+    "win_moving_median",
 )
 
 

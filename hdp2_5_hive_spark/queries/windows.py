@@ -264,3 +264,42 @@ def win_agg_over(spark, t):
         F.sum(F.col("l_quantity").cast(_DEC)).over(w).cast("double").alias("order_qty"),
         F.max("l_quantity").over(w).alias("max_line_qty"),
     )
+
+
+@register(
+    "win_moving_median",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(median(CAST(value AS DOUBLE)) OVER (
+         PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS med6
+FROM events
+""",
+    category="windows",
+)
+def win_moving_median(spark, t):
+    """Moving MEDIAN over a row frame — a full UDAF (Hive
+    ``GenericUDAFPercentile``) running as a window function
+    (PTFOperator drives arbitrary UDAFs over frames, §2.6 'UDAF over
+    window'), and the robust-smoothing idiom time-series cleaning
+    uses where a moving mean would chase outliers. Spark evaluates
+    ``percentile(v, 0.5)`` per frame; DuckDB's windowed ``median``
+    (quantile_cont) interpolates identically, so doubles match
+    exactly. event_id breaks ts ties so the frame contents are
+    deterministic on both engines."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-5, 0)
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(CAST(value AS DOUBLE), 0.5)")
+        .over(w)
+        .cast("double")
+        .alias("med6"),
+    )
