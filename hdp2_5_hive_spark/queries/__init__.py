@@ -173,6 +173,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hs2_wire_round_trip",
     "quality_gopher_gate",
     "win_moving_median",
+    "events_funnel_time_bound",
 )
 
 

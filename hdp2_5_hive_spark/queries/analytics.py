@@ -497,3 +497,71 @@ def events_gap_fill_locf(spark, t):
         "day_avg",
         F.last("day_avg", ignorenulls=True).over(w).alias("value_locf"),
     )
+
+
+@register(
+    "events_funnel_time_bound",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+  JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view'
+    AND CAST(e.ts AS TIMESTAMP) > s1.t
+    AND CAST(e.ts AS TIMESTAMP) <= s1.t + INTERVAL 2 HOUR
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+  JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'click'
+    AND CAST(e.ts AS TIMESTAMP) > s2.t
+    AND CAST(e.ts AS TIMESTAMP) <= s2.t + INTERVAL 2 HOUR
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'signup' AS stage, COUNT(*) AS n_users FROM s1
+UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+""",
+    category="analytics",
+)
+def events_funnel_time_bound(spark, t):
+    """TIME-BOUND conversion funnel — each stage must follow the
+    previous one WITHIN a conversion window (2h here): the refinement
+    real funnel analytics runs, where an unbounded funnel overcounts
+    (a purchase a month after signup is not a conversion). Same
+    shrinking per-stage min-ts + user-keyed join shape as
+    events_funnel, with the upper time bound added to each join
+    predicate; every stage remains a keyed aggregate, later joins
+    broadcast under AQE as frames shrink."""
+    e = t.events.select("user_id", "event_type", "ts")
+    stage = None
+    rows = []
+    for step, ev in enumerate(("signup", "view", "click"), start=1):
+        cur = e.filter(F.col("event_type") == ev)
+        if stage is not None:
+            cur = (
+                cur.join(
+                    stage.select("user_id", F.col("t").alias("_prev")),
+                    "user_id",
+                )
+                .filter(F.col("ts") > F.col("_prev"))
+                .filter(
+                    F.col("ts") <= F.col("_prev") + F.expr("INTERVAL 2 HOURS")
+                )
+            )
+        stage = cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+        rows.append(
+            stage.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(step).alias("step"),
+                F.lit(ev).alias("stage"),
+                "n_users",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
