@@ -174,6 +174,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "quality_gopher_gate",
     "win_moving_median",
     "events_funnel_time_bound",
+    "win_cumulative_distinct",
 )
 
 

@@ -303,3 +303,42 @@ def win_moving_median(spark, t):
         .cast("double")
         .alias("med6"),
     )
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+SELECT user_id, event_id,
+       CAST(count(DISTINCT event_type) OVER (
+         PARTITION BY user_id
+         ORDER BY CAST(ts AS TIMESTAMP), event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_types_seen
+FROM events
+""",
+    category="windows",
+)
+def win_cumulative_distinct(spark, t):
+    """Cumulative DISTINCT count over an expanding window — "how
+    many distinct event types has this user produced so far" (the
+    engagement-breadth signal). Neither Hive 1.2 nor Spark supports
+    DISTINCT aggregates over windows directly; the standard rewrite
+    is ``size(collect_set(x)) OVER`` — exact because the per-user
+    type cardinality is tiny and bounded, so the running set state
+    stays bytes-sized however long the history (at true high
+    cardinality the HLL sketch in operators/sketches is the scale
+    path). DuckDB's native windowed COUNT(DISTINCT) is the oracle.
+    event_id tie-breaks equal timestamps deterministically."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")
+        .alias("n_types_seen"),
+    )
