@@ -175,6 +175,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "win_moving_median",
     "events_funnel_time_bound",
     "win_cumulative_distinct",
+    "agg_mode_deterministic",
 )
 
 

@@ -376,3 +376,49 @@ def agg_bitmap_index(spark, t):
         F.sum("c_all").alias("ndv_bitmap"),
         F.sum("c_heavy").alias("ndv_heavy"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+WITH counts AS (
+  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS c
+  FROM orders GROUP BY o_orderstatus, o_orderpriority
+),
+ranked AS (
+  SELECT o_orderstatus, o_orderpriority, c,
+         ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                            ORDER BY c DESC, o_orderpriority) AS rk
+  FROM counts
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, c AS mode_count
+FROM ranked WHERE rk = 1
+""",
+    category="aggregates",
+)
+def agg_mode_deterministic(spark, t):
+    """MODE (most frequent value) with a DETERMINISTIC tie-break —
+    neither Hive 1.2 nor standard SQL defines which value wins a
+    frequency tie (Spark's mode() and DuckDB's mode() both pick
+    arbitrarily, which can never hash-match), so the portable idiom
+    is count + row_number ordered by (count DESC, value): one keyed
+    aggregate + a window over the tiny per-group count table — the
+    heavy lifting is the map-side-combined count, the window touches
+    |groups|x|values| rows only."""
+    counts = t.orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("c").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("c").alias("mode_count"),
+        )
+    )
