@@ -176,6 +176,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "events_funnel_time_bound",
     "win_cumulative_distinct",
     "agg_mode_deterministic",
+    "dedup_containment_pairs",
 )
 
 

@@ -613,3 +613,95 @@ def quality_gopher_gate(spark, t):
             F.sum("keep").cast("long").alias("n_kept"),
         )
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t
+  FROM documents WHERE doc_id < 800
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+4], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) s
+  WHERE len(t) >= 5
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+rare AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 50),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+  FROM grams a JOIN rare r ON a.g = r.g
+  JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(ROUND(c.shared * 1.0 / LEAST(sa.n, sb.n), 6) AS DOUBLE)
+         AS containment
+FROM cand c
+JOIN sizes sa ON c.id_a = sa.doc_id
+JOIN sizes sb ON c.id_b = sb.doc_id
+WHERE c.shared * 1.0 / LEAST(sa.n, sb.n) >= 0.8
+""",
+    category="pipeline",
+)
+def dedup_containment_pairs(spark, t):
+    """CONTAINMENT near-dup pairs — the asymmetric overlap measure
+    ``|A∩B| / min(|A|,|B|)`` that catches SUBSET duplication
+    (a document quoted or embedded inside a longer one), which
+    symmetric Jaccard dilutes below threshold as the host document
+    grows. Shape: distinct 5-gram sets per doc, candidates keyed on
+    RARE grams (posting lists capped at 50 docs — the same bound as
+    PPJoin/winnow keeps the join linear), shared-gram counts, then
+    the exact containment on candidates only; never all-pairs. The
+    oracle re-derives the identical candidate rule and measure."""
+    toks = F.split(F.lower(F.col("text")), " ")
+    grams = (
+        t.documents.filter(F.col("doc_id") < 800)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.size("toks") - 4)
+            ).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.expr("slice(toks, pos, 5)")).alias("g"),
+        )
+        .distinct()
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    rare = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= 50
+    )
+    a = grams.join(rare.select("g"), "g").select(
+        "g", F.col("doc_id").alias("id_a")
+    )
+    b = grams.select("g", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    # sizes are PER-DOC (corpus-sized at warehouse scale) — keyed
+    # joins, never broadcast; cand is already keyed by the same ids
+    out = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared") / F.least(F.col("na"), F.col("nb")), 6
+            ).cast("double"),
+        )
+        .filter(
+            F.col("shared") / F.least(F.col("na"), F.col("nb")) >= 0.8
+        )
+    )
+    return out.select("id_a", "id_b", "containment")
