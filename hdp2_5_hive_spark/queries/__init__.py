@@ -177,6 +177,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "win_cumulative_distinct",
     "agg_mode_deterministic",
     "dedup_containment_pairs",
+    "hiveql_macro_expansion",
 )
 
 

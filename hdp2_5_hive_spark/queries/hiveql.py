@@ -687,3 +687,67 @@ def hiveql_named_window(spark, t):
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@register(
+    "hiveql_macro_expansion",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST((l_extendedprice * (1.0 - l_discount))
+                     * (1.0 + l_tax) AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_charged,
+       CAST(SUM(CAST(CASE WHEN l_discount * 10.0 - 0.2 < 0.0 THEN 0.0
+                          WHEN l_discount * 10.0 - 0.2 > 1.0 THEN 1.0
+                          ELSE l_discount * 10.0 - 0.2 END
+                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_clamped,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+    category="hiveql",
+)
+def hiveql_macro_expansion(spark, t):
+    """``CREATE TEMPORARY MACRO`` (HIVE-2655;
+    ``ql/parse/MacroSemanticAnalyzer.java:45-120``,
+    ``ql/udf/generic/GenericUDFMacro.java``; qfile
+    ``clientpositive/macro.q``): typed-parameter SQL macros defined per
+    session and inlined at call sites — including a macro whose body
+    calls an earlier macro (compiled at CREATE time, Hive semantics).
+    The executed plan is identical to hand-written SQL: expansion is
+    driver-side text, so Catalyst sees one inlined expression — no UDF,
+    nothing Python in the row path. Sums go through DECIMAL(38,6) so
+    aggregation is order-independent and engine-exact; macro bodies are
+    pure IEEE arithmetic (no transcendentals), bit-identical across
+    engines."""
+    t.lineitem
+    from ..functions.macros import MacroRegistry
+
+    m = MacroRegistry()
+    m.sql(
+        spark,
+        "CREATE TEMPORARY MACRO net_price(p DOUBLE, d DOUBLE) "
+        "p * (1.0 - d)",
+    )
+    m.sql(
+        spark,
+        "CREATE TEMPORARY MACRO charged(p DOUBLE, d DOUBLE, t DOUBLE) "
+        "net_price(p, d) * (1.0 + t)",
+    )
+    m.sql(
+        spark,
+        "CREATE TEMPORARY MACRO clamp01(x DOUBLE) "
+        "CASE WHEN x < 0.0 THEN 0.0 WHEN x > 1.0 THEN 1.0 ELSE x END",
+    )
+    return m.sql(
+        spark,
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(charged(l_extendedprice, l_discount, l_tax)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sum_charged,
+               CAST(SUM(CAST(clamp01(l_discount * 10.0 - 0.2)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS sum_clamped,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    )
