@@ -261,3 +261,219 @@ def pq_topk(
         .filter(F.col("rn") <= k_top)
         .drop("rn")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_cells: int = 8,
+    n_probe: int = 3,
+    m: int = 4,
+    k: int = 16,
+    n_iter: int = 8,
+    k_top: int = 5,
+    sample_limit: int = 2048,
+) -> DataFrame:
+    """Composed IVF-PQ index (FAISS ``IndexIVFPQ`` shape; Jégou,
+    Douze, Schmid TPAMI 2011 §V "IVFADC"): a coarse quantizer prunes
+    each query's search to its ``n_probe`` nearest cells, and PQ
+    codebooks trained on RESIDUALS ``x - centroid(x)`` give each
+    corpus vector an m-byte code — the two scale levers multiplied
+    (candidate set ÷ n_cells/n_probe, bytes-per-candidate ÷
+    d·8/m). Residual encoding is what makes the composition better
+    than either part: within a cell the residual spread is small, so
+    k codewords per subspace quantize it far more finely than they
+    could the raw vectors.
+
+    Scale shape (the point of the composition at 100 TB):
+
+    * training is BOUNDED — coarse centroids and all m codebooks are
+      fit on the driver from a deterministic lowest-id
+      ``sample_limit`` sample (the `train_ivf_centroids` contract:
+      training is O(sample), assignment is the distributed part;
+      FAISS trains IndexIVFPQ on a sample the same way);
+    * the corpus is touched in exactly TWO map-only Arrow passes —
+      one normalize+assign+encode pass (no join between cell
+      assignment and codes: both computed in the same kernel), one
+      ADC scan pass — with nothing but (id, cell, m-int codes)
+      alive between them;
+    * queries are bounded and collected (the `pq_topk`/`cosine_topk`
+      broadcast-queries contract); per (query, probed cell) an
+      (m × k) ADC table of exact squared distances from the QUERY'S
+      residual in that cell ships in the closure;
+    * each scan batch emits only its per-query top-k (a superset of
+      the global answer), tie-broken by (adist, neighbor_id) so the
+      kept set never depends on batch composition; a final window
+      takes the exact global top-k — k_top·n_queries rows shuffle
+      per batch, never n·n_queries.
+    """
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .similarity import train_ivf_centroids
+
+    C = train_ivf_centroids(
+        df,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_cells=n_cells,
+        sample_limit=sample_limit,
+    )  # (n_cells, d), unit rows
+    d = C.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    # ---- bounded driver-side codebook training on residuals --------
+    rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
+    )
+    X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    R = X - C[(X @ C.T).argmax(axis=1)]
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        Rj = R[:, j * sub : (j + 1) * sub]
+        # deterministic init: first k sample rows (no RNG — same
+        # reproducibility discipline as train_ivf_centroids)
+        cb = Rj[:k].copy()
+        for _ in range(n_iter):
+            dist = (
+                (Rj * Rj).sum(axis=1)[:, None]
+                - 2.0 * (Rj @ cb.T)
+                + (cb * cb).sum(axis=1)
+            )
+            assign = dist.argmin(axis=1)
+            for c in range(k):
+                members = Rj[assign == c]
+                if len(members):
+                    cb[c] = members.mean(axis=0)
+        books[j] = cb
+
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast((C, books))
+
+    # ---- pass 1: normalize + assign + residual-encode, ONE kernel --
+    enc_schema = StructType(
+        [
+            StructField("vec_id", StringType()),
+            StructField("cell", IntegerType()),
+            StructField("codes", ArrayType(IntegerType())),
+        ]
+    )
+    base = df.select(
+        F.col(id_col).cast("string").alias("vec_id"),
+        F.col(vec_col).alias("_v"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Cv, Bv = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["_v"]]
+            )
+            x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+            cell = (x @ Cv.T).argmax(axis=1)
+            r = x - Cv[cell]
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                rj = r[:, j * sub : (j + 1) * sub]
+                cj = Bv[j]
+                dist = -2.0 * (rj @ cj.T) + (cj * cj).sum(axis=1)
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    encoded = base.mapInPandas(encode, enc_schema)
+
+    # ---- bounded query prep: per (query, probed cell) ADC table ----
+    q_rows = queries_df.select(
+        F.col(id_col).cast("string").alias("qid"), F.col(vec_col)
+    ).collect()
+    qv = np.asarray(
+        [np.asarray(r[1], dtype=np.float64) for r in q_rows]
+    )
+    qv /= np.maximum(np.linalg.norm(qv, axis=1, keepdims=True), 1e-12)
+    probe = np.argsort(-(qv @ C.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    # cell -> (qids array, tables (nq_cell, m, k))
+    per_cell: dict[int, tuple[list, np.ndarray]] = {}
+    for cell in np.unique(probe):
+        sel = np.nonzero((probe == cell).any(axis=1))[0]
+        rq = qv[sel] - C[cell]  # query residuals IN THIS CELL
+        tables = np.empty((len(sel), m, k))
+        for j in range(m):
+            qs = rq[:, j * sub : (j + 1) * sub]
+            cj = books[j]
+            tables[:, j, :] = (
+                (qs * qs).sum(axis=1)[:, None]
+                - 2.0 * (qs @ cj.T)
+                + (cj * cj).sum(axis=1)
+            )
+        per_cell[int(cell)] = ([q_rows[i].qid for i in sel], tables)
+    bc_tables = spark.sparkContext.broadcast(per_cell)
+
+    # ---- pass 2: ADC scan, per-batch per-query top-k ----------------
+    out_schema = StructType(
+        [
+            StructField("query_id", StringType()),
+            StructField("neighbor_id", StringType()),
+            StructField("adist", DoubleType()),
+        ]
+    )
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pc = bc_tables.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_q, out_n, out_d = [], [], []
+            for cell, grp in pdf.groupby("cell"):
+                hit = pc.get(int(cell))
+                if hit is None:
+                    continue  # no query probes this cell — pruned
+                qids, tables = hit
+                codes = np.asarray(
+                    [np.asarray(v, dtype=np.int64) for v in grp["codes"]]
+                )
+                ids = np.asarray(grp["vec_id"], dtype=object)
+                dists = np.zeros((len(qids), len(codes)))
+                for j in range(m):
+                    dists += tables[:, j, :][:, codes[:, j]]
+                top = min(k_top, len(codes))
+                for ti, qid in enumerate(qids):
+                    idx = np.lexsort((ids, dists[ti]))[:top]
+                    out_q.extend([qid] * top)
+                    out_n.extend(ids[idx])
+                    out_d.extend(dists[ti, idx])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "adist": out_d}
+            )
+
+    cand = encoded.mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k_top)
+        .drop("rn")
+    )

@@ -178,6 +178,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_mode_deterministic",
     "dedup_containment_pairs",
     "hiveql_macro_expansion",
+    "ann_ivfpq_recall",
 )
 
 

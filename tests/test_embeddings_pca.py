@@ -207,3 +207,106 @@ def test_pq_codes_partition_invariant_and_recall(spark):
     # every query returns exactly k_top neighbors
     sizes = topk.groupBy("query_id").count().select("count").distinct().collect()
     assert [r["count"] for r in sizes] == [5]
+
+
+def test_ivfpq_partition_invariant_pruned_and_residual_error(spark):
+    """Composed IVF-PQ (quantize.ivfpq_topk): (a) top-k identical
+    under repartition; (b) a query's candidates come ONLY from its
+    n_probe probed cells (the pruning is real); (c) residual-PQ full-
+    vector reconstruction error is strictly below raw-PQ error at the
+    same (m, k) — the reason IVFPQ encodes residuals (Jégou 2011 §V)."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators import quantize as qz
+    from hdp2_5_hive_spark.operators.similarity import train_ivf_centroids
+    from hdp2_5_hive_spark.queries.pipeline4 import _planted_vectors
+
+    rows = _planted_vectors(n_pairs=60)
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+
+    kw = dict(n_cells=8, n_probe=3, m=4, k=16, k_top=5)
+    a = qz.ivfpq_topk(df, df, "vec_id", "embedding", **kw)
+    got_a = {(r.query_id, r.neighbor_id) for r in a.collect()}
+    b = qz.ivfpq_topk(df.repartition(7), df, "vec_id", "embedding", **kw)
+    got_b = {(r.query_id, r.neighbor_id) for r in b.collect()}
+    assert got_a == got_b
+    # recall on the planted corpus
+    hit = {
+        q[1:] for q, n in got_a if q != n and q[1:] == n[1:]
+    }
+    assert len(hit) >= 42, f"IVFPQ recall {len(hit)}/60 below 70%"
+
+    # (b) pruning: recompute cell assignment + probe sets with the
+    # SAME deterministic trainer and assert neighbor cell ∈ probes
+    C = train_ivf_centroids(df, n_cells=8)
+    X = np.asarray([v for _, v in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    ids = [i for i, _ in rows]
+    cell = {i: int(c) for i, c in zip(ids, (X @ C.T).argmax(axis=1))}
+    probe = {
+        i: set(np.argsort(-(x @ C.T))[:3].tolist())
+        for i, x in zip(ids, X)
+    }
+    for q, n in got_a:
+        assert cell[n] in probe[q], (q, n)
+
+    # (c) residual reconstruction error < raw reconstruction error —
+    # on a CLUSTERED corpus (points around well-separated centers:
+    # the regime IVF cells are built for; on isotropic-random unit
+    # vectors cells capture no structure and the residual advantage
+    # vanishes — measured, which is why this property is pinned on
+    # clustered data, not on the planted-pairs corpus above)
+    import hashlib
+
+    def hval(tag, i, c):
+        h = hashlib.md5(f"{tag}:{i}:{c}".encode()).digest()
+        return int.from_bytes(h[:8], "big") / 2.0**64 - 0.5
+
+    centers = np.asarray(
+        [[hval("ctr", g, c) for c in range(64)] for g in range(8)]
+    )
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = []
+    for g in range(8):
+        for i in range(40):
+            noise = np.asarray([hval("pt", g * 40 + i, c) for c in range(64)])
+            v = centers[g] + 0.15 * noise
+            pts.append(v / np.linalg.norm(v))
+    Xc = np.asarray(pts)
+    cdf = spark.createDataFrame(
+        [(f"v{i}", [float(x) for x in v]) for i, v in enumerate(pts)],
+        "vec_id string, embedding array<double>",
+    )
+    Cc = train_ivf_centroids(cdf, n_cells=8)
+    R = Xc - Cc[(Xc @ Cc.T).argmax(axis=1)]
+
+    def train_books(M):
+        books = []
+        for j in range(4):
+            Mj = M[:, j * 16 : (j + 1) * 16]
+            cb = Mj[:16].copy()
+            for _ in range(8):
+                d = ((Mj * Mj).sum(1)[:, None] - 2 * Mj @ cb.T
+                     + (cb * cb).sum(1))
+                asg = d.argmin(1)
+                for c in range(16):
+                    mem = Mj[asg == c]
+                    if len(mem):
+                        cb[c] = mem.mean(0)
+            books.append(cb)
+        return books
+
+    def recon_err(M, books):
+        out = np.empty_like(M)
+        for j in range(4):
+            Mj = M[:, j * 16 : (j + 1) * 16]
+            cb = books[j]
+            d = ((Mj * Mj).sum(1)[:, None] - 2 * Mj @ cb.T
+                 + (cb * cb).sum(1))
+            out[:, j * 16 : (j + 1) * 16] = cb[d.argmin(1)]
+        return float(np.linalg.norm(M - out, axis=1).mean())
+
+    err_resid = recon_err(R, train_books(R))  # ||r - decode(code)||
+    err_raw = recon_err(Xc, train_books(Xc))  # ||x - decode(code)||
+    # full-vector error of IVFPQ is err_resid (x̂ = centroid + decoded r)
+    assert err_resid < err_raw, (err_resid, err_raw)
