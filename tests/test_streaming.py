@@ -574,3 +574,51 @@ def test_streaming_cdc_merge_upsert_sink(spark, tmp_path):
         for r in spark.read.parquet(target).collect()
     }
     assert got == {1: "old1", 2: "new2", 4: "new4"}
+
+
+def test_streaming_dedup_within_watermark_differing_event_times(
+    spark, tmp_path
+):
+    """dropDuplicatesWithinWatermark: duplicates whose EVENT TIMES
+    differ (retries restamped by the producer) are still deduped, as
+    long as they arrive within the watermark delay of the first
+    occurrence — the case plain dropDuplicates([key, ts]) cannot
+    handle (it would keep both rows since ts differs) and plain
+    dropDuplicates([key]) handles only with UNBOUNDED state. This is
+    the state-bounded exactly-once ingest shape for document streams
+    whose upstream retries re-timestamp (§2.10)."""
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("doc_id", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    rows = [
+        ("2024-01-01 00:00:10", "d1"),
+        ("2024-01-01 00:02:00", "d1"),  # retry, restamped +110s
+        ("2024-01-01 00:00:30", "d2"),
+        ("2024-01-01 00:07:00", "d2"),  # retry within 10m watermark
+        ("2024-01-01 00:01:00", "d3"),
+    ]
+    spark.createDataFrame(rows, "ts string, doc_id string").select(
+        F.to_timestamp("ts").alias("ts"), "doc_id"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["doc_id"])
+    )
+    out = str(tmp_path / "out")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    assert got == ["d1", "d2", "d3"]
