@@ -485,6 +485,36 @@ def train_holdout_split(
     )
 
 
+def doc_chunks(
+    df: DataFrame, id_col: str, text_col: str, chunk_words: int
+) -> DataFrame:
+    """(_id, chunk_idx, chunk) — fixed ``chunk_words``-word chunks of
+    lowercased text, built in-array (slice — no per-word explode) and
+    flattened by ONE posexplode. The testdata has no newlines, so a
+    chunk stands in for a "line"; the shuffle shape downstream is the
+    same either way."""
+
+    def chunks_of(w):
+        # w is a BOUND lambda variable (materialized once) — closing
+        # over the raw split() expression would re-split per chunk
+        n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * chunk_words + 1, chunk_words)
+            ),
+        )
+
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.element_at(
+                F.transform(F.array(words_col(F.col(text_col))), chunks_of), 1
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+
+
 def line_dedup(
     df: DataFrame,
     id_col: str,
@@ -509,25 +539,7 @@ def line_dedup(
     Output: (id, text_clean, n_kept) — docs whose every chunk was a
     repeat drop out entirely (both engines derive this the same way).
     """
-    def chunks_of(w):
-        # w is a BOUND lambda variable (materialized once) — closing
-        # over the raw split() expression would re-split per chunk
-        n_chunks = F.ceil(F.size(w) / F.lit(chunk_words)).cast("int")
-        return F.transform(
-            F.sequence(F.lit(0), n_chunks - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(w, i * chunk_words + 1, chunk_words)
-            ),
-        )
-
-    chunks = df.select(
-        F.col(id_col).alias("_id"),
-        F.posexplode(
-            F.element_at(
-                F.transform(F.array(words_col(F.col(text_col))), chunks_of), 1
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
+    chunks = doc_chunks(df, id_col, text_col, chunk_words)
     first = (
         chunks.withColumn(
             "_rn",
@@ -553,6 +565,90 @@ def line_dedup(
             F.count(F.lit(1)).alias("n_kept"),
         )
         .withColumnRenamed("_id", id_col)
+    )
+
+
+def boilerplate_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_words: int = 10,
+    min_docs: int = 3,
+    max_doc_frac: float = 0.005,
+) -> DataFrame:
+    """C4-style boilerplate removal by document frequency: a chunk
+    ("line") that appears in ≥ max(min_docs, ceil(max_doc_frac ·
+    n_docs)) DISTINCT documents is navigation/footer/licence
+    boilerplate and is dropped from EVERY document — unlike
+    :func:`line_dedup`, which keeps the first occurrence. The two are
+    complementary recipe stages (C4 drops repeated lines outright;
+    RefinedWeb keeps one), so both are first-class here.
+
+    Plan (three keyed exchanges, no driver state):
+      1. chunk explode (shared :func:`doc_chunks` shape);
+      2. per-chunk DF via ``countDistinct(_id)`` — Catalyst plans
+         the standard two-phase distinct-aggregate on the chunk hash;
+      3. the corpus doc count joins as a broadcast scalar (1 row),
+         the surviving boilerplate set is LEFT-joined back on the
+         chunk hash as a null-flag, and docs rebuild on ``_id``.
+    At 100 TB the boilerplate set is tiny (only chunks crossing the
+    DF threshold) but is still joined hash-keyed, never collected;
+    mega-repeated chunks are single hot keys that AQE splits.
+
+    Output: (id, text_clean NULL-when-everything-dropped, n_kept,
+    n_dropped) — deterministic in any engine.
+    """
+    chunks = doc_chunks(df, id_col, text_col, chunk_words)
+    n_docs = df.select(
+        F.countDistinct(F.col(id_col)).alias("_n_docs")
+    )
+    threshold = F.greatest(
+        F.lit(min_docs),
+        F.ceil(F.col("_n_docs") * F.lit(max_doc_frac)).cast("long"),
+    )
+    boiler = (
+        chunks.groupBy("chunk")
+        .agg(F.countDistinct("_id").alias("_df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("_df") >= threshold)
+        .select("chunk", F.lit(True).alias("_boiler"))
+    )
+    flagged = chunks.join(boiler, "chunk", "left")
+    kept_text = F.concat_ws(
+        " ",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("_boiler").isNull(),
+                        F.struct("chunk_idx", "chunk"),
+                    )
+                )
+            ),
+            lambda s: s["chunk"],
+        ),
+    )
+    n_kept = F.sum(
+        F.when(F.col("_boiler").isNull(), 1).otherwise(0)
+    ).alias("n_kept")
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            kept_text.alias("_text"),
+            n_kept,
+            F.sum(
+                F.when(F.col("_boiler").isNull(), 0).otherwise(1)
+            ).alias("n_dropped"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("n_kept") > 0, F.col("_text")).alias(
+                "text_clean"
+            ),
+            "n_kept",
+            "n_dropped",
+        )
     )
 
 

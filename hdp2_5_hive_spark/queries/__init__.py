@@ -179,6 +179,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "dedup_containment_pairs",
     "hiveql_macro_expansion",
     "ann_ivfpq_recall",
+    "corpus_boilerplate_filter",
 )
 
 

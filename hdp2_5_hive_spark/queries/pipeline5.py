@@ -705,3 +705,61 @@ def dedup_containment_pairs(spark, t):
         )
     )
     return out.select("id_a", "id_b", "containment")
+
+
+@register(
+    "corpus_boilerplate_filter",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+ex AS (
+  SELECT doc_id, w,
+         unnest([i for i in range(0, CAST(ceil(len(w) / 10.0) AS INT))])
+           AS chunk_idx
+  FROM toks
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(
+           list_slice(w, chunk_idx * 10 + 1, chunk_idx * 10 + 10), ' ')
+           AS chunk
+  FROM ex
+),
+tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+boiler AS (
+  SELECT chunk FROM (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq FROM ch GROUP BY chunk
+  ), tot
+  WHERE dfreq >= greatest(3, CAST(ceil(n_docs * 0.005) AS BIGINT))
+)
+SELECT ch.doc_id,
+       string_agg(
+         CASE WHEN b.chunk IS NULL THEN ch.chunk END,
+         ' ' ORDER BY ch.chunk_idx) AS text_clean,
+       CAST(COUNT(*) FILTER (WHERE b.chunk IS NULL) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE b.chunk IS NOT NULL) AS BIGINT)
+         AS n_dropped
+FROM ch LEFT JOIN boiler b ON ch.chunk = b.chunk
+GROUP BY ch.doc_id
+""",
+    category="pipeline",
+)
+def corpus_boilerplate_filter(spark, t):
+    """C4-recipe boilerplate removal by document frequency
+    (operators/corpus.boilerplate_filter): a 10-word chunk appearing
+    in ≥ max(3, 0.5% of corpus) DISTINCT documents is dropped from
+    EVERY document — the complement of `corpus_line_dedup`'s
+    keep-first semantics (C4 §2.1 drops such lines outright). Three
+    keyed exchanges: chunk explode → two-phase distinct-agg on the
+    chunk hash → null-flag LEFT join back + doc rebuild; the corpus
+    doc count rides along as a 1-row broadcast, so the threshold is
+    computed inside the plan, not on the driver. The planted
+    duplicate families in the testdata push 15 chunks over the
+    sf0.01 threshold — non-vacuous both ways."""
+    from ..operators.corpus import boilerplate_filter
+
+    return boilerplate_filter(
+        t.documents, "doc_id", "text",
+        chunk_words=10, min_docs=3, max_doc_frac=0.005,
+    )

@@ -287,6 +287,42 @@ def test_line_dedup_keeps_first_occurrence(spark):
     assert len(out) == 1
 
 
+def test_boilerplate_filter_drops_high_df_chunks_everywhere(spark):
+    """A chunk in ≥ min_docs distinct docs is dropped from EVERY doc
+    (C4 semantics — contrast line_dedup's keep-first); chunks below
+    the threshold survive even when repeated WITHIN one doc; a doc
+    that is all boilerplate keeps its row with NULL text."""
+    from hdp2_5_hive_spark.operators.corpus import boilerplate_filter
+
+    boiler = "x y z"     # in 3 distinct docs -> dropped
+    twice = "p q r"      # twice in ONE doc -> df=1, kept
+    rows = [
+        (1, boiler + " a b c"),
+        (2, boiler + " " + twice + " " + twice),
+        (3, boiler),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in boilerplate_filter(
+            df, "doc_id", "text", chunk_words=3, min_docs=3
+        ).collect()
+    }
+    assert len(out) == 3
+    assert (out[1].text_clean, out[1].n_kept, out[1].n_dropped) == (
+        "a b c", 1, 1)
+    assert (out[2].text_clean, out[2].n_kept, out[2].n_dropped) == (
+        twice + " " + twice, 2, 1)
+    # all-boilerplate doc: row kept, text NULL
+    assert out[3].text_clean is None
+    assert (out[3].n_kept, out[3].n_dropped) == (0, 1)
+    # below threshold (min_docs=4): nothing dropped
+    out4 = boilerplate_filter(
+        df, "doc_id", "text", chunk_words=3, min_docs=4
+    ).agg({"n_dropped": "sum"}).collect()[0][0]
+    assert out4 == 0
+
+
 def test_redact_pii_counts_and_placeholders(spark):
     from hdp2_5_hive_spark.operators.corpus import redact_pii
 
