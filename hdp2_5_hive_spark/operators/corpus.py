@@ -652,6 +652,44 @@ def boilerplate_filter(
     )
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Corpus snapshot diff — the ops primitive behind incremental
+    re-crawls: classify every document id across two corpus versions
+    as ``added`` (only in new), ``removed`` (only in old), or
+    ``changed`` (same id, different content), comparing CONTENT by
+    md5 so a re-crawled identical page never counts as churn.
+    Unchanged docs are filtered out (at 100 TB they are ~all rows —
+    emitting them would make the diff corpus-sized instead of
+    churn-sized).
+
+    Plan: each side reduces to (id, md5) map-side — the text column
+    never crosses the exchange, only 32-byte digests — then ONE
+    full-outer hash join on the id. Output (id, status).
+    """
+    o = old.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_ho")
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_hn")
+    )
+    return (
+        o.join(n, "_id", "full_outer")
+        .select(
+            F.col("_id").alias(id_col),
+            F.when(F.col("_ho").isNull(), F.lit("added"))
+            .when(F.col("_hn").isNull(), F.lit("removed"))
+            .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+            .alias("status"),
+        )
+        .filter(F.col("status").isNotNull())
+    )
+
+
 def redact_pii(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

@@ -180,6 +180,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_macro_expansion",
     "ann_ivfpq_recall",
     "corpus_boilerplate_filter",
+    "retrieval_rrf_hybrid",
+    "corpus_snapshot_diff",
 )
 
 

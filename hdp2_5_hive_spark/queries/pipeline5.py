@@ -763,3 +763,198 @@ def corpus_boilerplate_filter(spark, t):
         t.documents, "doc_id", "text",
         chunk_words=10, min_docs=3, max_doc_frac=0.005,
     )
+
+
+@register(
+    "retrieval_rrf_hybrid",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id >= 5
+),
+q AS (
+  SELECT doc_id AS query_id,
+         list_distinct(string_split(lower(text), ' ')) AS qw
+  FROM documents WHERE doc_id < 5
+),
+ex AS (SELECT doc_id, unnest(w) AS term FROM corpus),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT query_id, unnest(qw) AS term FROM q),
+lex AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ), 4) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2
+),
+lexr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS lex_rank
+  FROM lex QUALIFY lex_rank <= 20
+),
+v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+cos AS (
+  SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+         list_reduce(list_transform(list_zip(qv.e, c.e), z -> z[1] * z[2]),
+                     (x, y) -> x + y)
+         / ( SQRT(list_reduce(list_transform(qv.e, x -> x * x), (x, y) -> x + y))
+           * SQRT(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)) )
+           AS cosine
+  FROM v qv JOIN v c ON qv.vec_id < 5 AND c.vec_id >= 5
+),
+semr AS (
+  SELECT query_id, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM cos QUALIFY sem_rank <= 20
+),
+fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         l.lex_rank, s.sem_rank,
+         ROUND(coalesce(CAST(1 AS DOUBLE) / (60 + l.lex_rank), 0)
+             + coalesce(CAST(1 AS DOUBLE) / (60 + s.sem_rank), 0), 6)
+           AS rrf
+  FROM lexr l
+  FULL JOIN semr s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+)
+SELECT query_id, doc_id, lex_rank, sem_rank, rrf,
+       ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY rrf DESC, doc_id) AS hybrid_rank
+FROM fused QUALIFY hybrid_rank <= 10
+""",
+    category="pipeline",
+)
+def retrieval_rrf_hybrid(spark, t):
+    """Hybrid lexical+semantic retrieval with reciprocal-rank fusion
+    (Cormack et al. SIGIR 2009, the standard BM25⊕dense ensemble):
+    docs 0-4 are the queries on BOTH signals (their text against the
+    corpus text via BM25, their embedding against the corpus
+    embeddings via exact cosine); each signal keeps its top-20 ranks,
+    a FULL OUTER join on (query, doc) unions the candidate sets, and
+    rrf = Σ 1/(60+rank) over the signals present — rounded to 6 dp
+    BEFORE the final ranking so the order is ulp-robust across
+    engines. Plan: the BM25 side never shuffles the corpus (broadcast
+    query terms/dfs/scalars, one keyed partial-sum exchange); the
+    cosine side broadcasts the 5 query vectors; fusion is a keyed
+    (query, doc) join of two ≤20-row-per-query rank lists — at 100 TB
+    both rank lists are corpus-independent sizes, so fusion cost is
+    O(queries · k), not corpus-sized."""
+    from pyspark.sql import Window as W
+
+    from ..operators import retrieval as rt
+    from ..operators import similarity as sim
+
+    d = t.documents
+    emb = t.embeddings
+    lex = rt.bm25_scores(
+        d.filter(F.col("doc_id") >= 5),
+        d.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+    )
+    wlex = W.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    lexr = (
+        lex.select(
+            "query_id", "doc_id",
+            F.row_number().over(wlex).alias("lex_rank"),
+        )
+        .filter(F.col("lex_rank") <= 20)
+    )
+    semr = sim.cosine_topk(
+        emb.filter(F.col("vec_id") < 5),
+        emb.filter(F.col("vec_id") >= 5),
+        k=20,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("sem_rank"),
+    )
+    fused = lexr.join(semr, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        F.round(
+            F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("sem_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf"),
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return fused.select(
+        "*", F.row_number().over(wf).alias("hybrid_rank")
+    ).filter(F.col("hybrid_rank") <= 10)
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle="""
+WITH old AS (
+  SELECT doc_id, md5(text) AS h FROM documents
+),
+new AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END)
+           AS h
+  FROM documents WHERE doc_id % 17 <> 0
+  UNION ALL
+  SELECT doc_id + 100000, md5('fresh page ' || CAST(doc_id AS VARCHAR))
+  FROM documents WHERE doc_id % 19 = 0
+)
+SELECT coalesce(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.doc_id IS NULL THEN 'added'
+            WHEN new.doc_id IS NULL THEN 'removed'
+            WHEN old.h <> new.h THEN 'changed' END AS status
+FROM old FULL JOIN new ON old.doc_id = new.doc_id
+WHERE CASE WHEN old.doc_id IS NULL THEN 'added'
+           WHEN new.doc_id IS NULL THEN 'removed'
+           WHEN old.h <> new.h THEN 'changed' END IS NOT NULL
+""",
+    category="pipeline",
+)
+def corpus_snapshot_diff(spark, t):
+    """Incremental re-crawl snapshot diff
+    (operators/corpus.snapshot_diff): the v2 corpus is derived
+    deterministically from v1 — docs with id%17=0 vanish (removed),
+    id%13=0 get re-crawled content (changed), and id%19=0 spawn a
+    fresh page at id+100000 (added); identical re-fetches are NOT
+    churn because the compare is by content md5, not by presence.
+    Each side collapses to (id, digest) map-side before the single
+    full-outer hash join, so at 100 TB the exchange carries 32-byte
+    digests, never document text, and the output is churn-sized."""
+    from ..operators.corpus import snapshot_diff
+
+    d = t.documents
+    new = d.filter(F.col("doc_id") % 17 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")).alias("text"),
+    ).unionAll(
+        d.filter(F.col("doc_id") % 19 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("fresh page "), F.col("doc_id").cast("string"))
+                .alias("text"),
+        )
+    )
+    return snapshot_diff(d, new, "doc_id", "text")

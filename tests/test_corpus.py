@@ -323,6 +323,27 @@ def test_boilerplate_filter_drops_high_df_chunks_everywhere(spark):
     assert out4 == 0
 
 
+def test_snapshot_diff_classifies_by_content_not_presence(spark):
+    """Same id + same text → no row (a re-fetch is not churn); same
+    id + new text → changed; id only in new → added; only in old →
+    removed."""
+    from hdp2_5_hive_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old, new, "doc_id", "text").collect()
+    }
+    assert out == {2: "changed", 3: "removed", 4: "added"}
+
+
 def test_redact_pii_counts_and_placeholders(spark):
     from hdp2_5_hive_spark.operators.corpus import redact_pii
 
