@@ -182,6 +182,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_boilerplate_filter",
     "retrieval_rrf_hybrid",
     "corpus_snapshot_diff",
+    "hiveql_regex_column_spec",
 )
 
 

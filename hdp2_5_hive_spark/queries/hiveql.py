@@ -751,3 +751,34 @@ def hiveql_macro_expansion(spark, t):
         GROUP BY l_returnflag, l_linestatus
         """,
     )
+
+
+@register(
+    "hiveql_regex_column_spec",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+       upper(o_orderstatus) AS status_uc
+FROM orders WHERE o_orderkey < 500
+""",
+    category="hiveql",
+)
+def hiveql_regex_column_spec(spark, t):
+    """Regex column specification (``hive.support.quoted.identifiers
+    =none``, the Hive 1.2 default; ``ql/parse/SemanticAnalyzer.java``
+    genColListRegex; qfile ``clientpositive/regex_col.q``): a
+    backquoted SELECT-list token is a Java regex over the FROM
+    source's columns — here the canonical possessive-quantifier
+    EXCLUDE idiom ``(a|b)?+.+`` drops two columns and keeps the rest
+    in schema order. Driver-side text expansion
+    (functions/colregex.py, same mold as macros): Catalyst sees plain
+    column references, so projection pruning reaches the scan exactly
+    as if the columns were typed by hand."""
+    t.orders
+    from ..functions.colregex import sql_with_column_regex
+
+    return sql_with_column_regex(
+        spark,
+        "SELECT `(o_orderpriority|o_orderstatus)?+.+`, "
+        "upper(o_orderstatus) AS status_uc "
+        "FROM orders WHERE o_orderkey < 500",
+    )

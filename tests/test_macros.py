@@ -137,3 +137,75 @@ def test_expand_is_plan_only_text(spark, m):
     expanded = m.expand("SELECT net(2.0, 0.5) AS v")
     assert "net(" not in expanded and "CAST((2.0) AS DOUBLE)" in expanded
     assert m.sql(spark, "SELECT net(2.0, 0.5) AS v").collect()[0].v == 1.0
+
+
+class TestColumnRegex:
+    def test_exclude_idiom_expands_in_schema_order(self, spark, sf_dir):
+        from hdp2_5_hive_spark.queries.registry import tables_for
+
+        tables_for(spark, sf_dir)
+        from hdp2_5_hive_spark.functions.colregex import (
+            expand_column_regex,
+        )
+
+        out = expand_column_regex(
+            spark,
+            "SELECT `(o_orderpriority|o_orderstatus)?+.+` FROM orders",
+        )
+        assert out.split("FROM")[0].split("SELECT")[1].strip() == (
+            "o_orderkey, o_custkey, o_totalprice, o_orderdate"
+        )
+
+    def test_positive_pattern_and_passthrough_items(self, spark, sf_dir):
+        from hdp2_5_hive_spark.queries.registry import tables_for
+
+        tables_for(spark, sf_dir)
+        from hdp2_5_hive_spark.functions.colregex import (
+            expand_column_regex,
+        )
+
+        out = expand_column_regex(
+            spark,
+            "SELECT o_custkey, `o_order.+`, 1 AS one FROM orders",
+        )
+        sel = out.split("FROM")[0]
+        assert "o_orderkey, o_orderstatus, o_orderdate, o_orderpriority" in sel
+        assert sel.strip().startswith("SELECT o_custkey,")
+        assert "1 AS one" in sel
+
+    def test_plain_quoted_identifier_untouched(self, spark, sf_dir):
+        from hdp2_5_hive_spark.queries.registry import tables_for
+
+        tables_for(spark, sf_dir)
+        from hdp2_5_hive_spark.functions.colregex import (
+            expand_column_regex,
+        )
+
+        sql = "SELECT `o_custkey` FROM orders"
+        assert expand_column_regex(spark, sql) == sql
+
+    def test_no_match_errors_like_hive(self, spark, sf_dir):
+        from hdp2_5_hive_spark.queries.registry import tables_for
+
+        tables_for(spark, sf_dir)
+        from hdp2_5_hive_spark.functions.colregex import (
+            ColumnRegexError,
+            expand_column_regex,
+        )
+
+        with pytest.raises(ColumnRegexError, match="matched no column"):
+            expand_column_regex(spark, "SELECT `zz.+` FROM orders")
+
+    def test_regex_never_matches_inside_string_literal(
+        self, spark, sf_dir
+    ):
+        from hdp2_5_hive_spark.queries.registry import tables_for
+
+        tables_for(spark, sf_dir)
+        from hdp2_5_hive_spark.functions.colregex import (
+            expand_column_regex,
+        )
+
+        sql = ("SELECT o_custkey FROM orders "
+               "WHERE o_orderstatus <> 'SELECT `x.+` FROM'")
+        assert expand_column_regex(spark, sql) == sql
