@@ -622,3 +622,74 @@ def test_streaming_dedup_within_watermark_differing_event_times(
     q.awaitTermination(120)
     got = sorted(r.doc_id for r in spark.read.parquet(out).collect())
     assert got == ["d1", "d2", "d3"]
+
+
+def test_neardup_stream_filters_against_persisted_index(spark, tmp_path):
+    """Streaming near-dup ingest E2E (streaming/neardup_stream.py):
+    batch 2 docs that near-duplicate (MinHash Jaccard >= 0.6, NOT
+    byte-equal) an indexed batch-1 doc or a lower-id doc of their own
+    batch are dropped; the survivor index persists across runs; and
+    replaying a micro-batch (foreachBatch at-least-once window)
+    leaves output and index unchanged."""
+    from hdp2_5_hive_spark.streaming.neardup_stream import (
+        neardup_ingest_sink,
+        run_neardup_ingest,
+    )
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango")
+    near = base.rsplit(" ", 1)[0] + " zulu"      # ~0.89 jaccard
+    uniq_c = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen")
+    near_c = uniq_c.rsplit(" ", 1)[0] + " hundred"
+    uniq_d = ("red orange yellow green blue indigo violet cyan magenta "
+              "maroon olive navy teal silver gold bronze")
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    idx = str(tmp_path / "idx")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string"
+        ).parquet(src)
+        run_neardup_ingest(
+            stream, out, idx, str(tmp_path / "ckpt"), threshold=0.6
+        )
+
+    spark.createDataFrame(
+        [(1, base), (2, "completely different short unique text here "
+                        "with enough words to shingle properly")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    drain()
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2}
+
+    b2 = spark.createDataFrame(
+        [(3, near), (4, uniq_c), (5, near_c), (6, uniq_d)],
+        "doc_id long, text string",
+    )
+    b2.write.mode("append").parquet(src)
+    drain()
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {1, 2, 4, 6}  # 3 ~ indexed 1; 5 ~ same-batch 4
+
+    # index holds exactly the survivors
+    sh = spark.read.parquet(idx + "/shingles")
+    assert {r._id for r in sh.select("_id").distinct().collect()} == kept
+    sh_rows = sh.count()  # pin BEFORE replay: the overwrite replaces
+    # the files this plan references
+
+    # replay batch 1 of the second drain (its batch_id partition
+    # already exists): rerunning the sink with the same batch_id must
+    # not duplicate output rows or index entries
+    last_bid = max(
+        r.batch_id
+        for r in spark.read.parquet(out).select("batch_id").collect()
+    )
+    neardup_ingest_sink(out, idx, threshold=0.6)(b2, last_bid)
+    kept2 = [r.doc_id for r in spark.read.parquet(out).collect()]
+    assert sorted(kept2) == sorted(kept)
+    sh2 = spark.read.parquet(idx + "/shingles")
+    assert sh2.count() == sh_rows
