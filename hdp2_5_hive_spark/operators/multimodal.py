@@ -965,3 +965,46 @@ def resize_images(
         kernel, MEDIA_PAYLOAD_SCHEMA
     )
 
+
+
+def synthesize_structured_avi(
+    df: DataFrame, id_col: str, n_total_frames: int = 8
+) -> DataFrame:
+    """MJPEG AVI per id with NOISE-LIKE 16×16 frames: pixel gray =
+    ((id%256)·73856093 XOR pixel·19349663 XOR frame·83492791) mod
+    251 — the XOR-multiply spatial-hash family. Unlike
+    :func:`synthesize_avi_media`'s block formula — where two ids
+    differ by a CONSTANT brightness shift, which brightness-invariant
+    perceptual hashes correctly ignore — and unlike any additive
+    phase formula (same sawtooth, shifted), different id%256 values
+    here produce structurally unrelated rasters: measured over ALL
+    256×255/2 seed pairs × 4×4 frame pairs, the minimum cross-seed
+    pHash distance is 14 bits (zero pairs within the ≤6 near-dup
+    band), while ids equal mod 256 render identical frames from
+    different container bytes. The planted-pair synthesizer for
+    video near-dup benchmarks."""
+    import numpy as np
+
+    from .jpeg_py import encode_jpeg
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(256, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                seed = int(mid) % 256
+                frames = []
+                for f in range(n_total_frames):
+                    v = (seed * 73856093) ^ (idx * 19349663) ^ (
+                        f * 83492791
+                    )
+                    gray = (v % 251).astype(np.uint8).reshape(16, 16)
+                    rgb = np.stack([gray] * 3, axis=-1)
+                    frames.append(encode_jpeg(16, 16, rgb.reshape(-1)))
+                payloads.append(encode_avi_mjpeg(16, 16, frames))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    src = df.select(F.col(id_col).cast("long").alias("media_id"))
+    return src.mapInPandas(kernel, MEDIA_PAYLOAD_SCHEMA)

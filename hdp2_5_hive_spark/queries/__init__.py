@@ -183,6 +183,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "retrieval_rrf_hybrid",
     "corpus_snapshot_diff",
     "hiveql_regex_column_spec",
+    "multimodal_video_keyframe_dedup",
 )
 
 

@@ -958,3 +958,33 @@ def corpus_snapshot_diff(spark, t):
         )
     )
     return snapshot_diff(d, new, "doc_id", "text")
+
+
+@register(
+    "multimodal_video_keyframe_dedup",
+    oracle=None,  # DCT pHash bit patterns have no SQL twin →
+    # rows-only; exact planted-pair recovery and perturbation
+    # robustness are pinned in tests/test_phash.py.
+    category="pipeline",
+)
+def multimodal_video_keyframe_dedup(spark, t):
+    """Near-duplicate VIDEO detection (operators/phash.video_near_dups):
+    synthesize an MJPEG-AVI per document (doc_id < 300; real RIFF
+    container + baseline JPEG noise-raster frames keyed on id%256 —
+    structurally unrelated ids measure ~30+ pHash bits apart, NOT
+    mere brightness shifts, which pHash rightly ignores) → RIFF-walk 4 evenly-spaced keyframes → per-frame DCT
+    pHash → 16-bit-band bucket join + Hamming ≤ 6 confirm → videos
+    with ≥ 2 matching keyframes pair up. The mod-256 gray arithmetic
+    makes ids i and i+256 render IDENTICAL frames from different AVI
+    payloads, planting exactly the (i, i+256) pairs — re-encoded
+    copies that byte-level dedup can never find. Per video the join
+    sees n_frames·4 band rows: corpus-linear, never frames×frames."""
+    from ..operators import phash as ph
+    from ..operators.multimodal import synthesize_structured_avi
+
+    media = synthesize_structured_avi(
+        t.documents.filter(F.col("doc_id") < 300), "doc_id"
+    )
+    return ph.video_near_dups(
+        media, n_frames=4, max_distance=6, min_matched=2
+    ).orderBy("id_a", "id_b")

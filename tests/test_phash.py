@@ -191,3 +191,69 @@ def test_span_mask_removes_only_covered(spark):
     assert out[2].text_clean == "" and out[2].n_kept == 0
     assert out[3].n_removed == 0
     assert out[3].text_clean == "totally unrelated words here only once repeated never"
+
+
+def test_video_near_dups_recovers_planted_mod256_pairs(spark):
+    """synthesize_structured_avi keys its noise raster on doc_id%256:
+    ids i and i+256 render identical frames (different container
+    bytes). video_near_dups must find exactly those pairs."""
+    from hdp2_5_hive_spark.operators.multimodal import (
+        synthesize_structured_avi,
+    )
+    from hdp2_5_hive_spark.operators.phash import video_near_dups
+
+    ids = [1, 2, 3, 257, 259]  # pairs: (1,257), (3,259)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    media = synthesize_structured_avi(df, "doc_id")
+    pairs = {
+        (r.id_a, r.id_b, r.n_matched)
+        for r in video_near_dups(media, n_frames=4).collect()
+    }
+    assert pairs == {(1, 257, 4), (3, 259, 4)}
+
+
+def test_video_near_dups_tolerates_frame_perturbation(spark):
+    """A re-encoded copy whose every frame differs by one slightly
+    brightened block still matches (pHash locality), while an
+    unrelated video does not."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators.multimodal import (
+        encode_avi_mjpeg,
+    )
+    from hdp2_5_hive_spark.operators.jpeg_py import encode_jpeg
+    from hdp2_5_hive_spark.operators.phash import video_near_dups
+
+    def avi(seed, bump):
+        # noise-like raster (pHash is brightness/contrast invariant,
+        # so smooth gradients from different seeds would be TRUE
+        # perceptual near-dups — structure must differ per seed)
+        frames = []
+        for f in range(4):
+            idx = np.arange(256, dtype=np.int64)
+            gray = (
+                (seed * 2654435761 + idx * 40503 + f * 9176553) % 251
+            ).astype(np.uint8).reshape(16, 16)
+            if bump:
+                gray = gray.copy()
+                gray[:8, :8] = np.minimum(
+                    gray[:8, :8].astype(np.int64) + 8, 255
+                ).astype(np.uint8)
+            rgb = np.stack([gray] * 3, axis=-1)
+            frames.append(encode_jpeg(16, 16, rgb.reshape(-1)))
+        return encode_avi_mjpeg(16, 16, frames)
+
+    rows = [
+        (1, avi(5, False)),
+        (2, avi(5, True)),   # perturbed copy of 1
+        (3, avi(99, False)), # unrelated
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in video_near_dups(media, n_frames=4).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
