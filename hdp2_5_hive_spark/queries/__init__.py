@@ -184,6 +184,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_snapshot_diff",
     "hiveql_regex_column_spec",
     "multimodal_video_keyframe_dedup",
+    "multimodal_audio_fingerprint_dedup",
 )
 
 

@@ -988,3 +988,31 @@ def multimodal_video_keyframe_dedup(spark, t):
     return ph.video_near_dups(
         media, n_frames=4, max_distance=6, min_matched=2
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "multimodal_audio_fingerprint_dedup",
+    oracle=None,  # FFT dominant-bin landmarks have no SQL twin →
+    # rows-only; planted-pair exactness, amplitude invariance, and
+    # noise robustness are pinned in tests/test_multimodal.py.
+    category="pipeline",
+)
+def multimodal_audio_fingerprint_dedup(spark, t):
+    """Near-duplicate AUDIO detection (operators/audiofp.py,
+    constellation fingerprints after Wang 2003): synthesize a
+    tone-sequence WAV per document (doc_id < 300, tone track keyed
+    on doc_id%200, amplitude keyed on doc_id%89 so byte dedup finds
+    nothing) → frame+FFT → dominant-bin landmark triples → 64-bit
+    gram hash-equality join → clips sharing ≥ 4 grams pair up. Ids
+    equal mod 200 share their entire landmark track at different
+    volumes — exactly the planted (i, i+200) pairs, 100 at sf0.01.
+    Per clip the join sees O(n_frames) gram rows: corpus-linear,
+    never clips × clips."""
+    from ..operators.audiofp import audio_near_dups, synthesize_tone_wavs
+
+    media = synthesize_tone_wavs(
+        t.documents.filter(F.col("doc_id") < 300), "doc_id"
+    )
+    return audio_near_dups(
+        media, frame_len=64, min_shared=4
+    ).orderBy("id_a", "id_b")

@@ -374,3 +374,69 @@ def test_resize_nearest_integer_upscale_exact(spark, sf_dir):
         for y in range(4):
             for x in range(8):
                 assert (px[y, x] == spx[y // 2, x // 2]).all()
+
+
+class TestAudioFingerprints:
+    def test_planted_mod200_pairs_recovered_exactly(self, spark):
+        """Ids equal mod 200 share the tone track at different
+        amplitudes: audio_near_dups finds exactly those pairs, and
+        byte-level dedup (md5 of payload) finds none."""
+        from hdp2_5_hive_spark.operators.audiofp import (
+            audio_near_dups,
+            synthesize_tone_wavs,
+        )
+
+        ids = [1, 2, 3, 201, 203]  # pairs: (1,201), (3,203)
+        df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        media = synthesize_tone_wavs(df, "doc_id")
+        got = {
+            (r.id_a, r.id_b)
+            for r in audio_near_dups(
+                media, frame_len=64, min_shared=4
+            ).collect()
+        }
+        assert got == {(1, 201), (3, 203)}
+        n_payloads = media.select("payload").distinct().count()
+        assert n_payloads == len(ids)  # all byte-distinct
+
+    def test_noise_robust_and_scale_invariant(self, spark):
+        """A rescaled copy with additive noise keeps its dominant-bin
+        track (near-dup found); unrelated tone tracks do not pair."""
+        import numpy as np
+
+        from hdp2_5_hive_spark.operators.audiofp import audio_near_dups
+        from hdp2_5_hive_spark.operators.multimodal import encode_wav
+
+        rng_t = np.arange(32, dtype=np.float64)
+
+        def clip(bins, amp, noise_seed=None):
+            frames = []
+            for f, b in enumerate(bins):
+                x = amp * np.sin(2 * np.pi * b * rng_t / 32)
+                if noise_seed is not None:
+                    nz = (
+                        (noise_seed * 73856093 + f * 19349663
+                         + np.arange(32) * 83492791) % 997 - 498
+                    ) * 0.5
+                    x = x + nz
+                frames.append(x)
+            return encode_wav(
+                np.concatenate(frames).astype("<i2")
+            )
+
+        bins_a = [3, 7, 5, 11, 4, 9, 6, 13, 8, 3, 12, 5]
+        bins_c = [10, 4, 14, 6, 3, 12, 7, 5, 11, 9, 13, 4]
+        rows = [
+            (1, clip(bins_a, 12000)),
+            (2, clip(bins_a, 5000, noise_seed=7)),  # quiet noisy copy
+            (3, clip(bins_c, 12000)),               # unrelated
+        ]
+        media = spark.createDataFrame(
+            rows, "media_id long, payload binary"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in audio_near_dups(media, min_shared=4).collect()
+        }
+        assert (1, 2) in got
+        assert (1, 3) not in got and (2, 3) not in got
