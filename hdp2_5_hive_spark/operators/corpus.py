@@ -652,6 +652,61 @@ def boilerplate_filter(
     )
 
 
+def canonical_url_col(url: Column) -> Column:
+    """Canonical URL form — the key every crawl pipeline dedups on
+    (C4/CCNet keep one document per URL; raw crawl URLs differ in
+    case, tracking params, fragments, and trailing slashes while
+    naming the same page). Rules, all pure JVM regex/string exprs:
+
+    - strip the ``#fragment``;
+    - lowercase scheme and authority ONLY (paths are case-sensitive
+      by spec and stay untouched);
+    - drop default ports ``:80``/``:443``;
+    - remove tracking parameters (``utm_*``, ``fbclid``, ``gclid``)
+      wherever they sit in the query string, then tidy dangling
+      ``?``/``&`` separators;
+    - strip trailing slashes from query-less URLs (a slash before a
+      surviving query string is path data and is kept).
+
+    The regex subset is RE2 ∩ java.util.regex with no backreferences,
+    so a DuckDB oracle runs the identical patterns."""
+    u = F.regexp_replace(url, r"#.*$", "")
+    authority = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    authority = F.regexp_replace(F.lower(authority), r":(80|443)$", "")
+    rest = F.regexp_replace(
+        rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""
+    )
+    rest = F.regexp_replace(rest, r"[?&]+$", "")
+    rest = F.when(
+        rest.contains("?"), rest
+    ).otherwise(F.regexp_replace(rest, r"/+$", ""))
+    return F.concat(authority, rest)
+
+
+def url_dedup_groups(
+    df: DataFrame, id_col: str, url_col: str
+) -> DataFrame:
+    """URL-level dedup report: one row per canonical URL appearing
+    under ≥ 2 raw URLs/documents — (canonical_url, keep_id = min id,
+    n_copies). ONE hash aggregate on the canonical key; at 100 TB
+    this is the cheapest dedup tier and runs before any content
+    hashing."""
+    return (
+        df.select(
+            F.col(id_col), canonical_url_col(F.col(url_col)).alias(
+                "canonical_url"
+            )
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
 def snapshot_diff(
     old: DataFrame,
     new: DataFrame,

@@ -1016,3 +1016,85 @@ def multimodal_audio_fingerprint_dedup(spark, t):
     return audio_near_dups(
         media, frame_len=64, min_shared=4
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "corpus_url_dedup",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         || '/Article/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0
+                   THEN '?utm_source=feed&page=2'
+                 WHEN doc_id % 2 = 0
+                   THEN '?utm_source=feed&utm_campaign=x'
+                 WHEN doc_id % 7 = 0 THEN '?page=2'
+                 ELSE '' END AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         regexp_replace(url, '#.*$', '', 'g') AS u1
+  FROM urls
+),
+split AS (
+  SELECT doc_id,
+         regexp_replace(
+           lower(regexp_extract(u1,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)),
+           ':(80|443)$', '') AS auth,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(u1,
+               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+             '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+           '[?&]+$', '') AS rest
+  FROM parts
+),
+canon AS (
+  SELECT doc_id,
+         auth || CASE WHEN contains(rest, '?') THEN rest
+                      ELSE regexp_replace(rest, '/+$', '') END
+           AS canonical_url
+  FROM split
+)
+SELECT canonical_url, MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM canon GROUP BY 1 HAVING COUNT(*) >= 2
+""",
+    category="pipeline",
+)
+def corpus_url_dedup(spark, t):
+    """URL-level dedup (operators/corpus.canonical_url_col — the
+    C4/CCNet first dedup tier): raw crawl URLs synthesized per doc
+    with upper-cased scheme/host, default :443 ports, trailing
+    slashes, tracking params (sometimes mixed with a REAL ``page``
+    param that must survive), all deterministic from doc_id mods on
+    both engines. Canonicalization lowercases scheme+authority only
+    (path case survives: '/Article/' stays), strips default ports /
+    fragments / utm_*-fbclid-gclid / dangling separators / query-less
+    trailing slashes, then ONE hash aggregate groups the corpus by
+    canonical key. Pure JVM regex — the cheapest dedup tier at any
+    scale."""
+    d5 = (F.col("doc_id") % 5).cast("string")
+    d40 = (F.col("doc_id") % 40).cast("string")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"), d5, F.lit(".COM"),
+        F.when(F.col("doc_id") % 4 == 0, ":443").otherwise(""),
+        F.lit("/Article/"), d40,
+        F.when(F.col("doc_id") % 3 == 0, "/").otherwise(""),
+        F.when(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 7 == 0),
+            "?utm_source=feed&page=2",
+        )
+        .when(F.col("doc_id") % 2 == 0, "?utm_source=feed&utm_campaign=x")
+        .when(F.col("doc_id") % 7 == 0, "?page=2")
+        .otherwise(""),
+    )
+    from ..operators.corpus import url_dedup_groups
+
+    withurl = t.documents.select("doc_id", url.alias("url"))
+    return url_dedup_groups(withurl, "doc_id", "url")

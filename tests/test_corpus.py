@@ -790,3 +790,33 @@ def test_chunk_documents_windows_and_reconstruction(spark):
 
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule individually: fragment strip,
+    scheme+host lowercase ONLY (path case kept), default-port drop
+    (non-default kept), tracking-param removal preserving real
+    params, dangling-separator tidy, trailing slash stripped only
+    without a query."""
+    from hdp2_5_hive_spark.operators.corpus import canonical_url_col
+
+    cases = [
+        ("HTTPS://WWW.EX.COM/Path/A#frag", "https://www.ex.com/Path/A"),
+        ("http://ex.com:80/a", "http://ex.com/a"),
+        ("https://ex.com:443/a", "https://ex.com/a"),
+        ("https://ex.com:8080/a", "https://ex.com:8080/a"),
+        ("https://ex.com/a?utm_source=x&page=2&utm_medium=y",
+         "https://ex.com/a?page=2"),
+        ("https://ex.com/a?fbclid=abc", "https://ex.com/a"),
+        # once gclid is stripped the URL is query-less, so the
+        # trailing-slash rule applies
+        ("https://ex.com/a/?gclid=1", "https://ex.com/a"),
+        ("https://ex.com/a/", "https://ex.com/a"),
+        ("https://ex.com/a/?page=2", "https://ex.com/a/?page=2"),
+    ]
+    df = spark.createDataFrame(
+        [(u,) for u, _ in cases], "url string"
+    ).select("url", canonical_url_col(F.col("url")).alias("c"))
+    got = {r.url: r.c for r in df.collect()}
+    for raw, want in cases:
+        assert got[raw] == want, (raw, got[raw], want)
