@@ -185,6 +185,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "hiveql_regex_column_spec",
     "multimodal_video_keyframe_dedup",
     "multimodal_audio_fingerprint_dedup",
+    "corpus_url_dedup",
+    "graph_pagerank_hosts",
 )
 
 

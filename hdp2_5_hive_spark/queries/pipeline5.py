@@ -1098,3 +1098,37 @@ def corpus_url_dedup(spark, t):
 
     withurl = t.documents.select("doc_id", url.alias("url"))
     return url_dedup_groups(withurl, "doc_id", "url")
+
+
+@register(
+    "graph_pagerank_hosts",
+    oracle=None,  # iterative power iteration has no SQL twin →
+    # rows-only; ranks are pinned against a sequential numpy power
+    # iteration (tolerance 1e-9, dangling mass conserved) and
+    # partition-invariance in tests/test_components.py.
+    category="pipeline",
+)
+def graph_pagerank_hosts(spark, t):
+    """Host-level PageRank (operators/pagerank.py) — the link-graph
+    authority weight crawl curation pipelines attach to documents
+    (CommonCrawl publishes exactly these host ranks). A 40-host link
+    graph is synthesized deterministically from doc_id arithmetic:
+    src = doc_id%40 for doc_id%40 < 35, dst = (doc_id·doc_id+1)%40
+    (36 reachable hosts; host 37 = 6²+1 receives links but emits
+    none, exercising the dangling-mass redistribution). 15 damped rounds, each ONE keyed join + ONE
+    partial-sum exchange over the edge list, ranks localCheckpoint-ed
+    per round. Output (host, rank·1e6 rounded) sums to ~10^6."""
+    from ..operators.pagerank import pagerank
+
+    edges = (
+        t.documents.filter(F.col("doc_id") % 40 < 35)
+        .select(
+            (F.col("doc_id") % 40).alias("src"),
+            ((F.col("doc_id") * F.col("doc_id") + 1) % 40).alias("dst"),
+        )
+    )
+    pr = pagerank(edges, n_iter=15)
+    return pr.select(
+        F.col("node").alias("host"),
+        F.round(F.col("rank") * 1e6, 2).alias("rank_ppm"),
+    ).orderBy("host")

@@ -119,3 +119,56 @@ def test_star_converges_on_long_chain_where_hashmin_cannot(spark):
     labels = connected_components_star(chain).collect()
     assert len(labels) == 401
     assert all(r.component == 0 for r in labels)
+
+
+class TestPageRank:
+    def _numpy_pr(self, edges, n_iter=15, d=0.85):
+        import numpy as np
+
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        ix = {n: i for i, n in enumerate(nodes)}
+        n = len(nodes)
+        uniq = sorted(set(edges))
+        deg = np.zeros(n)
+        for u, _ in uniq:
+            deg[ix[u]] += 1
+        r = np.full(n, 1.0 / n)
+        for _ in range(n_iter):
+            dmass = r[deg == 0].sum()
+            nr = np.full(n, (1 - d) / n) + d * dmass / n
+            for u, v in uniq:
+                nr[ix[v]] += d * r[ix[u]] / deg[ix[u]]
+            r = nr
+        return {nodes[i]: r[i] for i in range(n)}
+
+    EDGES = [
+        (1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (4, 2),
+        (5, 1), (1, 2),          # duplicate edge (collapsed)
+        (2, 6),                  # 6 is dangling (no out-edges)
+    ]
+
+    def test_matches_sequential_power_iteration(self, spark):
+        from hdp2_5_hive_spark.operators.pagerank import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        got = {
+            r.node: r.rank for r in pagerank(df, n_iter=15).collect()
+        }
+        want = self._numpy_pr(self.EDGES)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
+        # stochastic vector: mass conserved through dangling handling
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    def test_partition_invariant(self, spark):
+        from hdp2_5_hive_spark.operators.pagerank import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        a = {r.node: r.rank for r in pagerank(df, n_iter=10).collect()}
+        b = {
+            r.node: r.rank
+            for r in pagerank(df.repartition(13), n_iter=10).collect()
+        }
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-9
