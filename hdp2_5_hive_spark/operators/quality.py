@@ -337,3 +337,109 @@ def dsir_resample(
             F.round("gumbel_key", 6).alias("gumbel_key"),
         )
     )
+
+
+def stupid_backoff_bits(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Held-out bigram LM scoring with STUPID BACKOFF (Brants et al.
+    EMNLP 2007 — the web-scale LM recipe: no discounting, a fixed
+    backoff penalty, trivially distributable counts): score each doc
+    of ``score`` under a model counted ONLY from ``train``:
+
+        S(w2|w1) = C(w1w2)/C(w1·)        if the bigram was seen
+                 = α · C(w2)/N           else if w2 was seen
+                 = α · 1/N               else (OOV floor)
+
+    Unlike ``bigram_logprob`` (MLE on the corpus itself — backoff
+    can never fire), train/score are DISJOINT here, so unseen
+    bigrams and OOV words genuinely occur and the backoff tiers are
+    exercised. bits/bigram = mean −log2 S.
+
+    Scale shape: model tables (bigrams, context marginals, unigrams)
+    are keyed aggregates with map-side combine; scoring is three
+    keyed LEFT joins (bigram, context, unigram) + one broadcast
+    scalar N — web-corpus vocabularies stay shuffle joins, AQE
+    broadcasts them when small. Per-gram bits round to 6 decimals
+    into DECIMAL(38,6): exact order-independent sums any SQL oracle
+    reproduces."""
+    from .util import ensure_parallelism
+
+    def doc_grams(df):
+        w = words_col(F.col(text_col))
+        return (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.when(
+                        F.size(w) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(w) - 1),
+                            lambda i: F.struct(
+                                F.element_at(w, i).alias("w1"),
+                                F.element_at(w, i + 1).alias("w2"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<w1:string,w2:string>>"
+                        )
+                    )
+                ).alias("g"),
+            )
+            .select(id_col, "g.w1", "g.w2")
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count("*").alias("dc"))
+        )
+
+    t_grams = doc_grams(train)
+    bigrams = t_grams.groupBy("w1", "w2").agg(
+        F.sum("dc").alias("c12")
+    )
+    context = bigrams.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    unigram = (
+        ensure_parallelism(train)
+        .select(F.explode(words_col(F.col(text_col))).alias("w2"))
+        .groupBy("w2")
+        .agg(F.count("*").alias("cu"))
+    )
+    total = unigram.agg(F.sum("cu").alias("n_total"))
+
+    s_grams = doc_grams(score)
+    scored = (
+        s_grams.join(bigrams, ["w1", "w2"], "left")
+        .join(context, "w1", "left")
+        .join(unigram, "w2", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    prob = (
+        F.when(
+            F.col("c12").isNotNull(),
+            F.col("c12").cast("double") / F.col("c1").cast("double"),
+        )
+        .when(
+            F.col("cu").isNotNull(),
+            F.lit(alpha)
+            * F.col("cu").cast("double")
+            / F.col("n_total").cast("double"),
+        )
+        .otherwise(F.lit(alpha) / F.col("n_total").cast("double"))
+    )
+    bits = F.round(-F.log2(prob), 6).cast("decimal(38,6)")
+    return scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("c12").isNull(), F.col("dc")).otherwise(0)
+        ).cast("bigint").alias("n_backoff"),
+        F.round(
+            F.sum(bits * F.col("dc")).cast("double")
+            / F.sum("dc").cast("double"),
+            6,
+        ).alias("bits_per_bigram"),
+    )

@@ -187,6 +187,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "multimodal_audio_fingerprint_dedup",
     "corpus_url_dedup",
     "graph_pagerank_hosts",
+    "quality_stupid_backoff",
 )
 
 

@@ -1132,3 +1132,80 @@ def graph_pagerank_hosts(spark, t):
         F.col("node").alias("host"),
         F.round(F.col("rank") * 1e6, 2).alias("rank_ppm"),
     ).orderBy("host")
+
+
+@register(
+    "quality_stupid_backoff",
+    oracle="""
+WITH tr AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id % 2 = 0
+),
+ho AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id % 2 = 1
+),
+tg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tr, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM tg GROUP BY w1, w2),
+context AS (SELECT w1, SUM(c12) AS c1 FROM bigrams GROUP BY w1),
+unigram AS (
+  SELECT u.w2, COUNT(*) AS cu FROM (
+    SELECT unnest(w) AS w2 FROM tr
+  ) u GROUP BY u.w2
+),
+tot AS (SELECT SUM(cu) AS n_total FROM unigram),
+sg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM ho, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+doc_gram AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS dc FROM sg GROUP BY doc_id, w1, w2
+),
+scored AS (
+  SELECT d.doc_id, d.dc, b.c12,
+         CASE WHEN b.c12 IS NOT NULL
+                THEN CAST(b.c12 AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+              WHEN u.cu IS NOT NULL
+                THEN 0.4 * CAST(u.cu AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+              ELSE 0.4 / CAST(t.n_total AS DOUBLE) END AS p
+  FROM doc_gram d
+  LEFT JOIN bigrams b USING (w1, w2)
+  LEFT JOIN context c USING (w1)
+  LEFT JOIN unigram u USING (w2)
+  CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c12 IS NULL THEN dc ELSE 0 END) AS BIGINT)
+         AS n_backoff,
+       CAST(ROUND(
+         CAST(SUM(CAST(ROUND(-LOG2(p), 6) AS DECIMAL(38,6)) * dc)
+              AS DOUBLE)
+         / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_bigram
+FROM scored GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def quality_stupid_backoff(spark, t):
+    """Held-out stupid-backoff LM scoring (Brants et al. 2007;
+    operators/quality.stupid_backoff_bits): even doc_ids train the
+    bigram/unigram counts, odd doc_ids are scored — so unseen
+    bigrams and OOV words genuinely hit the α·C(w2)/N and α/N
+    backoff tiers (n_backoff reports how often, non-vacuously).
+    Model tables are keyed partial aggregates; scoring is three
+    keyed LEFT joins + a broadcast scalar N; per-gram bits round to
+    6 dp into DECIMAL(38,6) so both engines sum exactly."""
+    from ..operators.quality import stupid_backoff_bits
+
+    d = t.documents
+    return stupid_backoff_bits(
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )

@@ -348,3 +348,34 @@ def test_semantic_dedup_finds_planted_duplicates(spark):
     assert all(r.cosine >= 0.9 for r in pairs)
     # false pairs are rare at 0.9 on random 64-dim vectors
     assert len(got - planted) <= 3, len(got - planted)
+
+
+def test_stupid_backoff_tiers_hand_computed(spark):
+    """All three stupid-backoff tiers on a hand corpus: seen bigram
+    -> MLE; unseen bigram of seen words -> 0.4*C(w2)/N; OOV -> 0.4/N."""
+    import math
+
+    from hdp2_5_hive_spark.operators.quality import stupid_backoff_bits
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c")], "doc_id long, text string"
+    )  # bigrams: ab ba ab bc ; C(a.)=2, C(b.)=2 ; unigrams a2 b2 c1, N=5
+    score = spark.createDataFrame(
+        [(1, "a b"),      # seen: C(ab)/C(a.) = 2/2 = 1 -> 0 bits
+         (2, "c a"),      # unseen bigram, seen words: 0.4*2/5
+         (3, "a zzz")],   # OOV: 0.4/5
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in stupid_backoff_bits(train, score).collect()
+    }
+    assert out[1].bits_per_bigram == 0.0 and out[1].n_backoff == 0
+    assert out[2].n_backoff == 1
+    assert abs(
+        out[2].bits_per_bigram - round(-math.log2(0.4 * 2 / 5), 6)
+    ) < 1e-9
+    assert out[3].n_backoff == 1
+    assert abs(
+        out[3].bits_per_bigram - round(-math.log2(0.4 / 5), 6)
+    ) < 1e-9
