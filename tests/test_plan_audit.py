@@ -444,6 +444,12 @@ NESTED_LOOP_OK = {
     # cross join was eliminated in favor of the closed-form
     # zero-count contribution (see corpus_token_drift docstring)
     "corpus_token_drift": "scalar",
+    # 1-row corpus-doc-count broadcast carrying the DF threshold
+    "corpus_boilerplate_filter": "scalar",
+    # 1-row N-total broadcast in the backoff probability
+    "quality_stupid_backoff": "scalar",
+    # bm25's 1-row (n_docs, avgdl) stats broadcast inside the fused plan
+    "retrieval_rrf_hybrid": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
@@ -604,3 +610,58 @@ def test_url_host_filter_broadcasts_blocklist(spark, sf_dir, qs):
     df = qs["text_url_host_filter"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_boilerplate_filter_keyed_joins_and_broadcast_threshold(
+    spark, sf_dir, qs
+):
+    """corpus_boilerplate_filter: the corpus-size scalar must ride as
+    a 1-row BROADCAST (threshold computed in-plan, not on the
+    driver), the boiler set joins back keyed (no cartesian), and no
+    global sort appears anywhere."""
+    df = qs["corpus_boilerplate_filter"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_rrf_hybrid_never_shuffles_corpus_for_broadcastable_sides(
+    spark, sf_dir, qs
+):
+    """retrieval_rrf_hybrid: the query sides (5 queries' terms and
+    vectors) broadcast; the fusion join runs over two k-per-query
+    rank lists. A global sort of the corpus would mean a rank was
+    computed with Window over an unpartitioned frame — forbidden."""
+    df = qs["retrieval_rrf_hybrid"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_url_dedup_single_aggregate_no_join(spark, sf_dir, qs):
+    """corpus_url_dedup is ONE hash aggregate over a map-side
+    canonicalization — any join or range partitioning is a planning
+    bug (this is the cheapest dedup tier; it must stay cheap)."""
+    df = qs["corpus_url_dedup"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    # map-side partial + final: exactly one shuffle on the canonical key
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_pagerank_round_is_join_plus_partial_agg(spark):
+    """One PageRank round = ONE equi-join (ranks x edges) + ONE
+    hash-partitioned partial-sum aggregate + the 1-row dangling
+    broadcast — never a cartesian, never a range partitioning."""
+    from hdp2_5_hive_spark.operators.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3 + 1) % 7) for i in range(30)],
+        "src long, dst long",
+    )
+    df = pagerank(edges, n_iter=1)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
