@@ -188,6 +188,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_url_dedup",
     "graph_pagerank_hosts",
     "quality_stupid_backoff",
+    "corpus_dataset_card",
 )
 
 

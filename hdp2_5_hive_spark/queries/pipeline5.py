@@ -1209,3 +1209,145 @@ def quality_stupid_backoff(spark, t):
         "doc_id",
         "text",
     )
+
+
+@register(
+    "corpus_dataset_card",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, source, lang,
+         string_split(lower(text), ' ') AS w
+  FROM documents
+),
+base AS (
+  SELECT doc_id, source, lang, len(w) AS n_tok, w FROM toks
+),
+ex AS (
+  SELECT doc_id, w,
+         unnest([i for i in range(0, CAST(ceil(len(w) / 10.0) AS INT))])
+           AS chunk_idx
+  FROM toks
+),
+ch AS (
+  SELECT doc_id,
+         array_to_string(
+           list_slice(w, chunk_idx * 10 + 1, chunk_idx * 10 + 10), ' ')
+           AS chunk
+  FROM ex
+),
+dup_chunks AS (
+  SELECT chunk FROM (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS d FROM ch GROUP BY chunk
+  ) WHERE d >= 2
+),
+flagged AS (
+  SELECT DISTINCT ch.doc_id FROM ch JOIN dup_chunks USING (chunk)
+),
+lang_rank AS (
+  SELECT source, lang, COUNT(*) AS c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY COUNT(*) DESC, lang) AS rn
+  FROM base GROUP BY source, lang
+),
+per_source AS (
+  SELECT b.source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(b.n_tok) AS BIGINT) AS total_tokens,
+         CAST(ROUND(CAST(SUM(b.n_tok) AS DOUBLE) / COUNT(*), 4)
+              AS DOUBLE) AS avg_tokens,
+         CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS flagged_docs,
+         CAST(ROUND(CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1
+                               ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+              AS DOUBLE) AS flagged_rate,
+         CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs
+  FROM base b LEFT JOIN flagged f ON b.doc_id = f.doc_id
+  GROUP BY b.source
+)
+SELECT p.*, lr.lang AS top_lang,
+       CAST(ROUND(CAST(lr.c AS DOUBLE) / p.n_docs, 6) AS DOUBLE)
+         AS top_lang_share
+FROM per_source p JOIN lang_rank lr
+  ON p.source = lr.source AND lr.rn = 1
+""",
+    category="pipeline",
+)
+def corpus_dataset_card(spark, t):
+    """Dataset-card audit report — the per-source summary a corpus
+    release ships (docs, token mass, duplication exposure, language
+    mix): ONE composed plan over the documents table. The
+    duplication signal is "contains a corpus-duplicated 10-word
+    chunk" (the testdata's planted near-dup families are never
+    byte-identical, so md5 dup-rate would be vacuously 0 — chunk-DF
+    is the signal that actually fires), reusing the same
+    doc_chunks explode + two-phase distinct-agg shape as
+    corpus_boilerplate_filter; language mix is a keyed count + one
+    per-source WindowGroupLimit for the top language (count-desc,
+    lang-asc deterministic tie-break). Everything aggregates with
+    map-side combine; per-source output is sources-sized, never
+    corpus-sized."""
+    from pyspark.sql import Window as W
+
+    from ..operators.corpus import doc_chunks
+
+    d = t.documents
+    base = d.select(
+        "doc_id", "source", "lang",
+        F.size(F.split(F.lower(F.col("text")), " ")).alias("n_tok"),
+    )
+    ch = doc_chunks(d, "doc_id", "text", 10)
+    dup_chunks = (
+        ch.groupBy("chunk")
+        .agg(F.countDistinct("_id").alias("d"))
+        .filter(F.col("d") >= 2)
+        .select("chunk")
+    )
+    flagged = (
+        ch.join(dup_chunks, "chunk")
+        .select(F.col("_id").alias("doc_id"))
+        .distinct()
+        .withColumn("_flag", F.lit(1))
+    )
+    per_source = (
+        base.join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_tokens"),
+            F.sum(F.coalesce(F.col("_flag"), F.lit(0)))
+            .cast("bigint")
+            .alias("flagged_docs"),
+            F.round(
+                F.sum(F.coalesce(F.col("_flag"), F.lit(0))).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("flagged_rate"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )
+    lr = (
+        base.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("source").orderBy(F.desc("c"), "lang")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return per_source.join(
+        lr.select("source", F.col("lang").alias("top_lang"), "c"),
+        "source",
+    ).select(
+        "source", "n_docs", "total_tokens", "avg_tokens",
+        "flagged_docs", "flagged_rate", "n_langs", "top_lang",
+        F.round(
+            F.col("c").cast("double") / F.col("n_docs"), 6
+        ).alias("top_lang_share"),
+    )
