@@ -189,6 +189,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "graph_pagerank_hosts",
     "quality_stupid_backoff",
     "corpus_dataset_card",
+    "corpus_clean_v6",
 )
 
 

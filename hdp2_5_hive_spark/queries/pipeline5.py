@@ -1351,3 +1351,153 @@ def corpus_dataset_card(spark, t):
             F.col("c").cast("double") / F.col("n_docs"), 6
         ).alias("top_lang_share"),
     )
+
+
+@register(
+    "corpus_clean_v6",
+    oracle="""
+WITH urls AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Example' || CAST(doc_id % 5 AS VARCHAR) || '.COM'
+         || CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END
+         || '/Article/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 2 = 0 AND doc_id % 7 = 0
+                   THEN '?utm_source=feed&page=2'
+                 WHEN doc_id % 2 = 0
+                   THEN '?utm_source=feed&utm_campaign=x'
+                 WHEN doc_id % 7 = 0 THEN '?page=2'
+                 ELSE '' END AS url
+  FROM documents
+),
+canon AS (
+  SELECT doc_id,
+         (SELECT regexp_replace(lower(regexp_extract(u1,
+             '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', 0)), ':(80|443)$', '')
+          || CASE WHEN contains(r3, '?') THEN r3
+                  ELSE regexp_replace(r3, '/+$', '') END
+          FROM (SELECT regexp_replace(url, '#.*$', '', 'g') AS u1,
+                       regexp_replace(regexp_replace(
+                         regexp_replace(
+                           regexp_replace(url, '#.*$', '', 'g'),
+                           '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                         '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                       '[?&]+$', '') AS r3)
+         ) AS canonical_url
+  FROM urls
+),
+url_kept AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (PARTITION BY canonical_url
+                              ORDER BY doc_id) AS rn
+    FROM canon
+  ) WHERE rn = 1
+),
+survivors AS (
+  SELECT d.doc_id, d.source, string_split(lower(d.text), ' ') AS w
+  FROM documents d JOIN url_kept USING (doc_id)
+),
+ex AS (
+  SELECT doc_id, w,
+         unnest([i for i in range(0, CAST(ceil(len(w) / 10.0) AS INT))])
+           AS chunk_idx
+  FROM survivors
+),
+ch AS (
+  SELECT doc_id, chunk_idx,
+         array_to_string(
+           list_slice(w, chunk_idx * 10 + 1, chunk_idx * 10 + 10), ' ')
+           AS chunk
+  FROM ex
+),
+tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM survivors),
+boiler AS (
+  SELECT chunk FROM (
+    SELECT chunk, COUNT(DISTINCT doc_id) AS dfreq FROM ch GROUP BY chunk
+  ), tot
+  WHERE dfreq >= greatest(3, CAST(ceil(n_docs * 0.005) AS BIGINT))
+),
+cleaned AS (
+  SELECT ch.doc_id,
+         CAST(COUNT(*) FILTER (WHERE b.chunk IS NULL) AS BIGINT)
+           AS n_kept_chunks,
+         CAST(COUNT(*) FILTER (WHERE b.chunk IS NOT NULL) AS BIGINT)
+           AS n_boiler_chunks,
+         COALESCE(SUM(len(string_split(ch.chunk, ' ')))
+                    FILTER (WHERE b.chunk IS NULL), 0) AS n_tok_clean
+  FROM ch LEFT JOIN boiler b ON ch.chunk = b.chunk
+  GROUP BY ch.doc_id
+)
+SELECT s.doc_id, s.source, c.n_kept_chunks, c.n_boiler_chunks,
+       CAST(c.n_tok_clean AS BIGINT) AS n_tok_clean
+FROM survivors s JOIN cleaned c ON s.doc_id = c.doc_id
+WHERE c.n_kept_chunks > 0 AND c.n_tok_clean >= 8
+""",
+    category="pipeline",
+)
+def corpus_clean_v6(spark, t):
+    """Flagship pipeline v6 — the cheap-tier-first curation chain
+    every crawl pipeline runs BEFORE content hashing: URL-level
+    dedup (canonical key, keep lowest doc_id) → C4 boilerplate
+    removal by chunk document-frequency over the SURVIVOR set (the
+    threshold is computed from the post-URL-dedup corpus size,
+    in-plan) → minimum-length gate (≥ 8 clean tokens, all-boiler
+    docs dropped). ONE composed plan; the oracle re-derives the
+    identical chain as a single DuckDB CTE stack. Stage costs at
+    100 TB: a regex projection + one hash aggregate (URL tier),
+    the chunk-DF shape of corpus_boilerplate_filter, a map-only
+    gate — nothing corpus-quadratic anywhere."""
+    from pyspark.sql import Window as W
+
+    from ..operators.corpus import boilerplate_filter, canonical_url_col
+
+    d = t.documents
+    url = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 5).cast("string"), F.lit(".COM"),
+        F.when(F.col("doc_id") % 4 == 0, ":443").otherwise(""),
+        F.lit("/Article/"), (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "/").otherwise(""),
+        F.when(
+            (F.col("doc_id") % 2 == 0) & (F.col("doc_id") % 7 == 0),
+            "?utm_source=feed&page=2",
+        )
+        .when(F.col("doc_id") % 2 == 0, "?utm_source=feed&utm_campaign=x")
+        .when(F.col("doc_id") % 7 == 0, "?page=2")
+        .otherwise(""),
+    )
+    url_kept = (
+        d.select(
+            "doc_id", canonical_url_col(url).alias("cu")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("cu").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    survivors = d.join(url_kept, "doc_id")
+    cleaned = boilerplate_filter(
+        survivors, "doc_id", "text",
+        chunk_words=10, min_docs=3, max_doc_frac=0.005,
+    ).select(
+        "doc_id",
+        F.col("n_kept").alias("n_kept_chunks"),
+        F.col("n_dropped").alias("n_boiler_chunks"),
+        F.coalesce(
+            F.size(F.split(F.col("text_clean"), " ")), F.lit(0)
+        ).alias("n_tok_clean"),
+    )
+    return (
+        survivors.select("doc_id", "source")
+        .join(cleaned, "doc_id")
+        .filter(
+            (F.col("n_kept_chunks") > 0) & (F.col("n_tok_clean") >= 8)
+        )
+        .select(
+            "doc_id", "source", "n_kept_chunks", "n_boiler_chunks",
+            F.col("n_tok_clean").cast("bigint").alias("n_tok_clean"),
+        )
+    )
