@@ -190,6 +190,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "quality_stupid_backoff",
     "corpus_dataset_card",
     "corpus_clean_v6",
+    "hiveql_variable_substitution",
 )
 
 

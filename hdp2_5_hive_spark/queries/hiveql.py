@@ -782,3 +782,50 @@ def hiveql_regex_column_spec(spark, t):
         "upper(o_orderstatus) AS status_uc "
         "FROM orders WHERE o_orderkey < 500",
     )
+
+
+@register(
+    "hiveql_variable_substitution",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         AS total
+FROM orders
+WHERE o_orderkey >= 100 AND o_orderkey < 3100
+  AND o_orderstatus = 'O'
+GROUP BY o_orderpriority
+""",
+    category="hiveql",
+)
+def hiveql_variable_substitution(spark, t):
+    """Hive variable substitution (``common/.../VariableSubstitution
+    .java``; CliDriver SET processing; qfile
+    ``clientpositive/set_processor_namespaces.q``): the
+    parameterized-script surface every production Hive job uses —
+    ``SET hivevar:k=v`` definitions, ``${hivevar:k}`` and bare
+    ``${k}`` references, a NESTED value (${hi} expands to
+    ${lo}+3000 and re-expands), and a ``${hiveconf:...}`` reference
+    against the session conf. Expansion is driver-side text
+    preprocessing (functions/varsub.py): Catalyst parses the final
+    statement, so the plan is hand-written-SQL-identical."""
+    t.orders
+    from ..functions.varsub import VariableContext
+
+    ctx = VariableContext()
+    ctx.sql(spark, "SET hivevar:lo=100")
+    ctx.sql(spark, "SET hivevar:hi=${lo} + 3000")
+    ctx.sql(spark, "SET spark.graft.status=O")
+    return ctx.sql(
+        spark,
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                 AS total
+        FROM orders
+        WHERE o_orderkey >= ${hivevar:lo} AND o_orderkey < ${hi}
+          AND o_orderstatus = '${hiveconf:spark.graft.status}'
+        GROUP BY o_orderpriority
+        """,
+    )

@@ -8,6 +8,11 @@ Usage:
     python scripts/sql_shell.py -f query.sql     # run a script file
     python scripts/sql_shell.py --sf /root/testdata/sf0.01 ...
 
+``--hivevar k=v`` / ``--define k=v`` seed Hive variables;
+``${hivevar:k}`` / ``${k}`` / ``${hiveconf:p}`` / ``${env:N}``
+substitute in every statement and ``SET hivevar:k=v`` / ``SET p=v``
+work as in the reference CLI (functions/varsub.py).
+
 Statements are split on ';' like the reference CLI. The testdata
 tables (region nation customer supplier part orders lineitem events
 documents embeddings) are pre-registered as views, so HiveQL-dialect
@@ -26,9 +31,9 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_statement(spark, sql: str, max_rows: int) -> None:
+def run_statement(spark, ctx, sql: str, max_rows: int) -> None:
     t0 = time.time()
-    df = spark.sql(sql)
+    df = ctx.sql(spark, sql)
     rows = df.take(max_rows + 1)
     cols = df.columns
     if cols:
@@ -47,13 +52,19 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.01",
                     help="testdata dir registered as views")
     ap.add_argument("--max-rows", type=int, default=100)
+    ap.add_argument("--hivevar", "--define", action="append", default=[],
+                    metavar="K=V", help="define a Hive variable")
     args = ap.parse_args()
 
     from hdp2_5_hive_spark.catalog import register_views
+    from hdp2_5_hive_spark.functions.varsub import VariableContext
     from hdp2_5_hive_spark.session import get_session
 
     spark = get_session(app_name="sql-shell")
     register_views(spark, args.sf)
+    ctx = VariableContext(
+        dict(kv.split("=", 1) for kv in args.hivevar)
+    )
 
     if args.e is not None:
         text = args.e
@@ -70,7 +81,7 @@ def main() -> int:
         if not stmt or stmt.startswith("--"):
             continue
         try:
-            run_statement(spark, stmt, args.max_rows)
+            run_statement(spark, ctx, stmt, args.max_rows)
         except Exception as e:  # keep going like the CLI does
             print(f"ERROR: {type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
             rc = 1

@@ -83,3 +83,64 @@ def test_grouping_sets_matches_dataframe_twin(spark, sf_dir, qs):
         .collect()
     }
     assert sql_rows == df_rows
+
+
+class TestVariableSubstitution:
+    def test_prefixed_bare_nested_and_set(self, spark):
+        from hdp2_5_hive_spark.functions.varsub import VariableContext
+
+        ctx = VariableContext()
+        ctx.sql(spark, "SET hivevar:lo=3")
+        ctx.sql(spark, "SET hivevar:hi=${lo}0")          # nested -> 30
+        got = ctx.sql(
+            spark,
+            "SELECT id FROM range(100) "
+            "WHERE id >= ${hivevar:lo} AND id < ${hi}",
+        ).count()
+        assert got == 27  # ids 3..29
+
+    def test_hiveconf_env_and_unresolved_left_verbatim(self, spark):
+        import os
+
+        from hdp2_5_hive_spark.functions.varsub import VariableContext
+
+        ctx = VariableContext()
+        ctx.sql(spark, "SET spark.my.test.prop=42")
+        assert ctx.substitute(
+            spark, "x=${hiveconf:spark.my.test.prop}"
+        ) == "x=42"
+        os.environ["VARSUB_TEST"] = "abc"
+        assert ctx.substitute(spark, "${env:VARSUB_TEST}") == "abc"
+        # unresolved stays put (reference behavior)
+        assert ctx.substitute(spark, "${nope:x} ${missing}") == (
+            "${nope:x} ${missing}"
+        )
+
+    def test_substitutes_inside_string_literals(self, spark):
+        """Hive substitutes BEFORE parsing — literals included."""
+        from hdp2_5_hive_spark.functions.varsub import VariableContext
+
+        ctx = VariableContext({"who": "world"})
+        r = ctx.sql(spark, "SELECT 'hello ${who}' AS s").collect()[0].s
+        assert r == "hello world"
+
+    def test_recursion_guard(self, spark):
+        import pytest
+
+        from hdp2_5_hive_spark.functions.varsub import (
+            SubstitutionDepthError,
+            VariableContext,
+        )
+
+        ctx = VariableContext({"a": "${b}", "b": "${a}"})
+        with pytest.raises(SubstitutionDepthError):
+            ctx.substitute(spark, "${a}")
+
+    def test_set_print_and_list(self, spark):
+        from hdp2_5_hive_spark.functions.varsub import VariableContext
+
+        ctx = VariableContext({"dt": "2024-01-01"})
+        row = ctx.sql(spark, "SET hivevar:dt").collect()[0]
+        assert (row.key, row.value) == ("hivevar:dt", "2024-01-01")
+        listed = {r.key for r in ctx.sql(spark, "SET").collect()}
+        assert listed == {"dt"}
