@@ -8,6 +8,9 @@ Usage:
     python scripts/sql_shell.py -f query.sql     # run a script file
     python scripts/sql_shell.py --sf /root/testdata/sf0.01 ...
 
+``ADD FILE`` / ``LIST FILES`` / ``DELETE FILE`` / ``SOURCE f.sql``
+work as in CliDriver (functions/resources.py — ADD distributes via
+sparkContext.addFile, the distributed-cache analogue).
 ``--hivevar k=v`` / ``--define k=v`` seed Hive variables;
 ``${hivevar:k}`` / ``${k}`` / ``${hiveconf:p}`` / ``${env:N}``
 substitute in every statement and ``SET hivevar:k=v`` / ``SET p=v``
@@ -31,8 +34,17 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def run_statement(spark, ctx, sql: str, max_rows: int) -> None:
+def run_statement(spark, ctx, res, sql: str, max_rows: int) -> None:
     t0 = time.time()
+    lines = res.process(
+        spark, ctx.substitute(spark, sql),
+        run_statement=lambda s: run_statement(spark, ctx, res, s, max_rows),
+    )
+    if lines is not None:
+        for ln in lines:
+            print(ln)
+        print(f"-- ok in {time.time() - t0:.2f}s", file=sys.stderr)
+        return
     df = ctx.sql(spark, sql)
     rows = df.take(max_rows + 1)
     cols = df.columns
@@ -65,6 +77,9 @@ def main() -> int:
     ctx = VariableContext(
         dict(kv.split("=", 1) for kv in args.hivevar)
     )
+    from hdp2_5_hive_spark.functions.resources import ResourceManager
+
+    res = ResourceManager()
 
     if args.e is not None:
         text = args.e
@@ -81,7 +96,7 @@ def main() -> int:
         if not stmt or stmt.startswith("--"):
             continue
         try:
-            run_statement(spark, ctx, stmt, args.max_rows)
+            run_statement(spark, ctx, res, stmt, args.max_rows)
         except Exception as e:  # keep going like the CLI does
             print(f"ERROR: {type(e).__name__}: {str(e)[:400]}", file=sys.stderr)
             rc = 1

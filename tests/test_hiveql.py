@@ -144,3 +144,68 @@ class TestVariableSubstitution:
         assert (row.key, row.value) == ("hivevar:dt", "2024-01-01")
         listed = {r.key for r in ctx.sql(spark, "SET").collect()}
         assert listed == {"dt"}
+
+
+class TestResourceCommands:
+    def test_add_file_distributes_to_executors(self, spark, tmp_path):
+        """ADD FILE must make the file readable from EXECUTOR tasks
+        via the SparkFiles mechanism — the distributed-cache contract
+        TRANSFORM scripts rely on."""
+        from hdp2_5_hive_spark.functions.resources import ResourceManager
+
+        p = tmp_path / "lookup.txt"
+        p.write_text("payload-42")
+        res = ResourceManager()
+        out = res.process(spark, f"ADD FILE {p}")
+        assert out == [f"added file {p}"]
+        assert res.process(spark, "LIST FILES") == [str(p)]
+
+        def read_on_executor(_):
+            from pyspark import SparkFiles
+
+            with open(SparkFiles.get("lookup.txt")) as f:
+                yield f.read()
+
+        got = (
+            spark.sparkContext.parallelize([0], 1)
+            .mapPartitions(read_on_executor)
+            .collect()
+        )
+        assert got == ["payload-42"]
+
+    def test_delete_is_list_only_and_errors_loud(self, spark, tmp_path):
+        import pytest
+
+        from hdp2_5_hive_spark.functions.resources import (
+            ResourceError,
+            ResourceManager,
+        )
+
+        res = ResourceManager()
+        with pytest.raises(ResourceError, match="no such file"):
+            res.process(spark, "ADD FILE /nope/missing.txt")
+        p = tmp_path / "a.txt"
+        p.write_text("x")
+        res.process(spark, f"ADD FILE {p}")
+        res.process(spark, f"DELETE FILE {p}")
+        assert res.process(spark, "LIST FILES") == []
+        assert res.process(spark, "SELECT 1") is None  # not a resource cmd
+
+    def test_source_replays_script_with_variables(self, spark, tmp_path):
+        """SOURCE runs each ';'-statement through the caller's
+        processor — variables defined in the sourced file are visible
+        afterwards (CliDriver processFile semantics)."""
+        from hdp2_5_hive_spark.functions.resources import ResourceManager
+        from hdp2_5_hive_spark.functions.varsub import VariableContext
+
+        script = tmp_path / "init.sql"
+        script.write_text(
+            "SET hivevar:cutoff=5;\n-- a comment\nSET hivevar:k=v;\n"
+        )
+        ctx = VariableContext()
+        res = ResourceManager()
+        res.process(
+            spark, f"SOURCE {script}",
+            run_statement=lambda s: ctx.sql(spark, s),
+        )
+        assert ctx.hivevars == {"cutoff": "5", "k": "v"}
