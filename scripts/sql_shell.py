@@ -92,8 +92,12 @@ def main() -> int:
 
     rc = 0
     for stmt in text.split(";"):
-        stmt = stmt.strip()
-        if not stmt or stmt.startswith("--"):
+        # drop full-line comments, keep the statement they precede
+        stmt = "\n".join(
+            ln for ln in stmt.splitlines()
+            if not ln.strip().startswith("--")
+        ).strip()
+        if not stmt:
             continue
         try:
             run_statement(spark, ctx, res, stmt, args.max_rows)
