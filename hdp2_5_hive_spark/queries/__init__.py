@@ -191,6 +191,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_dataset_card",
     "corpus_clean_v6",
     "hiveql_variable_substitution",
+    "ann_pq_rerank_recall",
 )
 
 

@@ -1501,3 +1501,106 @@ def corpus_clean_v6(spark, t):
             F.col("n_tok_clean").cast("bigint").alias("n_tok_clean"),
         )
     )
+
+
+@register(
+    "ann_pq_rerank_recall",
+    oracle="""
+SELECT CAST(100 AS BIGINT) AS n_planted,
+       CAST(true AS BOOLEAN) AS recall_ok,
+       CAST(true AS BOOLEAN) AS rerank_no_worse
+""",
+    category="pipeline",
+)
+def ann_pq_rerank_recall(spark, t):
+    """Two-stage retrieval — PQ shortlist + EXACT re-rank (the
+    standard production ANN shape, FAISS's search-then-refine): ADC
+    over 4-byte codes proposes a 25-candidate shortlist per query
+    (cheap, whole-corpus), then ONLY shortlist rows join back to
+    their float vectors (keyed join on neighbor_id — corpus-linear
+    shuffle of shortlist size, never the corpus) for exact-cosine
+    top-5. Gates, driver-checked: planted-pair recall ≥ 70% AND
+    re-ranked recall ≥ raw-ADC recall on the identical shortlist —
+    the refine stage can only fix ADC quantization mistakes, never
+    introduce them (same 100-pair sha256-planted corpus as
+    ann_pq_recall)."""
+    from ..operators import quantize as qz
+    from ..operators.similarity import cosine_col
+    from .pipeline4 import _planted_vectors
+    from pyspark.sql import Window as W
+
+    rows = _planted_vectors()
+    df = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>"
+    )
+    books = qz.pq_train(df, "vec_id", "embedding", m=4, k=16, n_iter=6)
+    codes = qz.pq_encode(df, books, "vec_id", "embedding")
+    # ONE ADC pass serves both stages (localCheckpoint: the two
+    # downstream branches must not re-run the code scan)
+    shortlist = qz.pq_topk(
+        codes, df, books, "vec_id", "embedding", k_top=25
+    ).localCheckpoint()
+
+    def planted_recall(topk):
+        hits = topk.filter(
+            F.expr(
+                "substring(query_id, 2) = substring(neighbor_id, 2)"
+                " AND query_id != neighbor_id"
+            )
+        )
+        return (
+            hits.select(
+                F.substring("query_id", 2, 10).alias("pair")
+            )
+            .distinct()
+            .count()
+        )
+
+    # raw ADC top-5 = first 5 of the (adist, neighbor_id)-ordered
+    # shortlist; re-rank replaces the metric with exact cosine
+    adc5 = (
+        shortlist.withColumn(
+            "sl_rank",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    "adist", "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("sl_rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    qv = df.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+    )
+    cv = df.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+    )
+    rer = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_col(F.col("q_vec"), F.col("c_vec")).alias("cos"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc("cos"), "neighbor_id"
+                )
+            ),
+        )
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    r_adc = planted_recall(adc5)
+    r_rer = planted_recall(rer)
+    return spark.createDataFrame(
+        [(100, r_rer >= 70, r_rer >= r_adc)],
+        "n_planted bigint, recall_ok boolean, rerank_no_worse boolean",
+    )
