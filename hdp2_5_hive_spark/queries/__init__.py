@@ -198,6 +198,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_clean_v6",
     "hiveql_variable_substitution",
     "ann_pq_rerank_recall",
+    "fmt_protobuf_sequencefile_round_trip",
+    "fmt_protobuf_complex_round_trip",
 )
 
 

@@ -854,6 +854,128 @@ def fmt_thrift_complex_round_trip(spark, t):
 
 
 @register(
+    "fmt_protobuf_sequencefile_round_trip",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey - 12 AS nk_off,
+       CASE WHEN s_suppkey % 4 = 0 THEN NULL ELSE s_acctbal END AS s_acctbal
+FROM supplier WHERE s_suppkey <= 60
+""",
+    category="formats",
+)
+def fmt_protobuf_sequencefile_round_trip(spark, t):
+    """ProtoBuf rows in a SequenceFile — §2.2's last connector row:
+    the reference ships a PROTOCOL_BUFFERS ObjectInspector
+    (``serde/.../objectinspector/ObjectInspectorFactory.java``,
+    tested over ``serde2/proto/test/Complexpb.java``); here each row
+    is a proto2 message (sources/protobuf_py, written from the
+    public wire spec — varint tags, two's-complement int64
+    negatives, ZigZag sint32, LEN strings) stored as SequenceFile
+    values and decoded back by field id. ``nk_off`` goes negative,
+    exercising ZigZag; the ``% 4`` wave exercises absent-field
+    NULLs. Same RDD plumbing rationale as the thrift twin: Hadoop
+    writables live below the DataFrame source API. Scale: map-only
+    both directions, splits by SequenceFile sync markers."""
+    from ..sources import protobuf_py as pb
+
+    d = scratch_dir("fmt_proto_") + "/seq"
+    types = ["bigint", "string", "sint32", "double"]
+    src = t.supplier.filter(F.col("s_suppkey") <= 60).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("s_nationkey") - 12).alias("nk_off"),
+        F.when(F.col("s_suppkey") % 4 == 0, None)
+        .otherwise(F.col("s_acctbal"))
+        .alias("s_acctbal"),
+    )
+    (
+        src.rdd.map(
+            lambda r: (
+                str(r.s_suppkey),
+                bytearray(
+                    pb.encode_row(
+                        types,
+                        [r.s_suppkey, r.s_name, r.nk_off, r.s_acctbal],
+                    )
+                ),
+            )
+        ).saveAsSequenceFile(d)
+    )
+    back = spark.sparkContext.sequenceFile(d)
+    rows = back.map(lambda kv: tuple(pb.decode_row(types, bytes(kv[1]))))
+    return spark.createDataFrame(
+        rows,
+        "s_suppkey long, s_name string, nk_off int, s_acctbal double",
+    )
+
+
+@register(
+    "fmt_protobuf_complex_round_trip",
+    oracle="""
+SELECT n_nationkey,
+       n_name AS is_name,
+       -CAST(n_nationkey AS INTEGER) AS is_neg,
+       CAST(n_nationkey % 3 AS BIGINT) AS lint_len,
+       CAST(n_regionkey AS DOUBLE) * 2 AS m_dbl
+FROM nation
+""",
+    category="formats",
+)
+def fmt_protobuf_complex_round_trip(spark, t):
+    """ProtoBuf COMPLEX rows — the exact ``Complexpb.Complex``
+    fixture shape from the reference's PROTOCOL_BUFFERS OI test
+    (``TestProtocolBuffersObjectInspectors.java``: scalar int/
+    string, packed repeated int32, repeated nested ``IntString``
+    message) plus a protobuf map field (repeated {key=1,value=2}
+    entry messages). Values nest on the wire and are FLATTENED to
+    scalars for the oracle — nested payloads prove the codec,
+    scalars keep the driver canonicalizer happy. ZigZag negatives
+    ride in the nested message."""
+    from ..sources import protobuf_py as pb
+
+    d = scratch_dir("fmt_proto_cx_") + "/seq"
+    intstring = "struct<myint:int,mystring:string,underscore_int:sint32>"
+    types = [
+        "bigint",
+        "array<int>",
+        f"array<{intstring}>",
+        "map<string,double>",
+    ]
+    src = t.nation.select("n_nationkey", "n_name", "n_regionkey")
+
+    def enc(r):
+        lint = list(range(r.n_nationkey % 3))
+        nested = [[r.n_nationkey, r.n_name, -r.n_nationkey]]
+        return (
+            str(r.n_nationkey),
+            bytearray(
+                pb.encode_row(
+                    types,
+                    [
+                        r.n_nationkey,
+                        lint,
+                        nested,
+                        {"dbl": float(r.n_regionkey) * 2},
+                    ],
+                )
+            ),
+        )
+
+    src.rdd.map(enc).saveAsSequenceFile(d)
+    back = spark.sparkContext.sequenceFile(d)
+
+    def dec(kv):
+        key, lint, nested, m = pb.decode_row(types, bytes(kv[1]))
+        myint, mystring, neg = nested[0]
+        return (key, mystring, neg, len(lint or []), m["dbl"])
+
+    return spark.createDataFrame(
+        back.map(dec),
+        "n_nationkey long, is_name string, is_neg int, "
+        "lint_len long, m_dbl double",
+    )
+
+
+@register(
     "fmt_jsonl_round_trip",
     oracle="""
 SELECT doc_id, lang, source, n_chars, text FROM documents
