@@ -443,3 +443,51 @@ def stupid_backoff_bits(
             6,
         ).alias("bits_per_bigram"),
     )
+
+
+def ccnet_perplexity_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's signature head/middle/tail split (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" §4.4): per LANGUAGE, rank documents by LM perplexity
+    and cut into terciles — head (lowest perplexity = most fluent)
+    feeds the highest-quality corpus tier, tail is dropped or
+    down-weighted. The LM signal here is ``unigram_logprob``'s
+    bits/token (CCNet uses a fixed KenLM; the corpus-own unigram
+    model is this repo's deterministic, oracle-reproducible
+    stand-in).
+
+    Bucketing is ``ntile(3)`` over (bits, id) per language — EXACT
+    tercile counts and a total tie order, so the assignment is
+    engine-reproducible (threshold-free: no float boundary
+    comparisons to drift between engines). Scale note: ntile per
+    language is one shuffle keyed by language with a per-language
+    sort — fine up to ~10⁹ docs/language; past that, production
+    CCNet assigns by percentile THRESHOLDS fitted on a sample
+    (map-side comparison, no sort), trading exact tercile counts
+    for a boundary approximation. The labeled query keeps the exact
+    form because its contract is count-exact buckets.
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, id_col, text_col)
+    with_lang = scored.join(
+        df.select(id_col, lang_col), id_col
+    )
+    w = Window.partitionBy(lang_col).orderBy(
+        F.col("bits_per_token"), F.col(id_col)
+    )
+    tile = F.ntile(3).over(w)
+    return with_lang.select(
+        F.col(id_col),
+        F.col(lang_col),
+        F.col("n_tokens"),
+        F.col("bits_per_token"),
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
+        ).alias("bucket"),
+    )

@@ -200,6 +200,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "ann_pq_rerank_recall",
     "fmt_protobuf_sequencefile_round_trip",
     "fmt_protobuf_complex_round_trip",
+    "quality_ccnet_buckets",
 )
 
 

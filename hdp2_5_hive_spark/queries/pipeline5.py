@@ -1604,3 +1604,51 @@ def ann_pq_rerank_recall(spark, t):
         [(100, r_rer >= 70, r_rer >= r_adc)],
         "n_planted bigint, recall_ok boolean, rerank_no_worse boolean",
     )
+
+
+@register(
+    "quality_ccnet_buckets",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+doc_word AS (
+  SELECT doc_id, w, COUNT(*) AS dc FROM words GROUP BY doc_id, w
+),
+vocab AS (SELECT w, SUM(dc) AS c FROM doc_word GROUP BY w),
+tot AS (SELECT SUM(c) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(dc) AS BIGINT) AS n_tokens,
+         CAST(ROUND(
+           CAST(SUM(CAST(ROUND(-LOG2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+                         AS DECIMAL(38,6)) * dc) AS DOUBLE)
+           / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_token
+  FROM doc_word JOIN vocab USING (w), tot
+  GROUP BY doc_id
+),
+tiled AS (
+  SELECT s.doc_id, d.lang, s.n_tokens, s.bits_per_token,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.bits_per_token, s.doc_id) AS tile
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, bits_per_token,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket
+FROM tiled
+""",
+    category="pipeline",
+)
+def quality_ccnet_buckets(spark, t):
+    """CCNet head/middle/tail corpus split (Wenzek et al. 2020
+    §4.4; operators/quality.ccnet_perplexity_buckets): per-language
+    perplexity terciles over the unigram-LM bits/token signal,
+    assigned by exact ntile over a (bits, doc_id) total order so
+    both engines agree on every boundary doc. The oracle re-derives
+    the whole chain — token counts, DECIMAL-exact bits, windowed
+    ntile — from raw text in SQL."""
+    from ..operators import quality as ql
+
+    return ql.ccnet_perplexity_buckets(t.documents, "doc_id", "text", "lang")

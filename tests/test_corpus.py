@@ -820,3 +820,48 @@ def test_canonical_url_rules(spark):
     got = {r.url: r.c for r in df.collect()}
     for raw, want in cases:
         assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_ccnet_buckets_exact_terciles_and_order(spark):
+    """Per language: tercile sizes differ by <=1 (ntile contract),
+    every head doc's bits <= every tail doc's bits, and docs with
+    equal bits break ties by doc_id (engine-reproducible order)."""
+    from hdp2_5_hive_spark.operators.quality import (
+        ccnet_perplexity_buckets,
+    )
+
+    rows = [
+        # 7 'en' docs with visibly different fluency + 4 'de' docs
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the dog sat on the mat"),
+        (3, "en", "the cat and the dog"),
+        (4, "en", "zxq wvu ponm lkj"),
+        (5, "en", "qqq zzz xxx"),
+        (6, "en", "the the the the"),
+        (7, "en", "cat dog mat on"),
+        (8, "de", "der hund und die katze"),
+        (9, "de", "die katze und der hund"),
+        (10, "de", "blorp glurp"),
+        (11, "de", "der der die die"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = ccnet_perplexity_buckets(df, "doc_id", "text", "lang").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert set(by_lang) == {"en", "de"}
+    for lang, rs in by_lang.items():
+        sizes = {"head": 0, "middle": 0, "tail": 0}
+        for r in rs:
+            sizes[r.bucket] += 1
+        assert max(sizes.values()) - min(sizes.values()) <= 1, (lang, sizes)
+        heads = [r.bits_per_token for r in rs if r.bucket == "head"]
+        tails = [r.bits_per_token for r in rs if r.bucket == "tail"]
+        assert max(heads) <= min(tails), (lang, heads, tails)
+    # doc 8 and 9 are permutations -> identical bits; tie order is
+    # by doc_id, so 8 ranks before 9 deterministically
+    b8 = next(r for r in out if r.doc_id == 8)
+    b9 = next(r for r in out if r.doc_id == 9)
+    assert b8.bits_per_token == b9.bits_per_token
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert order[b8.bucket] <= order[b9.bucket]
