@@ -516,3 +516,80 @@ def near_duplicates_against(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    s_col: str,
+    max_dist: int = 1,
+    block: int = 3,
+) -> DataFrame:
+    """Blocked edit-distance similarity join (record-linkage /
+    title-dedup): all pairs with ``levenshtein <= max_dist``,
+    without the all-pairs cross join.
+
+    Completeness argument (the reason this is exact, not a
+    heuristic): a single edit (insert/delete/substitute) touches one
+    position, so for strings of length >= 2*block any pair within
+    distance 1 agrees byte-for-byte on the first ``block`` chars OR
+    on the last ``block`` chars — the edit cannot be inside both.
+    Candidates are therefore the union of a prefix-block equality
+    join and a suffix-block equality join (each a plain shuffled
+    hash join on a short key), deduped, then filtered with the
+    built-in ``levenshtein`` (JVM codegen, no UDF). For
+    ``max_dist`` > 1 the same argument needs ``max_dist + 1``
+    blocks (q-gram pigeonhole); this implementation keeps the
+    2-block form and therefore REQUIRES ``max_dist == 1`` — it
+    raises otherwise rather than silently missing pairs.
+
+    Scale shape: two equality joins keyed on ``block``-char keys
+    (broadcast-convertible when one side is small; AQE handles skew
+    on popular prefixes), a distinct over candidate ids, one
+    levenshtein filter. Never a CartesianProduct — plan-gated in
+    tests. Output: (id_a, id_b, dist), id_a < id_b.
+    """
+    if max_dist != 1:
+        raise NotImplementedError(
+            "2-block (prefix|suffix) candidates are complete only for "
+            "max_dist=1; use q-gram pigeonhole blocking for larger radii"
+        )
+    base = df.select(
+        F.col(id_col).alias("_id"), F.col(s_col).alias("_s")
+    ).filter(F.length("_s") >= 2 * block)
+    pre = base.withColumn("_k", F.substring("_s", 1, block))
+    suf = base.withColumn(
+        "_k", F.substring("_s", -block, block)
+    )
+
+    def _pairs(side: DataFrame) -> DataFrame:
+        a = side.select(
+            F.col("_k"),
+            F.col("_id").alias("id_a"),
+            F.col("_s").alias("s_a"),
+        )
+        b = side.select(
+            F.col("_k"),
+            F.col("_id").alias("id_b"),
+            F.col("_s").alias("s_b"),
+        )
+        return a.join(b, "_k").filter(F.col("id_a") < F.col("id_b"))
+
+    cands = (
+        _pairs(pre)
+        .unionByName(_pairs(suf))
+        # length band is implied by dist<=1 but pruning before the
+        # distinct keeps the candidate set tight on skewed blocks
+        .filter(
+            F.abs(F.length("s_a") - F.length("s_b")) <= max_dist
+        )
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "dist", F.levenshtein(F.col("s_a"), F.col("s_b"))
+        )
+        .filter(F.col("dist") <= max_dist)
+        .select("id_a", "id_b", "dist")
+    )

@@ -201,6 +201,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_protobuf_sequencefile_round_trip",
     "fmt_protobuf_complex_round_trip",
     "quality_ccnet_buckets",
+    "dedup_edit_distance_blocked",
 )
 
 

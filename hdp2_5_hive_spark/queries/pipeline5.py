@@ -1652,3 +1652,53 @@ def quality_ccnet_buckets(spark, t):
     from ..operators import quality as ql
 
     return ql.ccnet_perplexity_buckets(t.documents, "doc_id", "text", "lang")
+
+
+@register(
+    "dedup_edit_distance_blocked",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 12)
+              ELSE concat(substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 5),
+                          'Z',
+                          substr(md5(CAST(doc_id // 2 AS VARCHAR)), 7, 6))
+         END AS title
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 1
+""",
+    category="pipeline",
+)
+def dedup_edit_distance_blocked(spark, t):
+    """Blocked edit-distance title dedup
+    (operators/dedup.edit_distance_pairs): every pair within
+    levenshtein 1, found via prefix-block ∪ suffix-block equality
+    joins (complete for distance 1 — one edit cannot change both the
+    first and last 3 chars of a 12-char string), never an all-pairs
+    join. Titles are derived deterministically from doc_id on BOTH
+    sides — consecutive (2g, 2g+1) docs share an md5-prefix title
+    with one mid-string substitution planted ('Z' never occurs in
+    hex, so each pair is at distance exactly 1). The brute-force
+    oracle proves candidate COMPLETENESS, not just precision."""
+    from ..operators import dedup as dd
+
+    g = F.expr("CAST(doc_id DIV 2 AS STRING)")
+    base = F.substring(F.md5(g), 1, 12)
+    titled = t.documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, base)
+        .otherwise(
+            F.concat(
+                F.substring(F.md5(g), 1, 5),
+                F.lit("Z"),
+                F.substring(F.md5(g), 7, 6),
+            )
+        )
+        .alias("title"),
+    )
+    return dd.edit_distance_pairs(titled, "doc_id", "title", max_dist=1)

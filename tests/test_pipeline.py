@@ -379,3 +379,68 @@ def test_stupid_backoff_tiers_hand_computed(spark):
     assert abs(
         out[3].bits_per_bigram - round(-math.log2(0.4 / 5), 6)
     ) < 1e-9
+
+
+def test_edit_distance_pairs_complete_vs_brute_force(spark):
+    """Edits planted at EVERY position class (prefix, middle,
+    suffix; substitute/insert/delete): the blocked join must find
+    exactly the brute-force distance<=1 pair set."""
+    import itertools
+
+    from hdp2_5_hive_spark.operators.dedup import edit_distance_pairs
+
+    bases = [
+        "abcdefgh", "qrstuvwx", "mnopqrst", "aaaabbbb", "zyxwvuts",
+    ]
+    strs = []
+    for i, b in enumerate(bases):
+        strs.append(b)
+        strs.append("Z" + b[1:])          # substitute at position 0
+        strs.append(b[:4] + "Z" + b[5:])  # substitute mid
+        strs.append(b[:-1] + "Z")         # substitute at last char
+        strs.append(b[:4] + "Z" + b[4:])  # insert mid
+        strs.append(b[1:])                # delete first char
+    rows = [(i, s) for i, s in enumerate(strs)]
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    expect = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 1 and len(a) >= 6 and len(b) >= 6
+    }
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs(df, "id", "s").collect()
+    }
+    assert got == expect and len(expect) > 10
+
+
+def test_edit_distance_pairs_never_cartesian(spark):
+    from hdp2_5_hive_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdefgx")], "id long, s string"
+    )
+    plan = edit_distance_pairs(df, "id", "s")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_edit_distance_pairs_rejects_wide_radius(spark):
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "id long, s string")
+    with _pytest.raises(NotImplementedError):
+        edit_distance_pairs(df, "id", "s", max_dist=2)
