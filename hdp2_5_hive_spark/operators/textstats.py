@@ -176,3 +176,45 @@ def normalize_unicode(
         .withColumn("changed", F.col("text_norm") != F.col("_orig"))
         .drop("_orig")
     )
+
+
+def char_entropy(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic gibberish/binary-junk signal: natural-language text sits
+    near its alphabet's entropy (~3.9-4.3 bits for English letters+
+    space), base64/hex blobs and keyboard mash sit far above or
+    below. Complements the word-level signals: it needs no tokenizer
+    and catches junk that still looks word-shaped.
+
+    Shape: explode to (doc, char) partial counts (map-side combine
+    collapses each doc's repeats before the one keyed shuffle), then
+    a per-doc aggregate — all built-ins. Float-parity discipline as
+    unigram_logprob: per-char -log2 p rounded to 6 decimals and
+    accumulated as DECIMAL(38,6), so the sum is exact and
+    order-independent for the DuckDB oracle.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("c"),
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy(id_col, "c").agg(F.count("*").alias("cc"))
+    totals = counts.groupBy(id_col).agg(F.sum("cc").alias("n"))
+    term = F.round(
+        -F.log2(F.col("cc").cast("double") / F.col("n").cast("double")),
+        6,
+    ).cast("decimal(38,6)")
+    return (
+        counts.join(totals, id_col)
+        .groupBy(id_col)
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count("*").cast("bigint").alias("n_uniq_chars"),
+            F.round(
+                F.sum(term * F.col("cc")).cast("double")
+                / F.max("n").cast("double"),
+                6,
+            ).alias("bits_per_char"),
+        )
+    )

@@ -202,6 +202,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_protobuf_complex_round_trip",
     "quality_ccnet_buckets",
     "dedup_edit_distance_blocked",
+    "text_char_entropy",
 )
 
 

@@ -1702,3 +1702,46 @@ def dedup_edit_distance_blocked(spark, t):
         .alias("title"),
     )
     return dd.edit_distance_pairs(titled, "doc_id", "title", max_dist=1)
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+counts AS (
+  SELECT doc_id, c, COUNT(*) AS cc FROM chars
+  WHERE c <> '' GROUP BY doc_id, c
+),
+totals AS (SELECT doc_id, SUM(cc) AS n FROM counts GROUP BY doc_id)
+SELECT doc_id,
+       CAST(MAX(n) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS n_uniq_chars,
+       CAST(ROUND(
+         CAST(SUM(CAST(ROUND(-LOG2(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS DECIMAL(38,6)) * cc) AS DOUBLE)
+         / CAST(MAX(n) AS DOUBLE), 6) AS DOUBLE) AS bits_per_char,
+       CAST(ROUND(
+         CAST(SUM(CAST(ROUND(-LOG2(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                       AS DECIMAL(38,6)) * cc) AS DOUBLE)
+         / CAST(MAX(n) AS DOUBLE), 6) AS DOUBLE) < 4.0 AS is_low_entropy
+FROM counts JOIN totals USING (doc_id)
+GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def text_char_entropy(spark, t):
+    """Character-entropy gibberish signal
+    (operators/textstats.char_entropy): per-doc Shannon bits/char
+    with the DECIMAL-exact accumulation discipline, plus a 4.0-bit
+    low-entropy flag (splits the letters-only synthetic corpus
+    non-vacuously — repetitive word salad sits either side). The
+    oracle recomputes character counts and the rounded-log sum from
+    raw text."""
+    from ..operators import textstats as ts
+
+    out = ts.char_entropy(t.documents, "doc_id", "text")
+    return out.withColumn(
+        "is_low_entropy", F.col("bits_per_char") < 4.0
+    )

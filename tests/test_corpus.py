@@ -865,3 +865,19 @@ def test_ccnet_buckets_exact_terciles_and_order(spark):
     assert b8.bits_per_token == b9.bits_per_token
     order = {"head": 0, "middle": 1, "tail": 2}
     assert order[b8.bucket] <= order[b9.bucket]
+
+
+def test_char_entropy_hand_computed(spark):
+    """'aabb' -> 1 bit/char; 'abcd' -> 2 bits; 'aaaa' -> 0 bits;
+    uniq counts and totals exact."""
+    from hdp2_5_hive_spark.operators.textstats import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aabb"), (2, "abcd"), (3, "aaaa")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert out[1].n_chars == 4 and out[1].n_uniq_chars == 2
+    assert abs(out[1].bits_per_char - 1.0) < 1e-6
+    assert abs(out[2].bits_per_char - 2.0) < 1e-6
+    assert out[3].n_uniq_chars == 1 and out[3].bits_per_char == 0.0
