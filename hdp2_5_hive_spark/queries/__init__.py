@@ -203,6 +203,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "quality_ccnet_buckets",
     "dedup_edit_distance_blocked",
     "text_char_entropy",
+    "corpus_attributes_two_phase",
 )
 
 

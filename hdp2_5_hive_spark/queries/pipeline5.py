@@ -1745,3 +1745,66 @@ def text_char_entropy(spark, t):
     return out.withColumn(
         "is_low_entropy", F.col("bits_per_char") < 4.0
     )
+
+
+@register(
+    "corpus_attributes_two_phase",
+    oracle="""
+WITH attrs AS (
+  SELECT doc_id, lang, source,
+         CAST(LEN(STRING_SPLIT_REGEX(LOWER(text), '\\s+')) AS BIGINT)
+           AS n_words,
+         CAST(LEN(LIST_INTERSECT(
+                LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(text), '\\s+')),
+                ['the','a','of','and','to','in','is'])) AS BIGINT)
+           AS stopword_hits
+  FROM documents
+)
+SELECT doc_id, lang, source, n_words, stopword_hits
+FROM attrs
+WHERE n_words >= 40 AND stopword_hits >= 1
+""",
+    category="pipeline",
+)
+def corpus_attributes_two_phase(spark, t):
+    """Dolma-style decoupled attributes pipeline (Soldaini et al.
+    2024, the Dolma toolkit's tag-then-filter architecture): phase 1
+    MATERIALIZES per-doc quality attributes to their own parquet
+    dataset partitioned by lang (computed once, reused by every
+    downstream filter iteration — at 100 TB you re-run the cheap
+    attribute JOIN, never the signal computation); phase 2 reads the
+    attribute dataset back and keeps docs passing the filter rules
+    (word-count + stopword evidence: 327/500 at sf0.01 —
+    non-vacuous). The join back to documents is keyed on doc_id;
+    partition pruning on lang applies to any per-language filter
+    run. Signals come from the same quality_features expressions the
+    text_profile oracle pins byte-for-byte."""
+    from ..operators.textstats import quality_features
+    from ..scratch import scratch_dir
+
+    d = scratch_dir("attrs_") + "/attributes"
+    feats = quality_features(F.col("text"))
+    (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            "source",
+            feats["n_words"].alias("n_words"),
+            feats["stopword_hits"].alias("stopword_hits"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(d)
+    )
+    attrs = spark.read.parquet(d)
+    kept = attrs.filter(
+        (F.col("n_words") >= 40) & (F.col("stopword_hits") >= 1)
+    )
+    # second phase joins attributes back to the corpus by id — the
+    # documents side contributes nothing new here (attrs carries the
+    # output columns) but the join IS the two-phase contract: text
+    # never re-tokenizes in phase 2
+    return (
+        kept.join(t.documents.select("doc_id"), "doc_id")
+        .select("doc_id", "lang", "source", "n_words", "stopword_hits")
+    )
