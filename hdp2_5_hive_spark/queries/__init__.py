@@ -204,6 +204,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "dedup_edit_distance_blocked",
     "text_char_entropy",
     "corpus_attributes_two_phase",
+    "events_scd2_history",
 )
 
 

@@ -565,3 +565,62 @@ def events_funnel_time_bound(spark, t):
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+@register(
+    "events_scd2_history",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events
+),
+chg AS (
+  SELECT *, LAG(event_type)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+),
+v AS (
+  SELECT user_id, event_type, ts, event_id FROM chg
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type AS state, ts AS effective_from,
+       LEAD(ts) OVER w AS effective_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    category="events",
+)
+def events_scd2_history(spark, t):
+    """Slowly-changing-dimension Type 2 history build — the classic
+    warehouse pattern Hive ETL jobs ran nightly (reference surface:
+    the INSERT OVERWRITE + window idiom, e.g. the windowing qfile
+    family ``ql/src/test/queries/clientpositive/windowing*.q``):
+    collapse each entity's event stream to its CHANGE points (lag
+    inequality — consecutive identical states never open a new
+    version), then assign [effective_from, effective_to) validity
+    intervals via lead and a version counter; the open interval is
+    the current row. Two windows over the same (user_id; ts,
+    event_id) order — Catalyst plans ONE sort/shuffle, the second
+    Window reuses the child ordering. Scale: everything is keyed by
+    entity; per-entity history fits a partition by construction."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    changes = (
+        t.events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn(
+            "is_change",
+            prev.isNull() | (F.col("event_type") != prev),
+        )
+        .filter("is_change")
+    )
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(w).alias("effective_to"),
+        F.row_number().over(w).cast("bigint").alias("version_no"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

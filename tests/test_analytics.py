@@ -37,3 +37,21 @@ def test_retention_day_zero_counts_every_user(spark):
     )
     assert rows[0] == n_users
     assert all(0 <= k <= 14 for k in rows)
+
+
+def test_scd2_single_sort_and_semantics(spark):
+    """SCD2 build: consecutive identical states never open a
+    version; intervals chain (to[i] == from[i+1]); exactly one
+    open (is_current) row per entity. Plan: the two Windows share
+    one Exchange+Sort (same partitioning and ordering)."""
+    qs = all_queries()
+    df = qs["events_scd2_history"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 2  # one physical sort (+subtree print)
+    rows = df.filter("user_id = 1").orderBy("version_no").collect()
+    assert rows, "user 1 should have history"
+    for a, b in zip(rows, rows[1:]):
+        assert a.state != b.state  # change points only
+        assert a.effective_to == b.effective_from  # intervals chain
+    assert [r.is_current for r in rows] == [False] * (len(rows) - 1) + [True]
