@@ -205,6 +205,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "text_char_entropy",
     "corpus_attributes_two_phase",
     "events_scd2_history",
+    "dedup_edit_distance_symdelete",
 )
 
 

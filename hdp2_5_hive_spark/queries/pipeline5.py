@@ -1808,3 +1808,57 @@ def corpus_attributes_two_phase(spark, t):
         kept.join(t.documents.select("doc_id"), "doc_id")
         .select("doc_id", "lang", "source", "n_words", "stopword_hits")
     )
+
+
+@register(
+    "dedup_edit_distance_symdelete",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 12)
+              ELSE concat(substr(md5(CAST(doc_id // 2 AS VARCHAR)), 1, 4),
+                          'Z',
+                          substr(md5(CAST(doc_id // 2 AS VARCHAR)), 6, 3),
+                          'Q',
+                          substr(md5(CAST(doc_id // 2 AS VARCHAR)), 10, 3))
+         END AS title
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.title, b.title) AS INTEGER) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 2
+""",
+    category="pipeline",
+)
+def dedup_edit_distance_symdelete(spark, t):
+    """Radius-2 edit-distance dedup via the deletion neighborhood
+    (operators/dedup.edit_distance_pairs_symdelete — FastSS/
+    SymSpell): candidates = equality join on all <=2-deletion
+    variants, complete because <=2 edits delete at most 2 aligned
+    chars from each side; verify = built-in levenshtein. Planted
+    pairs sit at distance EXACTLY 2 (two substitutions, 'Z'/'Q'
+    never occur in hex), outside any distance-1 method's reach.
+    Brute-force oracle proves completeness at the wider radius."""
+    from ..operators import dedup as dd
+
+    g = F.expr("CAST(doc_id DIV 2 AS STRING)")
+    md = F.md5(g)
+    titled = t.documents.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.substring(md, 1, 12))
+        .otherwise(
+            F.concat(
+                F.substring(md, 1, 4),
+                F.lit("Z"),
+                F.substring(md, 6, 3),
+                F.lit("Q"),
+                F.substring(md, 10, 3),
+            )
+        )
+        .alias("title"),
+    )
+    return dd.edit_distance_pairs_symdelete(
+        titled, "doc_id", "title", max_dist=2
+    )

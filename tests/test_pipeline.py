@@ -444,3 +444,74 @@ def test_edit_distance_pairs_rejects_wide_radius(spark):
     df = spark.createDataFrame([(1, "abcdefgh")], "id long, s string")
     with _pytest.raises(NotImplementedError):
         edit_distance_pairs(df, "id", "s", max_dist=2)
+
+
+def test_symdelete_pairs_complete_vs_brute_force_radius2(spark):
+    """Distance-2 perturbations of every operation mix (2 subs,
+    sub+insert, 2 deletes, insert+delete, edits at string ends):
+    deletion-neighborhood join finds exactly the brute-force
+    distance<=2 pair set — including pairs distance-1 methods
+    cannot see."""
+    import itertools
+
+    from hdp2_5_hive_spark.operators.dedup import (
+        edit_distance_pairs_symdelete,
+    )
+
+    bases = ["abcdefghij", "qrstuvwxyz", "mnopqrstuv"]
+    strs = []
+    for b in bases:
+        strs += [
+            b,
+            "Z" + b[1:-1] + "Q",          # sub first + sub last
+            b[:3] + "ZQ" + b[5:],         # two mid subs
+            b[2:],                        # two deletes (prefix)
+            b[:4] + "Z" + b[4:-1],        # insert + delete
+            b + "ZQ",                     # two inserts (suffix)
+        ]
+    rows = [(i, s) for i, s in enumerate(strs)]
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return d[len(b)]
+
+    expect = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if lev(a, b) <= 2
+    }
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in edit_distance_pairs_symdelete(df, "id", "s").collect()
+    }
+    assert got == expect
+    assert any(d == 2 for _, _, d in expect)  # radius genuinely used
+
+
+def test_symdelete_never_cartesian_and_rejects_wide_radius(spark):
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.operators.dedup import (
+        edit_distance_pairs_symdelete,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, "abcdexgh")], "id long, s string"
+    )
+    plan = (
+        edit_distance_pairs_symdelete(df, "id", "s")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with _pytest.raises(NotImplementedError):
+        edit_distance_pairs_symdelete(df, "id", "s", max_dist=3)

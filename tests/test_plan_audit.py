@@ -450,6 +450,9 @@ NESTED_LOOP_OK = {
     "quality_stupid_backoff": "scalar",
     # bm25's 1-row (n_docs, avgdl) stats broadcast inside the fused plan
     "retrieval_rrf_hybrid": "scalar",
+    # unigram_logprob's 1-row corpus-total broadcast under the tercile
+    # window (same node as quality_unigram_bits)
+    "quality_ccnet_buckets": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
