@@ -206,6 +206,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_attributes_two_phase",
     "events_scd2_history",
     "dedup_edit_distance_symdelete",
+    "acid_minor_compaction",
 )
 
 

@@ -244,3 +244,61 @@ def acid_major_compaction(spark, t):
     return ac.read_acid_table(spark, d).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@register(
+    "acid_minor_compaction",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 5 = 0 THEN 'REGION_UPDATED'
+            WHEN n_nationkey % 3 = 0 THEN 'MINOR_TOUCHED'
+            ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+WHERE n_nationkey % 7 <> 0
+""",
+    category="acid",
+)
+def acid_minor_compaction(spark, t):
+    """MINOR compaction (reference ``ql/txn/compactor/CompactorMR.
+    java`` minor mode; Initiator picks it when delta COUNT, not
+    size, crosses hive.compactor.delta.num.threshold): three deltas
+    (update, delete, second update) above the base are consolidated
+    into ONE delta_lo_hi with every event preserved — deletes
+    included, because the merged delta must still mask base rows —
+    and the base untouched. The read-back answer must equal the
+    pre-compaction merge-on-read; dir-shape and delete-event
+    preservation are pinned in tests/test_acid.py."""
+    from ..scratch import scratch_dir
+    from ..sources import acid as ac
+
+    d = scratch_dir("acid_minor_") + "/tbl"
+    n = t.nation.select(
+        F.lit(1).cast("long").alias("originalTransaction"),
+        F.lit(0).alias("bucket"),
+        F.col("n_nationkey").cast("long").alias("rowId"),
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    )
+    ac.write_acid_events(n, d, kind="base", write_id=1)
+    upd = n.filter(F.col("n_nationkey") % 3 == 0).withColumn(
+        "n_name", F.lit("MINOR_TOUCHED")
+    )
+    ac.write_acid_events(
+        upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE
+    )
+    dele = n.filter(F.col("n_nationkey") % 7 == 0)
+    ac.write_acid_events(
+        dele, d, kind="delta", write_id=3, operation=ac.OP_DELETE
+    )
+    upd2 = n.filter(
+        (F.col("n_nationkey") % 5 == 0) & (F.col("n_nationkey") % 7 != 0)
+    ).withColumn("n_name", F.lit("REGION_UPDATED"))
+    ac.write_acid_events(
+        upd2, d, kind="delta", write_id=4, operation=ac.OP_UPDATE
+    )
+    ac.compact_acid_minor(spark, d)
+    return ac.read_acid_table(spark, d).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )

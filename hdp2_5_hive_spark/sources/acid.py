@@ -333,12 +333,31 @@ def write_acid_events(
     return path
 
 
-def read_acid_table(spark: SparkSession, table_dir: str) -> DataFrame:
+def read_acid_table(
+    spark: SparkSession, table_dir: str, *, prune_barrier: bool = False
+) -> DataFrame:
     """Merge-on-read over the native base/delta layout: latest
     ``currentTransaction`` per (originalTransaction, bucket, rowId)
     wins; winning deletes drop. Returns the payload columns only —
     the logical table Hive's reader (OrcInputFormat + AcidUtils
     merger) would present.
+
+    ``prune_barrier``: the ORC library UNCONDITIONALLY detects the
+    acid event layout in file footers (``orc/impl/SchemaEvolution.
+    checkAcidSchema`` — field list operation..row) and remaps reader
+    columns by an acid offset; any Spark scan whose required schema
+    is a strict SUBSET of the six event columns then crashes with
+    ArrayIndexOutOfBounds (verified on ORC 2.2/Spark 4.1: plain and
+    non-vectorized readers alike). Full-schema scans are safe, and
+    every plan that keeps any payload column is full-schema — but a
+    bare ``.count()`` / metadata-only action prunes everything and
+    dies inside the ORC reader. ``prune_barrier=True`` inserts a
+    lazy ``localCheckpoint`` between the merge and the consumer, so
+    downstream pruning can never reach the file scan. Costs one
+    materialization of the merged table (MEMORY_AND_DISK) — the
+    right trade for migration-shaped reads (read once, write out),
+    wrong for a single wide scan that already keeps payload columns,
+    hence opt-in.
 
     Base selection follows ``AcidUtils.getAcidState``: only the
     HIGHEST base_<writeId> is read (a compacted base already folded
@@ -384,7 +403,8 @@ def read_acid_table(spark: SparkSession, table_dir: str) -> DataFrame:
         .filter(F.col("_rn") == 1)
         .filter(F.col("operation") != OP_DELETE)
     )
-    return latest.select("row.*")
+    out = latest.select("row.*")
+    return out.localCheckpoint(eager=False) if prune_barrier else out
 
 
 def compact_acid_table(
@@ -456,3 +476,60 @@ def compact_acid_table(
         for d in old_dirs:
             _shutil.rmtree(d, ignore_errors=True)
     return new_base
+
+
+def compact_acid_minor(
+    spark: SparkSession, table_dir: str, *, clean: bool = True
+) -> str:
+    """MINOR compaction (reference ``ql/txn/compactor/CompactorMR.
+    java`` minor mode): consolidate the delta_* directories ABOVE
+    the current base into ONE ``delta_<lo>_<hi>`` directory, WITHOUT
+    touching the base and WITHOUT dropping delete events — unlike
+    major compaction, the merged delta must still mask base rows, so
+    every event survives verbatim (Hive's minor compactor merges the
+    sorted event streams; it never applies them). This is the cheap
+    frequent compaction that keeps small-delta file counts bounded
+    between major runs.
+
+    Returns the new delta directory path (or the single existing
+    one if there is nothing to merge). Scale: one union-read of the
+    delta events + one ORC write — no shuffle at all (events pass
+    through partition-wise; latest-wins stays the READER's job)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    base_id = -1
+    deltas = []
+    for d in sorted(_glob.glob(f"{table_dir}/*")):
+        name = d.rsplit("/", 1)[-1]
+        if name.startswith("base_"):
+            base_id = max(base_id, int(name.split("_")[1]))
+        elif name.startswith("delta_"):
+            parts = name.split("_")
+            deltas.append((int(parts[1]), int(parts[2]), d))
+    live = sorted((lo, hi, d) for lo, hi, d in deltas if lo > base_id)
+    if not live:
+        raise FileNotFoundError(
+            f"no deltas above base_{base_id} under {table_dir}"
+        )
+    if len(live) == 1:
+        return live[0][2]
+    lo = min(l for l, _, _ in live)
+    hi = max(h for _, h, _ in live)
+    files = sorted(
+        set(
+            f
+            for _, _, d in live
+            for f in _glob.glob(f"{d}/*.orc") + _glob.glob(f"{d}/part-*")
+        )
+    )
+    events = spark.read.format("orc").load(files)
+    new_delta = f"{table_dir}/delta_{lo:07d}_{hi:07d}"
+    tmp = f"{table_dir}/_compactor_tmp_delta_{lo:07d}_{hi:07d}"
+    events.write.mode("overwrite").orc(tmp)
+    for _, _, d in live:
+        if clean:
+            _shutil.rmtree(d, ignore_errors=True)
+    _os.rename(tmp, new_delta)
+    return new_delta

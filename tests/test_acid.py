@@ -345,3 +345,85 @@ def test_acid_compaction_without_clean_keeps_readers_correct(spark, tmp_path):
     ac.compact_acid_table(spark, d, clean=False)
     got = {r.k for r in ac.read_acid_table(spark, d).collect()}
     assert got == {0, 1, 3}
+
+
+def test_acid_minor_compaction_consolidates_preserving_deletes(spark, tmp_path):
+    """Minor compaction: three deltas above the base collapse into
+    ONE delta_lo_hi; the base is untouched; delete EVENTS survive in
+    the merged delta (they must still mask base rows — the semantics
+    that distinguish minor from major); the reader's answer is
+    byte-identical pre/post."""
+    import glob as g
+
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(6)],
+        "originalTransaction long, bucket int, rowId long, k long, val string",
+    )
+    ac.write_acid_events(rows, d, kind="base", write_id=1)
+    ac.write_acid_events(
+        rows.filter("rowId IN (1, 3)").withColumn("val", F.lit("u")),
+        d, kind="delta", write_id=2, operation=ac.OP_UPDATE,
+    )
+    ac.write_acid_events(
+        rows.filter("rowId = 4"), d, kind="delta", write_id=3,
+        operation=ac.OP_DELETE,
+    )
+    ac.write_acid_events(
+        rows.filter("rowId = 0").withColumn("val", F.lit("w")),
+        d, kind="delta", write_id=4, operation=ac.OP_UPDATE,
+    )
+    before = {(r.k, r.val) for r in ac.read_acid_table(spark, d).collect()}
+    new_delta = ac.compact_acid_minor(spark, d)
+    dirs = sorted(
+        x.rsplit("/", 1)[-1] for x in g.glob(f"{d}/*") if "_tmp_" not in x
+    )
+    assert dirs == ["base_0000001", "delta_0000002_0000004"], dirs
+    assert new_delta.endswith("delta_0000002_0000004")
+    after = {(r.k, r.val) for r in ac.read_acid_table(spark, d).collect()}
+    assert after == before == {(0, "w"), (1, "u"), (2, "v2"), (3, "u"), (5, "v5")}
+    # the delete event itself is still present in the merged delta.
+    # NOTE full-schema read (collect, not a pruned count): ORC's
+    # checkAcidSchema makes subset-schema scans of acid-layout files
+    # crash — see read_acid_table's prune_barrier docstring.
+    ev = spark.read.format("orc").load(
+        sorted(set(g.glob(f"{new_delta}/part-*") + g.glob(f"{new_delta}/*.orc")))
+    )
+    assert sum(r.operation == ac.OP_DELETE for r in ev.collect()) == 1
+    # idempotent / single-delta case: nothing to merge, same dir back
+    assert ac.compact_acid_minor(spark, d) == new_delta
+
+
+def test_acid_pruned_scan_hazard_and_barrier(spark, tmp_path):
+    """ORC (2.x) unconditionally detects the acid event layout in
+    file footers and remaps subset reader schemas by the acid
+    offset, so a bare count() over the merged table crashes inside
+    the ORC reader (ArrayIndexOutOfBounds wrapped as
+    FAILED_READ_FILE). prune_barrier=True must make the identical
+    action succeed. If a Spark/ORC upgrade fixes the upstream bug,
+    the xfail-style first assertion flags it so the barrier can be
+    retired."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(4)],
+        "originalTransaction long, bucket int, rowId long, k long, val string",
+    )
+    ac.write_acid_events(rows, d, kind="base", write_id=1)
+    ac.write_acid_events(
+        rows.filter("rowId = 2"), d, kind="delta", write_id=2,
+        operation=ac.OP_DELETE,
+    )
+    with _pytest.raises(Exception, match="FAILED_READ_FILE"):
+        ac.read_acid_table(spark, d).count()
+    t = ac.read_acid_table(spark, d, prune_barrier=True)
+    assert t.count() == 3
+    assert t.select("k").count() == 3
+    assert {r.k for r in t.collect()} == {0, 1, 3}

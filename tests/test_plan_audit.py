@@ -446,6 +446,8 @@ NESTED_LOOP_OK = {
     "corpus_token_drift": "scalar",
     # 1-row corpus-doc-count broadcast carrying the DF threshold
     "corpus_boilerplate_filter": "scalar",
+    # v6 composes boilerplate_filter: same 1-row threshold broadcast
+    "corpus_clean_v6": "scalar",
     # 1-row N-total broadcast in the backoff probability
     "quality_stupid_backoff": "scalar",
     # bm25's 1-row (n_docs, avgdl) stats broadcast inside the fused plan
