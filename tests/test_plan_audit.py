@@ -670,3 +670,58 @@ def test_pagerank_round_is_join_plus_partial_agg(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
+    """Hive-on-Tez dynamic semi-join reduction parity (reference
+    ``ql/optimizer/DynamicPartitionPruningOptimization.java`` /
+    hive.tez.dynamic.semijoin.reduction — a bloom filter built from
+    the filtered dim side prunes fact rows BEFORE the shuffle):
+    Spark's runtime bloom-filter injection is the same optimization
+    (spark.sql.optimizer.runtime.bloomFilter). With thresholds
+    cleared and broadcast disabled (a broadcast join needs no
+    reduction), the selective orders filter must inject a
+    BloomFilterMightContain probe on lineitem's scan side."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.enabled", "true"
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+            "100MB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = li.join(
+            od, li.l_orderkey == od.o_orderkey
+        ).groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("q"))
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+        assert joined.count() >= 1  # and it still computes correctly
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
