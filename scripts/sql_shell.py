@@ -36,6 +36,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def run_statement(spark, ctx, res, sql: str, max_rows: int) -> None:
     t0 = time.time()
+    from hdp2_5_hive_spark.functions import explain_dep
+
+    inner = explain_dep.match(ctx.substitute(spark, sql))
+    if inner is not None:
+        print(explain_dep.explain_dependency(spark, ctx.sql(spark, inner)))
+        print(f"-- ok in {time.time() - t0:.2f}s", file=sys.stderr)
+        return
     lines = res.process(
         spark, ctx.substitute(spark, sql),
         run_statement=lambda s: run_statement(spark, ctx, res, s, max_rows),

@@ -210,3 +210,48 @@ def test_sql_server_rpc_concurrent_clients(spark, sf_dir):
         assert len(big["rows"]) == _srv_mod.MAX_ROWS
     finally:
         srv.shutdown()
+
+
+def test_explain_dependency_lineage(spark):
+    """EXPLAIN DEPENDENCY (ExplainTask.getJSONDependencies): input
+    tables come from resolved references only — CTE/subquery aliases
+    excluded, every real view listed once; partitioned scans report
+    their pushed partition predicates."""
+    import json
+
+    from hdp2_5_hive_spark.catalog import register_views
+    from hdp2_5_hive_spark.functions import explain_dep
+
+    register_views(spark, "/root/testdata/sf0.001")
+    assert explain_dep.match("SELECT 1") is None
+    inner = explain_dep.match(
+        "EXPLAIN DEPENDENCY WITH big AS (SELECT o_custkey FROM orders "
+        "WHERE o_totalprice > 1000) "
+        "SELECT c_name FROM customer JOIN big ON c_custkey = o_custkey"
+    )
+    assert inner is not None
+    out = json.loads(
+        explain_dep.explain_dependency(spark, spark.sql(inner))
+    )
+    names = {t["tablename"] for t in out["input_tables"]}
+    assert names == {"default@customer", "default@orders"}, names
+    assert out["input_partitions"] == []
+
+
+def test_explain_dependency_partition_filters(spark, tmp_path):
+    import json
+
+    from hdp2_5_hive_spark.functions import explain_dep
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "id int, p int"
+    )
+    path = str(tmp_path / "pt")
+    src.write.partitionBy("p").parquet(path)
+    spark.read.parquet(path).filter(F.col("p") == 1).createOrReplaceTempView(
+        "exp_dep_pt"
+    )
+    df = spark.sql("SELECT id FROM exp_dep_pt")
+    out = json.loads(explain_dep.explain_dependency(spark, df))
+    assert any("p" in x for x in out["input_partitions"]), out
