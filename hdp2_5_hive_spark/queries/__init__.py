@@ -207,6 +207,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "events_scd2_history",
     "dedup_edit_distance_symdelete",
     "acid_minor_compaction",
+    "corpus_epoch_plan",
 )
 
 

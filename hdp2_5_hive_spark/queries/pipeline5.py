@@ -1862,3 +1862,72 @@ def dedup_edit_distance_symdelete(spark, t):
     return dd.edit_distance_pairs_symdelete(
         titled, "doc_id", "title", max_dist=2
     )
+
+
+@register(
+    "corpus_epoch_plan",
+    oracle="""
+WITH per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars // 4) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+sm AS (
+  SELECT *, CAST(ROUND(SQRT(CAST(n_tokens AS DOUBLE)), 6)
+                 AS DECIMAL(38,6)) AS smooth
+  FROM per_src
+),
+tot AS (SELECT SUM(smooth) AS z FROM sm)
+SELECT source, n_docs, n_tokens,
+       CAST(ROUND(CAST(smooth AS DOUBLE) / CAST(z AS DOUBLE), 6) AS DOUBLE)
+         AS weight,
+       CAST(ROUND(145000 * ROUND(CAST(smooth AS DOUBLE) / CAST(z AS DOUBLE), 6), 0)
+         AS BIGINT) AS planned_tokens,
+       CAST(ROUND(ROUND(145000 * ROUND(CAST(smooth AS DOUBLE) / CAST(z AS DOUBLE), 6), 0)
+             / CAST(n_tokens AS DOUBLE), 3) AS DOUBLE) AS epochs,
+       ROUND(ROUND(145000 * ROUND(CAST(smooth AS DOUBLE) / CAST(z AS DOUBLE), 6), 0)
+             / CAST(n_tokens AS DOUBLE), 3) > 4.0 AS over_cap
+FROM sm, tot
+""",
+    category="pipeline",
+)
+def corpus_epoch_plan(spark, t):
+    """Data-constrained mixing planner (Muennighoff et al. 2023,
+    "Scaling Data-Constrained Language Models"): given a token
+    budget and temperature-smoothed source weights (α=0.5 — the
+    multilingual-sampling exponent), emit the per-source epoch
+    (repetition) table a training run would consume, flagging
+    sources whose plan exceeds the ~4-epoch point of diminishing
+    returns. Pure keyed aggregate + 1-row total; determinism
+    discipline: sqrt weights round to 6 decimals into DECIMAL(38,6)
+    before the normalizing sum, so both engines add exactly."""
+    budget = 145_000
+    per_src = t.documents.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.expr("n_chars DIV 4")).cast("bigint").alias("n_tokens"),
+    )
+    sm = per_src.withColumn(
+        "smooth",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6).cast(
+            "decimal(38,6)"
+        ),
+    )
+    tot = sm.agg(F.sum("smooth").alias("z"))
+    w = F.round(
+        F.col("smooth").cast("double") / F.col("z").cast("double"), 6
+    )
+    planned = F.round(F.lit(budget) * w, 0).cast("bigint")
+    epochs = F.round(planned / F.col("n_tokens").cast("double"), 3)
+    return (
+        sm.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            w.cast("double").alias("weight"),
+            planned.alias("planned_tokens"),
+            epochs.cast("double").alias("epochs"),
+            (epochs > 4.0).alias("over_cap"),
+        )
+    )
