@@ -407,7 +407,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 # streams from FetchTask; a driver-side bounded take is
                 # the single-process analogue — raise result_cap for
                 # bigger result sets, or add LIMIT in the statement)
-                srv.ops[oid] = (df, df.take(srv.result_cap), 0)
+                srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
                 resp = (
                     _fld(1, tp.T_STRUCT, _status(SUCCESS))
                     + _fld(
@@ -503,7 +503,7 @@ class _Handler(socketserver.StreamRequestHandler):
             if not rows:
                 df = df.limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.take(srv.result_cap), 0)
+            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -542,7 +542,62 @@ class _Handler(socketserver.StreamRequestHandler):
                     [("x",)], "TABLE_CAT string"
                 ).limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.take(srv.result_cap), 0)
+            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
+        if name == "GetFunctions":
+            # TGetFunctionsReq (:880): 1 session, 2 catalog, 3 schema
+            # pattern, 4 function pattern. Served straight from the
+            # engine's SQL function registry (SHOW FUNCTIONS parity —
+            # the same surface ddl_show_functions audits), ODBC
+            # getFunctions() layout; '%'/None = all, else exact name.
+            spark = srv.spark
+            fn_pat = args[0][3] if len(args[0]) > 3 else None
+            names_all = [
+                r[0] for r in spark.sql("SHOW FUNCTIONS").collect()
+            ]
+            if fn_pat and fn_pat not in ("%", ""):
+                names_all = [n for n in names_all if n == fn_pat]
+            df = spark.createDataFrame(
+                [(None, None, n, None, 1, n) for n in names_all]
+                or [(None, None, "__none__", None, 1, "__none__")],
+                "FUNCTION_CAT string, FUNCTION_SCHEM string, "
+                "FUNCTION_NAME string, REMARKS string, "
+                "FUNCTION_TYPE int, SPECIFIC_NAME string",
+            )
+            if not names_all:
+                df = df.limit(0)
+            oid = srv.new_id()
+            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
+            resp = (
+                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
+                + _stop()
+            )
+            return _reply(name, seqid, resp)
+        if name == "GetTypeInfo":
+            # TGetTypeInfoReq (:747): the static ODBC type table a
+            # driver caches at connect (java.sql.Types codes; the
+            # subset ODBC/JDBC tooling actually reads).
+            spark = srv.spark
+            types = [
+                ("BOOLEAN", 16), ("TINYINT", -6), ("SMALLINT", 5),
+                ("INT", 4), ("BIGINT", -5), ("FLOAT", 6),
+                ("DOUBLE", 8), ("STRING", 12), ("CHAR", 1),
+                ("VARCHAR", 12), ("DATE", 91), ("TIMESTAMP", 93),
+                ("BINARY", -2), ("DECIMAL", 3), ("ARRAY", 2003),
+                ("MAP", 2000), ("STRUCT", 2002),
+            ]
+            df = spark.createDataFrame(
+                [(n, c, None) for n, c in types],
+                "TYPE_NAME string, DATA_TYPE int, PRECISION int",
+            )
+            oid = srv.new_id()
+            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))

@@ -247,3 +247,39 @@ def test_concurrent_wire_clients(hs2):
         b = ex.submit(run, 2)
         ra, rb = a.result(120), b.result(120)
     assert ra == [(1, 25)] and rb == [(2, 25)]
+
+
+def test_get_functions_and_type_info(hs2):
+    """GetFunctions (registry-backed, pattern filter) + GetTypeInfo
+    (static ODBC type table) — the remaining ODBC metadata entry
+    points a driver calls at connect."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+
+    req = (
+        hw._fld(1, tp.T_STRUCT, cli._handle_struct(cli.session))
+        + hw._fld(4, tp.T_STRING, hw._string("concat_ws"))
+        + hw._stop()
+    )
+    op = cli._call("GetFunctions", req)[1][0][0]
+    if isinstance(op, str):
+        op = op.encode("latin-1")
+    rows, _ = cli.fetch(op)
+    assert [r[2] for r in rows] == ["concat_ws"]
+    assert rows[0][5] == "concat_ws"  # SPECIFIC_NAME mirrors
+
+    op = cli._call(
+        "GetTypeInfo",
+        hw._fld(1, tp.T_STRUCT, cli._handle_struct(cli.session)) + hw._stop(),
+    )[1][0][0]
+    if isinstance(op, str):
+        op = op.encode("latin-1")
+    schema = cli.schema(op)
+    assert [c[0] for c in schema][:2] == ["TYPE_NAME", "DATA_TYPE"]
+    all_rows, more = [], True
+    while more:
+        rows, more = cli.fetch(op, max_rows=100)
+        all_rows += rows
+    by_name = {r[0]: r[1] for r in all_rows}
+    assert by_name["BIGINT"] == -5 and by_name["TIMESTAMP"] == 93
+    cli.close()
