@@ -218,3 +218,55 @@ def char_entropy(
             ).alias("bits_per_char"),
         )
     )
+
+
+def html_extract(
+    df: DataFrame, id_col: str = "doc_id", html_col: str = "html"
+) -> DataFrame:
+    """HTML -> text extraction (the step every web-crawl pipeline
+    runs before any quality/dedup signal; cf. jusText / the WET
+    extraction of Common Crawl): drop <script>/<style> subtrees
+    (their TEXT is not content), strip remaining tags, decode the
+    five XML entities, collapse whitespace. Pure JVM regexp chain —
+    map-only, no UDF; the patterns live in the RE2 ∩ java.util.regex
+    common subset ((?s) inline flag, non-greedy spans, character
+    classes) so a SQL oracle reproduces them byte-for-byte.
+
+    This is the regex tier: a real DOM parser handles malformed
+    nesting better, but on crawl-scale data the regex tier is what
+    runs FIRST (and what Hive pipelines ran as TRANSFORM scripts);
+    title is extracted separately before tags are stripped.
+    """
+    h = F.col(html_col)
+    title = F.regexp_extract(h, r"(?s)<h1[^>]*>(.*?)</h1>", 1)
+    # two passes, no backreference — RE2 (the oracle engine) has none
+    no_scripts = F.regexp_replace(
+        F.regexp_replace(h, r"(?s)<script[^>]*>.*?</script>", " "),
+        r"(?s)<style[^>]*>.*?</style>",
+        " ",
+    )
+    no_tags = F.regexp_replace(no_scripts, r"(?s)<[^>]+>", " ")
+    decoded = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(no_tags, r"&lt;", "<"),
+                    r"&gt;",
+                    ">",
+                ),
+                r"&quot;",
+                "\"",
+            ),
+            r"&#39;",
+            "'",
+        ),
+        r"&amp;",
+        "&",
+    )
+    text = F.trim(F.regexp_replace(decoded, r"[ \t\n\r\f]+", " "))
+    return df.select(
+        F.col(id_col),
+        title.alias("title"),
+        text.alias("text_extracted"),
+        F.length(text).alias("n_chars_extracted"),
+    )

@@ -208,6 +208,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "dedup_edit_distance_symdelete",
     "acid_minor_compaction",
     "corpus_epoch_plan",
+    "text_html_extract",
 )
 
 

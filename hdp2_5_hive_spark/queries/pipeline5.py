@@ -1931,3 +1931,77 @@ def corpus_epoch_plan(spark, t):
             (epochs > 4.0).alias("over_cap"),
         )
     )
+
+
+@register(
+    "text_html_extract",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         concat(
+           '<html><head><script type="text/javascript">var v=', CAST(doc_id AS VARCHAR),
+           ';</script><style>p{margin:0}</style></head><body>',
+           '<h1 class="t">Doc ', CAST(doc_id AS VARCHAR), '</h1>',
+           '<p>', substr(text, 1, 80), ' &amp; more &lt;stuff&gt;</p>',
+           '<div class="nav">home | about</div></body></html>'
+         ) AS html
+  FROM documents
+),
+ex AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<[^>]+>', ' ', 'g'),
+                   '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'),
+           '[ \t\n\r\f]+', ' ', 'g')) AS almost
+  FROM seeded
+),
+fin AS (
+  SELECT doc_id,
+         regexp_extract((SELECT html FROM seeded s WHERE s.doc_id = ex.doc_id),
+                        '(?s)<h1[^>]*>(.*?)</h1>', 1) AS title,
+         replace(almost, '&amp;', '&') AS text_extracted
+  FROM ex
+)
+SELECT doc_id, title, text_extracted,
+       CAST(LEN(text_extracted) AS BIGINT) AS n_chars_extracted
+FROM fin
+""",
+    category="pipeline",
+)
+def text_html_extract(spark, t):
+    """HTML -> text extraction (operators/textstats.html_extract):
+    the WET-style first pass of a crawl pipeline — script/style
+    subtrees dropped, tags stripped, the five XML entities decoded,
+    whitespace collapsed, <h1> title pulled before stripping. The
+    synthetic corpus is plain text, so deterministic HTML wrappers
+    (entities included) are injected from doc_id/text identically on
+    both sides; the oracle replays the identical RE2-safe regex
+    chain in SQL."""
+    from ..operators import textstats as ts
+
+    seeded = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><head><script type="text/javascript">var v='),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script><style>p{margin:0}</style></head><body>"),
+            F.lit('<h1 class="t">Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.substring(F.col("text"), 1, 80),
+            F.lit(" &amp; more &lt;stuff&gt;</p>"),
+            F.lit('<div class="nav">home | about</div></body></html>'),
+        ).alias("html"),
+    )
+    return ts.html_extract(seeded, "doc_id", "html")

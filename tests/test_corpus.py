@@ -881,3 +881,23 @@ def test_char_entropy_hand_computed(spark):
     assert abs(out[1].bits_per_char - 1.0) < 1e-6
     assert abs(out[2].bits_per_char - 2.0) < 1e-6
     assert out[3].n_uniq_chars == 1 and out[3].bits_per_char == 0.0
+
+
+def test_html_extract_hand_computed(spark):
+    from hdp2_5_hive_spark.operators.textstats import html_extract
+
+    df = spark.createDataFrame(
+        [
+            (1, '<html><head><script>x<y;</script><style>a{}</style>'
+                '</head><body><h1 id="z">My  Title</h1>'
+                '<p>Hello &amp; bye &lt;tag&gt; &quot;q&#39;</p></body></html>'),
+            (2, "<p>no title</p>"),
+        ],
+        "doc_id long, html string",
+    )
+    out = {r.doc_id: r for r in html_extract(df).collect()}
+    assert out[1].title == "My  Title"  # extracted BEFORE collapse
+    assert out[1].text_extracted == 'My Title Hello & bye <tag> "q\''
+    # script TEXT never leaks (x<y; is gone), style text gone
+    assert "x<y" not in out[1].text_extracted
+    assert out[2].title == "" and out[2].text_extracted == "no title"
