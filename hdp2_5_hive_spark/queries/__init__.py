@@ -209,6 +209,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "acid_minor_compaction",
     "corpus_epoch_plan",
     "text_html_extract",
+    "fmt_parquet_bloom_filter",
 )
 
 

@@ -1071,3 +1071,41 @@ def hs2_wire_round_trip(spark, t):
     return spark.createDataFrame(
         rows, "c_custkey long, c_name string, c_acctbal double"
     )
+
+
+@register(
+    "fmt_parquet_bloom_filter",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_name IN ('Supplier#000000013', 'Supplier#000000042')
+""",
+    category="formats",
+)
+def fmt_parquet_bloom_filter(spark, t):
+    """Parquet bloom filters — the parquet twin of ORC's bloom
+    row-group skipping (reference ``ql/io/orc/WriterImpl.java:
+    152-171`` bloom filter streams; Hive sets them via
+    orc.bloom.filter.columns): written through the standard
+    ``parquet.bloom.filter.enabled#col`` writer option, consulted by
+    parquet-mr's row-group filter on equality/IN probes over
+    non-dictionary-only columns. Point-lookup round trip proves
+    read-path correctness; the bloom section's presence is pinned by
+    the size-delta test in tests/test_writes.py (pyarrow 16 does not
+    expose bloom offsets). At warehouse scale this is the difference
+    between scanning every row group of a 100 TB table and touching
+    only candidates for a needle-in-haystack probe."""
+    from ..scratch import scratch_dir
+
+    d = scratch_dir("fmt_pq_bloom_")
+    (
+        t.supplier.select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#s_name", "true")
+        .option("parquet.bloom.filter.expected.ndv#s_name", "100000")
+        .parquet(d)
+    )
+    return spark.read.parquet(d).filter(
+        F.col("s_name").isin(
+            "Supplier#000000013", "Supplier#000000042"
+        )
+    )

@@ -272,3 +272,38 @@ def test_zorder_layout_tightens_second_column_stats(spark, tmp_path):
     assert z_x < 64 / 2, z_x
     # No rows lost.
     assert spark.read.parquet(z_path).count() == 64 * 64
+
+
+def test_parquet_bloom_filter_bytes_written(spark, tmp_path):
+    """parquet.bloom.filter.enabled#col: identical data written with
+    and without the option — the bloomed file must carry the bloom
+    section (>=1 KiB growth at NDV 100k; pyarrow 16 exposes no bloom
+    offsets, so the size delta is the footprint pin) and still read
+    back identically."""
+    import glob
+    import os
+
+    src = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    sizes = {}
+    for name, opts in (
+        ("plain", {}),
+        (
+            "bloom",
+            {
+                "parquet.bloom.filter.enabled#s_name": "true",
+                "parquet.bloom.filter.expected.ndv#s_name": "100000",
+            },
+        ),
+    ):
+        p = str(tmp_path / name)
+        w = src.coalesce(1).write
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.parquet(p)
+        sizes[name] = os.path.getsize(glob.glob(f"{p}/part-*.parquet")[0])
+    assert sizes["bloom"] - sizes["plain"] >= 1024, sizes
+    a = {r.s_suppkey for r in spark.read.parquet(str(tmp_path / "bloom")).collect()}
+    b = {r.s_suppkey for r in spark.read.parquet(str(tmp_path / "plain")).collect()}
+    assert a == b
