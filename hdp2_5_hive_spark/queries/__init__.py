@@ -210,6 +210,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "corpus_epoch_plan",
     "text_html_extract",
     "fmt_parquet_bloom_filter",
+    "corpus_clean_v7",
 )
 
 

@@ -2005,3 +2005,134 @@ def text_html_extract(spark, t):
         ).alias("html"),
     )
     return ts.html_extract(seeded, "doc_id", "html")
+
+
+@register(
+    "corpus_clean_v7",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id, lang,
+         concat(
+           '<html><head><script type="text/javascript">var v=', CAST(doc_id AS VARCHAR),
+           ';</script><style>p{margin:0}</style></head><body>',
+           '<h1 class="t">Doc ', CAST(doc_id AS VARCHAR), '</h1>',
+           '<p>', substr(text, 1, 400), ' &amp; more &lt;stuff&gt;</p>',
+           '<div class="nav">home | about</div></body></html>'
+         ) AS html
+  FROM documents
+),
+extracted AS (
+  SELECT doc_id, lang,
+         replace(trim(regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(html, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+                       '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+                     '(?s)<[^>]+>', ' ', 'g'),
+                   '&lt;', '<', 'g'),
+                 '&gt;', '>', 'g'),
+               '&quot;', '"', 'g'),
+             '&#39;', '''', 'g'),
+           '[ \t\n\r\f]+', ' ', 'g')), '&amp;', '&') AS text
+  FROM seeded
+),
+chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM extracted
+),
+ccounts AS (
+  SELECT doc_id, c, COUNT(*) AS cc FROM chars WHERE c <> '' GROUP BY doc_id, c
+),
+ctot AS (SELECT doc_id, SUM(cc) AS n FROM ccounts GROUP BY doc_id),
+ent AS (
+  SELECT doc_id,
+         CAST(ROUND(
+           CAST(SUM(CAST(ROUND(-LOG2(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+                         AS DECIMAL(38,6)) * cc) AS DOUBLE)
+           / CAST(MAX(n) AS DOUBLE), 6) AS DOUBLE) AS bits_per_char
+  FROM ccounts JOIN ctot USING (doc_id) GROUP BY doc_id
+),
+survivors AS (
+  SELECT e.doc_id, e.lang, e.text FROM extracted e JOIN ent USING (doc_id)
+  WHERE ent.bits_per_char >= 4.0
+),
+words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM survivors
+),
+doc_word AS (
+  SELECT doc_id, w, COUNT(*) AS dc FROM words GROUP BY doc_id, w
+),
+vocab AS (SELECT w, SUM(dc) AS c FROM doc_word GROUP BY w),
+tot AS (SELECT SUM(c) AS n_total FROM vocab),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(dc) AS BIGINT) AS n_tokens,
+         CAST(ROUND(
+           CAST(SUM(CAST(ROUND(-LOG2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+                         AS DECIMAL(38,6)) * dc) AS DOUBLE)
+           / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_token
+  FROM doc_word JOIN vocab USING (w), tot
+  GROUP BY doc_id
+),
+tiled AS (
+  SELECT s.doc_id, v.lang, s.n_tokens, s.bits_per_token,
+         ntile(3) OVER (PARTITION BY v.lang
+                        ORDER BY s.bits_per_token, s.doc_id) AS tile
+  FROM scored s JOIN survivors v USING (doc_id)
+)
+SELECT doc_id, lang, n_tokens, bits_per_token,
+       CASE tile WHEN 1 THEN 'head' ELSE 'middle' END AS bucket
+FROM tiled WHERE tile <= 2
+""",
+    category="pipeline",
+)
+def corpus_clean_v7(spark, t):
+    """Flagship pipeline v7 — the web-crawl front half this round
+    completed, as ONE composed plan: HTML -> text extraction
+    (script/style/tag strip + entity decode), character-entropy
+    gibberish gate (keep >= 4.0 bits/char), then CCNet per-language
+    perplexity terciles over the SURVIVOR corpus (the unigram model
+    is fit post-gate, as CCNet fits its LM on cleaned text) keeping
+    head+middle. Every stage is a keyed aggregate or map-only
+    projection; the oracle replays the identical chain as a single
+    CTE stack. Stage costs at 100 TB: regex projection (map-only),
+    (doc,char) + (doc,word) partial-agg shuffles, one per-language
+    ntile sort."""
+    from ..operators import quality as ql
+    from ..operators import textstats as ts
+
+    seeded = t.documents.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit('<html><head><script type="text/javascript">var v='),
+            F.col("doc_id").cast("string"),
+            F.lit(";</script><style>p{margin:0}</style></head><body>"),
+            F.lit('<h1 class="t">Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit("</h1><p>"),
+            F.substring(F.col("text"), 1, 400),
+            F.lit(" &amp; more &lt;stuff&gt;</p>"),
+            F.lit('<div class="nav">home | about</div></body></html>'),
+        ).alias("html"),
+    )
+    extracted = ts.html_extract(seeded, "doc_id", "html").join(
+        seeded.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id", "lang", F.col("text_extracted").alias("text")
+    )
+    ent = ts.char_entropy(extracted, "doc_id", "text").select(
+        "doc_id", "bits_per_char"
+    )
+    survivors = extracted.join(ent, "doc_id").filter(
+        F.col("bits_per_char") >= 4.0
+    ).select("doc_id", "lang", "text")
+    buckets = ql.ccnet_perplexity_buckets(
+        survivors, "doc_id", "text", "lang"
+    )
+    return buckets.filter(F.col("bucket") != "tail").select(
+        "doc_id", "lang", "n_tokens", "bits_per_token", "bucket"
+    )

@@ -450,6 +450,8 @@ NESTED_LOOP_OK = {
     "corpus_clean_v6": "scalar",
     # 1-row normalizing-total broadcast in the epoch planner
     "corpus_epoch_plan": "scalar",
+    # v7 composes ccnet buckets: same unigram 1-row totals broadcast
+    "corpus_clean_v7": "scalar",
     # 1-row N-total broadcast in the backoff probability
     "quality_stupid_backoff": "scalar",
     # bm25's 1-row (n_docs, avgdl) stats broadcast inside the fused plan
