@@ -170,3 +170,26 @@ def test_round_trip_property(vals):
     ]
     b = pb.encode_row(types, list(vals))
     assert pb.decode_row(types, b) == list(vals)
+
+
+@settings(max_examples=75, deadline=None)
+@given(
+    st.dictionaries(st.text(max_size=8), st.integers(-(2**63), 2**63 - 1), max_size=6),
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-(2**31), 2**31 - 1)),
+            st.one_of(st.none(), st.text(max_size=12)),
+        ),
+        max_size=4,
+    ),
+)
+def test_map_and_nested_struct_round_trip_property(m, structs):
+    types = [
+        "map<string,bigint>",
+        "array<struct<a:sint32,b:string>>",
+    ]
+    row = [m if m else None, [list(t) for t in structs] if structs else None]
+    b = pb.encode_row(types, row)
+    got = pb.decode_row(types, b)
+    assert got[0] == row[0]
+    assert got[1] == row[1]
