@@ -211,6 +211,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "text_html_extract",
     "fmt_parquet_bloom_filter",
     "corpus_clean_v7",
+    "multimodal_crossmodal_dedup",
 )
 
 

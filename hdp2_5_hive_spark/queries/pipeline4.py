@@ -2163,3 +2163,92 @@ def ann_ivfpq_recall(spark, t):
         F.lit(100).cast("bigint").alias("n_planted"),
         (F.count(F.lit(1)) >= 70).alias("recall_ok"),
     )
+
+
+@register(
+    "multimodal_crossmodal_dedup",
+    oracle=None,  # pHash bits have no SQL twin → rows-only; the full
+    # pair-set classification is pinned exactly in tests/test_phash.py
+    category="pipeline",
+)
+def multimodal_crossmodal_dedup(spark, t):
+    """Cross-modal duplicate classification — the curation decision
+    table for (text, image) documents: the SAME pair list annotated
+    with WHICH modality duplicates. Image tier = the perceptual-hash
+    pipeline (groups of ~12, banded Hamming join); text tier = exact
+    dedup of normalized text, planted on an INDEPENDENT grouping
+    (doc_id DIV 8: group-base text + whitespace/case jitter that
+    normalize_text collapses), so pairs genuinely split across
+    image_only / text_only / both. Shapes: the image path is the
+    existing banded join; the text path one md5 aggregate + one
+    group-keyed pair join; the final FULL OUTER join is keyed on the
+    pair — churn-sized, never corpus-sized. A pipeline drops 'both'
+    pairs outright and routes single-modality pairs to review."""
+    from pyspark.sql import Window as W
+
+    from ..operators import phash as ph
+    from ..operators.dedup import normalize_text
+
+    media = _synthesize_grouped_media(t.documents)
+    hashes = ph.phash_table(media)
+    # media ids are strings, so the pHash pair order is lexicographic
+    # ("10" < "2"); renormalize numerically before the pair join
+    ia = F.col("id_a").cast("long")
+    ib = F.col("id_b").cast("long")
+    img = (
+        ph.phash_near_pairs(hashes, max_distance=6)
+        .select(
+            F.least(ia, ib).alias("id_a"),
+            F.greatest(ia, ib).alias("id_b"),
+        )
+        .withColumn("img_dup", F.lit(True))
+    )
+
+    tg = F.expr("doc_id DIV 8")
+    base = (
+        t.documents.groupBy(tg.alias("tg"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("m"))
+        .select("tg", F.col("m.text").alias("base_text"))
+    )
+    seeded = (
+        t.documents.select("doc_id", tg.alias("tg"))
+        .join(base, "tg")
+        .select(
+            "doc_id",
+            "tg",
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(F.lit("  "), F.upper("base_text")),
+            )
+            .otherwise(F.col("base_text"))
+            .alias("text"),
+        )
+    )
+    fp = F.md5(normalize_text(F.col("text")).cast("binary"))
+    keyed = seeded.select("doc_id", fp.alias("fp"))
+    txt = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .withColumn("txt_dup", F.lit(True))
+    )
+    return (
+        img.join(txt, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(
+                F.coalesce(F.col("img_dup"), F.lit(False))
+                & F.coalesce(F.col("txt_dup"), F.lit(False)),
+                "both",
+            )
+            .when(F.coalesce(F.col("img_dup"), F.lit(False)), "image_only")
+            .otherwise("text_only")
+            .alias("modality"),
+        )
+        .orderBy("id_a", "id_b")
+    )

