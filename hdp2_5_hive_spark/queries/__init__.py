@@ -64,13 +64,18 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #   round 7 window (SAMPLE_FRONT below): the 44 never-sampled
 #     late-round-6 queries (positions 1-44 — closes the driver ledger
 #     at 280/280 sampled), the 3 fixed red rows (45-47), then new
-#     round-7 queries as they land. Positions 48+ (the ~40 round-7
+#     round-7 queries as they land. Positions 48+ (the ~55 round-7
 #     additions: compressed codecs, parity corners, pipeline5 parts
 #     1-2, HS2 wire, macros, IVF-PQ, boilerplate/URL/snapshot/RRF/
-#     backoff/PageRank/video/audio/card/v6/varsub/rerank) are beyond
-#     the ~50-query driver prefix — they are round 8's window
-#     candidates; all are green in this round's full-registry
-#     check_oracle battery.
+#     backoff/PageRank/video/audio/card/v6/varsub/rerank, then the
+#     continued-session tail: protobuf SerDe ×2, CCNet terciles,
+#     edit-distance joins ×2, char entropy, two-phase attributes,
+#     SCD2, ACID minor compaction, epoch planner, HTML extract,
+#     parquet bloom, clean_v7, cross-modal dedup) are beyond the
+#     ~50-query driver prefix — they are round 8's window candidates;
+#     all are green in this round's full-registry check_oracle
+#     battery (317/317 at snapshot) + per-query checks and the
+#     13-query vanilla-session driver_sim for the post-battery tail.
 _MODULES = (
     "scalars",
     "setops",
