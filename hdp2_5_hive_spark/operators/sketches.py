@@ -178,3 +178,88 @@ def qsketch_quantiles(
             for p in probs
         ],
     )
+
+
+def mg_summaries(
+    tokens: DataFrame, tok_col: str, *, k: int = 64
+) -> DataFrame:
+    """Per-partition Misra-Gries heavy-hitter summaries (Misra &
+    Gries 1982; merge rule from Agarwal et al. 2013 "Mergeable
+    Summaries", public): each partition reduces its token stream to
+    AT MOST ``k`` (token, c) counters satisfying the MG invariant
+
+        true_p(x) - n_p/(k+1)  <=  c_p(x)  <=  true_p(x)
+
+    (absent tokens count as c_p = 0). The batched update IS the
+    mergeable-summaries MERGE op: add a batch's exact counts, then if
+    more than k counters remain subtract the (k+1)-th largest value
+    from all and drop the non-positive — each such subtraction
+    removes weight from >= k+1 counters at once, which is what bounds
+    the total undercount by n_p/(k+1).
+
+    Scale shape: ONE pass over each partition inside an Arrow batch
+    iterator (mapInPandas), O(k) state per partition, <= k output
+    rows per partition — the classic "combiner that never spills".
+    The global merge is a plain SUM groupBy over <= k * n_partitions
+    rows (see mg_merge); summed counters keep the invariant with the
+    error bounds ADDING, so the merged error is <= N/(k+1) however
+    the stream was partitioned. The reference's closest analogue is
+    hive.groupby.skewindata's two-stage partial aggregation
+    (``ql/.../GroupByOperator.java`` hash-side flush) — MG replaces
+    the unbounded partial hash with a provably bounded one."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("token", StringType()),
+            StructField("c", LongType()),
+        ]
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            col = pdf[tok_col].dropna()
+            for tok, cnt in col.value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[k]  # (k+1)-th largest counter value
+                counters = {
+                    t: c - m for t, c in counters.items() if c > m
+                }
+        if counters:
+            yield pd.DataFrame(
+                {
+                    "token": list(counters.keys()),
+                    "c": list(counters.values()),
+                }
+            )
+
+    return tokens.select(F.col(tok_col).alias(tok_col)).mapInPandas(
+        summarize, schema
+    )
+
+
+def mg_merge(summaries: DataFrame) -> DataFrame:
+    """Merge per-partition MG summaries by plain SUM per token.
+    Summed counters satisfy  true(x) - N/(k+1) <= c(x) <= true(x)
+    (per-partition undercounts add to at most sum n_p/(k+1)); every
+    token with true count > N/(k+1) therefore survives with c > 0.
+    One keyed aggregate over <= k rows per partition — KBs of data
+    regardless of stream size."""
+    return summaries.groupBy("token").agg(F.sum("c").alias("c"))
+
+
+def mg_topk(merged: DataFrame, n: int) -> DataFrame:
+    """Top-n counters from a merged summary, largest first (ties by
+    token for determinism). TakeOrderedAndProject — bounded heaps,
+    never a global sort."""
+    return merged.orderBy(F.col("c").desc(), "token").limit(n)

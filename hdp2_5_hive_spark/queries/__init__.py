@@ -71,7 +71,8 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     continued-session tail: protobuf SerDe ×2, CCNet terciles,
 #     edit-distance joins ×2, char entropy, two-phase attributes,
 #     SCD2, ACID minor compaction, epoch planner, HTML extract,
-#     parquet bloom, clean_v7, cross-modal dedup) are beyond the
+#     parquet bloom, clean_v7, cross-modal dedup, Misra-Gries heavy
+#     hitters) are beyond the
 #     ~50-query driver prefix — they are round 8's window candidates;
 #     all are green in this round's full-registry check_oracle
 #     battery (317/317 at snapshot) + per-query checks and the

@@ -2136,3 +2136,74 @@ def corpus_clean_v7(spark, t):
     return buckets.filter(F.col("bucket") != "tail").select(
         "doc_id", "lang", "n_tokens", "bits_per_token", "bucket"
     )
+
+
+@register(
+    "agg_misra_gries_heavy",
+    oracle="""
+WITH t AS (
+  SELECT l_returnflag || l_linestatus AS grp FROM lineitem
+),
+exact AS (SELECT grp, COUNT(*) AS exact_cnt FROM t GROUP BY grp),
+n AS (SELECT COUNT(*) AS n_total FROM t)
+SELECT grp,
+       CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       exact_cnt * 3 > n_total   AS is_heavy,
+       TRUE                      AS guarantee_ok
+FROM exact, n
+ORDER BY grp
+""",
+    category="aggregates",
+)
+def agg_misra_gries_heavy(spark, t):
+    """Misra-Gries mergeable heavy hitters (operators/sketches.py
+    mg_summaries/mg_merge; Misra & Gries 1982, merge rule Agarwal et
+    al. 2013) over the classic TPC-H q1 grouping — the one genuinely
+    SKEWED key in the schema (returnflag+linestatus ≈ 50/25/25/1%).
+    k=2 counters per partition (fewer than the 4 distinct keys, so
+    decrements actually fire in every partition), merged by one SUM
+    groupBy over ≤ k rows per partition. The output certifies the MG
+    contract the oracle can state as a literal: every key with exact
+    count > N/(k+1) is PRESENT in the merged summary with
+      exact - N/(k+1) <= c <= exact
+    (guarantee_ok — partition-layout-invariant, hence deterministic,
+    even though the summary contents themselves are not). Hive's
+    analogue is the bounded partial-agg flush of
+    ``ql/.../GroupByOperator.java``; MG bounds the partial state at
+    O(k) with a proven error instead of a heuristic memory ratio."""
+    from ..operators import sketches as sk
+
+    k = 2
+    toks = t.lineitem.select(
+        F.concat("l_returnflag", "l_linestatus").alias("grp")
+    )
+    merged = sk.mg_merge(sk.mg_summaries(toks, "grp", k=k)).select(
+        F.col("token").alias("grp"), "c"
+    )
+    exact = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("exact_cnt")
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    joined = exact.join(merged, "grp", "left").crossJoin(
+        F.broadcast(n_total)
+    )
+    is_heavy = F.col("exact_cnt") * (k + 1) > F.col("n_total")
+    # c <= exact (no overestimate) and c*(k+1) >= exact*(k+1) - N
+    # (undercount bounded by N/(k+1)) hold for EVERY key; presence
+    # (c IS NOT NULL) is only guaranteed for heavy ones.
+    bounds_ok = (F.col("c") <= F.col("exact_cnt")) & (
+        F.col("c") * (k + 1)
+        >= F.col("exact_cnt") * (k + 1) - F.col("n_total")
+    )
+    guarantee = F.when(F.col("c").isNull(), ~is_heavy).otherwise(
+        bounds_ok
+    )
+    return (
+        joined.select(
+            "grp",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            is_heavy.alias("is_heavy"),
+            guarantee.alias("guarantee_ok"),
+        )
+        .orderBy("grp")
+    )

@@ -901,3 +901,89 @@ def test_html_extract_hand_computed(spark):
     # script TEXT never leaks (x<y; is gone), style text gone
     assert "x<y" not in out[1].text_extracted
     assert out[2].title == "" and out[2].text_extracted == "no title"
+
+
+def test_misra_gries_bounds_every_partitioning(spark):
+    """MG invariants on a zipf-ish stream, checked under several
+    forced partition layouts: (1) per-partition summaries hold at
+    most k counters; (2) the merged estimate never exceeds the true
+    count; (3) undercount is bounded by N/(k+1); (4) every token
+    with true count > N/(k+1) is present.  The CONTENTS of the
+    summary may differ per layout — the bounds may not."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    true = {"a": 40, "b": 20, "c": 10, "d": 6, "e": 3, "f": 2, "g": 1}
+    rows = [(t,) for t, c in true.items() for _ in range(c)]
+    n = sum(true.values())  # 82
+    k = 3
+    bound = n / (k + 1)  # 20.5 -> only "a" is guaranteed present
+    for parts in (1, 2, 7, 32):
+        toks = spark.createDataFrame(rows, "tok string").repartition(
+            parts, "tok"
+        )
+        summaries = sk.mg_summaries(toks, "tok", k=k)
+        per_part = (
+            summaries.withColumn(
+                "pid", F.spark_partition_id()
+            )
+            .groupBy("pid")
+            .agg(F.count(F.lit(1)).alias("rows"))
+            .collect()
+        )
+        assert all(r.rows <= k for r in per_part), (parts, per_part)
+        got = {
+            r.token: r.c for r in sk.mg_merge(summaries).collect()
+        }
+        for tok, c in got.items():
+            assert c <= true[tok], (parts, tok, c)
+            assert c >= true[tok] - bound, (parts, tok, c)
+        for tok, c in true.items():
+            if c > bound:
+                assert tok in got, (parts, tok)
+
+
+def test_misra_gries_merge_is_sum_and_topk_plan(spark):
+    """Merging the summaries of two disjoint halves by SUM gives
+    exactly the hand-run of (MG(h1) + MG(h2)) — per-day shard
+    sketches collapse by plain addition — and mg_topk plans as
+    TakeOrderedAndProject (bounded heaps, no global sort)."""
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    h1 = [("x",)] * 9 + [("y",)] * 4 + [("z",)] * 2
+    h2 = [("x",)] * 5 + [("w",)] * 6 + [("z",)] * 3
+    a = spark.createDataFrame(h1, "tok string").coalesce(1)
+    b = spark.createDataFrame(h2, "tok string").coalesce(1)
+    merged_sep = sk.mg_merge(
+        sk.mg_summaries(a, "tok", k=2).unionByName(
+            sk.mg_summaries(b, "tok", k=2)
+        )
+    )
+    # h1: {x:9,y:4,z:2} -> minus 3rd-largest 2 -> {x:7,y:2}
+    # h2: {w:6,x:5,z:3} -> minus 3rd-largest 3 -> {w:3,x:2}
+    assert sorted(
+        (r.token, r.c) for r in merged_sep.collect()
+    ) == [("w", 3), ("x", 9), ("y", 2)]
+
+    plan = sk.mg_topk(merged_sep, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    top = sk.mg_topk(merged_sep, 1).collect()
+    assert top[0].token == "x"  # 14 true, undercount <= 29/3
+
+
+def test_misra_gries_single_partition_is_classic_mg(spark):
+    """One partition, k=2, the textbook stream: counts follow the
+    hand-run of batched MG exactly (value_counts add, subtract the
+    (k+1)-th largest, drop non-positives) — one Arrow batch, so the
+    whole partition is a single MG merge step."""
+    from hdp2_5_hive_spark.operators import sketches as sk
+
+    rows = [(t,) for t in ["a"] * 5 + ["b"] * 4 + ["c"] * 3]
+    toks = spark.createDataFrame(rows, "tok string").coalesce(1)
+    got = {
+        r.token: r.c
+        for r in sk.mg_summaries(toks, "tok", k=2).collect()
+    }
+    # batch counts {a:5,b:4,c:3}; 3rd largest = 3; subtract, drop c
+    assert got == {"a": 2, "b": 1}

@@ -459,6 +459,8 @@ NESTED_LOOP_OK = {
     # unigram_logprob's 1-row corpus-total broadcast under the tercile
     # window (same node as quality_unigram_bits)
     "quality_ccnet_buckets": "scalar",
+    # 1-row stream-total (N) broadcast carrying the MG threshold
+    "agg_misra_gries_heavy": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
