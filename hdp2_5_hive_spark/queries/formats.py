@@ -1109,3 +1109,38 @@ def fmt_parquet_bloom_filter(spark, t):
             "Supplier#000000013", "Supplier#000000042"
         )
     )
+
+
+@register(
+    "fmt_webdataset_round_trip",
+    oracle="""
+SELECT doc_id, lang, text FROM documents WHERE doc_id <= 400
+""",
+    category="formats",
+)
+def fmt_webdataset_round_trip(spark, t):
+    """WebDataset tar-shard export → import round trip
+    (sources/webdataset_py; public webdataset convention — tar of
+    ``<key>.<ext>`` members). The TRAINING-side sink of the pipeline:
+    text + metadata members per sample, md5-keyed deterministic shard
+    placement (byte-identical re-exports), streamed one-open-tar-at-a-
+    time writes after a single shard-keyed exchange, stdlib-tar
+    readable by any loader. Read fans out one task per shard and
+    decodes members by the declared extension map."""
+    from ..sources import webdataset_py as wd
+
+    d = scratch_dir("fmt_wds_") + "/wds"
+    src = t.documents.filter(F.col("doc_id") <= 400).select(
+        "doc_id", "lang", "text"
+    )
+    wd.write_webdataset(
+        src, d, "doc_id", {"text": "txt", "lang": "cls"}, n_shards=5
+    )
+    back = wd.read_webdataset(
+        spark, d, {"txt": "string", "cls": "string"}
+    )
+    return back.select(
+        F.col("key").cast("bigint").alias("doc_id"),
+        F.col("cls").alias("lang"),
+        F.col("txt").alias("text"),
+    )
