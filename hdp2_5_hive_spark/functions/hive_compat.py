@@ -48,6 +48,29 @@ def davg(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def pround(col: Column, scale: int = 6) -> Column:
+    """Cross-engine-DETERMINISTIC half-up round of a DOUBLE:
+    ``floor(x * 10^scale + 0.5) / 10^scale`` in pure IEEE double ops
+    — bit-identical on every engine given the same ``x``.
+
+    Why not native ROUND: engines disagree on doubles lying within an
+    ulp of a decimal tie (Spark rounds the exact binary value of x,
+    DuckDB rounds after an inexact scale-multiply). That is NOT a
+    theoretical corner for this codebase's quotients-of-decimal-sums:
+    a DECIMAL(38,6) sum divided by a small integer count is a
+    rational whose exact value can sit ON the .5*10^-scale tie, so
+    the double lands within half an ulp of it and the two ROUNDs
+    coin-flip (observed: text_char_entropy at sf0.001, doc with
+    n=122 chars). The floor form may round such a value the "wrong"
+    way vs exact decimal HALF_UP — but IDENTICALLY wrong on both
+    engines, which is what oracle parity needs.
+
+    Oracle twin (keep the op order — divide, then scale):
+    ``FLOOR(x * 1000000 + 0.5) / 1000000``."""
+    s = float(10**scale)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def nvl(col: Column, default: Column) -> Column:
     """Hive ``nvl`` (FunctionRegistry.java:258) — two-arg coalesce."""
     return F.coalesce(col, default)

@@ -16,6 +16,7 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hive_compat import pround
 from .dedup import words_col
 
 
@@ -89,10 +90,9 @@ def unigram_logprob(
     ).cast("decimal(38,6)")
     return scored.groupBy(id_col).agg(
         F.sum("dc").cast("bigint").alias("n_tokens"),
-        F.round(
+        pround(
             F.sum(bits * F.col("dc")).cast("double")
-            / F.sum("dc").cast("double"),
-            6,
+            / F.sum("dc").cast("double")
         ).alias("bits_per_token"),
     )
 
@@ -145,10 +145,9 @@ def bigram_logprob(
     ).cast("decimal(38,6)")
     return scored.groupBy(id_col).agg(
         F.sum("dc").cast("bigint").alias("n_bigrams"),
-        F.round(
+        pround(
             F.sum(bits * F.col("dc")).cast("double")
-            / F.sum("dc").cast("double"),
-            6,
+            / F.sum("dc").cast("double")
         ).alias("bits_per_bigram"),
     )
 
@@ -437,10 +436,9 @@ def stupid_backoff_bits(
         F.sum(
             F.when(F.col("c12").isNull(), F.col("dc")).otherwise(0)
         ).cast("bigint").alias("n_backoff"),
-        F.round(
+        pround(
             F.sum(bits * F.col("dc")).cast("double")
-            / F.sum("dc").cast("double"),
-            6,
+            / F.sum("dc").cast("double")
         ).alias("bits_per_bigram"),
     )
 

@@ -12,6 +12,8 @@ import pandas as pd  # module-level: pandas_udf type-hint resolution
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.hive_compat import pround
+
 # Minimal per-language stopword marker lists (heuristic n-gram-free
 # language ID — the classic stopword-hit method).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -211,10 +213,9 @@ def char_entropy(
         .agg(
             F.max("n").cast("bigint").alias("n_chars"),
             F.count("*").cast("bigint").alias("n_uniq_chars"),
-            F.round(
+            pround(
                 F.sum(term * F.col("cc")).cast("double")
-                / F.max("n").cast("double"),
-                6,
+                / F.max("n").cast("double")
             ).alias("bits_per_char"),
         )
     )

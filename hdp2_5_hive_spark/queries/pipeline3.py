@@ -38,10 +38,10 @@ vocab AS (SELECT w, SUM(dc) AS c FROM doc_word GROUP BY w),
 tot AS (SELECT SUM(c) AS n_total FROM vocab)
 SELECT doc_id,
        CAST(SUM(dc) AS BIGINT) AS n_tokens,
-       CAST(ROUND(
+       FLOOR(
          CAST(SUM(CAST(ROUND(-LOG2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
                        AS DECIMAL(38,6)) * dc) AS DOUBLE)
-         / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_token
+         / CAST(SUM(dc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_token
 FROM doc_word JOIN vocab USING (w), tot
 GROUP BY doc_id
 """,
@@ -256,10 +256,10 @@ bigrams AS (SELECT w1, w2, SUM(dc) AS c12 FROM doc_gram GROUP BY w1, w2),
 context AS (SELECT w1, SUM(c12) AS c1 FROM bigrams GROUP BY w1)
 SELECT doc_id,
        CAST(SUM(dc) AS BIGINT) AS n_bigrams,
-       CAST(ROUND(
+       FLOOR(
          CAST(SUM(CAST(ROUND(-LOG2(CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)),
                              6) AS DECIMAL(38,6)) * dc) AS DOUBLE)
-         / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_bigram
+         / CAST(SUM(dc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_bigram
 FROM doc_gram JOIN bigrams USING (w1, w2) JOIN context USING (w1)
 GROUP BY doc_id
 """,

@@ -1183,10 +1183,10 @@ SELECT doc_id,
        CAST(SUM(dc) AS BIGINT) AS n_bigrams,
        CAST(SUM(CASE WHEN c12 IS NULL THEN dc ELSE 0 END) AS BIGINT)
          AS n_backoff,
-       CAST(ROUND(
+       FLOOR(
          CAST(SUM(CAST(ROUND(-LOG2(p), 6) AS DECIMAL(38,6)) * dc)
               AS DOUBLE)
-         / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_bigram
+         / CAST(SUM(dc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_bigram
 FROM scored GROUP BY doc_id
 """,
     category="pipeline",
@@ -1621,10 +1621,10 @@ tot AS (SELECT SUM(c) AS n_total FROM vocab),
 scored AS (
   SELECT doc_id,
          CAST(SUM(dc) AS BIGINT) AS n_tokens,
-         CAST(ROUND(
+         FLOOR(
            CAST(SUM(CAST(ROUND(-LOG2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
                          AS DECIMAL(38,6)) * dc) AS DOUBLE)
-           / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_token
+           / CAST(SUM(dc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_token
   FROM doc_word JOIN vocab USING (w), tot
   GROUP BY doc_id
 ),
@@ -1718,14 +1718,14 @@ totals AS (SELECT doc_id, SUM(cc) AS n FROM counts GROUP BY doc_id)
 SELECT doc_id,
        CAST(MAX(n) AS BIGINT) AS n_chars,
        CAST(COUNT(*) AS BIGINT) AS n_uniq_chars,
-       CAST(ROUND(
+       FLOOR(
          CAST(SUM(CAST(ROUND(-LOG2(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
                        AS DECIMAL(38,6)) * cc) AS DOUBLE)
-         / CAST(MAX(n) AS DOUBLE), 6) AS DOUBLE) AS bits_per_char,
-       CAST(ROUND(
+         / CAST(MAX(n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_char,
+       FLOOR(
          CAST(SUM(CAST(ROUND(-LOG2(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
                        AS DECIMAL(38,6)) * cc) AS DOUBLE)
-         / CAST(MAX(n) AS DOUBLE), 6) AS DOUBLE) < 4.0 AS is_low_entropy
+         / CAST(MAX(n) AS DOUBLE) * 1000000 + 0.5) / 1000000 < 4.0 AS is_low_entropy
 FROM counts JOIN totals USING (doc_id)
 GROUP BY doc_id
 """,
@@ -2049,10 +2049,10 @@ ccounts AS (
 ctot AS (SELECT doc_id, SUM(cc) AS n FROM ccounts GROUP BY doc_id),
 ent AS (
   SELECT doc_id,
-         CAST(ROUND(
+         FLOOR(
            CAST(SUM(CAST(ROUND(-LOG2(CAST(cc AS DOUBLE) / CAST(n AS DOUBLE)), 6)
                          AS DECIMAL(38,6)) * cc) AS DOUBLE)
-           / CAST(MAX(n) AS DOUBLE), 6) AS DOUBLE) AS bits_per_char
+           / CAST(MAX(n) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_char
   FROM ccounts JOIN ctot USING (doc_id) GROUP BY doc_id
 ),
 survivors AS (
@@ -2070,10 +2070,10 @@ tot AS (SELECT SUM(c) AS n_total FROM vocab),
 scored AS (
   SELECT doc_id,
          CAST(SUM(dc) AS BIGINT) AS n_tokens,
-         CAST(ROUND(
+         FLOOR(
            CAST(SUM(CAST(ROUND(-LOG2(CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
                          AS DECIMAL(38,6)) * dc) AS DOUBLE)
-           / CAST(SUM(dc) AS DOUBLE), 6) AS DOUBLE) AS bits_per_token
+           / CAST(SUM(dc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_token
   FROM doc_word JOIN vocab USING (w), tot
   GROUP BY doc_id
 ),
