@@ -2207,3 +2207,50 @@ def agg_misra_gries_heavy(spark, t):
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "vocab_unigram_lm",
+    oracle=None,  # Viterbi-EM loop — not single-SQL-expressible; the
+    # vocab is pinned EXACTLY (pieces, counts, logprobs) against a
+    # from-scratch sequential reference in tests/test_unigram_lm.py.
+    category="pipeline",
+)
+def vocab_unigram_lm(spark, t):
+    """Unigram-LM subword vocabulary training (Kudo 2018,
+    SentencePiece's model; operators/unigram_lm.py) — the shrink-
+    from-seed counterpart of vocab_bpe_merges. 3 Viterbi-EM rounds
+    over the distinct-word frequency table: seed = frequent
+    substrings (freq×len score), E-step = map-only Arrow Viterbi
+    pass with the piece table in the closure, M-step + prune on the
+    vocab-bounded driver count table. Hard-EM counts are integers,
+    so the result is exact under any partitioning."""
+    from ..operators import unigram_lm as ul
+
+    return ul.unigram_vocab_table(
+        t.documents, "text",
+        vocab_size=48, seed_size=256, n_rounds=3, max_piece_len=6,
+    )
+
+
+@register(
+    "vocab_unigram_apply",
+    oracle=None,  # Viterbi decode of a trained model — rows-only;
+    # segmentation semantics pinned in tests/test_unigram_lm.py.
+    category="pipeline",
+)
+def vocab_unigram_apply(spark, t):
+    """Viterbi tokenization with the learned unigram vocab (the
+    deterministic decode of Kudo 2018). Train once (bounded jobs),
+    then one map-only Arrow pass with per-word memoization — the
+    inference half every training-data pipeline runs over the full
+    corpus, so it must not shuffle: only the vocab moves."""
+    from ..operators import unigram_lm as ul
+
+    vocab = ul.train_unigram_lm(
+        t.documents, "text",
+        vocab_size=48, seed_size=256, n_rounds=3, max_piece_len=6,
+    )
+    return ul.apply_unigram_lm(
+        t.documents.filter(F.col("doc_id") <= 60), vocab
+    ).orderBy("doc_id")
