@@ -2254,3 +2254,182 @@ def vocab_unigram_apply(spark, t):
     return ul.apply_unigram_lm(
         t.documents.filter(F.col("doc_id") <= 60), vocab
     ).orderBy("doc_id")
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+w AS (SELECT doc_id, w FROM words WHERE w <> ''),
+dc AS (SELECT doc_id, w, COUNT(*) AS tf FROM w GROUP BY doc_id, w),
+dfreq AS (SELECT w, COUNT(*) AS df FROM dc GROUP BY w),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM w),
+scored AS (
+  SELECT doc_id, w,
+         CAST(tf AS BIGINT) AS tf,
+         ROUND(CAST(tf AS DOUBLE) *
+               (LN((CAST(n_docs AS DOUBLE) + 1.0)
+                   / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf
+  FROM dc JOIN dfreq USING (w), n
+),
+ranked AS (
+  SELECT doc_id, w, tf, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, w) AS rnk
+  FROM scored
+)
+SELECT doc_id, w AS term, CAST(rnk AS INT) AS rnk, tf, tfidf
+FROM ranked WHERE rnk <= 3
+""",
+    category="pipeline",
+)
+def text_tfidf_topk(spark, t):
+    """Per-document TF-IDF keyword extraction (classic smoothed IDF
+    ln((N+1)/(df+1))+1, the sklearn convention) with a per-doc top-3
+    — the keyword/tag signal every corpus audit carries. Scale shape:
+    two keyed aggregates (doc-term, term-df), a term-keyed join
+    (AQE-broadcastable: df table is vocabulary-sized), a 1-row
+    doc-count broadcast, and a per-doc top-k window that plans
+    map-side WindowGroupLimit — never a global sort. Transcendental
+    per-term score rounds with native ROUND (same class as the
+    -log2 terms; never near a decimal tie)."""
+    from pyspark.sql import Window
+
+    from ..operators.dedup import words_col
+
+    w = t.documents.select(
+        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    dc = w.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = dc.groupBy("w").agg(F.count("*").alias("df"))
+    n = w.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = dc.join(dfreq, "w").crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "w",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.round(
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                )
+                + 1.0
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(
+            F.desc("tfidf"), F.col("w")
+        )
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "tf",
+            "tfidf",
+        )
+    )
+
+
+@register(
+    "vocab_zipf_fit",
+    oracle="""
+WITH words AS (
+  SELECT source, unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+w AS (SELECT source, w FROM words WHERE w <> ''),
+vocab AS (SELECT source, w, COUNT(*) AS c FROM w GROUP BY source, w),
+ranked AS (
+  SELECT source, c,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY c DESC, w) AS rnk
+  FROM vocab
+),
+terms AS (
+  SELECT source,
+         CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(38,6)) AS x,
+         CAST(ROUND(LN(CAST(c AS DOUBLE)), 6) AS DECIMAL(38,6)) AS y,
+         CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * LN(CAST(rnk AS DOUBLE)), 6)
+              AS DECIMAL(38,6)) AS xx,
+         CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * LN(CAST(c AS DOUBLE)), 6)
+              AS DECIMAL(38,6)) AS xy
+  FROM ranked
+),
+sums AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(xx) AS sxx, SUM(xy) AS sxy
+  FROM terms GROUP BY source
+)
+SELECT source, n_terms,
+       FLOOR(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+             / CAST(n_terms * sxx - sx * sx AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS zipf_slope
+FROM sums WHERE n_terms >= 3
+ORDER BY source
+""",
+    category="pipeline",
+)
+def vocab_zipf_fit(spark, t):
+    """Per-source Zipf-law fit — the dataset-health diagnostic (a
+    natural-language source has slope ≈ −1; templated/synthetic junk
+    flattens or steepens it). Least-squares slope of ln(freq) on
+    ln(rank) in CLOSED FORM: per-term ln values round to 6 and
+    accumulate as DECIMAL(38,6) (exact, order-independent — the
+    dsum discipline), the final slope is one pround quotient, so
+    both engines agree bit-for-bit. Scale shape: one vocab groupBy,
+    one per-source rank window, one keyed aggregate; n_terms-bounded
+    output."""
+    from pyspark.sql import Window
+
+    from ..functions.hive_compat import pround
+    from ..operators.dedup import words_col
+
+    w = t.documents.select(
+        "source", F.explode(words_col(F.col("text"))).alias("w")
+    ).filter(F.col("w") != "")
+    vocab = w.groupBy("source", "w").agg(F.count("*").alias("c"))
+    rnk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("c"), F.col("w"))
+    )
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("c").cast("double"))
+    dec = "decimal(38,6)"
+    terms = vocab.withColumn("rnk", rnk).select(
+        "source",
+        F.round(lx, 6).cast(dec).alias("x"),
+        F.round(ly, 6).cast(dec).alias("y"),
+        F.round(lx * lx, 6).cast(dec).alias("xx"),
+        F.round(lx * ly, 6).cast(dec).alias("xy"),
+    )
+    sums = terms.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("xy").alias("sxy"),
+    )
+    slope = pround(
+        (
+            F.col("n_terms") * F.col("sxy")
+            - F.col("sx") * F.col("sy")
+        ).cast("double")
+        / (
+            F.col("n_terms") * F.col("sxx")
+            - F.col("sx") * F.col("sx")
+        ).cast("double")
+    )
+    return (
+        sums.filter(F.col("n_terms") >= 3)
+        .select("source", "n_terms", slope.alias("zipf_slope"))
+        .orderBy("source")
+    )

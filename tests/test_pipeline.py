@@ -515,3 +515,41 @@ def test_symdelete_never_cartesian_and_rejects_wide_radius(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     with _pytest.raises(NotImplementedError):
         edit_distance_pairs_symdelete(df, "id", "s", max_dist=3)
+
+
+def test_tfidf_topk_hand_computed(spark, tmp_path):
+    """3 tiny docs: the doc-specific word must out-rank the shared
+    one; scores match the smoothed-IDF closed form."""
+    import math
+
+    from hdp2_5_hive_spark.queries import all_queries
+
+    spark.createDataFrame(
+        [
+            (1, "alpha alpha shared", "s", "en"),
+            (2, "beta shared shared", "s", "en"),
+            (3, "gamma shared", "s", "en"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    df = all_queries()["text_tfidf_topk"].fn(spark, str(tmp_path))
+    out = {(r.doc_id, r.rnk): (r.term, r.tfidf) for r in df.collect()}
+    idf_rare = math.log(4.0 / 2.0) + 1.0
+    assert out[(1, 1)][0] == "alpha"
+    assert abs(out[(1, 1)][1] - round(2 * idf_rare, 6)) < 1e-9
+    assert out[(3, 1)][0] == "gamma"
+
+
+def test_zipf_fit_hand_computed(spark, tmp_path):
+    """A perfect Zipf corpus (freq = 60/rank for ranks 1..4) fits
+    slope -1 to within the 6-decimal term rounding."""
+    from hdp2_5_hive_spark.queries import all_queries
+
+    words = ["w1"] * 60 + ["w2"] * 30 + ["w3"] * 20 + ["w4"] * 15
+    spark.createDataFrame(
+        [(1, " ".join(words), "z", "en")],
+        "doc_id long, text string, source string, lang string",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    rows = all_queries()["vocab_zipf_fit"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].zipf_slope + 1.0) < 1e-3, rows

@@ -461,6 +461,8 @@ NESTED_LOOP_OK = {
     "quality_ccnet_buckets": "scalar",
     # 1-row stream-total (N) broadcast carrying the MG threshold
     "agg_misra_gries_heavy": "scalar",
+    # 1-row corpus doc-count broadcast inside the smoothed IDF
+    "text_tfidf_topk": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
