@@ -1144,3 +1144,66 @@ def fmt_webdataset_round_trip(spark, t):
         F.col("cls").alias("lang"),
         F.col("txt").alias("text"),
     )
+
+
+@register(
+    "fmt_lazybinary_sequencefile_round_trip",
+    oracle="""
+SELECT c_custkey, c_name, c_nationkey,
+       CAST(c_acctbal AS DECIMAL(12,2)) AS c_acctbal,
+       CASE WHEN c_custkey % 4 = 0 THEN NULL ELSE c_mktsegment END
+         AS c_mktsegment
+FROM customer WHERE c_custkey <= 80
+""",
+    category="formats",
+)
+def fmt_lazybinary_sequencefile_round_trip(spark, t):
+    """LazyBinary rows in a SequenceFile — Hive's intermediate-table
+    row codec (reference ``serde/.../lazybinary/LazyBinarySerDe.java``;
+    the third §2.2 binary row SerDe beside Thrift and ProtoBuf).
+    Exercises the null-byte group layout (a nulled column wave), the
+    Hadoop vint/vlong zero-compression (keys and nationkeys), and the
+    HiveDecimalWritable scale+unscaled-bytes decimal. Same RDD
+    plumbing rationale as the Thrift twin: Hadoop writables live
+    below the DataFrame source API."""
+    from decimal import Decimal
+
+    from ..sources import lazybinary_py as lb
+
+    d = scratch_dir("fmt_lazybin_") + "/seq"
+    types = ["bigint", "string", "int", "decimal(12,2)", "string"]
+    src = t.customer.filter(F.col("c_custkey") <= 80).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_acctbal"),
+        F.when(F.col("c_custkey") % 4 == 0, None)
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    (
+        src.rdd.map(
+            lambda r: (
+                str(r.c_custkey),
+                bytearray(
+                    lb.encode_row(
+                        types,
+                        [
+                            r.c_custkey,
+                            r.c_name,
+                            r.c_nationkey,
+                            r.c_acctbal,
+                            r.c_mktsegment,
+                        ],
+                    )
+                ),
+            )
+        ).saveAsSequenceFile(d)
+    )
+    back = spark.sparkContext.sequenceFile(d)
+    rows = back.map(lambda kv: tuple(lb.decode_row(types, bytes(kv[1]))))
+    return spark.createDataFrame(
+        rows,
+        "c_custkey long, c_name string, c_nationkey int, "
+        "c_acctbal decimal(12,2), c_mktsegment string",
+    )
