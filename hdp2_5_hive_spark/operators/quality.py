@@ -489,3 +489,121 @@ def ccnet_perplexity_buckets(
             F.array(F.lit("head"), F.lit("middle"), F.lit("tail")), tile
         ).alias("bucket"),
     )
+
+
+def kneser_ney_bits(
+    train: DataFrame,
+    score: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Held-out bigram LM scoring with interpolated KNESER-NEY
+    smoothing (Kneser & Ney 1995; the interpolated form of Chen &
+    Goodman 1998) — the quality tier ABOVE stupid_backoff: absolute
+    discounting plus a continuation-probability backoff that asks
+    "in how many contexts does w2 appear?" rather than "how often?":
+
+        P(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+                   + D · N1+(w1·)/c(w1·) · Pcont(w2)     (w1 seen)
+                 = Pcont(w2)                             (w1 unseen)
+        Pcont(w2) = (N1+(·w2) + 0.5) / (T + 0.5·(V+1))
+
+    with D = ``discount``, N1+(w1·) = distinct continuations of w1,
+    N1+(·w2) = distinct left contexts of w2, T = total bigram types,
+    V = train vocabulary size. The +0.5 continuation smoothing keeps
+    OOV words finite (documented deviation from the textbook form,
+    which leaves Pcont undefined for unseen w2) and is applied
+    IDENTICALLY in the SQL oracle.
+
+    Scale shape: model tables (bigram counts, context marginals with
+    continuation fan-outs, left-context counts) are keyed aggregates;
+    scoring is three keyed LEFT joins + ONE broadcast scalar row
+    carrying (T, V). All probabilities are closed-form expressions of
+    integer counts — bit-identical across engines — and per-gram bits
+    round to 6 into DECIMAL(38,6) before the pround mean."""
+    from .util import ensure_parallelism
+
+    def doc_grams(df):
+        w = words_col(F.col(text_col))
+        return (
+            ensure_parallelism(df)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.when(
+                        F.size(w) >= 2,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(w) - 1),
+                            lambda i: F.struct(
+                                F.element_at(w, i).alias("w1"),
+                                F.element_at(w, i + 1).alias("w2"),
+                            ),
+                        ),
+                    ).otherwise(
+                        F.array().cast(
+                            "array<struct<w1:string,w2:string>>"
+                        )
+                    )
+                ).alias("g"),
+            )
+            .select(id_col, "g.w1", "g.w2")
+            .groupBy(id_col, "w1", "w2")
+            .agg(F.count("*").alias("dc"))
+        )
+
+    bigrams = (
+        doc_grams(train)
+        .groupBy("w1", "w2")
+        .agg(F.sum("dc").alias("c12"))
+    )
+    context = bigrams.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("nf")
+    )
+    cont = bigrams.groupBy("w2").agg(F.count("*").alias("tc"))
+    totals = bigrams.agg(
+        F.count("*").alias("t_types")
+    ).crossJoin(
+        ensure_parallelism(train)
+        .select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w").alias("v_size"))
+    )
+
+    scored = (
+        doc_grams(score)
+        .join(bigrams, ["w1", "w2"], "left")
+        .join(context, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    d = F.lit(discount)
+    pc = (
+        F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(0.5)
+    ) / (
+        F.col("t_types").cast("double")
+        + F.lit(0.5) * (F.col("v_size").cast("double") + F.lit(1.0))
+    )
+    seen = (
+        F.greatest(
+            F.coalesce(F.col("c12"), F.lit(0)).cast("double") - d,
+            F.lit(0.0),
+        )
+        / F.col("c1").cast("double")
+        + d
+        * F.col("nf").cast("double")
+        / F.col("c1").cast("double")
+        * pc
+    )
+    prob = F.when(F.col("c1").isNotNull(), seen).otherwise(pc)
+    bits = F.round(-F.log2(prob), 6).cast("decimal(38,6)")
+    return scored.groupBy(id_col).agg(
+        F.sum("dc").cast("bigint").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("c12").isNull(), F.col("dc")).otherwise(0)
+        ).cast("bigint").alias("n_unseen"),
+        pround(
+            F.sum(bits * F.col("dc")).cast("double")
+            / F.sum("dc").cast("double")
+        ).alias("bits_per_bigram"),
+    )

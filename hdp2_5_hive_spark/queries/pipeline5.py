@@ -2433,3 +2433,87 @@ def vocab_zipf_fit(spark, t):
         .select("source", "n_terms", slope.alias("zipf_slope"))
         .orderBy("source")
     )
+
+
+@register(
+    "quality_kneser_ney",
+    oracle="""
+WITH tr AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id % 2 = 0
+),
+ho AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id % 2 = 1
+),
+tg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tr, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM tg GROUP BY w1, w2),
+context AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS nf FROM bigrams GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS tc FROM bigrams GROUP BY w2),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM bigrams) AS t_types,
+         (SELECT COUNT(DISTINCT u.w) FROM
+            (SELECT unnest(w) AS w FROM tr) u) AS v_size
+),
+sg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM ho, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+doc_gram AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS dc FROM sg GROUP BY doc_id, w1, w2
+),
+scored AS (
+  SELECT d.doc_id, d.dc, b.c12,
+         CASE WHEN c.c1 IS NOT NULL THEN
+             GREATEST(CAST(COALESCE(b.c12, 0) AS DOUBLE) - 0.75, 0.0)
+               / CAST(c.c1 AS DOUBLE)
+             + 0.75 * CAST(c.nf AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+               * ((CAST(COALESCE(n.tc, 0) AS DOUBLE) + 0.5)
+                  / (CAST(t.t_types AS DOUBLE)
+                     + 0.5 * (CAST(t.v_size AS DOUBLE) + 1.0)))
+           ELSE
+             (CAST(COALESCE(n.tc, 0) AS DOUBLE) + 0.5)
+             / (CAST(t.t_types AS DOUBLE)
+                + 0.5 * (CAST(t.v_size AS DOUBLE) + 1.0))
+           END AS p
+  FROM doc_gram d
+  LEFT JOIN bigrams b USING (w1, w2)
+  LEFT JOIN context c USING (w1)
+  LEFT JOIN cont n USING (w2)
+  CROSS JOIN tot t
+)
+SELECT doc_id,
+       CAST(SUM(dc) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CASE WHEN c12 IS NULL THEN dc ELSE 0 END) AS BIGINT)
+         AS n_unseen,
+       FLOOR(
+         CAST(SUM(CAST(ROUND(-LOG2(p), 6) AS DECIMAL(38,6)) * dc)
+              AS DOUBLE)
+         / CAST(SUM(dc) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS bits_per_bigram
+FROM scored GROUP BY doc_id
+""",
+    category="pipeline",
+)
+def quality_kneser_ney(spark, t):
+    """Interpolated Kneser-Ney bigram perplexity on held-out docs
+    (operators/quality.kneser_ney_bits): even doc_ids train the
+    model, odd doc_ids score, so absolute discounting AND the
+    continuation backoff genuinely fire (n_unseen reported). The
+    smoothing tier above quality_stupid_backoff — same three keyed
+    left joins + one (T, V) scalar broadcast, probabilities in
+    closed form over integer counts, DECIMAL-exact bit sums."""
+    from ..operators.quality import kneser_ney_bits
+
+    return kneser_ney_bits(
+        t.documents.filter(F.col("doc_id") % 2 == 0),
+        t.documents.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    )

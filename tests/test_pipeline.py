@@ -553,3 +553,75 @@ def test_zipf_fit_hand_computed(spark, tmp_path):
     rows = all_queries()["vocab_zipf_fit"].fn(spark, str(tmp_path)).collect()
     assert len(rows) == 1
     assert abs(rows[0].zipf_slope + 1.0) < 1e-3, rows
+
+
+def test_kneser_ney_matches_independent_reference(spark):
+    """KN bits on a tiny held-out split, recomputed by an independent
+    Counter-based reference (same declared formula, separate code);
+    all three tiers fire: seen bigram, seen-context/unseen-bigram,
+    unseen context."""
+    import math
+    from collections import Counter
+
+    from hdp2_5_hive_spark.operators.quality import kneser_ney_bits
+
+    train_texts = {
+        0: "the cat sat on the mat",
+        2: "the cat ate the fish",
+    }
+    score_texts = {
+        1: "the cat sat",          # seen bigrams
+        3: "the dog sat on mats",  # unseen context (dog) + unseen bigrams
+    }
+
+    def rows(d):
+        return [(i, t, "s", "en") for i, t in d.items()]
+
+    schema = "doc_id long, text string, source string, lang string"
+    tr = spark.createDataFrame(rows(train_texts), schema)
+    ho = spark.createDataFrame(rows(score_texts), schema)
+    got = {
+        r.doc_id: r
+        for r in kneser_ney_bits(tr, ho, "doc_id", "text").collect()
+    }
+
+    bi = Counter()
+    for t in train_texts.values():
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            bi[(a, b)] += 1
+    c1 = Counter()
+    nf = Counter()
+    tc = Counter()
+    for (a, b), c in bi.items():
+        c1[a] += c
+        nf[a] += 1
+        tc[b] += 1
+    T = len(bi)
+    V = len({w for t in train_texts.values() for w in t.split()})
+
+    def p(a, b):
+        pc = (tc.get(b, 0) + 0.5) / (T + 0.5 * (V + 1))
+        if a in c1:
+            return (
+                max(bi.get((a, b), 0) - 0.75, 0.0) / c1[a]
+                + 0.75 * nf[a] / c1[a] * pc
+            )
+        return pc
+
+    for doc_id, text in score_texts.items():
+        w = text.split()
+        grams = list(zip(w, w[1:]))
+        from decimal import Decimal
+
+        s = sum(
+            Decimal(str(round(-math.log2(p(a, b)), 6)))
+            for a, b in grams
+        )
+        want = math.floor(float(s) / len(grams) * 1e6 + 0.5) / 1e6
+        assert got[doc_id].n_bigrams == len(grams)
+        assert abs(got[doc_id].bits_per_bigram - want) < 1e-9, doc_id
+        unseen = sum(1 for g in grams if g not in bi)
+        assert got[doc_id].n_unseen == unseen
+    # tier coverage: doc 1 all-seen, doc 3 has unseen ctx + bigrams
+    assert got[1].n_unseen == 0 and got[3].n_unseen >= 2

@@ -463,6 +463,8 @@ NESTED_LOOP_OK = {
     "agg_misra_gries_heavy": "scalar",
     # 1-row corpus doc-count broadcast inside the smoothed IDF
     "text_tfidf_topk": "scalar",
+    # 1-row (T, V) totals broadcast in the KN continuation probability
+    "quality_kneser_ney": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
