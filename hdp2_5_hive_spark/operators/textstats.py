@@ -271,3 +271,61 @@ def html_extract(
         text.alias("text_extracted"),
         F.length(text).alias("n_chars_extracted"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+) -> DataFrame:
+    """Per-document TF-IDF keyword extraction (smoothed IDF
+    ln((N+1)/(df+1))+1, the sklearn convention): (id, term, rnk, tf,
+    tfidf) for each doc's top-``k`` terms. Scale shape: two keyed
+    aggregates (doc-term, term-df), a vocabulary-sized term join
+    (AQE-broadcastable), ONE 1-row doc-count broadcast, and a per-doc
+    top-k window that plans map-side WindowGroupLimit — never a
+    global sort. The transcendental per-term score uses native
+    ROUND (same parity class as the -log2 terms — never near a
+    decimal tie)."""
+    from pyspark.sql import Window
+
+    from .dedup import words_col
+
+    w = df.select(
+        F.col(id_col), F.explode(words_col(F.col(text_col))).alias("w")
+    ).filter(F.col("w") != "")
+    dc = w.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = dc.groupBy("w").agg(F.count("*").alias("df"))
+    n = w.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = dc.join(dfreq, "w").crossJoin(F.broadcast(n)).select(
+        F.col(id_col),
+        "w",
+        F.col("tf").cast("bigint").alias("tf"),
+        F.round(
+            F.col("tf").cast("double")
+            * (
+                F.log(
+                    (F.col("n_docs").cast("double") + 1.0)
+                    / (F.col("df").cast("double") + 1.0)
+                )
+                + 1.0
+            ),
+            6,
+        ).alias("tfidf"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("w"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            F.col("w").alias("term"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "tf",
+            "tfidf",
+        )
+    )

@@ -2287,57 +2287,12 @@ FROM ranked WHERE rnk <= 3
     category="pipeline",
 )
 def text_tfidf_topk(spark, t):
-    """Per-document TF-IDF keyword extraction (classic smoothed IDF
-    ln((N+1)/(df+1))+1, the sklearn convention) with a per-doc top-3
-    — the keyword/tag signal every corpus audit carries. Scale shape:
-    two keyed aggregates (doc-term, term-df), a term-keyed join
-    (AQE-broadcastable: df table is vocabulary-sized), a 1-row
-    doc-count broadcast, and a per-doc top-k window that plans
-    map-side WindowGroupLimit — never a global sort. Transcendental
-    per-term score rounds with native ROUND (same class as the
-    -log2 terms; never near a decimal tie)."""
-    from pyspark.sql import Window
+    """Per-document TF-IDF keyword extraction with a per-doc top-3
+    (operators/textstats.tfidf_topk — smoothed IDF, WindowGroupLimit
+    top-k; see the operator docstring for the scale shape)."""
+    from ..operators.textstats import tfidf_topk
 
-    from ..operators.dedup import words_col
-
-    w = t.documents.select(
-        "doc_id", F.explode(words_col(F.col("text"))).alias("w")
-    ).filter(F.col("w") != "")
-    dc = w.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = dc.groupBy("w").agg(F.count("*").alias("df"))
-    n = w.agg(F.countDistinct("doc_id").alias("n_docs"))
-    scored = dc.join(dfreq, "w").crossJoin(F.broadcast(n)).select(
-        "doc_id",
-        "w",
-        F.col("tf").cast("bigint").alias("tf"),
-        F.round(
-            F.col("tf").cast("double")
-            * (
-                F.log(
-                    (F.col("n_docs").cast("double") + 1.0)
-                    / (F.col("df").cast("double") + 1.0)
-                )
-                + 1.0
-            ),
-            6,
-        ).alias("tfidf"),
-    )
-    rnk = F.row_number().over(
-        Window.partitionBy("doc_id").orderBy(
-            F.desc("tfidf"), F.col("w")
-        )
-    )
-    return (
-        scored.withColumn("rnk", rnk)
-        .filter(F.col("rnk") <= 3)
-        .select(
-            "doc_id",
-            F.col("w").alias("term"),
-            F.col("rnk").cast("int").alias("rnk"),
-            "tf",
-            "tfidf",
-        )
-    )
+    return tfidf_topk(t.documents, "doc_id", "text", k=3)
 
 
 @register(
@@ -2516,4 +2471,148 @@ def quality_kneser_ney(spark, t):
         t.documents.filter(F.col("doc_id") % 2 == 1),
         "doc_id",
         "text",
+    )
+
+
+@register(
+    "corpus_clean_v8",
+    oracle="""
+WITH tr AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id % 2 = 0
+),
+ho AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id % 2 = 1
+),
+tg AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM tr, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+bigrams AS (SELECT w1, w2, COUNT(*) AS c12 FROM tg GROUP BY w1, w2),
+context AS (
+  SELECT w1, SUM(c12) AS c1, COUNT(*) AS nf FROM bigrams GROUP BY w1
+),
+cont AS (SELECT w2, COUNT(*) AS tc FROM bigrams GROUP BY w2),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM bigrams) AS t_types,
+         (SELECT COUNT(DISTINCT u.w) FROM
+            (SELECT unnest(w) AS w FROM tr) u) AS v_size
+),
+sg AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM ho, LATERAL (SELECT unnest(range(1, len(w))) AS i) s
+  WHERE len(w) >= 2
+),
+doc_gram AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS dc FROM sg GROUP BY doc_id, w1, w2
+),
+scored AS (
+  SELECT d.doc_id, d.dc,
+         CASE WHEN c.c1 IS NOT NULL THEN
+             GREATEST(CAST(COALESCE(b.c12, 0) AS DOUBLE) - 0.75, 0.0)
+               / CAST(c.c1 AS DOUBLE)
+             + 0.75 * CAST(c.nf AS DOUBLE) / CAST(c.c1 AS DOUBLE)
+               * ((CAST(COALESCE(n.tc, 0) AS DOUBLE) + 0.5)
+                  / (CAST(t.t_types AS DOUBLE)
+                     + 0.5 * (CAST(t.v_size AS DOUBLE) + 1.0)))
+           ELSE
+             (CAST(COALESCE(n.tc, 0) AS DOUBLE) + 0.5)
+             / (CAST(t.t_types AS DOUBLE)
+                + 0.5 * (CAST(t.v_size AS DOUBLE) + 1.0))
+           END AS p
+  FROM doc_gram d
+  LEFT JOIN bigrams b USING (w1, w2)
+  LEFT JOIN context c USING (w1)
+  LEFT JOIN cont n USING (w2)
+  CROSS JOIN tot t
+),
+doc_bits AS (
+  SELECT doc_id,
+         FLOOR(
+           CAST(SUM(CAST(ROUND(-LOG2(p), 6) AS DECIMAL(38,6)) * dc)
+                AS DOUBLE)
+           / CAST(SUM(dc) AS DOUBLE) * 1000000 + 0.5) / 1000000
+           AS bits_per_bigram
+  FROM scored GROUP BY doc_id
+),
+tiled AS (
+  SELECT b.doc_id, d.lang, d.source, d.text, b.bits_per_bigram,
+         ntile(2) OVER (PARTITION BY d.lang
+                        ORDER BY b.bits_per_bigram, b.doc_id) AS tile
+  FROM doc_bits b JOIN documents d USING (doc_id)
+),
+survivors AS (SELECT * FROM tiled WHERE tile = 1),
+words AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+  FROM survivors
+),
+sw AS (SELECT doc_id, w FROM words WHERE w <> ''),
+sdc AS (SELECT doc_id, w, COUNT(*) AS tf FROM sw GROUP BY doc_id, w),
+sdf AS (SELECT w, COUNT(*) AS df FROM sdc GROUP BY w),
+sn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM sw),
+kw AS (
+  SELECT doc_id, w,
+         ROUND(CAST(tf AS DOUBLE) *
+               (LN((CAST(n_docs AS DOUBLE) + 1.0)
+                   / (CAST(df AS DOUBLE) + 1.0)) + 1.0), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY CAST(tf AS DOUBLE) *
+                    (LN((CAST(n_docs AS DOUBLE) + 1.0)
+                        / (CAST(df AS DOUBLE) + 1.0)) + 1.0) DESC, w
+         ) AS rnk
+  FROM sdc JOIN sdf USING (w), sn
+)
+SELECT s.doc_id, s.lang, s.source, s.bits_per_bigram,
+       k.w AS top_term, k.tfidf AS top_tfidf
+FROM survivors s JOIN kw k USING (doc_id)
+WHERE k.rnk = 1
+""",
+    category="pipeline",
+)
+def corpus_clean_v8(spark, t):
+    """Flagship pipeline v8 (LM-quality back half): held-out
+    Kneser-Ney perplexity (even docs train, odd docs score —
+    operators/quality.kneser_ney_bits) → keep the LOWER per-language
+    half (exact ntile(2) on the (bits, doc_id) total order, the
+    threshold-free CCNet-style gate) → TF-IDF keyword tagging REFIT
+    on the survivor corpus (operators/textstats.tfidf_topk, top-1 —
+    the dataset-card tag; IDF from survivors only, as v7 refits its
+    LM post-gate). ONE composed plan vs one CTE-stack oracle: the
+    model tables are keyed aggregates, the gate is one window, the
+    tagger adds two keyed aggregates + a WindowGroupLimit top-k —
+    nothing rescans raw text more than the three tokenizations."""
+    from pyspark.sql import Window
+
+    from ..operators.quality import kneser_ney_bits
+    from ..operators.textstats import tfidf_topk
+
+    docs = t.documents
+    bits = kneser_ney_bits(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+    ).select("doc_id", "bits_per_bigram")
+    tiled = bits.join(docs, "doc_id").withColumn(
+        "tile",
+        F.ntile(2).over(
+            Window.partitionBy("lang").orderBy(
+                "bits_per_bigram", "doc_id"
+            )
+        ),
+    )
+    survivors = tiled.filter(F.col("tile") == 1).select(
+        "doc_id", "lang", "source", "text", "bits_per_bigram"
+    )
+    kw = tfidf_topk(survivors, "doc_id", "text", k=1)
+    return survivors.join(kw, "doc_id").select(
+        "doc_id",
+        "lang",
+        "source",
+        "bits_per_bigram",
+        F.col("term").alias("top_term"),
+        F.col("tfidf").alias("top_tfidf"),
     )

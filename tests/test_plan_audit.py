@@ -465,6 +465,8 @@ NESTED_LOOP_OK = {
     "text_tfidf_topk": "scalar",
     # 1-row (T, V) totals broadcast in the KN continuation probability
     "quality_kneser_ney": "scalar",
+    # v8 composes KN (T,V totals) + tfidf (doc-count) scalar broadcasts
+    "corpus_clean_v8": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
