@@ -1207,3 +1207,36 @@ def fmt_lazybinary_sequencefile_round_trip(spark, t):
         "c_custkey long, c_name string, c_nationkey int, "
         "c_acctbal decimal(12,2), c_mktsegment string",
     )
+
+
+@register(
+    "fmt_typedbytes_transform",
+    oracle="""
+SELECT c_custkey, c_name,
+       CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_nationkey END
+         AS c_nationkey
+FROM customer WHERE c_custkey <= 120
+""",
+    category="formats",
+)
+def fmt_typedbytes_transform(spark, t):
+    """Binary TRANSFORM via TypedBytes (reference ``contrib/.../
+    TypedBytesSerDe.java`` — the Hadoop-streaming RECORDWRITER/
+    RECORDREADER pair): rows stream through an external process as
+    self-describing typed values and come back intact, NULL code and
+    all. ``cat`` as the script makes this a pure wire-contract
+    round trip (the pytest drives a genuinely transforming script);
+    one subprocess per partition, stdin fed by a writer thread —
+    the exact ScriptOperator topology."""
+    from ..functions.extensions import transform_typedbytes
+
+    src = t.customer.filter(F.col("c_custkey") <= 120).select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 5 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("c_nationkey"),
+    )
+    return transform_typedbytes(
+        src, ["cat"], "c_custkey long, c_name string, c_nationkey int"
+    )
