@@ -2616,3 +2616,65 @@ def corpus_clean_v8(spark, t):
         F.col("term").alias("top_term"),
         F.col("tfidf").alias("top_tfidf"),
     )
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+WITH li AS (
+  SELECT l_orderkey, l_linenumber,
+         date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE)) AS s,
+         date_diff('day', DATE '1992-01-01', CAST(l_shipdate AS DATE))
+           + CAST(l_quantity AS INT) AS e
+  FROM lineitem WHERE l_orderkey <= 2000
+),
+promo AS (
+  SELECT n_nationkey AS promo_id,
+         50 + n_nationkey * 90 AS ps,
+         75 + n_nationkey * 90 AS pe
+  FROM nation
+)
+SELECT l_orderkey, l_linenumber, promo_id,
+       CAST(LEAST(e, pe) - GREATEST(s, ps) + 1 AS BIGINT) AS overlap_days
+FROM li JOIN promo ON s <= pe AND ps <= e
+ORDER BY l_orderkey, l_linenumber, promo_id
+""",
+    category="joins",
+)
+def join_interval_overlap(spark, t):
+    """Interval × interval OVERLAP join (operators/rangejoin.
+    interval_overlap_join) — shipment exposure windows [shipdate,
+    shipdate + quantity days] against 25 promo windows. The pure
+    inequality predicate would plan nested-loop; the banded form is
+    an EQUI-join on 32-day bands with the canonical-band rule
+    (emit only where band == band(greatest(lo))), so the result is
+    provably complete AND duplicate-free with no DISTINCT exchange.
+    The registry-wide nested-loop sweep holds this query to that
+    claim."""
+    from ..operators.rangejoin import interval_overlap_join
+
+    s = F.datediff(
+        F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")
+    )
+    li = t.lineitem.filter(F.col("l_orderkey") <= 2000).select(
+        "l_orderkey",
+        "l_linenumber",
+        s.alias("s"),
+        (s + F.col("l_quantity").cast("int")).alias("e"),
+    )
+    promo = t.nation.select(
+        F.col("n_nationkey").alias("promo_id"),
+        (50 + F.col("n_nationkey") * 90).alias("ps"),
+        (75 + F.col("n_nationkey") * 90).alias("pe"),
+    )
+    out = interval_overlap_join(li, promo, "s", "e", "ps", "pe", band=32)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "promo_id",
+        (
+            F.least(F.col("e"), F.col("pe"))
+            - F.greatest(F.col("s"), F.col("ps"))
+            + 1
+        ).cast("bigint").alias("overlap_days"),
+    ).orderBy("l_orderkey", "l_linenumber", "promo_id")

@@ -55,3 +55,40 @@ def test_scd2_single_sort_and_semantics(spark):
         assert a.state != b.state  # change points only
         assert a.effective_to == b.effective_from  # intervals chain
     assert [r.is_current for r in rows] == [False] * (len(rows) - 1) + [True]
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Banded interval-overlap join vs the O(n·m) reference over an
+    adversarial set: point-touching intervals, nested intervals, a
+    giant interval spanning every band, negative coordinates, and
+    band-boundary endpoints. Exact set equality proves completeness;
+    exact MULTISET equality proves the canonical-band rule emits no
+    duplicates without a DISTINCT."""
+    from hdp2_5_hive_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    lefts = [
+        (1, 0, 10), (2, 10, 10), (3, 11, 20), (4, -65, -3),
+        (5, 0, 500), (6, 31, 33), (7, 64, 64), (8, 100, 131),
+    ]
+    rights = [
+        (101, 5, 12), (102, 10, 10), (103, -100, 0), (104, 200, 300),
+        (105, 32, 32), (106, -4, 64), (107, 131, 140),
+    ]
+    L = spark.createDataFrame(lefts, "lid int, s long, e long").repartition(3)
+    R = spark.createDataFrame(rights, "rid int, ps long, pe long").repartition(2)
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            L, R, "s", "e", "ps", "pe", band=32
+        ).collect()
+    )
+    want = sorted(
+        (lid, rid)
+        for lid, s, e in lefts
+        for rid, ps, pe in rights
+        if s <= pe and ps <= e
+    )
+    assert got == want
+    assert len(got) == len(set(got))  # duplicate-free, no DISTINCT
