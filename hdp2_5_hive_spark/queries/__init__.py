@@ -75,7 +75,8 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     hitters, WebDataset tar shards, unigram-LM tokenizer ×2,
 #     pround quotient-parity migration, TF-IDF top-k, Zipf fit,
 #     LazyBinary SerDe, Kneser-Ney LM, flagship v8, TypedBytes
-#     TRANSFORM, interval-overlap join) are beyond the
+#     TRANSFORM, interval-overlap join, schema-evolution reads ×2,
+#     MAD anomaly) are beyond the
 #     ~50-query driver prefix — they are round 8's window candidates;
 #     all are green in this round's full-registry check_oracle
 #     battery (317/317 at snapshot) + per-query checks and the

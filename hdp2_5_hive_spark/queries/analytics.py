@@ -624,3 +624,75 @@ def events_scd2_history(spark, t):
         F.row_number().over(w).cast("bigint").alias("version_no"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day
+),
+med AS (
+  SELECT event_type, median(n) AS med FROM daily GROUP BY event_type
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n, d.n - m.med AS dv,
+         abs(d.n - m.med) AS ad
+  FROM daily d JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type
+)
+SELECT v.event_type, v.day, CAST(v.n AS BIGINT) AS n,
+       FLOOR(v.dv / (1.4826 * t.mad) * 1000000 + 0.5) / 1000000
+         AS robust_z,
+       abs(v.dv / (1.4826 * t.mad)) > 2.0 AS is_anomaly
+FROM dev v JOIN mad t USING (event_type)
+ORDER BY event_type, day
+""",
+    category="analytics",
+)
+def events_anomaly_mad(spark, t):
+    """ROBUST volume-anomaly detection: median/MAD z-scores
+    (Hampel's rule, z = (n − median)/(1.4826·MAD)) — the outlier
+    detector that doesn't let the outlier inflate its own yardstick,
+    unlike events_anomaly_zscore's mean/stddev. Two median passes
+    (per-type daily counts are |types|×|days| rows — tiny at any
+    corpus scale, so exact percentile() is fine where a true
+    full-corpus quantile would use the mergeable bottom-k sketch),
+    broadcast joins back, pround final quotient. Both engines
+    interpolate the median identically (lang_percentile_gate
+    precedent)."""
+    from ..functions.hive_compat import pround
+
+    e = t.events
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        (F.col("n") - F.col("med")).alias("dv"),
+        F.abs(F.col("n") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    z = F.col("dv") / (F.lit(1.4826) * F.col("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type",
+            "day",
+            F.col("n").cast("bigint").alias("n"),
+            pround(z).alias("robust_z"),
+            (F.abs(z) > 2.0).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -1240,3 +1240,91 @@ def fmt_typedbytes_transform(spark, t):
     return transform_typedbytes(
         src, ["cat"], "c_custkey long, c_name string, c_nationkey int"
     )
+
+
+@register(
+    "fmt_parquet_schema_evolution",
+    oracle="""
+SELECT n_nationkey, n_name,
+       CASE WHEN n_regionkey >= 2 THEN n_regionkey ELSE NULL END
+         AS n_regionkey,
+       CASE WHEN n_regionkey >= 2 THEN 'v2' ELSE NULL END AS batch_tag
+FROM nation
+""",
+    category="formats",
+)
+def fmt_parquet_schema_evolution(spark, t):
+    """Schema evolution on a parquet table — Hive's ``ALTER TABLE ADD
+    COLUMNS`` warehouse reality (reference
+    ``ql/exec/DDLTask.java alterTable ADDCOLS`` +
+    ``serde2/.../SchemaEvolution``): old files carry the v1 schema
+    (2 cols), new files v2 (4 cols); a mergeSchema read serves ONE
+    union schema with NULLs for columns a file predates. Also the
+    pruning contract: selecting only v1 columns must read v1 files
+    untouched (no rewrite — schema-on-read, never data migration)."""
+    d = scratch_dir("fmt_evolve_") + "/tbl"
+    v1 = t.nation.filter(F.col("n_regionkey") < 2).select(
+        "n_nationkey", "n_name"
+    )
+    v1.write.mode("append").parquet(d)
+    v2 = t.nation.filter(F.col("n_regionkey") >= 2).select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.lit("v2").alias("batch_tag"),
+    )
+    v2.write.mode("append").parquet(d)
+    return spark.read.option("mergeSchema", "true").parquet(d).select(
+        "n_nationkey", "n_name", "n_regionkey", "batch_tag"
+    )
+
+
+@register(
+    "fmt_text_add_columns",
+    oracle="""
+SELECT s_suppkey, s_name,
+       CASE WHEN s_suppkey % 2 = 0 THEN NULL ELSE s_nationkey END
+         AS s_nationkey,
+       CASE WHEN s_suppkey % 2 = 0 THEN NULL
+            ELSE 'batch-' || CAST(s_suppkey % 3 AS VARCHAR) END AS tag
+FROM supplier WHERE s_suppkey <= 50
+""",
+    category="formats",
+)
+def fmt_text_add_columns(spark, t):
+    """LazySimpleSerDe short-row semantics after ``ALTER TABLE ADD
+    COLUMNS`` (reference ``serde/.../lazy/LazyStruct.java:parse`` —
+    "Missing fields default to NULL"): pre-ALTER text rows have fewer
+    \\x01-separated fields than the current schema; the SerDe pads
+    the missing TRAILING columns with NULL instead of failing.
+    Even suppkeys are written as old 2-field rows, odd as new
+    4-field rows; one schema-on-read pass serves both vintages."""
+    d = scratch_dir("fmt_addcols_")
+    src = t.supplier.filter(F.col("s_suppkey") <= 50)
+    old_rows = src.filter(F.col("s_suppkey") % 2 == 0).select(
+        F.concat_ws(
+            "\x01",
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+        ).alias("value")
+    )
+    new_rows = src.filter(F.col("s_suppkey") % 2 == 1).select(
+        F.concat_ws(
+            "\x01",
+            F.col("s_suppkey").cast("string"),
+            F.col("s_name"),
+            F.col("s_nationkey").cast("string"),
+            F.concat(F.lit("batch-"), (F.col("s_suppkey") % 3)),
+        ).alias("value")
+    )
+    old_rows.unionByName(new_rows).write.mode("overwrite").text(d)
+    raw = spark.read.text(d)
+    parts = F.split(F.col("value"), "\x01")
+    # element_at returns NULL past the end — exactly the SerDe's
+    # missing-trailing-field rule
+    return raw.select(
+        F.element_at(parts, 1).cast("long").alias("s_suppkey"),
+        F.element_at(parts, 2).alias("s_name"),
+        F.element_at(parts, 3).cast("int").alias("s_nationkey"),
+        F.element_at(parts, 4).alias("tag"),
+    )

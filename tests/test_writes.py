@@ -307,3 +307,24 @@ def test_parquet_bloom_filter_bytes_written(spark, tmp_path):
     a = {r.s_suppkey for r in spark.read.parquet(str(tmp_path / "bloom")).collect()}
     b = {r.s_suppkey for r in spark.read.parquet(str(tmp_path / "plain")).collect()}
     assert a == b
+
+
+def test_schema_evolution_v1_projection_reads_without_merge(spark, tmp_path):
+    """The schema-on-read contract: after ADD COLUMNS, a projection
+    of pre-existing columns still reads old files with NO mergeSchema
+    and NO rewrite — and the evolved read NULL-pads v1 rows."""
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "tbl")
+    spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")\
+        .write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, "c", 30)], "id long, v string, extra int"
+    ).write.mode("append").parquet(d)
+    plain = spark.read.parquet(d).select("id", "v")
+    assert sorted((r.id, r.v) for r in plain.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    rows = {r.id: r.extra for r in merged.collect()}
+    assert rows == {1: None, 2: None, 3: 30}
