@@ -2678,3 +2678,106 @@ def join_interval_overlap(spark, t):
             + 1
         ).cast("bigint").alias("overlap_days"),
     ).orderBy("l_orderkey", "l_linenumber", "promo_id")
+
+
+@register(
+    "corpus_stats_incremental",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS qk
+  FROM documents
+),
+ranked AS (
+  SELECT source, n_toks, qk,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY qk) AS r
+  FROM docs
+),
+samp AS (
+  SELECT source,
+         ROUND(quantile_cont(CAST(n_toks AS DOUBLE), 0.5), 6)
+           AS p50_sample
+  FROM ranked WHERE r <= 64 GROUP BY source
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       CAST(MAX(n_toks) AS BIGINT) AS max_tokens,
+       MAX(s.p50_sample) AS p50_sample
+FROM docs d JOIN samp s USING (source)
+GROUP BY d.source ORDER BY d.source
+""",
+    category="pipeline",
+)
+def corpus_stats_incremental(spark, t):
+    """Incremental corpus-stats maintenance — the nightly-ingest
+    discipline at 100 TB: per-source stats are kept as MERGEABLE
+    state (counts/sums/max fold by re-aggregation; the quantile is
+    the deterministic bottom-k sample of operators/sketches.qsketch —
+    bottomk(A∪B) == bottomk(bottomk(A)∪bottomk(B))), so day-2 stats
+    = stored day-1 partials ⊕ day-2 partials. The OLD corpus is
+    NEVER re-scanned: batch 1 (doc_id % 3 != 2) materializes its
+    partial table to parquet, batch 2 computes only its own partials,
+    and the merge is a KB-sized groupBy. The oracle recomputes from
+    the full corpus — proving merge == recompute exactly."""
+    from pyspark.sql import Window
+
+    from ..scratch import scratch_dir
+
+    def partials(docs):
+        base = docs.select(
+            "source",
+            F.size(F.split(F.lower(F.col("text")), " ")).alias("n_toks"),
+            F.md5(F.col("doc_id").cast("string")).alias("qk"),
+        )
+        stats = base.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.max("n_toks").alias("max_tokens"),
+        )
+        r = F.row_number().over(
+            Window.partitionBy("source").orderBy("qk")
+        )
+        sample = (
+            base.withColumn("r", r).filter(F.col("r") <= 64)
+            .select("source", "qk", "n_toks")
+        )
+        return stats, sample
+
+    state = scratch_dir("corpus_stats_") + "/state"
+    b1_stats, b1_sample = partials(
+        t.documents.filter(F.col("doc_id") % 3 != 2)
+    )
+    b1_stats.write.parquet(state + "/stats")
+    b1_sample.write.parquet(state + "/sample")
+
+    b2_stats, b2_sample = partials(
+        t.documents.filter(F.col("doc_id") % 3 == 2)
+    )
+    merged_stats = (
+        spark.read.parquet(state + "/stats")
+        .unionByName(b2_stats)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            F.max("max_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )
+    r = F.row_number().over(Window.partitionBy("source").orderBy("qk"))
+    merged_sample = (
+        spark.read.parquet(state + "/sample")
+        .unionByName(b2_sample)
+        .withColumn("r", r)
+        .filter(F.col("r") <= 64)
+    )
+    p50 = merged_sample.groupBy("source").agg(
+        F.round(
+            F.expr("percentile(CAST(n_toks AS DOUBLE), 0.5)"), 6
+        ).alias("p50_sample")
+    )
+    return (
+        merged_stats.join(p50, "source")
+        .select("source", "n_docs", "n_tokens", "max_tokens", "p50_sample")
+        .orderBy("source")
+    )
