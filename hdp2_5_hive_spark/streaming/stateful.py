@@ -194,3 +194,74 @@ def heavy_hitters_stream(tokens: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_SCHEMA = StructType(
+    [
+        StructField("grp", StringType()),
+        StructField("tok", StringType()),
+        StructField("c", LongType()),
+        StructField("n_stream", LongType()),
+    ]
+)
+
+
+def mg_heavy_hitters_stream(
+    tokens: DataFrame, group_col: str = "grp", *, k: int = 8
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters — BOUNDED state where
+    heavy_hitters_stream grows O(|vocabulary|): per group the state
+    is AT MOST ``k`` (token, counter) pairs plus the stream length,
+    updated each micro-batch with the same mergeable-summaries rule
+    as the batch operator (operators/sketches.mg_summaries), so the
+    contract carries across batches forever:
+
+        true_count(x) - n_stream/(k+1)  <=  c(x)  <=  true_count(x)
+
+    and every token with true count > n_stream/(k+1) is in state.
+    This is the unbounded-key-space answer the CMS docstring points
+    at, with deterministic counters instead of hashed cells. Emits
+    the full summary per group per batch (update mode).
+
+    Input columns: ``group_col`` string, ``tok`` string."""
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            toks, cs, n = state.get
+            counters = dict(zip(toks, cs))
+        else:
+            counters, n = {}, 0
+        for pdf in pdfs:
+            vc = pdf["tok"].dropna().value_counts()
+            n += int(vc.sum())
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                m = vals[k]
+                counters = {
+                    t: c - m for t, c in counters.items() if c > m
+                }
+        state.update(
+            (list(counters.keys()), list(counters.values()), n)
+        )
+        yield pd.DataFrame(
+            {
+                "grp": [key[0]] * len(counters),
+                "tok": list(counters.keys()),
+                "c": list(counters.values()),
+                "n_stream": [n] * len(counters),
+            }
+        )
+
+    return tokens.groupBy(group_col).applyInPandasWithState(
+        fn,
+        outputStructType=MG_SCHEMA,
+        stateStructType="toks array<string>, cs array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -165,3 +165,60 @@ def test_heavy_hitters_accumulate_across_batches(spark, tmp_path):
     )
     second = drain()  # same checkpoint: state carries over
     assert second.get("a") == 3 and second.get("c") == 1
+
+
+def test_mg_heavy_hitters_bounded_state_across_batches(spark, tmp_path):
+    """Streaming Misra-Gries: two micro-batches over a skewed stream;
+    state stays <= k counters per group, the stream length
+    accumulates, and the MG contract holds against the exact
+    cross-batch counts (heavy token present, no overestimate,
+    undercount <= n/(k+1))."""
+    from hdp2_5_hive_spark.streaming.stateful import (
+        mg_heavy_hitters_stream,
+    )
+
+    src = str(tmp_path / "mg_src")
+    batch1 = [("g", "hot")] * 12 + [("g", "a")] * 3 + [("g", "b")] * 2
+    batch2 = [("g", "hot")] * 9 + [("g", "c")] * 4 + [("g", "a")] * 2
+    spark.createDataFrame(batch1, "grp string, tok string").write.parquet(
+        src + "/b1"
+    )
+    out = str(tmp_path / "mg_out")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "grp string, tok string"
+        ).parquet(src + "/*")
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            mg_heavy_hitters_stream(stream, "grp", k=2)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "mg_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.read.parquet(out).collect()
+        latest_n = max(r.n_stream for r in rows)
+        return {
+            r.tok: r.c for r in rows if r.n_stream == latest_n
+        }, latest_n
+
+    state1, n1 = drain()
+    assert n1 == 17 and len(state1) <= 2
+    assert state1["hot"] >= 12 - 17 / 3 and state1["hot"] <= 12
+
+    spark.createDataFrame(batch2, "grp string, tok string").write.parquet(
+        src + "/b2"
+    )
+    state2, n2 = drain()
+    true = {"hot": 21, "a": 5, "b": 2, "c": 4}
+    assert n2 == 32 and len(state2) <= 2
+    bound = n2 / 3
+    for tok, c in state2.items():
+        assert c <= true[tok] and c >= true[tok] - bound
+    assert "hot" in state2  # 21 > 32/3: guaranteed present
