@@ -1166,3 +1166,84 @@ def chunk_documents(
         F.size(piece).cast("int").alias("n_chunk_tokens"),
         F.concat_ws(" ", piece).alias("chunk_text"),
     )
+
+
+def exact_proportion_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    stratum_col: str = "lang",
+    *,
+    pcts: tuple[int, int, int] = (80, 10, 10),
+    salt: str = "split3-v1",
+) -> DataFrame:
+    """Three-way train/val/test split with EXACT per-stratum counts
+    via LARGEST-REMAINDER allocation (Hamilton's method) — the
+    eval-set construction rule when "5% holdout" must mean exactly
+    floor-or-ceil(0.05·n) per stratum, not a binomial draw around it
+    (train_holdout_split's hash buckets give proportions only in
+    expectation; a 40-doc language can easily lose 0 or 4 docs to a
+    5% bucket split).
+
+    Integer arithmetic end to end: base_b = floor(n·p_b/100), the
+    r = n − Σbase leftover seats go to the largest remainders
+    (n·p_b mod 100) with ties broken train > val > test — every
+    quantity an engine-portable expression, no floats anywhere.
+    Docs rank inside their stratum by md5(salt‖id) (the seeded-
+    shuffle trick: deterministic, partition-invariant) and fill the
+    buckets in rank order.
+
+    Scale shape: one window per stratum (rank) + a stratum-count
+    aggregate joined back (|strata| rows — broadcast); map-only
+    otherwise. Returns (id, stratum, rank, bucket)."""
+    from pyspark.sql import Window
+
+    p_tr, p_va, p_te = pcts
+    if p_tr + p_va + p_te != 100:
+        raise ValueError("pcts must sum to 100")
+    key = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    ranked = df.select(
+        F.col(id_col),
+        F.col(stratum_col).alias("stratum"),
+        F.row_number()
+        .over(Window.partitionBy(stratum_col).orderBy(key, id_col))
+        .alias("rnk"),
+    )
+    counts = ranked.groupBy("stratum").agg(F.count("*").alias("n"))
+    n = F.col("n")
+    base_tr, rem_tr = (n * p_tr) - (n * p_tr) % 100, (n * p_tr) % 100
+    base_va, rem_va = (n * p_va) - (n * p_va) % 100, (n * p_va) % 100
+    base_te, rem_te = (n * p_te) - (n * p_te) % 100, (n * p_te) % 100
+    base_tr, base_va, base_te = (
+        (base_tr / 100).cast("long"),
+        (base_va / 100).cast("long"),
+        (base_te / 100).cast("long"),
+    )
+    r = n - base_tr - base_va - base_te
+    pos_tr = F.lit(1) + (rem_va > rem_tr).cast("int") + (
+        rem_te > rem_tr
+    ).cast("int")
+    pos_va = F.lit(1) + (rem_tr >= rem_va).cast("int") + (
+        rem_te > rem_va
+    ).cast("int")
+    pos_te = F.lit(1) + (rem_tr >= rem_te).cast("int") + (
+        rem_va >= rem_te
+    ).cast("int")
+    alloc = counts.select(
+        "stratum",
+        (base_tr + (pos_tr <= r).cast("long")).alias("c_tr"),
+        (base_va + (pos_va <= r).cast("long")).alias("c_va"),
+    )
+    out = ranked.join(F.broadcast(alloc), "stratum")
+    bucket = (
+        F.when(F.col("rnk") <= F.col("c_tr"), F.lit("train"))
+        .when(
+            F.col("rnk") <= F.col("c_tr") + F.col("c_va"), F.lit("val")
+        )
+        .otherwise(F.lit("test"))
+    )
+    return out.select(
+        id_col,
+        "stratum",
+        F.col("rnk").cast("int").alias("rnk"),
+        bucket.alias("bucket"),
+    )

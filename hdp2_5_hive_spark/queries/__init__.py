@@ -76,7 +76,8 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     pround quotient-parity migration, TF-IDF top-k, Zipf fit,
 #     LazyBinary SerDe, Kneser-Ney LM, flagship v8, TypedBytes
 #     TRANSFORM, interval-overlap join, schema-evolution reads ×2,
-#     MAD anomaly, incremental stats merge) are beyond the
+#     MAD anomaly, incremental stats merge, streaming MG state,
+#     exact-proportion split) are beyond the
 #     ~50-query driver prefix — they are round 8's window candidates;
 #     all are green in this round's full-registry check_oracle
 #     battery (317/317 at snapshot) + per-query checks and the

@@ -2781,3 +2781,55 @@ def corpus_stats_incremental(spark, t):
         .select("source", "n_docs", "n_tokens", "max_tokens", "p50_sample")
         .orderBy("source")
     )
+
+
+@register(
+    "sample_exact_split",
+    oracle="""
+WITH ranked AS (
+  SELECT doc_id, lang AS stratum,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('split3-v1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+),
+counts AS (SELECT stratum, COUNT(*) AS n FROM ranked GROUP BY stratum),
+alloc AS (
+  SELECT stratum,
+         CAST((n*80 - (n*80)%100)/100 AS BIGINT)
+           + CASE WHEN 1 + CAST((n*10)%100 > (n*80)%100 AS INT)
+                        + CAST((n*10)%100 > (n*80)%100 AS INT)
+                  <= n - CAST((n*80 - (n*80)%100)/100 AS BIGINT)
+                       - 2*CAST((n*10 - (n*10)%100)/100 AS BIGINT)
+                  THEN 1 ELSE 0 END AS c_tr,
+         CAST((n*10 - (n*10)%100)/100 AS BIGINT)
+           + CASE WHEN 1 + CAST((n*80)%100 >= (n*10)%100 AS INT)
+                        + CAST((n*10)%100 > (n*10)%100 AS INT)
+                  <= n - CAST((n*80 - (n*80)%100)/100 AS BIGINT)
+                       - 2*CAST((n*10 - (n*10)%100)/100 AS BIGINT)
+                  THEN 1 ELSE 0 END AS c_va
+  FROM counts
+)
+SELECT r.doc_id, r.stratum, CAST(r.rnk AS INT) AS rnk,
+       CASE WHEN r.rnk <= a.c_tr THEN 'train'
+            WHEN r.rnk <= a.c_tr + a.c_va THEN 'val'
+            ELSE 'test' END AS bucket
+FROM ranked r JOIN alloc a USING (stratum)
+ORDER BY stratum, rnk
+""",
+    category="pipeline",
+)
+def sample_exact_split(spark, t):
+    """Exact-count train/val/test split, 80/10/10 per language, via
+    largest-remainder allocation (operators/corpus.
+    exact_proportion_split): integer arithmetic end to end, docs fill
+    buckets in md5-shuffled rank order — deterministic on any
+    partitioning, and per-stratum sizes are exactly the Hamilton
+    apportionment (the hash-bucket split gives proportions only in
+    expectation). One rank window + a |strata|-row broadcast."""
+    from ..operators.corpus import exact_proportion_split
+
+    return exact_proportion_split(
+        t.documents, "doc_id", "lang", pcts=(80, 10, 10)
+    ).orderBy("stratum", "rnk")

@@ -987,3 +987,45 @@ def test_misra_gries_single_partition_is_classic_mg(spark):
     }
     # batch counts {a:5,b:4,c:3}; 3rd largest = 3; subtract, drop c
     assert got == {"a": 2, "b": 1}
+
+
+def test_exact_proportion_split_hamilton_counts(spark):
+    """Largest-remainder allocation: per-stratum bucket counts equal
+    the Hamilton apportionment exactly for adversarial sizes (1, 2,
+    3, 7, 9, 10, 19), buckets fill in md5 rank order, and the split
+    is invariant under input partitioning."""
+    from hdp2_5_hive_spark.operators.corpus import (
+        exact_proportion_split,
+    )
+
+    sizes = {"s1": 1, "s2": 2, "s3": 3, "s7": 7, "s9": 9,
+             "s10": 10, "s19": 19}
+    rows, i = [], 0
+    for st, n in sizes.items():
+        for _ in range(n):
+            rows.append((i, st))
+            i += 1
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    def hamilton(n, pcts=(80, 10, 10)):
+        base = [n * p // 100 for p in pcts]
+        rem = [n * p % 100 for p in pcts]
+        r = n - sum(base)
+        order = sorted(range(3), key=lambda b: (-rem[b], b))
+        for b in order[:r]:
+            base[b] += 1
+        return tuple(base)
+
+    for parts in (1, 8):
+        out = exact_proportion_split(
+            df.repartition(parts), "doc_id", "lang"
+        ).collect()
+        got = {}
+        for row in out:
+            got.setdefault(row.stratum, {"train": 0, "val": 0, "test": 0})
+            got[row.stratum][row.bucket] += 1
+        for st, n in sizes.items():
+            want = hamilton(n)
+            have = (got[st]["train"], got[st]["val"], got[st]["test"])
+            assert have == want, (st, n, have, want)
+            assert sum(have) == n
