@@ -2833,3 +2833,64 @@ def sample_exact_split(spark, t):
     return exact_proportion_split(
         t.documents, "doc_id", "lang", pcts=(80, 10, 10)
     ).orderBy("stratum", "rnk")
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+WITH w AS (
+  SELECT l_returnflag AS flag, l_extendedprice AS v,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+cum AS (
+  SELECT flag, v, wt,
+         SUM(wt) OVER (PARTITION BY flag ORDER BY v, wt
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(wt) OVER (PARTITION BY flag) AS tw
+  FROM w
+)
+SELECT flag,
+       MIN(v)                  AS weighted_median,
+       CAST(MAX(tw) AS BIGINT) AS total_weight
+FROM cum WHERE cw * 2 >= tw
+GROUP BY flag ORDER BY flag
+""",
+    category="aggregates",
+)
+def agg_weighted_median(spark, t):
+    """Grouped WEIGHTED median (quantity-weighted price per return
+    flag) — the aggregate Hive/Spark both lack natively: the smallest
+    value whose cumulative weight reaches half the group total, via
+    one cumulative-sum window + an integer threshold compare
+    (cw·2 ≥ tw — no float division anywhere, so both engines agree
+    exactly). Scale note: one keyed exchange for the window; for a
+    true full-corpus percentile the mergeable bottom-k sketch is the
+    cheap path — this is the EXACT tier."""
+    from pyspark.sql import Window
+
+    w = t.lineitem.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    win = (
+        Window.partitionBy("flag")
+        .orderBy("v", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = w.select(
+        "flag",
+        "v",
+        F.sum("wt").over(win).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tw").cast("bigint").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )

@@ -739,3 +739,43 @@ def test_runtime_bloom_filter_semijoin_reduction(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tfidf_topk_plans_window_group_limit(spark, sf_dir):
+    """tfidf_topk's per-doc top-k must run the map-side
+    WindowGroupLimit heap, not a full per-doc sort."""
+    from hdp2_5_hive_spark.operators.textstats import tfidf_topk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = tfidf_topk(docs, "doc_id", "text", k=3)
+    df.collect()
+    assert "WindowGroupLimit" in audit.executed_plan(df)
+
+
+def test_webdataset_write_single_shard_exchange(spark, sf_dir, tmp_path):
+    """The webdataset export plan: ONE shard-keyed exchange feeds the
+    streamed tar writer — a second exchange (or a sort spanning
+    shards) would double the shuffle of the full corpus payload."""
+    from hdp2_5_hive_spark.sources import webdataset_py as wd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # build the prepared plan exactly as write_webdataset does
+    key = F.col("doc_id").cast("string")
+    shard = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 4
+    ).cast("int")
+    prepared = (
+        docs.select(key.alias("_key"), shard.alias("_shard"), "text")
+        .repartition(4, "_shard")
+        .sortWithinPartitions("_shard", "_key")
+    )
+    facts = audit.analyze(prepared)
+    assert len(_exchange_nodes(facts.text)) == 1, facts.text
+    # and the E2E write agrees with the plan-level claim
+    n = wd.write_webdataset(
+        docs.limit(50), str(tmp_path / "w"), "doc_id",
+        {"text": "txt"}, n_shards=4,
+    )
+    assert n == 50
