@@ -108,3 +108,143 @@ def bm25_scores(
     return scored.groupBy(query_id_col, id_col).agg(
         F.round(F.sum("contrib"), 4).alias("score")
     )
+
+
+def rm3_expand_rescore(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    *,
+    fb_docs: int = 3,
+    fb_terms: int = 3,
+    expand_weight: float = 0.5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-style, Lavrenko & Croft 2001
+    simplified to the BM25 setting): run BM25, take each query's top
+    ``fb_docs`` documents, mine their ``fb_terms`` strongest
+    non-query terms (feedback tf × corpus idf), then RESCORE with the
+    expanded query — expansion contributions down-weighted by
+    ``expand_weight``. The classic fix for vocabulary mismatch
+    ("car" queries also pulling "automobile" docs).
+
+    Float-parity discipline (stricter than bm25_scores): every
+    per-(query,doc,term) contribution rounds to 6 decimals into
+    DECIMAL(38,6) before the final sum, so the score is exact and
+    order-independent — the SQL oracle replays it bit-for-bit.
+
+    Scale shape: two broadcast-probe scoring passes over the
+    persisted corpus tf table (never shuffling the corpus), a per-
+    query WindowGroupLimit for feedback docs and expansion terms —
+    everything that moves is query-sized."""
+    from pyspark.sql import Window
+
+    tf = term_frequencies(corpus, id_col, text_col)
+    stats = corpus.select(F.count("*").alias("n_docs")).crossJoin(
+        tf.select(id_col, "dl")
+        .distinct()
+        .select(F.avg("dl").alias("avgdl"))
+    )
+    q_terms = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.array_distinct(words_col(F.col(text_col)))
+        ).alias("term"),
+    )
+
+    def contribs(qt, weight):
+        """Per-(query, doc, term) BM25 contribution, weighted and
+        rounded to 6 into DECIMAL(38,6)."""
+        df_t = (
+            tf.join(F.broadcast(qt.select("term").distinct()), "term")
+            .groupBy("term")
+            .agg(F.count("*").alias("df"))
+        )
+        idf = F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        )
+        tf_part = (F.col("tf") * (k1 + 1)) / (
+            F.col("tf")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        return (
+            tf.join(F.broadcast(qt), "term")
+            .join(F.broadcast(df_t), "term")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                query_id_col,
+                id_col,
+                F.round(F.lit(weight) * idf * tf_part, 6)
+                .cast("decimal(38,6)")
+                .alias("c"),
+            )
+        )
+
+    first = contribs(q_terms, 1.0).groupBy(query_id_col, id_col).agg(
+        F.sum("c").alias("s")
+    )
+    top_docs = first.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy(query_id_col).orderBy(
+                F.desc("s"), F.col(id_col)
+            )
+        ),
+    ).filter(F.col("r") <= fb_docs)
+
+    # expansion candidates: terms of the feedback docs, scored by
+    # (sum of feedback tf) × corpus idf, minus the original terms
+    fb_tf = tf.join(
+        F.broadcast(top_docs.select(query_id_col, id_col)), id_col
+    )
+    cand = (
+        fb_tf.groupBy(query_id_col, "term")
+        .agg(F.sum("tf").alias("fbtf"))
+        .join(q_terms, [query_id_col, "term"], "left_anti")
+    )
+    cand_df = (
+        tf.join(F.broadcast(cand.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    cand_idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    exp_terms = (
+        cand.join(F.broadcast(cand_df), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            query_id_col,
+            "term",
+            F.round(F.col("fbtf") * cand_idf, 6).alias("w"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.desc("w"), F.col("term")
+                )
+            ),
+        )
+        .filter(F.col("r") <= fb_terms)
+        .select(query_id_col, "term")
+    )
+
+    second = contribs(exp_terms, expand_weight)
+    all_c = first.select(
+        query_id_col, id_col, F.col("s").alias("c")
+    ).unionByName(second)
+    from ..functions.hive_compat import pround
+
+    return all_c.groupBy(query_id_col, id_col).agg(
+        # the exact decimal sum is a multiple of 1e-6 — a native
+        # round-to-4 can land ON a .5e-4 tie (observed: 4.43615), so
+        # the deterministic floor form is required here
+        pround(F.sum("c").cast("double"), 4).alias("score")
+    )

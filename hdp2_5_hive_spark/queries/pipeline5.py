@@ -2894,3 +2894,198 @@ def agg_weighted_median(spark, t):
         )
         .orderBy("flag")
     )
+
+
+@register(
+    "corpus_quality_contract",
+    oracle="""
+WITH checks AS (
+  SELECT 'doc_id_unique' AS check_name,
+         CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_violations,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM documents
+  UNION ALL
+  SELECT 'text_nonempty',
+         CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+              AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'lang_in_domain',
+         CAST(SUM(CASE WHEN lang NOT IN ('en','de','fr','es','it','pt',
+                                         'nl','pl','ru','ja','zh','ko')
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'tokens_in_range',
+         CAST(SUM(CASE WHEN len(string_split(lower(text), ' '))
+                            NOT BETWEEN 1 AND 100000
+                       THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+  UNION ALL
+  SELECT 'source_nonnull',
+         CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(COUNT(*) AS BIGINT)
+  FROM documents
+)
+SELECT check_name, n_violations, n_rows,
+       n_violations = 0 AS passed
+FROM checks ORDER BY check_name
+""",
+    category="pipeline",
+)
+def corpus_quality_contract(spark, t):
+    """Data-contract validation (the dbt-tests / Deequ pattern — a
+    pre-training corpus ships with EXPECTATIONS, not hope): one pass
+    per contract family over the corpus producing a (check,
+    violations, rows, passed) audit table — uniqueness, non-empty
+    text, language domain, token-count range, source completeness.
+    Every check is a SUM(CASE) aggregate with map-side combine;
+    uniqueness is the one count-distinct. At 100 TB this is the
+    nightly gate BEFORE any training job reads the table."""
+    d = t.documents
+    n_tok = F.size(F.split(F.lower(F.col("text")), " "))
+    langs = [
+        "en", "de", "fr", "es", "it", "pt",
+        "nl", "pl", "ru", "ja", "zh", "ko",
+    ]
+
+    def check(name, bad):
+        return d.agg(
+            F.lit(name).alias("check_name"),
+            F.sum(F.when(bad, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+
+    uniq = d.agg(
+        F.lit("doc_id_unique").alias("check_name"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("bigint")
+        .alias("n_violations"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    out = (
+        uniq.unionByName(
+            check(
+                "text_nonempty",
+                F.col("text").isNull() | (F.col("text") == ""),
+            )
+        )
+        .unionByName(check("lang_in_domain", ~F.col("lang").isin(langs)))
+        .unionByName(
+            check("tokens_in_range", ~n_tok.between(1, 100000))
+        )
+        .unionByName(check("source_nonnull", F.col("source").isNull()))
+    )
+    return out.select(
+        "check_name",
+        "n_violations",
+        "n_rows",
+        (F.col("n_violations") == 0).alias("passed"),
+    ).orderBy("check_name")
+
+
+@register(
+    "retrieval_rm3_expansion",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w
+  FROM documents WHERE doc_id >= 5
+),
+q AS (
+  SELECT doc_id AS query_id,
+         list_distinct(string_split(lower(text), ' ')) AS qw
+  FROM documents WHERE doc_id < 5
+),
+ex AS (SELECT doc_id, unnest(w) AS term FROM corpus),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT query_id, unnest(qw) AS term FROM q),
+c1 AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(ROUND(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+           6) AS DECIMAL(38,6)) AS c
+  FROM qt JOIN tf USING (term) JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+s1 AS (
+  SELECT query_id, doc_id, SUM(c) AS s FROM c1 GROUP BY 1, 2
+),
+top3 AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s DESC, doc_id) AS r
+    FROM s1
+  ) WHERE r <= 3
+),
+fbtf AS (
+  SELECT t3.query_id, tf.term, SUM(tf.tf) AS fbtf
+  FROM top3 t3 JOIN tf ON t3.doc_id = tf.doc_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT f.query_id, f.term, f.fbtf
+  FROM fbtf f ANTI JOIN qt ON f.query_id = qt.query_id
+                          AND f.term = qt.term
+),
+expt AS (
+  SELECT query_id, term FROM (
+    SELECT c.query_id, c.term,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY ROUND(c.fbtf *
+               ln(1 + (n_docs - d.df + 0.5) / (d.df + 0.5)), 6) DESC,
+               c.term
+           ) AS r
+    FROM cand c JOIN dft d USING (term), stats
+  ) WHERE r <= 3
+),
+c2 AS (
+  SELECT e.query_id, tf.doc_id,
+         CAST(ROUND(
+           (0.5 * ln(1 + (n_docs - df + 0.5) / (df + 0.5)))
+           * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))),
+           6) AS DECIMAL(38,6)) AS c
+  FROM expt e JOIN tf USING (term) JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+),
+allc AS (
+  SELECT query_id, doc_id, s AS c FROM s1
+  UNION ALL
+  SELECT query_id, doc_id, c FROM c2
+)
+SELECT query_id, doc_id,
+       FLOOR(CAST(SUM(c) AS DOUBLE) * 10000 + 0.5) / 10000 AS score
+FROM allc GROUP BY 1, 2
+""",
+    category="pipeline",
+)
+def retrieval_rm3_expansion(spark, t):
+    """Pseudo-relevance feedback retrieval (RM3-lite;
+    operators/retrieval.rm3_expand_rescore): BM25 first pass → top-3
+    feedback docs per query → top-3 non-query expansion terms
+    (feedback tf × corpus idf) → rescore with expansion
+    contributions at half weight. The vocabulary-mismatch fix every
+    lexical retriever eventually grows; contributions round to 6
+    into DECIMAL(38,6) so both scoring passes are order-exact."""
+    from ..operators.retrieval import rm3_expand_rescore
+
+    d = t.documents
+    return rm3_expand_rescore(
+        d.filter(F.col("doc_id") >= 5),
+        d.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"), "text"
+        ),
+    )

@@ -625,3 +625,40 @@ def test_kneser_ney_matches_independent_reference(spark):
         assert got[doc_id].n_unseen == unseen
     # tier coverage: doc 1 all-seen, doc 3 has unseen ctx + bigrams
     assert got[1].n_unseen == 0 and got[3].n_unseen >= 2
+
+
+def test_rm3_expansion_changes_ranking(spark):
+    """PRF sanity on a crafted vocabulary-mismatch corpus: the query
+    says 'car', the feedback doc pairs 'car' with 'automobile', and
+    the rescore must now surface the automobile-only doc, which the
+    first pass scored zero."""
+    from hdp2_5_hive_spark.operators.retrieval import (
+        bm25_scores,
+        rm3_expand_rescore,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "car car automobile road"),
+            (11, "automobile automobile engine"),
+            (12, "banana fruit salad"),
+            (13, "road trip music"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(1, "car")], "query_id long, text string"
+    )
+    first = {
+        r.doc_id
+        for r in bm25_scores(corpus, queries).collect()
+    }
+    assert first == {10}  # vocabulary mismatch: doc 11 invisible
+    second = {
+        r.doc_id: r.score
+        for r in rm3_expand_rescore(
+            corpus, queries, fb_docs=1, fb_terms=2
+        ).collect()
+    }
+    assert 11 in second  # expansion term 'automobile' recalled it
+    assert second[10] > second[11] > 0

@@ -467,6 +467,8 @@ NESTED_LOOP_OK = {
     "quality_kneser_ney": "scalar",
     # v8 composes KN (T,V totals) + tfidf (doc-count) scalar broadcasts
     "corpus_clean_v8": "scalar",
+    # bm25 1-row (n_docs, avgdl) stats broadcasts, twice (both passes)
+    "retrieval_rm3_expansion": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
