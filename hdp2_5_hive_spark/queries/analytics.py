@@ -696,3 +696,57 @@ def events_anomaly_mad(spark, t):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_seasonal_weekday",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day
+),
+wd AS (
+  SELECT event_type, day, n, dayofweek(day) AS weekday FROM daily
+),
+season AS (
+  SELECT event_type, weekday, median(n) AS wd_median
+  FROM wd GROUP BY event_type, weekday
+)
+SELECT w.event_type, w.day, CAST(w.weekday AS INT) AS weekday,
+       CAST(w.n AS BIGINT) AS n,
+       ROUND(s.wd_median, 6) AS wd_median,
+       ROUND(w.n - s.wd_median, 6) AS residual
+FROM wd w JOIN season s USING (event_type, weekday)
+ORDER BY event_type, day
+""",
+    category="analytics",
+)
+def events_seasonal_weekday(spark, t):
+    """Weekday seasonal decomposition of event volume — the
+    remove-the-weekly-cycle step before any volume anomaly rule
+    (Mondays are not anomalies): per (type, weekday) exact median
+    over the daily counts, residual = day − its weekday baseline.
+    Two keyed aggregates over |types|×|days| rows + a broadcast
+    join back; medians of integers interpolate identically on both
+    engines (lang_percentile_gate precedent)."""
+    e = t.events
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wd = daily.withColumn("weekday", F.dayofweek("day") - 1)
+    season = wd.groupBy("event_type", "weekday").agg(
+        F.expr("percentile(n, 0.5)").alias("wd_median")
+    )
+    return (
+        wd.join(F.broadcast(season), ["event_type", "weekday"])
+        .select(
+            "event_type",
+            "day",
+            F.col("weekday").cast("int").alias("weekday"),
+            F.col("n").cast("bigint").alias("n"),
+            F.round("wd_median", 6).alias("wd_median"),
+            F.round(F.col("n") - F.col("wd_median"), 6).alias("residual"),
+        )
+        .orderBy("event_type", "day")
+    )
