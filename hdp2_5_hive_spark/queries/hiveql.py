@@ -829,3 +829,69 @@ def hiveql_variable_substitution(spark, t):
         GROUP BY o_orderpriority
         """,
     )
+
+
+@register(
+    "hiveql_transform_delimited",
+    oracle="""
+SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name_out,
+       CAST(n_regionkey AS BIGINT) AS r
+FROM nation
+""",
+    category="hiveql",
+)
+def hiveql_transform_delimited(spark, t):
+    """``TRANSFORM … ROW FORMAT DELIMITED FIELDS TERMINATED BY``
+    on BOTH sides of the script (reference ScriptOperator +
+    LazySimpleSerDe custom separators; qfile
+    ``clientpositive/transform_ppr1.q`` family): rows reach the
+    child process ','-separated instead of tab, and its stdout is
+    parsed back with the same delimiter. Proves the configurable
+    script-IO SerDe contract, not just the default encoding.
+    (Spark applies the output delimiter as a Java regex — String
+    .split — so regex metacharacters like '|' would split per
+    character; a literal-safe delimiter is the portable choice.)"""
+    t.nation
+    return spark.sql(
+        """
+        SELECT TRANSFORM(n_nationkey, n_name, n_regionkey)
+          ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+          USING 'cat'
+          AS (k bigint, name_out string, r bigint)
+          ROW FORMAT DELIMITED FIELDS TERMINATED BY ','
+        FROM nation
+        """
+    )
+
+
+@register(
+    "hiveql_reduce_using",
+    oracle="""
+SELECT CAST(r AS BIGINT) AS r, CAST(k AS BIGINT) AS k, nm
+FROM (
+  SELECT n_regionkey AS r, n_nationkey AS k, n_name AS nm
+  FROM nation
+) ORDER BY r, k
+""",
+    category="hiveql",
+)
+def hiveql_reduce_using(spark, t):
+    """Hive's ``FROM (… DISTRIBUTE BY … SORT BY …) MAP/REDUCE …
+    USING`` keyword forms (HiveParser.g trfmClause — MAP and REDUCE
+    are pure synonyms of TRANSFORM, kept for the Hadoop-streaming
+    generation; qfile ``clientpositive/reduce_deduplicate.q``
+    family): the classic reduce-side script over a clustered,
+    sorted stream. The script sees each region's rows contiguously
+    in key order — the ReduceSinkOperator contract."""
+    t.nation
+    return spark.sql(
+        """
+        FROM (
+          SELECT n_regionkey, n_nationkey, n_name
+          FROM nation
+          DISTRIBUTE BY n_regionkey SORT BY n_regionkey, n_nationkey
+        ) clustered
+        REDUCE n_regionkey, n_nationkey, n_name
+        USING 'cat' AS (r bigint, k bigint, nm string)
+        """
+    ).orderBy("r", "k")
