@@ -79,7 +79,7 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     MAD anomaly, incremental stats merge, streaming MG state,
 #     exact-proportion split, weighted median, data contract,
 #     RM3 expansion, weekday seasonality, TRANSFORM delimited +
-#     REDUCE keyword forms) are beyond the
+#     REDUCE keyword forms, Arrow IPC) are beyond the
 #     ~50-query driver prefix — they are round 8's window candidates;
 #     all are green in this round's full-registry check_oracle
 #     battery (317/317 at snapshot) + per-query checks and the

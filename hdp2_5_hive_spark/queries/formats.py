@@ -1328,3 +1328,28 @@ def fmt_text_add_columns(spark, t):
         F.element_at(parts, 3).cast("int").alias("s_nationkey"),
         F.element_at(parts, 4).alias("tag"),
     )
+
+
+@register(
+    "fmt_arrow_ipc_round_trip",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders WHERE o_orderkey <= 600
+""",
+    category="formats",
+)
+def fmt_arrow_ipc_round_trip(spark, t):
+    """Arrow IPC stream-file export → import (sources/arrow_ipc_py;
+    public Arrow IPC spec — the on-disk format HuggingFace datasets
+    mmaps): batches stream from Spark's Arrow runtime straight into
+    one part file per partition (no row pivot), read back one task
+    per file. The interchange sink a training pipeline actually
+    hands to its loaders, beside the Hive-era formats."""
+    from ..sources import arrow_ipc_py as aipc
+
+    d = scratch_dir("fmt_arrow_") + "/ipc"
+    src = t.orders.filter(F.col("o_orderkey") <= 600).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    aipc.write_arrow_ipc(src.repartition(4), d)
+    return aipc.read_arrow_ipc(spark, d)
