@@ -81,9 +81,10 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     RM3 expansion, weekday seasonality, TRANSFORM delimited +
 #     REDUCE keyword forms, Arrow IPC) are beyond the
 #     ~50-query driver prefix — they are round 8's window candidates;
-#     all are green in this round's full-registry check_oracle
-#     battery (317/317 at snapshot) + per-query checks and the
-#     13-query vanilla-session driver_sim for the post-battery tail.
+#     all are green in this round's TWO full-registry check_oracle
+#     batteries (317/317 at the first snapshot; 339 pass / 0 fail /
+#     16 rows-only = 355 at the end-of-round battery covering every
+#     continued-session-2 addition and the pround parity migration).
 _MODULES = (
     "scalars",
     "setops",
