@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 from ..functions.hive_compat import pround
 from .dedup import words_col
 
+_last_kn_bigrams = None
+
 
 def compression_ratio(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -553,11 +555,20 @@ def kneser_ney_bits(
             .agg(F.count("*").alias("dc"))
         )
 
+    global _last_kn_bigrams
+    if _last_kn_bigrams is not None:
+        _last_kn_bigrams.unpersist()
+    # the bigram model table feeds context marginals, continuation
+    # counts, the type total AND the scoring join — persist it
+    # (vocab²-bounded, KBs-MBs) or the train-corpus subtree replays
+    # four times
     bigrams = (
         doc_grams(train)
         .groupBy("w1", "w2")
         .agg(F.sum("dc").alias("c12"))
+        .persist()
     )
+    _last_kn_bigrams = bigrams
     context = bigrams.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count("*").alias("nf")
     )

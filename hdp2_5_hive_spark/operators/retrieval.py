@@ -142,6 +142,12 @@ def rm3_expand_rescore(
     everything that moves is query-sized."""
     from pyspark.sql import Window
 
+    # the tf table feeds both scoring passes and the feedback mining,
+    # but measured A/B at sf0.1 says DON'T persist it here: Catalyst's
+    # ReuseExchange already dedups the identical scan+agg subtrees and
+    # materializing the corpus-sized tf costs ~2x the replays (15.2s
+    # vs 7.5s warm) — the opposite call from kneser_ney_bits' tiny
+    # vocab-squared model table, where persist halves the runtime
     tf = term_frequencies(corpus, id_col, text_col)
     stats = corpus.select(F.count("*").alias("n_docs")).crossJoin(
         tf.select(id_col, "dl")
