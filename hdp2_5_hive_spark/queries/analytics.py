@@ -750,3 +750,68 @@ def events_seasonal_weekday(spark, t):
         )
         .orderBy("event_type", "day")
     )
+
+
+@register(
+    "events_top_paths",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type AS e1,
+         LEAD(event_type, 1) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         LEAD(event_type, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS e3,
+         LEAD(ts, 2) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS ts3,
+         CAST(ts AS TIMESTAMP) AS ts1
+  FROM events
+)
+SELECT e1 || ' > ' || e2 || ' > ' || e3 AS path,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq
+WHERE e3 IS NOT NULL
+  AND CAST(ts3 AS TIMESTAMP) <= ts1 + INTERVAL 1 HOUR
+GROUP BY e1, e2, e3
+ORDER BY n DESC, path
+LIMIT 15
+""",
+    category="analytics",
+)
+def events_top_paths(spark, t):
+    """Top 3-step behavioral paths within a 1-hour span (the
+    sequence-mining tier above events_top_transitions' 2-step
+    matrix): two LEADs over each user's ts-ordered stream, a time
+    bound so stitched-across-days non-journeys drop out, then a
+    keyed count + distinct-user reach and top-15. Same scale story
+    as the transition matrix — one user_id exchange, a
+    |event_type|³-bounded rollup, TakeOrdered; the time filter is
+    computed inside the window pass, never a self-join."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "user_id",
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+        F.col("ts").alias("ts1"),
+        F.lead("ts", 2).over(w).alias("ts3"),
+    ).filter(
+        F.col("e3").isNotNull()
+        & (F.col("ts3") <= F.col("ts1") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        seq.groupBy("e1", "e2", "e3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .select(
+            F.concat_ws(" > ", "e1", "e2", "e3").alias("path"),
+            "n",
+            "n_users",
+        )
+        .orderBy(F.desc("n"), "path")
+        .limit(15)
+    )

@@ -1353,3 +1353,55 @@ def fmt_arrow_ipc_round_trip(spark, t):
     )
     aipc.write_arrow_ipc(src.repartition(4), d)
     return aipc.read_arrow_ipc(spark, d)
+
+
+@register(
+    "fmt_parquet_codecs",
+    oracle="""
+SELECT 'gzip' AS codec, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(p_retailprice) AS DECIMAL(38,2)) AS total
+FROM part WHERE p_partkey <= 500
+UNION ALL
+SELECT 'snappy', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(p_retailprice) AS DECIMAL(38,2))
+FROM part WHERE p_partkey <= 500
+UNION ALL
+SELECT 'zstd', CAST(COUNT(*) AS BIGINT),
+       CAST(SUM(p_retailprice) AS DECIMAL(38,2))
+FROM part WHERE p_partkey <= 500
+ORDER BY codec
+""",
+    category="formats",
+)
+def fmt_parquet_codecs(spark, t):
+    """Parquet compression-codec matrix (the ``parquet.compression``
+    table property — reference ``ql/io/parquet/`` writer options):
+    the same slice written under gzip, snappy and zstd, each read
+    back and aggregated — one row per codec proving every encoding
+    decodes to identical data. Codec choice is a 100 TB cost dial
+    (zstd ≈ gzip ratio at snappy-ish CPU); the pytest twin pins that
+    the on-disk footprints actually differ by codec."""
+    import os
+
+    d = scratch_dir("fmt_codecs_")
+    src = t.part.filter(F.col("p_partkey") <= 500).select(
+        "p_partkey", "p_name", "p_type", "p_retailprice"
+    )
+    outs = []
+    for codec in ("gzip", "snappy", "zstd"):
+        path = os.path.join(d, codec)
+        src.write.option("compression", codec).parquet(path)
+        back = spark.read.parquet(path)
+        outs.append(
+            back.agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum(F.col("p_retailprice").cast("decimal(38,2)"))
+                .cast("decimal(38,2)")
+                .alias("total"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("codec")

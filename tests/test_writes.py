@@ -328,3 +328,27 @@ def test_schema_evolution_v1_projection_reads_without_merge(spark, tmp_path):
     merged = spark.read.option("mergeSchema", "true").parquet(d)
     rows = {r.id: r.extra for r in merged.collect()}
     assert rows == {1: None, 2: None, 3: 30}
+
+
+def test_parquet_codecs_differ_on_disk(spark, tmp_path):
+    """The codec matrix actually changes bytes: per-codec directory
+    footprints are pairwise different and every file advertises its
+    codec in the parquet footer metadata."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = spark.range(0, 20000).selectExpr(
+        "id", "repeat(uuid(), 2) AS s"
+    )
+    sizes = {}
+    for codec in ("gzip", "snappy", "zstd"):
+        p = str(tmp_path / codec)
+        src.write.option("compression", codec).parquet(p)
+        files = glob.glob(os.path.join(p, "*.parquet"))
+        sizes[codec] = sum(os.path.getsize(f) for f in files)
+        meta = pq.ParquetFile(files[0]).metadata
+        col_codec = meta.row_group(0).column(1).compression
+        assert col_codec.lower() == codec, (codec, col_codec)
+    assert len(set(sizes.values())) == 3, sizes
