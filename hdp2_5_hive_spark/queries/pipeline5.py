@@ -3098,3 +3098,95 @@ def retrieval_rm3_expansion(spark, t):
             F.col("doc_id").alias("query_id"), "text"
         ),
     )
+
+
+@register(
+    "quality_gopher_rules",
+    oracle="""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' ### ... ## ... #'
+              ELSE text END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(replace(text, ' ', '')) AS n_nonspace,
+         (len(text) - len(replace(text, '#', ''))) AS n_hash,
+         (len(text) - len(replace(text, '...', ''))) / 3 AS n_ellipsis
+  FROM seeded
+),
+rules AS (
+  SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+         FLOOR(CAST(n_nonspace AS DOUBLE) / CAST(n_words AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS mean_word_len,
+         FLOOR(CAST(n_hash + n_ellipsis AS DOUBLE)
+               / CAST(n_words AS DOUBLE) * 1000000 + 0.5) / 1000000
+           AS symbol_ratio
+  FROM sig
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+       n_words BETWEEN 50 AND 100000          AS r_wordcount,
+       mean_word_len BETWEEN 3 AND 10         AS r_mean_wlen,
+       symbol_ratio <= 0.1                    AS r_symbol,
+       (n_words BETWEEN 50 AND 100000)
+         AND (mean_word_len BETWEEN 3 AND 10)
+         AND symbol_ratio <= 0.1              AS gopher_keep
+FROM rules ORDER BY doc_id
+""",
+    category="pipeline",
+)
+def quality_gopher_rules(spark, t):
+    """The Gopher rule battery (Rae et al. 2021 Table A1 — the
+    word-level subset that is meaningful on this corpus): word-count
+    bounds [50, 100k] (223/500 docs fail at sf0.01 — genuinely
+    gating), mean-word-length bounds [3, 10], and the
+    symbol-to-word ratio (# and ... occurrences; deterministic
+    symbol noise injected on doc_id % 7 so the rule fires) — plus
+    the combined keep flag. Pure string arithmetic (replace-length
+    counting, no regex), map-only, pround on the two
+    small-denominator ratios. The stopword rule lives in
+    text_profile; the line-shape rules need newlines this corpus
+    lacks — both documented as out of battery here."""
+    from ..functions.hive_compat import pround
+
+    text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" ### ... ## ... #")),
+    ).otherwise(F.col("text"))
+    d = t.documents.select("doc_id", text.alias("text"))
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_nonspace = F.length(F.regexp_replace("text", " ", ""))
+    n_hash = F.length("text") - F.length(
+        F.regexp_replace("text", "#", "")
+    )
+    n_ellipsis = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    sig = d.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        pround(
+            n_nonspace.cast("double") / n_words.cast("double")
+        ).alias("mean_word_len"),
+        pround(
+            (n_hash + n_ellipsis).cast("double")
+            / n_words.cast("double")
+        ).alias("symbol_ratio"),
+    )
+    r_wc = F.col("n_words").between(50, 100000)
+    r_mw = F.col("mean_word_len").between(3, 10)
+    r_sy = F.col("symbol_ratio") <= 0.1
+    return sig.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        r_wc.alias("r_wordcount"),
+        r_mw.alias("r_mean_wlen"),
+        r_sy.alias("r_symbol"),
+        (r_wc & r_mw & r_sy).alias("gopher_keep"),
+    ).orderBy("doc_id")
