@@ -3190,3 +3190,105 @@ def quality_gopher_rules(spark, t):
         r_sy.alias("r_symbol"),
         (r_wc & r_mw & r_sy).alias("gopher_keep"),
     ).orderBy("doc_id")
+
+
+@register(
+    "emb_label_centroid_drift",
+    oracle="""
+WITH dims AS (
+  SELECT label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS v
+  FROM embeddings
+),
+cent AS (
+  -- DECIMAL(18,6): small enough that s*s fits a 38-digit decimal
+  -- EXACTLY on both engines (Spark reduces the scale of overflowing
+  -- decimal products silently — 38,6 x 38,6 would round to scale 6)
+  SELECT label, pos,
+         CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE), 6) AS DECIMAL(38,6)))
+              AS DECIMAL(18,6)) AS s
+  FROM dims GROUP BY label, pos
+),
+norms AS (
+  SELECT label, SUM(s * s) AS n2 FROM cent GROUP BY label
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(a.s * b.s) AS dot
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b,
+       FLOOR(CAST(dot AS DOUBLE)
+             / SQRT(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+             * 1000000 + 0.5) / 1000000 AS centroid_cosine
+FROM dots
+JOIN norms na ON na.label = label_a
+JOIN norms nb ON nb.label = label_b
+ORDER BY label_a, label_b
+""",
+    category="pipeline",
+)
+def emb_label_centroid_drift(spark, t):
+    """Embedding-space drift matrix: pairwise cosine between
+    per-label centroids — the cheap monitor for cluster collapse /
+    source contamination in embedding space (labels whose centroids
+    converge are merging). EXACT despite floats: cosine is scale-
+    invariant, so per-dim SUMS stand in for means (no division), the
+    per-dim sums accumulate 6-rounded DECIMALs, and dot/norms are
+    DECIMAL products summed exactly — one double op chain (the final
+    quotient+sqrt) under pround. Scale shape: posexplode →
+    (label, dim) keyed agg with map-side combine; everything after
+    is a |labels|×dims table (640 rows here) — at any corpus size
+    the pairwise stage is label-count-bounded, never row-bounded."""
+    from ..functions.hive_compat import pround
+
+    dims = t.embeddings.select(
+        "label", F.posexplode("embedding").alias("pos0", "v")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "v")
+    cent = dims.groupBy("label", "pos").agg(
+        # (18,6): products stay exact — a (38,6)x(38,6) multiply
+        # overflows precision 38 and Spark silently rounds its scale
+        F.sum(
+            F.round(F.col("v").cast("double"), 6).cast("decimal(38,6)")
+        )
+        .cast("decimal(18,6)")
+        .alias("s")
+    )
+    norms = cent.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("n2")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("s").alias("sb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(
+        F.col("label").alias("label_a"), F.col("n2").alias("na")
+    )
+    nb = norms.select(
+        F.col("label").alias("label_b"), F.col("n2").alias("nb")
+    )
+    return (
+        dots.join(na, "label_a")
+        .join(nb, "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            pround(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                )
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
