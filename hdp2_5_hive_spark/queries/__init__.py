@@ -80,8 +80,8 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     exact-proportion split, weighted median, data contract,
 #     RM3 expansion, weekday seasonality, TRANSFORM delimited +
 #     REDUCE keyword forms, Arrow IPC, 3-step path mining,
-#     parquet codec matrix, Gopher rule battery, centroid drift)
-#     are beyond the
+#     parquet codec matrix, Gopher rule battery, centroid drift,
+#     Heaps fit) are beyond the
 #     ~50-query driver prefix — they are round 8's window candidates;
 #     all are green in this round's TWO full-registry check_oracle
 #     batteries (317/317 at the first snapshot; 339 pass / 0 fail /

@@ -3292,3 +3292,128 @@ def emb_label_centroid_drift(spark, t):
         )
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    "vocab_heaps_fit",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(string_split(lower(text), ' '), 1)
+           AS idx,
+         unnest(string_split(lower(text), ' ')) AS w
+  FROM documents
+),
+pos AS (
+  SELECT w, ROW_NUMBER() OVER (ORDER BY doc_id, idx) AS p FROM toks
+),
+firsts AS (SELECT w, MIN(p) AS fp FROM pos GROUP BY w),
+n AS (SELECT COUNT(*) AS n_total FROM pos),
+cks AS (
+  SELECT k, (n_total * k - (n_total * k) % 10) / 10 AS n_at
+  FROM n, (SELECT unnest(range(1, 11)) AS k)
+),
+growth AS (
+  SELECT c.k, CAST(c.n_at AS BIGINT) AS n_at,
+         CAST((SELECT COUNT(*) FROM firsts f WHERE f.fp <= c.n_at)
+              AS BIGINT) AS v_at
+  FROM cks c
+),
+terms AS (
+  SELECT k, n_at, v_at,
+         CAST(ROUND(LN(CAST(n_at AS DOUBLE)), 6) AS DECIMAL(38,6)) AS x,
+         CAST(ROUND(LN(CAST(v_at AS DOUBLE)), 6) AS DECIMAL(38,6)) AS y,
+         CAST(ROUND(LN(CAST(n_at AS DOUBLE)) * LN(CAST(n_at AS DOUBLE)),
+                    6) AS DECIMAL(38,6)) AS xx,
+         CAST(ROUND(LN(CAST(n_at AS DOUBLE)) * LN(CAST(v_at AS DOUBLE)),
+                    6) AS DECIMAL(38,6)) AS xy
+  FROM growth
+),
+fit AS (
+  SELECT FLOOR(CAST(10 * SUM(xy) - SUM(x) * SUM(y) AS DOUBLE)
+               / CAST(10 * SUM(xx) - SUM(x) * SUM(x) AS DOUBLE)
+               * 1000000 + 0.5) / 1000000 AS heaps_beta
+  FROM terms
+)
+SELECT t.k, t.n_at, t.v_at, f.heaps_beta
+FROM terms t, fit f ORDER BY t.k
+""",
+    category="pipeline",
+)
+def vocab_heaps_fit(spark, t):
+    """Heaps'-law vocabulary growth fit — the Zipf fit's companion
+    diagnostic: V(n) ≈ K·n^β over ten corpus-prefix checkpoints;
+    natural language grows β ≈ 0.5, a saturating synthetic/templated
+    vocabulary flattens toward 0 (this corpus: 31 words — the fit
+    SHOWS the saturation, which is the point of the monitor). Global
+    token positions come from doc-offset prefix sums + in-doc index
+    (at warehouse scale the doc-offset window is
+    corpus.distributed_prefix_sum's block scan; |docs| rows here),
+    first-occurrence = min(position) per token, checkpoints are a
+    broadcast of 10 rows, and the regression is the same
+    DECIMAL-exact closed form as vocab_zipf_fit."""
+    from pyspark.sql import Window
+
+    from ..functions.hive_compat import pround
+
+    words = F.split(F.lower(F.col("text")), " ")
+    toks = t.documents.select(
+        "doc_id", F.posexplode(words).alias("idx0", "w")
+    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "w")
+    # global position = doc offset + in-doc index: the offset window
+    # runs over the |docs|-row count table (block-scan prefix sum at
+    # warehouse scale), NEVER a global sort of the token stream
+    doc_counts = toks.groupBy("doc_id").agg(F.count("*").alias("nt"))
+    woff = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = doc_counts.select(
+        "doc_id",
+        F.coalesce(F.sum("nt").over(woff), F.lit(0)).alias("off"),
+    )
+    firsts = (
+        toks.join(offsets, "doc_id")
+        .select("w", (F.col("off") + F.col("idx")).alias("p"))
+        .groupBy("w")
+        .agg(F.min("p").alias("fp"))
+    )
+    n_total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    cks = ks.crossJoin(F.broadcast(n_total)).select(
+        "k",
+        (
+            (F.col("n_total") * F.col("k")
+             - (F.col("n_total") * F.col("k")) % 10) / 10
+        ).cast("long").alias("n_at"),
+    )
+    growth = (
+        firsts.crossJoin(F.broadcast(cks))
+        .groupBy("k", "n_at")
+        .agg(
+            F.sum(F.when(F.col("fp") <= F.col("n_at"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("v_at")
+        )
+    )
+    lx = F.log(F.col("n_at").cast("double"))
+    ly = F.log(F.col("v_at").cast("double"))
+    dec = "decimal(38,6)"
+    terms = growth.select(
+        "k",
+        F.col("n_at").cast("bigint").alias("n_at"),
+        "v_at",
+        F.round(lx, 6).cast(dec).alias("x"),
+        F.round(ly, 6).cast(dec).alias("y"),
+        F.round(lx * lx, 6).cast(dec).alias("xx"),
+        F.round(lx * ly, 6).cast(dec).alias("xy"),
+    )
+    fit = terms.agg(
+        pround(
+            (10 * F.sum("xy") - F.sum("x") * F.sum("y")).cast("double")
+            / (10 * F.sum("xx") - F.sum("x") * F.sum("x")).cast("double")
+        ).alias("heaps_beta")
+    )
+    return (
+        terms.select("k", "n_at", "v_at")
+        .crossJoin(F.broadcast(fit))
+        .orderBy("k")
+    )

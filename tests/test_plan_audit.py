@@ -465,6 +465,8 @@ NESTED_LOOP_OK = {
     "text_tfidf_topk": "scalar",
     # 1-row (T, V) totals broadcast in the KN continuation probability
     "quality_kneser_ney": "scalar",
+    # 10-row checkpoint table + 1-row fit broadcast in the Heaps fit
+    "vocab_heaps_fit": "scalar",
     # v8 composes KN (T,V totals) + tfidf (doc-count) scalar broadcasts
     "corpus_clean_v8": "scalar",
     # bm25 1-row (n_docs, avgdl) stats broadcasts, twice (both passes)
