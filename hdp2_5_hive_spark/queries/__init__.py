@@ -85,8 +85,13 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     ~50-query driver prefix — they are round 8's window candidates;
 #     all are green in this round's TWO full-registry check_oracle
 #     batteries (317/317 at the first snapshot; 339 pass / 0 fail /
-#     16 rows-only = 355 at the end-of-round battery covering every
-#     continued-session-2 addition and the pround parity migration).
+#     16 rows-only = 355 at the second battery covering the pround
+#     parity migration) — the 8 queries registered after the second
+#     battery (hiveql TRANSFORM-delimited/REDUCE, Arrow IPC, 3-step
+#     paths, parquet codecs, Gopher rules, centroid drift, Heaps
+#     fit) were each verified individually at sf0.001 AND sf0.01.
+#     End-of-round registry: 363 queries, 347 oracle-backed, 16
+#     rows-only; registry-wide nested-loop sweep green at 363.
 _MODULES = (
     "scalars",
     "setops",
