@@ -108,6 +108,7 @@ _MODULES = (
     "pipeline3",
     "pipeline4",
     "pipeline5",
+    "pipeline6",
     "scalars2",
     "scalars3",
     "core",

@@ -1,0 +1,163 @@
+r"""LLM-pipeline queries, round 7 (continued session 3): the C4
+cleaning-rule battery, graph triangle counting, EWMA smoothing,
+retrieval-eval metrics, and warehouse-audit queries.
+
+Beyond-reference operators under the training-data-pipeline mandate
+(SURVEY §6). Same design rules as pipeline/pipeline2-5: built-in
+JVM expressions only in hot paths, keyed or broadcast shuffles,
+and a DuckDB oracle per query re-deriving the semantics from
+portable primitives (lambdas restricted to the Spark ∩ DuckDB
+common subset: ``filter``/``list_filter``, ``transform``/
+``list_transform``, ``aggregate``/``list_sum``-equivalents).
+
+The synthetic documents table is letters-only word salad, so the C4
+battery CONSTRUCTS deterministic "lines" from each doc's words and
+injects doc_id-keyed noise (terminal punctuation, ``javascript``,
+``{``, ``lorem ipsum``, a placeholder bad-word) identically on both
+sides — every rule genuinely fires instead of vacuously passing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import register
+
+# Placeholder stand-ins for the C4 bad-word list (the real list is a
+# public external resource; the FILTER mechanics are what's tested).
+C4_BADWORDS = ("obscenityalpha", "obscenitybeta")
+
+
+@register(
+    "quality_c4_rules",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 21
+),
+lines AS (
+  SELECT doc_id,
+         [
+           array_to_string(list_slice(w, 1, 6), ' ')
+             || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+             || '.',
+           array_to_string(list_slice(w, 7, 11), ' ')
+             || CASE WHEN doc_id % 17 = 0 THEN ' obscenityalpha' ELSE '' END
+             || CASE WHEN doc_id % 19 = 0 THEN ' javascript' ELSE '' END
+             || '.',
+           array_to_string(list_slice(w, 12, 14), ' ')
+             || CASE WHEN doc_id % 13 = 0 THEN ' {var}' ELSE '' END,
+           array_to_string(list_slice(w, 15, 21), ' ')
+             || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+         ] AS ls
+  FROM base
+),
+page AS (
+  SELECT doc_id, ls, array_to_string(ls, ' | ') AS page_text,
+         list_filter(ls, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(string_split(x, ' ')) >= 5
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM lines
+)
+SELECT doc_id,
+       array_to_string(kept, ' | ') AS kept_text,
+       CAST(len(page_text) - len(replace(replace(replace(page_text,
+              '.', ''), '!', ''), '?', '')) AS BIGINT) AS n_punct,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(len(array_to_string(kept, ' '))
+            - len(replace(replace(replace(array_to_string(kept, ' '),
+                '.', ''), '!', ''), '?', '')) AS BIGINT) AS n_sentences,
+       contains(page_text, '{') AS f_brace,
+       contains(lower(page_text), 'lorem ipsum') AS f_lorem,
+       (contains(lower(page_text), 'obscenityalpha')
+        OR contains(lower(page_text), 'obscenitybeta')) AS f_badword,
+       ((len(array_to_string(kept, ' '))
+         - len(replace(replace(replace(array_to_string(kept, ' '),
+             '.', ''), '!', ''), '?', ''))) >= 3
+        AND NOT contains(page_text, '{')
+        AND NOT contains(lower(page_text), 'lorem ipsum')
+        AND NOT contains(lower(page_text), 'obscenityalpha')
+        AND NOT contains(lower(page_text), 'obscenitybeta')) AS c4_keep
+FROM page
+ORDER BY doc_id
+""",
+    category="pipeline",
+)
+def quality_c4_rules(spark, t):
+    """The C4 cleaning-rule battery (Raffel et al. 2020 §2.2): line
+    level — retain only lines ending in terminal punctuation with
+    ≥5 words and no ``javascript``; page level — drop pages with
+    ``{`` (source code), ``lorem ipsum``, or a bad-word hit, and
+    require ≥3 sentences in the RETAINED text. The corpus is
+    punctuation-free word salad, so each doc's words are regrouped
+    into four deterministic lines with doc_id-keyed injections (odd
+    ids lose line 4's terminal '.', %19 gets a javascript line, %13
+    a brace, %11 lorem ipsum, %17 a bad word) so every rule gates a
+    known subset. Map-only: split → slice → higher-order
+    ``filter`` — one JVM codegen stage, no shuffle but the output
+    sort. The span-dedup rule of C4 (three-sentence spans) lives in
+    corpus_span_dedup."""
+    d = t.documents
+    w = F.split(F.col("text"), " ")
+    base = d.filter(F.size(F.split(F.col("text"), " ")) >= 21).select(
+        "doc_id", w.alias("w")
+    )
+    j = lambda a, b: F.array_join(F.slice(F.col("w"), a, b - a + 1), " ")  # noqa: E731
+    when_mod = lambda m, s: F.when(  # noqa: E731
+        F.col("doc_id") % m == 0, F.lit(s)
+    ).otherwise(F.lit(""))
+    lines = base.select(
+        "doc_id",
+        F.array(
+            F.concat(j(1, 6), when_mod(11, " lorem ipsum"), F.lit(".")),
+            F.concat(
+                j(7, 11),
+                when_mod(17, " " + C4_BADWORDS[0]),
+                when_mod(19, " javascript"),
+                F.lit("."),
+            ),
+            F.concat(j(12, 14), when_mod(13, " {var}")),
+            F.concat(j(15, 21), when_mod(2, ".")),
+        ).alias("ls"),
+    )
+    kept = F.filter(
+        F.col("ls"),
+        lambda x: x.rlike('[.!?"]$')
+        & (F.size(F.split(x, " ")) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+    page = lines.select(
+        "doc_id",
+        F.array_join(F.col("ls"), " | ").alias("page_text"),
+        kept.alias("kept"),
+    )
+
+    def n_punct(col):
+        stripped = F.regexp_replace(col, r"[.!?]", "")
+        return (F.length(col) - F.length(stripped)).cast("bigint")
+
+    kept_text = F.array_join(F.col("kept"), " ")
+    f_brace = F.col("page_text").contains("{")
+    f_lorem = F.lower(F.col("page_text")).contains("lorem ipsum")
+    f_bad = F.lower(F.col("page_text")).contains(
+        C4_BADWORDS[0]
+    ) | F.lower(F.col("page_text")).contains(C4_BADWORDS[1])
+    return (
+        page.select(
+            "doc_id",
+            F.array_join(F.col("kept"), " | ").alias("kept_text"),
+            n_punct(F.col("page_text")).alias("n_punct"),
+            F.size(F.col("kept")).cast("bigint").alias("n_kept_lines"),
+            n_punct(kept_text).alias("n_sentences"),
+            f_brace.alias("f_brace"),
+            f_lorem.alias("f_lorem"),
+            f_bad.alias("f_badword"),
+            (
+                (n_punct(kept_text) >= 3) & ~f_brace & ~f_lorem & ~f_bad
+            ).alias("c4_keep"),
+        )
+        .orderBy("doc_id")
+    )

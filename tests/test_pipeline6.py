@@ -1,0 +1,56 @@
+"""Round-7 session-3 pipeline additions: C4 rule battery, triangle
+counting, EWMA smoothing, retrieval-eval metrics."""
+
+from __future__ import annotations
+
+from hdp2_5_hive_spark.queries import all_queries
+
+
+def _c4_rows(spark, sf_dir):
+    q = all_queries()["quality_c4_rules"]
+    return {r.doc_id: r for r in q.fn(spark, sf_dir).collect()}
+
+
+def test_c4_rules_every_rule_fires_and_keep_logic(spark, sf_dir):
+    rows = _c4_rows(spark, sf_dir)
+    assert rows, "battery empty"
+    # Every injected class occurs and gates as designed.
+    lorem = [r for r in rows.values() if r.doc_id % 11 == 0]
+    assert lorem and all(r.f_lorem and not r.c4_keep for r in lorem)
+    brace = [r for r in rows.values() if r.doc_id % 13 == 0]
+    assert brace and all(r.f_brace and not r.c4_keep for r in brace)
+    bad = [r for r in rows.values() if r.doc_id % 17 == 0]
+    assert bad and all(r.f_badword and not r.c4_keep for r in bad)
+    # javascript line is dropped at line level: an even doc hit only
+    # by %19 retains lines 1+4 -> 2 sentences < 3 -> dropped page.
+    js = [
+        r
+        for r in rows.values()
+        if r.doc_id % 19 == 0
+        and r.doc_id % 2 == 0
+        and all(r.doc_id % m != 0 for m in (11, 13, 17))
+    ]
+    assert js and all(
+        "javascript" not in r.kept_text
+        and r.n_sentences == 2
+        and not r.c4_keep
+        for r in js
+    )
+    # Odd docs lose line 4's terminal punctuation -> at most 2 kept
+    # lines -> never >= 3 sentences -> dropped.
+    odd = [r for r in rows.values() if r.doc_id % 2 == 1]
+    assert odd and all(not r.c4_keep for r in odd)
+    # Clean even docs keep lines 1, 2, 4 -> exactly 3 sentences.
+    clean = [
+        r
+        for r in rows.values()
+        if r.doc_id % 2 == 0
+        and all(r.doc_id % m != 0 for m in (11, 13, 17, 19))
+    ]
+    assert clean and all(
+        r.c4_keep and r.n_sentences == 3 and r.n_kept_lines == 3
+        for r in clean
+    )
+    # Battery is non-vacuous in both directions.
+    kept = sum(1 for r in rows.values() if r.c4_keep)
+    assert 0 < kept < len(rows)
