@@ -161,3 +161,60 @@ def quality_c4_rules(spark, t):
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_orderkey % 10 = 0 AND l2.l_orderkey % 10 = 0
+),
+deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT CAST(COUNT(*) AS BIGINT)
+   FROM e e1 JOIN e e2 ON e1.b = e2.a
+   JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles,
+  (SELECT CAST(SUM(deg * (deg - 1) / 2.0) AS BIGINT) FROM deg) AS n_wedges,
+  FLOOR(
+    3.0 * (SELECT COUNT(*)
+           FROM e e1 JOIN e e2 ON e1.b = e2.a
+           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+    / (SELECT CAST(SUM(deg * (deg - 1) / 2.0) AS BIGINT) FROM deg)
+    * 1000000 + 0.5) / 1000000 AS global_clustering
+""",
+    category="pipeline",
+)
+def graph_triangle_count(spark, t):
+    """Exact triangle census of the part co-purchase graph (parts
+    sharing an order; 10%-of-orders slice keeps the synthetic graph
+    sparse) via operators/components.triangle_count — degree-ordered
+    edge orientation so wedges enumerate only among out-neighbors:
+    O(m^1.5) worst-case instead of the star-node deg^2 blowup; every
+    stage an equi-join or keyed aggregate. The naive 3-way self-join
+    lives in the ORACLE, where the small-SF graph makes it exact and
+    cheap — the Spark side is the plan you'd run at 100 TB. Output:
+    node/edge/triangle/wedge counts + global clustering coefficient
+    (3T/W, pround)."""
+    from ..operators.components import triangle_count
+
+    li = t.lineitem.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(
+        F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+    )
+    return triangle_count(pairs)

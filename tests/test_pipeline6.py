@@ -54,3 +54,40 @@ def test_c4_rules_every_rule_fires_and_keep_logic(spark, sf_dir):
     # Battery is non-vacuous in both directions.
     kept = sum(1 for r in rows.values() if r.c4_keep)
     assert 0 < kept < len(rows)
+
+
+def test_triangle_count_hand_computed(spark):
+    from hdp2_5_hive_spark.operators.components import triangle_count
+
+    # K4 on {1,2,3,4} (4 triangles) + pendant path 4-5-6 (0) + an
+    # isolated triangle {7,8,9}; edges deliberately unsorted and with
+    # duplicates/reversals to exercise canonicalization.
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+            (4, 5), (5, 6),
+            (9, 7), (7, 8), (8, 9), (8, 9),
+        ],
+        "a long, b long",
+    )
+    r = triangle_count(edges).collect()[0]
+    assert r.n_nodes == 9
+    assert r.n_edges == 6 + 2 + 3
+    assert r.n_triangles == 4 + 1
+    # wedges: K4 degrees within K4 are 3,3,3,4(node4 has deg 4),
+    # node5 deg 2, node6 deg 1, triangle nodes deg 2 each.
+    # deg: 1:3 2:3 3:3 4:4 5:2 6:1 7:2 8:2 9:2
+    assert r.n_wedges == 3 + 3 + 3 + 6 + 1 + 0 + 1 + 1 + 1
+    assert abs(r.global_clustering - round(3.0 * 5 / 19, 6)) < 2e-6
+
+
+def test_triangle_count_partition_invariant(spark):
+    from hdp2_5_hive_spark.operators.components import triangle_count
+
+    edges = spark.createDataFrame(
+        [(i % 13, (i * 7 + 1) % 13) for i in range(60)],
+        "a long, b long",
+    )
+    one = triangle_count(edges.coalesce(1)).collect()[0]
+    many = triangle_count(edges.repartition(17)).collect()[0]
+    assert one == many
