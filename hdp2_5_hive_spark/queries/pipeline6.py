@@ -218,3 +218,80 @@ def graph_triangle_count(spark, t):
         F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
     )
     return triangle_count(pairs)
+
+
+@register(
+    "events_ewma_daily",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS cnt
+  FROM events GROUP BY event_type, day
+),
+warr AS (
+  SELECT event_type, day, cnt,
+         list(cnt) OVER (
+           PARTITION BY event_type ORDER BY day
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS arr
+  FROM daily
+),
+terms AS (
+  SELECT event_type, day, cnt, len(arr) AS n,
+         unnest(arr) AS x, generate_subscripts(arr, 1) AS i
+  FROM warr
+)
+SELECT event_type, day, CAST(cnt AS BIGINT) AS cnt,
+       FLOOR(SUM(x * power(0.5, n - i))
+             / (2 - power(0.5, MAX(n) - 1))
+             * 1000000 + 0.5) / 1000000 AS ewma
+FROM terms
+GROUP BY event_type, day, cnt
+ORDER BY event_type, day
+""",
+    category="analytics",
+)
+def events_ewma_daily(spark, t):
+    """Exponentially weighted moving average of daily event volume
+    (alpha = 0.5, pandas ``ewm(adjust=True)`` semantics truncated to
+    a 20-day window — weights below 2^-19 are under 1e-6 rounding
+    anyway): the smoothing baseline the rate monitors diff against.
+
+    Determinism at the float level: with alpha = 1/2 every weight is
+    a DYADIC rational, so each term cnt*2^-k is an EXACT double and
+    the 20-term window sum stays far inside 53 mantissa bits —
+    bit-identical under ANY summation order on any engine; one IEEE
+    division by the closed-form weight total (2 - 2^(1-n)), then
+    pround. A general alpha would need the ROUND→DECIMAL term trick
+    instead. Plan: one keyed aggregate, one window (collect_list over
+    a 20-row frame — bounded state per row), map-only higher-order
+    aggregate; nothing super-linear, the frame bound holds at any
+    history length."""
+    e = t.events
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-19, 0)
+    )
+    warr = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.collect_list(F.col("cnt").cast("double")).over(w).alias("arr"),
+    )
+    num = F.expr(
+        "aggregate(zip_with(arr, sequence(1, size(arr)),"
+        " (x, i) -> x * power(0.5, size(arr) - i)),"
+        " cast(0 as double), (a, x) -> a + x)"
+    )
+    den = F.lit(2.0) - F.expr("power(0.5, size(arr) - 1)")
+    from ..functions.hive_compat import pround
+
+    return warr.select(
+        "event_type",
+        "day",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        pround(num / den).alias("ewma"),
+    ).orderBy("event_type", "day")

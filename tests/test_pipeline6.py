@@ -91,3 +91,20 @@ def test_triangle_count_partition_invariant(spark):
     one = triangle_count(edges.coalesce(1)).collect()[0]
     many = triangle_count(edges.repartition(17)).collect()[0]
     assert one == many
+
+
+def test_ewma_daily_matches_pandas_ewm(spark, sf_dir):
+    import pandas as pd
+
+    q = all_queries()["events_ewma_daily"]
+    got = q.fn(spark, sf_dir).toPandas()
+    # pandas ewm(alpha=.5, adjust=True): exact (up to the 1e-6
+    # rounding) while the history fits the 20-day window; after
+    # that the truncation error is bounded by the dropped weight
+    # mass (< 2^-19 of total) times the count scale.
+    for et, g in got.groupby("event_type"):
+        g = g.sort_values("day").reset_index(drop=True)
+        ref = g["cnt"].astype(float).ewm(alpha=0.5, adjust=True).mean()
+        diff = (g["ewma"] - ref.round(6)).abs()
+        assert diff.iloc[:20].max() <= 2e-6
+        assert diff.max() <= g["cnt"].max() * 2.0 ** -19 * 4 + 2e-6
