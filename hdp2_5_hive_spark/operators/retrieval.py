@@ -254,3 +254,76 @@ def rm3_expand_rescore(
         # the deterministic floor form is required here
         pround(F.sum("c").cast("double"), 4).alias("score")
     )
+
+
+def ranking_metrics(
+    run: DataFrame, qrels: DataFrame, k: int = 20
+) -> DataFrame:
+    """Standard retrieval-eval metrics per query — recall@k, MRR@k,
+    binary nDCG@k — over a ranked ``run`` (query_id, doc_id, rank;
+    rank 1-based, ≤ k per query) and a relevance set ``qrels``
+    (query_id, doc_id). The offline eval gate every retrieval /
+    ANN / hybrid stack reports before a ranker ships.
+
+    Determinism: each DCG/IDCG term 1/log2(rank+1) is rounded to 6
+    places and accumulated as DECIMAL(38,6) (the Zipf/centroid-drift
+    idiom — irrational log terms never sit on a rounding tie; the
+    dyadic ones, ranks 1 and 3, round exactly), so both engines sum
+    identical quantities exactly; the final recall / reciprocal-rank
+    / nDCG quotients are single IEEE divisions under ``pround``.
+
+    Scale: the run is |Q|·k rows; qrels joins on (query_id, doc_id)
+    — keyed equi-join, never broadcast-dependent; per-query
+    aggregates are map-side-combining groupBys. IDCG's
+    min(n_rel, k)-term series is a per-row higher-order aggregate
+    over a k-bounded sequence — no extra shuffle.
+    """
+    from ..functions.hive_compat import pround
+
+    dcg_term = F.expr(
+        "cast(round(1 / log2(rank + 1), 6) as decimal(38,6))"
+    )
+    hits = (
+        run.join(qrels, ["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit"),
+            F.min("rank").alias("first_rank"),
+            F.sum(dcg_term).alias("dcg"),
+        )
+    )
+    nrel = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_rel")
+    )
+    idcg = F.expr(
+        f"aggregate(transform(sequence(1, least(n_rel, {k})),"
+        " i -> cast(round(1 / log2(i + 1), 6) as decimal(38,6))),"
+        " cast(0 as decimal(38,6)), (a, x) -> a + x)"
+    )
+    out = (
+        nrel.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("n_rel").cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("n_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hit"),
+            pround(
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_k"),
+            pround(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rank").cast("double"),
+                    F.lit(0.0),
+                )
+            ).alias("mrr"),
+            pround(
+                F.coalesce(F.col("dcg"), F.lit(0).cast("decimal(38,6)"))
+                .cast("double")
+                / idcg.cast("double")
+            ).alias("ndcg_k"),
+        )
+        .orderBy("query_id")
+    )
+    return out

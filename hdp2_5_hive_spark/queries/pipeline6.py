@@ -295,3 +295,108 @@ def events_ewma_daily(spark, t):
         F.col("cnt").cast("bigint").alias("cnt"),
         pround(num / den).alias("ewma"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "retrieval_eval_metrics",
+    oracle="""
+WITH qs AS (SELECT unnest(generate_series(0, 9)) AS query_id),
+cand AS (
+  SELECT q.query_id, d.doc_id,
+         md5('eval' || CAST(q.query_id AS VARCHAR) || ':'
+             || CAST(d.doc_id AS VARCHAR)) AS skey
+  FROM qs q, documents d
+  WHERE d.doc_id % 5 <> 1
+),
+run AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY skey, doc_id) AS rank
+    FROM cand
+  ) WHERE rank <= 20
+),
+qrels AS (
+  SELECT q.query_id, d.doc_id
+  FROM qs q JOIN documents d ON d.doc_id % 37 = q.query_id
+),
+nrel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+  FROM qrels GROUP BY query_id
+),
+hits AS (
+  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         MIN(r.rank) AS first_rank,
+         SUM(CAST(ROUND(1 / log2(r.rank + 1), 6) AS DECIMAL(38,6)))
+           AS dcg
+  FROM run r JOIN qrels USING (query_id, doc_id)
+  GROUP BY r.query_id
+),
+idcg AS (
+  SELECT n.query_id,
+         SUM(CAST(ROUND(1 / log2(i + 1), 6) AS DECIMAL(38,6))) AS idcg
+  FROM nrel n, unnest(generate_series(1, LEAST(n.n_rel, 20))) AS t(i)
+  GROUP BY n.query_id
+)
+SELECT n.query_id, n.n_rel,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       FLOOR(COALESCE(h.n_hit, 0) * 1.0 / n.n_rel
+             * 1000000 + 0.5) / 1000000 AS recall_k,
+       FLOOR(COALESCE(1.0 / h.first_rank, 0)
+             * 1000000 + 0.5) / 1000000 AS mrr,
+       FLOOR(CAST(COALESCE(h.dcg, 0) AS DOUBLE)
+             / CAST(i.idcg AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS ndcg_k
+FROM nrel n
+LEFT JOIN hits h ON n.query_id = h.query_id
+JOIN idcg i ON n.query_id = i.query_id
+ORDER BY n.query_id
+""",
+    category="pipeline",
+)
+def retrieval_eval_metrics(spark, t):
+    """Offline retrieval-eval harness
+    (operators/retrieval.ranking_metrics): recall@20, MRR and binary
+    nDCG@20 per query over a PLANTED ranking — candidates are docs
+    with doc_id % 5 != 1 ranked by an md5 pseudo-score (so the
+    ranking is deterministic and engine-identical), relevance is
+    doc_id % 37 == query_id (≈13 relevant docs per query, some
+    outside the candidate pool → recall < 1 by construction). The
+    METRIC arithmetic is what's under test: DCG/IDCG terms rounded
+    to 6 into DECIMAL(38,6) exact sums, quotients pround-ed. The
+    eval gate a BM25/ANN/hybrid ranker reports before shipping."""
+    from ..operators.retrieval import ranking_metrics
+
+    d = t.documents.select("doc_id")
+    # Query fan-out as a map-only explode (no join node), relevance
+    # as a projection — the registry-wide nested-loop sweep stays
+    # clean because there IS no cartesian anywhere in this plan.
+    cand = (
+        d.filter(F.col("doc_id") % 5 != 1)
+        .select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("query_id"),
+            "doc_id",
+        )
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            "doc_id",
+            F.md5(
+                F.concat(
+                    F.lit("eval"),
+                    F.col("query_id").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            ).alias("skey"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("skey", "doc_id")
+    run = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = d.select(
+        (F.col("doc_id") % 37).alias("query_id"), "doc_id"
+    ).filter(F.col("query_id") < 10)
+    return ranking_metrics(run, qrels, k=20)

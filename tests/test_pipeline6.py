@@ -108,3 +108,34 @@ def test_ewma_daily_matches_pandas_ewm(spark, sf_dir):
         diff = (g["ewma"] - ref.round(6)).abs()
         assert diff.iloc[:20].max() <= 2e-6
         assert diff.max() <= g["cnt"].max() * 2.0 ** -19 * 4 + 2e-6
+
+
+def test_ranking_metrics_hand_computed(spark):
+    import math
+
+    from hdp2_5_hive_spark.operators.retrieval import ranking_metrics
+
+    # q1: rel docs {10, 11, 12}; run has 10 at rank 2, 12 at rank 4.
+    # q2: rel docs {20, 21}; run has none of them.
+    run = spark.createDataFrame(
+        [
+            (1, 99, 1), (1, 10, 2), (1, 98, 3), (1, 12, 4),
+            (2, 97, 1), (2, 96, 2),
+        ],
+        "query_id long, doc_id long, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, doc_id long",
+    )
+    rows = {r.query_id: r for r in ranking_metrics(run, qrels, k=20).collect()}
+    r1, r2 = rows[1], rows[2]
+    assert (r1.n_rel, r1.n_hit) == (3, 2)
+    assert abs(r1.recall_k - round(2 / 3, 6)) < 2e-6
+    assert abs(r1.mrr - 0.5) < 1e-9
+    dcg = round(1 / math.log2(3), 6) + round(1 / math.log2(5), 6)
+    idcg = 1.0 + round(1 / math.log2(3), 6) + 0.5
+    assert abs(r1.ndcg_k - round(dcg / idcg, 6)) < 2e-6
+    assert (r2.n_rel, r2.n_hit, r2.recall_k, r2.mrr, r2.ndcg_k) == (
+        2, 0, 0.0, 0.0, 0.0,
+    )

@@ -471,6 +471,9 @@ NESTED_LOOP_OK = {
     "corpus_clean_v8": "scalar",
     # bm25 1-row (n_docs, avgdl) stats broadcasts, twice (both passes)
     "retrieval_rm3_expansion": "scalar",
+    # 1-row node/edge/triangle aggregate crossJoins in the census
+    # report row; the wedge/closing stages are equi-joins
+    "graph_triangle_count": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
