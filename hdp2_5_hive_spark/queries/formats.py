@@ -1112,6 +1112,44 @@ def fmt_parquet_bloom_filter(spark, t):
 
 
 @register(
+    "fmt_orc_bloom_filter",
+    oracle="""
+SELECT s_suppkey, s_name, s_nationkey FROM supplier
+WHERE s_name IN ('Supplier#000000013', 'Supplier#000000042')
+""",
+    category="formats",
+)
+def fmt_orc_bloom_filter(spark, t):
+    """ORC bloom filters — the NATIVE Hive-side of the pair
+    (reference ``ql/io/orc/WriterImpl.java:152-171`` writes
+    BLOOM_FILTER streams per stripe when
+    ``orc.bloom.filter.columns`` is set; the reader's SARG
+    evaluator consults them for equality/IN probes before reading a
+    stripe). Same writer property through Spark's ORC source, point
+    lookups through the predicate-pushdown path
+    (``spark.sql.orc.filterPushdown`` is on in parity confs).
+    Footprint + read-identity pinned in tests/test_writes.py beside
+    the parquet twin; at warehouse scale the bloom turns a
+    needle-in-haystack probe from a full-table scan into a
+    few-stripe read."""
+    from ..scratch import scratch_dir
+
+    d = scratch_dir("fmt_orc_bloom_")
+    (
+        t.supplier.select("s_suppkey", "s_name", "s_nationkey")
+        .write.mode("overwrite")
+        .option("orc.bloom.filter.columns", "s_name")
+        .option("orc.bloom.filter.fpp", "0.01")
+        .orc(d)
+    )
+    return spark.read.orc(d).filter(
+        F.col("s_name").isin(
+            "Supplier#000000013", "Supplier#000000042"
+        )
+    )
+
+
+@register(
     "fmt_webdataset_round_trip",
     oracle="""
 SELECT doc_id, lang, text FROM documents WHERE doc_id <= 400

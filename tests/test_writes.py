@@ -352,3 +352,45 @@ def test_parquet_codecs_differ_on_disk(spark, tmp_path):
         col_codec = meta.row_group(0).column(1).compression
         assert col_codec.lower() == codec, (codec, col_codec)
     assert len(set(sizes.values())) == 3, sizes
+
+
+def test_orc_bloom_filter_bytes_written_and_pushdown(spark, tmp_path):
+    """orc.bloom.filter.columns: identical data with and without the
+    option — the bloomed file must carry BLOOM_FILTER streams
+    (size growth), read back identically, and the point probe must
+    reach the ORC scan as a pushed filter (the SARG that consults
+    the bloom at stripe level)."""
+    import glob
+    import os
+
+    src = spark.read.parquet(f"{SF}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    sizes = {}
+    for name, opts in (
+        ("plain", {}),
+        (
+            "bloom",
+            {
+                "orc.bloom.filter.columns": "s_name",
+                "orc.bloom.filter.fpp": "0.01",
+            },
+        ),
+    ):
+        p = str(tmp_path / name)
+        w = src.coalesce(1).write
+        for k, v in opts.items():
+            w = w.option(k, v)
+        w.orc(p)
+        sizes[name] = os.path.getsize(glob.glob(f"{p}/part-*.orc")[0])
+    assert sizes["bloom"] - sizes["plain"] >= 200, sizes
+    a = {r.s_suppkey for r in spark.read.orc(str(tmp_path / "bloom")).collect()}
+    b = {r.s_suppkey for r in spark.read.orc(str(tmp_path / "plain")).collect()}
+    assert a == b
+    probe = spark.read.orc(str(tmp_path / "bloom")).filter(
+        "s_name = 'Supplier#000000001'"
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "s_name" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:800]
