@@ -400,3 +400,56 @@ def retrieval_eval_metrics(spark, t):
         (F.col("doc_id") % 37).alias("query_id"), "doc_id"
     ).filter(F.col("query_id") < 10)
     return ranking_metrics(run, qrels, k=20)
+
+
+@register(
+    "vocab_wordpiece_merges",
+    oracle=None,  # iterative likelihood-argmax loop — not
+    # single-SQL-expressible; the merge table (pairs, order, counts,
+    # scores) is pinned EXACTLY against a from-scratch sequential
+    # reference in tests/test_wordpiece.py.
+    category="pipeline",
+)
+def vocab_wordpiece_merges(spark, t):
+    """Distributed WordPiece training (Schuster & Nakajima 2012 /
+    BERT; operators/wordpiece.py) — 8 likelihood-scored merge rounds
+    (score = count(ab)/(count(a)count(b)), the discriminator vs
+    BPE's raw-count argmax) over the ##-decomposed distinct-word
+    table. Per round: pair + symbol count aggregates (symbol side
+    broadcast), TakeOrdered(1) argmax — one row to the driver — then
+    an Arrow-batched merge rewrite with lineage cut."""
+    from ..operators import wordpiece as wp
+
+    merges = wp.train_wordpiece(t.documents, "text", n_merges=8)
+    from ..functions.hive_compat import pround
+
+    df = spark.createDataFrame(
+        merges,
+        "rank int, left string, right string, merged string,"
+        " pair_count long, score double",
+    )
+    return df.select(
+        "rank", "left", "right", "merged", "pair_count",
+        pround(F.col("score")).alias("score"),
+    ).orderBy("rank")
+
+
+@register(
+    "vocab_wordpiece_apply",
+    oracle=None,  # greedy longest-match inference over a trained
+    # vocab — rows-only; hand pins + no-UNK-on-training-corpus +
+    # partition invariance in tests/test_wordpiece.py.
+    category="pipeline",
+)
+def vocab_wordpiece_apply(spark, t):
+    """WordPiece inference (BERT WordpieceTokenizer): greedy
+    longest-match-first against the trained vocab — map-only, vocab
+    in the Arrow kernel's closure (broadcast in cluster terms),
+    per-partition word cache so cost is O(distinct words) under
+    Zipf. Output: per-doc token string + counts, [UNK] accounting
+    included."""
+    from ..operators import wordpiece as wp
+
+    docs = t.documents
+    vocab, _ = wp.wordpiece_vocab(docs, "text", n_merges=8)
+    return wp.apply_wordpiece(docs, vocab).orderBy("doc_id")

@@ -483,6 +483,8 @@ NESTED_LOOP_OK = {
 SWEEP_SKIP = {
     "vocab_bpe_merges",
     "vocab_bpe_apply",
+    "vocab_wordpiece_merges",
+    "vocab_wordpiece_apply",
     "vocab_unigram_lm",
     "vocab_unigram_apply",
     "quality_learned_classifier",

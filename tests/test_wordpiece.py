@@ -1,0 +1,136 @@
+"""Distributed WordPiece trainer vs a from-scratch sequential
+reference: likelihood-scored merges (count(ab)/(count(a)count(b)))
+must match EXACTLY in pair, order, count and score; greedy
+longest-match-first apply pinned by hand and vs the reference."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hdp2_5_hive_spark.operators import wordpiece as wp
+
+
+def _decompose(w: str) -> list[str]:
+    return [w[0]] + ["##" + c for c in w[1:]]
+
+
+def _reference_wordpiece(texts, n_merges: int, min_pair: int = 2):
+    wf = Counter()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                wf[w] += 1
+    words = {w: _decompose(w) for w in wf}
+    merges = []
+    for rank in range(n_merges):
+        pc, sc = Counter(), Counter()
+        for w, syms in words.items():
+            f = wf[w]
+            for s in syms:
+                sc[s] += f
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        cand = [
+            (left, right, cnt, cnt / (sc[left] * sc[right]))
+            for (left, right), cnt in pc.items()
+            if cnt >= min_pair
+        ]
+        if not cand:
+            break
+        # max score (IEEE double), ties: higher count, then lex pair
+        left, right, cnt, score = min(
+            cand, key=lambda x: (-x[3], -x[2], x[0], x[1])
+        )
+        merged = left + (right[2:] if right.startswith("##") else right)
+        merges.append((rank, left, right, merged, cnt, score))
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_wordpiece_matches_reference_on_corpus(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = wp.train_wordpiece(docs, "text", n_merges=10)
+    texts = [r.text for r in docs.select("text").collect()]
+    want = _reference_wordpiece(texts, n_merges=10)
+    assert got == want
+
+
+def test_wordpiece_score_beats_raw_count(spark):
+    """The discriminating case vs BPE: (a,##b) occurs 10 times but
+    both symbols are frequent (score 10/(10*10)); (x,##y) occurs 5
+    with rare symbols (score 5/(5*5)=0.2) — WordPiece merges xy
+    FIRST, BPE would merge ab."""
+    rows = [(i, "ab") for i in range(10)] + [
+        (100 + i, "xy") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = wp.train_wordpiece(df, "text", n_merges=1)
+    assert len(got) == 1
+    assert (got[0][1], got[0][2], got[0][3]) == ("x", "##y", "xy")
+    assert got[0][4] == 5
+    assert abs(got[0][5] - 0.2) < 1e-12
+
+
+def test_wordpiece_merged_symbol_keeps_continuation_marker(spark):
+    """Merging continuation pairs keeps the ## prefix: in 'abc'
+    (a, ##b, ##c), merging (##b, ##c) yields '##bc' — still a
+    continuation piece."""
+    rows = [(i, "abc") for i in range(4)] + [(50 + i, "zbc") for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = wp.train_wordpiece(df, "text", n_merges=1)
+    # (##b,##c) count 8 score 8/64; (a,##b) 4/(4*8); (z,##b) 4/(4*8)
+    assert (got[0][1], got[0][2], got[0][3]) == ("##b", "##c", "##bc")
+
+
+def test_greedy_apply_hand_computed_and_unk(spark):
+    vocab = ["un", "##able", "##b", "a", "able", "##le"]
+    assert wp.encode_word_greedy("unable", set(vocab)) == ["un", "##able"]
+    assert wp.encode_word_greedy("able", set(vocab)) == ["able"]
+    # longest-match-first: 'ab' -> 'a' + '##b'
+    assert wp.encode_word_greedy("ab", set(vocab)) == ["a", "##b"]
+    # unmatchable remainder collapses the WHOLE word to [UNK]
+    assert wp.encode_word_greedy("abq", set(vocab)) == [wp.UNK]
+    df = spark.createDataFrame(
+        [(1, "unable able"), (2, "abq ab")], "doc_id long, text string"
+    )
+    rows = {
+        r.doc_id: r
+        for r in wp.apply_wordpiece(df, vocab).collect()
+    }
+    assert rows[1].tokens == "un ##able able"
+    assert (rows[1].n_tokens, rows[1].n_unk) == (3, 0)
+    assert rows[2].tokens == "[UNK] a ##b"
+    assert (rows[2].n_tokens, rows[2].n_unk) == (3, 1)
+
+
+def test_wordpiece_apply_no_unk_with_full_alphabet(spark, sf_dir):
+    """A trained vocab always contains the full alphabet, so apply
+    over the training corpus never emits [UNK]; tokenization is
+    partition-invariant."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    vocab, merges = wp.wordpiece_vocab(docs, "text", n_merges=6)
+    assert len(merges) == 6
+    out = wp.apply_wordpiece(docs, vocab)
+    assert out.filter("n_unk > 0").count() == 0
+    one = sorted(
+        (r.doc_id, r.tokens)
+        for r in wp.apply_wordpiece(docs.coalesce(1), vocab).collect()
+    )
+    many = sorted(
+        (r.doc_id, r.tokens)
+        for r in wp.apply_wordpiece(docs.repartition(13), vocab).collect()
+    )
+    assert one == many
