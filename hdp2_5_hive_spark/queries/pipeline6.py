@@ -453,3 +453,185 @@ def vocab_wordpiece_apply(spark, t):
     docs = t.documents
     vocab, _ = wp.wordpiece_vocab(docs, "text", n_merges=8)
     return wp.apply_wordpiece(docs, vocab).orderBy("doc_id")
+
+
+@register(
+    "contract_referential_integrity",
+    oracle="""
+WITH par_cust AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0),
+par_ord AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 89 <> 0),
+par_part AS (SELECT p_partkey FROM part WHERE p_partkey % 83 <> 0),
+rel AS (
+  SELECT 'orders.o_custkey->customer' AS relation,
+         (SELECT COUNT(*) FROM orders) AS n_child,
+         (SELECT COUNT(*) FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM par_cust p
+                            WHERE p.c_custkey = o.o_custkey)) AS n_orphan
+  UNION ALL
+  SELECT 'lineitem.l_orderkey->orders',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM par_ord p
+                            WHERE p.o_orderkey = l.l_orderkey))
+  UNION ALL
+  SELECT 'lineitem.l_partkey->part',
+         (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM par_part p
+                            WHERE p.p_partkey = l.l_partkey))
+  UNION ALL
+  SELECT 'nation.n_regionkey->region',
+         (SELECT COUNT(*) FROM nation),
+         (SELECT COUNT(*) FROM nation n
+          WHERE NOT EXISTS (SELECT 1 FROM region r
+                            WHERE r.r_regionkey = n.n_regionkey))
+)
+SELECT relation, CAST(n_child AS BIGINT) AS n_child,
+       CAST(n_orphan AS BIGINT) AS n_orphan,
+       FLOOR(n_orphan * 1.0 / n_child * 1000000 + 0.5) / 1000000
+         AS orphan_pct,
+       n_orphan = 0 AS fk_ok
+FROM rel ORDER BY relation
+""",
+    category="pipeline",
+)
+def contract_referential_integrity(spark, t):
+    """Referential-integrity audit — the FK-orphan nightly check of
+    a warehouse data contract (the constraint class Hive 1.2 declares
+    but never enforces; reference metastore FOREIGN KEY DDL is
+    validate-off). Parents are DETERMINISTICALLY broken (custkeys %
+    97, orderkeys % 89, partkeys % 83 removed) so every relation has
+    a known orphan set; nation→region stays intact as the passing
+    row. Each relation is one LEFT ANTI join against the parent key
+    set (broadcast for dims, shuffle-keyed for orders at scale) +
+    one count — never a row-level EXISTS probe per child."""
+    from ..functions.hive_compat import pround
+
+    def audit_row(relation, child, key, parent, pkey):
+        n_child = child.count()
+        n_orphan = (
+            child.select(F.col(key))
+            .join(parent.select(F.col(pkey).alias(key)), key, "left_anti")
+            .count()
+        )
+        return (relation, n_child, n_orphan)
+
+    rows = [
+        audit_row(
+            "orders.o_custkey->customer",
+            t.orders,
+            "o_custkey",
+            t.customer.filter(F.col("c_custkey") % 97 != 0),
+            "c_custkey",
+        ),
+        audit_row(
+            "lineitem.l_orderkey->orders",
+            t.lineitem,
+            "l_orderkey",
+            t.orders.filter(F.col("o_orderkey") % 89 != 0),
+            "o_orderkey",
+        ),
+        audit_row(
+            "lineitem.l_partkey->part",
+            t.lineitem,
+            "l_partkey",
+            t.part.filter(F.col("p_partkey") % 83 != 0),
+            "p_partkey",
+        ),
+        audit_row(
+            "nation.n_regionkey->region",
+            t.nation,
+            "n_regionkey",
+            t.region,
+            "r_regionkey",
+        ),
+    ]
+    df = spark.createDataFrame(
+        rows, "relation string, n_child long, n_orphan long"
+    )
+    return df.select(
+        "relation",
+        "n_child",
+        "n_orphan",
+        pround(
+            F.col("n_orphan").cast("double") / F.col("n_child").cast("double")
+        ).alias("orphan_pct"),
+        (F.col("n_orphan") == 0).alias("fk_ok"),
+    ).orderBy("relation")
+
+
+@register(
+    "events_key_skew_audit",
+    oracle="""
+WITH k AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) AS BIGINT) AS n_keys,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+  FROM k
+),
+top10 AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS top10_rows FROM (
+    SELECT cnt FROM k ORDER BY cnt DESC, user_id LIMIT 10
+  )
+)
+SELECT n_rows, n_keys, max_cnt,
+       FLOOR(max_cnt * 1.0 / n_rows * 1000000 + 0.5) / 1000000
+         AS top1_share,
+       FLOOR(top10_rows * 1.0 / n_rows * 1000000 + 0.5) / 1000000
+         AS top10_share,
+       FLOOR(sum_sq * 1.0 / (n_rows * n_rows) * 1000000 + 0.5) / 1000000
+         AS hhi,
+       FLOOR(max_cnt * n_keys * 1.0 / n_rows * 1000000 + 0.5) / 1000000
+         AS max_over_mean
+FROM tot, top10
+""",
+    category="analytics",
+)
+def events_key_skew_audit(spark, t):
+    """Pre-shuffle key-skew diagnostic — the audit run before keying
+    a 100 TB join/groupBy on a candidate column: distinct-key count,
+    heaviest key's share, top-10 share, Herfindahl concentration
+    index (Σ share² = Σcnt² / N² — exact integer sums, one keyed
+    aggregate), and max/mean ratio (the AQE-skew-threshold signal).
+    Plan: one groupBy(key) + a TakeOrdered(10) + 1-row summary —
+    the cheap pass that decides between a plain shuffle, salting,
+    or a broadcast restructure."""
+    from ..functions.hive_compat import pround
+
+    k = t.events.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = k.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+    )
+    top10 = (
+        k.orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+        .agg(F.sum("cnt").cast("bigint").alias("top10_rows"))
+    )
+    return tot.crossJoin(top10).select(
+        "n_rows",
+        "n_keys",
+        "max_cnt",
+        pround(
+            F.col("max_cnt").cast("double") / F.col("n_rows").cast("double")
+        ).alias("top1_share"),
+        pround(
+            F.col("top10_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("top10_share"),
+        pround(
+            F.col("sum_sq").cast("double")
+            / (F.col("n_rows") * F.col("n_rows")).cast("double")
+        ).alias("hhi"),
+        pround(
+            (F.col("max_cnt") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("max_over_mean"),
+    )

@@ -474,6 +474,8 @@ NESTED_LOOP_OK = {
     # 1-row node/edge/triangle aggregate crossJoins in the census
     # report row; the wedge/closing stages are equi-joins
     "graph_triangle_count": "scalar",
+    # 1-row totals x 1-row top10 crossJoin in the skew report row
+    "events_key_skew_audit": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
