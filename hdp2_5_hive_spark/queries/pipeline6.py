@@ -635,3 +635,84 @@ def events_key_skew_audit(spark, t):
             / F.col("n_rows").cast("double")
         ).alias("max_over_mean"),
     )
+
+
+@register(
+    "feature_discretize_bins",
+    oracle="""
+WITH mm AS (
+  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+  FROM lineitem
+),
+wbin AS (
+  SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / (hi - lo) * 8)
+               AS BIGINT), 7) AS bin,
+         l_extendedprice AS x
+  FROM lineitem, mm
+),
+dbin AS (
+  SELECT NTILE(8) OVER (
+           ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1
+           AS bin,
+         l_extendedprice AS x
+  FROM lineitem
+),
+u AS (
+  SELECT 'equi_width' AS method, bin, x FROM wbin
+  UNION ALL
+  SELECT 'equi_depth', bin, x FROM dbin
+)
+SELECT method, CAST(bin AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(x) AS lo, MAX(x) AS hi
+FROM u GROUP BY method, bin
+ORDER BY method, bin
+""",
+    category="pipeline",
+)
+def feature_discretize_bins(spark, t):
+    """Numeric feature discretization, both classic flavors over
+    l_extendedprice: equi-WIDTH (8 bins over [min, max] — a 1-row
+    min/max broadcast + a map-only floor; identical IEEE arithmetic
+    on identical doubles, so bin boundaries agree bit-for-bit
+    cross-engine) and exact equi-DEPTH (ntile(8) on the
+    (value, orderkey, linenumber) total order — threshold-free and
+    engine-reproducible, the ccnet_buckets idiom). Scale note: the
+    exact-ntile tier is a global sort; at >10⁹ rows the production
+    variant assigns bins by sampled thresholds (approx_percentile)
+    map-side — same output contract, no total order. Output: per
+    (method, bin) population and realized [lo, hi] — the bin table a
+    feature store materializes."""
+    li = t.lineitem
+    mm = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    wbin = li.crossJoin(F.broadcast(mm)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 8
+            ).cast("bigint"),
+            F.lit(7).cast("bigint"),
+        ).alias("bin"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    dbin = li.select(
+        (F.ntile(8).over(w) - 1).cast("bigint").alias("bin"),
+        F.col("l_extendedprice").alias("x"),
+    )
+    u = wbin.select(F.lit("equi_width").alias("method"), "bin", "x").unionAll(
+        dbin.select(F.lit("equi_depth").alias("method"), "bin", "x")
+    )
+    return (
+        u.groupBy("method", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        .orderBy("method", "bin")
+    )

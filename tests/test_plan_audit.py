@@ -476,6 +476,8 @@ NESTED_LOOP_OK = {
     "graph_triangle_count": "scalar",
     # 1-row totals x 1-row top10 crossJoin in the skew report row
     "events_key_skew_audit": "scalar",
+    # 1-row min/max broadcast feeding the equi-width floor
+    "feature_discretize_bins": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
