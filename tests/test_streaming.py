@@ -693,3 +693,63 @@ def test_neardup_stream_filters_against_persisted_index(spark, tmp_path):
     assert sorted(kept2) == sorted(kept)
     sh2 = spark.read.parquet(idx + "/shingles")
     assert sh2.count() == sh_rows
+
+
+def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_path):
+    """dropDuplicatesWithinWatermark — the BOUNDED-state dedup tier
+    (Spark 3.5+): duplicates of a key are absorbed only while the
+    key's state lives (first_ts + watermark delay); once the
+    watermark passes expiry the state is EVICTED and a later
+    occurrence of the same key emits again. Contrast with plain
+    dropDuplicates, whose per-key state never expires without an
+    event-time column in the key — unbounded at 100 TB. Three
+    availableNow drains over one checkpoint: dup-in-window dropped,
+    watermark advanced past expiry by a foreign key, then the
+    original key re-emits."""
+    import os
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("k", StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def add(name, rows):
+        spark.createDataFrame(rows, "ts string, k string").select(
+            F.to_timestamp("ts").alias("ts"), "k"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["k"])
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Drain 1: k1 at 00:00 emits; k1 at 00:01 is an in-window dup.
+    add("b1", [("2024-01-01 00:00:00", "k1"), ("2024-01-01 00:01:00", "k1")])
+    drain()
+    # Drain 2: k2 at 01:00 advances the watermark to 00:50 —
+    # k1's state (expiry 00:10) is evicted after this batch.
+    add("b2", [("2024-01-01 01:00:00", "k2")])
+    drain()
+    # Drain 3: k1 again at 01:05 — no state left, emits a second time.
+    add("b3", [("2024-01-01 01:05:00", "k1")])
+    drain()
+
+    got = sorted(
+        (r.k, str(r.ts)) for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert [k for k, _ in got] == ["k1", "k1", "k2"]
+    assert ("k1", "2024-01-01 00:00:00") in got
+    assert ("k1", "2024-01-01 01:05:00") in got
