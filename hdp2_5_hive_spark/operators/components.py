@@ -312,3 +312,61 @@ def triangle_count(
             ).alias("global_clustering"),
         )
     )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 60,
+) -> DataFrame:
+    """The k-core: the maximal subgraph where every node keeps
+    degree ≥ k — computed by the standard iterative peel (remove ALL
+    sub-k nodes, recompute degrees, repeat to fixpoint). The graph
+    health-diagnostic tier above triangle counting: the dense
+    nucleus that survives when tendrils are stripped.
+
+    Scale shape: the graph lives as a directed both-ways edge list;
+    each round is one degree groupBy + two anti-joins against the
+    (typically tiny) removal set — all keyed on node id — with a
+    ``localCheckpoint`` lineage cut per round (the iterative
+    discipline of connected_components). Rounds = peeling depth; on
+    real graphs the removal set collapses in a handful of rounds,
+    and an adversarial path/onion graph is bounded loudly by
+    ``max_iter`` (ConvergenceError) instead of silently returning a
+    partial core.
+
+    Returns (node, core_deg): the k-core members with their degree
+    INSIDE the core (≥ k by definition).
+    """
+    a, b = F.col(a_col), F.col(b_col)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = (
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        bad = deg.filter(F.col("deg") < k).select("src").persist()
+        n_bad = bad.count()
+        if n_bad == 0:
+            bad.unpersist()
+            return deg.select(
+                F.col("src").alias("node"),
+                F.col("deg").cast("bigint").alias("core_deg"),
+            )
+        nxt = (
+            cur.join(bad, "src", "left_anti")
+            .join(bad.withColumnsRenamed({"src": "dst"}), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        bad.unpersist()
+        cur = nxt
+    raise ConvergenceError(f"k_core: no fixpoint after {max_iter} rounds")

@@ -716,3 +716,33 @@ def feature_discretize_bins(spark, t):
         )
         .orderBy("method", "bin")
     )
+
+
+@register(
+    "graph_kcore_membership",
+    oracle=None,  # iterative peel to fixpoint — not
+    # single-SQL-expressible; pinned EXACTLY against a sequential
+    # peeling reference + partition invariance in tests/test_pipeline6.py.
+    category="pipeline",
+)
+def graph_kcore_membership(spark, t):
+    """10-core of the part co-purchase graph
+    (operators/components.k_core): iterative peel — remove every
+    node of degree < 10, recompute, repeat to fixpoint — each round
+    one degree groupBy + two anti-joins keyed on node id, lineage
+    cut per round. The dense-nucleus diagnostic beside
+    graph_triangle_count; at warehouse scale the peel touches only
+    the shrinking frontier, never re-reads the corpus."""
+    from ..operators.components import k_core
+
+    li = t.lineitem.filter(F.col("l_orderkey") % 10 == 0).select(
+        "l_orderkey", "l_partkey"
+    )
+    pairs = li.alias("l1").join(
+        li.alias("l2"),
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+    ).select(
+        F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+    )
+    return k_core(pairs, k=10).orderBy("node")

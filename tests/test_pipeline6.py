@@ -3,6 +3,8 @@ counting, EWMA smoothing, retrieval-eval metrics."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from hdp2_5_hive_spark.queries import all_queries
 
 
@@ -139,3 +141,65 @@ def test_ranking_metrics_hand_computed(spark):
     assert (r2.n_rel, r2.n_hit, r2.recall_k, r2.mrr, r2.ndcg_k) == (
         2, 0, 0.0, 0.0, 0.0,
     )
+
+
+def _reference_kcore(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj[n]:
+                    adj[m].discard(n)
+                del adj[n]
+                changed = True
+    return {n: len(vs) for n, vs in adj.items()}
+
+
+def test_kcore_hand_and_reference(spark):
+    from hdp2_5_hive_spark.operators.components import k_core
+
+    # K5 on {1..5} (a 4-core) with pendant chains hanging off it.
+    k5 = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    tendrils = [(1, 10), (10, 11), (11, 12), (2, 20)]
+    df = spark.createDataFrame(k5 + tendrils, "a long, b long")
+    got = {r.node: r.core_deg for r in k_core(df, k=4).collect()}
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+    assert got == _reference_kcore(k5 + tendrils, 4)
+    # k=2: the 10-11-12 chain still peels (degree-1 ends cascade),
+    # K5 survives intact.
+    got2 = {r.node: r.core_deg for r in k_core(df, k=2).collect()}
+    assert got2 == _reference_kcore(k5 + tendrils, 2)
+    assert set(got2) == {1, 2, 3, 4, 5}
+
+
+def test_kcore_matches_reference_on_corpus_graph(spark, sf_dir):
+    from hdp2_5_hive_spark.operators.components import k_core
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter("l_orderkey % 10 = 0")
+        .select("l_orderkey", "l_partkey")
+    )
+    pairs = (
+        li.alias("x")
+        .join(
+            li.alias("y"),
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+    )
+    edges = [(r.a, r.b) for r in pairs.distinct().collect()]
+    for k in (3, 5):
+        got = {r.node: r.core_deg for r in k_core(pairs, k=k).collect()}
+        assert got == _reference_kcore(edges, k)

@@ -500,6 +500,7 @@ SWEEP_SKIP = {
     "dedup_components",
     "dedup_keep_list",
     "dedup_semantic_clusters",
+    "graph_kcore_membership",
 }
 
 
