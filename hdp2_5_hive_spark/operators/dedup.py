@@ -667,3 +667,77 @@ def edit_distance_pairs_symdelete(
         .filter(F.col("dist") <= max_dist)
         .select("id_a", "id_b", "dist")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT asymmetric-containment self-join:
+    ``|S(A) ∩ S(B)| / |S(A)| ≥ θ`` — doc-in-doc detection (quotes,
+    boilerplate wrappers, snippet expansions), where symmetric
+    Jaccard fails by construction: a snippet inside a 100× larger
+    page has Jaccard ≈ |A|/|B| ≈ 0 but containment 1.
+
+    Prefix filtering still prunes, one-sided: if containment ≥ θ,
+    at least one of A's ``|A| − ⌈θ·|A|⌉ + 1`` globally-RAREST
+    shingles must appear in B (otherwise the intersection is at most
+    ⌈θ·|A|⌉ − 1 < θ·|A|). So candidates are A-prefix shingles
+    equi-joined against the FULL inverted index — the join keys are
+    rare by global-frequency construction, so posting lists stay
+    short; B's stopword postings shuffle but never match. Verify is
+    one pair join computing the exact intersection.
+
+    Output: (id_in, id_of, containment) for ordered pairs A≠B — A
+    contained in B. All shuffles keyed; completeness is provable,
+    not probabilistic."""
+    from .util import ensure_parallelism
+
+    sets = (
+        ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("_id"),
+            shingles_col(F.col(text_col), shingle_k).alias("_s"),
+        )
+        .filter(F.size("_s") > 0)
+    )
+    toks = sets.select(
+        "_id", F.size("_s").alias("_n"), F.explode("_s").alias("_t")
+    )
+    freq = toks.groupBy("_t").agg(F.count("*").alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "_t")
+    prefix = (
+        toks.join(freq, "_t")
+        .withColumn("_rank", F.row_number().over(w))
+        .filter(
+            F.col("_rank")
+            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+        )
+        .select("_id", "_t")
+    )
+    cand = (
+        prefix.alias("p")
+        .join(toks.select("_id", "_t").alias("ix"), "_t")
+        .filter(F.col("p._id") != F.col("ix._id"))
+        .select(
+            F.col("p._id").alias("_idin"), F.col("ix._id").alias("_idof")
+        )
+        .distinct()
+    )
+    a = sets.select(F.col("_id").alias("_idin"), F.col("_s").alias("_sa"))
+    b = sets.select(F.col("_id").alias("_idof"), F.col("_s").alias("_sb"))
+    contain = F.size(F.array_intersect("_sa", "_sb")) / F.size("_sa")
+    return (
+        cand.join(a, "_idin")
+        .join(b, "_idof")
+        .select(
+            F.col("_idin").alias("id_in"),
+            F.col("_idof").alias("id_of"),
+            contain.alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -746,3 +746,71 @@ def graph_kcore_membership(spark, t):
         F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
     )
     return k_core(pairs, k=10).orderBy("node")
+
+
+@register(
+    "dedup_containment_prefix",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, lower(text) AS text FROM documents
+),
+snip AS (
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           list_slice(string_split(text, ' '), 1,
+                      CAST(ceil(len(string_split(text, ' ')) / 2.0)
+                           AS BIGINT)),
+           ' ') AS text
+  FROM base WHERE doc_id % 25 = 0
+),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM snip),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_distinct([
+                array_to_string(list_slice(string_split(text, ' '),
+                                           i, i + 2), ' ')
+                for i in range(1, len(string_split(text, ' ')) - 1)])
+              ELSE [] END AS s
+  FROM u
+)
+SELECT a.doc_id AS id_in, b.doc_id AS id_of,
+       FLOOR(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / len(a.s) * 1000000 + 0.5) / 1000000 AS containment
+FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+WHERE len(a.s) > 0 AND len(b.s) > 0
+  AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+ORDER BY id_in, id_of
+""",
+    category="pipeline",
+)
+def dedup_containment_prefix(spark, t):
+    """Asymmetric-containment dedup, the PROVABLY-COMPLETE tier
+    (operators/dedup.containment_pairs): |S(A)∩S(B)|/|S(A)| ≥ 0.8 —
+    true A-normalized containment with one-sided PREFIX filtering
+    (a guarantee, unlike dedup_containment_pairs' capped-df
+    candidate heuristic which trades completeness for a posting
+    bound, and unlike its min-normalization). Planted
+    ground truth: every doc_id % 25 == 0 gets a half-length snippet
+    twin (id + 1e6) whose shingles are a subset of its own, so each
+    planted pair must surface with containment 1. One-sided prefix
+    filtering keeps candidate generation keyed on globally-rare
+    shingles; the oracle is the O(N²) brute force — results must be
+    identical."""
+    from ..functions.hive_compat import pround
+    from ..operators import dedup as dd
+
+    base = t.documents.select("doc_id", F.lower(F.col("text")).alias("text"))
+    w = F.split(F.col("text"), " ")
+    snip = base.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 1, F.ceil(F.size(w) / 2.0).cast("int")), " "
+        ).alias("text"),
+    )
+    u = base.unionAll(snip)
+    return (
+        dd.containment_pairs(u, "doc_id", "text", threshold=0.8)
+        .select("id_in", "id_of", pround(F.col("containment")).alias("containment"))
+        .orderBy("id_in", "id_of")
+    )

@@ -203,3 +203,36 @@ def test_kcore_matches_reference_on_corpus_graph(spark, sf_dir):
     for k in (3, 5):
         got = {r.node: r.core_deg for r in k_core(pairs, k=k).collect()}
         assert got == _reference_kcore(edges, k)
+
+
+def test_containment_prefix_planted_pairs_and_plan(spark, sf_dir):
+    from hdp2_5_hive_spark.operators.dedup import containment_pairs
+
+    q = all_queries()["dedup_containment_prefix"]
+    df = q.fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    got = {(r.id_in, r.id_of): r.containment for r in rows}
+    base_ids = {
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter("doc_id % 25 = 0")
+        .collect()
+    }
+    for d in base_ids:
+        assert got.get((d + 1000000, d)) == 1.0, d
+    # directionality: the big doc is never 0.8-contained in its snippet
+    assert all((d, d + 1000000) not in got for d in base_ids)
+
+    # micro pin: 'a b c d e' contains 'a b c' (1 shingle, in both)
+    df2 = spark.createDataFrame(
+        [(1, "w x a b c d e f g h"), (2, "a b c d"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r.id_in, r.id_of): r.containment
+        for r in containment_pairs(df2, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert pairs == {(2, 1): 1.0}
