@@ -814,3 +814,192 @@ def dedup_containment_prefix(spark, t):
         .select("id_in", "id_of", pround(F.col("containment")).alias("containment"))
         .orderBy("id_in", "id_of")
     )
+
+
+@register(
+    "agg_pivot_wide",
+    oracle="""
+SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY day ORDER BY day
+""",
+    category="aggregates",
+)
+def agg_pivot_wide(spark, t):
+    """Native pivot — RelationalGroupedDataset.pivot with an
+    EXPLICIT value list (day × event_type → wide per-type count
+    columns). The explicit list matters at scale: without it Spark
+    runs an extra distinct-values job AND the output schema becomes
+    data-dependent — both wrong for a 100 TB nightly job. Catalyst
+    compiles this to exactly the SUM(CASE) single-pass pivot of
+    Hive idiom (q12), one keyed aggregate, no second scan. Missing
+    combinations land as 0 via the count aggregate."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        t.events.select(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .groupBy("day")
+        .pivot("event_type", types)
+        .count()
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c) for c in types]
+    ).orderBy("day")
+
+
+@register(
+    "feature_winsorize",
+    oracle="""
+WITH th AS (
+  SELECT quantile_cont(l_extendedprice, 0.01) AS p01,
+         quantile_cont(l_extendedprice, 0.99) AS p99
+  FROM lineitem
+),
+wz AS (
+  SELECT l_extendedprice AS x,
+         LEAST(GREATEST(l_extendedprice, p01), p99) AS xw,
+         l_extendedprice < p01 AS lo, l_extendedprice > p99 AS hi
+  FROM lineitem, th
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (lo) AS BIGINT) AS n_clipped_lo,
+       CAST(COUNT(*) FILTER (hi) AS BIGINT) AS n_clipped_hi,
+       (SELECT FLOOR(p01 * 1000000 + 0.5) / 1000000 FROM th) AS p01,
+       (SELECT FLOOR(p99 * 1000000 + 0.5) / 1000000 FROM th) AS p99,
+       CAST(SUM(CAST(ROUND(x, 2) AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(*) AS mean_raw,
+       CAST(SUM(CAST(ROUND(xw, 6) AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(*) AS mean_winsorized
+FROM wz
+""",
+    category="pipeline",
+)
+def feature_winsorize(spark, t):
+    """Winsorization — the outlier-clipping feature-prep step: clip
+    l_extendedprice at its exact [p1, p99] percentiles (both engines
+    interpolate quantile_cont identically — lang_percentile_gate
+    precedent), report clip counts and the raw-vs-winsorized means
+    (decimal-exact sums, one final IEEE division). Plan: one exact
+    percentile pass + a 1-row threshold broadcast + one map-only
+    clip-and-aggregate pass; at >10⁹ rows the first pass swaps to
+    approx_percentile with the same downstream contract."""
+    from ..functions.hive_compat import pround
+
+    li = t.lineitem.select(F.col("l_extendedprice").alias("x"))
+    th = li.agg(
+        F.expr("percentile(x, 0.01)").alias("p01"),
+        F.expr("percentile(x, 0.99)").alias("p99"),
+    )
+    wz = li.crossJoin(F.broadcast(th)).select(
+        "x",
+        F.least(F.greatest(F.col("x"), F.col("p01")), F.col("p99")).alias(
+            "xw"
+        ),
+        (F.col("x") < F.col("p01")).alias("lo"),
+        (F.col("x") > F.col("p99")).alias("hi"),
+        "p01",
+        "p99",
+    )
+    return wz.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(F.col("lo")).cast("bigint").alias("n_clipped_lo"),
+        F.count_if(F.col("hi")).cast("bigint").alias("n_clipped_hi"),
+        pround(F.first("p01")).alias("p01"),
+        pround(F.first("p99")).alias("p99"),
+        (
+            F.sum(F.round(F.col("x"), 2).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_raw"),
+        (
+            F.sum(F.round(F.col("xw"), 6).cast("decimal(38,6)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("mean_winsorized"),
+    )
+
+
+@register(
+    "feature_target_encode_oof",
+    oracle="""
+WITH base AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag AS cat,
+         CAST(l_quantity AS DECIMAL(18,2)) AS y,
+         (l_orderkey * 7 + l_linenumber) % 5 AS fold
+  FROM lineitem
+),
+f AS (
+  SELECT cat, fold,
+         CAST(COUNT(*) AS BIGINT) AS n_f,
+         CAST(SUM(y) AS DECIMAL(38,2)) AS s_f
+  FROM base GROUP BY cat, fold
+),
+tot AS (
+  SELECT cat, CAST(SUM(n_f) AS BIGINT) AS n_t,
+         CAST(SUM(s_f) AS DECIMAL(38,2)) AS s_t
+  FROM f GROUP BY cat
+)
+SELECT f.cat, f.fold, f.n_f,
+       FLOOR(CAST(t.s_t - f.s_f AS DOUBLE) / (t.n_t - f.n_f)
+             * 1000000 + 0.5) / 1000000 AS oof_mean,
+       FLOOR(CAST(t.s_t AS DOUBLE) / t.n_t * 1000000 + 0.5) / 1000000
+         AS full_mean
+FROM f JOIN tot t USING (cat)
+ORDER BY cat, fold
+""",
+    category="pipeline",
+)
+def feature_target_encode_oof(spark, t):
+    """Out-of-fold target encoding — the leakage-controlled
+    mean-target categorical encoder (each fold's encoding is the
+    target mean over the OTHER four folds, so a row never sees its
+    own label; the K-fold trick every gradient-boosting feature
+    pipeline uses). The fold key must be ENGINE-PORTABLE, so both
+    sides use plain (l_orderkey*7 + l_linenumber) % 5 arithmetic —
+    never an engine hash(), which differs between engines.
+    Exact decimal target sums make the leave-fold-out
+    subtraction (s_tot − s_fold)/(n_tot − n_fold) exact before ONE
+    IEEE division + pround. Plan: one (cat, fold) aggregate (25
+    cells), one cat rollup, broadcast join — map-side combine does
+    all the work; scales as a pure keyed aggregate."""
+    from ..functions.hive_compat import pround
+
+    base = t.lineitem.select(
+        F.col("l_returnflag").alias("cat"),
+        F.col("l_quantity").cast("decimal(18,2)").alias("y"),
+        ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 5).alias(
+            "fold"
+        ),
+    )
+    f = base.groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_f"),
+        F.sum("y").cast("decimal(38,2)").alias("s_f"),
+    )
+    tot = f.groupBy("cat").agg(
+        F.sum("n_f").cast("bigint").alias("n_t"),
+        F.sum("s_f").cast("decimal(38,2)").alias("s_t"),
+    )
+    return (
+        f.join(F.broadcast(tot), "cat")
+        .select(
+            "cat",
+            "fold",
+            "n_f",
+            pround(
+                (F.col("s_t") - F.col("s_f")).cast("double")
+                / (F.col("n_t") - F.col("n_f")).cast("double")
+            ).alias("oof_mean"),
+            pround(
+                F.col("s_t").cast("double") / F.col("n_t").cast("double")
+            ).alias("full_mean"),
+        )
+        .orderBy("cat", "fold")
+    )

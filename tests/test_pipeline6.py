@@ -236,3 +236,32 @@ def test_containment_prefix_planted_pairs_and_plan(spark, sf_dir):
         for r in containment_pairs(df2, "doc_id", "text", threshold=0.9).collect()
     }
     assert pairs == {(2, 1): 1.0}
+
+
+def test_oof_target_encoding_no_leakage(spark, sf_dir):
+    """The OOF mean of (cat, fold) must equal the mean over the
+    OTHER folds exactly — recomputed independently from raw rows."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    q = all_queries()["feature_target_encode_oof"]
+    got = {(r.cat, r.fold): r.oof_mean for r in q.fn(spark, sf_dir).collect()}
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_returnflag", "l_quantity", "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    sums = defaultdict(Decimal)
+    cnts = defaultdict(int)
+    for r in li:
+        fold = (r.l_orderkey * 7 + r.l_linenumber) % 5
+        k = (r.l_returnflag, fold)
+        sums[k] += Decimal(str(round(r.l_quantity, 2)))
+        cnts[k] += 1
+    import math
+
+    for (cat, fold), oof in got.items():
+        s_o = sum(v for (c, f), v in sums.items() if c == cat and f != fold)
+        n_o = sum(v for (c, f), v in cnts.items() if c == cat and f != fold)
+        want = math.floor(float(s_o) / n_o * 1e6 + 0.5) / 1e6
+        assert abs(oof - want) < 1e-9, (cat, fold)

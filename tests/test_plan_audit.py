@@ -478,6 +478,8 @@ NESTED_LOOP_OK = {
     "events_key_skew_audit": "scalar",
     # 1-row min/max broadcast feeding the equi-width floor
     "feature_discretize_bins": "scalar",
+    # 1-row p01/p99 threshold broadcast feeding the clip pass
+    "feature_winsorize": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
