@@ -265,3 +265,71 @@ def test_oof_target_encoding_no_leakage(spark, sf_dir):
         n_o = sum(v for (c, f), v in cnts.items() if c == cat and f != fold)
         want = math.floor(float(s_o) / n_o * 1e6 + 0.5) / 1e6
         assert abs(oof - want) < 1e-9, (cat, fold)
+
+
+def test_zorder_sort_prunes_row_groups_on_both_dims(spark, tmp_path):
+    """The point of z-ordering: under a z-value sort, parquet
+    row-group [min, max] stats are selective on BOTH dimensions; a
+    box probe on the NON-leading dimension of a linear sort touches
+    ~every row group, but only a corner of the z-sorted ones.
+    Verified against real footer statistics via pyarrow."""
+    import pyarrow.parquet as pq
+
+    from hdp2_5_hive_spark.queries.pipeline6 import _z16_col
+
+    n = 1 << 14
+    side = 1 << 7  # 128 x 128 grid
+    base = spark.range(n).select(
+        (F.col("id") % side).cast("int").alias("x"),
+        (F.col("id") / side).cast("int").alias("y"),
+    )
+    zdf = base.select(
+        "x", "y", _z16_col(F.col("x"), F.col("y")).alias("z")
+    )
+
+    def write_sorted(df, order, path):
+        (
+            df.orderBy(*order)
+            .coalesce(1)
+            .write.option("parquet.block.size", "4096")
+            .parquet(str(tmp_path / path))
+        )
+
+    write_sorted(zdf, ["z"], "zsort")
+    write_sorted(zdf, ["x", "y"], "xsort")
+
+    def groups_touched(path, col, lo, hi):
+        import glob
+
+        f = pq.ParquetFile(glob.glob(str(tmp_path / path / "part-*.parquet"))[0])
+        touched = 0
+        for rg in range(f.metadata.num_row_groups):
+            md = f.metadata.row_group(rg)
+            for ci in range(md.num_columns):
+                c = md.column(ci)
+                if c.path_in_schema == col:
+                    st = c.statistics
+                    if st.min <= hi and st.max >= lo:
+                        touched += 1
+        return touched, f.metadata.num_row_groups
+
+    # Box probe on y (the non-leading dim of the linear sort).
+    yt, yn = groups_touched("xsort", "y", 10, 17)
+    zt, zn = groups_touched("zsort", "y", 10, 17)
+    assert yn >= 8 and zn >= 8, (yn, zn)
+    # Linear x-sort: nearly every group spans the full y range.
+    assert yt >= 0.9 * yn, (yt, yn)
+    # Z-sort: the probe touches a strict minority of groups.
+    assert zt <= 0.5 * zn, (zt, zn)
+    # And both layouts return identical rows for the box.
+    a = (
+        spark.read.parquet(str(tmp_path / "zsort"))
+        .filter("y between 10 and 17 and x between 20 and 27")
+        .count()
+    )
+    b = (
+        spark.read.parquet(str(tmp_path / "xsort"))
+        .filter("y between 10 and 17 and x between 20 and 27")
+        .count()
+    )
+    assert a == b == 8 * 8
