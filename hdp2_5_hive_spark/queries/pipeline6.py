@@ -29,6 +29,61 @@ from .registry import register
 C4_BADWORDS = ("obscenityalpha", "obscenitybeta")
 
 
+
+def _c4_page(d):
+    """Shared C4 page construction (see quality_c4_rules docstring):
+    deterministic 4-line regrouping with doc_id-keyed injections,
+    line-level retention filter applied. Returns (doc_id, page_text,
+    kept: array<string>). Reused by the battery query and the v9
+    flagship so the gate cannot drift between them."""
+    w = F.split(F.col("text"), " ")
+    base = d.filter(F.size(F.split(F.col("text"), " ")) >= 21).select(
+        "doc_id", w.alias("w")
+    )
+    j = lambda a, b: F.array_join(F.slice(F.col("w"), a, b - a + 1), " ")  # noqa: E731
+    when_mod = lambda m, s: F.when(  # noqa: E731
+        F.col("doc_id") % m == 0, F.lit(s)
+    ).otherwise(F.lit(""))
+    lines = base.select(
+        "doc_id",
+        F.array(
+            F.concat(j(1, 6), when_mod(11, " lorem ipsum"), F.lit(".")),
+            F.concat(
+                j(7, 11),
+                when_mod(17, " " + C4_BADWORDS[0]),
+                when_mod(19, " javascript"),
+                F.lit("."),
+            ),
+            F.concat(j(12, 14), when_mod(13, " {var}")),
+            F.concat(j(15, 21), when_mod(2, ".")),
+        ).alias("ls"),
+    )
+    kept = F.filter(
+        F.col("ls"),
+        lambda x: x.rlike('[.!?\"]$')
+        & (F.size(F.split(x, " ")) >= 5)
+        & ~F.lower(x).contains("javascript"),
+    )
+    return lines.select(
+        "doc_id",
+        F.array_join(F.col("ls"), " | ").alias("page_text"),
+        kept.alias("kept"),
+    )
+
+
+def _c4_keep_flag():
+    """The page-level C4 keep predicate over _c4_page columns."""
+    kt = F.array_join(F.col("kept"), " ")
+    n_sent = F.length(kt) - F.length(F.regexp_replace(kt, r"[.!?]", ""))
+    return (
+        (n_sent >= 3)
+        & ~F.col("page_text").contains("{")
+        & ~F.lower(F.col("page_text")).contains("lorem ipsum")
+        & ~F.lower(F.col("page_text")).contains(C4_BADWORDS[0])
+        & ~F.lower(F.col("page_text")).contains(C4_BADWORDS[1])
+    )
+
+
 @register(
     "quality_c4_rules",
     oracle=r"""
@@ -100,40 +155,7 @@ def quality_c4_rules(spark, t):
     ``filter`` — one JVM codegen stage, no shuffle but the output
     sort. The span-dedup rule of C4 (three-sentence spans) lives in
     corpus_span_dedup."""
-    d = t.documents
-    w = F.split(F.col("text"), " ")
-    base = d.filter(F.size(F.split(F.col("text"), " ")) >= 21).select(
-        "doc_id", w.alias("w")
-    )
-    j = lambda a, b: F.array_join(F.slice(F.col("w"), a, b - a + 1), " ")  # noqa: E731
-    when_mod = lambda m, s: F.when(  # noqa: E731
-        F.col("doc_id") % m == 0, F.lit(s)
-    ).otherwise(F.lit(""))
-    lines = base.select(
-        "doc_id",
-        F.array(
-            F.concat(j(1, 6), when_mod(11, " lorem ipsum"), F.lit(".")),
-            F.concat(
-                j(7, 11),
-                when_mod(17, " " + C4_BADWORDS[0]),
-                when_mod(19, " javascript"),
-                F.lit("."),
-            ),
-            F.concat(j(12, 14), when_mod(13, " {var}")),
-            F.concat(j(15, 21), when_mod(2, ".")),
-        ).alias("ls"),
-    )
-    kept = F.filter(
-        F.col("ls"),
-        lambda x: x.rlike('[.!?"]$')
-        & (F.size(F.split(x, " ")) >= 5)
-        & ~F.lower(x).contains("javascript"),
-    )
-    page = lines.select(
-        "doc_id",
-        F.array_join(F.col("ls"), " | ").alias("page_text"),
-        kept.alias("kept"),
-    )
+    page = _c4_page(t.documents)
 
     def n_punct(col):
         stripped = F.regexp_replace(col, r"[.!?]", "")
@@ -1067,3 +1089,161 @@ def fmt_zorder_value(spark, t):
         .cast("bigint")
         .alias("zval"),
     ).orderBy("zval", "l_partkey", "l_suppkey")
+
+
+@register(
+    "corpus_clean_v9",
+    oracle=r"""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS w
+  FROM documents
+  WHERE len(string_split(text, ' ')) >= 21
+),
+lines AS (
+  SELECT doc_id,
+         [
+           array_to_string(list_slice(w, 1, 6), ' ')
+             || CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' ELSE '' END
+             || '.',
+           array_to_string(list_slice(w, 7, 11), ' ')
+             || CASE WHEN doc_id % 17 = 0 THEN ' obscenityalpha' ELSE '' END
+             || CASE WHEN doc_id % 19 = 0 THEN ' javascript' ELSE '' END
+             || '.',
+           array_to_string(list_slice(w, 12, 14), ' ')
+             || CASE WHEN doc_id % 13 = 0 THEN ' {var}' ELSE '' END,
+           array_to_string(list_slice(w, 15, 21), ' ')
+             || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END
+         ] AS ls
+  FROM base
+),
+page AS (
+  SELECT doc_id, array_to_string(ls, ' | ') AS page_text,
+         array_to_string(list_filter(ls, x ->
+           regexp_matches(x, '[.!?"]$')
+           AND len(string_split(x, ' ')) >= 5
+           AND NOT contains(lower(x), 'javascript')), ' ') AS kt
+  FROM lines
+),
+keepers AS (
+  SELECT doc_id FROM page
+  WHERE (len(kt) - len(replace(replace(replace(kt,
+           '.', ''), '!', ''), '?', ''))) >= 3
+    AND NOT contains(page_text, '{')
+    AND NOT contains(lower(page_text), 'lorem ipsum')
+    AND NOT contains(lower(page_text), 'obscenityalpha')
+    AND NOT contains(lower(page_text), 'obscenitybeta')
+),
+surv AS (
+  SELECT d.doc_id, d.source, lower(d.text) AS text
+  FROM documents d SEMI JOIN keepers k ON d.doc_id = k.doc_id
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 3
+              THEN list_distinct([
+                array_to_string(list_slice(string_split(text, ' '),
+                                           i, i + 2), ' ')
+                for i in range(1, len(string_split(text, ' ')) - 1)])
+              ELSE [] END AS s
+  FROM surv
+),
+pairs AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.8
+),
+mut AS (
+  SELECT p.ia, p.ib FROM pairs p
+  SEMI JOIN pairs q ON p.ia = q.ib AND p.ib = q.ia
+),
+drops AS (
+  SELECT ia AS doc_id FROM pairs
+  ANTI JOIN mut ON pairs.ia = mut.ia AND pairs.ib = mut.ib
+  UNION
+  SELECT ia FROM mut WHERE ia > ib
+),
+final AS (
+  SELECT s.* FROM surv s ANTI JOIN drops d ON s.doc_id = d.doc_id
+)
+SELECT src.source, src.n_docs,
+       COALESCE(k.n_kept, 0) AS n_c4_kept,
+       COALESCE(f.n_final, 0) AS n_final,
+       COALESCE(f.tokens_final, 0) AS tokens_final
+FROM (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source) src
+LEFT JOIN (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM documents d SEMI JOIN keepers k ON d.doc_id = k.doc_id
+  GROUP BY d.source) k USING (source)
+LEFT JOIN (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_final,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+           AS tokens_final
+  FROM final GROUP BY source) f USING (source)
+ORDER BY src.source
+""",
+    category="pipeline",
+)
+def corpus_clean_v9(spark, t):
+    """Flagship pipeline v9 — the crawl-to-corpus front half
+    composed from this round's operators, ONE plan with ONE
+    CTE-stack oracle: (1) the C4 rule battery gates pages (shared
+    _c4_page construction — the gate cannot drift from
+    quality_c4_rules); (2) survivors pass through the
+    provably-complete asymmetric-containment join (θ=0.8,
+    operators/dedup.containment_pairs) and every contained doc is
+    dropped — mutual containments (exact dups) keep the smaller id;
+    (3) the per-source audit reports raw/kept/final doc counts and
+    surviving token mass. All stages keyed or prefix-filtered; the
+    quadratic exists only in the oracle."""
+    from ..operators import dedup as dd
+
+    d = t.documents
+    keepers = (
+        _c4_page(d).filter(_c4_keep_flag()).select("doc_id")
+    )
+    surv = d.join(keepers, "doc_id", "left_semi").select(
+        "doc_id", "source", F.lower(F.col("text")).alias("text")
+    )
+    p = dd.containment_pairs(
+        surv, "doc_id", "text", threshold=0.8
+    ).select(F.col("id_in").alias("ia"), F.col("id_of").alias("ib"))
+    swapped = p.select(
+        F.col("ib").alias("ia"), F.col("ia").alias("ib")
+    )
+    mut = p.join(swapped, ["ia", "ib"], "left_semi")
+    drops = (
+        p.join(swapped, ["ia", "ib"], "left_anti")
+        .select("ia")
+        .union(mut.filter(F.col("ia") > F.col("ib")).select("ia"))
+        .distinct()
+        .withColumnRenamed("ia", "doc_id")
+    )
+    final = surv.join(drops, "doc_id", "left_anti")
+    src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    kept = (
+        d.join(keepers, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_c4_kept"))
+    )
+    fin = final.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_final"),
+        F.sum(F.size(F.split(F.col("text"), " ")))
+        .cast("bigint")
+        .alias("tokens_final"),
+    )
+    return (
+        src.join(kept, "source", "left")
+        .join(fin, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_c4_kept", F.lit(0)).alias("n_c4_kept"),
+            F.coalesce("n_final", F.lit(0)).alias("n_final"),
+            F.coalesce("tokens_final", F.lit(0)).alias("tokens_final"),
+        )
+        .orderBy("source")
+    )
