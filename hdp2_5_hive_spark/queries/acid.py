@@ -302,3 +302,63 @@ def acid_minor_compaction(spark, t):
     return ac.read_acid_table(spark, d).select(
         "n_nationkey", "n_name", "n_regionkey"
     )
+
+
+@register(
+    "acid_time_travel_read",
+    oracle="""
+SELECT n_nationkey,
+       CASE WHEN n_nationkey % 5 = 0 THEN 'REGION_UPDATED'
+            ELSE n_name END AS n_name,
+       n_regionkey,
+       CAST(2 AS BIGINT) AS as_of
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey, CAST(1 AS BIGINT) AS as_of
+FROM nation
+ORDER BY as_of, n_nationkey
+""",
+    category="acid",
+)
+def acid_time_travel_read(spark, t):
+    """TIME TRAVEL over the native base/delta layout
+    (sources/acid.read_acid_table(as_of_write_id=...)): the same
+    base(1) + update-delta(2) + delete-delta(3) state as
+    acid_delta_layout_reader, read AS OF write 1 (pristine base —
+    no update, no delete) and AS OF write 2 (updates applied,
+    deletes not yet) — stacked with an as_of tag column. Snapshot
+    isolation semantics per write id: directory pruning at plan
+    time plus a row-level currentTransaction bound for spanning
+    compacted deltas; travel below the oldest surviving base raises
+    (cleaner contract) — pinned in tests/test_acid.py."""
+    from ..scratch import scratch_dir
+    from ..sources import acid as ac
+
+    d = scratch_dir("acid_tt_") + "/tbl"
+    n = t.nation.select(
+        F.lit(1).cast("long").alias("originalTransaction"),
+        F.lit(0).alias("bucket"),
+        F.col("n_nationkey").cast("long").alias("rowId"),
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+    )
+    ac.write_acid_events(n, d, kind="base", write_id=1)
+    upd = n.filter(F.col("n_nationkey") % 5 == 0).withColumn(
+        "n_name", F.lit("REGION_UPDATED")
+    )
+    ac.write_acid_events(
+        upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE
+    )
+    dele = n.filter(F.col("n_nationkey") % 7 == 0)
+    ac.write_acid_events(
+        dele, d, kind="delta", write_id=3, operation=ac.OP_DELETE
+    )
+    cols = ["n_nationkey", "n_name", "n_regionkey"]
+    at1 = ac.read_acid_table(spark, d, as_of_write_id=1).select(
+        *cols, F.lit(1).cast("bigint").alias("as_of")
+    )
+    at2 = ac.read_acid_table(spark, d, as_of_write_id=2).select(
+        *cols, F.lit(2).cast("bigint").alias("as_of")
+    )
+    return at1.unionAll(at2).orderBy("as_of", "n_nationkey")

@@ -334,7 +334,11 @@ def write_acid_events(
 
 
 def read_acid_table(
-    spark: SparkSession, table_dir: str, *, prune_barrier: bool = False
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    prune_barrier: bool = False,
+    as_of_write_id: int | None = None,
 ) -> DataFrame:
     """Merge-on-read over the native base/delta layout: latest
     ``currentTransaction`` per (originalTransaction, bucket, rowId)
@@ -367,7 +371,17 @@ def read_acid_table(
     ABOVE that base. Assumes all present write ids are committed
     (the compactor/cleaner's job in a live warehouse; for a
     decommissioned-warehouse migration read, everything on disk is
-    the final state)."""
+    the final state).
+
+    ``as_of_write_id``: TIME TRAVEL — present the table as of that
+    write id: only bases ≤ the id are eligible, only deltas whose
+    range STARTS ≤ the id are read, and (for minor-compacted
+    delta_lo_hi spanning the id) events with
+    ``currentTransaction > id`` are filtered row-level. Travel below
+    the oldest surviving base is impossible by construction — the
+    cleaner already removed the deltas folded into it — and raises
+    instead of silently returning the wrong snapshot (same contract
+    as Hive/Iceberg snapshot expiry)."""
     import glob as _glob
 
     from pyspark.sql import Window as W
@@ -383,6 +397,16 @@ def read_acid_table(
             deltas.append((int(parts[1]), int(parts[2]), d))
     if not bases and not deltas:
         raise FileNotFoundError(f"no base_/delta_ dirs under {table_dir}")
+    if as_of_write_id is not None:
+        eligible = [b for b in bases if b[0] <= as_of_write_id]
+        if bases and not eligible:
+            raise ValueError(
+                f"time travel to write id {as_of_write_id} is below the "
+                f"oldest base (base_{min(b[0] for b in bases)}): the "
+                "cleaner already folded and removed that history"
+            )
+        bases = eligible
+        deltas = [d for d in deltas if d[0] <= as_of_write_id]
     base_id = max(b[0] for b in bases) if bases else -1
     dirs = [d for wid, d in bases if wid == base_id] + [
         d for lo, hi, d in sorted(deltas) if lo > base_id
@@ -395,6 +419,10 @@ def read_acid_table(
         f for d in dirs for f in _glob.glob(f"{d}/*.orc") + _glob.glob(f"{d}/part-*")
     )
     events = spark.read.format("orc").load(sorted(set(files)))
+    if as_of_write_id is not None:
+        events = events.filter(
+            F.col("currentTransaction") <= as_of_write_id
+        )
     w = W.partitionBy("originalTransaction", "bucket", "rowId").orderBy(
         F.desc("currentTransaction"), F.desc("operation")
     )

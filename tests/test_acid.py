@@ -427,3 +427,51 @@ def test_acid_pruned_scan_hazard_and_barrier(spark, tmp_path):
     assert t.count() == 3
     assert t.select("k").count() == 3
     assert {r.k for r in t.collect()} == {0, 1, 3}
+
+
+def test_time_travel_below_oldest_base_raises(spark, tmp_path):
+    """After compaction folds history into base_N, travel below N
+    must raise (the cleaner removed those deltas) — never silently
+    return a wrong snapshot; travel at/after N still works."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(6)],
+        "originalTransaction long, bucket int, rowId long, k long, v string",
+    )
+    ac.write_acid_events(rows, d, kind="base", write_id=3)
+    upd = rows.filter("k % 2 = 0").withColumn("v", F.lit("u"))
+    ac.write_acid_events(upd, d, kind="delta", write_id=4, operation=ac.OP_UPDATE)
+    with _pytest.raises(ValueError, match="below the oldest base"):
+        ac.read_acid_table(spark, d, as_of_write_id=2)
+    at3 = {(r.k, r.v) for r in ac.read_acid_table(spark, d, as_of_write_id=3).collect()}
+    assert at3 == {(i, f"v{i}") for i in range(6)}
+    at4 = {(r.k, r.v) for r in ac.read_acid_table(spark, d, as_of_write_id=4).collect()}
+    assert at4 == {(i, "u" if i % 2 == 0 else f"v{i}") for i in range(6)}
+
+
+def test_time_travel_row_filter_on_spanning_minor_delta(spark, tmp_path):
+    """A minor-compacted delta_2_4 spans the travel point: events
+    with currentTransaction > as_of inside it must be filtered
+    ROW-level, not directory-level."""
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(4)],
+        "originalTransaction long, bucket int, rowId long, k long, v string",
+    )
+    ac.write_acid_events(rows, d, kind="base", write_id=1)
+    for wid, kmod in ((2, 0), (3, 1), (4, 2)):
+        upd = rows.filter(f"k = {kmod}").withColumn("v", F.lit(f"u{wid}"))
+        ac.write_acid_events(upd, d, kind="delta", write_id=wid, operation=ac.OP_UPDATE)
+    ac.compact_acid_minor(spark, d)
+    import glob
+
+    names = sorted(p.rsplit("/", 1)[-1] for p in glob.glob(f"{d}/delta_*"))
+    assert names == ["delta_0000002_0000004"], names
+    at3 = {(r.k, r.v) for r in ac.read_acid_table(spark, d, as_of_write_id=3).collect()}
+    assert at3 == {(0, "u2"), (1, "u3"), (2, "v2"), (3, "v3")}
