@@ -1247,3 +1247,86 @@ def corpus_clean_v9(spark, t):
         )
         .orderBy("source")
     )
+
+
+@register(
+    "audit_benford_first_digit",
+    oracle="""
+WITH digits AS (
+  -- FLOOR pinned on both sides: DuckDB's DOUBLE->BIGINT cast
+  -- ROUNDS while Spark's truncates (observed: 2-row drift at sf0.01)
+  SELECT CAST(substring(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+              AS VARCHAR), 1, 1) AS BIGINT) AS d
+  FROM lineitem WHERE l_extendedprice >= 1
+),
+obs AS (
+  SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+exp AS (
+  SELECT d, CAST(ROUND(log10(1 + 1.0 / d), 6) AS DECIMAL(38,6)) AS p
+  FROM (SELECT unnest(generate_series(1, 9)) AS d)
+)
+SELECT e.d AS digit, COALESCE(o.n, 0) AS n_obs,
+       FLOOR(COALESCE(o.n, 0) * 1.0 / t.total * 1000000 + 0.5) / 1000000
+         AS p_obs,
+       CAST(e.p AS DOUBLE) AS p_benford,
+       FLOOR(POWER(COALESCE(o.n, 0) - CAST(e.p AS DOUBLE) * t.total, 2)
+             / (CAST(e.p AS DOUBLE) * t.total) * 1000000 + 0.5) / 1000000
+         AS chi2_term
+FROM exp e LEFT JOIN obs o ON e.d = o.d, tot t
+ORDER BY e.d
+""",
+    category="analytics",
+)
+def audit_benford_first_digit(spark, t):
+    """Benford's-law first-digit audit — the classic
+    fabricated-numbers screen a warehouse runs over monetary
+    columns: observed leading-digit distribution of l_extendedprice
+    vs the Benford expectation log10(1 + 1/d), with per-digit χ²
+    terms. Expectations are rounded to 6 into DECIMAL (irrational
+    logs never tie — the Zipf idiom); the χ² arithmetic is then
+    identical IEEE on both engines, pround-ed. One map-only digit
+    extraction + a 9-cell aggregate; the expectation table is a
+    9-row literal sequence, no second scan."""
+    from ..functions.hive_compat import pround
+
+    digits = t.lineitem.filter(F.col("l_extendedprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("l_extendedprice")).cast("bigint").cast("string"),
+            1,
+            1,
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    exp = spark.range(1, 10).select(
+        F.col("id").cast("bigint").alias("digit"),
+        F.round(F.log10(1 + 1.0 / F.col("id")), 6)
+        .cast("decimal(38,6)")
+        .alias("p"),
+    )
+    joined = (
+        exp.join(obs.withColumnRenamed("d", "digit"), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_obs"),
+            pround(
+                F.coalesce("n", F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("p_obs"),
+            F.col("p").cast("double").alias("p_benford"),
+            pround(
+                F.pow(
+                    F.coalesce("n", F.lit(0)).cast("double")
+                    - F.col("p").cast("double") * F.col("total"),
+                    F.lit(2),
+                )
+                / (F.col("p").cast("double") * F.col("total"))
+            ).alias("chi2_term"),
+        )
+    )
+    return joined.orderBy("digit")

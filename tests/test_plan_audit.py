@@ -480,6 +480,8 @@ NESTED_LOOP_OK = {
     "feature_discretize_bins": "scalar",
     # 1-row p01/p99 threshold broadcast feeding the clip pass
     "feature_winsorize": "scalar",
+    # 1-row grand-total broadcast into the 9-digit expectation table
+    "audit_benford_first_digit": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
