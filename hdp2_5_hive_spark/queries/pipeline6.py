@@ -1330,3 +1330,46 @@ def audit_benford_first_digit(spark, t):
         )
     )
     return joined.orderBy("digit")
+
+
+@register(
+    "sec_policy_enforced_read",
+    oracle="""
+SELECT c_custkey,
+       substring(c_name, 1, 2) || repeat('x', len(c_name) - 2) AS c_name,
+       'REDACTED' AS c_mktsegment,
+       c_nationkey, c_acctbal
+FROM customer
+WHERE c_nationkey < 10
+ORDER BY c_custkey
+""",
+    category="pipeline",
+)
+def sec_policy_enforced_read(spark, t):
+    """Row-filter + column-mask policy enforcement
+    (functions/policies.apply_policies — the Ranger
+    applyRowFilterAndColumnMasking data plane as a PLAN-TIME
+    rewrite): the analyst role reads customer through a policy that
+    (a) filters to c_nationkey < 10 and (b) masks c_name to
+    first-2-then-x and c_mktsegment to a constant. Because enforcement
+    is a rewrite, the row filter participates in predicate pushdown
+    like any user WHERE (gate in tests/test_policies.py) and masks
+    are codegen-fused projections — no UDF, no post-hoc scan."""
+    from ..functions.policies import apply_policies
+
+    POLICIES = [
+        {
+            "table": "customer",
+            "users": ["analyst"],
+            "row_filter": "c_nationkey < 10",
+            "column_masks": {
+                "c_name": "concat(substring(c_name, 1, 2),"
+                " repeat('x', length(c_name) - 2))",
+                "c_mktsegment": "'REDACTED'",
+            },
+        }
+    ]
+    out = apply_policies(t.customer, "customer", "analyst", POLICIES)
+    return out.select(
+        "c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"
+    ).orderBy("c_custkey")
