@@ -1373,3 +1373,50 @@ def sec_policy_enforced_read(spark, t):
     return out.select(
         "c_custkey", "c_name", "c_mktsegment", "c_nationkey", "c_acctbal"
     ).orderBy("c_custkey")
+
+
+@register(
+    "events_rolling_median",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day
+)
+SELECT event_type, day, CAST(n AS BIGINT) AS n,
+       ROUND(quantile_cont(n, 0.5) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7,
+       ROUND(n - quantile_cont(n, 0.5) OVER (
+         PARTITION BY event_type ORDER BY day
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS residual
+FROM daily ORDER BY event_type, day
+""",
+    category="analytics",
+)
+def events_rolling_median(spark, t):
+    """Rolling 7-day exact median baseline per event type — the
+    robust sliding-window twin of events_ewma_daily (a median
+    ignores a one-day spike; the EWMA chases it): ``percentile``
+    as a WINDOW aggregate over a bounded 7-row frame. Both engines
+    interpolate the continuous median identically over integer
+    counts (lang_percentile_gate precedent). Frame-bounded state —
+    O(7) per row at any history length; one keyed aggregate + one
+    window sharing the (event_type; day) sort."""
+    e = t.events
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    med = F.expr("percentile(n, 0.5)").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(med, 6).alias("med7"),
+        F.round(F.col("n") - med, 6).alias("residual"),
+    ).orderBy("event_type", "day")

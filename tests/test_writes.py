@@ -394,3 +394,37 @@ def test_orc_bloom_filter_bytes_written_and_pushdown(spark, tmp_path):
     assert "PushedFilters: [" in plan and "s_name" in plan.split(
         "PushedFilters"
     )[1][:200], plan[:800]
+
+
+def test_bucket_pruning_point_probe_reads_one_bucket(spark, tmp_path):
+    """Bucket PRUNING (Hive's bucket-as-hash-partition probe, the
+    read-side payoff of CLUSTERED BY beside the SMB join): an
+    equality predicate on the bucketing column restricts the scan to
+    ONE of N buckets — 'SelectedBucketsCount: 1 out of 8' in the
+    scan node. Spark's planner only keeps the bucketed layout when
+    it pays (autoBucketedScan re-plans it away for bare scans), so
+    the gate pins the behavior with that heuristic off — on a
+    cluster the same pruning fires inside bucketed joins/aggs."""
+    prev = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "true"
+    )
+    spark.sql("DROP TABLE IF EXISTS bp_gate")
+    try:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+        )
+        (
+            spark.read.parquet(f"{SF}/customer.parquet")
+            .write.bucketBy(8, "c_custkey")
+            .sortBy("c_custkey")
+            .saveAsTable("bp_gate")
+        )
+        probe = spark.table("bp_gate").filter(F.col("c_custkey") == 42)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount: 1 out of 8" in plan, plan[:900]
+        assert probe.count() == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS bp_gate")
