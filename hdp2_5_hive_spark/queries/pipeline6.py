@@ -1420,3 +1420,106 @@ def events_rolling_median(spark, t):
         F.round(med, 6).alias("med7"),
         F.round(F.col("n") - med, 6).alias("residual"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "feature_quantile_normalize",
+    oracle="""
+WITH src AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n_src
+  FROM documents
+),
+pooled AS (
+  SELECT n_chars AS v,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS prn
+  FROM documents
+),
+n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+idx AS (
+  SELECT s.doc_id, s.source, s.n_chars,
+         CASE WHEN s.n_src = 1 THEN 0.0
+              ELSE (s.rn - 1) * 1.0 / (s.n_src - 1) END AS r,
+         CAST(FLOOR(CASE WHEN s.n_src = 1 THEN 0.0
+              ELSE (s.rn - 1) * 1.0 / (s.n_src - 1) END * (t.n - 1))
+              AS BIGINT) + 1 AS i,
+         CASE WHEN s.n_src = 1 THEN 0.0
+              ELSE (s.rn - 1) * 1.0 / (s.n_src - 1) END * (t.n - 1)
+           - FLOOR(CASE WHEN s.n_src = 1 THEN 0.0
+              ELSE (s.rn - 1) * 1.0 / (s.n_src - 1) END * (t.n - 1))
+           AS frac
+  FROM src s, n_tot t
+)
+SELECT x.doc_id, x.source, CAST(x.n_chars AS BIGINT) AS n_chars,
+       FLOOR((lo.v * (1 - x.frac) + COALESCE(hi.v, lo.v) * x.frac)
+             * 1000000 + 0.5) / 1000000 AS qnorm
+FROM idx x
+JOIN pooled lo ON lo.prn = x.i
+LEFT JOIN pooled hi ON hi.prn = x.i + 1
+ORDER BY x.doc_id
+""",
+    category="pipeline",
+)
+def feature_quantile_normalize(spark, t):
+    """Cross-source quantile normalization — map every doc's
+    within-source percentile of n_chars onto the POOLED
+    distribution's quantile function (linear interpolation between
+    pooled order statistics), so each source's length distribution
+    becomes comparable before mixing. Deterministic total orders
+    ((value, doc_id)) on both ranks; index arithmetic and
+    interpolation are identical IEEE expressions, pround final.
+    Plan: one window per side sharing keyed sorts + two rank-keyed
+    equi-joins against the pooled order statistics. Scale note: the
+    pooled global row_number is the exact tier; at >10⁹ rows the
+    production variant interpolates against a sampled/sketched
+    quantile table (mergeable bottom-k) with the same output
+    contract."""
+    from ..functions.hive_compat import pround
+
+    d = t.documents
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    src = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("source"))
+        .alias("n_src"),
+    )
+    wp = Window.orderBy("n_chars", "doc_id")
+    pooled = d.select(
+        F.col("n_chars").alias("v"), F.row_number().over(wp).alias("prn")
+    )
+    n_tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    r = F.when(F.col("n_src") == 1, F.lit(0.0)).otherwise(
+        (F.col("rn") - 1) * 1.0 / (F.col("n_src") - 1)
+    )
+    scaled = r * (F.col("n") - 1)
+    idx = src.crossJoin(F.broadcast(n_tot)).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        (F.floor(scaled).cast("bigint") + 1).alias("i"),
+        (scaled - F.floor(scaled)).alias("frac"),
+    )
+    lo = pooled.withColumnsRenamed({"prn": "i", "v": "v_lo"})
+    hi = pooled.select(
+        (F.col("prn") - 1).alias("i"), F.col("v").alias("v_hi")
+    )
+    return (
+        idx.join(lo, "i")
+        .join(hi, "i", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            pround(
+                F.col("v_lo") * (1 - F.col("frac"))
+                + F.coalesce(F.col("v_hi"), F.col("v_lo")) * F.col("frac")
+            ).alias("qnorm"),
+        )
+        .orderBy("doc_id")
+    )

@@ -333,3 +333,21 @@ def test_zorder_sort_prunes_row_groups_on_both_dims(spark, tmp_path):
         .count()
     )
     assert a == b == 8 * 8
+
+
+def test_quantile_normalize_endpoints_and_monotonic(spark, sf_dir):
+    """Within each source the min doc maps to the pooled min, the
+    max doc to the pooled max, and qnorm is monotone in n_chars."""
+    q = all_queries()["feature_quantile_normalize"]
+    rows = q.fn(spark, sf_dir).collect()
+    pooled = sorted(r.n_chars for r in rows)
+    lo, hi = float(pooled[0]), float(pooled[-1])
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, rs in by_src.items():
+        rs = sorted(rs, key=lambda r: (r.n_chars, r.doc_id))
+        assert abs(rs[0].qnorm - lo) < 1e-6, src
+        assert abs(rs[-1].qnorm - hi) < 1e-6, src
+        qn = [r.qnorm for r in rs]
+        assert all(a <= b + 1e-9 for a, b in zip(qn, qn[1:])), src

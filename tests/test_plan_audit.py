@@ -482,6 +482,8 @@ NESTED_LOOP_OK = {
     "feature_winsorize": "scalar",
     # 1-row grand-total broadcast into the 9-digit expectation table
     "audit_benford_first_digit": "scalar",
+    # 1-row pooled-count broadcast feeding the quantile index math
+    "feature_quantile_normalize": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
