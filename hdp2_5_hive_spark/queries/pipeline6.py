@@ -1523,3 +1523,147 @@ def feature_quantile_normalize(spark, t):
         )
         .orderBy("doc_id")
     )
+
+
+# Fellegi-Sunter model parameters (hand-set reliabilities, as in
+# production deployments that import rather than EM-fit them) and
+# the derived log2 weights — computed ONCE here so the Spark plan
+# and the oracle inline literally identical numbers.
+_FS_PARAMS = {
+    "name": (0.95, 0.001),
+    "acct": (0.90, 0.01),
+    "seg": (0.95, 0.20),
+}
+
+
+def _fs_w(m, u):
+    import math
+
+    return round(math.log2(m / u), 6), round(
+        math.log2((1 - m) / (1 - u)), 6
+    )
+
+
+_FS_W = {k: _fs_w(m, u) for k, (m, u) in _FS_PARAMS.items()}
+
+
+@register(
+    "er_fellegi_sunter",
+    oracle=f"""
+WITH clean AS (
+  SELECT c_custkey AS rid, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer
+),
+dirty AS (
+  SELECT rid + 1000000 AS rid,
+         substring(c_name, 1, 11) || 'Z' || substring(c_name, 13)
+           AS c_name,
+         c_nationkey, c_acctbal + 0.01 AS c_acctbal, c_mktsegment
+  FROM clean WHERE rid % 20 = 0
+),
+u AS (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+pairs AS (
+  SELECT a.rid AS id_a, b.rid AS id_b,
+         levenshtein(a.c_name, b.c_name) <= 1 AS ag_name,
+         abs(a.c_acctbal - b.c_acctbal) <= 0.02 AS ag_acct,
+         a.c_mktsegment = b.c_mktsegment AS ag_seg
+  FROM u a JOIN u b
+    ON a.c_nationkey = b.c_nationkey
+   AND len(a.c_name) = len(b.c_name)
+   AND a.rid < b.rid
+),
+scored AS (
+  SELECT id_a, id_b,
+         CAST(CASE WHEN ag_name THEN {_FS_W['name'][0]}
+                   ELSE {_FS_W['name'][1]} END AS DECIMAL(38,6))
+       + CAST(CASE WHEN ag_acct THEN {_FS_W['acct'][0]}
+                   ELSE {_FS_W['acct'][1]} END AS DECIMAL(38,6))
+       + CAST(CASE WHEN ag_seg THEN {_FS_W['seg'][0]}
+                   ELSE {_FS_W['seg'][1]} END AS DECIMAL(38,6))
+           AS match_weight
+  FROM pairs
+)
+SELECT id_a, id_b, CAST(match_weight AS DOUBLE) AS match_weight,
+       CASE WHEN CAST(match_weight AS DOUBLE) >= 6.0 THEN 'link'
+            WHEN CAST(match_weight AS DOUBLE) <= 0.0 THEN 'non_link'
+            ELSE 'possible' END AS decision
+FROM scored
+WHERE CAST(match_weight AS DOUBLE) > 0.0
+ORDER BY id_a, id_b
+""",
+    category="pipeline",
+)
+def er_fellegi_sunter(spark, t):
+    """Probabilistic record linkage (operators/linkage.py —
+    Fellegi & Sunter 1969, the scoring core of Splink-class ER):
+    every customer with custkey % 20 == 0 gets a planted dirty twin
+    (one substituted name character, +0.01 balance drift), blocking
+    on (nationkey, name-length) generates candidates — never
+    all-pairs — and each pair scores Σ log2(m/u) / log2((1-m)/(1-u))
+    over three field comparators (levenshtein ≤ 1 name, ±0.02
+    balance, segment equality). DECIMAL-exact weight sums from
+    literals shared between plan and oracle; three-way
+    link / possible / non_link decision; output is the above-floor
+    pairs (the link set = exactly the planted twins, pinned in
+    tests)."""
+    from ..operators.linkage import score_pairs
+
+    clean = t.customer.select(
+        F.col("c_custkey").alias("rid"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    dirty = clean.filter(F.col("rid") % 20 == 0).select(
+        (F.col("rid") + 1000000).alias("rid"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("Z"),
+            F.substring("c_name", 13, 100),
+        ).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 0.01).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    u = clean.unionAll(dirty)
+    a, b = u.alias("a"), u.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.length("a.c_name") == F.length("b.c_name"))
+        & (F.col("a.rid") < F.col("b.rid")),
+    ).select(
+        F.col("a.rid").alias("id_a"),
+        F.col("b.rid").alias("id_b"),
+        (F.levenshtein("a.c_name", "b.c_name") <= 1).alias("ag_name"),
+        (
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 0.02
+        ).alias("ag_acct"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+            "ag_seg"
+        ),
+    )
+    m_n, u_n = _FS_PARAMS["name"]
+    m_a, u_a = _FS_PARAMS["acct"]
+    m_s, u_s = _FS_PARAMS["seg"]
+    scored = score_pairs(
+        pairs,
+        [
+            (F.col("ag_name"), m_n, u_n),
+            (F.col("ag_acct"), m_a, u_a),
+            (F.col("ag_seg"), m_s, u_s),
+        ],
+        upper=6.0,
+        lower=0.0,
+    )
+    return (
+        scored.filter(F.col("match_weight").cast("double") > 0.0)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("match_weight").cast("double").alias("match_weight"),
+            "decision",
+        )
+        .orderBy("id_a", "id_b")
+    )

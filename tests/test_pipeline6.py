@@ -351,3 +351,55 @@ def test_quantile_normalize_endpoints_and_monotonic(spark, sf_dir):
         assert abs(rs[-1].qnorm - hi) < 1e-6, src
         qn = [r.qnorm for r in rs]
         assert all(a <= b + 1e-9 for a, b in zip(qn, qn[1:])), src
+
+
+def test_fellegi_sunter_links_are_exactly_planted_twins(spark, sf_dir):
+    q = all_queries()["er_fellegi_sunter"]
+    rows = q.fn(spark, sf_dir).collect()
+    links = {(r.id_a, r.id_b) for r in rows if r.decision == "link"}
+    cust = {
+        r.c_custkey: r
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    }
+    planted = {(k, k + 1000000) for k in cust if k % 20 == 0}
+    # every planted twin is recovered...
+    assert links >= planted
+    # ...and every OTHER link is a genuinely ambiguous clean pair:
+    # equal-length names within one substitution, balances inside
+    # the comparator tolerance, equal segments (a property of the
+    # synthetic key space — exactly what the model must flag).
+    def within_one_sub(x, y):
+        return len(x) == len(y) and sum(a != b for a, b in zip(x, y)) <= 1
+
+    import math
+
+    def w(agree, m, u):
+        return round(
+            math.log2(m / u) if agree else math.log2((1 - m) / (1 - u)), 6
+        )
+
+    for ia, ib in links - planted:
+        a, b = cust[ia], cust[ib]
+        assert within_one_sub(a.c_name, b.c_name), (ia, ib)
+        total = (
+            w(True, 0.95, 0.001)
+            + w(abs(a.c_acctbal - b.c_acctbal) <= 0.02, 0.90, 0.01)
+            + w(a.c_mktsegment == b.c_mktsegment, 0.95, 0.20)
+        )
+        assert total >= 6.0, (ia, ib, total)
+    # all three comparators agree on a planted twin: full weight
+    full = sum(
+        round(math.log2(m / u), 6)
+        for m, u in (
+            (0.95, 0.001),
+            (0.90, 0.01),
+            (0.95, 0.20),
+        )
+    )
+    for r in rows:
+        if (r.id_a, r.id_b) in planted:
+            assert abs(r.match_weight - full) < 1e-9
+    # and no candidate pair ever came from outside a block: plan gate
+    plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
