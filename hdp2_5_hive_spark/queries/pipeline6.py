@@ -1667,3 +1667,115 @@ def er_fellegi_sunter(spark, t):
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "dedup_lsh_s_curve",
+    oracle="""
+WITH s AS (
+  SELECT unnest(generate_series(1, 19)) * 0.05 AS sim
+)
+SELECT FLOOR(sim * 1000000 + 0.5) / 1000000 AS sim,
+       FLOOR((1 - POWER(1 - POWER(sim, 2), 32)) * 1000000 + 0.5)
+         / 1000000 AS p_candidate,
+       FLOOR(POWER(1.0 / 32, 1.0 / 2) * 1000000 + 0.5) / 1000000
+         AS s_threshold
+FROM s ORDER BY sim
+""",
+    category="pipeline",
+)
+def dedup_lsh_s_curve(spark, t):
+    """The MinHash-LSH tuning S-curve for the registry's production
+    config (64 hashes = 32 bands × 2 rows,
+    operators/dedup.near_duplicate_pairs defaults): candidate
+    probability P(s) = 1 − (1 − s^r)^b over a similarity grid, plus
+    the threshold similarity (1/b)^(1/r) ≈ 0.177 where the curve
+    crosses half-weight steepest. This is the design table an
+    engineer consults before re-tuning (b, r) for a new corpus —
+    published as a query so the tuning math ships WITH the engine
+    and can never drift from the code's defaults. Pure IEEE
+    arithmetic, identical cross-engine; no table scan at all."""
+    from ..functions.hive_compat import pround
+
+    r, b = 2, 32  # rows-per-band, bands — near_duplicate_pairs defaults
+    s = spark.range(1, 20).select((F.col("id") * 0.05).alias("sim"))
+    return s.select(
+        pround(F.col("sim")).alias("sim"),
+        pround(
+            1 - F.pow(1 - F.pow(F.col("sim"), F.lit(r)), F.lit(b))
+        ).alias("p_candidate"),
+        pround(F.pow(F.lit(1.0 / b), F.lit(1.0 / r))).alias(
+            "s_threshold"
+        ),
+    ).orderBy("sim")
+
+
+@register(
+    "events_error_streaks",
+    oracle="""
+WITH counts AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         count(*) AS n
+  FROM events GROUP BY event_type, day
+),
+med AS (
+  SELECT event_type, median(n) AS med FROM counts GROUP BY event_type
+),
+daily AS (
+  SELECT c.event_type, c.day
+  FROM counts c JOIN med m USING (event_type)
+  WHERE c.n > m.med
+),
+isl AS (
+  SELECT event_type, day,
+         CAST(day - INTERVAL (ROW_NUMBER() OVER (
+           PARTITION BY event_type ORDER BY day)) DAY AS DATE) AS grp
+  FROM daily
+),
+streaks AS (
+  SELECT event_type, MIN(day) AS streak_start, MAX(day) AS streak_end,
+         CAST(COUNT(*) AS BIGINT) AS streak_days
+  FROM isl GROUP BY event_type, grp
+)
+SELECT event_type, streak_start, streak_end, streak_days
+FROM streaks
+ORDER BY event_type, streak_start
+""",
+    category="analytics",
+)
+def events_error_streaks(spark, t):
+    """Gaps-and-islands — consecutive ABOVE-MEDIAN-volume day
+    streaks per event type: the classic SQL pattern (day −
+    row_number = constant within an unbroken run) that turns
+    'longest elevated window' questions into one window + one keyed
+    aggregate, no self-join, no iteration (above-median rather than
+    mere presence, because the synthetic stream has events every
+    day — presence streaks would be one vacuous island). Output:
+    every streak with bounds and length; medians interpolate
+    identically cross-engine. Frame-free window, O(1) state per
+    row."""
+    counts = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = counts.groupBy("event_type").agg(
+        F.expr("percentile(n, 0.5)").alias("med")
+    )
+    daily = (
+        counts.join(F.broadcast(med), "event_type")
+        .filter(F.col("n") > F.col("med"))
+        .select("event_type", "day")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    isl = daily.withColumn(
+        "grp", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        isl.groupBy("event_type", "grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).cast("bigint").alias("streak_days"),
+        )
+        .drop("grp")
+        .orderBy("event_type", "streak_start")
+    )
