@@ -1779,3 +1779,106 @@ def events_error_streaks(spark, t):
         .drop("grp")
         .orderBy("event_type", "streak_start")
     )
+
+
+@register(
+    "events_cumulative_uniques",
+    oracle="""
+WITH first_seen AS (
+  SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d0
+  FROM events GROUP BY user_id
+),
+new_per_day AS (
+  SELECT d0 AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM first_seen GROUP BY d0
+),
+cal AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events
+)
+SELECT c.day, COALESCE(n.n_new, 0) AS n_new,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+         ORDER BY c.day ROWS BETWEEN UNBOUNDED PRECEDING
+         AND CURRENT ROW) AS BIGINT) AS cume_uniques
+FROM cal c LEFT JOIN new_per_day n ON c.day = n.day
+ORDER BY c.day
+""",
+    category="analytics",
+)
+def events_cumulative_uniques(spark, t):
+    """Cumulative distinct users per day — the growth-curve query
+    every dashboard wants, computed WITHOUT the quadratic trap
+    (COUNT(DISTINCT) over an ever-growing window re-scans history
+    per day): a user contributes on exactly their FIRST-SEEN day
+    (one keyed min), daily new-user counts running-sum over the
+    calendar — |days| rows in the window, not |events|. The exact
+    tier of the same first-seen trick that scales to 100 TB; the
+    approximate tier is the mergeable HLL family
+    (agg_hll_set_ops)."""
+    e = t.events
+    first_seen = e.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("d0")
+    )
+    new_per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    cal = e.select(F.col("ts").cast("date").alias("day")).distinct()
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cal.join(new_per_day, "day", "left")
+        .select("day", F.coalesce("n_new", F.lit(0)).alias("n_new"))
+        .withColumn(
+            "cume_uniques", F.sum("n_new").over(w).cast("bigint")
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "report_topn_other",
+    oracle="""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS chars
+  FROM documents GROUP BY source
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, source) AS rk
+  FROM counts
+)
+SELECT CASE WHEN rk <= 5 THEN source ELSE 'Other' END AS source_group,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(chars) AS BIGINT) AS chars,
+       CAST(MIN(rk) AS BIGINT) AS rank_order
+FROM ranked
+GROUP BY CASE WHEN rk <= 5 THEN source ELSE 'Other' END
+ORDER BY rank_order
+""",
+    category="analytics",
+)
+def report_topn_other(spark, t):
+    """Top-5 sources + 'Other' rollup — the reporting classic that
+    keeps dashboards bounded no matter the category cardinality:
+    rank on a pre-aggregated counts table (|sources| rows — the
+    rank window never sees raw docs), conditional regroup, remainder
+    folds into one row ordered last. Deterministic tie-break by
+    source name."""
+    counts = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    w = Window.orderBy(F.desc("n_docs"), "source")
+    ranked = counts.withColumn("rk", F.row_number().over(w))
+    grp = F.when(F.col("rk") <= 5, F.col("source")).otherwise(
+        F.lit("Other")
+    )
+    return (
+        ranked.groupBy(grp.alias("source_group"))
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("chars").cast("bigint").alias("chars"),
+            F.min("rk").cast("bigint").alias("rank_order"),
+        )
+        .orderBy("rank_order")
+    )
