@@ -799,3 +799,37 @@ def test_webdataset_write_single_shard_exchange(spark, sf_dir, tmp_path):
         {"text": "txt"}, n_shards=4,
     )
     assert n == 50
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Dynamic partition pruning (Hive-on-Tez's dynamic min/max /
+    bloom semijoin reduction twin for PARTITION keys): a selective
+    dim filter joined on the fact's partition column must inject a
+    dynamicpruning subquery into the fact scan's PartitionFilters —
+    at warehouse scale this is the difference between scanning 3
+    partitions and 3000. Gate pins the plan marker."""
+    fact = spark.range(10000).select(
+        (F.col("id") % 20).alias("p"), F.col("id").alias("v")
+    )
+    fact.write.partitionBy("p").parquet(str(tmp_path / "fact"))
+    dim = spark.range(20).select(
+        F.col("id").alias("p"), (F.col("id") % 3).alias("grp")
+    )
+    f = spark.read.parquet(str(tmp_path / "fact"))
+    j = f.join(dim.filter("grp = 1"), "p").groupBy("p").count()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan, plan[:1200]
+    # and it actually executes correctly
+    assert j.count() == 7  # p in {1,4,7,10,13,16,19}
+
+
+def test_join_strategy_hints_respected(spark, sf_dir):
+    """Hive's MAPJOIN hint family maps onto Spark's strategy hints;
+    beside the broadcast hint (covered by hiveql_mapjoin_hint),
+    SHUFFLE_HASH and MERGE must each pin their physical join."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sh = o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
+    sm = o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in sm._jdf.queryExecution().executedPlan().toString()
