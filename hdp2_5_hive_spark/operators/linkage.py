@@ -65,3 +65,91 @@ def score_pairs(
         .when(F.col("match_weight").cast("double") <= lower, "non_link")
         .otherwise("possible"),
     )
+
+
+def em_fit(
+    pairs: DataFrame,
+    agree_cols: list[str],
+    *,
+    n_iter: int = 30,
+    init_lambda: float = 0.01,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+) -> dict:
+    """Estimate the Fellegi-Sunter parameters by EM over the
+    AGREEMENT-PATTERN CONTINGENCY TABLE (the Splink/FastLink training
+    loop, Winkler 1988): with k boolean comparators there are only
+    2^k distinct patterns, so ONE distributed groupBy collapses any
+    number of candidate pairs to ≤ 2^k counted rows, and the EM
+    iterations run driver-side on that tiny table — exact,
+    deterministic, and O(2^k · n_iter) regardless of corpus size.
+    The same bounded-driver-state discipline as the k-means/PCA/LR
+    trainers.
+
+    Model: two-class mixture — P(pattern) = λ·Π m_i^a_i (1-m_i)^(1-a_i)
+    + (1-λ)·Π u_i^a_i (1-u_i)^(1-a_i), independence across fields
+    (the standard FS assumption). E-step computes P(match | pattern)
+    per row of the table; M-step re-estimates λ, m_i, u_i from
+    count-weighted responsibilities.
+
+    Returns {"lambda": λ, "m": {col: m}, "u": {col: u},
+    "n_pairs": N, "n_iter": n_iter} — floats are plain Python
+    doubles; determinism comes from fixed init + fixed iteration
+    count (no convergence-threshold coin flips)."""
+    rows = (
+        pairs.groupBy(*[F.col(c).cast("boolean").alias(c) for c in agree_cols])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    # Sort the collected table: float summation below must not
+    # depend on shuffle arrival order, or the fit would drift
+    # between runs/partitionings in the last ulp.
+    patterns = sorted(
+        (tuple(bool(r[c]) for c in agree_cols), int(r["_n"])) for r in rows
+    )
+    n_total = sum(n for _, n in patterns)
+    k = len(agree_cols)
+    lam = init_lambda
+    m = [init_m] * k
+    u = [init_u] * k
+    for _ in range(n_iter):
+        # E-step
+        resp = []
+        for pat, n in patterns:
+            pm = lam
+            pu = 1 - lam
+            for i in range(k):
+                pm *= m[i] if pat[i] else (1 - m[i])
+                pu *= u[i] if pat[i] else (1 - u[i])
+            g = pm / (pm + pu) if (pm + pu) > 0 else 0.0
+            resp.append(g)
+        # M-step
+        w_match = sum(g * n for g, (_, n) in zip(resp, patterns))
+        w_non = n_total - w_match
+        if w_match <= 0 or w_non <= 0:
+            break
+        lam = w_match / n_total
+        for i in range(k):
+            m[i] = (
+                sum(
+                    g * n
+                    for g, (pat, n) in zip(resp, patterns)
+                    if pat[i]
+                )
+                / w_match
+            )
+            u[i] = (
+                sum(
+                    (1 - g) * n
+                    for g, (pat, n) in zip(resp, patterns)
+                    if pat[i]
+                )
+                / w_non
+            )
+    return {
+        "lambda": lam,
+        "m": dict(zip(agree_cols, m)),
+        "u": dict(zip(agree_cols, u)),
+        "n_pairs": n_total,
+        "n_iter": n_iter,
+    }

@@ -1608,42 +1608,7 @@ def er_fellegi_sunter(spark, t):
     tests)."""
     from ..operators.linkage import score_pairs
 
-    clean = t.customer.select(
-        F.col("c_custkey").alias("rid"),
-        "c_name",
-        "c_nationkey",
-        "c_acctbal",
-        "c_mktsegment",
-    )
-    dirty = clean.filter(F.col("rid") % 20 == 0).select(
-        (F.col("rid") + 1000000).alias("rid"),
-        F.concat(
-            F.substring("c_name", 1, 11),
-            F.lit("Z"),
-            F.substring("c_name", 13, 100),
-        ).alias("c_name"),
-        "c_nationkey",
-        (F.col("c_acctbal") + 0.01).alias("c_acctbal"),
-        "c_mktsegment",
-    )
-    u = clean.unionAll(dirty)
-    a, b = u.alias("a"), u.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
-        & (F.length("a.c_name") == F.length("b.c_name"))
-        & (F.col("a.rid") < F.col("b.rid")),
-    ).select(
-        F.col("a.rid").alias("id_a"),
-        F.col("b.rid").alias("id_b"),
-        (F.levenshtein("a.c_name", "b.c_name") <= 1).alias("ag_name"),
-        (
-            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 0.02
-        ).alias("ag_acct"),
-        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
-            "ag_seg"
-        ),
-    )
+    pairs = _er_candidate_pairs(t)  # shared with er_em_parameters
     m_n, u_n = _FS_PARAMS["name"]
     m_a, u_a = _FS_PARAMS["acct"]
     m_s, u_s = _FS_PARAMS["seg"]
@@ -1882,3 +1847,87 @@ def report_topn_other(spark, t):
         )
         .orderBy("rank_order")
     )
+
+
+def _er_candidate_pairs(t):
+    """The er_fellegi_sunter candidate construction (planted dirty
+    twins + blocked pairs + comparator flags), shared with the EM
+    trainer so the two queries see the identical pair universe."""
+    clean = t.customer.select(
+        F.col("c_custkey").alias("rid"),
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+    )
+    dirty = clean.filter(F.col("rid") % 20 == 0).select(
+        (F.col("rid") + 1000000).alias("rid"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("Z"),
+            F.substring("c_name", 13, 100),
+        ).alias("c_name"),
+        "c_nationkey",
+        (F.col("c_acctbal") + 0.01).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    u = clean.unionAll(dirty)
+    a, b = u.alias("a"), u.alias("b")
+    return a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.length("a.c_name") == F.length("b.c_name"))
+        & (F.col("a.rid") < F.col("b.rid")),
+    ).select(
+        F.col("a.rid").alias("id_a"),
+        F.col("b.rid").alias("id_b"),
+        (F.levenshtein("a.c_name", "b.c_name") <= 1).alias("ag_name"),
+        (
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) <= 0.02
+        ).alias("ag_acct"),
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment")).alias(
+            "ag_seg"
+        ),
+    )
+
+
+@register(
+    "er_em_parameters",
+    oracle=None,  # EM mixture fitting has no SQL twin — rows-only;
+    # pinned EXACTLY against a sequential reference EM over the same
+    # contingency table, plus recovery properties, in
+    # tests/test_pipeline6.py.
+    category="pipeline",
+)
+def er_em_parameters(spark, t):
+    """Fellegi-Sunter parameter ESTIMATION by EM
+    (operators/linkage.em_fit — the Splink/FastLink training loop,
+    Winkler 1988): one distributed groupBy collapses the blocked
+    candidate pairs to the 2³-row agreement-pattern contingency
+    table; 30 exact EM iterations run driver-side on it (bounded
+    driver state, the k-means/PCA/LR discipline). Output: fitted
+    λ and per-field (m, u) — on this corpus the name comparator's m
+    must fit high (the planted twins always agree) while its u fits
+    tiny (random same-block pairs rarely sit within one
+    substitution). Collected table sorted before summation so the
+    fit is partition-invariant to the last ulp."""
+    from ..functions.hive_compat import pround
+    from ..operators.linkage import em_fit
+
+    fit = em_fit(
+        _er_candidate_pairs(t), ["ag_name", "ag_acct", "ag_seg"]
+    )
+    rows = [
+        (c, float(fit["m"][c]), float(fit["u"][c]), float(fit["lambda"]), int(fit["n_pairs"]))
+        for c in ("ag_name", "ag_acct", "ag_seg")
+    ]
+    df = spark.createDataFrame(
+        rows, "field string, m double, u double, lam double, n_pairs long"
+    )
+    return df.select(
+        "field",
+        pround(F.col("m")).alias("m"),
+        pround(F.col("u")).alias("u"),
+        pround(F.col("lam")).alias("lam"),
+        "n_pairs",
+    ).orderBy("field")

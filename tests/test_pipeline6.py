@@ -403,3 +403,55 @@ def test_fellegi_sunter_links_are_exactly_planted_twins(spark, sf_dir):
     plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_em_fit_matches_sequential_reference_and_recovers(spark, sf_dir):
+    from hdp2_5_hive_spark.operators.linkage import em_fit
+    from hdp2_5_hive_spark.queries.pipeline6 import _er_candidate_pairs
+    from hdp2_5_hive_spark.queries.registry import tables_for
+
+    t = tables_for(spark, sf_dir)
+    pairs = _er_candidate_pairs(t)
+    fit = em_fit(pairs, ["ag_name", "ag_acct", "ag_seg"])
+
+    # Sequential reference EM over the same contingency table.
+    from collections import Counter
+
+    pats = Counter()
+    for r in pairs.collect():
+        pats[(bool(r.ag_name), bool(r.ag_acct), bool(r.ag_seg))] += 1
+    patterns = sorted(pats.items())
+    n_total = sum(n for _, n in patterns)
+    lam, m, u = 0.01, [0.9] * 3, [0.1] * 3
+    for _ in range(30):
+        resp = []
+        for pat, n in patterns:
+            pm, pu = lam, 1 - lam
+            for i in range(3):
+                pm *= m[i] if pat[i] else (1 - m[i])
+                pu *= u[i] if pat[i] else (1 - u[i])
+            resp.append(pm / (pm + pu) if (pm + pu) > 0 else 0.0)
+        w_match = sum(g * n for g, (_, n) in zip(resp, patterns))
+        w_non = n_total - w_match
+        if w_match <= 0 or w_non <= 0:
+            break
+        lam = w_match / n_total
+        for i in range(3):
+            m[i] = sum(g * n for g, (p, n) in zip(resp, patterns) if p[i]) / w_match
+            u[i] = sum((1 - g) * n for g, (p, n) in zip(resp, patterns) if p[i]) / w_non
+
+    assert fit["n_pairs"] == n_total
+    assert fit["lambda"] == lam
+    assert [fit["m"][c] for c in ("ag_name", "ag_acct", "ag_seg")] == m
+    assert [fit["u"][c] for c in ("ag_name", "ag_acct", "ag_seg")] == u
+    # recovery: the match class is name-agreeing and rare; u_name
+    # fits ~0.09 here because sequential synthetic keys really are
+    # one substitution apart within a block — the model measuring
+    # the data, not an estimation error
+    assert fit["m"]["ag_name"] > 0.9
+    assert fit["u"]["ag_name"] < 0.2
+    assert fit["lambda"] < 0.1
+
+    # partition invariance (collected table is sorted before sums)
+    fit2 = em_fit(pairs.repartition(17), ["ag_name", "ag_acct", "ag_seg"])
+    assert fit2 == fit

@@ -507,6 +507,7 @@ SWEEP_SKIP = {
     "dedup_keep_list",
     "dedup_semantic_clusters",
     "graph_kcore_membership",
+    "er_em_parameters",
 }
 
 
