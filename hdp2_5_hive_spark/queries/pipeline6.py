@@ -2000,3 +2000,79 @@ def fn_jaro_winkler(spark, t):
             "jw"
         ),
     ).orderBy("id_a", "id_b")
+
+
+@register(
+    "fn_haversine_distance",
+    oracle="""
+WITH pts AS (
+  SELECT n_nationkey AS id,
+         (n_nationkey * 7 % 140) - 70 + n_regionkey * 0.25 AS lat,
+         (n_nationkey * 31 % 360) - 180 + n_regionkey * 0.5 AS lon
+  FROM nation
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         a.lat AS la, a.lon AS oa, b.lat AS lb, b.lon AS ob
+  FROM pts a JOIN pts b ON b.id = a.id + 1
+)
+SELECT id_a, id_b,
+       FLOOR(2 * 6371.0088 * asin(sqrt(
+         pow(sin(radians(lb - la) / 2), 2)
+         + cos(radians(la)) * cos(radians(lb))
+           * pow(sin(radians(ob - oa) / 2), 2)
+       )) * 1000 + 0.5) / 1000 AS km
+FROM pairs ORDER BY id_a
+""",
+    category="scalars",
+)
+def fn_haversine_distance(spark, t):
+    """Great-circle (haversine) distance — the spatial primitive for
+    geo dedup/joins, as a pure builtin-trig expression (codegen-
+    fused, no UDF): coordinates synthesized deterministically from
+    nation keys, pairwise consecutive distances in km on the
+    IUGG mean-Earth radius 6371.0088. Both engines evaluate the
+    identical IEEE expression tree; pround at 1e-3 km (meter
+    precision). The geo-banded join tier (lat/lon grid buckets +
+    haversine verify) reuses banded_range_join's pattern."""
+    from ..functions.hive_compat import pround
+
+    pts = t.nation.select(
+        F.col("n_nationkey").alias("id"),
+        (
+            (F.col("n_nationkey") * 7 % 140)
+            - 70
+            + F.col("n_regionkey") * 0.25
+        ).alias("lat"),
+        (
+            (F.col("n_nationkey") * 31 % 360)
+            - 180
+            + F.col("n_regionkey") * 0.5
+        ).alias("lon"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    pairs = a.join(b, F.col("b.id") == F.col("a.id") + 1).select(
+        F.col("a.id").alias("id_a"),
+        F.col("b.id").alias("id_b"),
+        F.col("a.lat").alias("la"),
+        F.col("a.lon").alias("oa"),
+        F.col("b.lat").alias("lb"),
+        F.col("b.lon").alias("ob"),
+    )
+    hav = (
+        F.lit(2)
+        * F.lit(6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lb") - F.col("la")) / 2), 2)
+                + F.cos(F.radians("la"))
+                * F.cos(F.radians("lb"))
+                * F.pow(
+                    F.sin(F.radians(F.col("ob") - F.col("oa")) / 2), 2
+                )
+            )
+        )
+    )
+    return pairs.select(
+        "id_a", "id_b", pround(hav, 3).alias("km")
+    ).orderBy("id_a")
