@@ -92,6 +92,25 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     fit) were each verified individually at sf0.001 AND sf0.01.
 #     End-of-round registry: 363 queries, 347 oracle-backed, 16
 #     rows-only; registry-wide nested-loop sweep green at 363.
+#   round 7 continued-session-3 (restarted context, same round): 30
+#     further additions — C4 rule battery + flagship v9 (C4 gate →
+#     provable containment dedup → source audit), WordPiece
+#     tokenizer ×2 (exact sequential-reference pin), triangle census
+#     (degree-oriented) + k-core peel, provably-complete asymmetric
+#     containment join, Fellegi-Sunter scoring + EM training,
+#     Jaro-Winkler (vs DuckDB's native), retrieval-eval metrics
+#     (recall/MRR/nDCG), EWMA + rolling-median + streak +
+#     cumulative-uniques + top-N-other + Benford + key-skew + FK
+#     audits, feature prep (pivot, winsorize, OOF target encode,
+#     discretize, quantile-normalize), ACID time travel, Ranger-style
+#     policy data plane, z-order clustering key, ORC bloom, LSH
+#     S-curve, haversine. Plus plan gates: DPP, join-strategy hints,
+#     bucket pruning, z-order row-group skipping;
+#     dropDuplicatesWithinWatermark streaming semantics. Every
+#     oracle-backed addition passed check_oracle at BOTH sf0.001 and
+#     sf0.01 when it landed; interim full battery 361 pass / 0 fail /
+#     19 rows-only at 380 registered. End-of-session registry: 393
+#     (373 oracle-backed, 20 rows-only).
 _MODULES = (
     "scalars",
     "setops",
@@ -234,6 +253,42 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_parquet_bloom_filter",
     "corpus_clean_v7",
     "multimodal_crossmodal_dedup",
+    # ---- round-7 continued-session-3 additions (never driver-
+    # sampled; round-8 window candidates, riskiest first: iterative/
+    # rows-only operators and fresh oracle shapes ahead of plain
+    # aggregates). Every oracle-backed one passed check_oracle at
+    # BOTH sf0.001 and sf0.01 when it landed; interim full battery
+    # 361/0 at 380 registered. ----
+    "vocab_wordpiece_merges",
+    "vocab_wordpiece_apply",
+    "graph_kcore_membership",
+    "er_em_parameters",
+    "graph_triangle_count",
+    "dedup_containment_prefix",
+    "corpus_clean_v9",
+    "er_fellegi_sunter",
+    "fn_jaro_winkler",
+    "acid_time_travel_read",
+    "retrieval_eval_metrics",
+    "feature_quantile_normalize",
+    "feature_target_encode_oof",
+    "feature_discretize_bins",
+    "feature_winsorize",
+    "quality_c4_rules",
+    "events_ewma_daily",
+    "events_rolling_median",
+    "events_error_streaks",
+    "events_cumulative_uniques",
+    "events_key_skew_audit",
+    "contract_referential_integrity",
+    "audit_benford_first_digit",
+    "sec_policy_enforced_read",
+    "fmt_zorder_value",
+    "fmt_orc_bloom_filter",
+    "agg_pivot_wide",
+    "report_topn_other",
+    "dedup_lsh_s_curve",
+    "fn_haversine_distance",
 )
 
 
