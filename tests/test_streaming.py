@@ -753,3 +753,105 @@ def test_dedup_within_watermark_evicts_and_reemits(spark, tmp_path):
     assert [k for k, _ in got] == ["k1", "k1", "k2"]
     assert ("k1", "2024-01-01 00:00:00") in got
     assert ("k1", "2024-01-01 01:05:00") in got
+
+
+def test_stream_stream_left_outer_join_null_pads_after_watermark(
+    spark, tmp_path
+):
+    """Watermarked stream-stream LEFT OUTER join: matched rows emit
+    immediately; an UNMATCHED left row may only emit (null-padded)
+    once the watermark proves no right match can still arrive — the
+    state-eviction semantics that make outer stream joins bounded.
+    Two drains: first delivers both sides (one match, one orphan —
+    orphan held in state, not yet emitted), second advances the
+    watermark far past the orphan's join window, forcing the
+    null-padded emission."""
+    import os
+
+    schema = StructType(
+        [
+            StructField("ts", TimestampType()),
+            StructField("k", StringType()),
+        ]
+    )
+    lsrc, rsrc = str(tmp_path / "l"), str(tmp_path / "r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+
+    def add(path, rows):
+        spark.createDataFrame(rows, "ts string, k string").select(
+            F.to_timestamp("ts").alias("ts"), "k"
+        ).coalesce(1).write.mode("append").parquet(path)
+
+    def drain():
+        left = (
+            spark.readStream.schema(schema)
+            .parquet(lsrc)
+            .withWatermark("ts", "5 minutes")
+            .select(F.col("ts").alias("lts"), F.col("k"))
+        )
+        right = (
+            spark.readStream.schema(schema)
+            .parquet(rsrc)
+            .withWatermark("ts", "5 minutes")
+            .select(F.col("ts").alias("rts"), F.col("k").alias("rk"))
+        )
+        j = left.join(
+            right,
+            F.expr(
+                "k = rk AND rts BETWEEN lts - INTERVAL 1 MINUTE"
+                " AND lts + INTERVAL 1 MINUTE"
+            ),
+            "leftOuter",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    add(lsrc, [("2024-01-01 00:10:00", "m"), ("2024-01-01 00:10:00", "orphan")])
+    add(rsrc, [("2024-01-01 00:10:30", "m")])
+    drain()
+    got1 = {
+        (r.k, r.rk)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert ("m", "m") in got1
+    assert ("orphan", None) not in got1  # held: watermark hasn't passed
+    # advance the watermark well past orphan's window on BOTH sides
+    add(lsrc, [("2024-01-01 01:00:00", "late_l")])
+    add(rsrc, [("2024-01-01 01:00:00", "late_r")])
+    drain()
+    got2 = {
+        (r.k, r.rk)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert ("orphan", None) in got2
+
+
+def test_observe_metrics_accumulate_per_action(spark, sf_dir):
+    """df.observe(): named aggregate metrics ride the job (the
+    engine-side observability hook a nightly pipeline exports) —
+    values must match the data exactly."""
+    from pyspark.sql import Observation
+
+    obs = Observation("docs")
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_chars").alias("chars"),
+        )
+        .filter("n_chars >= 0")
+    )
+    d.collect()
+    want = spark.read.parquet(f"{sf_dir}/documents.parquet").agg(
+        F.count(F.lit(1)), F.sum("n_chars")
+    ).collect()[0]
+    assert obs.get["n"] == want[0]
+    assert obs.get["chars"] == want[1]
