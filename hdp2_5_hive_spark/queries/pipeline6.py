@@ -2076,3 +2076,99 @@ def fn_haversine_distance(spark, t):
     return pairs.select(
         "id_a", "id_b", pround(hav, 3).alias("km")
     ).orderBy("id_a")
+
+
+@register(
+    "events_pattern_match",
+    oracle="""
+WITH seq AS (
+  SELECT user_id,
+         string_agg(CASE event_type
+                      WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                      WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S'
+                      ELSE 'E' END, ''
+                    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS s
+  FROM events GROUP BY user_id
+),
+m AS (
+  SELECT user_id, s,
+         regexp_extract_all(s, 'V+C+P') AS hits
+  FROM seq
+)
+SELECT user_id,
+       CAST(len(s) AS BIGINT) AS n_events,
+       CAST(len(hits) AS BIGINT) AS n_matches,
+       CASE WHEN len(hits) > 0 THEN hits[1] ELSE NULL END
+         AS first_match,
+       CAST(CASE WHEN len(hits) > 0
+                 THEN strpos(s, hits[1]) ELSE 0 END AS BIGINT)
+         AS first_pos
+FROM m
+WHERE len(hits) > 0
+ORDER BY user_id
+""",
+    category="analytics",
+)
+def events_pattern_match(spark, t):
+    """Row-pattern matching over event sequences — the
+    MATCH_RECOGNIZE workload (SQL:2016; a funnel generalization to
+    arbitrary regular patterns): each user's event stream collapses
+    to ONE compact symbol string (a frame-ordered string_agg — one
+    keyed aggregate), and the pattern ``V+C+P`` (views, then
+    clicks, then a purchase — greedy, non-overlapping) runs as a
+    plain REGEXP over that string: match count, first match and its
+    position per user. The per-user string is bounded by the user's
+    history (the same per-entity-fits-a-partition premise as
+    sessionize/SCD2); the regex engine does in microseconds what a
+    3-way LEAD cascade does per fixed-length pattern — and handles
+    variable-length patterns the window form cannot express. Spark
+    side: collect_list over the (ts, event_id) sort → array_join →
+    regexp_extract_all, all JVM builtins."""
+    e = t.events
+    sym = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    # ONE unordered collect per user, then an in-array sort by
+    # (ts, event_id) and projection — never the windowed
+    # prefix-array shape, whose per-row growing arrays are O(n²)
+    # per user.
+    seq = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), sym.alias("c")
+            ).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("ev")),
+                    lambda x: x["c"],
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    m = seq.select(
+        "user_id",
+        "s",
+        F.expr("regexp_extract_all(s, 'V+C+P', 0)").alias("hits"),
+    )
+    return (
+        m.filter(F.size("hits") > 0)
+        .select(
+            "user_id",
+            F.length("s").cast("bigint").alias("n_events"),
+            F.size("hits").cast("bigint").alias("n_matches"),
+            F.element_at("hits", 1).alias("first_match"),
+            F.expr("instr(s, element_at(hits, 1))")
+            .cast("bigint")
+            .alias("first_pos"),
+        )
+        .orderBy("user_id")
+    )

@@ -469,3 +469,59 @@ def test_jaro_winkler_textbook_vectors():
     assert jw("abcd", "dcba") == jw("abcd", "dcba")
     # symmetric
     assert jw("DWAYNE", "DUANE") == jw("DUANE", "DWAYNE")
+
+
+def test_pattern_match_hand_computed(spark):
+    from hdp2_5_hive_spark.queries import all_queries  # noqa: F401
+    from hdp2_5_hive_spark.queries.registry import tables_for
+
+    # build a tiny events frame through a temp view-compatible path:
+    # call the query fn body semantics directly on planted sequences.
+    import datetime as dt
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    # user 1: V V C P X(error) V C P  -> matches: VVCP, VCP
+    for i, et in enumerate(
+        ["view", "view", "click", "purchase", "error", "view", "click", "purchase"]
+    ):
+        rows.append((1, base + dt.timedelta(minutes=i), i, et))
+    # user 2: C P (no leading view -> no match)
+    rows.append((2, base, 100, "click"))
+    rows.append((2, base + dt.timedelta(minutes=1), 101, "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    df.createOrReplaceTempView("events_pattern_tmp")
+
+    from pyspark.sql import functions as F
+
+    sym = (
+        F.when(F.col("event_type") == "view", "V")
+        .when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("E")
+    )
+    seq = (
+        df.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"), sym.alias("c")).alias("ev"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("ev")), lambda x: x["c"]),
+                "",
+            ).alias("s")
+        )
+    )
+    m = {r.user_id: r.s for r in seq.collect()}
+    assert m[1] == "VVCPEVCP"
+    assert m[2] == "CP"
+    hits = seq.select(
+        "user_id", F.expr("regexp_extract_all(s, 'V+C+P', 0)").alias("h")
+    ).collect()
+    got = {r.user_id: list(r.h) for r in hits}
+    assert got[1] == ["VVCP", "VCP"]
+    assert got[2] == []
