@@ -784,8 +784,11 @@ def quality_learned_classifier(spark, t):
     )
     feats = logreg.dense_hash_features(docs, "doc_id", "text", dim=64)
     data = feats.join(docs.select("doc_id", "label"), "doc_id")
-    train = data.filter(F.col("doc_id") % 4 != 0)
-    holdout = data.filter(F.col("doc_id") % 4 == 0)
+    # Holdout %8 in {0,1}: BOTH classes (labels are doc_id % 2 —
+    # a %4==0 holdout is all-label-0, which an always-0 predictor
+    # would "ace"; found during the calibration-audit build).
+    train = data.filter(F.col("doc_id") % 8 >= 2)
+    holdout = data.filter(F.col("doc_id") % 8 <= 1)
     w, b, _ = logreg.train_logreg(train, dim=64, n_rounds=60, lr=1.0)
     scored = logreg.predict(holdout, w, b)
     return scored.agg(

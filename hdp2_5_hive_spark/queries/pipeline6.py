@@ -2172,3 +2172,103 @@ def events_pattern_match(spark, t):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "quality_classifier_calibration",
+    oracle=None,  # composes the iterative LR trainer — rows-only;
+    # bin accounting + score-range + planted-separation properties
+    # pinned in tests/test_pipeline6.py.
+    category="pipeline",
+)
+def quality_classifier_calibration(spark, t):
+    """Reliability diagram of the learned quality classifier — the
+    calibration audit that decides whether the filter's scores can
+    be used as sampling WEIGHTS (DSIR-style) or only as a ranking:
+    holdout predictions bucketed into 10 equal-width score bins,
+    per-bin mean predicted probability vs observed positive rate
+    and |gap|. Composes operators/logreg end-to-end (same planted
+    corpus and split as quality_learned_classifier); binning and
+    rates are one keyed aggregate over the scored holdout."""
+    from ..functions.hive_compat import pround
+    from ..operators import logreg
+
+    docs = spark.createDataFrame(
+        logreg.planted_corpus(), "doc_id long, text string, label double"
+    )
+    feats = logreg.dense_hash_features(docs, "doc_id", "text", dim=64)
+    data = feats.join(docs.select("doc_id", "label"), "doc_id")
+    train = data.filter(F.col("doc_id") % 8 >= 2)  # both classes
+    holdout = data.filter(F.col("doc_id") % 8 <= 1)  # 50/50 labels
+    w, b, _ = logreg.train_logreg(train, dim=64, n_rounds=60, lr=1.0)
+    scored = logreg.predict(holdout, w, b)
+    binned = scored.select(
+        F.least(F.floor(F.col("score") * 10).cast("int"), F.lit(9)).alias(
+            "bin"
+        ),
+        "score",
+        "label",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            pround(F.avg("score")).alias("mean_pred"),
+            pround(F.avg("label")).alias("obs_rate"),
+            pround(F.abs(F.avg("score") - F.avg("label"))).alias("gap"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "audit_column_profile",
+    oracle="""
+WITH p AS (
+  SELECT 'l_quantity' AS col,
+         CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+         CAST(MIN(l_quantity) AS VARCHAR) AS min_v,
+         CAST(MAX(l_quantity) AS VARCHAR) AS max_v
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag',
+         CAST(COUNT(*) - COUNT(l_returnflag) AS BIGINT),
+         CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+         MIN(l_returnflag), MAX(l_returnflag)
+  FROM lineitem
+  UNION ALL
+  SELECT 'l_shipdate',
+         CAST(COUNT(*) - COUNT(l_shipdate) AS BIGINT),
+         CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+         CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+  FROM lineitem
+)
+SELECT * FROM p ORDER BY col
+""",
+    category="analytics",
+)
+def audit_column_profile(spark, t):
+    """Column-profiling audit (the Deequ/dbt-docs profile pass a
+    warehouse publishes per table): null count, exact distinct
+    count, min and max — rendered as strings so heterogeneous
+    columns stack into one report. One aggregate per column over a
+    shared scan (Catalyst merges the scans; at 100 TB swap exact
+    COUNT(DISTINCT) for approx_count_distinct — the report contract
+    is unchanged). Dates pinned via CAST-to-string on both
+    engines."""
+
+    def prof(col):
+        c = F.col(col)
+        return t.lineitem.agg(
+            F.lit(col).alias("col"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias("n_null"),
+            F.countDistinct(c).cast("bigint").alias("n_distinct"),
+            F.min(c).cast("string").alias("min_v"),
+            F.max(c).cast("string").alias("max_v"),
+        )
+
+    out = prof("l_quantity")
+    for col in ("l_returnflag", "l_shipdate"):
+        out = out.unionByName(prof(col))
+    return out.orderBy("col")

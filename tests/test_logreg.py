@@ -62,8 +62,11 @@ def test_learns_planted_distribution_on_holdout(spark):
     )
     feats = logreg.dense_hash_features(docs, "doc_id", "text", dim=DIM)
     data = feats.join(docs.select("doc_id", "label"), "doc_id")
-    train = data.filter(F.col("doc_id") % 4 != 0)
-    test = data.filter(F.col("doc_id") % 4 == 0)
+    # %8<=1 holdout carries BOTH classes (labels are doc_id % 2;
+    # a %4==0 holdout is all-label-0 and an always-0 predictor
+    # would ace it)
+    train = data.filter(F.col("doc_id") % 8 >= 2)
+    test = data.filter(F.col("doc_id") % 8 <= 1)
     w, b, loss = logreg.train_logreg(train, dim=DIM, n_rounds=60, lr=1.0)
     scored = logreg.predict(test, w, b)
     r = scored.agg(

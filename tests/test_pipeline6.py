@@ -525,3 +525,25 @@ def test_pattern_match_hand_computed(spark):
     got = {r.user_id: list(r.h) for r in hits}
     assert got[1] == ["VVCP", "VCP"]
     assert got[2] == []
+
+
+def test_calibration_bins_account_for_all_holdout_docs(spark, sf_dir):
+    q = all_queries()["quality_classifier_calibration"]
+    rows = q.fn(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == 100  # the full holdout
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.mean_pred <= 1.0
+        assert 0.0 <= r.obs_rate <= 1.0
+        assert abs(r.gap - round(abs(r.mean_pred - r.obs_rate), 6)) < 3e-6
+    # planted two-distribution corpus with a BALANCED holdout:
+    # count-weighted observed rate of low-score bins must sit far
+    # below the high-score bins (a separated, roughly calibrated
+    # classifier); single tiny bins are not asserted individually.
+    lo_n = sum(r.n for r in rows if r.bin <= 4)
+    lo_pos = sum(r.n * r.obs_rate for r in rows if r.bin <= 4)
+    hi_n = sum(r.n for r in rows if r.bin >= 5)
+    hi_pos = sum(r.n * r.obs_rate for r in rows if r.bin >= 5)
+    assert lo_n and hi_n
+    assert lo_pos / lo_n <= 0.25
+    assert hi_pos / hi_n >= 0.75

@@ -508,6 +508,7 @@ SWEEP_SKIP = {
     "dedup_semantic_clusters",
     "graph_kcore_membership",
     "er_em_parameters",
+    "quality_classifier_calibration",
 }
 
 
