@@ -2272,3 +2272,136 @@ def audit_column_profile(spark, t):
     for col in ("l_returnflag", "l_shipdate"):
         out = out.unionByName(prof(col))
     return out.orderBy("col")
+
+
+@register(
+    "audit_warehouse_health_card",
+    oracle="""
+WITH fk AS (
+  SELECT 'fk_orders_customer' AS check_name,
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS DOUBLE) AS metric,
+         CAST(0.0 AS DOUBLE) AS threshold
+),
+nulls AS (
+  SELECT 'null_rate_l_quantity',
+         CAST((SELECT COUNT(*) - COUNT(l_quantity) FROM lineitem)
+              AS DOUBLE)
+           / (SELECT COUNT(*) FROM lineitem),
+         CAST(0.0 AS DOUBLE)
+),
+dups AS (
+  SELECT 'pk_dup_orders',
+         CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+              AS DOUBLE),
+         CAST(0.0 AS DOUBLE)
+),
+skew AS (
+  SELECT 'user_key_top1_share',
+         (SELECT FLOOR(MAX(cnt) * 1.0 / SUM(cnt) * 1000000 + 0.5)
+                 / 1000000
+          FROM (SELECT COUNT(*) AS cnt FROM events GROUP BY user_id)),
+         CAST(0.05 AS DOUBLE)
+),
+fresh AS (
+  SELECT 'events_max_ts_present',
+         CASE WHEN (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+              IS NOT NULL THEN 1.0 ELSE 0.0 END,
+         CAST(1.0 AS DOUBLE)
+),
+u AS (
+  SELECT * FROM fk UNION ALL SELECT * FROM nulls
+  UNION ALL SELECT * FROM dups UNION ALL SELECT * FROM skew
+  UNION ALL SELECT * FROM fresh
+)
+SELECT check_name, metric, threshold,
+       CASE check_name
+         WHEN 'user_key_top1_share' THEN metric <= threshold
+         WHEN 'events_max_ts_present' THEN metric >= threshold
+         ELSE metric <= threshold END AS ok
+FROM u ORDER BY check_name
+""",
+    category="analytics",
+)
+def audit_warehouse_health_card(spark, t):
+    """The nightly warehouse health card — one report row per check,
+    composing the audit family into the single table an on-call
+    reads: FK orphans (real parents this time — must be 0), null
+    rate on a NOT-NULL column, primary-key duplicate count, heaviest
+    user key's shuffle share vs a 5% skew budget, and event-stream
+    freshness (max ts present). Each check is one keyed aggregate
+    or anti-join; the card is their UNION — at 100 TB every check
+    is a pass the warehouse already pays for nightly, and the card
+    costs nothing extra beyond them."""
+    from ..functions.hive_compat import pround
+
+    def row(name, metric_df, threshold):
+        return metric_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("m").cast("double").alias("metric"),
+            F.lit(threshold).cast("double").alias("threshold"),
+        )
+
+    fk = row(
+        "fk_orders_customer",
+        t.orders.join(
+            t.customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("m")),
+        0.0,
+    )
+    nulls = row(
+        "null_rate_l_quantity",
+        t.lineitem.agg(
+            (
+                (F.count(F.lit(1)) - F.count("l_quantity"))
+                / F.count(F.lit(1))
+            ).alias("m")
+        ),
+        0.0,
+    )
+    dups = row(
+        "pk_dup_orders",
+        t.orders.agg(
+            (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("m")
+        ),
+        0.0,
+    )
+    skew = row(
+        "user_key_top1_share",
+        t.events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            pround(
+                F.max("cnt").cast("double") / F.sum("cnt").cast("double")
+            ).alias("m")
+        ),
+        0.05,
+    )
+    fresh = row(
+        "events_max_ts_present",
+        t.events.agg(
+            F.when(F.max("ts").isNotNull(), 1.0)
+            .otherwise(0.0)
+            .alias("m")
+        ),
+        1.0,
+    )
+    card = fk.unionByName(nulls).unionByName(dups).unionByName(skew).unionByName(fresh)
+    ok = (
+        F.when(
+            F.col("check_name") == "user_key_top1_share",
+            F.col("metric") <= F.col("threshold"),
+        )
+        .when(
+            F.col("check_name") == "events_max_ts_present",
+            F.col("metric") >= F.col("threshold"),
+        )
+        .otherwise(F.col("metric") <= F.col("threshold"))
+    )
+    return card.select(
+        "check_name", "metric", "threshold", ok.alias("ok")
+    ).orderBy("check_name")
