@@ -2405,3 +2405,124 @@ def audit_warehouse_health_card(spark, t):
     return card.select(
         "check_name", "metric", "threshold", ok.alias("ok")
     ).orderBy("check_name")
+
+
+@register(
+    "events_scd2_upsert",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+  FROM events
+),
+chg AS (
+  SELECT *, LAG(event_type)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM e
+),
+v AS (
+  SELECT user_id, event_type, ts, event_id FROM chg
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type AS state, ts AS effective_from,
+       LEAD(ts) OVER w AS effective_to,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS version_no,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, version_no
+""",
+    category="analytics",
+)
+def events_scd2_upsert(spark, t):
+    """INCREMENTAL SCD2 maintenance — the nightly upsert, not the
+    rebuild: the pre-cutoff history is MATERIALIZED (scratch
+    parquet, standing in for the stored dimension), then one day's
+    events are folded in touching only (a) each changed user's open
+    row (closed at their first new change) and (b) the new change
+    rows, with version numbers continuing from the stored max — the
+    old closed rows are never recomputed. The ORACLE is the full
+    rebuild over all events: incremental merge must equal rebuild
+    EXACTLY (the corpus_stats_incremental discipline applied to the
+    SCD2 shape). Every stage keyed by entity; the new-events frame
+    is one day, not history."""
+    from ..scratch import scratch_dir
+
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    e = t.events.select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def build(events):
+        prev = F.lag("event_type").over(w)
+        ch = events.withColumn(
+            "is_change", prev.isNull() | (F.col("event_type") != prev)
+        ).filter("is_change")
+        return ch.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            F.col("ts").alias("effective_from"),
+            F.lead("ts").over(w).alias("effective_to"),
+            F.row_number().over(w).cast("bigint").alias("version_no"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
+        )
+
+    d = scratch_dir("scd2_upsert_") + "/dim"
+    build(e.filter(F.col("ts") < cutoff)).write.mode("overwrite").parquet(d)
+    old = spark.read.parquet(d)
+
+    new_ev = e.filter(F.col("ts") >= cutoff)
+    open_rows = old.filter("is_current").select(
+        "user_id",
+        F.col("state").alias("prev_state"),
+        F.col("version_no").alias("max_ver"),
+    )
+    prev_new = F.lag("event_type").over(w)
+    seeded = (
+        new_ev.join(open_rows, "user_id", "left")
+        .withColumn(
+            "prev_eff",
+            F.coalesce(prev_new, F.col("prev_state")),
+        )
+        .withColumn(
+            "is_change",
+            F.col("prev_eff").isNull()
+            | (F.col("event_type") != F.col("prev_eff")),
+        )
+        .filter("is_change")
+    )
+    wv = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_rows = seeded.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("effective_from"),
+        F.lead("ts").over(wv).alias("effective_to"),
+        (
+            F.coalesce(F.col("max_ver"), F.lit(0))
+            + F.row_number().over(wv)
+        )
+        .cast("bigint")
+        .alias("version_no"),
+        F.lead("ts").over(wv).isNull().alias("is_current"),
+    )
+    first_new = new_rows.groupBy("user_id").agg(
+        F.min("effective_from").alias("close_ts")
+    )
+    adjusted_old = (
+        old.join(first_new, "user_id", "left")
+        .select(
+            "user_id",
+            "state",
+            "effective_from",
+            F.when(
+                F.col("is_current") & F.col("close_ts").isNotNull(),
+                F.col("close_ts"),
+            )
+            .otherwise(F.col("effective_to"))
+            .alias("effective_to"),
+            "version_no",
+            (
+                F.col("is_current") & F.col("close_ts").isNull()
+            ).alias("is_current"),
+        )
+    )
+    return adjusted_old.unionByName(new_rows).orderBy(
+        "user_id", "version_no"
+    )
