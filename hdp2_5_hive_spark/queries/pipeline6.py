@@ -2526,3 +2526,185 @@ def events_scd2_upsert(spark, t):
     return adjusted_old.unionByName(new_rows).orderBy(
         "user_id", "version_no"
     )
+
+
+@register(
+    "events_ab_test_ztest",
+    oracle="""
+WITH assign AS (
+  SELECT user_id, user_id % 2 AS arm,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(converted) AS BIGINT) AS conv
+  FROM assign GROUP BY arm
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN arm = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN arm = 0 THEN conv END) AS c_a,
+    MAX(CASE WHEN arm = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN arm = 1 THEN conv END) AS c_b
+  FROM arms
+)
+SELECT n_a, c_a, n_b, c_b,
+       FLOOR(c_a * 1.0 / n_a * 1000000 + 0.5) / 1000000 AS p_a,
+       FLOOR(c_b * 1.0 / n_b * 1000000 + 0.5) / 1000000 AS p_b,
+       FLOOR((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+             / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b))
+             * 1000000 + 0.5) / 1000000 AS z,
+       abs((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+           / sqrt(((c_a + c_b) * 1.0 / (n_a + n_b))
+                  * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b))) > 1.96 AS significant
+FROM wide
+""",
+    category="analytics",
+)
+def events_ab_test_ztest(spark, t):
+    """Two-proportion z-test — the A/B readout every experimentation
+    platform computes: users split by id parity into arms, per-user
+    conversion = any purchase, pooled-variance z statistic with the
+    1.96 two-sided gate. One user-level aggregate + a 2-row arm
+    rollup pivoted wide; the z arithmetic is a single identical IEEE
+    expression tree over exact integer counts on both engines
+    (pround). The deterministic-assignment discipline (id parity,
+    never RNG) is the same as every sampler here."""
+    from ..functions.hive_compat import pround
+
+    assign = t.events.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    ).select((F.col("user_id") % 2).alias("arm"), "converted")
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("converted").cast("bigint").alias("conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c_a"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c_b"),
+    )
+    p_a = F.col("c_a") * 1.0 / F.col("n_a")
+    p_b = F.col("c_b") * 1.0 / F.col("n_b")
+    pool = (F.col("c_a") + F.col("c_b")) * 1.0 / (
+        F.col("n_a") + F.col("n_b")
+    )
+    z = (p_a - p_b) / F.sqrt(
+        pool * (1 - pool) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "c_a",
+        "n_b",
+        "c_b",
+        pround(p_a).alias("p_a"),
+        pround(p_b).alias("p_b"),
+        pround(z).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )
+
+
+@register(
+    "geo_nearest_hub",
+    oracle="""
+WITH hubs AS (
+  SELECT n_nationkey AS hub_id,
+         (n_nationkey * 7 % 140) - 70 + n_regionkey * 0.25 AS hlat,
+         (n_nationkey * 31 % 360) - 180 + n_regionkey * 0.5 AS hlon
+  FROM nation
+),
+pts AS (
+  SELECT c_custkey AS pid,
+         (c_custkey * 13 % 160) / 2.0 - 40 AS plat,
+         (c_custkey * 17 % 720) / 2.0 - 180 AS plon
+  FROM customer WHERE c_custkey < 400
+),
+d AS (
+  SELECT p.pid, h.hub_id,
+         2 * 6371.0088 * asin(sqrt(
+           pow(sin(radians(h.hlat - p.plat) / 2), 2)
+           + cos(radians(p.plat)) * cos(radians(h.hlat))
+             * pow(sin(radians(h.hlon - p.plon) / 2), 2)
+         )) AS km
+  FROM pts p, hubs h
+)
+SELECT pid, hub_id AS nearest_hub,
+       FLOOR(km * 1000 + 0.5) / 1000 AS km
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY pid ORDER BY km, hub_id) AS rk
+  FROM d
+) WHERE rk = 1
+ORDER BY pid
+""",
+    category="analytics",
+)
+def geo_nearest_hub(spark, t):
+    """Nearest-hub assignment — the geo enrichment every
+    logistics/CDN warehouse runs: synthesized customer coordinates
+    against the 25 nation hubs, haversine distance, per-point argmin
+    (min_by with deterministic (km, hub_id) tie-break). The hub side
+    is dimension-sized, so the RIGHT plan is a broadcast fan-out +
+    map-side argmin — no shuffle of the point set at all; for hub
+    sets too large to broadcast, the scale path is lat/lon grid-cell
+    bucketing + banded equi-join (the banded_range_join pattern in
+    2D), same output contract. Oracle takes the windowed-rank route
+    over the same cross product."""
+    from ..functions.hive_compat import pround
+
+    hubs = t.nation.select(
+        F.col("n_nationkey").alias("hub_id"),
+        (
+            (F.col("n_nationkey") * 7 % 140)
+            - 70
+            + F.col("n_regionkey") * 0.25
+        ).alias("hlat"),
+        (
+            (F.col("n_nationkey") * 31 % 360)
+            - 180
+            + F.col("n_regionkey") * 0.5
+        ).alias("hlon"),
+    )
+    pts = t.customer.filter(F.col("c_custkey") < 400).select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 13 % 160) / 2.0 - 40).alias("plat"),
+        ((F.col("c_custkey") * 17 % 720) / 2.0 - 180).alias("plon"),
+    )
+    km = (
+        F.lit(2)
+        * F.lit(6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(
+                    F.sin(F.radians(F.col("hlat") - F.col("plat")) / 2), 2
+                )
+                + F.cos(F.radians("plat"))
+                * F.cos(F.radians("hlat"))
+                * F.pow(
+                    F.sin(F.radians(F.col("hlon") - F.col("plon")) / 2), 2
+                )
+            )
+        )
+    )
+    d = pts.crossJoin(F.broadcast(hubs)).select(
+        "pid", "hub_id", km.alias("km")
+    )
+    return (
+        d.groupBy("pid")
+        .agg(
+            F.min_by(
+                F.col("hub_id"), F.struct(F.col("km"), F.col("hub_id"))
+            ).alias("nearest_hub"),
+            F.min("km").alias("km_raw"),
+        )
+        .select("pid", "nearest_hub", pround(F.col("km_raw"), 3).alias("km"))
+        .orderBy("pid")
+    )

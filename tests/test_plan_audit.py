@@ -484,6 +484,10 @@ NESTED_LOOP_OK = {
     "audit_benford_first_digit": "scalar",
     # 1-row pooled-count broadcast feeding the quantile index math
     "feature_quantile_normalize": "scalar",
+    # dimension-sized hub table broadcast fan-out (25 rows) + map-side
+    # argmin; the grid-bucketed equi-join is the too-big-to-broadcast
+    # path (see geo_nearest_hub docstring)
+    "geo_nearest_hub": "cross",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
