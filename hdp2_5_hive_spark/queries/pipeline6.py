@@ -2721,3 +2721,200 @@ def geo_nearest_hub(spark, t):
         .select("pid", "nearest_hub", pround(F.col("km_raw"), 3).alias("km"))
         .orderBy("pid")
     )
+
+
+@register(
+    "mining_association_rules",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
+  FROM lineitem WHERE l_orderkey % 10 = 0
+),
+n_b AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n FROM baskets),
+sup1 AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM baskets GROUP BY item
+),
+sup2 AS (
+  SELECT a.item AS ante, b.item AS cons, CAST(COUNT(*) AS BIGINT) AS sup_ab
+  FROM baskets a JOIN baskets b
+    ON a.oid = b.oid AND a.item < b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= 3
+)
+SELECT p.ante, p.cons, p.sup_ab,
+       FLOOR(p.sup_ab * 1.0 / sa.sup * 1000000 + 0.5) / 1000000
+         AS confidence,
+       FLOOR(p.sup_ab * 1.0 * t.n / (sa.sup * sc.sup)
+             * 1000000 + 0.5) / 1000000 AS lift
+FROM sup2 p
+JOIN sup1 sa ON p.ante = sa.item
+JOIN sup1 sc ON p.cons = sc.item, n_b t
+ORDER BY p.sup_ab DESC, p.ante, p.cons
+""",
+    category="pipeline",
+)
+def mining_association_rules(spark, t):
+    """Market-basket association rules (Agrawal-Srikant support/
+    confidence/lift over part co-purchases): per-order item pairs —
+    the explode is bounded by ORDER size, never a global cross —
+    pair supports with a min-support HAVING (the Apriori prune: at
+    scale the 1-item support filter runs BEFORE pairing so
+    below-support items never pair), confidence and lift off the
+    singleton-support joins and a 1-row basket-count broadcast.
+    Keyed aggregates end to end; the output ranks co-purchase rules
+    a recommender ingests."""
+    from ..functions.hive_compat import pround
+
+    baskets = (
+        t.lineitem.filter(F.col("l_orderkey") % 10 == 0)
+        .select(F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    n_b = baskets.agg(
+        F.countDistinct("oid").cast("bigint").alias("n")
+    )
+    sup1 = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    sup2 = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("sup_ab"))
+        .filter(F.col("sup_ab") >= 3)
+    )
+    return (
+        sup2.join(
+            sup1.withColumnsRenamed({"item": "ante", "sup": "sup_a"}),
+            "ante",
+        )
+        .join(
+            sup1.withColumnsRenamed({"item": "cons", "sup": "sup_c"}),
+            "cons",
+        )
+        .crossJoin(F.broadcast(n_b))
+        .select(
+            "ante",
+            "cons",
+            "sup_ab",
+            pround(
+                F.col("sup_ab").cast("double") / F.col("sup_a")
+            ).alias("confidence"),
+            pround(
+                F.col("sup_ab").cast("double")
+                * F.col("n")
+                / (F.col("sup_a") * F.col("sup_c"))
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("sup_ab"), "ante", "cons")
+    )
+
+
+@register(
+    "feature_mutual_information",
+    oracle="""
+WITH pairs AS (
+  SELECT 'returnflag|linestatus' AS pair, l_returnflag AS x,
+         l_linestatus AS y
+  FROM lineitem
+  UNION ALL
+  SELECT 'returnflag|shipmonth', l_returnflag,
+         CAST(month(l_shipdate) AS VARCHAR)
+  FROM lineitem
+),
+joint AS (
+  SELECT pair, x, y, CAST(COUNT(*) AS BIGINT) AS nxy
+  FROM pairs GROUP BY pair, x, y
+),
+tot AS (
+  SELECT pair, CAST(SUM(nxy) AS BIGINT) AS n FROM joint GROUP BY pair
+),
+mx AS (
+  SELECT pair, x, CAST(SUM(nxy) AS BIGINT) AS nx
+  FROM joint GROUP BY pair, x
+),
+my AS (
+  SELECT pair, y, CAST(SUM(nxy) AS BIGINT) AS ny
+  FROM joint GROUP BY pair, y
+),
+terms AS (
+  SELECT j.pair,
+         CAST(ROUND(
+           j.nxy * 1.0 / t.n
+           * log2(j.nxy * 1.0 * t.n / (x.nx * 1.0 * y.ny)), 9)
+           AS DECIMAL(38,9)) AS term
+  FROM joint j
+  JOIN tot t USING (pair)
+  JOIN mx x ON j.pair = x.pair AND j.x = x.x
+  JOIN my y ON j.pair = y.pair AND j.y = y.y
+)
+SELECT pair,
+       FLOOR(CAST(SUM(term) AS DOUBLE) * 1000000 + 0.5) / 1000000
+         AS mi_bits
+FROM terms GROUP BY pair ORDER BY pair
+""",
+    category="pipeline",
+)
+def feature_mutual_information(spark, t):
+    """Mutual information between categorical column pairs — the
+    feature-relevance / redundancy screen of a feature store:
+    I(X;Y) = Σ p(x,y)·log2(p(x,y)/(p(x)p(y))) over exact integer
+    contingency counts. Each per-cell term is rounded to 9 places
+    into DECIMAL(38,9) so both engines sum identical quantities
+    exactly (the Zipf idiom — the log of a count ratio never sits
+    on a rounding tie); plan is three keyed aggregates over cells
+    bounded by |X|·|Y|, independent of row count, stacked for two
+    column pairs."""
+    from ..functions.hive_compat import pround
+
+    li = t.lineitem
+    pairs = li.select(
+        F.lit("returnflag|linestatus").alias("pair"),
+        F.col("l_returnflag").alias("x"),
+        F.col("l_linestatus").alias("y"),
+    ).unionAll(
+        li.select(
+            F.lit("returnflag|shipmonth").alias("pair"),
+            F.col("l_returnflag").alias("x"),
+            F.month("l_shipdate").cast("string").alias("y"),
+        )
+    )
+    joint = pairs.groupBy("pair", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nxy")
+    )
+    tot = joint.groupBy("pair").agg(
+        F.sum("nxy").cast("bigint").alias("n")
+    )
+    mx = joint.groupBy("pair", "x").agg(
+        F.sum("nxy").cast("bigint").alias("nx")
+    )
+    my = joint.groupBy("pair", "y").agg(
+        F.sum("nxy").cast("bigint").alias("ny")
+    )
+    term = F.round(
+        F.col("nxy")
+        * 1.0
+        / F.col("n")
+        * F.log2(
+            F.col("nxy") * 1.0 * F.col("n") / (F.col("nx") * 1.0 * F.col("ny"))
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    terms = (
+        joint.join(F.broadcast(tot), "pair")
+        .join(mx, ["pair", "x"])
+        .join(my, ["pair", "y"])
+        .select("pair", term.alias("term"))
+    )
+    return (
+        terms.groupBy("pair")
+        .agg(pround(F.sum("term").cast("double")).alias("mi_bits"))
+        .orderBy("pair")
+    )
