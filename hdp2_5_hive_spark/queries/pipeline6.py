@@ -2727,8 +2727,8 @@ def geo_nearest_hub(spark, t):
     "mining_association_rules",
     oracle="""
 WITH baskets AS (
-  SELECT DISTINCT l_orderkey AS oid, l_partkey AS item
-  FROM lineitem WHERE l_orderkey % 10 = 0
+  SELECT DISTINCT l_orderkey AS oid, l_partkey % 100 AS item
+  FROM lineitem
 ),
 n_b AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n FROM baskets),
 sup1 AS (
@@ -2740,7 +2740,7 @@ sup2 AS (
   FROM baskets a JOIN baskets b
     ON a.oid = b.oid AND a.item < b.item
   GROUP BY a.item, b.item
-  HAVING COUNT(*) >= 3
+  HAVING COUNT(*) >= (SELECT CEIL(n * 0.002) FROM n_b)
 )
 SELECT p.ante, p.cons, p.sup_ab,
        FLOOR(p.sup_ab * 1.0 / sa.sup * 1000000 + 0.5) / 1000000
@@ -2766,11 +2766,14 @@ def mining_association_rules(spark, t):
     a recommender ingests."""
     from ..functions.hive_compat import pround
 
-    baskets = (
-        t.lineitem.filter(F.col("l_orderkey") % 10 == 0)
-        .select(F.col("l_orderkey").alias("oid"), F.col("l_partkey").alias("item"))
-        .distinct()
-    )
+    # Baskets at the part-FAMILY grain (partkey % 100): raw partkeys
+    # co-occur ≤2 times in this synthetic data, so family bucketing
+    # is what makes support non-vacuous — and RELATIVE min-support
+    # (0.2% of baskets, the textbook definition) holds at every SF.
+    baskets = t.lineitem.select(
+        F.col("l_orderkey").alias("oid"),
+        (F.col("l_partkey") % 100).alias("item"),
+    ).distinct()
     n_b = baskets.agg(
         F.countDistinct("oid").cast("bigint").alias("n")
     )
@@ -2788,7 +2791,9 @@ def mining_association_rules(spark, t):
             F.col("a.item").alias("ante"), F.col("b.item").alias("cons")
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("sup_ab"))
-        .filter(F.col("sup_ab") >= 3)
+        .crossJoin(F.broadcast(n_b))
+        .filter(F.col("sup_ab") >= F.ceil(F.col("n") * 0.002))
+        .drop("n")
     )
     return (
         sup2.join(
@@ -2917,4 +2922,182 @@ def feature_mutual_information(spark, t):
         terms.groupBy("pair")
         .agg(pround(F.sum("term").cast("double")).alias("mi_bits"))
         .orderBy("pair")
+    )
+
+
+@register(
+    "agg_hierarchy_share",
+    oracle="""
+WITH rev AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 4)
+                       AS DECIMAL(38,4))) AS DECIMAL(38,4)) AS revenue
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation,
+       CAST(revenue AS DOUBLE) AS revenue,
+       FLOOR(CAST(revenue AS DOUBLE)
+             / CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS share_of_region,
+       FLOOR(CAST(SUM(revenue) OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(SUM(revenue) OVER () AS DOUBLE)
+             * 1000000 + 0.5) / 1000000 AS region_share_of_total
+FROM rev ORDER BY region, nation
+""",
+    category="aggregates",
+)
+def agg_hierarchy_share(spark, t):
+    """Percent-of-parent hierarchy report — nation share of its
+    region and region share of the total, the drill-down table every
+    BI layer renders: one five-table star join + keyed aggregate
+    (|nations| rows), then two window sums over that TINY aggregate
+    (never over raw lineitem). Revenue terms ROUND(…,4)→DECIMAL
+    exact; shares are single IEEE divisions of exact decimal sums,
+    pround-ed."""
+    from ..functions.hive_compat import pround
+
+    rev = (
+        t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(t.region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 4
+                ).cast("decimal(38,4)")
+            )
+            .cast("decimal(38,4)")
+            .alias("revenue")
+        )
+    )
+    w_r = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        F.col("revenue").cast("double").alias("revenue"),
+        pround(
+            F.col("revenue").cast("double")
+            / F.sum("revenue").over(w_r).cast("double")
+        ).alias("share_of_region"),
+        pround(
+            F.sum("revenue").over(w_r).cast("double")
+            / F.sum("revenue").over(w_all).cast("double")
+        ).alias("region_share_of_total"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "mining_item_neighbors",
+    oracle="""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS oid, l_partkey % 100 AS item
+  FROM lineitem
+),
+n_b AS (SELECT CAST(COUNT(DISTINCT oid) AS BIGINT) AS n FROM baskets),
+sup1 AS (
+  SELECT item, CAST(COUNT(*) AS BIGINT) AS sup
+  FROM baskets GROUP BY item
+),
+cooc AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS c
+  FROM baskets a JOIN baskets b
+    ON a.oid = b.oid AND a.item <> b.item
+  GROUP BY a.item, b.item
+  HAVING COUNT(*) >= (SELECT CEIL(n * 0.002) FROM n_b)
+),
+scored AS (
+  SELECT c.ia, c.ib, c.c,
+         FLOOR(c.c / sqrt(sa.sup * 1.0 * sb.sup) * 1000000 + 0.5)
+           / 1000000 AS cosine
+  FROM cooc c
+  JOIN sup1 sa ON c.ia = sa.item
+  JOIN sup1 sb ON c.ib = sb.item
+)
+SELECT ia AS item, ib AS neighbor, c AS cooc, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY ia ORDER BY cosine DESC, ib) AS rk
+  FROM scored
+) WHERE rk <= 3
+ORDER BY item, cosine DESC, neighbor
+""",
+    category="pipeline",
+)
+def mining_item_neighbors(spark, t):
+    """Item-item collaborative filtering (the Amazon-style
+    neighborhood model): co-occurrence cosine c/√(sup_a·sup_b) over
+    basket pairs (min-support pruned), top-3 neighbors per item via
+    WindowGroupLimit — the precomputed neighbor table a recommender
+    serves from. Same bounded per-order pair explode as the rule
+    miner; the rank heap runs map-side below the exchange."""
+    from ..functions.hive_compat import pround
+
+    baskets = t.lineitem.select(
+        F.col("l_orderkey").alias("oid"),
+        (F.col("l_partkey") % 100).alias("item"),
+    ).distinct()
+    n_b = baskets.agg(
+        F.countDistinct("oid").cast("bigint").alias("n")
+    )
+    sup1 = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sup")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    cooc = (
+        a.join(
+            b,
+            (F.col("a.oid") == F.col("b.oid"))
+            & (F.col("a.item") != F.col("b.item")),
+        )
+        .groupBy(F.col("a.item").alias("ia"), F.col("b.item").alias("ib"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .crossJoin(F.broadcast(n_b))
+        .filter(F.col("c") >= F.ceil(F.col("n") * 0.002))
+        .drop("n")
+    )
+    scored = (
+        cooc.join(
+            sup1.withColumnsRenamed({"item": "ia", "sup": "sup_a"}), "ia"
+        )
+        .join(
+            sup1.withColumnsRenamed({"item": "ib", "sup": "sup_b"}), "ib"
+        )
+        .select(
+            "ia",
+            "ib",
+            "c",
+            pround(
+                F.col("c")
+                / F.sqrt(F.col("sup_a") * 1.0 * F.col("sup_b"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("ia").orderBy(F.desc("cosine"), "ib")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            F.col("ia").alias("item"),
+            F.col("ib").alias("neighbor"),
+            F.col("c").alias("cooc"),
+            "cosine",
+        )
+        .orderBy("item", F.desc("cosine"), "neighbor")
     )
