@@ -3101,3 +3101,38 @@ def mining_item_neighbors(spark, t):
         )
         .orderBy("item", F.desc("cosine"), "neighbor")
     )
+
+
+@register(
+    "meta_column_lineage",
+    oracle="""
+SELECT * FROM (VALUES
+  ('l_orderkey', 'lineitem.l_orderkey'),
+  ('revenue', 'lineitem.l_discount,lineitem.l_extendedprice'),
+  ('o_orderdate', 'orders.o_orderdate')
+) AS t(column_name, sources)
+ORDER BY column_name
+""",
+    category="analytics",
+)
+def meta_column_lineage(spark, t):
+    """Column-level lineage extraction
+    (functions/lineage.column_lineage — the Hive LineageInfo /
+    Atlas governance hook): one post-order walk of the ANALYZED
+    Catalyst plan resolving every Alias exprId to the union of its
+    references' source columns, seeded at leaf file relations;
+    exprId-keyed so self-join name collisions resolve correctly.
+    Applied here to the registry's own TPC-H Q3 plan — the oracle
+    is the hand-derived ground truth (revenue ←
+    {l_extendedprice, l_discount} through the join and aggregate),
+    so a lineage regression in ANY part of the walk shows up as a
+    literal mismatch."""
+    from ..functions.lineage import column_lineage
+    from . import all_queries
+
+    q3 = all_queries()["q3_shipping_priority"].fn(spark, t.sf_dir)
+    lin = column_lineage(q3)
+    rows = [(col, ",".join(srcs)) for col, srcs in lin.items()]
+    return spark.createDataFrame(
+        rows, "column_name string, sources string"
+    ).orderBy("column_name")
