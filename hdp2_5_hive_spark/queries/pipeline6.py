@@ -3136,3 +3136,113 @@ def meta_column_lineage(spark, t):
     return spark.createDataFrame(
         rows, "column_name string, sources string"
     ).orderBy("column_name")
+
+
+@register(
+    "events_gap_fill_linear",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,2))) AS DOUBLE)
+           AS v
+  FROM events GROUP BY event_type, day
+),
+masked AS (
+  SELECT event_type, day, v,
+         (dayofmonth(day) % 3 = 0 OR dayofmonth(day) % 7 = 0)
+           AS is_gap
+  FROM daily
+),
+nb AS (
+  SELECT event_type, day, v, is_gap,
+         last_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS)
+           OVER wp AS pd,
+         last_value(CASE WHEN NOT is_gap THEN v END IGNORE NULLS)
+           OVER wp AS pv,
+         first_value(CASE WHEN NOT is_gap THEN day END IGNORE NULLS)
+           OVER wf AS nd,
+         first_value(CASE WHEN NOT is_gap THEN v END IGNORE NULLS)
+           OVER wf AS nv
+  FROM masked
+  WINDOW wp AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wf AS (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, day, is_gap,
+       FLOOR(v * 1000000 + 0.5) / 1000000 AS observed,
+       CASE
+         WHEN NOT is_gap THEN FLOOR(v * 1000000 + 0.5) / 1000000
+         WHEN pd IS NOT NULL AND nd IS NOT NULL THEN
+           FLOOR((pv + (nv - pv) * datediff('day', pd, day)
+                  / datediff('day', pd, nd)) * 1000000 + 0.5) / 1000000
+         ELSE FLOOR(COALESCE(pv, nv) * 1000000 + 0.5) / 1000000
+       END AS filled
+FROM nb ORDER BY event_type, day
+""",
+    category="analytics",
+)
+def events_gap_fill_linear(spark, t):
+    """LINEAR gap interpolation — the math tier above
+    events_gap_fill_locf: daily value sums (decimal-exact) with a
+    deterministic dropout mask (day-of-month % 3 or % 7 — adjacent
+    masked days exercise multi-day gaps), reconstructed as
+    prev + (next − prev)·Δt/T between the nearest OBSERVED
+    neighbors via IGNORE NULLS frame windows; boundary gaps fall
+    back one-sided. Two frame-bounded windows sharing one
+    (type; day) sort; interpolation is identical IEEE arithmetic on
+    exact-decimal endpoints, pround-ed."""
+    from ..functions.hive_compat import pround
+
+    daily = t.events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round("value", 2).cast("decimal(38,2)"))
+        .cast("double")
+        .alias("v")
+    )
+    masked = daily.withColumn(
+        "is_gap",
+        (F.dayofmonth("day") % 3 == 0) | (F.dayofmonth("day") % 7 == 0),
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    known_day = F.when(~F.col("is_gap"), F.col("day"))
+    known_v = F.when(~F.col("is_gap"), F.col("v"))
+    nb = masked.select(
+        "event_type",
+        "day",
+        "v",
+        "is_gap",
+        F.last(known_day, ignorenulls=True).over(wp).alias("pd"),
+        F.last(known_v, ignorenulls=True).over(wp).alias("pv"),
+        F.first(known_day, ignorenulls=True).over(wf).alias("nd"),
+        F.first(known_v, ignorenulls=True).over(wf).alias("nv"),
+    )
+    interp = (
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * F.datediff("day", "pd")
+        / F.datediff("nd", "pd")
+    )
+    return nb.select(
+        "event_type",
+        "day",
+        "is_gap",
+        pround(F.col("v")).alias("observed"),
+        F.when(~F.col("is_gap"), pround(F.col("v")))
+        .when(
+            F.col("pd").isNotNull() & F.col("nd").isNotNull(),
+            pround(interp),
+        )
+        .otherwise(pround(F.coalesce("pv", "nv")))
+        .alias("filled"),
+    ).orderBy("event_type", "day")
