@@ -3246,3 +3246,91 @@ def events_gap_fill_linear(spark, t):
         .otherwise(pround(F.coalesce("pv", "nv")))
         .alias("filled"),
     ).orderBy("event_type", "day")
+
+
+@register(
+    "feature_churn_labels",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+),
+feat AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+           AS n_purchase,
+         CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+           AS n_error,
+         CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT)
+           AS n_active_days,
+         CAST(date_diff('day', MAX(ts),
+              TIMESTAMP '2024-01-28 00:00:00') AS BIGINT) AS recency_days
+  FROM e WHERE ts < TIMESTAMP '2024-01-28 00:00:00'
+  GROUP BY user_id
+),
+lbl AS (
+  SELECT DISTINCT user_id FROM e
+  WHERE ts >= TIMESTAMP '2024-01-28 00:00:00'
+    AND event_type = 'purchase'
+)
+SELECT f.user_id, f.n_events, f.n_purchase, f.n_error,
+       f.n_active_days, f.recency_days,
+       l.user_id IS NULL AS churned
+FROM feat f LEFT JOIN lbl l ON f.user_id = l.user_id
+ORDER BY f.user_id
+""",
+    category="pipeline",
+)
+def feature_churn_labels(spark, t):
+    """Temporal churn-label construction — the
+    leakage-DISCIPLINED training-set builder: features are computed
+    STRICTLY before the cutoff (activity counts, purchase/error
+    mix, active days, recency at cutoff), the label (churned = no
+    PURCHASE in the 3 days after — purchase churn; mere activity is
+    universal in this stream) strictly after — the one-pass
+    pattern that prevents the classic target-leak of featurizing
+    over the label window. Two keyed aggregates + one anti-joinable
+    left join; every user present before the cutoff gets a row."""
+    cutoff = F.lit("2024-01-28 00:00:00").cast("timestamp")
+    e = t.events.select("user_id", "ts", "event_type")
+    feat = (
+        e.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.count_if(F.col("event_type") == "purchase")
+            .cast("bigint")
+            .alias("n_purchase"),
+            F.count_if(F.col("event_type") == "error")
+            .cast("bigint")
+            .alias("n_error"),
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("bigint")
+            .alias("n_active_days"),
+            F.datediff(cutoff.cast("date"), F.max("ts").cast("date"))
+            .cast("bigint")
+            .alias("recency_days"),
+        )
+    )
+    lbl = (
+        e.filter(
+            (F.col("ts") >= cutoff)
+            & (F.col("event_type") == "purchase")
+        )
+        .select("user_id")
+        .distinct()
+        .withColumn("_active", F.lit(1))
+    )
+    return (
+        feat.join(lbl, "user_id", "left")
+        .select(
+            "user_id",
+            "n_events",
+            "n_purchase",
+            "n_error",
+            "n_active_days",
+            "recency_days",
+            F.col("_active").isNull().alias("churned"),
+        )
+        .orderBy("user_id")
+    )
