@@ -3334,3 +3334,135 @@ def feature_churn_labels(spark, t):
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "events_ab_cuped",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, user_id % 2 AS arm,
+         CAST(COUNT(*) FILTER (event_type = 'purchase'
+              AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16')
+              AS BIGINT) AS x,
+         CAST(COUNT(*) FILTER (event_type = 'purchase'
+              AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16')
+              AS BIGINT) AS y
+  FROM events GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx,
+         (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS th,
+         sx * 1.0 / n AS mx
+  FROM pooled
+),
+arms AS (
+  SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+         CAST(SUM(x) AS BIGINT) AS sx_a, CAST(SUM(y) AS BIGINT) AS sy_a,
+         CAST(SUM(x * y) AS BIGINT) AS sxy_a,
+         CAST(SUM(x * x) AS BIGINT) AS sxx_a,
+         CAST(SUM(y * y) AS BIGINT) AS syy_a
+  FROM per_user GROUP BY arm
+)
+SELECT a.arm, a.n_a,
+       FLOOR(a.sy_a * 1.0 / a.n_a * 1000000 + 0.5) / 1000000 AS mean_y,
+       FLOOR((a.sy_a - t.th * a.sx_a + a.n_a * t.th * t.mx) / a.n_a
+             * 1000000 + 0.5) / 1000000 AS mean_y_adj,
+       FLOOR((a.syy_a * 1.0 / a.n_a
+              - (a.sy_a * 1.0 / a.n_a) * (a.sy_a * 1.0 / a.n_a))
+             * 1000000 + 0.5) / 1000000 AS var_y,
+       FLOOR((
+          (a.syy_a * 1.0 / a.n_a
+           - (a.sy_a * 1.0 / a.n_a) * (a.sy_a * 1.0 / a.n_a))
+          - 2 * t.th * (a.sxy_a * 1.0 / a.n_a
+             - (a.sx_a * 1.0 / a.n_a) * (a.sy_a * 1.0 / a.n_a))
+          + t.th * t.th * (a.sxx_a * 1.0 / a.n_a
+             - (a.sx_a * 1.0 / a.n_a) * (a.sx_a * 1.0 / a.n_a))
+         ) * 1000000 + 0.5) / 1000000 AS var_y_adj
+FROM arms a, theta t
+ORDER BY a.arm
+""",
+    category="analytics",
+)
+def events_ab_cuped(spark, t):
+    """CUPED variance reduction (Deng et al. 2013 — the
+    pre-experiment-covariate adjustment every mature experimentation
+    platform applies before the z-test): per-user pre-period
+    purchases X and post-period purchases Y, pooled
+    θ = cov(X,Y)/var(X), adjusted means and variances PER ARM. The
+    float discipline is the point: every statistic derives from
+    EXACT BIGINT moment sums (n, Σx, Σy, Σxy, Σx², Σy²) in
+    closed-form expressions — never a float sum over rows, whose
+    partition-dependent summation order would make the answer
+    flicker — so θ, means and variances are single deterministic
+    IEEE trees on both engines. One user-level aggregate + a 2-row
+    arm rollup + a 1-row θ broadcast."""
+    from ..functions.hive_compat import pround
+
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = t.events.groupBy("user_id").agg(
+        F.count_if(
+            (F.col("event_type") == "purchase") & (F.col("ts") < cutoff)
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.count_if(
+            (F.col("event_type") == "purchase") & (F.col("ts") >= cutoff)
+        )
+        .cast("bigint")
+        .alias("y"),
+    ).select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    theta = pooled.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * 1.0
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("th"),
+        (F.col("sx") * 1.0 / F.col("n")).alias("mx"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_a"),
+        F.sum("x").cast("bigint").alias("sx_a"),
+        F.sum("y").cast("bigint").alias("sy_a"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy_a"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx_a"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(theta))
+    my = F.col("sy_a") * 1.0 / F.col("n_a")
+    mx_a = F.col("sx_a") * 1.0 / F.col("n_a")
+    var_y = F.col("syy_a") * 1.0 / F.col("n_a") - my * my
+    cov_a = F.col("sxy_a") * 1.0 / F.col("n_a") - mx_a * my
+    var_x = F.col("sxx_a") * 1.0 / F.col("n_a") - mx_a * mx_a
+    return j.select(
+        "arm",
+        "n_a",
+        pround(my).alias("mean_y"),
+        pround(
+            (
+                F.col("sy_a")
+                - F.col("th") * F.col("sx_a")
+                + F.col("n_a") * F.col("th") * F.col("mx")
+            )
+            / F.col("n_a")
+        ).alias("mean_y_adj"),
+        pround(var_y).alias("var_y"),
+        pround(
+            var_y
+            - 2 * F.col("th") * cov_a
+            + F.col("th") * F.col("th") * var_x
+        ).alias("var_y_adj"),
+    ).orderBy("arm")

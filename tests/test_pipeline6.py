@@ -547,3 +547,18 @@ def test_calibration_bins_account_for_all_holdout_docs(spark, sf_dir):
     assert lo_n and hi_n
     assert lo_pos / lo_n <= 0.25
     assert hi_pos / hi_n >= 0.75
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
+    """CUPED's contract: adjusted variance <= raw variance per arm
+    (equality only if X is uncorrelated), and the POOLED adjusted
+    mean equals the pooled raw mean (the adjustment is mean-zero)."""
+    q = all_queries()["events_ab_cuped"]
+    rows = q.fn(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.var_y_adj <= r.var_y + 1e-9, r
+    n = sum(r.n_a for r in rows)
+    pooled_raw = sum(r.n_a * r.mean_y for r in rows) / n
+    pooled_adj = sum(r.n_a * r.mean_y_adj for r in rows) / n
+    assert abs(pooled_raw - pooled_adj) < 1e-4

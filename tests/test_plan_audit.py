@@ -484,6 +484,8 @@ NESTED_LOOP_OK = {
     "audit_benford_first_digit": "scalar",
     # 1-row pooled-count broadcast feeding the quantile index math
     "feature_quantile_normalize": "scalar",
+    # 1-row pooled-theta broadcast into the 2-row arm rollup
+    "events_ab_cuped": "scalar",
     # dimension-sized hub table broadcast fan-out (25 rows) + map-side
     # argmin; the grid-bucketed equi-join is the too-big-to-broadcast
     # path (see geo_nearest_hub docstring)
