@@ -550,15 +550,33 @@ def test_calibration_bins_account_for_all_holdout_docs(spark, sf_dir):
 
 
 def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
-    """CUPED's contract: adjusted variance <= raw variance per arm
-    (equality only if X is uncorrelated), and the POOLED adjusted
-    mean equals the pooled raw mean (the adjustment is mean-zero)."""
+    """CUPED's contract: θ is optimal for the POOLED sample, so the
+    pooled variance of the adjusted metric cannot exceed the pooled
+    raw variance (a single tiny arm CAN see its variance rise under
+    the pooled θ — observed at sf0.001 with 8 users/arm — which is
+    exactly why the guarantee is stated pooled); and the pooled
+    adjusted mean equals the pooled raw mean (the adjustment is
+    mean-zero)."""
     q = all_queries()["events_ab_cuped"]
     rows = q.fn(spark, sf_dir).collect()
     assert len(rows) == 2
-    for r in rows:
-        assert r.var_y_adj <= r.var_y + 1e-9, r
     n = sum(r.n_a for r in rows)
     pooled_raw = sum(r.n_a * r.mean_y for r in rows) / n
     pooled_adj = sum(r.n_a * r.mean_y_adj for r in rows) / n
     assert abs(pooled_raw - pooled_adj) < 1e-4
+
+    def pooled_var(mean_key, var_key):
+        m = sum(r.n_a * getattr(r, mean_key) for r in rows) / n
+        return (
+            sum(
+                r.n_a * (getattr(r, var_key) + getattr(r, mean_key) ** 2)
+                for r in rows
+            )
+            / n
+            - m * m
+        )
+
+    assert (
+        pooled_var("mean_y_adj", "var_y_adj")
+        <= pooled_var("mean_y", "var_y") + 1e-6
+    )
