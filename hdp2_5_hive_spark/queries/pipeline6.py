@@ -3466,3 +3466,58 @@ def events_ab_cuped(spark, t):
             + F.col("th") * F.col("th") * var_x
         ).alias("var_y_adj"),
     ).orderBy("arm")
+
+
+@register(
+    "events_ab_srm",
+    oracle="""
+WITH arms AS (
+  SELECT user_id % 2 AS arm, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+           AS n
+  FROM events GROUP BY arm
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM arms)
+SELECT a.arm, a.n,
+       FLOOR(t.nt / 2.0 * 1000000 + 0.5) / 1000000 AS expected,
+       FLOOR(POWER(a.n - t.nt / 2.0, 2) / (t.nt / 2.0)
+             * 1000000 + 0.5) / 1000000 AS chi2_term,
+       (SELECT SUM(POWER(b.n - t.nt / 2.0, 2) / (t.nt / 2.0))
+        FROM arms b) > 3.841 AS srm_detected
+FROM arms a, tot t ORDER BY a.arm
+""",
+    category="analytics",
+)
+def events_ab_srm(spark, t):
+    """Sample-ratio-mismatch check — the FIRST thing an
+    experimentation platform validates (a biased assignment
+    invalidates every downstream readout): distinct users per arm
+    vs the designed 50/50, per-arm χ² terms and the 1-df 3.841 gate.
+    Exact integer counts, identical IEEE χ² arithmetic; with
+    id-parity assignment over a contiguous id space the split is
+    near-exact, so the gate correctly stays quiet."""
+    from ..functions.hive_compat import pround
+
+    arms = (
+        t.events.select("user_id")
+        .distinct()
+        .groupBy((F.col("user_id") % 2).alias("arm"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = arms.agg(F.sum("n").cast("bigint").alias("nt"))
+    j = arms.crossJoin(F.broadcast(tot))
+    exp = F.col("nt") / 2.0
+    term = F.pow(F.col("n") - exp, F.lit(2)) / exp
+    chi2_total = (
+        j.select(F.sum(term).alias("c")).agg(F.first("c").alias("c"))
+    )
+    return (
+        j.crossJoin(F.broadcast(chi2_total))
+        .select(
+            "arm",
+            "n",
+            pround(exp).alias("expected"),
+            pround(term).alias("chi2_term"),
+            (F.col("c") > 3.841).alias("srm_detected"),
+        )
+        .orderBy("arm")
+    )

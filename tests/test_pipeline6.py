@@ -580,3 +580,35 @@ def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
         pooled_var("mean_y_adj", "var_y_adj")
         <= pooled_var("mean_y", "var_y") + 1e-6
     )
+
+
+def test_approx_percentile_honors_rank_error_bound(spark, sf_dir):
+    """The scale-path contract cited across docstrings ('swap exact
+    percentile for approx_percentile at >1e9 rows'): with accuracy
+    parameter A, approx_percentile guarantees rank error <= n/A.
+    Verified against the exact order statistics on l_extendedprice
+    for five quantiles at two accuracy settings."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    vals = sorted(r.l_extendedprice for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    for acc in (100, 10000):
+        got = li.agg(
+            F.expr(
+                f"approx_percentile(l_extendedprice, array({','.join(map(str, qs))}), {acc})"
+            ).alias("p")
+        ).collect()[0].p
+        max_rank_err = max(1, (n + acc - 1) // acc)
+        import bisect
+
+        for q, g in zip(qs, got):
+            target = int(q * (n - 1))
+            lo = bisect.bisect_left(vals, g)
+            hi = bisect.bisect_right(vals, g) - 1
+            # distance from the returned value's rank range to the
+            # target rank must respect the accuracy contract
+            err = 0 if lo <= target <= hi else min(
+                abs(lo - target), abs(hi - target)
+            )
+            assert err <= max_rank_err + 1, (acc, q, err, max_rank_err)
+    # tighter accuracy must not do worse on median rank error

@@ -486,6 +486,8 @@ NESTED_LOOP_OK = {
     "feature_quantile_normalize": "scalar",
     # 1-row pooled-theta broadcast into the 2-row arm rollup
     "events_ab_cuped": "scalar",
+    # 1-row total + 1-row chi2 broadcasts into the 2-row arm table
+    "events_ab_srm": "scalar",
     # dimension-sized hub table broadcast fan-out (25 rows) + map-side
     # argmin; the grid-bucketed equi-join is the too-big-to-broadcast
     # path (see geo_nearest_hub docstring)
