@@ -3521,3 +3521,97 @@ def events_ab_srm(spark, t):
         )
         .orderBy("arm")
     )
+
+
+@register(
+    "retrieval_bm25_eval",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+),
+q AS (
+  SELECT doc_id AS query_id,
+         list_distinct(list_slice(string_split(lower(text), ' '), 5, 12))
+           AS qw
+  FROM documents WHERE doc_id BETWEEN 100 AND 109
+),
+ex AS (SELECT doc_id, unnest(w) AS term FROM corpus),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM ex GROUP BY 1),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM corpus) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+dft AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+qt AS (SELECT query_id, unnest(qw) AS term FROM q),
+scores AS (
+  SELECT qt.query_id, tf.doc_id,
+         ROUND(SUM(
+           ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+           * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+         ), 4) AS score
+  FROM qt
+  JOIN tf USING (term)
+  JOIN dft USING (term)
+  JOIN dl ON tf.doc_id = dl.doc_id, stats
+  GROUP BY 1, 2
+),
+run AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+    FROM scores
+  ) WHERE rank <= 20
+),
+hits AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+         MIN(rank) AS first_rank,
+         SUM(CAST(ROUND(1 / log2(rank + 1), 6) AS DECIMAL(38,6)))
+           AS dcg
+  FROM run WHERE doc_id = query_id GROUP BY query_id
+)
+SELECT q.query_id, CAST(1 AS BIGINT) AS n_rel,
+       COALESCE(h.n_hit, 0) AS n_hit,
+       FLOOR(COALESCE(h.n_hit, 0) * 1.0 / 1 * 1000000 + 0.5)
+         / 1000000 AS recall_k,
+       FLOOR(COALESCE(1.0 / h.first_rank, 0) * 1000000 + 0.5)
+         / 1000000 AS mrr,
+       FLOOR(CAST(COALESCE(h.dcg, 0) AS DOUBLE) / 1.0
+             * 1000000 + 0.5) / 1000000 AS ndcg_k
+FROM q LEFT JOIN hits h USING (query_id)
+ORDER BY q.query_id
+""",
+    category="pipeline",
+)
+def retrieval_bm25_eval(spark, t):
+    """END-TO-END retrieval evaluation — the search stack and its
+    eval harness in ONE verified plan: queries are 8-word slices of
+    docs 100-109 (the source doc is the single relevant — planted
+    ground truth with a findable answer), BM25 ranks the full
+    corpus, ranking_metrics scores recall@20 / MRR / nDCG@20. The
+    capstone over retrieval_bm25 + retrieval_eval_metrics: a
+    regression ANYWHERE in tokenization, scoring, ranking or metric
+    arithmetic lands in this one table. Self-retrieval MRR is high
+    but not vacuously 1 — word-salad queries genuinely collide."""
+    from ..operators.retrieval import bm25_scores, ranking_metrics
+
+    d = t.documents
+    w = F.split(F.lower(F.col("text")), " ")
+    queries = d.filter(F.col("doc_id").between(100, 109)).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(F.slice(w, 5, 8), " ").alias("text"),
+    )
+    scores = bm25_scores(d, queries)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), "doc_id"
+    )
+    run = (
+        scores.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+    )
+    qrels = queries.select(
+        "query_id", F.col("query_id").alias("doc_id")
+    )
+    return ranking_metrics(run, qrels, k=20)

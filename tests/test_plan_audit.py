@@ -484,6 +484,8 @@ NESTED_LOOP_OK = {
     "audit_benford_first_digit": "scalar",
     # 1-row pooled-count broadcast feeding the quantile index math
     "feature_quantile_normalize": "scalar",
+    # bm25's 1-row (n_docs, avgdl) stats broadcast inside the eval
+    "retrieval_bm25_eval": "scalar",
     # 1-row pooled-theta broadcast into the 2-row arm rollup
     "events_ab_cuped": "scalar",
     # 1-row total + 1-row chi2 broadcasts into the 2-row arm table
