@@ -3615,3 +3615,111 @@ def retrieval_bm25_eval(spark, t):
         "query_id", F.col("query_id").alias("doc_id")
     )
     return ranking_metrics(run, qrels, k=20)
+
+
+@register(
+    "geo_radius_pairs",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey AS pid,
+         (c_custkey * 13 % 160) / 2.0 - 40 AS lat,
+         (c_custkey * 17 % 720) / 2.0 - 180 AS lon
+  FROM customer
+),
+pts AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT pid + 100000, lat + 0.3, lon + 0.3
+  FROM base WHERE pid % 10 = 0
+)
+SELECT a.pid AS id_a, b.pid AS id_b,
+       FLOOR(2 * 6371.0088 * asin(sqrt(
+         pow(sin(radians(b.lat - a.lat) / 2), 2)
+         + cos(radians(a.lat)) * cos(radians(b.lat))
+           * pow(sin(radians(b.lon - a.lon) / 2), 2)
+       )) * 1000 + 0.5) / 1000 AS km
+FROM pts a JOIN pts b ON a.pid < b.pid
+WHERE 2 * 6371.0088 * asin(sqrt(
+  pow(sin(radians(b.lat - a.lat) / 2), 2)
+  + cos(radians(a.lat)) * cos(radians(b.lat))
+    * pow(sin(radians(b.lon - a.lon) / 2), 2))) <= 100
+ORDER BY id_a, id_b
+""",
+    category="analytics",
+)
+def geo_radius_pairs(spark, t):
+    """Grid-bucketed radius self-join — the 2D banded join
+    IMPLEMENTED (not just documented): every point maps to ONE 2°
+    grid cell; one side explodes over its 3×3 cell neighborhood;
+    candidates equi-join on cell id and the exact haversine ≤ 100 km
+    re-check runs only on candidates. Completeness is provable for
+    the clipped latitude band: at |lat| ≤ 40.5, 100 km spans ≤ 1.19°
+    of longitude and ≤ 0.91° of latitude — both under one 2° cell,
+    so a qualifying pair can never sit more than one cell apart.
+    Never all-pairs (the brute force lives in the oracle); planted
+    0.3°-jittered twins (pid % 10) make the answer non-vacuous at
+    every SF. The 1D time version is operators/rangejoin; this is
+    its spatial analogue."""
+    from ..functions.hive_compat import pround
+
+    base = t.customer.select(
+        F.col("c_custkey").alias("pid"),
+        ((F.col("c_custkey") * 13 % 160) / 2.0 - 40).alias("lat"),
+        ((F.col("c_custkey") * 17 % 720) / 2.0 - 180).alias("lon"),
+    )
+    twins = base.filter(F.col("pid") % 10 == 0).select(
+        (F.col("pid") + 100000).alias("pid"),
+        (F.col("lat") + 0.3).alias("lat"),
+        (F.col("lon") + 0.3).alias("lon"),
+    )
+    pts = base.unionAll(twins)
+    cell = lambda c, d: F.floor(c / d).cast("int")  # noqa: E731
+    left = pts.select(
+        F.col("pid").alias("id_a"),
+        F.col("lat").alias("la"),
+        F.col("lon").alias("oa"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell(F.col("lat"), 2.0) + di).alias("cy"),
+                        (cell(F.col("lon"), 2.0) + dj).alias("cx"),
+                    )
+                    for di in (-1, 0, 1)
+                    for dj in (-1, 0, 1)
+                ]
+            )
+        ).alias("cell"),
+    )
+    right = pts.select(
+        F.col("pid").alias("id_b"),
+        F.col("lat").alias("lb"),
+        F.col("lon").alias("ob"),
+        F.struct(
+            cell(F.col("lat"), 2.0).alias("cy"),
+            cell(F.col("lon"), 2.0).alias("cx"),
+        ).alias("cell"),
+    )
+    km = (
+        F.lit(2)
+        * F.lit(6371.0088)
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("lb") - F.col("la")) / 2), 2)
+                + F.cos(F.radians("la"))
+                * F.cos(F.radians("lb"))
+                * F.pow(
+                    F.sin(F.radians(F.col("ob") - F.col("oa")) / 2), 2
+                )
+            )
+        )
+    )
+    return (
+        left.join(right, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", km.alias("km_raw"))
+        .filter(F.col("km_raw") <= 100)
+        .select("id_a", "id_b", pround(F.col("km_raw"), 3).alias("km"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
