@@ -3723,3 +3723,52 @@ def geo_radius_pairs(spark, t):
         .distinct()
         .orderBy("id_a", "id_b")
     )
+
+
+@register(
+    "events_rolling_wau",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+cal AS (SELECT DISTINCT day FROM active),
+cover AS (
+  SELECT a.user_id, c.day AS report_day
+  FROM active a JOIN cal c
+    ON c.day >= a.day AND c.day <= a.day + INTERVAL 6 DAY
+)
+SELECT report_day,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+FROM cover GROUP BY report_day ORDER BY report_day
+""",
+    category="analytics",
+)
+def events_rolling_wau(spark, t):
+    """Rolling 7-day distinct users (WAU per day) — the windowed
+    COUNT DISTINCT that has NO efficient window form: the trick is
+    coverage explosion — each (user, active-day) fact covers the 7
+    report days it contributes to, one map-only explode (bounded 7×,
+    never |days|×) feeding a single distinct aggregate. The oracle
+    takes the calendar-join route instead; results must agree. The
+    approximate twin at extreme cardinality is a per-day HLL union
+    (agg_hll_set_ops); this is the exact tier."""
+    active = (
+        t.events.select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).distinct()
+    )
+    cal = active.select("day").distinct()
+    cover = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"), F.date_add(F.col("day"), 6)
+            )
+        ).alias("report_day"),
+    ).join(cal.withColumnRenamed("day", "report_day"), "report_day", "left_semi")
+    return (
+        cover.groupBy("report_day")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .orderBy("report_day")
+    )
