@@ -1,6 +1,16 @@
-r"""LLM-pipeline queries, round 7 (continued session 3): the C4
-cleaning-rule battery, graph triangle counting, EWMA smoothing,
-retrieval-eval metrics, and warehouse-audit queries.
+r"""LLM-pipeline queries, round 7 (continued session 3): cleaning
+(C4 battery + flagship v9), graphs (triangle census, k-core),
+containment dedup, record linkage (Fellegi-Sunter scoring + EM,
+Jaro-Winkler), retrieval eval (metrics + BM25 end-to-end capstone),
+time series (EWMA, rolling median, linear gap interpolation,
+streaks, cumulative/rolling uniques), experimentation (z-test,
+CUPED, SRM), feature prep (pivot, winsorize, OOF target encoding,
+discretization, quantile normalization, churn labels, mutual
+information), warehouse audits (key skew, referential integrity,
+Benford, column profile, health card, Z-order, column lineage),
+security policies, ACID time travel, spatial joins (haversine,
+nearest hub, grid-bucketed radius), market-basket mining, and
+MATCH_RECOGNIZE-style row patterns.
 
 Beyond-reference operators under the training-data-pipeline mandate
 (SURVEY §6). Same design rules as pipeline/pipeline2-5: built-in
