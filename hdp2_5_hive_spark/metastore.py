@@ -801,3 +801,110 @@ class Metastore:
         return {"table": name, "partitions": self.partitions(name)}
 
 
+
+
+class AccessDeniedError(PermissionError):
+    """SQL-standard authorization denial (HiveAccessControlException
+    analogue)."""
+
+
+PRIVILEGES = ("SELECT", "INSERT", "UPDATE", "DELETE", "ALL")
+
+
+class AuthorizingMetastore(Metastore):
+    """SQL-standard-based authorization over the file-backed catalog
+    — the reference's SQLStdHiveAccessController surface
+    (``ql/security/authorization/plugin/sqlstd/`` — GRANT/REVOKE
+    stored in the metastore, checked at compile time; HDP deploys
+    the same model via Ranger policies, whose row/column data plane
+    is ``functions/policies.py``).
+
+    Grants are DATA in the same versioned metadata document as
+    tables (same flock + CAS discipline), shaped
+    ``grants[table][user] -> [privilege,...]``. ``ALL`` implies
+    every privilege; a table's OWNER (creator) holds ALL implicitly
+    — exactly the default the SQL-standard authorizer ships.
+    ``authorized_read`` is the composed enforcement path: privilege
+    check, then the Ranger-style row/column policies applied to the
+    DataFrame — deny before data, then mask what's left."""
+
+    def __init__(self, warehouse_dir: str, current_user: str = "owner"):
+        super().__init__(warehouse_dir)
+        self.current_user = current_user
+
+    def create_table(self, df, name, **kw):
+        super().create_table(df, name, **kw)
+
+        def add_owner(meta):
+            t = meta["tables"].get(name)
+            if t is not None and "owner" not in t:
+                t["owner"] = self.current_user
+
+        self._mutate(add_owner)
+
+    def grant(self, table: str, user: str, privilege: str) -> None:
+        privilege = privilege.upper()
+        if privilege not in PRIVILEGES:
+            raise ValueError(f"unknown privilege {privilege!r}")
+
+        def do(meta):
+            if table not in meta["tables"]:
+                raise NoSuchTableError(table)
+            g = meta.setdefault("grants", {}).setdefault(table, {})
+            cur = set(g.get(user, ()))
+            cur.add(privilege)
+            g[user] = sorted(cur)
+
+        self._mutate(do)
+
+    def revoke(self, table: str, user: str, privilege: str) -> None:
+        privilege = privilege.upper()
+
+        def do(meta):
+            g = meta.get("grants", {}).get(table, {})
+            cur = set(g.get(user, ()))
+            cur.discard(privilege)
+            if privilege == "ALL":
+                cur.clear()
+            g[user] = sorted(cur)
+
+        self._mutate(do)
+
+    def grants_for(self, table: str, user: str) -> list[str]:
+        meta = self._read_meta()
+        return list(meta.get("grants", {}).get(table, {}).get(user, []))
+
+    def check_access(self, table: str, privilege: str, user: str | None = None) -> None:
+        user = user or self.current_user
+        meta = self._read_meta()
+        t = meta["tables"].get(table)
+        if t is None:
+            raise NoSuchTableError(table)
+        if t.get("owner") == user:
+            return  # owner holds ALL implicitly
+        held = set(meta.get("grants", {}).get(table, {}).get(user, ()))
+        if privilege.upper() in held or "ALL" in held:
+            return
+        raise AccessDeniedError(
+            f"user {user!r} lacks {privilege.upper()} on {table!r} "
+            f"(held: {sorted(held) or 'none'})"
+        )
+
+    def authorized_read(
+        self,
+        spark,
+        table: str,
+        user: str | None = None,
+        policies: list | None = None,
+    ):
+        """SELECT with the full enforcement stack: privilege gate
+        first (deny produces NO plan at all), then row-filter +
+        column-mask policies rewrite the DataFrame."""
+        user = user or self.current_user
+        self.check_access(table, "SELECT", user)
+        df = self.get_table(spark, table)
+        if policies:
+            from .functions.policies import apply_policies
+
+            df = apply_policies(df, table, user, policies)
+        return df

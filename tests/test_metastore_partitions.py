@@ -343,3 +343,63 @@ def test_rename_truncate_create_like(spark, tmp_path):
     ms.truncate_table("t2")
     assert ms.partitions("t2") == []
     assert "t2" in ms.tables()  # definition survives
+
+
+def test_sql_standard_authorization_grant_revoke(spark, tmp_path, sf_dir):
+    """SQLStdHiveAccessController analogue: owner holds ALL
+    implicitly; others need explicit grants; REVOKE takes effect at
+    the next check; denial happens BEFORE any plan exists; the
+    composed authorized_read applies the Ranger-style row/column
+    policies after the privilege gate."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import (
+        AccessDeniedError,
+        AuthorizingMetastore,
+    )
+
+    ms = AuthorizingMetastore(str(tmp_path / "wh"), current_user="alice")
+    src = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    ms.create_table(src, "nation_t")
+
+    # owner reads without any grant
+    assert ms.authorized_read(spark, "nation_t").count() == src.count()
+
+    # bob: denied, then granted SELECT, then revoked
+    with _pytest.raises(AccessDeniedError, match="lacks SELECT"):
+        ms.check_access("nation_t", "SELECT", user="bob")
+    ms.grant("nation_t", "bob", "select")
+    ms.check_access("nation_t", "SELECT", user="bob")
+    assert ms.grants_for("nation_t", "bob") == ["SELECT"]
+    ms.revoke("nation_t", "bob", "SELECT")
+    with _pytest.raises(AccessDeniedError):
+        ms.check_access("nation_t", "SELECT", user="bob")
+
+    # ALL implies SELECT; revoking ALL clears everything
+    ms.grant("nation_t", "carol", "ALL")
+    ms.check_access("nation_t", "INSERT", user="carol")
+    ms.revoke("nation_t", "carol", "ALL")
+    with _pytest.raises(AccessDeniedError):
+        ms.check_access("nation_t", "SELECT", user="carol")
+
+    # composed enforcement: privilege gate + row/column policies
+    pol = [
+        {
+            "table": "nation_t",
+            "users": ["dave"],
+            "row_filter": "n_regionkey = 0",
+            "column_masks": {"n_comment": "'x'"}
+            if "n_comment" in src.columns
+            else {"n_name": "'x'"},
+        }
+    ]
+    ms.grant("nation_t", "dave", "SELECT")
+    got = ms.authorized_read(spark, "nation_t", user="dave", policies=pol)
+    rows = got.collect()
+    assert rows and all(r.n_regionkey == 0 for r in rows)
+    masked_col = "n_comment" if "n_comment" in src.columns else "n_name"
+    assert {getattr(r, masked_col) for r in rows} == {"x"}
+
+    # unknown privilege and unknown table fail loudly
+    with _pytest.raises(ValueError, match="unknown privilege"):
+        ms.grant("nation_t", "bob", "EXPLODE")
