@@ -3782,3 +3782,49 @@ def events_rolling_wau(spark, t):
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
         .orderBy("report_day")
     )
+
+
+@register(
+    "ddl_show_grants",
+    oracle="""
+SELECT * FROM (VALUES
+  ('analyst', 'sec_nation', 'SELECT', false),
+  ('etl', 'sec_nation', 'ALL', false),
+  ('owner_user', 'sec_nation', 'ALL', true)
+) AS t(principal, table_name, privilege, is_owner)
+ORDER BY principal, privilege
+""",
+    category="formats",
+)
+def ddl_show_grants(spark, t):
+    """SHOW GRANT ON TABLE (SQLStdHiveAccessController's
+    show_grant surface; metastore.AuthorizingMetastore): a scratch
+    warehouse is created, privileges granted and one revoked, and
+    the resulting grant table — including the implicit owner-ALL
+    row — is read back. The oracle is the literal expected grant
+    set, so a drift in grant storage, revoke semantics, or owner
+    defaulting lands as a mismatch."""
+    from .registry import tables_for  # noqa: F401  (import order)
+    from ..metastore import AuthorizingMetastore
+    from ..scratch import scratch_dir
+
+    ms = AuthorizingMetastore(
+        scratch_dir("auth_grants_") + "/wh", current_user="owner_user"
+    )
+    ms.create_table(t.nation, "sec_nation")
+    ms.grant("sec_nation", "analyst", "SELECT")
+    ms.grant("sec_nation", "etl", "ALL")
+    ms.grant("sec_nation", "temp", "INSERT")
+    ms.revoke("sec_nation", "temp", "ALL")
+    meta = ms._read_meta()
+    rows = []
+    tbl = meta["tables"]["sec_nation"]
+    rows.append((tbl["owner"], "sec_nation", "ALL", True))
+    for user, privs in meta.get("grants", {}).get("sec_nation", {}).items():
+        for p in privs:
+            rows.append((user, "sec_nation", p, False))
+    return spark.createDataFrame(
+        rows,
+        "principal string, table_name string, privilege string,"
+        " is_owner boolean",
+    ).orderBy("principal", "privilege")
