@@ -561,3 +561,61 @@ def compact_acid_minor(
             _shutil.rmtree(d, ignore_errors=True)
     _os.rename(tmp, new_delta)
     return new_delta
+
+
+def compaction_needed(
+    table_dir: str,
+    *,
+    delta_threshold: int = 10,
+    delta_pct_threshold: float = 0.1,
+) -> dict:
+    """The Initiator's decision (reference
+    ``ql/txn/compactor/Initiator.java`` — checkForCompaction):
+    MAJOR when delta bytes exceed ``delta_pct_threshold`` of base
+    bytes (hive.compactor.delta.pct.threshold, default 0.1), MINOR
+    when the delta-directory COUNT exceeds ``delta_threshold``
+    (hive.compactor.delta.num.threshold, default 10). Returns
+    {"type": "MAJOR"|"MINOR"|None, ...metrics} — pure filesystem
+    inspection, no data read."""
+    import glob as _glob
+    import os as _os
+
+    def _bytes(d):
+        return sum(
+            _os.path.getsize(f)
+            for f in _glob.glob(f"{d}/*")
+            if _os.path.isfile(f)
+        )
+
+    bases, deltas = [], []
+    for d in sorted(_glob.glob(f"{table_dir}/*")):
+        name = d.rsplit("/", 1)[-1]
+        if name.startswith("base_"):
+            bases.append(d)
+        elif name.startswith("delta_"):
+            deltas.append(d)
+    base_bytes = sum(_bytes(d) for d in bases)
+    delta_bytes = sum(_bytes(d) for d in deltas)
+    n_deltas = len(deltas)
+    ctype = None
+    if bases and base_bytes > 0 and delta_bytes / base_bytes >= delta_pct_threshold:
+        ctype = "MAJOR"
+    elif n_deltas >= delta_threshold:
+        ctype = "MINOR"
+    return {
+        "type": ctype,
+        "n_deltas": n_deltas,
+        "base_bytes": base_bytes,
+        "delta_bytes": delta_bytes,
+    }
+
+
+def auto_compact(spark: SparkSession, table_dir: str, **thresholds) -> str | None:
+    """Initiator → Worker in one call: inspect, then run the chosen
+    compaction (or nothing). Returns the compaction type run."""
+    decision = compaction_needed(table_dir, **thresholds)
+    if decision["type"] == "MAJOR":
+        compact_acid_table(spark, table_dir)
+    elif decision["type"] == "MINOR":
+        compact_acid_minor(spark, table_dir)
+    return decision["type"]

@@ -475,3 +475,49 @@ def test_time_travel_row_filter_on_spanning_minor_delta(spark, tmp_path):
     assert names == ["delta_0000002_0000004"], names
     at3 = {(r.k, r.v) for r in ac.read_acid_table(spark, d, as_of_write_id=3).collect()}
     assert at3 == {(0, "u2"), (1, "u3"), (2, "v2"), (3, "v3")}
+
+
+def test_initiator_policy_and_auto_compact(spark, tmp_path):
+    """Initiator.java analogue: MAJOR when delta bytes cross the
+    pct-of-base threshold, MINOR when the delta COUNT crosses the
+    num threshold, nothing when healthy — and auto_compact actually
+    runs the chosen compaction with contents preserved."""
+    import glob
+
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(100)],
+        "originalTransaction long, bucket int, rowId long, k long, v string",
+    )
+    ac.write_acid_events(rows, d, kind="base", write_id=1)
+    healthy = ac.compaction_needed(d)
+    assert healthy["type"] is None and healthy["n_deltas"] == 0
+
+    # one small delta: below both thresholds
+    upd = rows.filter("k = 0").withColumn("v", F.lit("u"))
+    ac.write_acid_events(upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE)
+    assert ac.compaction_needed(d, delta_threshold=10)["type"] is None
+
+    # many small deltas: MINOR by count (keep bytes below the pct bar)
+    for wid in range(3, 14):
+        u2 = rows.filter("k = 1").withColumn("v", F.lit(f"u{wid}"))
+        ac.write_acid_events(u2, d, kind="delta", write_id=wid, operation=ac.OP_UPDATE)
+    dec = ac.compaction_needed(d, delta_threshold=10, delta_pct_threshold=10.0)
+    assert dec["type"] == "MINOR" and dec["n_deltas"] == 12
+    ran = ac.auto_compact(
+        spark, d, delta_threshold=10, delta_pct_threshold=10.0
+    )
+    assert ran == "MINOR"
+    names = sorted(p.rsplit("/", 1)[-1] for p in glob.glob(f"{d}/delta_*"))
+    assert names == ["delta_0000002_0000013"], names
+
+    # pile on bytes: MAJOR by pct threshold
+    big = rows.withColumn("v", F.lit("B"))
+    ac.write_acid_events(big, d, kind="delta", write_id=14, operation=ac.OP_UPDATE)
+    dec2 = ac.compaction_needed(d, delta_threshold=100, delta_pct_threshold=0.1)
+    assert dec2["type"] == "MAJOR"
+    assert ac.auto_compact(spark, d, delta_threshold=100, delta_pct_threshold=0.1) == "MAJOR"
+    final = {(r.k, r.v) for r in ac.read_acid_table(spark, d).collect()}
+    assert final == {(i, "B") for i in range(100)}
