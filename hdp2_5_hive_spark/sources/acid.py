@@ -339,6 +339,7 @@ def read_acid_table(
     *,
     prune_barrier: bool = False,
     as_of_write_id: int | None = None,
+    with_row_id: bool = False,
 ) -> DataFrame:
     """Merge-on-read over the native base/delta layout: latest
     ``currentTransaction`` per (originalTransaction, bucket, rowId)
@@ -431,7 +432,20 @@ def read_acid_table(
         .filter(F.col("_rn") == 1)
         .filter(F.col("operation") != OP_DELETE)
     )
-    out = latest.select("row.*")
+    if with_row_id:
+        # Hive's ROW__ID virtual column (VirtualColumn.ROWID —
+        # struct<writeid, bucketid, rowid>): the handle UPDATE/
+        # DELETE statements and CDC readers key on.
+        out = latest.select(
+            F.struct(
+                F.col("originalTransaction").alias("writeid"),
+                F.col("bucket").alias("bucketid"),
+                F.col("rowId").alias("rowid"),
+            ).alias("ROW__ID"),
+            "row.*",
+        )
+    else:
+        out = latest.select("row.*")
     return out.localCheckpoint(eager=False) if prune_barrier else out
 
 

@@ -521,3 +521,26 @@ def test_initiator_policy_and_auto_compact(spark, tmp_path):
     assert ac.auto_compact(spark, d, delta_threshold=100, delta_pct_threshold=0.1) == "MAJOR"
     final = {(r.k, r.v) for r in ac.read_acid_table(spark, d).collect()}
     assert final == {(i, "B") for i in range(100)}
+
+
+def test_row_id_virtual_column_exposed(spark, tmp_path):
+    """ROW__ID (VirtualColumn.ROWID) on request: stable per logical
+    row across updates — the UPDATE/DELETE/CDC handle."""
+    from hdp2_5_hive_spark.sources import acid as ac
+
+    d = str(tmp_path / "tbl")
+    rows = spark.createDataFrame(
+        [(1, 0, i, i, f"v{i}") for i in range(5)],
+        "originalTransaction long, bucket int, rowId long, k long, v string",
+    )
+    ac.write_acid_events(rows, d, kind="base", write_id=1)
+    upd = rows.filter("k = 2").withColumn("v", F.lit("u"))
+    ac.write_acid_events(upd, d, kind="delta", write_id=2, operation=ac.OP_UPDATE)
+    got = {
+        r.k: (r.ROW__ID.writeid, r.ROW__ID.bucketid, r.ROW__ID.rowid, r.v)
+        for r in ac.read_acid_table(spark, d, with_row_id=True).collect()
+    }
+    assert got[2] == (1, 0, 2, "u")  # identity stable, payload updated
+    assert got[0] == (1, 0, 0, "v0")
+    plain = ac.read_acid_table(spark, d)
+    assert "ROW__ID" not in plain.columns
