@@ -855,3 +855,36 @@ def test_observe_metrics_accumulate_per_action(spark, sf_dir):
     ).collect()[0]
     assert obs.get["n"] == want[0]
     assert obs.get["chars"] == want[1]
+
+
+def test_max_files_per_trigger_batches_backfill(spark, tmp_path):
+    """maxFilesPerTrigger — the backfill throttle: 4 input files
+    with a 2-file cap must drain in exactly 2 micro-batches under
+    availableNow (bounded state/commit sizes during a historical
+    catch-up; without the cap one giant batch can blow executor
+    memory at 100 TB backfills)."""
+    import os
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for i in range(4):
+        spark.createDataFrame(
+            [(i * 10 + j,) for j in range(5)], "v long"
+        ).coalesce(1).write.mode("append").parquet(src)
+    q = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = q.recentProgress
+    n_rows = [int(p["numInputRows"]) for p in batches if int(p["numInputRows"]) > 0]
+    assert sum(n_rows) == 20
+    assert len(n_rows) == 2 and all(n == 10 for n in n_rows), n_rows
+    got = {r.v for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert got == {i * 10 + j for i in range(4) for j in range(5)}
