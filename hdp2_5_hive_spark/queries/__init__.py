@@ -109,8 +109,26 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     dropDuplicatesWithinWatermark streaming semantics. Every
 #     oracle-backed addition passed check_oracle at BOTH sf0.001 and
 #     sf0.01 when it landed; interim full battery 361 pass / 0 fail /
-#     19 rows-only at 380 registered. End-of-session registry: 393
-#     (373 oracle-backed, 20 rows-only).
+#     19 rows-only at 380 registered; second interim battery 379
+#     pass / 0 fail / 21 rows-only at 400. Part 2 of the session
+#     added: BM25 end-to-end eval capstone, CUPED + SRM
+#     experimentation tier, market-basket rules + item-item
+#     neighbors (relative min-support), mutual information,
+#     hierarchy shares, column-level lineage (Catalyst plan walk),
+#     churn labels, linear gap interpolation, rolling WAU,
+#     MATCH_RECOGNIZE row patterns, SCD2 incremental upsert
+#     (merge==rebuild oracle), grid-bucketed geo radius join +
+#     nearest hub + haversine, warehouse health card, column
+#     profile, classifier calibration (plus the single-class-holdout
+#     fix it surfaced in the learned-classifier eval), SQL-standard
+#     GRANT/REVOKE authorization with SHOW GRANT (closes the last
+#     authorization oos row), ACID Initiator auto-compaction and
+#     ROW__ID exposure, dropDuplicatesWithinWatermark / outer
+#     stream-join / maxFilesPerTrigger / observe() pins. Every
+#     addition check_oracle-green at BOTH SFs and driver_sim-green
+#     at sf0.01 individually; the closing battery covers the final
+#     registry. End-of-session registry: 413 (392 oracle-backed,
+#     21 rows-only).
 _MODULES = (
     "scalars",
     "setops",
@@ -289,6 +307,29 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "report_topn_other",
     "dedup_lsh_s_curve",
     "fn_haversine_distance",
+    # ---- continued-session-3 part 2 (post-interim-battery): all
+    # driver_sim green individually; closing full sim covers the
+    # registry end-to-end ----
+    "mining_association_rules",
+    "mining_item_neighbors",
+    "feature_mutual_information",
+    "agg_hierarchy_share",
+    "meta_column_lineage",
+    "events_gap_fill_linear",
+    "feature_churn_labels",
+    "events_ab_test_ztest",
+    "events_ab_cuped",
+    "events_ab_srm",
+    "events_pattern_match",
+    "events_scd2_upsert",
+    "events_rolling_wau",
+    "retrieval_bm25_eval",
+    "geo_nearest_hub",
+    "geo_radius_pairs",
+    "quality_classifier_calibration",
+    "audit_column_profile",
+    "audit_warehouse_health_card",
+    "ddl_show_grants",
 )
 
 
