@@ -3804,7 +3804,6 @@ def ddl_show_grants(spark, t):
     row — is read back. The oracle is the literal expected grant
     set, so a drift in grant storage, revoke semantics, or owner
     defaulting lands as a mismatch."""
-    from .registry import tables_for  # noqa: F401  (import order)
     from ..metastore import AuthorizingMetastore
     from ..scratch import scratch_dir
 
