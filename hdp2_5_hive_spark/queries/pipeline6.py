@@ -3827,3 +3827,32 @@ def ddl_show_grants(spark, t):
         "principal string, table_name string, privilege string,"
         " is_owner boolean",
     ).orderBy("principal", "privilege")
+
+
+@register(
+    "topic_model_mixture",
+    oracle=None,  # iterative hard-EM loop — no single-SQL twin; the
+    # fit is pinned EXACTLY (assignments, counts, vocab) against a
+    # sequential reference in tests/test_topics.py.
+    category="pipeline",
+)
+def topic_model_mixture(spark, t):
+    """Mixture-of-unigrams topic model over the documents table
+    (operators/topics.py — Nigam et al. 2000, hard/classification EM
+    per Celeux & Govaert 1992): the corpus-exploration tier above
+    embedding k-means, clustering documents by word distribution
+    with an explicit per-topic unigram model. Per round: ONE
+    broadcast join against the V×K DECIMAL(12,6) score table + one
+    doc-keyed exact-decimal aggregate (E-step, map-side combine),
+    then ≤V×K integer counts collected (M-step) — bounded driver
+    state, checkpoint-rooted lineage, RNG-free md5 init; convergence
+    is a changed-count scalar. Output: per-topic document/token mass
+    and the top-5 words — scalar columns only (driver canonicalizer
+    contract)."""
+    from ..operators import topics
+
+    assign, model = topics.train_topics(
+        t.documents, k=4, vocab_size=64, n_rounds=6
+    )
+    assign.unpersist()
+    return topics.topic_summary(spark, model, k=4, top_n=5)
