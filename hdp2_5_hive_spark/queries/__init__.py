@@ -330,6 +330,9 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "audit_column_profile",
     "audit_warehouse_health_card",
     "ddl_show_grants",
+    # ---- continued-session-4 ----
+    "topic_model_mixture",
+    "vocab_tokenizer_compare",
 )
 
 

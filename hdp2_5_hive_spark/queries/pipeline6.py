@@ -3856,3 +3856,69 @@ def topic_model_mixture(spark, t):
     )
     assign.unpersist()
     return topics.topic_summary(spark, model, k=4, top_n=5)
+
+
+@register(
+    "vocab_tokenizer_compare",
+    oracle=None,  # three trainer loops — no SQL twin; each trainer is
+    # individually pinned EXACTLY against a sequential reference
+    # (tests/test_bpe.py, test_wordpiece.py, test_unigram_lm.py), so
+    # this capstone only composes already-pinned parts.
+    category="pipeline",
+)
+def vocab_tokenizer_compare(spark, t):
+    """Tokenizer selection report — the comparative eval a pipeline
+    runs BEFORE committing a tokenizer to a 100 TB pretokenization
+    pass: BPE (Sennrich 2016), WordPiece (likelihood-scored merges),
+    and unigram-LM (Kudo 2018) trained on the same corpus at equal
+    merge budgets, then applied corpus-wide; per tokenizer the report
+    gives total tokens, fertility (tokens per whitespace word — the
+    compression dial that prices every downstream training step),
+    and the UNK count (nonzero only for WordPiece's closed vocab;
+    BPE/unigram fall back to characters).
+
+    Scale shape: each trainer is the already-audited bounded-rounds
+    loop (driver state = vocab-sized); each apply is map-only with
+    the model in the Arrow kernel closure; the final report is three
+    1-row aggregates unioned — nothing here adds a shuffle beyond
+    the trainers' own keyed aggregates."""
+    from ..functions.hive_compat import pround
+    from ..operators import bpe, unigram_lm as ulm, wordpiece as wp
+
+    docs = t.documents
+    n_words_row = docs.select(
+        F.sum(
+            F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("w")
+    ).collect()[0]
+    n_words = int(n_words_row["w"])
+
+    merges = bpe.train_bpe(docs, "text", n_merges=8)
+    bpe_tok = bpe.apply_bpe(docs, merges, "text", "doc_id")
+    wp_vocab, _ = wp.wordpiece_vocab(docs, "text", n_merges=8)
+    wp_tok = wp.apply_wordpiece(docs, wp_vocab, "text", "doc_id")
+    u_vocab = ulm.train_unigram_lm(
+        docs, "text", vocab_size=64, n_rounds=3
+    )
+    u_tok = ulm.apply_unigram_lm(docs, u_vocab, "text", "doc_id")
+
+    def summarize(df, name, tok_col, unk_col=None):
+        unk = F.sum(unk_col) if unk_col else F.lit(0).cast("bigint")
+        return df.agg(
+            F.lit(name).alias("tokenizer"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(tok_col).alias("n_tokens"),
+            unk.alias("n_unk"),
+        )
+    rep = (
+        summarize(bpe_tok, "bpe", "n_tokens")
+        .unionAll(summarize(wp_tok, "wordpiece", "n_tokens", "n_unk"))
+        .unionAll(summarize(u_tok, "unigram_lm", "n_pieces"))
+    )
+    return rep.select(
+        "tokenizer",
+        "n_docs",
+        "n_tokens",
+        pround(F.col("n_tokens") / F.lit(n_words), 4).alias("fertility"),
+        "n_unk",
+    ).orderBy("tokenizer")
