@@ -333,6 +333,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # ---- continued-session-4 ----
     "topic_model_mixture",
     "vocab_tokenizer_compare",
+    "meta_plan_shuffle_census",
 )
 
 

@@ -3922,3 +3922,44 @@ def vocab_tokenizer_compare(spark, t):
         pround(F.col("n_tokens") / F.lit(n_words), 4).alias("fertility"),
         "n_unk",
     ).orderBy("tokenizer")
+
+
+@register(
+    "meta_plan_shuffle_census",
+    oracle=None,  # engine plan facts have no DuckDB twin; the census
+    # values are pinned against literal expectations in
+    # tests/test_plan_audit.py::test_shuffle_census_pinned.
+    category="meta",
+)
+def meta_plan_shuffle_census(spark, t):
+    """EXPLAIN-surface census (Hive ``ExplainTask`` made machine-
+    checkable, the sibling of ``meta_column_lineage``): for three
+    flagship plans, count the physical facts that decide 100 TB
+    behavior — exchanges (every one is a cluster-wide shuffle),
+    broadcast vs sort-merge joins, and whether the parquet scans
+    carry pushed filters (codegen spans are an execution-time fact
+    under AQE, so they are asserted in tests, not here). This is the
+    pre-flight a user runs to see WHY a query will or won't scale,
+    as data rather than as EXPLAIN text."""
+    from ..plans.audit import analyze
+    from .registry import all_queries as _all
+
+    qs = _all()
+    rows = []
+    for name in ("q3_shipping_priority", "q18_large_orders", "agg_cube_grouping_id"):
+        facts = analyze(qs[name].fn(spark, t.sf_dir))
+        rows.append(
+            (
+                name,
+                facts.n_exchanges,
+                facts.n_broadcast_joins,
+                facts.n_sortmerge_joins,
+                len(facts.pushed_filters) > 0
+                and any(p.strip() for p in facts.pushed_filters),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "query string, n_exchanges int, n_broadcast_joins int,"
+        " n_sortmerge_joins int, has_pushed_filters boolean",
+    ).orderBy("query")

@@ -845,3 +845,28 @@ def test_join_strategy_hints_respected(spark, sf_dir):
     assert "ShuffledHashJoin" in sh._jdf.queryExecution().executedPlan().toString()
     sm = o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
     assert "SortMergeJoin" in sm._jdf.queryExecution().executedPlan().toString()
+
+
+def test_shuffle_census_pinned(spark, sf_dir):
+    """The EXPLAIN-surface census query reports exactly the plan
+    facts the audit helpers see — pinned literally so a Catalyst
+    strategy drift (a broadcast falling back to sort-merge, an extra
+    exchange appearing) lands as a test failure, not a silent perf
+    regression."""
+    from hdp2_5_hive_spark.queries import all_queries
+
+    rows = {
+        r["query"]: r
+        for r in all_queries()["meta_plan_shuffle_census"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    q3 = rows["q3_shipping_priority"]
+    assert (q3["n_exchanges"], q3["n_broadcast_joins"], q3["n_sortmerge_joins"]) == (2, 4, 0)
+    assert q3["has_pushed_filters"]
+    q18 = rows["q18_large_orders"]
+    assert (q18["n_exchanges"], q18["n_broadcast_joins"], q18["n_sortmerge_joins"]) == (4, 4, 0)
+    assert q18["has_pushed_filters"]
+    cube = rows["agg_cube_grouping_id"]
+    assert cube["n_sortmerge_joins"] == 0
+    assert cube["n_exchanges"] == 4
