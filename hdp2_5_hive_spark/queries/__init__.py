@@ -334,6 +334,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "topic_model_mixture",
     "vocab_tokenizer_compare",
     "meta_plan_shuffle_census",
+    "corpus_source_diversity",
 )
 
 

@@ -3963,3 +3963,70 @@ def meta_plan_shuffle_census(spark, t):
         "query string, n_exchanges int, n_broadcast_joins int,"
         " n_sortmerge_joins int, has_pushed_filters boolean",
     ).orderBy("query")
+
+
+@register(
+    "corpus_source_diversity",
+    oracle="""
+WITH obs AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM obs),
+terms AS (
+  SELECT o.n,
+         CAST(ROUND(-(CAST(o.n AS DOUBLE) / t.total)
+                    * LN(CAST(o.n AS DOUBLE) / t.total), 6)
+              AS DECIMAL(38,6)) AS h_term,
+         CAST(ROUND((CAST(o.n AS DOUBLE) / t.total)
+                    * (CAST(o.n AS DOUBLE) / t.total), 6)
+              AS DECIMAL(38,6)) AS s_term,
+         CAST(o.n AS DOUBLE) / t.total AS p
+  FROM obs o, tot t
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       (SELECT total FROM tot) AS n_docs,
+       CAST(SUM(h_term) AS DOUBLE) AS shannon_entropy,
+       FLOOR(EXP(CAST(SUM(h_term) AS DOUBLE)) * 1000000 + 0.5)
+         / 1000000 AS effective_sources,
+       CAST(SUM(s_term) AS DOUBLE) AS simpson_index,
+       FLOOR(MAX(p) * 1000000 + 0.5) / 1000000 AS top_source_share
+FROM terms
+""",
+    category="pipeline",
+)
+def corpus_source_diversity(spark, t):
+    """Source-mix diversity card — the one-row health check a
+    mixing pass (corpus_mix_temperature) is judged against: Shannon
+    entropy of the source distribution, effective source count
+    e^H (the interpretable 'how many equally-sized sources is this
+    mix worth'), Simpson concentration Σp², and the top source's
+    share. Entropy/Simpson terms round to 6 and accumulate as
+    DECIMAL(38,6) (the Zipf idiom — exact, order-independent), the
+    exp/quotients are pround-ed. One keyed aggregate + a
+    |sources|-row second pass; nothing corpus-sized leaves the
+    mappers."""
+    from ..functions.hive_compat import pround
+
+    obs = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = obs.agg(F.sum("n").cast("bigint").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    dec = "decimal(38,6)"
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        F.round(-p * F.log(p), 6).cast(dec).alias("h_term"),
+        F.round(p * p, 6).cast(dec).alias("s_term"),
+        p.alias("p"),
+        "total",
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.max("total").alias("n_docs"),
+        F.sum("h_term").cast("double").alias("shannon_entropy"),
+        pround(F.exp(F.sum("h_term").cast("double"))).alias(
+            "effective_sources"
+        ),
+        F.sum("s_term").cast("double").alias("simpson_index"),
+        pround(F.max("p")).alias("top_source_share"),
+    )
