@@ -494,6 +494,13 @@ NESTED_LOOP_OK = {
     # argmin; the grid-bucketed equi-join is the too-big-to-broadcast
     # path (see geo_nearest_hub docstring)
     "geo_nearest_hub": "cross",
+    # 1-row basket-count broadcast carrying the RELATIVE min-support
+    # threshold (sup >= ceil(n * 0.002)); the pair explode itself is
+    # bounded by order size and the rule join is equi on antecedent
+    "mining_association_rules": "scalar",
+    "mining_item_neighbors": "scalar",
+    # 1-row corpus-total broadcast feeding the entropy/Simpson terms
+    "corpus_source_diversity": "scalar",
 }
 
 # Iterative/trainer queries run driver-bounded jobs at CONSTRUCTION
@@ -519,6 +526,10 @@ SWEEP_SKIP = {
     "graph_kcore_membership",
     "er_em_parameters",
     "quality_classifier_calibration",
+    "topic_model_mixture",
+    "vocab_tokenizer_compare",
+    # plans OTHER registry queries (already swept individually by name)
+    "meta_plan_shuffle_census",
 }
 
 
