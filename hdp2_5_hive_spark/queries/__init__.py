@@ -335,6 +335,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "vocab_tokenizer_compare",
     "meta_plan_shuffle_census",
     "corpus_source_diversity",
+    "events_dau_mau_stickiness",
 )
 
 

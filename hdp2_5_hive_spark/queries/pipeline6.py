@@ -4030,3 +4030,78 @@ def corpus_source_diversity(spark, t):
         F.sum("s_term").cast("double").alias("simpson_index"),
         pround(F.max("p")).alias("top_source_share"),
     )
+
+
+@register(
+    "events_dau_mau_stickiness",
+    oracle="""
+WITH active AS (
+  SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+  FROM events
+),
+cal AS (SELECT DISTINCT day FROM active),
+cover AS (
+  SELECT a.user_id, c.day AS report_day
+  FROM active a JOIN cal c
+    ON c.day >= a.day AND c.day <= a.day + INTERVAL 29 DAY
+),
+mau AS (
+  SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+  FROM cover GROUP BY report_day
+),
+dau AS (
+  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM active GROUP BY day
+)
+SELECT m.report_day, d.dau, m.mau,
+       FLOOR(CAST(d.dau AS DOUBLE) / m.mau * 1000000 + 0.5) / 1000000
+         AS stickiness
+FROM mau m JOIN dau d ON d.day = m.report_day
+ORDER BY m.report_day
+""",
+    category="analytics",
+)
+def events_dau_mau_stickiness(spark, t):
+    """DAU/MAU stickiness per day — the engagement ratio every
+    product warehouse reports: daily distinct users over rolling
+    30-day distinct users, via the same coverage-explosion trick as
+    ``events_rolling_wau`` (each (user, active-day) fact covers the
+    30 report days it contributes to — one bounded 30× map-only
+    explode + a single distinct aggregate; a windowed COUNT DISTINCT
+    has no efficient frame form and the calendar join lives in the
+    oracle). The ratio is a pround quotient of two exact BIGINTs, so
+    both engines agree bit-for-bit."""
+    from ..functions.hive_compat import pround
+
+    active = (
+        t.events.select(
+            "user_id", F.col("ts").cast("date").alias("day")
+        ).distinct()
+    )
+    cal = active.select("day").distinct()
+    cover = active.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 29))
+        ).alias("report_day"),
+    ).join(
+        cal.withColumnRenamed("day", "report_day"), "report_day", "left_semi"
+    )
+    mau = cover.groupBy("report_day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    dau = active.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("dau")
+    )
+    return (
+        mau.join(dau.withColumnRenamed("day", "report_day"), "report_day")
+        .select(
+            "report_day",
+            "dau",
+            "mau",
+            pround(
+                F.col("dau").cast("double") / F.col("mau").cast("double")
+            ).alias("stickiness"),
+        )
+        .orderBy("report_day")
+    )
