@@ -129,6 +129,17 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     at sf0.01 individually; the closing battery covers the final
 #     registry. End-of-session registry: 413 (392 oracle-backed,
 #     21 rows-only).
+#   round 7 result: 50/50 green (48 hash-match + 2 rows-only executed)
+#     — first perfect driver window. Cumulative ledger 283/418.
+#   round 8 window (SAMPLE_FRONT below): ROTATED per verdict r7 #1.
+#     The tuple is now EXACTLY the 135 queries with no cumulative
+#     CORRECTNESS_r01..r07 row (verified against the artifacts at
+#     rotation time); all 283 previously-sampled green names dropped
+#     behind into registration order. First 50 = round-8 window,
+#     riskiest first (codec tail, HS2 wire, rows-only/iterative,
+#     fresh oracle shapes); positions 50-134 stage round 9. Done
+#     criterion: CORRECTNESS_r08 holds 50 previously-unsampled
+#     names, ledger 283 -> 333/418.
 _MODULES = (
     "scalars",
     "setops",
@@ -160,182 +171,151 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
-    # ---- round-7 window: the 44 never-sampled late-round-6 queries
-    # (closing the 280-query driver ledger — verdict r6 next-round #4),
-    # in rough risk order: new operators and non-SQL recall gates
-    # first, then the hiveql/format text tail.
-    "corpus_token_budget_sample",
-    "ann_ivf_recall",
-    "ann_pq_recall",
-    "agg_cms_heavy_hitters",
-    "corpus_clean_v4",
-    "dedup_semantic_clusters",
-    "acid_delta_layout_reader",
-    "fmt_thrift_sequencefile_round_trip",
-    "join_range_banded",
-    "win_session_window_fn",
-    "hiveql_sessionize_text",
-    "quality_dsir_weights",
-    "corpus_dsir_resample",
-    "corpus_interleave_stride",
-    "events_attribution",
-    "agg_min_by_max_by",
-    "hiveql_create_view_text",
-    "hiveql_insert_directory",
-    "fn_printf_format",
-    "fn_array_functions",
-    "events_anomaly_zscore",
-    "quality_bigram_bits",
-    "agg_bit_ops",
-    "corpus_ngram_novelty",
-    "fn_context_aliases",
-    "dedup_source_overlap",
-    "emb_cluster_balanced_sample",
-    "vocab_pmi_collocations",
-    "text_normalize_unicode",
-    "hiveql_named_window",
-    "fmt_jsonl_round_trip",
-    "events_gap_fill",
-    "events_gap_fill_locf",
-    "fmt_rcfile_datasource",
-    "explode_map_kv",
-    "sample_weighted_groups",
-    "agg_hll_set_ops",
-    "quality_lang_percentile_gate",
-    "fn_variant_json",
-    "agg_quantile_sketch",
-    "corpus_chunk_overlap",
-    "join_on_vs_where_filter",
-    "agg_null_group_semantics",
-    "setop_union_type_coercion",
-    # ---- the 3 round-6 red rows, fixed this round (oracle DECIMAL
-    # vs DOUBLE cast, HUGEINT->BIGINT casts, PCA projection flattened
-    # to scalar columns) — positions 45-47 ----
-    "fn_decimal_round",
-    "ddl_analyze_stats",
-    "emb_pca_project",
-    # ---- positions 48+: new round-7 queries appended as they land,
-    # then re-green flagships if the driver reads past 50 ----
-    "fmt_rcfile_compressed",
-    "fmt_sequencefile_compressed",
-    "text_pii_redact",
+    # ---- round-8 window: ROTATED (verdict r7 next-round #1). The
+    # full tuple is now exactly the 135 queries with NO cumulative
+    # CORRECTNESS_r01..r07 row; every previously-sampled (green)
+    # name was dropped behind so the driver prefix only proves new
+    # rows. First 50 = the round-8 window, riskiest first: the
+    # codec tail (typedbytes/lazybinary/webdataset/arrow-ipc/
+    # protobuf x2 per verdict #7), the HS2 wire entry point, the
+    # rows-only/iterative operators, then fresh oracle shapes.
+    # Positions 50-134 stage the round-9 window.
+    "fmt_typedbytes_transform",
+    "fmt_lazybinary_sequencefile_round_trip",
+    "fmt_webdataset_round_trip",
+    "fmt_arrow_ipc_round_trip",
+    "fmt_protobuf_sequencefile_round_trip",
+    "fmt_protobuf_complex_round_trip",
+    "fmt_thrift_complex_round_trip",
+    "fmt_avro_deflate",
+    "fmt_multidelim_text",
+    "fmt_parquet_codecs",
+    "fmt_parquet_schema_evolution",
+    "fmt_text_add_columns",
+    "fmt_parquet_bloom_filter",
+    "fmt_orc_bloom_filter",
+    "fmt_zorder_value",
+    "hs2_wire_round_trip",
+    "vocab_wordpiece_merges",
+    "vocab_wordpiece_apply",
+    "vocab_unigram_lm",
+    "vocab_unigram_apply",
+    "ann_pq_rerank_recall",
+    "graph_pagerank_hosts",
+    "graph_kcore_membership",
+    "graph_triangle_count",
+    "er_em_parameters",
+    "topic_model_mixture",
+    "multimodal_video_keyframe_dedup",
+    "multimodal_audio_fingerprint_dedup",
+    "multimodal_crossmodal_dedup",
+    "meta_plan_shuffle_census",
+    "meta_column_lineage",
+    "agg_misra_gries_heavy",
+    "quality_kneser_ney",
+    "quality_stupid_backoff",
+    "join_interval_overlap",
+    "events_asof_forward",
+    "acid_major_compaction",
+    "acid_minor_compaction",
+    "acid_time_travel_read",
+    "hiveql_macro_expansion",
+    "hiveql_regex_column_spec",
+    "hiveql_transform_delimited",
+    "hiveql_reduce_using",
+    "hiveql_variable_substitution",
+    "ddl_exchange_partition",
+    "ddl_show_grants",
+    "sec_policy_enforced_read",
+    "agg_grouping_id_legacy",
+    "win_moving_median",
+    "win_cumulative_distinct",
+    # ---- positions 50+: round-9 staging (remaining never-sampled) ----
+    "events_funnel_time_bound",
+    "events_scd2_history",
+    "events_anomaly_mad",
+    "events_seasonal_weekday",
+    "events_top_paths",
+    "ann_ivfpq_recall",
     "text_url_host_filter",
     "text_winnow_fingerprints",
     "corpus_token_drift",
-    "fmt_avro_deflate",
-    "fn_arith_edge_semantics",
-    "fn_string_edge_cases2",
-    "fn_date_edge_cases2",
     "corpus_clean_v5",
-    "fmt_multidelim_text",
-    "ddl_exchange_partition",
-    "agg_grouping_id_legacy",
-    "acid_major_compaction",
-    "fn_months_between",
-    "events_asof_forward",
     "corpus_assign_row_ids",
-    "fmt_thrift_complex_round_trip",
-    "hs2_wire_round_trip",
     "quality_gopher_gate",
-    "win_moving_median",
-    "events_funnel_time_bound",
-    "win_cumulative_distinct",
-    "agg_mode_deterministic",
     "dedup_containment_pairs",
-    "hiveql_macro_expansion",
-    "ann_ivfpq_recall",
     "corpus_boilerplate_filter",
     "retrieval_rrf_hybrid",
     "corpus_snapshot_diff",
-    "hiveql_regex_column_spec",
-    "multimodal_video_keyframe_dedup",
-    "multimodal_audio_fingerprint_dedup",
     "corpus_url_dedup",
-    "graph_pagerank_hosts",
-    "quality_stupid_backoff",
     "corpus_dataset_card",
     "corpus_clean_v6",
-    "hiveql_variable_substitution",
-    "ann_pq_rerank_recall",
-    "fmt_protobuf_sequencefile_round_trip",
-    "fmt_protobuf_complex_round_trip",
     "quality_ccnet_buckets",
     "dedup_edit_distance_blocked",
     "text_char_entropy",
     "corpus_attributes_two_phase",
-    "events_scd2_history",
     "dedup_edit_distance_symdelete",
-    "acid_minor_compaction",
     "corpus_epoch_plan",
     "text_html_extract",
-    "fmt_parquet_bloom_filter",
     "corpus_clean_v7",
-    "multimodal_crossmodal_dedup",
-    # ---- round-7 continued-session-3 additions (never driver-
-    # sampled; round-8 window candidates, riskiest first: iterative/
-    # rows-only operators and fresh oracle shapes ahead of plain
-    # aggregates). Every oracle-backed one passed check_oracle at
-    # BOTH sf0.001 and sf0.01 when it landed; interim full battery
-    # 361/0 at 380 registered. ----
-    "vocab_wordpiece_merges",
-    "vocab_wordpiece_apply",
-    "graph_kcore_membership",
-    "er_em_parameters",
-    "graph_triangle_count",
-    "dedup_containment_prefix",
-    "corpus_clean_v9",
-    "er_fellegi_sunter",
-    "fn_jaro_winkler",
-    "acid_time_travel_read",
-    "retrieval_eval_metrics",
-    "feature_quantile_normalize",
-    "feature_target_encode_oof",
-    "feature_discretize_bins",
-    "feature_winsorize",
+    "text_tfidf_topk",
+    "vocab_zipf_fit",
+    "corpus_clean_v8",
+    "corpus_stats_incremental",
+    "sample_exact_split",
+    "agg_weighted_median",
+    "corpus_quality_contract",
+    "retrieval_rm3_expansion",
+    "quality_gopher_rules",
+    "emb_label_centroid_drift",
+    "vocab_heaps_fit",
     "quality_c4_rules",
     "events_ewma_daily",
+    "retrieval_eval_metrics",
+    "contract_referential_integrity",
+    "events_key_skew_audit",
+    "feature_discretize_bins",
+    "dedup_containment_prefix",
+    "agg_pivot_wide",
+    "feature_winsorize",
+    "feature_target_encode_oof",
+    "corpus_clean_v9",
+    "audit_benford_first_digit",
     "events_rolling_median",
+    "feature_quantile_normalize",
+    "er_fellegi_sunter",
+    "dedup_lsh_s_curve",
     "events_error_streaks",
     "events_cumulative_uniques",
-    "events_key_skew_audit",
-    "contract_referential_integrity",
-    "audit_benford_first_digit",
-    "sec_policy_enforced_read",
-    "fmt_zorder_value",
-    "fmt_orc_bloom_filter",
-    "agg_pivot_wide",
     "report_topn_other",
-    "dedup_lsh_s_curve",
+    "fn_jaro_winkler",
     "fn_haversine_distance",
-    # ---- continued-session-3 part 2 (post-interim-battery): all
-    # driver_sim green individually; closing full sim covers the
-    # registry end-to-end ----
-    "mining_association_rules",
-    "mining_item_neighbors",
-    "feature_mutual_information",
-    "agg_hierarchy_share",
-    "meta_column_lineage",
-    "events_gap_fill_linear",
-    "feature_churn_labels",
-    "events_ab_test_ztest",
-    "events_ab_cuped",
-    "events_ab_srm",
     "events_pattern_match",
-    "events_scd2_upsert",
-    "events_rolling_wau",
-    "retrieval_bm25_eval",
-    "geo_nearest_hub",
-    "geo_radius_pairs",
     "quality_classifier_calibration",
     "audit_column_profile",
     "audit_warehouse_health_card",
-    "ddl_show_grants",
-    # ---- continued-session-4 ----
-    "topic_model_mixture",
+    "events_scd2_upsert",
+    "events_ab_test_ztest",
+    "geo_nearest_hub",
+    "mining_association_rules",
+    "feature_mutual_information",
+    "agg_hierarchy_share",
+    "mining_item_neighbors",
+    "events_gap_fill_linear",
+    "feature_churn_labels",
+    "events_ab_cuped",
+    "events_ab_srm",
+    "retrieval_bm25_eval",
+    "geo_radius_pairs",
+    "events_rolling_wau",
     "vocab_tokenizer_compare",
-    "meta_plan_shuffle_census",
     "corpus_source_diversity",
     "events_dau_mau_stickiness",
+    "fn_arith_edge_semantics",
+    "fn_string_edge_cases2",
+    "fn_date_edge_cases2",
+    "fn_months_between",
+    "agg_mode_deterministic",
 )
 
 
