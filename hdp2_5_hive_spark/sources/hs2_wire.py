@@ -37,8 +37,13 @@ exactly what this server (and the bundled client) speak. SASL/PLAIN
 framing and Kerberos stay out of scope (deployment security layer).
 
 Scale note: the server is an ENTRY POINT, not an executor — each
-statement is planned and run by Spark; the wire layer only streams
-``take(maxRows)`` batches, mirroring SQLOperation's fetch path.
+statement is planned and run by Spark. ExecuteStatement materializes
+at most ``result_cap`` rows on the driver via ``take(result_cap+1)``
+(a pushed GlobalLimit — never an unbounded collect); FetchResults
+pages that buffer in ``maxRows`` batches, mirroring SQLOperation's
+fetch path. A result wider than the cap is truncated at result_cap
+rows and the final non-empty fetch reports hasMoreRows=true to signal
+the drop — raise ``result_cap`` or add LIMIT for bigger result sets.
 """
 
 from __future__ import annotations
@@ -402,12 +407,16 @@ class _Handler(socketserver.StreamRequestHandler):
                 ensure_parity_confs(srv.spark)
                 df = srv.spark.sql(statement)
                 oid = srv.new_id()
-                # materialize up to the server result cap; FetchResults
-                # pages through this in max_rows batches (SQLOperation
-                # streams from FetchTask; a driver-side bounded take is
-                # the single-process analogue — raise result_cap for
-                # bigger result sets, or add LIMIT in the statement)
-                srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
+                # materialize AT MOST result_cap (+1 sentinel) rows —
+                # take() pushes a GlobalLimit into the plan so the
+                # driver never holds an unbounded result set;
+                # FetchResults pages through this in max_rows batches
+                # (SQLOperation streams from FetchTask; a bounded take
+                # is the single-process analogue — raise result_cap
+                # for bigger result sets, or add LIMIT)
+                rows = df.take(srv.result_cap + 1)
+                truncated = len(rows) > srv.result_cap
+                srv.ops[oid] = (df, rows[: srv.result_cap], 0, truncated)
                 resp = (
                     _fld(1, tp.T_STRUCT, _status(SUCCESS))
                     + _fld(
@@ -429,7 +438,7 @@ class _Handler(socketserver.StreamRequestHandler):
             return _reply(name, seqid, resp)
         if name == "GetResultSetMetadata":
             oid = self._req_guid(args)
-            df, _, _ = srv.ops[oid]
+            df = srv.ops[oid][0]
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, _table_schema(df))
@@ -438,7 +447,7 @@ class _Handler(socketserver.StreamRequestHandler):
             return _reply(name, seqid, resp)
         if name == "FetchResults":
             oid = self._req_guid(args)
-            df, rows, served = srv.ops[oid]
+            df, rows, served, truncated = srv.ops[oid]
             # honor the CLIENT's maxRows (TFetchResultsReq field 3 —
             # Hive does); the server cap only bounds it above
             try:
@@ -447,8 +456,15 @@ class _Handler(socketserver.StreamRequestHandler):
                 want = srv.max_rows
             want = max(1, min(want or srv.max_rows, srv.max_rows))
             batch = rows[served : served + want]
-            srv.ops[oid] = (df, rows, served + len(batch))
-            more = served + len(batch) < len(rows)
+            srv.ops[oid] = (df, rows, served + len(batch), truncated)
+            # hasMoreRows: true while the buffer has rows left, and
+            # also on the FINAL non-empty batch of a result the server
+            # truncated at result_cap (truthful signal that rows were
+            # dropped); an empty fetch always reports false so pollers
+            # that ignore empty batches still terminate.
+            more = (served + len(batch) < len(rows)) or (
+                truncated and len(batch) > 0
+            )
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_BOOL, struct.pack(">b", 1 if more else 0))
@@ -503,7 +519,7 @@ class _Handler(socketserver.StreamRequestHandler):
             if not rows:
                 df = df.limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
+            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -542,7 +558,7 @@ class _Handler(socketserver.StreamRequestHandler):
                     [("x",)], "TABLE_CAT string"
                 ).limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
+            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -572,7 +588,7 @@ class _Handler(socketserver.StreamRequestHandler):
             if not names_all:
                 df = df.limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
+            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -597,7 +613,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 "TYPE_NAME string, DATA_TYPE int, PRECISION int",
             )
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0)  # metadata: never cap
+            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -667,11 +683,12 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
 
 
 def serve_background(spark, port: int = 0, max_rows: int = 1000,
+                     result_cap: int = 100_000,
                      protocol: int = PROTOCOL_V5):
     """Start the wire server on a daemon thread; returns
     (server, bound_port)."""
     srv = HS2WireServer(spark, port=port, max_rows=max_rows,
-                        protocol=protocol)
+                        result_cap=result_cap, protocol=protocol)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, srv.server_address[1]
 

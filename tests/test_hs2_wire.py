@@ -88,6 +88,44 @@ def test_e2e_pagination_and_has_more(hs2):
     cli.close()
 
 
+def test_e2e_result_cap_bounds_driver_materialization(spark, sf_dir):
+    """ExecuteStatement materializes AT MOST result_cap rows on the
+    driver (take(cap+1), a pushed GlobalLimit — never an unbounded
+    collect). A 25-row result on a cap-7 server yields exactly 7 rows;
+    the final non-empty fetch signals hasMoreRows=true (rows were
+    dropped) and a follow-up empty fetch reports false so pollers
+    terminate. Pins the fix for the declared-but-unapplied result_cap
+    (SQLOperation streams from FetchTask and never buffers the full
+    result either — service/.../operation/SQLOperation.java:76)."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(spark, max_rows=10, result_cap=7)
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        op = cli.execute(
+            "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+        )
+        # server-side buffer is capped at exactly result_cap rows
+        buffered = next(iter(srv.ops.values()))
+        assert len(buffered[1]) == 7 and buffered[3] is True
+        rows1, more1 = cli.fetch(op)          # 7 rows (< max_rows=10)
+        assert [r[0] for r in rows1] == list(range(7))
+        assert more1 is True                   # truncation signal
+        rows2, more2 = cli.fetch(op)           # drained
+        assert rows2 == [] and more2 is False
+        # an uncapped statement on the same server is unaffected
+        op2 = cli.execute(
+            "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5"
+        )
+        rows3, more3 = cli.fetch(op2)
+        assert len(rows3) == 5 and more3 is False
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
 def test_e2e_null_values_absent_fields(hs2):
     """NULLs travel as wrapper structs with the optional value field
     ABSENT (TColumnValue note), not as sentinel values."""
