@@ -51,6 +51,27 @@ HEADLINE = [
 CHUNK = 6  # queries measured per fresh session (see main())
 
 
+def _calibrate(spark) -> float:
+    """Fixed-size host-speed probe (verdict r7 #5): a constant
+    20M-row in-memory hash+sort written to the noop sink — zero IO,
+    SF-independent, shuffle-shaped like the suite. The gate divides
+    this run's probe time by the best-known probe time to get a
+    MEASURED machine factor, instead of inferring one from the run's
+    median slowdown (which masks uniform regressions by
+    construction). Best-of-3 after the session warmup."""
+    df = (
+        spark.range(0, 20_000_000, 1, 32)
+        .selectExpr("(id * 2654435761) % 1000003 AS k")
+        .orderBy("k")
+    )
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -67,6 +88,7 @@ def main() -> None:
     # persist can't eat the memory of — or speed up — whoever runs
     # next. Every query gets a near-start-of-session slot.
     times: dict[str, float] = {}
+    calibration = None
     for start in range(0, len(HEADLINE), CHUNK):
         group = HEADLINE[start : start + CHUNK]
         spark = get_session(app_name="hdp2_5_hive_spark-bench")
@@ -75,6 +97,9 @@ def main() -> None:
         spark.range(1_000_000).selectExpr("sum(id) AS s").write.format(
             "noop"
         ).mode("overwrite").save()
+        if calibration is None:
+            calibration = _calibrate(spark)
+            print(f"# calibration: {calibration:.2f}s", file=sys.stderr)
         qs = all_queries()
         for order in (group, list(reversed(group))):
             for name in order:
@@ -103,6 +128,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calibration_s": calibration,
     }
     print(json.dumps(result))
 

@@ -51,6 +51,12 @@ PLAN_RESET = {
 }
 
 
+# Ledger key for the bench.py fixed-size host-speed probe
+# (calibration_s in the bench JSON) — lives beside the query bests in
+# BENCH_BEST.json but is never compared as a query.
+CAL_KEY = "__calibration__"
+
+
 def _load_history() -> dict[str, float]:
     best: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json"))):
@@ -61,6 +67,11 @@ def _load_history() -> dict[str, float]:
         queries = (doc.get("parsed") or {}).get("queries") or doc.get(
             "queries"
         ) or {}
+        cal = (doc.get("parsed") or {}).get("calibration_s") or doc.get(
+            "calibration_s"
+        )
+        if isinstance(cal, (int, float)):
+            queries = dict(queries, **{CAL_KEY: cal})
         for name, sec in queries.items():
             if isinstance(sec, (int, float)) and (
                 name not in best or sec < best[name]
@@ -101,25 +112,47 @@ def main() -> int:
         return 2
 
     best = _load_history()
-    # Machine-speed normalization: rounds run on different VMs (a
-    # uniform 1.3x-slower host is common), so compare each query's
-    # slowdown RATIO against the run's median ratio — a plan
-    # regression shows up as one query far off the run's own norm,
-    # not as absolute seconds.
+    # Machine-speed normalization. Preferred (verdict r7 #5): the
+    # MEASURED host factor — this run's fixed-size calibration probe
+    # over the best-known probe time. The probe is SF- and
+    # plan-independent, so a uniformly slower VM scales it exactly
+    # while a real per-query plan regression cannot hide in it (the
+    # old median-of-ratios heuristic masked uniform regressions by
+    # construction; it remains only as the fallback for inputs with
+    # no calibration history).
     ratios = {
         name: sec / best[name]
         for name, sec in result["queries"].items()
         if best.get(name, 0) >= MIN_SECONDS
     }
-    factor = sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
-    factor = max(factor, 1.0)
+    cal = result.get("calibration_s")
+    cal_best = best.get(CAL_KEY)
+    if isinstance(cal, (int, float)) and cal_best:
+        factor = max(1.0, float(cal) / cal_best)
+        factor_src = f"calibration {cal:.2f}s/{cal_best:.2f}s"
+    else:
+        factor = (
+            sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+        )
+        factor = max(factor, 1.0)
+        factor_src = "run-median fallback (no calibration history)"
     failures = []
     for name, ratio in ratios.items():
         if ratio > THRESHOLD * factor:
             failures.append((name, result["queries"][name], best[name]))
 
     merged = dict(best)
-    for name, sec in result["queries"].items():
+    updates = dict(result["queries"])
+    if isinstance(cal, (int, float)):
+        # First seeding (no calibration history): the query bests may
+        # come from a FASTER host than this run, so store the probe
+        # normalized to that host (cal / this run's median factor) —
+        # otherwise this host would later measure factor 1.0 against
+        # its own probe while its query times sit factor-x above the
+        # recorded bests, guaranteeing false regressions. Once seeded,
+        # the min-merge below lets genuinely faster hosts lower it.
+        updates[CAL_KEY] = float(cal) / (1.0 if cal_best else factor)
+    for name, sec in updates.items():
         if name not in merged or sec < merged[name]:
             merged[name] = sec
     with open(LEDGER, "w") as fh:
@@ -136,8 +169,8 @@ def main() -> int:
         return 1
     print(
         f"bench_gate: OK — {len(result['queries'])} queries within "
-        f"{THRESHOLD}x of best-known (machine factor {factor:.2f}); "
-        f"ledger updated ({LEDGER})"
+        f"{THRESHOLD}x of best-known (machine factor {factor:.2f} from "
+        f"{factor_src}); ledger updated ({LEDGER})"
     )
     return 0
 
