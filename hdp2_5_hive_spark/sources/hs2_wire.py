@@ -31,10 +31,24 @@ own IDL — every field id below cites ``service/if/TCLIService.thrift``:
   supports (column-based TColumn arrived with V6); the server
   reports ``HIVE_CLI_SERVICE_PROTOCOL_V5`` accordingly.
 
-Auth: the NOSASL transport (``jdbc:hive2://…;auth=noSasl``) is raw
-unframed TBinaryProtocol on a TCP socket — no SASL layer — which is
-exactly what this server (and the bundled client) speak. SASL/PLAIN
-framing and Kerberos stay out of scope (deployment security layer).
+Auth: the server auto-detects the transport from the first byte of a
+connection, mirroring how ``HiveAuthFactory.java:67-115`` picks the
+transport from hive.server2.authentication:
+
+- **SASL/PLAIN** (stock client default — beeline/JDBC with no
+  ``;auth=noSasl``): the thrift TSaslTransport handshake — messages
+  of ``[status byte][i32 length][payload]`` with status START=1 OK=2
+  BAD=3 ERROR=4 COMPLETE=5; client sends START("PLAIN") then the
+  RFC-4616 initial response ``authzid NUL authcid NUL passwd``;
+  server replies COMPLETE; thereafter every message travels in
+  4-byte length-prefixed frames (PLAIN is auth-only QOP — payloads
+  are never wrapped). Validation mirrors ``PlainSaslHelper.java`` +
+  authentication=NONE (AnonymousAuthenticationProviderImpl): any
+  non-empty authcid is accepted; LDAP/CUSTOM providers and Kerberos
+  stay out of scope (deployment security layer).
+- **NOSASL** (``jdbc:hive2://…;auth=noSasl``): raw unframed
+  TBinaryProtocol — a first byte of 0x80 (the strict-protocol
+  version word) selects this path.
 
 Scale note: the server is an ENTRY POINT, not an executor — each
 statement is planned and run by Spark. ExecuteStatement materializes
@@ -368,6 +382,118 @@ def _row_set(df, rows, start_offset: int, columnar: bool = False) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# SASL/PLAIN transport layer (thrift TSaslTransport wire, public spec;
+# reference: service/.../auth/HiveAuthFactory.java + PlainSaslHelper.java)
+# ---------------------------------------------------------------------------
+
+# TSaslTransport.NegotiationStatus byte codes
+SASL_START, SASL_OK, SASL_BAD, SASL_ERROR, SASL_COMPLETE = 1, 2, 3, 4, 5
+
+
+def _sasl_read_msg(rfile) -> tuple[int, bytes]:
+    head = rfile.read(5)
+    if len(head) < 5:
+        raise EOFError
+    status, ln = struct.unpack(">bi", head)
+    if ln < 0 or ln > 1 << 20:  # handshake payloads are tiny
+        raise ValueError(f"bad SASL negotiation frame length {ln}")
+    return status, rfile.read(ln)
+
+
+def _sasl_write_msg(wfile, status: int, payload: bytes = b"") -> None:
+    wfile.write(struct.pack(">bi", status, len(payload)) + payload)
+    wfile.flush()
+
+
+class _FramedIO:
+    """TSaslTransport data phase: 4-byte length-prefixed frames.
+    PLAIN negotiates auth-only QOP, so payloads travel unwrapped —
+    the frame IS the transport. One flush() = one frame, matching
+    the Java transport's per-message flush."""
+
+    def __init__(self, rfile, wfile):
+        self._r = rfile
+        self._w = wfile
+        self._buf = b""
+        self._pos = 0
+        self._pending = b""
+
+    def read(self, n: int) -> bytes:
+        out = bytearray()
+        while len(out) < n:
+            if self._pos >= len(self._buf):
+                head = self._r.read(4)
+                if len(head) < 4:
+                    break
+                (ln,) = struct.unpack(">i", head)
+                if ln < 0:
+                    raise ValueError(f"bad SASL data frame length {ln}")
+                self._buf = self._r.read(ln)
+                self._pos = 0
+                if len(self._buf) < ln:
+                    break
+            take = min(n - len(out), len(self._buf) - self._pos)
+            out += self._buf[self._pos : self._pos + take]
+            self._pos += take
+        return bytes(out)
+
+    def write(self, b: bytes) -> None:
+        self._pending += b
+
+    def flush(self) -> None:
+        if self._pending:
+            self._w.write(struct.pack(">i", len(self._pending)) + self._pending)
+            self._w.flush()
+            self._pending = b""
+
+
+def _sasl_server_handshake(rfile, wfile) -> "_FramedIO | None":
+    """Server side of the PLAIN negotiation; returns the framed
+    transport on success, None after sending BAD/ERROR."""
+    status, mech = _sasl_read_msg(rfile)
+    if status != SASL_START:
+        _sasl_write_msg(wfile, SASL_ERROR, b"expected SASL START")
+        return None
+    if mech != b"PLAIN":
+        # unsupported mechanism -> BAD, like TSaslServerTransport when
+        # the mechanism isn't registered
+        _sasl_write_msg(
+            wfile, SASL_BAD, b"unsupported mechanism " + mech[:64]
+        )
+        return None
+    status, resp = _sasl_read_msg(rfile)
+    if status not in (SASL_OK, SASL_COMPLETE):
+        _sasl_write_msg(wfile, SASL_ERROR, b"expected initial response")
+        return None
+    parts = resp.split(b"\x00")
+    # RFC 4616: authzid NUL authcid NUL passwd; authcid must be
+    # non-empty (PlainSaslHelper rejects null user; with
+    # authentication=NONE any non-empty user/password pair passes)
+    if len(parts) != 3 or not parts[1]:
+        _sasl_write_msg(
+            wfile, SASL_ERROR, b"PLAIN: malformed or empty authcid"
+        )
+        return None
+    _sasl_write_msg(wfile, SASL_COMPLETE, b"")
+    return _FramedIO(rfile, wfile)
+
+
+def _sasl_client_handshake(rfile, wfile, user: str, password: str) -> "_FramedIO":
+    """Client side: START(PLAIN), COMPLETE(initial response), expect
+    server COMPLETE (PLAIN finishes in one round trip)."""
+    _sasl_write_msg(wfile, SASL_START, b"PLAIN")
+    initial = b"\x00" + user.encode("utf-8") + b"\x00" + password.encode("utf-8")
+    _sasl_write_msg(wfile, SASL_COMPLETE, initial)
+    status, payload = _sasl_read_msg(rfile)
+    if status != SASL_COMPLETE:
+        raise RuntimeError(
+            f"SASL negotiation failed (status {status}): "
+            f"{payload.decode('utf-8', 'replace')}"
+        )
+    return _FramedIO(rfile, wfile)
+
+
+# ---------------------------------------------------------------------------
 # the server
 # ---------------------------------------------------------------------------
 
@@ -375,17 +501,33 @@ def _row_set(df, rows, start_offset: int, columnar: bool = False) -> bytes:
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self) -> None:  # noqa: C901 — one dispatch table
         srv = self.server
+        rfile = wfile = None
+        try:
+            first = self.rfile.peek(1)[:1]
+        except (OSError, ValueError):
+            return
+        if first == bytes([SASL_START]):
+            try:
+                framed = _sasl_server_handshake(self.rfile, self.wfile)
+            except (EOFError, ConnectionError, ValueError):
+                return
+            if framed is None:
+                return
+            rfile = wfile = framed
+        else:
+            # 0x80: strict-protocol version word -> NOSASL raw transport
+            rfile, wfile = self.rfile, self.wfile
         while True:
             try:
-                name, seqid, args = _read_message(self.rfile)
+                name, seqid, args = _read_message(rfile)
             except (EOFError, ConnectionError):
                 return
             try:
                 out = self._dispatch(srv, name, seqid, args)
             except Exception as exc:  # noqa: BLE001 — wire errors out
                 out = _exception(name, seqid, f"{type(exc).__name__}: {exc}")
-            self.wfile.write(out)
-            self.wfile.flush()
+            wfile.write(out)
+            wfile.flush()
 
     def _dispatch(self, srv, name: str, seqid: int, args: list) -> bytes:
         if name == "OpenSession":
@@ -699,13 +841,26 @@ def serve_background(spark, port: int = 0, max_rows: int = 1000,
 
 
 class HS2WireClient:
-    """NOSASL TCLIService client speaking the same strict binary
-    protocol — the library-free analogue of
-    ``jdbc/.../HiveConnection.java`` + ``HiveStatement``."""
+    """TCLIService client speaking the same strict binary protocol —
+    the library-free analogue of ``jdbc/.../HiveConnection.java`` +
+    ``HiveStatement``. Defaults to SASL/PLAIN like a stock JDBC URL
+    (no ``;auth=noSasl``); pass ``sasl=False`` for the NOSASL raw
+    transport."""
 
-    def __init__(self, host: str, port: int):
+    def __init__(self, host: str, port: int, *, sasl: bool = True,
+                 user: str = "anonymous", password: str = "anonymous"):
         self.sock = socket.create_connection((host, port))
         self.rfile = self.sock.makefile("rb")
+        self.wfile = self.sock.makefile("wb")
+        if sasl:
+            framed = _sasl_client_handshake(
+                self.rfile, self.wfile, user, password
+            )
+            self._in = framed
+            self._out = framed
+        else:
+            self._in = self.rfile
+            self._out = self.wfile
         self.seq = 0
         self.session: bytes | None = None
 
@@ -718,14 +873,15 @@ class HS2WireClient:
             + _fld(1, tp.T_STRUCT, req_struct)
             + _stop()
         )
-        self.sock.sendall(msg)
-        head = self.rfile.read(4)
+        self._out.write(msg)
+        self._out.flush()
+        head = self._in.read(4)
         (word,) = struct.unpack(">i", head)
         mtype = word & 0xFF
-        (nlen,) = struct.unpack(">i", self.rfile.read(4))
-        self.rfile.read(nlen)  # echo of the name
-        self.rfile.read(4)  # seqid
-        payload = _read_struct_bytes(self.rfile)
+        (nlen,) = struct.unpack(">i", self._in.read(4))
+        self._in.read(nlen)  # echo of the name
+        self._in.read(4)  # seqid
+        payload = _read_struct_bytes(self._in)
         if mtype == EXCEPTION:
             exc = tp.decode_row(payload, 2)
             raise RuntimeError(f"server exception: {exc[0]}")

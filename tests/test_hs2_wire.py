@@ -88,6 +88,66 @@ def test_e2e_pagination_and_has_more(hs2):
     cli.close()
 
 
+def test_e2e_nosasl_transport_still_served(hs2):
+    """The raw unframed transport (jdbc ;auth=noSasl) coexists with
+    SASL on the same port — the server picks the path from the first
+    byte (0x80 strict version word vs 0x01 SASL START), mirroring
+    HiveAuthFactory's transport selection."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2, sasl=False)
+    cli.open_session()
+    op = cli.execute("SELECT 41 + 1 AS answer")
+    rows, _ = cli.fetch(op)
+    assert rows == [(42,)]
+    cli.close()
+
+
+def test_sasl_plain_handshake_wire_bytes(hs2):
+    """Pin the TSaslTransport negotiation bytes: START('PLAIN'),
+    COMPLETE(authzid NUL authcid NUL passwd) -> server COMPLETE(empty),
+    then 4-byte length-framed data (PLAIN = auth-only QOP, unwrapped).
+    Reference: PlainSaslHelper.java + RFC 4616."""
+    import socket as socklib
+
+    s = socklib.create_connection(("127.0.0.1", hs2))
+    rf = s.makefile("rb")
+    s.sendall(struct.pack(">bi", 1, 5) + b"PLAIN")          # START
+    init = b"\x00alice\x00secret"
+    s.sendall(struct.pack(">bi", 5, len(init)) + init)       # COMPLETE
+    status, ln = struct.unpack(">bi", rf.read(5))
+    assert (status, ln) == (5, 0)                            # COMPLETE, empty
+    # data phase: one framed OpenSession call -> one framed reply
+    body = (
+        struct.pack(">I", hw.VERSION_MASK | hw.CALL)
+        + hw._string("OpenSession")
+        + struct.pack(">i", 1)
+        + hw._fld(1, tp.T_STRUCT, hw._stop())
+        + hw._stop()
+    )
+    s.sendall(struct.pack(">i", len(body)) + body)
+    (flen,) = struct.unpack(">i", rf.read(4))
+    frame = rf.read(flen)
+    assert frame[:4] == struct.pack(">I", hw.VERSION_MASK | hw.REPLY)
+    s.close()
+
+
+def test_sasl_rejects_bad_mechanism_and_empty_user(hs2):
+    import socket as socklib
+
+    # unknown mechanism -> BAD (3)
+    s = socklib.create_connection(("127.0.0.1", hs2))
+    s.sendall(struct.pack(">bi", 1, 6) + b"GSSAPI")
+    status, ln = struct.unpack(">bi", s.makefile("rb").read(5))
+    assert status == 3
+    s.close()
+    # empty authcid -> ERROR (4), like PlainSaslHelper's null-user check
+    s = socklib.create_connection(("127.0.0.1", hs2))
+    s.sendall(struct.pack(">bi", 1, 5) + b"PLAIN")
+    s.sendall(struct.pack(">bi", 5, 2) + b"\x00\x00")
+    status, ln = struct.unpack(">bi", s.makefile("rb").read(5))
+    assert status == 4
+    s.close()
+
+
 def test_e2e_result_cap_bounds_driver_materialization(spark, sf_dir):
     """ExecuteStatement materializes AT MOST result_cap rows on the
     driver (take(cap+1), a pushed GlobalLimit — never an unbounded
