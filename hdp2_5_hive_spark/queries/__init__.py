@@ -192,6 +192,9 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fmt_parquet_codecs",
     "fmt_parquet_schema_evolution",
     "fmt_text_add_columns",
+    # new round-8 addition (snappy codec landed this round; also
+    # never-sampled, so the 50-prefix criterion holds)
+    "fmt_rcfile_snappy",
     "fmt_parquet_bloom_filter",
     "fmt_orc_bloom_filter",
     "fmt_zorder_value",

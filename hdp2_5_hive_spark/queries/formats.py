@@ -643,6 +643,38 @@ def fmt_rcfile_compressed(spark, t):
 
 
 @register(
+    "fmt_rcfile_snappy",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_orderkey <= 600
+""",
+    category="formats",
+)
+def fmt_rcfile_snappy(spark, t):
+    """Snappy-compressed RCFile round-trip — the OTHER common HDP
+    compression default (``ql/io/RCFile.java`` header names
+    ``o.a.h.io.compress.SnappyCodec``; each key/column buffer is an
+    independent codec stream). SnappyCodec has no stream format of
+    its own: Hadoop wraps raw snappy in BlockCompressorStream framing
+    ([i32 uncompressed][i32 compressed][chunk]...), and the raw codec
+    is implemented from the public format description in pure Python
+    (sources/snappy_py — varint preamble, literal/copy tag stream,
+    64 KiB fragments) and cross-validated against google snappy via
+    pyarrow in both directions. Small groups + byte-range splits
+    force the compressed multi-group resync path."""
+    from ..sources import rcfile_py
+
+    d = scratch_dir("fmt_rcfile_sn_") + "/rc"
+    src = t.lineitem.filter(F.col("l_orderkey") <= 600).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    rcfile_py.write_rcfile(
+        src.repartition(3), d, group_rows=64, codec="snappy"
+    )
+    return rcfile_py.read_rcfile(spark, d, split_bytes=8 * 1024)
+
+
+@register(
     "ddl_insert_overwrite_partition",
     oracle="""
 SELECT n_nationkey, n_name, n_regionkey FROM nation

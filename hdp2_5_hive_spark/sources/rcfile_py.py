@@ -93,6 +93,7 @@ DEFAULT_GROUP_ROWS = 4096
 CODEC_DEFAULT = "org.apache.hadoop.io.compress.DefaultCodec"
 CODEC_GZIP = "org.apache.hadoop.io.compress.GzipCodec"
 CODEC_BZIP2 = "org.apache.hadoop.io.compress.BZip2Codec"
+CODEC_SNAPPY = "org.apache.hadoop.io.compress.SnappyCodec"
 
 
 def _codec_funcs(codec_class: str):
@@ -111,11 +112,20 @@ def _codec_funcs(codec_class: str):
         return (lambda b: gzip.compress(b, mtime=0)), gzip.decompress
     if codec_class in (CODEC_BZIP2,) or short in ("bzip2codec", "bzip2"):
         return bz2.compress, bz2.decompress
+    if codec_class in (CODEC_SNAPPY,) or short in ("snappycodec", "snappy"):
+        # SnappyCodec has no stream format of its own — Hadoop wraps
+        # the raw codec in BlockCompressorStream framing, which is
+        # what each independent column/key buffer holds (the common
+        # HDP default; pure-Python implementation validated against
+        # google snappy via pyarrow)
+        from . import snappy_py
+
+        return snappy_py.block_compress, snappy_py.block_uncompress
     raise NotImplementedError(
-        f"RCFile compression codec {codec_class!r} has no stdlib "
-        "decompressor (Snappy/LZO) — transcode with Hive to "
-        "DefaultCodec/gzip, or migrate to parquet (queries/formats.py "
-        "CONCATENATE)"
+        f"RCFile compression codec {codec_class!r} has no "
+        "decompressor here (LZO is the remaining gap) — transcode "
+        "with Hive to DefaultCodec/gzip/snappy, or migrate to parquet "
+        "(queries/formats.py CONCATENATE)"
     )
 
 
@@ -270,13 +280,15 @@ def write_rcfile_stream(
 ) -> int:
     """Write one RCFile to a binary stream; returns rows written.
     ``codec`` = Hadoop codec class name (or short form "gzip" /
-    "deflate" / "bzip2") for a compressed file, None = uncompressed."""
+    "deflate" / "bzip2" / "snappy") for a compressed file, None =
+    uncompressed."""
     if codec is not None:
         codec = {
             "gzip": CODEC_GZIP,
             "deflate": CODEC_DEFAULT,
             "default": CODEC_DEFAULT,
             "bzip2": CODEC_BZIP2,
+            "snappy": CODEC_SNAPPY,
         }.get(codec.lower(), codec)
         compress, _ = _codec_funcs(codec)
     fh.write(MAGIC + bytes([VERSION]))

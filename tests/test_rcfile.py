@@ -65,19 +65,21 @@ def test_stream_round_trip_with_nulls_and_groups():
 
 
 def test_unsupported_codec_rejected():
-    """Snappy/LZO have no stdlib decompressor — the header parse
-    must raise the actionable migration error, not crash mid-group."""
+    """LZO (GPL, no public-stdlib decoder here) is the one codec left
+    without a decompressor — the header parse must raise the
+    actionable migration error, not crash mid-group. (Snappy moved to
+    the supported list: sources/snappy_py.)"""
     fh = io.BytesIO()
     fh.write(rc.MAGIC + bytes([rc.VERSION]) + b"\x01")
     buf = io.BytesIO()
-    rc._write_text(buf, "org.apache.hadoop.io.compress.SnappyCodec")
+    rc._write_text(buf, "com.hadoop.compression.lzo.LzoCodec")
     fh.write(buf.getvalue())
     fh.seek(0)
-    with pytest.raises(NotImplementedError, match="Snappy"):
+    with pytest.raises(NotImplementedError, match="Lzo"):
         rc.read_rcfile_header(fh)
 
 
-@pytest.mark.parametrize("codec", ["deflate", "gzip", "bzip2"])
+@pytest.mark.parametrize("codec", ["deflate", "gzip", "bzip2", "snappy"])
 def test_compressed_stream_round_trip(codec):
     """Compressed row groups (RCFile.java flushRecords/writeKey):
     key buffer one codec stream, each column an independent stream;
