@@ -89,6 +89,22 @@ def test_block_framing_layout_and_roundtrip():
     assert sp.block_uncompress(sp.block_compress(b"xy")) == b"xy"
 
 
+def test_sequencefile_snappy_jvm_roundtrip(spark):
+    """SequenceFile+SnappyCodec goes through the JVM (Hadoop 3.3+
+    bundles java-snappy, no native lib needed) — pin that the write
+    hint and hint-free read both work in this environment, closing
+    the other half of the Snappy/LZO residual."""
+    from hdp2_5_hive_spark.scratch import scratch_dir
+
+    d = scratch_dir("test_seq_snappy_") + "/seq"
+    data = [(f"k{i}", f"v{i}") for i in range(100)]
+    spark.sparkContext.parallelize(data, 2).saveAsSequenceFile(
+        d, "org.apache.hadoop.io.compress.SnappyCodec"
+    )
+    back = spark.sparkContext.sequenceFile(d).collect()
+    assert sorted(back) == sorted(data)
+
+
 def test_rcfile_snappy_roundtrip_and_split_read(spark, sf_dir):
     """The migration read this codec exists for: RCFile written with
     SnappyCodec (header names the codec class, every key/column
