@@ -70,3 +70,36 @@ def test_sample_front_names_unique_and_registered():
 
     assert len(set(SAMPLE_FRONT)) == len(SAMPLE_FRONT)
     assert set(SAMPLE_FRONT) <= set(QUERIES)
+
+
+def test_sample_front_window_is_rotated():
+    """Rotation forcing function (r7 verdict: a stale front re-proves
+    50 already-green rows and stalls the ledger). The driver samples a
+    ~50-name prefix of SAMPLE_FRONT, so that prefix must contain NO
+    query that already has a cumulative CORRECTNESS_r*.json row.
+    This test going red at the start of a round means the driver just
+    recorded the previous window — rotate SAMPLE_FRONT (front the
+    remaining never-sampled names, or the round's fixed red rows)
+    as the FIRST commit of the round, exactly like the rotation
+    ledger in queries/__init__.py describes."""
+    import glob
+    import json
+    import os
+
+    from hdp2_5_hive_spark.queries import SAMPLE_FRONT
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            sampled.update(json.loads(open(path).read()).keys())
+        except (OSError, ValueError):
+            continue
+    if not sampled:
+        return  # fresh clone without driver artifacts
+    stale = [n for n in SAMPLE_FRONT[:50] if n in sampled]
+    assert not stale, (
+        f"SAMPLE_FRONT window holds {len(stale)} already-sampled "
+        f"queries (first: {stale[:5]}) — rotate the front before "
+        "doing anything else this round"
+    )
