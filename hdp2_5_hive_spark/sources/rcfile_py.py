@@ -7,12 +7,14 @@ Spark has no native RCFile reader and the format is long obsolete
 (Hive itself recommends ORC/parquet), so the engine carries a
 minimal from-scratch codec for MIGRATION reads plus a writer so the
 round-trip is testable end-to-end. Scope: the modern ``RCF\\x01``
-header, UNCOMPRESSED and COMPRESSED row groups (DefaultCodec /
-GzipCodec / BZip2Codec — zlib/gzip/bz2 are stdlib; real legacy HDP
-warehouses ran RCFile+DefaultCodec, so a migration read hits this on
-first contact), cells text-serialized as ColumnarSerDe does over
-LazySimpleSerDe strings (NULL = ``\\N``). Snappy/LZO-compressed
-files raise a clear error (no stdlib codec).
+header, UNCOMPRESSED and COMPRESSED row groups — the full
+Hadoop-BUNDLED codec matrix: DefaultCodec / GzipCodec / BZip2Codec
+(zlib/gzip/bz2 are stdlib) plus SnappyCodec and Lz4Codec via the
+repo's own pure-Python raw codecs + BlockCompressorStream framing
+(sources/snappy_py, sources/lz4_py — both interop-pinned against the
+reference implementations via pyarrow). Cells are text-serialized as
+ColumnarSerDe does over LazySimpleSerDe strings (NULL = ``\\N``).
+LZO (GPL, never Hadoop-bundled) raises a clear transcode error.
 
 Compressed layout (RCFile.java flushRecords/writeKey, :1137-1253):
 the header gains the codec class name as a Hadoop Text after the
@@ -94,6 +96,7 @@ CODEC_DEFAULT = "org.apache.hadoop.io.compress.DefaultCodec"
 CODEC_GZIP = "org.apache.hadoop.io.compress.GzipCodec"
 CODEC_BZIP2 = "org.apache.hadoop.io.compress.BZip2Codec"
 CODEC_SNAPPY = "org.apache.hadoop.io.compress.SnappyCodec"
+CODEC_LZ4 = "org.apache.hadoop.io.compress.Lz4Codec"
 
 
 def _codec_funcs(codec_class: str):
@@ -121,10 +124,18 @@ def _codec_funcs(codec_class: str):
         from . import snappy_py
 
         return snappy_py.block_compress, snappy_py.block_uncompress
+    if codec_class in (CODEC_LZ4,) or short in ("lz4codec", "lz4"):
+        # same BlockCompressorStream framing as snappy around the raw
+        # LZ4 block format (pure-Python, validated against the
+        # reference lz4 library via pyarrow)
+        from . import lz4_py
+
+        return lz4_py.block_compress, lz4_py.block_uncompress
     raise NotImplementedError(
         f"RCFile compression codec {codec_class!r} has no "
         "decompressor here (LZO is the remaining gap) — transcode "
-        "with Hive to DefaultCodec/gzip/snappy, or migrate to parquet "
+        "with Hive to DefaultCodec/gzip/snappy/lz4, or migrate to "
+        "parquet "
         "(queries/formats.py CONCATENATE)"
     )
 
@@ -289,6 +300,7 @@ def write_rcfile_stream(
             "default": CODEC_DEFAULT,
             "bzip2": CODEC_BZIP2,
             "snappy": CODEC_SNAPPY,
+            "lz4": CODEC_LZ4,
         }.get(codec.lower(), codec)
         compress, _ = _codec_funcs(codec)
     fh.write(MAGIC + bytes([VERSION]))
