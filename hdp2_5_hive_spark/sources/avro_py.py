@@ -305,10 +305,12 @@ def write_container(
     codec: str = "null",
 ) -> int:
     """Write one Avro Object Container File; one block per batch.
-    Returns row count. ``codec``: "null" (uncompressed) or "deflate"
+    Returns row count. ``codec``: "null" (uncompressed), "deflate"
     (per-block raw RFC-1951 streams, the Avro 1.11 spec's required
-    optional codec — what most real OCF files ship with)."""
-    if codec not in ("null", "deflate"):
+    optional codec — what most real OCF files ship with), or "snappy"
+    (spec optional codec: raw-snappy block + 4-byte big-endian CRC32
+    of the UNCOMPRESSED data; codec from sources/snappy_py)."""
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro_py: unsupported write codec {codec!r}")
     avro_schema = spark_to_avro_schema(spark_schema)
     codecs = [_FieldCodec(f.dataType, f.nullable) for f in spark_schema.fields]
@@ -337,6 +339,15 @@ def write_container(
             # raw DEFLATE, no zlib wrapper (Avro spec: RFC 1951)
             co = zlib.compressobj(wbits=-15)
             data = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            import struct as _struct
+            import zlib
+
+            from . import snappy_py
+
+            data = snappy_py.compress(data) + _struct.pack(
+                ">I", zlib.crc32(data) & 0xFFFFFFFF
+            )
         head = io.BytesIO()
         _write_long(head, len(rows))
         _write_long(head, len(data))
@@ -365,11 +376,13 @@ def read_header(
         for _ in range(n):
             k = _read_bytes(src).decode()
             meta[k] = _read_bytes(src)
-    if meta.get("avro.codec", b"null") not in (b"null", b"", b"deflate"):
+    if meta.get("avro.codec", b"null") not in (
+        b"null", b"", b"deflate", b"snappy",
+    ):
         raise ValueError(
             f"avro_py: unsupported codec {meta['avro.codec']!r} — "
-            "null and deflate are supported (snappy/zstandard need "
-            "external libs; transcode or use the spark-avro jar)"
+            "null, deflate and snappy are supported (zstandard needs "
+            "an external lib; transcode or use the spark-avro jar)"
         )
     codec = (meta.get("avro.codec") or b"null").decode() or "null"
     return json.loads(meta["avro.schema"]), src.read(16), codec
@@ -412,6 +425,27 @@ def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
                 raise ValueError(
                     "avro_py: deflate block has trailing bytes (corrupt)"
                 )
+        elif blk_codec == "snappy":
+            import struct as _struct
+            import zlib
+
+            from . import snappy_py
+
+            comp = buf.read(size)
+            # Avro spec: trailing 4-byte BE CRC32 of the UNCOMPRESSED data
+            raw = snappy_py.uncompress(comp[:-4])
+            (want_crc,) = _struct.unpack(">I", comp[-4:])
+            if zlib.crc32(raw) & 0xFFFFFFFF != want_crc:
+                raise ValueError(
+                    "avro_py: snappy block CRC mismatch (corrupt)"
+                )
+            body = io.BytesIO(raw)
+            for _ in range(n):
+                rows.append(tuple(c.decode(body) for c in codecs))
+            if body.read(1):
+                raise ValueError(
+                    "avro_py: snappy block has trailing bytes (corrupt)"
+                )
         else:
             for _ in range(n):
                 rows.append(tuple(c.decode(buf) for c in codecs))
@@ -448,13 +482,17 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
     float64, silently corrupting longs above 2^53; ``to_pylist`` on
     the RecordBatch keeps exact ints with None for nulls.
     Delegates to native spark-avro when present. Returns row count.
-    ``codec``: "null" or "deflate" (per-block raw RFC-1951)."""
+    ``codec``: "null", "deflate" (per-block raw RFC-1951) or
+    "snappy" (raw snappy + CRC32 suffix)."""
     spark = df.sparkSession
     if native_avro_available(spark):
+        native_comp = {
+            "deflate": "deflate", "snappy": "snappy"
+        }.get(codec, "uncompressed")
         (
             df.write.mode("overwrite")
             .format("avro")
-            .option("compression", "deflate" if codec == "deflate" else "uncompressed")
+            .option("compression", native_comp)
             .save(path)
         )
         return -1  # native path reports via its own committer

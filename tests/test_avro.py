@@ -273,9 +273,48 @@ def test_deflate_codec_round_trip(spark, tmp_path):
     )
 
 
+def test_snappy_codec_round_trip(spark, tmp_path):
+    """avro.codec=snappy (Avro spec optional codec: raw-snappy block
+    + 4-byte BE CRC32 of the UNCOMPRESSED data): values round-trip
+    exactly, the file shrinks on repetitive data, the header records
+    the codec, and a flipped payload byte is caught by the CRC."""
+    import os as _os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("the same prefix again and again "), F.col("id"))
+        .alias("s"),
+    )
+    plain, comp = str(tmp_path / "plain"), str(tmp_path / "comp")
+    avro_py.write_avro(df.coalesce(1), plain)
+    n = avro_py.write_avro(df.coalesce(1), comp, codec="snappy")
+    assert n == 2000
+    p = glob.glob(f"{plain}/part-*.avro")[0]
+    c = glob.glob(f"{comp}/part-*.avro")[0]
+    assert _os.path.getsize(c) < _os.path.getsize(p)
+    with open(c, "rb") as fh:
+        assert avro_py.read_header(fh)[2] == "snappy"
+    back = avro_py.read_avro(spark, comp)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
+    )
+    # corrupt the stored CRC -> loud error, not silent garbage
+    # (raised inside the executor, so it surfaces Py4J-wrapped)
+    blob = bytearray(open(c, "rb").read())
+    # flip a bit near the end of the final block's CRC region
+    blob[-20] ^= 0x01
+    open(c, "wb").write(bytes(blob))
+    with _pytest.raises(Exception, match="CRC mismatch"):
+        avro_py.read_avro(spark, c).collect()
+
+
 def test_unsupported_avro_codec_is_loud(spark, tmp_path):
-    """A snappy-coded file must raise the actionable error at header
-    parse, not garbage mid-block."""
+    """A zstandard-coded file must raise the actionable error at
+    header parse, not garbage mid-block (snappy moved to the
+    supported list)."""
     import pytest as _pytest
 
     df = spark.range(5)
@@ -284,6 +323,6 @@ def test_unsupported_avro_codec_is_loud(spark, tmp_path):
     f = glob.glob(f"{path}/part-*.avro")[0]
     data = open(f, "rb").read()
     assert b"null" in data
-    open(f, "wb").write(data.replace(b"\x08null", b"\x0csnappy", 1))
-    with _pytest.raises(ValueError, match="snappy"):
+    open(f, "wb").write(data.replace(b"\x08null", b"\x12zstandard", 1))
+    with _pytest.raises(ValueError, match="zstandard"):
         avro_py.read_avro(spark, f).collect()
