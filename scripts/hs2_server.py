@@ -1,9 +1,10 @@
 """HiveServer2 wire-protocol endpoint launcher — entry point B.
 
-Serves the TCLIService Thrift protocol (strict binary, NOSASL — what
-``jdbc:hive2://host:port/default;auth=noSasl`` speaks) over the
-engine with the testdata tables registered as views. The wire codec
-is sources/hs2_wire.py, built from the reference's own IDL
+Serves the TCLIService Thrift protocol over the engine with the
+testdata tables registered as views. Transport is auto-detected per
+connection: SASL/PLAIN (stock ``jdbc:hive2://host:port/default``)
+and NOSASL (``;auth=noSasl``) both work on the same port. The wire
+codec is sources/hs2_wire.py, built from the reference's own IDL
 (``service/if/TCLIService.thrift``).
 
 Usage:
@@ -24,6 +25,11 @@ def main() -> int:
     ap.add_argument("--port", type=int, default=10000)
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--max-rows", type=int, default=1000)
+    ap.add_argument(
+        "--result-cap", type=int, default=100_000,
+        help="max rows materialized per statement (take(cap+1); "
+        "truncation is signaled via hasMoreRows)",
+    )
     args = ap.parse_args()
 
     from hdp2_5_hive_spark.catalog import register_views
@@ -32,8 +38,14 @@ def main() -> int:
 
     spark = get_session(app_name="hs2-wire")
     register_views(spark, args.sf)
-    srv, port = serve_background(spark, port=args.port, max_rows=args.max_rows)
-    print(f"TCLIService (NOSASL) listening on port {port}", file=sys.stderr)
+    srv, port = serve_background(
+        spark, port=args.port, max_rows=args.max_rows,
+        result_cap=args.result_cap,
+    )
+    print(
+        f"TCLIService (SASL/PLAIN + NOSASL) listening on port {port}",
+        file=sys.stderr,
+    )
     try:
         import time
 
