@@ -92,6 +92,41 @@ def reject_complex_schema(spark_df) -> None:
         )
 
 
+class DecimalOutputError(TypeError):
+    """An oracle-backed query emitted a raw top-level DecimalType
+    column. Both r8 driver reds (`fmt_parquet_codecs`,
+    `fmt_lazybinary_sequencefile_round_trip`) were hash-only misses
+    whose output schemas carried raw DECIMAL — the driver's pandas
+    canonicalizer renders Spark DecimalType and DuckDB DECIMAL cells
+    differently even at equal values (same family as the HUGEINT and
+    fn_decimal_round notes above), and `check_type_drift` passes them
+    because the numeric CLASS matches on both sides. House convention:
+    align the FINAL column to DOUBLE on both sides (CAST ... AS
+    DOUBLE), or compare integer cents as BIGINT. Decimals inside CTEs
+    / intermediate expressions are fine — only the returned schema is
+    guarded."""
+
+
+def reject_decimal_schema(spark_df) -> None:
+    """Static no-raw-DECIMAL-output guard for ORACLE-BACKED queries
+    (r8 verdict #2). Rows-only queries are exempt: without an oracle
+    there is no cross-engine cell-rendering seam to trip."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, T.DecimalType)
+    ]
+    if bad:
+        raise DecimalOutputError(
+            f"oracle-backed query emits raw DECIMAL top-level columns "
+            f"{bad}; the driver comparator renders Spark DecimalType vs "
+            "DuckDB DECIMAL differently — CAST the final column AS "
+            "DOUBLE on both sides (or compare integer cents as BIGINT)"
+        )
+
+
 def _duck_num_class(duck_type: str) -> str | None:
     t = duck_type.upper()
     if t.startswith("DECIMAL"):
@@ -162,6 +197,7 @@ def compare_query(spark_df, con, oracle_sql: str) -> tuple[bool, str]:
     numeric-class drift (see check_type_drift) even when the values
     happen to compare equal locally."""
     reject_complex_schema(spark_df)
+    reject_decimal_schema(spark_df)
     drift = check_type_drift(spark_df, con, oracle_sql)
     if drift:
         return False, "type drift: " + "; ".join(drift)

@@ -171,69 +171,20 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
-    # ---- round-8 window: ROTATED (verdict r7 next-round #1). The
-    # full tuple is now exactly the 135 queries with NO cumulative
-    # CORRECTNESS_r01..r07 row; every previously-sampled (green)
-    # name was dropped behind so the driver prefix only proves new
-    # rows. First 50 = the round-8 window, riskiest first: the
-    # codec tail (typedbytes/lazybinary/webdataset/arrow-ipc/
-    # protobuf x2 per verdict #7), the HS2 wire entry point, the
-    # rows-only/iterative operators, then fresh oracle shapes.
-    # Positions 50-134 stage the round-9 window.
-    "fmt_typedbytes_transform",
+    # ---- round-9 window: ROTATED (verdict r8 next-round #3). The
+    # tuple is exactly [the 2 r8 red rows, fixed this round by
+    # aligning their final DECIMAL output columns to DOUBLE on both
+    # sides per house convention + the new reject_decimal_schema
+    # static guard] followed by the 86 never-sampled queries in the
+    # existing staged risk order (codec/ACID/graph tail first). All
+    # 333 previously-sampled green names dropped behind into
+    # registration order. First 50 = the round-9 window; positions
+    # 50-87 stage round 10 (closes the ledger at 419/419).
+    # Done criterion: CORRECTNESS_r09 = 2 formerly-red now green +
+    # 48 first-time greens; ledger 333 -> 381/419.
     "fmt_lazybinary_sequencefile_round_trip",
-    "fmt_webdataset_round_trip",
-    "fmt_arrow_ipc_round_trip",
-    "fmt_protobuf_sequencefile_round_trip",
-    "fmt_protobuf_complex_round_trip",
-    "fmt_thrift_complex_round_trip",
-    "fmt_avro_deflate",
-    "fmt_multidelim_text",
     "fmt_parquet_codecs",
-    "fmt_parquet_schema_evolution",
-    "fmt_text_add_columns",
-    # new round-8 addition (snappy codec landed this round; also
-    # never-sampled, so the 50-prefix criterion holds)
-    "fmt_rcfile_snappy",
-    "fmt_parquet_bloom_filter",
-    "fmt_orc_bloom_filter",
-    "fmt_zorder_value",
-    "hs2_wire_round_trip",
-    "vocab_wordpiece_merges",
-    "vocab_wordpiece_apply",
-    "vocab_unigram_lm",
-    "vocab_unigram_apply",
-    "ann_pq_rerank_recall",
-    "graph_pagerank_hosts",
-    "graph_kcore_membership",
-    "graph_triangle_count",
-    "er_em_parameters",
-    "topic_model_mixture",
-    "multimodal_video_keyframe_dedup",
-    "multimodal_audio_fingerprint_dedup",
-    "multimodal_crossmodal_dedup",
-    "meta_plan_shuffle_census",
-    "meta_column_lineage",
-    "agg_misra_gries_heavy",
-    "quality_kneser_ney",
-    "quality_stupid_backoff",
-    "join_interval_overlap",
-    "events_asof_forward",
-    "acid_major_compaction",
-    "acid_minor_compaction",
-    "acid_time_travel_read",
-    "hiveql_macro_expansion",
-    "hiveql_regex_column_spec",
-    "hiveql_transform_delimited",
-    "hiveql_reduce_using",
-    "hiveql_variable_substitution",
-    "ddl_exchange_partition",
-    "ddl_show_grants",
-    "sec_policy_enforced_read",
-    "agg_grouping_id_legacy",
-    "win_moving_median",
     "win_cumulative_distinct",
-    # ---- positions 50+: round-9 staging (remaining never-sampled) ----
     "events_funnel_time_bound",
     "events_scd2_history",
     "events_anomaly_mad",

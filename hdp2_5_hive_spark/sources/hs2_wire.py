@@ -56,8 +56,12 @@ at most ``result_cap`` rows on the driver via ``take(result_cap+1)``
 (a pushed GlobalLimit — never an unbounded collect); FetchResults
 pages that buffer in ``maxRows`` batches, mirroring SQLOperation's
 fetch path. A result wider than the cap is truncated at result_cap
-rows and the final non-empty fetch reports hasMoreRows=true to signal
-the drop — raise ``result_cap`` or add LIMIT for bigger result sets.
+rows; the drop is signalled IN-BAND — every FetchResults of a
+truncated op (including the post-drain empty fetch that
+loop-until-empty clients terminate on) carries a SUCCESS_WITH_INFO
+TStatus with an infoMessage naming the cap, and the final non-empty
+fetch additionally reports hasMoreRows=true — raise ``result_cap``
+or add LIMIT for bigger result sets.
 """
 
 from __future__ import annotations
@@ -77,7 +81,7 @@ VERSION_MASK = 0x80010000
 PROTOCOL_V5 = 4
 PROTOCOL_V6 = 5
 # TStatusCode (:408): SUCCESS=0, ERROR=3
-SUCCESS, ERROR = 0, 3
+SUCCESS, SUCCESS_WITH_INFO, ERROR = 0, 1, 3
 # TOperationType (:502): EXECUTE_STATEMENT=0
 OP_EXECUTE = 0
 
@@ -148,8 +152,18 @@ def _tlist(etype: int, items: list[bytes]) -> bytes:
     return struct.pack(">bi", etype, len(items)) + b"".join(items)
 
 
-def _status(code: int, message: str | None = None) -> bytes:
+def _status(
+    code: int,
+    message: str | None = None,
+    info: list[str] | None = None,
+) -> bytes:
     out = _fld(1, tp.T_I32, _i32(code))
+    if info:
+        # TStatus field 2: infoMessages (list<string>) — carried on
+        # SUCCESS_WITH_INFO so clients see in-band warnings
+        out += _fld(
+            2, tp.T_LIST, _tlist(tp.T_STRING, [_string(m) for m in info])
+        )
     if message is not None:
         out += _fld(3, tp.T_STRING, _string("42000"))
         out += _fld(5, tp.T_STRING, _string(message))
@@ -607,8 +621,27 @@ class _Handler(socketserver.StreamRequestHandler):
             more = (served + len(batch) < len(rows)) or (
                 truncated and len(batch) > 0
             )
+            # In-band truncation signal (ADVICE r8): EVERY fetch of a
+            # truncated op — including the post-drain empty fetch that
+            # loop-until-empty clients terminate on — carries
+            # SUCCESS_WITH_INFO + an infoMessage, so a stock client
+            # cannot mistake a capped result for a complete one.
+            # (Real HS2 streams the full result via FetchTask; this
+            # single-process server bounds driver memory instead and
+            # must therefore say so on the wire.)
+            st = (
+                _status(
+                    SUCCESS_WITH_INFO,
+                    info=[
+                        f"result truncated at result_cap={srv.result_cap} "
+                        "rows; raise --result-cap or add LIMIT"
+                    ],
+                )
+                if truncated
+                else _status(SUCCESS)
+            )
             resp = (
-                _fld(1, tp.T_STRUCT, _status(SUCCESS))
+                _fld(1, tp.T_STRUCT, st)
                 + _fld(2, tp.T_BOOL, struct.pack(">b", 1 if more else 0))
                 + _fld(
                     3,
@@ -852,17 +885,30 @@ class HS2WireClient:
         self.sock = socket.create_connection((host, port))
         self.rfile = self.sock.makefile("rb")
         self.wfile = self.sock.makefile("wb")
-        if sasl:
-            framed = _sasl_client_handshake(
-                self.rfile, self.wfile, user, password
-            )
-            self._in = framed
-            self._out = framed
-        else:
-            self._in = self.rfile
-            self._out = self.wfile
+        try:
+            if sasl:
+                framed = _sasl_client_handshake(
+                    self.rfile, self.wfile, user, password
+                )
+                self._in = framed
+                self._out = framed
+            else:
+                self._in = self.rfile
+                self._out = self.wfile
+        except BaseException:
+            # a failed handshake (RuntimeError on non-COMPLETE status)
+            # must not leak the socket/file objects — close() is
+            # unreachable when __init__ raises
+            self.rfile.close()
+            self.wfile.close()
+            self.sock.close()
+            raise
         self.seq = 0
         self.session: bytes | None = None
+        # TStatus of the most recent FetchResults: (code, infoMessages)
+        # — SUCCESS_WITH_INFO + an infoMessage marks a result the
+        # server truncated at result_cap
+        self.last_fetch_status: tuple[int, list[str]] = (SUCCESS, [])
 
     def _call(self, name: str, req_struct: bytes) -> list:
         self.seq += 1
@@ -960,6 +1006,12 @@ class HS2WireClient:
             + _stop()
         )
         resp = self._call("FetchResults", req)
+        status = resp[0]
+        info = status[1] if len(status) > 1 and isinstance(status[1], list) else []
+        self.last_fetch_status = (
+            status[0],
+            [m.decode() if isinstance(m, bytes) else str(m) for m in info],
+        )
         has_more = bool(resp[1])
         rowset = resp[2]
         trows = rowset[1]

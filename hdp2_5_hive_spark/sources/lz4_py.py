@@ -37,7 +37,9 @@ _MFLIMIT = 12  # spec: last match starts >= 12 bytes before block end
 
 
 def uncompress(data: bytes, expected: int | None = None) -> bytes:
-    """Decode one raw LZ4 block."""
+    """Decode one raw LZ4 block. Truncated or corrupt input raises
+    ValueError (module convention — never a bare IndexError or a
+    silently-shortened literal run)."""
     out = bytearray()
     pos = 0
     n = len(data)
@@ -48,16 +50,22 @@ def uncompress(data: bytes, expected: int | None = None) -> bytes:
         lit = token >> 4
         if lit == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated stream (literal length)")
                 b = data[pos]
                 pos += 1
                 lit += b
                 if b != 255:
                     break
+        if pos + lit > n:
+            raise ValueError("lz4: truncated stream (literal run)")
         out += data[pos : pos + lit]
         pos += lit
         if pos >= n:  # last sequence is literals-only
             break
         # match
+        if pos + 2 > n:
+            raise ValueError("lz4: truncated stream (match offset)")
         offset = int.from_bytes(data[pos : pos + 2], "little")
         pos += 2
         if offset == 0 or offset > len(out):
@@ -67,6 +75,8 @@ def uncompress(data: bytes, expected: int | None = None) -> bytes:
         mlen = (token & 0x0F) + _MIN_MATCH
         if (token & 0x0F) == 15:
             while True:
+                if pos >= n:
+                    raise ValueError("lz4: truncated stream (match length)")
                 b = data[pos]
                 pos += 1
                 mlen += b

@@ -291,8 +291,8 @@ def write_rcfile_stream(
 ) -> int:
     """Write one RCFile to a binary stream; returns rows written.
     ``codec`` = Hadoop codec class name (or short form "gzip" /
-    "deflate" / "bzip2" / "snappy") for a compressed file, None =
-    uncompressed."""
+    "deflate" / "bzip2" / "snappy" / "lz4") for a compressed file,
+    None = uncompressed."""
     if codec is not None:
         codec = {
             "gzip": CODEC_GZIP,

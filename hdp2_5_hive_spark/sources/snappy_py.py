@@ -47,6 +47,8 @@ _FRAGMENT = 65536  # reference encoder compresses 64 KiB at a time
 def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
     result = shift = 0
     while True:
+        if pos >= len(data):
+            raise ValueError("snappy: truncated stream (varint preamble)")
         b = data[pos]
         pos += 1
         result |= (b & 0x7F) << shift
@@ -58,7 +60,9 @@ def _read_varint(data: bytes, pos: int) -> tuple[int, int]:
 
 
 def uncompress(data: bytes) -> bytes:
-    """Decode one raw-snappy buffer (preamble + tag stream)."""
+    """Decode one raw-snappy buffer (preamble + tag stream).
+    Truncated or corrupt input raises ValueError (module convention —
+    never a bare IndexError or a silently-shortened literal run)."""
     if not data:
         raise ValueError("snappy: empty input")
     expected, pos = _read_varint(data, 0)
@@ -72,21 +76,33 @@ def uncompress(data: bytes) -> bytes:
             ln = tag >> 2
             if ln >= 60:  # 60..63 -> 1..4 trailing LE length bytes
                 extra = ln - 59
+                if pos + extra > n:
+                    raise ValueError(
+                        "snappy: truncated stream (literal length)"
+                    )
                 ln = int.from_bytes(data[pos : pos + extra], "little")
                 pos += extra
             ln += 1
+            if pos + ln > n:
+                raise ValueError("snappy: truncated stream (literal run)")
             out += data[pos : pos + ln]
             pos += ln
             continue
         if kind == 1:  # copy, 1-byte offset extension
+            if pos >= n:
+                raise ValueError("snappy: truncated stream (copy offset)")
             ln = 4 + ((tag >> 2) & 0x07)
             offset = ((tag >> 5) << 8) | data[pos]
             pos += 1
         elif kind == 2:  # copy, 2-byte LE offset
+            if pos + 2 > n:
+                raise ValueError("snappy: truncated stream (copy offset)")
             ln = (tag >> 2) + 1
             offset = int.from_bytes(data[pos : pos + 2], "little")
             pos += 2
         else:  # copy, 4-byte LE offset
+            if pos + 4 > n:
+                raise ValueError("snappy: truncated stream (copy offset)")
             ln = (tag >> 2) + 1
             offset = int.from_bytes(data[pos : pos + 4], "little")
             pos += 4

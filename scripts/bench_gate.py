@@ -143,6 +143,7 @@ def main() -> int:
 
     merged = dict(best)
     updates = dict(result["queries"])
+    reseed = False
     if isinstance(cal, (int, float)):
         # First seeding (no calibration history): the query bests may
         # come from a FASTER host than this run, so store the probe
@@ -152,9 +153,38 @@ def main() -> int:
         # recorded bests, guaranteeing false regressions. Once seeded,
         # the min-merge below lets genuinely faster hosts lower it.
         updates[CAL_KEY] = float(cal) / (1.0 if cal_best else factor)
+        if not cal_best:
+            # ADVICE r8: a noisy first-run median can bias this seed
+            # permanently — make the seeded value loud so it can be
+            # audited against later runs.
+            print(
+                f"bench_gate: SEEDED calibration best = "
+                f"{updates[CAL_KEY]:.3f}s (probe {cal:.3f}s / "
+                f"median-of-ratios {factor:.2f}) — audit against "
+                "future runs; a biased seed shows up as query times "
+                "beating the ledger while the probe does not"
+            )
+        elif ratios:
+            # Biased-seed self-repair (ADVICE r8): if this run's QUERY
+            # times beat the ledger (median ratio <= 1) while the
+            # probe says the host is slower (factor > 1), the stored
+            # probe best is too low (a noisy seed) — re-seed it to
+            # this run's probe instead of min-merging, tightening the
+            # gate back to a truthful machine factor.
+            med_ratio = sorted(ratios.values())[len(ratios) // 2]
+            if factor > 1.05 and med_ratio <= 1.0:
+                reseed = True
+                print(
+                    f"bench_gate: RE-SEEDED calibration best "
+                    f"{cal_best:.3f}s -> {cal:.3f}s (probe factor "
+                    f"{factor:.2f} but median query ratio "
+                    f"{med_ratio:.2f} — stored probe was biased low)"
+                )
     for name, sec in updates.items():
         if name not in merged or sec < merged[name]:
             merged[name] = sec
+    if reseed:
+        merged[CAL_KEY] = float(cal)
     with open(LEDGER, "w") as fh:
         json.dump(dict(sorted(merged.items())), fh, indent=2)
         fh.write("\n")

@@ -28,7 +28,9 @@ def main() -> int:
     ap.add_argument(
         "--result-cap", type=int, default=100_000,
         help="max rows materialized per statement (take(cap+1); "
-        "truncation is signaled via hasMoreRows)",
+        "truncation is signaled in-band: SUCCESS_WITH_INFO TStatus "
+        "with an infoMessage on every fetch, plus hasMoreRows on the "
+        "final non-empty batch)",
     )
     args = ap.parse_args()
 

@@ -173,14 +173,25 @@ def test_e2e_result_cap_bounds_driver_materialization(spark, sf_dir):
         rows1, more1 = cli.fetch(op)          # 7 rows (< max_rows=10)
         assert [r[0] for r in rows1] == list(range(7))
         assert more1 is True                   # truncation signal
+        # in-band signal (ADVICE r8): the truncated op's fetch status
+        # is SUCCESS_WITH_INFO with an infoMessage naming the cap
+        code, info = cli.last_fetch_status
+        assert code == hw.SUCCESS_WITH_INFO
+        assert info and "result_cap=7" in info[0]
         rows2, more2 = cli.fetch(op)           # drained
         assert rows2 == [] and more2 is False
+        # ...and the post-drain EMPTY fetch (what loop-until-empty
+        # clients terminate on) still says SUCCESS_WITH_INFO, so no
+        # stock client can mistake a capped result for complete
+        code2, info2 = cli.last_fetch_status
+        assert code2 == hw.SUCCESS_WITH_INFO and info2
         # an uncapped statement on the same server is unaffected
         op2 = cli.execute(
             "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5"
         )
         rows3, more3 = cli.fetch(op2)
         assert len(rows3) == 5 and more3 is False
+        assert cli.last_fetch_status[0] == hw.SUCCESS
         cli.close()
     finally:
         srv.shutdown()
@@ -381,3 +392,51 @@ def test_get_functions_and_type_info(hs2):
     by_name = {r[0]: r[1] for r in all_rows}
     assert by_name["BIGINT"] == -5 and by_name["TIMESTAMP"] == 93
     cli.close()
+
+
+def test_launcher_result_cap_flag(sf_dir):
+    """Launcher-level coverage for ``--result-cap`` (verdict r8 #7):
+    the flag must reach the server — a cap-5 launcher truncates a
+    25-row statement at 5 rows and signals it in-band
+    (SUCCESS_WITH_INFO + infoMessage + hasMoreRows)."""
+    import re
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parent.parent
+    proc = subprocess.Popen(
+        [
+            _sys.executable,
+            str(root / "scripts" / "hs2_server.py"),
+            "--port", "0", "--sf", sf_dir, "--result-cap", "5",
+        ],
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        # the launcher prints the bound port on stderr once Spark is up
+        port = None
+        for _ in range(600):
+            line = proc.stderr.readline()
+            if not line:
+                continue
+            m = re.search(r"listening on port (\d+)", line)
+            if m:
+                port = int(m.group(1))
+                break
+        assert port, "launcher never reported a bound port"
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        op = cli.execute(
+            "SELECT n_nationkey FROM nation ORDER BY n_nationkey"
+        )
+        rows, more = cli.fetch(op)
+        assert len(rows) == 5 and more is True
+        code, info = cli.last_fetch_status
+        assert code == hw.SUCCESS_WITH_INFO
+        assert info and "result_cap=5" in info[0]
+        cli.close()
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)

@@ -52,6 +52,25 @@ def test_corrupt_streams_raise():
         lz.uncompress(b"\x10a\x01\x00", expected=99)
 
 
+def test_truncated_streams_raise_valueerror():
+    """ADVICE r8: truncated input must raise ValueError uniformly
+    (never a bare IndexError from an extended-length read past the
+    buffer, and never a silently-shortened literal run)."""
+    # extended literal length cut off mid-read (token says 15+ext)
+    with pytest.raises(ValueError, match="truncated"):
+        lz.uncompress(b"\xf0")
+    # literal run shorter than declared
+    with pytest.raises(ValueError, match="truncated"):
+        lz.uncompress(b"\x40ab")  # 4 literals declared, 2 present
+    # match offset cut to one byte (token 0x14: 1 literal, then a
+    # 2-byte offset of which only 1 byte is present)
+    with pytest.raises(ValueError, match="truncated"):
+        lz.uncompress(b"\x14a\x01")
+    # extended match length cut off
+    with pytest.raises(ValueError, match="truncated"):
+        lz.uncompress(b"\x1fa\x01\x00")  # ml=15 ext byte missing
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=4096))
 def test_interop_roundtrip_small(data):

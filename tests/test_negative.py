@@ -123,3 +123,32 @@ def test_oracle_compare_rejects_complex_top_level_columns(spark, oracle_con):
     )
     with pytest.raises(ComplexOutputError, match="arr"):
         compare_query(df, oracle_con, "SELECT 1 AS x")
+
+
+def test_oracle_compare_rejects_raw_decimal_output(spark, oracle_con):
+    """Guard for the round-8 driver-red class (verdict r8 #2): both
+    r8 hash-FAIL rows were the ONLY sampled queries whose final
+    schema carried raw DECIMAL — the driver's pandas canonicalizer
+    renders Spark DecimalType vs DuckDB DECIMAL cells differently at
+    equal values, and check_type_drift passes them because the
+    numeric class matches on both sides. compare_query must refuse
+    the schema statically so the hazard is unwritable."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.oracle import DecimalOutputError, compare_query
+
+    df = spark.range(3).select(
+        "id", F.lit("1.50").cast("decimal(12,2)").alias("amt")
+    )
+    with pytest.raises(DecimalOutputError, match="amt"):
+        compare_query(df, oracle_con, "SELECT 1 AS x")
+
+    # intermediate decimals are fine once the FINAL column is DOUBLE
+    ok_df = spark.range(1).select(
+        F.lit("1.50").cast("decimal(12,2)").cast("double").alias("amt")
+    )
+    ok, detail = compare_query(
+        ok_df, oracle_con, "SELECT CAST(CAST(1.50 AS DECIMAL(12,2)) AS DOUBLE) AS amt"
+    )
+    assert ok, detail

@@ -53,6 +53,26 @@ def test_corrupt_streams_raise():
         sp.uncompress(b"\x7f\x08abc")
 
 
+def test_truncated_streams_raise_valueerror():
+    """ADVICE r8: truncated input raises ValueError uniformly — never
+    a bare IndexError, never a silently-shortened literal run."""
+    # varint preamble with continuation bit but no next byte
+    with pytest.raises(ValueError, match="truncated"):
+        sp.uncompress(b"\x80")
+    # literal run shorter than declared (preamble 4, tag says 4 lits)
+    with pytest.raises(ValueError, match="truncated"):
+        sp.uncompress(b"\x04\x0cab")
+    # extended literal length bytes missing (tag 60<<2 needs 1 byte)
+    with pytest.raises(ValueError, match="truncated"):
+        sp.uncompress(b"\x04\xf0")
+    # 1-byte-offset copy with the offset byte missing
+    with pytest.raises(ValueError, match="truncated"):
+        sp.uncompress(b"\x08\x00a\x05")
+    # 2-byte-offset copy cut to one byte
+    with pytest.raises(ValueError, match="truncated"):
+        sp.uncompress(b"\x08\x00a\x06\x01")
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.binary(max_size=4096))
 def test_interop_roundtrip_small(data):
