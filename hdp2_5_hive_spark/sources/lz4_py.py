@@ -173,14 +173,30 @@ def block_uncompress(data: bytes) -> bytes:
     pos = 0
     n = len(data)
     while pos < n:
+        if pos + 4 > n:
+            raise ValueError("lz4 block stream: truncated block header")
         (orig,) = struct.unpack_from(">i", data, pos)
         pos += 4
+        if orig < 0:
+            raise ValueError(f"lz4 block stream: negative block length {orig}")
         produced = 0
         while produced < orig:
+            if pos + 4 > n:
+                raise ValueError("lz4 block stream: truncated chunk header")
             (clen,) = struct.unpack_from(">i", data, pos)
             pos += 4
+            # clen <= 0 would make an empty chunk and loop forever
+            if clen <= 0 or pos + clen > n:
+                raise ValueError(
+                    f"lz4 block stream: bad chunk length {clen} "
+                    f"at offset {pos - 4}"
+                )
             chunk = uncompress(data[pos : pos + clen])
             pos += clen
+            if not chunk:  # an empty chunk can never make progress
+                raise ValueError(
+                    "lz4 block stream: empty chunk inside a non-empty block"
+                )
             out += chunk
             produced += len(chunk)
         if produced != orig:

@@ -117,3 +117,40 @@ def test_rcfile_lz4_roundtrip_and_split_read(spark, sf_dir):
     )
     with open(sorted(glob.glob(d + "/*"))[0], "rb") as fh:
         assert b"org.apache.hadoop.io.compress.Lz4Codec" in fh.read(200)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=512), st.data())
+def test_prefix_truncation_never_indexerror(data, draw):
+    """Uniform-failure fuzz (ADVICE r8): ANY strict prefix of a valid
+    compressed block either raises ValueError (when passed with the
+    original expected length) or never escapes with IndexError — the
+    decoder's bounds checks must cover every read."""
+    blob = lz.compress(data)
+    cut = draw.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    try:
+        lz.uncompress(blob[:cut], expected=len(data))
+    except ValueError:
+        pass  # the uniform corrupt-stream contract
+
+
+def test_block_framing_corrupt_inputs_raise_valueerror():
+    """Framing-layer corrupt inputs fail uniformly with ValueError:
+    truncated headers (struct.error before), a zero/negative chunk
+    length, and the crafted [orig>0][clen=1][empty-block] stream that
+    previously looped forever (an empty chunk makes no progress)."""
+    import struct as _struct
+
+    with pytest.raises(ValueError, match="truncated block header"):
+        lz.block_uncompress(b"\x00\x00")
+    with pytest.raises(ValueError, match="truncated chunk header"):
+        lz.block_uncompress(_struct.pack(">i", 5) + b"\x00")
+    with pytest.raises(ValueError, match="bad chunk length"):
+        lz.block_uncompress(_struct.pack(">ii", 5, 0))
+    with pytest.raises(ValueError, match="bad chunk length"):
+        lz.block_uncompress(_struct.pack(">ii", 5, 99) + b"\x00")
+    with pytest.raises(ValueError, match="negative block length"):
+        lz.block_uncompress(_struct.pack(">i", -1))
+    # the infinite-loop shape: orig=5, one 1-byte chunk decoding to b""
+    with pytest.raises(ValueError, match="empty chunk"):
+        lz.block_uncompress(_struct.pack(">ii", 5, 1) + b"\x00")

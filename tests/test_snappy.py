@@ -149,3 +149,36 @@ def test_rcfile_snappy_roundtrip_and_split_read(spark, sf_dir):
     with open(sorted(glob.glob(d + "/*"))[0], "rb") as fh:
         head = fh.read(200)
     assert b"org.apache.hadoop.io.compress.SnappyCodec" in head
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=512), st.data())
+def test_prefix_truncation_never_indexerror(data, draw):
+    """Uniform-failure fuzz (ADVICE r8): ANY strict prefix of a valid
+    compressed buffer either raises ValueError or decodes to a result
+    the preamble-length check validates — never a bare IndexError."""
+    blob = sp.compress(data)
+    cut = draw.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    try:
+        sp.uncompress(blob[:cut])
+    except ValueError:
+        pass  # the uniform corrupt-stream contract
+
+
+def test_block_framing_corrupt_inputs_raise_valueerror():
+    """Framing-layer corrupt inputs fail uniformly with ValueError —
+    truncated headers, zero/negative chunk lengths, and the
+    empty-chunk no-progress stream."""
+    with pytest.raises(ValueError, match="truncated block header"):
+        sp.block_uncompress(b"\x00\x00")
+    with pytest.raises(ValueError, match="truncated chunk header"):
+        sp.block_uncompress(struct.pack(">i", 5) + b"\x00")
+    with pytest.raises(ValueError, match="bad chunk length"):
+        sp.block_uncompress(struct.pack(">ii", 5, 0))
+    with pytest.raises(ValueError, match="bad chunk length"):
+        sp.block_uncompress(struct.pack(">ii", 5, 99) + b"\x00")
+    with pytest.raises(ValueError, match="negative block length"):
+        sp.block_uncompress(struct.pack(">i", -1))
+    # orig=5 with a 1-byte chunk decoding to b"" (preamble 0)
+    with pytest.raises(ValueError, match="empty chunk"):
+        sp.block_uncompress(struct.pack(">ii", 5, 1) + b"\x00")
