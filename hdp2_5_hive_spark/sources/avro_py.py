@@ -154,16 +154,29 @@ def _write_bytes(buf: io.BytesIO, b: bytes) -> None:
 def _read_long(src) -> int:
     shift, acc = 0, 0
     while True:
-        (b,) = src.read(1)
+        b = src.read(1)
+        if not b:
+            raise ValueError("avro_py: truncated stream (varint)")
+        b = b[0]
         acc |= (b & 0x7F) << shift
         if not b & 0x80:
             break
         shift += 7
+        if shift > 70:  # a valid zig-zag long is at most 10 bytes
+            raise ValueError("avro_py: varint too long (corrupt stream)")
     return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 
 
 def _read_bytes(src) -> bytes:
-    return src.read(_read_long(src))
+    n = _read_long(src)
+    if n < 0:
+        # io.read(negative) means read-to-EOF — a corrupt negative
+        # length must fail loudly, not swallow the rest of the stream
+        raise ValueError(f"avro_py: negative bytes length {n} (corrupt)")
+    out = src.read(n)
+    if len(out) != n:
+        raise ValueError("avro_py: truncated stream (bytes body)")
+    return out
 
 
 class _FieldCodec:

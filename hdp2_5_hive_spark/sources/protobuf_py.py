@@ -89,6 +89,8 @@ def _varint(n: int) -> bytes:
 def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
     shift = n = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("protobuf: truncated stream (varint)")
         b = buf[pos]
         pos += 1
         n |= (b & 0x7F) << shift

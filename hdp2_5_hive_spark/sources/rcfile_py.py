@@ -164,15 +164,21 @@ def write_vlong(buf: io.BytesIO, i: int) -> None:
 
 
 def read_vlong(src) -> int:
-    first = struct.unpack("b", src.read(1))[0]
+    head = src.read(1)
+    if not head:
+        raise ValueError("rcfile: truncated stream (vlong prefix)")
+    first = struct.unpack("b", head)[0]
     if first >= -112:
         return first
     neg = first < -120
     # Hadoop decodeVIntSize returns TOTAL size incl. the prefix byte
     length = ((-119 - first) if neg else (-111 - first)) - 1
+    body = src.read(length)
+    if len(body) != length:
+        raise ValueError("rcfile: truncated stream (vlong body)")
     i = 0
-    for _ in range(length):
-        i = (i << 8) | src.read(1)[0]
+    for b in body:
+        i = (i << 8) | b
     return ~i if neg else i
 
 

@@ -122,7 +122,13 @@ class _Reader:
             return [self.value() for _ in range(n)]
         if code == LIST:
             out = []
-            while self.data[self.pos] != MARKER:
+            while True:
+                if self.pos >= len(self.data):
+                    raise EOFError(
+                        "typedbytes: truncated (unterminated list)"
+                    )
+                if self.data[self.pos] == MARKER:
+                    break
                 out.append(self.value())
             self.pos += 1
             return out

@@ -326,3 +326,24 @@ def test_unsupported_avro_codec_is_loud(spark, tmp_path):
     open(f, "wb").write(data.replace(b"\x08null", b"\x12zstandard", 1))
     with _pytest.raises(ValueError, match="zstandard"):
         avro_py.read_avro(spark, f).collect()
+
+
+def test_corrupt_varint_and_lengths_raise_valueerror():
+    """Corrupt-input uniformity (r9 hardening): truncated varints,
+    never-terminating varints, and negative byte-lengths (which would
+    otherwise become io.read(-n) = read-to-EOF) all raise ValueError."""
+    import io
+
+    import pytest
+
+    from hdp2_5_hive_spark.sources import avro_py as av
+
+    with pytest.raises(ValueError, match="truncated"):
+        av._read_long(io.BytesIO(b"\x80"))  # continuation, no next byte
+    with pytest.raises(ValueError, match="varint too long"):
+        av._read_long(io.BytesIO(b"\x80" * 11 + b"\x00"))
+    # zigzag -3 encodes as 0x05: a negative length must not read-to-EOF
+    with pytest.raises(ValueError, match="negative bytes length"):
+        av._read_bytes(io.BytesIO(b"\x05rest-of-stream"))
+    with pytest.raises(ValueError, match="truncated stream"):
+        av._read_bytes(io.BytesIO(b"\x0aab"))  # length 5, 2 present

@@ -193,3 +193,16 @@ def test_map_and_nested_struct_round_trip_property(m, structs):
     got = pb.decode_row(types, b)
     assert got[0] == row[0]
     assert got[1] == row[1]
+
+
+def test_corrupt_varint_raises_valueerror():
+    """Corrupt-input uniformity (r9 hardening): a truncated varint
+    raises ValueError, never a bare IndexError."""
+    import pytest
+
+    from hdp2_5_hive_spark.sources import protobuf_py as pb
+
+    with pytest.raises(ValueError, match="truncated"):
+        pb._read_varint(b"\x80", 0)
+    with pytest.raises(ValueError, match="truncated"):
+        pb._read_varint(b"", 0)

@@ -88,3 +88,19 @@ def test_transform_typedbytes_real_script(spark):
     )
     got = sorted((r.k, r.s) for r in out.collect())
     assert got == [(2 * i, f"NAME{i}") for i in range(25)]
+
+
+def test_corrupt_inputs_fail_loudly():
+    """Corrupt-input uniformity (r9 hardening): truncation anywhere —
+    including an unterminated LIST, previously a bare IndexError —
+    raises EOFError, never IndexError."""
+    import pytest
+
+    from hdp2_5_hive_spark.sources import typedbytes_py as tb
+
+    with pytest.raises(EOFError):
+        tb.decode_row(b"\x07\x00\x00\x00\x05ab", 1)  # string len 5, 2 left
+    # LIST (code 9) with elements but no 0xFF end marker
+    blob = bytes([9]) + tb.encode_value(1) + tb.encode_value(2)
+    with pytest.raises(EOFError, match="unterminated list"):
+        tb.decode_row(blob, 1)
