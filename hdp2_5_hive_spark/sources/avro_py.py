@@ -427,6 +427,13 @@ def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
         buf.seek(pos)
         n = _read_long(buf)
         size = _read_long(buf)
+        if n < 0 or size < 0:
+            # same hazard class as _read_bytes: a corrupt negative size
+            # would make buf.read(size) read-to-EOF and fail later with
+            # zlib.error/struct.error instead of this module's ValueError
+            raise ValueError(
+                f"avro_py: corrupt block header (count {n}, size {size})"
+            )
         end = buf.tell() + size
         if blk_codec == "deflate":
             import zlib
@@ -445,6 +452,10 @@ def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
             from . import snappy_py
 
             comp = buf.read(size)
+            if len(comp) < 5:
+                raise ValueError(
+                    "avro_py: snappy block shorter than its CRC32 suffix"
+                )
             # Avro spec: trailing 4-byte BE CRC32 of the UNCOMPRESSED data
             raw = snappy_py.uncompress(comp[:-4])
             (want_crc,) = _struct.unpack(">I", comp[-4:])

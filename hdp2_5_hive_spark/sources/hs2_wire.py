@@ -898,10 +898,18 @@ class HS2WireClient:
         except BaseException:
             # a failed handshake (RuntimeError on non-COMPLETE status)
             # must not leak the socket/file objects — close() is
-            # unreachable when __init__ raises
-            self.rfile.close()
-            self.wfile.close()
-            self.sock.close()
+            # unreachable when __init__ raises. Each close is guarded:
+            # wfile.close() flushes and can itself raise (e.g.
+            # BrokenPipeError on a reset connection), which must not
+            # skip sock.close() or mask the handshake error.
+            import contextlib
+
+            with contextlib.suppress(OSError):
+                self.rfile.close()
+            with contextlib.suppress(OSError):
+                self.wfile.close()
+            with contextlib.suppress(OSError):
+                self.sock.close()
             raise
         self.seq = 0
         self.session: bytes | None = None

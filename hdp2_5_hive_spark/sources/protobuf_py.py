@@ -198,6 +198,24 @@ def encode_row(types: list[str], values: list) -> bytes:
     )
 
 
+def _take_len(buf: bytes, pos: int) -> tuple[int, int]:
+    """Read a LEN-prefix varint and bounds-check the declared payload
+    against the remaining buffer — a truncated LEN field must raise
+    (not silently clamp to the bytes present)."""
+    n, pos = _read_varint(buf, pos)
+    if pos + n > len(buf):
+        raise ValueError(
+            f"protobuf: truncated stream (LEN payload declares {n} "
+            f"bytes, {len(buf) - pos} left)"
+        )
+    return n, pos
+
+
+def _need(buf: bytes, pos: int, n: int) -> None:
+    if pos + n > len(buf):
+        raise ValueError("protobuf: truncated stream (fixed-width field)")
+
+
 def _dec_scalar(t: str, buf: bytes, pos: int):
     if t == "boolean":
         n, pos = _read_varint(buf, pos)
@@ -213,18 +231,22 @@ def _dec_scalar(t: str, buf: bytes, pos: int):
         n, pos = _read_varint(buf, pos)
         return _unzigzag(n), pos
     if t == "fixed32":
+        _need(buf, pos, 4)
         return struct.unpack_from("<I", buf, pos)[0], pos + 4
     if t == "fixed64":
+        _need(buf, pos, 8)
         return struct.unpack_from("<Q", buf, pos)[0], pos + 8
     if t == "float":
+        _need(buf, pos, 4)
         return struct.unpack_from("<f", buf, pos)[0], pos + 4
     if t == "double":
+        _need(buf, pos, 8)
         return struct.unpack_from("<d", buf, pos)[0], pos + 8
     if t == "string":
-        n, pos = _read_varint(buf, pos)
+        n, pos = _take_len(buf, pos)
         return buf[pos : pos + n].decode("utf-8"), pos + n
     if t == "binary":
-        n, pos = _read_varint(buf, pos)
+        n, pos = _take_len(buf, pos)
         return bytes(buf[pos : pos + n]), pos + n
     raise NotImplementedError(f"protobuf scalar type {t!r}")
 
@@ -235,11 +257,13 @@ def _skip(wt: int, buf: bytes, pos: int) -> int:
     if wt == W_VARINT:
         return _read_varint(buf, pos)[1]
     if wt == W_I64:
+        _need(buf, pos, 8)
         return pos + 8
     if wt == W_I32:
+        _need(buf, pos, 4)
         return pos + 4
     if wt == W_LEN:
-        n, pos = _read_varint(buf, pos)
+        n, pos = _take_len(buf, pos)
         return pos + n
     raise ValueError(f"unsupported wire type {wt}")
 
@@ -275,14 +299,14 @@ def decode_row(types: list[str], payload: bytes) -> list:
             if row[fid - 1] is None:
                 row[fid - 1] = []
             if elem.startswith(("struct<", "map<", "array<")):
-                n, pos = _read_varint(payload, pos)
+                n, pos = _take_len(payload, pos)
                 row[fid - 1].append(
                     _dec_len_field(elem, payload[pos : pos + n])
                 )
                 pos += n
             elif wt == W_LEN and _WIRE[elem] != W_LEN:
                 # packed: one LEN record, concatenated payloads
-                n, pos = _read_varint(payload, pos)
+                n, pos = _take_len(payload, pos)
                 end = pos + n
                 while pos < end:
                     v, pos = _dec_scalar(elem, payload, pos)
@@ -291,14 +315,14 @@ def decode_row(types: list[str], payload: bytes) -> list:
                 v, pos = _dec_scalar(elem, payload, pos)
                 row[fid - 1].append(v)
         elif t.startswith("map<"):
-            n, pos = _read_varint(payload, pos)
+            n, pos = _take_len(payload, pos)
             k, v = _dec_len_field(t, payload[pos : pos + n])
             pos += n
             if row[fid - 1] is None:
                 row[fid - 1] = {}
             row[fid - 1][k] = v  # later entry wins, per spec
         elif t.startswith("struct<"):
-            n, pos = _read_varint(payload, pos)
+            n, pos = _take_len(payload, pos)
             row[fid - 1] = _dec_len_field(t, payload[pos : pos + n])
             pos += n
         else:

@@ -217,57 +217,17 @@ def compress(data: bytes) -> bytes:
 
 
 def block_compress(data: bytes, block_size: int = BLOCK_SIZE) -> bytes:
-    # empty input -> empty stream, matching BlockCompressorStream's
-    # finish() writing nothing when no bytes were consumed
-    out = bytearray()
-    for start in range(0, len(data), block_size):
-        block = data[start : start + block_size]
-        comp = compress(block)
-        out += struct.pack(">i", len(block))
-        out += struct.pack(">i", len(comp))
-        out += comp
-    return bytes(out)
+    """Hadoop BlockCompressorStream framing — layout and corrupt-input
+    guards live once in sources/hadoop_framing.py (shared with
+    Lz4Codec); empty input -> empty stream."""
+    from .hadoop_framing import block_compress as _bc
+
+    return _bc(data, compress, block_size)
 
 
 def block_uncompress(data: bytes) -> bytes:
-    out = bytearray()
-    pos = 0
-    n = len(data)
-    while pos < n:
-        if pos + 4 > n:
-            raise ValueError("snappy block stream: truncated block header")
-        (orig,) = struct.unpack_from(">i", data, pos)
-        pos += 4
-        if orig < 0:
-            raise ValueError(
-                f"snappy block stream: negative block length {orig}"
-            )
-        produced = 0
-        while produced < orig:
-            if pos + 4 > n:
-                raise ValueError(
-                    "snappy block stream: truncated chunk header"
-                )
-            (clen,) = struct.unpack_from(">i", data, pos)
-            pos += 4
-            # clen <= 0 would make an empty chunk and loop forever
-            if clen <= 0 or pos + clen > n:
-                raise ValueError(
-                    f"snappy block stream: bad chunk length {clen} "
-                    f"at offset {pos - 4}"
-                )
-            chunk = uncompress(data[pos : pos + clen])
-            pos += clen
-            if not chunk:  # an empty chunk can never make progress
-                raise ValueError(
-                    "snappy block stream: empty chunk inside a "
-                    "non-empty block"
-                )
-            out += chunk
-            produced += len(chunk)
-        if produced != orig:
-            raise ValueError(
-                f"snappy block stream: produced {produced}, header "
-                f"said {orig}"
-            )
-    return bytes(out)
+    """Decode a Hadoop block-framed stream; corrupt input raises
+    ValueError uniformly (see sources/hadoop_framing.py)."""
+    from .hadoop_framing import block_uncompress as _bu
+
+    return _bu(data, uncompress, "snappy")

@@ -171,15 +171,36 @@ def main() -> int:
             # probe best is too low (a noisy seed) — re-seed it to
             # this run's probe instead of min-merging, tightening the
             # gate back to a truthful machine factor.
-            med_ratio = sorted(ratios.values())[len(ratios) // 2]
+            #
+            # Discriminator vs a GENUINE across-the-board improvement
+            # measured on a truly-slower host (which would wrongly
+            # raise the probe best and tighten future gates): a biased
+            # seed on an equal-speed host shows ratios CLUSTERED near
+            # 1.0 (p25 high), while a real optimization drags the
+            # lower quartile well below 1.0 — require p25 >= 0.9
+            # before re-seeding, else only warn.
+            rs = sorted(ratios.values())
+            med_ratio = rs[len(rs) // 2]
+            p25_ratio = rs[len(rs) // 4]
             if factor > 1.05 and med_ratio <= 1.0:
-                reseed = True
-                print(
-                    f"bench_gate: RE-SEEDED calibration best "
-                    f"{cal_best:.3f}s -> {cal:.3f}s (probe factor "
-                    f"{factor:.2f} but median query ratio "
-                    f"{med_ratio:.2f} — stored probe was biased low)"
-                )
+                if p25_ratio >= 0.9:
+                    reseed = True
+                    print(
+                        f"bench_gate: RE-SEEDED calibration best "
+                        f"{cal_best:.3f}s -> {cal:.3f}s (probe factor "
+                        f"{factor:.2f} but query ratios cluster at "
+                        f"1.0 (median {med_ratio:.2f}, p25 "
+                        f"{p25_ratio:.2f}) — stored probe was biased "
+                        "low)"
+                    )
+                else:
+                    print(
+                        f"bench_gate: NOTE probe factor {factor:.2f} "
+                        f"disagrees with query ratios (median "
+                        f"{med_ratio:.2f}, p25 {p25_ratio:.2f}) — "
+                        "looks like a genuine improvement on a slower "
+                        "host; probe best left unchanged"
+                    )
     for name, sec in updates.items():
         if name not in merged or sec < merged[name]:
             merged[name] = sec

@@ -347,3 +347,31 @@ def test_corrupt_varint_and_lengths_raise_valueerror():
         av._read_bytes(io.BytesIO(b"\x05rest-of-stream"))
     with pytest.raises(ValueError, match="truncated stream"):
         av._read_bytes(io.BytesIO(b"\x0aab"))  # length 5, 2 present
+
+
+def test_corrupt_block_header_raises_valueerror(spark, sf_dir):
+    """Code-review r9 finding: a corrupt negative block count/size in
+    the container block header raises ValueError (not read-to-EOF then
+    zlib.error/struct.error)."""
+    import glob
+    import io
+
+    import pytest
+
+    from hdp2_5_hive_spark.catalog import Tables
+    from hdp2_5_hive_spark.scratch import scratch_dir
+    from hdp2_5_hive_spark.sources import avro_py as av
+
+    t = Tables(spark, sf_dir)
+    d = scratch_dir("test_avro_corrupt_") + "/avro"
+    av.write_avro(t.region.select("r_regionkey", "r_name"), d)
+    path = sorted(glob.glob(d + "/*.avro"))[0]
+    blob = open(path, "rb").read()
+    # find the first block header (right after header+sync): flip the
+    # block-count varint to zigzag -3 (0x05)
+    with open(path, "rb") as fh:
+        av.read_header(fh)
+        hdr_end = fh.tell()
+    corrupt = blob[:hdr_end] + b"\x05" + blob[hdr_end + 1 :]
+    with pytest.raises(ValueError, match="corrupt block header"):
+        av.read_container(io.BytesIO(corrupt))

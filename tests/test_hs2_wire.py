@@ -415,17 +415,29 @@ def test_launcher_result_cap_flag(sf_dir):
         text=True,
     )
     try:
-        # the launcher prints the bound port on stderr once Spark is up
+        # the launcher prints the bound port on stderr once Spark is
+        # up; scan by TIME (verbose JVM/Ivy logging can emit any
+        # number of lines first), then hand the pipe to a drainer
+        # thread so the child can never block on a full stderr buffer
+        import threading
+        import time
+
         port = None
-        for _ in range(600):
+        deadline = time.monotonic() + 180
+        while time.monotonic() < deadline:
             line = proc.stderr.readline()
             if not line:
+                if proc.poll() is not None:
+                    break  # launcher died
                 continue
             m = re.search(r"listening on port (\d+)", line)
             if m:
                 port = int(m.group(1))
                 break
         assert port, "launcher never reported a bound port"
+        threading.Thread(
+            target=proc.stderr.read, daemon=True
+        ).start()  # keep draining so the server can't block on stderr
         cli = hw.HS2WireClient("127.0.0.1", port)
         cli.open_session()
         op = cli.execute(

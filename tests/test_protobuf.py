@@ -206,3 +206,24 @@ def test_corrupt_varint_raises_valueerror():
         pb._read_varint(b"\x80", 0)
     with pytest.raises(ValueError, match="truncated"):
         pb._read_varint(b"", 0)
+
+
+def test_truncated_len_payload_raises():
+    """Code-review r9 finding: a LEN field whose declared length
+    exceeds the remaining buffer must raise, not silently clamp to
+    the bytes present (decode_row(['string'], b'\\x0a\\x05ab')
+    previously returned ['ab'])."""
+    import pytest
+
+    from hdp2_5_hive_spark.sources import protobuf_py as pb
+
+    with pytest.raises(ValueError, match="LEN payload"):
+        pb.decode_row(["string"], b"\x0a\x05ab")
+    with pytest.raises(ValueError, match="LEN payload"):
+        pb.decode_row(["binary"], b"\x0a\x7fxy")
+    # nested struct with truncated body
+    with pytest.raises(ValueError, match="LEN payload"):
+        pb.decode_row(["struct<a:int>"], b"\x0a\x09\x08")
+    # fixed-width field cut short
+    with pytest.raises(ValueError, match="truncated"):
+        pb.decode_row(["double"], b"\x09\x00\x00")
