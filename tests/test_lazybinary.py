@@ -106,3 +106,20 @@ def test_round_trip_property(data):
         }
     )
     assert lb.decode_row(types, lb.encode_row(types, values)) == values
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.data())
+def test_prefix_truncation_fails_loudly(data):
+    """Corrupt-input uniformity (r9 hardening): decoding any strict
+    prefix of a valid row either raises EOFError/ValueError (truncated
+    payload) or returns without reading past the buffer — never a
+    bare IndexError or struct.error escape."""
+    types = ["bigint", "string", "int", "decimal(12,2)", "boolean"]
+    row = [42, "hello world", 7, Decimal("12.34"), True]
+    blob = lb.encode_row(types, row)
+    cut = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+    try:
+        lb.decode_row(types, blob[:cut])
+    except (EOFError, ValueError):
+        pass  # the loud-failure contract
