@@ -140,6 +140,24 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     fresh oracle shapes); positions 50-134 stage round 9. Done
 #     criterion: CORRECTNESS_r08 holds 50 previously-unsampled
 #     names, ledger 283 -> 333/418.
+#   round 8 result: 48 green + 2 hash-FAIL (fmt_parquet_codecs,
+#     fmt_lazybinary_sequencefile_round_trip — the only two sampled
+#     queries with raw DECIMAL output columns; the driver comparator
+#     renders Spark DecimalType vs DuckDB DECIMAL differently).
+#     Ledger 333/419 (win_cumulative_distinct slipped past the
+#     50-row window when fmt_rcfile_snappy was inserted mid-list).
+#   round 9 window (SAMPLE_FRONT below): the 2 fixed red rows first
+#     (final decimals cast to DOUBLE on both sides, plus the new
+#     reject_decimal_schema static guard making the hazard
+#     unwritable), then the 86 never-sampled names in staged order.
+#     Verification this round: the full 50-name window driver_sim
+#     green at sf0.01 AND sf0.1; the staged r10 tail (positions
+#     50-87) driver_sim green at sf0.01; the ENTIRE 419-query
+#     registry driver_sim green at sf0.01 (419 pass / 0 fail /
+#     24 rows-only) and pytest-oracle green at sf0.001. Done
+#     criterion: CORRECTNESS_r09 = 2 formerly-red now green + 48
+#     first-time greens; ledger 333 -> 381/419. Round 10 closes the
+#     ledger with the remaining 38.
 _MODULES = (
     "scalars",
     "setops",
