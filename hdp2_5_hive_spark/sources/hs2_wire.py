@@ -563,6 +563,10 @@ class _Handler(socketserver.StreamRequestHandler):
                 ensure_parity_confs(srv.spark)
                 df = srv.spark.sql(statement)
                 oid = srv.new_id()
+                # track the op under its session so CloseSession can
+                # free the buffers of clients that never CloseOperation
+                sguid = self._req_guid(args)
+                srv.session_ops.setdefault(sguid, []).append(oid)
                 # materialize AT MOST result_cap (+1 sentinel) rows —
                 # take() pushes a GlobalLimit into the plan so the
                 # driver never holds an unbounded result set;
@@ -798,6 +802,14 @@ class _Handler(socketserver.StreamRequestHandler):
         if name in ("CloseOperation", "CloseSession", "CancelOperation"):
             if name == "CloseOperation":
                 srv.ops.pop(self._req_guid(args), None)
+            elif name == "CloseSession":
+                # free every op buffer the session left open — real
+                # HS2 closes a session's operations with it
+                # (HiveSessionImpl.close); without this a long-lived
+                # server slowly accumulates result buffers from
+                # clients that only ever CloseSession
+                for oid in srv.session_ops.pop(self._req_guid(args), []):
+                    srv.ops.pop(oid, None)
             resp = _fld(1, tp.T_STRUCT, _status(SUCCESS)) + _stop()
             return _reply(name, seqid, resp)
         return _exception(name, seqid, f"unimplemented method {name!r}")
@@ -845,6 +857,9 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
         self.result_cap = result_cap
         self.protocol = protocol  # V5 row-based / V6+ column-based
         self.ops: dict[bytes, tuple] = {}
+        # session guid -> op guids, so CloseSession frees buffers of
+        # clients that never CloseOperation (HiveSessionImpl parity)
+        self.session_ops: dict[bytes, list[bytes]] = {}
         self._counter = 0
         self._lock = threading.Lock()
 

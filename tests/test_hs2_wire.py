@@ -452,3 +452,32 @@ def test_launcher_result_cap_flag(sf_dir):
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_close_session_frees_operation_buffers(spark, sf_dir):
+    """CloseSession must release every op buffer the session left
+    open (HiveSessionImpl.close parity) — a long-lived server serving
+    close-session-only clients (most JDBC pools) otherwise
+    accumulates up-to-result_cap-row buffers forever."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(spark, max_rows=10)
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        for _ in range(3):
+            cli.execute("SELECT n_nationkey FROM nation LIMIT 5")
+        assert len(srv.ops) == 3
+        cli.close()  # CloseSession only — no CloseOperation calls
+        assert srv.ops == {} and srv.session_ops == {}
+        # explicit CloseOperation still works and is also freed
+        cli2 = hw.HS2WireClient("127.0.0.1", port)
+        cli2.open_session()
+        op = cli2.execute("SELECT 1 AS one")
+        req = hw._fld(1, tp.T_STRUCT, cli2._op_struct(op)) + hw._stop()
+        cli2._call("CloseOperation", req)
+        assert srv.ops == {}
+        cli2.close()
+    finally:
+        srv.shutdown()
