@@ -86,7 +86,16 @@ def test_sample_front_window_is_rotated():
     Exemption (r8 verdict #2): a name whose LATEST cumulative row is
     red (err, or any *_match false) MUST be re-sampled to prove the
     fix, so red-latest names are allowed — required, even — in the
-    front window."""
+    front window.
+
+    Exemption (r9 verdict #1): when fewer never-sampled/red names
+    remain than window slots, the spare slots should deliberately
+    RE-PROVE the oldest-evidence green rows — so green names are
+    allowed at positions >= the window's count of names that NEED
+    sampling (never-sampled or red-latest). Greens packed before
+    that boundary still fail (they would displace required names),
+    and once everything is sampled green the boundary is 0 and any
+    green in the window goes red — the next round's starting gun."""
     import glob
     import json
     import os
@@ -115,9 +124,18 @@ def test_sample_front_window_is_rotated():
             for k in ("rows_match", "schema_match", "hash_match")
         )
 
-    stale = [n for n in SAMPLE_FRONT[:50] if n in latest and _green(latest[n])]
+    window = SAMPLE_FRONT[:50]
+    needs_sampling = sum(
+        1 for n in window if n not in latest or not _green(latest[n])
+    )
+    stale = [
+        n
+        for i, n in enumerate(window)
+        if i < needs_sampling and n in latest and _green(latest[n])
+    ]
     assert not stale, (
-        f"SAMPLE_FRONT window holds {len(stale)} already-sampled "
-        f"queries (first: {stale[:5]}) — rotate the front before "
-        "doing anything else this round"
+        f"SAMPLE_FRONT window holds {len(stale)} already-green "
+        f"queries ahead of the re-prove boundary (position "
+        f"{needs_sampling}; first stale: {stale[:5]}) — rotate the "
+        "front before doing anything else this round"
     )
