@@ -162,7 +162,10 @@ def _read_long(src) -> int:
         if not b & 0x80:
             break
         shift += 7
-        if shift > 70:  # a valid zig-zag long is at most 10 bytes
+        # a valid zig-zag long is at most 10 bytes: the 10th byte
+        # carries bits 63+ (shift 63), so a continuation byte that
+        # would start an 11th (shift 70) is already corrupt
+        if shift >= 70:
             raise ValueError("avro_py: varint too long (corrupt stream)")
     return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 

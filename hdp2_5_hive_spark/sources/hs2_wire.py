@@ -563,10 +563,6 @@ class _Handler(socketserver.StreamRequestHandler):
                 ensure_parity_confs(srv.spark)
                 df = srv.spark.sql(statement)
                 oid = srv.new_id()
-                # track the op under its session so CloseSession can
-                # free the buffers of clients that never CloseOperation
-                sguid = self._req_guid(args)
-                srv.session_ops.setdefault(sguid, []).append(oid)
                 # materialize AT MOST result_cap (+1 sentinel) rows —
                 # take() pushes a GlobalLimit into the plan so the
                 # driver never holds an unbounded result set;
@@ -576,7 +572,12 @@ class _Handler(socketserver.StreamRequestHandler):
                 # for bigger result sets, or add LIMIT)
                 rows = df.take(srv.result_cap + 1)
                 truncated = len(rows) > srv.result_cap
-                srv.ops[oid] = (df, rows[: srv.result_cap], 0, truncated)
+                # track the op under its session so CloseSession can
+                # free the buffers of clients that never CloseOperation
+                srv.register_op(
+                    self._req_guid(args), oid,
+                    (df, rows[: srv.result_cap], 0, truncated),
+                )
                 resp = (
                     _fld(1, tp.T_STRUCT, _status(SUCCESS))
                     + _fld(
@@ -598,6 +599,8 @@ class _Handler(socketserver.StreamRequestHandler):
             return _reply(name, seqid, resp)
         if name == "GetResultSetMetadata":
             oid = self._req_guid(args)
+            if oid not in srv.ops:
+                return _reply(name, seqid, self._invalid_handle(oid))
             df = srv.ops[oid][0]
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
@@ -607,7 +610,32 @@ class _Handler(socketserver.StreamRequestHandler):
             return _reply(name, seqid, resp)
         if name == "FetchResults":
             oid = self._req_guid(args)
+            if oid not in srv.ops:
+                # a handle freed by CloseOperation/CloseSession (or
+                # never issued) fails loudly, like real HS2's
+                # "Invalid OperationHandle" HiveSQLException —
+                # CLOSED-as-success would let a poller read a freed
+                # op as a legitimately finished empty result
+                return _reply(name, seqid, self._invalid_handle(oid))
             df, rows, served, truncated = srv.ops[oid]
+            if truncated and srv.strict_truncation:
+                # --strict-truncation: partial results are a hard
+                # error, not data + SUCCESS_WITH_INFO
+                resp = (
+                    _fld(
+                        1,
+                        tp.T_STRUCT,
+                        _status(
+                            ERROR,
+                            f"result truncated at result_cap="
+                            f"{srv.result_cap} rows and the server "
+                            "runs --strict-truncation; raise "
+                            "--result-cap or add LIMIT",
+                        ),
+                    )
+                    + _stop()
+                )
+                return _reply(name, seqid, resp)
             # honor the CLIENT's maxRows (TFetchResultsReq field 3 —
             # Hive does); the server cap only bounds it above
             try:
@@ -616,7 +644,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 want = srv.max_rows
             want = max(1, min(want or srv.max_rows, srv.max_rows))
             batch = rows[served : served + want]
-            srv.ops[oid] = (df, rows, served + len(batch), truncated)
+            srv.update_op(oid, (df, rows, served + len(batch), truncated))
             # hasMoreRows: true while the buffer has rows left, and
             # also on the FINAL non-empty batch of a result the server
             # truncated at result_cap (truthful signal that rows were
@@ -661,14 +689,17 @@ class _Handler(socketserver.StreamRequestHandler):
         if name == "GetOperationStatus":
             # TGetOperationStatusResp (:973): 2 = TOperationState —
             # execution is synchronous inside ExecuteStatement, so a
-            # known handle is always FINISHED_STATE (2); async
-            # clients (beeline runs runAsync=true) poll this once and
-            # proceed to fetch.
+            # known handle is always FINISHED_STATE (2). An UNKNOWN
+            # handle (freed by CloseOperation/CloseSession, or never
+            # issued) is an ERROR TStatus, matching real HS2's
+            # "Invalid OperationHandle" HiveSQLException — not a
+            # CLOSED state a poller could mistake for a clean finish.
             oid = self._req_guid(args)
-            state = 2 if oid in srv.ops else 5  # FINISHED / CLOSED
+            if oid not in srv.ops:
+                return _reply(name, seqid, self._invalid_handle(oid))
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
-                + _fld(2, tp.T_I32, _i32(state))
+                + _fld(2, tp.T_I32, _i32(2))  # FINISHED_STATE
                 + _stop()
             )
             return _reply(name, seqid, resp)
@@ -698,7 +729,13 @@ class _Handler(socketserver.StreamRequestHandler):
             if not rows:
                 df = df.limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
+            # metadata: bounded; registered under the requesting
+            # session (req field 1 = sessionHandle) so CloseSession
+            # frees metadata buffers too — a close-session-only JDBC
+            # client that browses catalog metadata must not leak
+            srv.register_op(
+                self._req_guid(args), oid, (df, df.collect(), 0, False)
+            )
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -737,7 +774,13 @@ class _Handler(socketserver.StreamRequestHandler):
                     [("x",)], "TABLE_CAT string"
                 ).limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
+            # metadata: bounded; registered under the requesting
+            # session (req field 1 = sessionHandle) so CloseSession
+            # frees metadata buffers too — a close-session-only JDBC
+            # client that browses catalog metadata must not leak
+            srv.register_op(
+                self._req_guid(args), oid, (df, df.collect(), 0, False)
+            )
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -767,7 +810,13 @@ class _Handler(socketserver.StreamRequestHandler):
             if not names_all:
                 df = df.limit(0)
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
+            # metadata: bounded; registered under the requesting
+            # session (req field 1 = sessionHandle) so CloseSession
+            # frees metadata buffers too — a close-session-only JDBC
+            # client that browses catalog metadata must not leak
+            srv.register_op(
+                self._req_guid(args), oid, (df, df.collect(), 0, False)
+            )
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -792,7 +841,13 @@ class _Handler(socketserver.StreamRequestHandler):
                 "TYPE_NAME string, DATA_TYPE int, PRECISION int",
             )
             oid = srv.new_id()
-            srv.ops[oid] = (df, df.collect(), 0, False)  # metadata: bounded
+            # metadata: bounded; registered under the requesting
+            # session (req field 1 = sessionHandle) so CloseSession
+            # frees metadata buffers too — a close-session-only JDBC
+            # client that browses catalog metadata must not leak
+            srv.register_op(
+                self._req_guid(args), oid, (df, df.collect(), 0, False)
+            )
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, self._op_handle(oid))
@@ -801,18 +856,40 @@ class _Handler(socketserver.StreamRequestHandler):
             return _reply(name, seqid, resp)
         if name in ("CloseOperation", "CloseSession", "CancelOperation"):
             if name == "CloseOperation":
-                srv.ops.pop(self._req_guid(args), None)
+                # frees the buffer AND the guid's membership in the
+                # owning session's set — a long-lived session that
+                # properly closes its operations must not grow its
+                # op list without bound
+                srv.close_op(self._req_guid(args))
             elif name == "CloseSession":
                 # free every op buffer the session left open — real
                 # HS2 closes a session's operations with it
                 # (HiveSessionImpl.close); without this a long-lived
                 # server slowly accumulates result buffers from
                 # clients that only ever CloseSession
-                for oid in srv.session_ops.pop(self._req_guid(args), []):
-                    srv.ops.pop(oid, None)
+                srv.close_session_ops(self._req_guid(args))
             resp = _fld(1, tp.T_STRUCT, _status(SUCCESS)) + _stop()
             return _reply(name, seqid, resp)
         return _exception(name, seqid, f"unimplemented method {name!r}")
+
+    @staticmethod
+    def _invalid_handle(oid: bytes) -> bytes:
+        """ERROR TStatus for an unknown operation handle — the wire
+        shape of HS2's ``Invalid OperationHandle`` HiveSQLException
+        (operation/OperationManager.getOperation)."""
+        return (
+            _fld(
+                1,
+                tp.T_STRUCT,
+                _status(
+                    ERROR,
+                    "Invalid OperationHandle: "
+                    f"{oid.decode('latin-1', 'replace')} "
+                    "(closed or never issued)",
+                ),
+            )
+            + _stop()
+        )
 
     @staticmethod
     def _op_handle(guid: bytes) -> bytes:
@@ -850,18 +927,64 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
 
     def __init__(self, spark, host: str = "127.0.0.1", port: int = 0,
                  max_rows: int = 1000, result_cap: int = 100_000,
-                 protocol: int = PROTOCOL_V5):
+                 protocol: int = PROTOCOL_V5,
+                 strict_truncation: bool = False):
         super().__init__((host, port), _Handler)
         self.spark = spark
         self.max_rows = max_rows
         self.result_cap = result_cap
         self.protocol = protocol  # V5 row-based / V6+ column-based
+        # strict mode: a fetch of a result the server truncated at
+        # result_cap returns an ERROR TStatus instead of data +
+        # SUCCESS_WITH_INFO — for clients that must never act on a
+        # partial result set
+        self.strict_truncation = strict_truncation
         self.ops: dict[bytes, tuple] = {}
         # session guid -> op guids, so CloseSession frees buffers of
-        # clients that never CloseOperation (HiveSessionImpl parity)
-        self.session_ops: dict[bytes, list[bytes]] = {}
+        # clients that never CloseOperation (HiveSessionImpl parity);
+        # op guid -> session guid so CloseOperation can also shrink
+        # the owning session's set (a long-lived well-behaved session
+        # must not grow its op list without bound)
+        self.session_ops: dict[bytes, set[bytes]] = {}
+        self.op_session: dict[bytes, bytes] = {}
         self._counter = 0
         self._lock = threading.Lock()
+
+    # -- operation lifecycle (all mutations under _lock: a client
+    # closing its session concurrently with an in-flight
+    # ExecuteStatement on another connection must not leak the op
+    # buffer — the ops entry and its session_ops membership are
+    # published atomically) --
+
+    def register_op(self, sguid: bytes, oid: bytes, entry: tuple) -> None:
+        with self._lock:
+            self.ops[oid] = entry
+            self.op_session[oid] = sguid
+            self.session_ops.setdefault(sguid, set()).add(oid)
+
+    def update_op(self, oid: bytes, entry: tuple) -> None:
+        """Replace an op's buffer state; a no-op if the op was freed
+        concurrently (never resurrects a closed handle)."""
+        with self._lock:
+            if oid in self.ops:
+                self.ops[oid] = entry
+
+    def close_op(self, oid: bytes) -> None:
+        with self._lock:
+            self.ops.pop(oid, None)
+            sguid = self.op_session.pop(oid, None)
+            if sguid is not None:
+                owned = self.session_ops.get(sguid)
+                if owned is not None:
+                    owned.discard(oid)
+                    if not owned:
+                        self.session_ops.pop(sguid, None)
+
+    def close_session_ops(self, sguid: bytes) -> None:
+        with self._lock:
+            for oid in self.session_ops.pop(sguid, ()):
+                self.ops.pop(oid, None)
+                self.op_session.pop(oid, None)
 
     def new_id(self) -> bytes:
         with self._lock:
@@ -874,11 +997,13 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
 
 def serve_background(spark, port: int = 0, max_rows: int = 1000,
                      result_cap: int = 100_000,
-                     protocol: int = PROTOCOL_V5):
+                     protocol: int = PROTOCOL_V5,
+                     strict_truncation: bool = False):
     """Start the wire server on a daemon thread; returns
     (server, bound_port)."""
     srv = HS2WireServer(spark, port=port, max_rows=max_rows,
-                        result_cap=result_cap, protocol=protocol)
+                        result_cap=result_cap, protocol=protocol,
+                        strict_truncation=strict_truncation)
     threading.Thread(target=srv.serve_forever, daemon=True).start()
     return srv, srv.server_address[1]
 
@@ -1030,6 +1155,12 @@ class HS2WireClient:
         )
         resp = self._call("FetchResults", req)
         status = resp[0]
+        if status[0] == ERROR:
+            # invalid/closed handle or --strict-truncation refusal —
+            # surface it like HiveStatement's SQLException, never as
+            # an empty result set
+            msg = status[4] if len(status) > 4 else status
+            raise RuntimeError(f"FetchResults failed: {msg}")
         info = status[1] if len(status) > 1 and isinstance(status[1], list) else []
         self.last_fetch_status = (
             status[0],

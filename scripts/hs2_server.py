@@ -32,6 +32,12 @@ def main() -> int:
         "with an infoMessage on every fetch, plus hasMoreRows on the "
         "final non-empty batch)",
     )
+    ap.add_argument(
+        "--strict-truncation", action="store_true",
+        help="fetches of a result truncated at --result-cap return an "
+        "ERROR TStatus instead of partial data + SUCCESS_WITH_INFO — "
+        "for clients that must never act on a partial result set",
+    )
     args = ap.parse_args()
 
     from hdp2_5_hive_spark.catalog import register_views
@@ -43,6 +49,7 @@ def main() -> int:
     srv, port = serve_background(
         spark, port=args.port, max_rows=args.max_rows,
         result_cap=args.result_cap,
+        strict_truncation=args.strict_truncation,
     )
     print(
         f"TCLIService (SASL/PLAIN + NOSASL) listening on port {port}",

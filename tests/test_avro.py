@@ -340,8 +340,12 @@ def test_corrupt_varint_and_lengths_raise_valueerror():
 
     with pytest.raises(ValueError, match="truncated"):
         av._read_long(io.BytesIO(b"\x80"))  # continuation, no next byte
+    # spec boundary (ADVICE r9): a zig-zag long is AT MOST 10 bytes —
+    # the maximal value (10 bytes, final shift 63) parses, an 11-byte
+    # varint is rejected as corrupt, not silently accepted
+    assert av._read_long(io.BytesIO(b"\xff" * 9 + b"\x01")) == -(2**63)
     with pytest.raises(ValueError, match="varint too long"):
-        av._read_long(io.BytesIO(b"\x80" * 11 + b"\x00"))
+        av._read_long(io.BytesIO(b"\x80" * 10 + b"\x00"))
     # zigzag -3 encodes as 0x05: a negative length must not read-to-EOF
     with pytest.raises(ValueError, match="negative bytes length"):
         av._read_bytes(io.BytesIO(b"\x05rest-of-stream"))

@@ -481,3 +481,125 @@ def test_close_session_frees_operation_buffers(spark, sf_dir):
         cli2.close()
     finally:
         srv.shutdown()
+
+
+def test_unknown_operation_handle_is_error_tstatus(spark, sf_dir):
+    """A handle freed by CloseOperation/CloseSession (or never
+    issued) fails with an ERROR TStatus on GetOperationStatus,
+    FetchResults AND GetResultSetMetadata — real HS2 raises "Invalid
+    OperationHandle" (OperationManager.getOperation); a CLOSED state
+    or empty result would let a poller mistake a freed op for a
+    legitimately finished one (verdict r9 #6)."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(spark, max_rows=10)
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        op = cli.execute("SELECT 1 AS one")
+        # free it via CloseOperation, then poll/fetch the dead handle
+        req = hw._fld(1, tp.T_STRUCT, cli._op_struct(op)) + hw._stop()
+        cli._call("CloseOperation", req)
+        resp = cli._call(
+            "GetOperationStatus",
+            hw._fld(1, tp.T_STRUCT, cli._op_struct(op)) + hw._stop(),
+        )
+        assert resp[0][0] == hw.ERROR
+        assert "Invalid OperationHandle" in resp[0][4]
+        with pytest.raises(RuntimeError, match="Invalid OperationHandle"):
+            cli.fetch(op)
+        meta = cli._call(
+            "GetResultSetMetadata",
+            hw._fld(1, tp.T_STRUCT, cli._op_struct(op)) + hw._stop(),
+        )
+        assert meta[0][0] == hw.ERROR
+        # a never-issued guid errors the same way
+        bogus = b"deadbeefdeadbeef"
+        resp = cli._call(
+            "GetOperationStatus",
+            hw._fld(1, tp.T_STRUCT, cli._op_struct(bogus)) + hw._stop(),
+        )
+        assert resp[0][0] == hw.ERROR
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_close_operation_shrinks_session_op_set(spark, sf_dir):
+    """ADVICE r9: CloseOperation must also remove the guid from the
+    owning session's set — a long-lived session that properly closes
+    each operation must not grow its op list without bound until
+    CloseSession."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(spark, max_rows=10)
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        ops = [cli.execute(f"SELECT {i} AS v") for i in range(3)]
+        (sguid,) = srv.session_ops
+        assert len(srv.session_ops[sguid]) == 3
+        for op in ops:
+            req = hw._fld(1, tp.T_STRUCT, cli._op_struct(op)) + hw._stop()
+            cli._call("CloseOperation", req)
+        # all buffers freed AND the session's set drained (the empty
+        # set itself is dropped), before any CloseSession
+        assert srv.ops == {} and srv.op_session == {}
+        assert srv.session_ops == {}
+        cli.close()
+    finally:
+        srv.shutdown()
+
+
+def test_metadata_operations_freed_by_close_session(spark, sf_dir):
+    """ADVICE r9: GetTables/GetSchemas/GetTypeInfo/GetFunctions
+    buffers are registered under the requesting session, so a
+    close-session-only JDBC client that browses catalog metadata
+    does not leak op buffers."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(spark, max_rows=10)
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        sreq = hw._fld(1, tp.T_STRUCT, cli._handle_struct(cli.session))
+        for method in ("GetSchemas", "GetTables", "GetTypeInfo"):
+            cli._call(method, sreq + hw._stop())
+        assert len(srv.ops) == 3
+        cli.close()  # CloseSession only — never CloseOperation
+        assert srv.ops == {} and srv.session_ops == {}
+        assert srv.op_session == {}
+    finally:
+        srv.shutdown()
+
+
+def test_strict_truncation_fetch_is_hard_error(spark, sf_dir):
+    """--strict-truncation: a fetch of a result the server truncated
+    at result_cap returns an ERROR TStatus (no partial data) instead
+    of data + SUCCESS_WITH_INFO; un-truncated results are served
+    normally on the same server."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(
+        spark, max_rows=10, result_cap=5, strict_truncation=True
+    )
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        op = cli.execute("SELECT n_nationkey FROM nation")  # 25 > cap
+        with pytest.raises(RuntimeError, match="strict-truncation"):
+            cli.fetch(op)
+        # a result within the cap still flows, plain SUCCESS
+        op2 = cli.execute(
+            "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 3"
+        )
+        rows, _ = cli.fetch(op2)
+        assert [r[0] for r in rows] == [0, 1, 2]
+        assert cli.last_fetch_status[0] == hw.SUCCESS
+        cli.close()
+    finally:
+        srv.shutdown()
