@@ -220,9 +220,15 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # is the only useful thing a spare slot can do.
     # test_sample_front_window_is_rotated amended per verdict #1:
     # green names allowed only at positions >= the window's
-    # never-sampled count (38 here).
-    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 12
-    # re-proves green; ledger 381 -> 419/419.
+    # never-sampled count (38 here). Positions 38-39 sample the two
+    # rows-only -> synthesized-oracle upgrades of this round
+    # (graph_pagerank_hosts unrolled power iteration,
+    # graph_kcore_membership recursive-CTE peel) so the upgrade
+    # lands as driver HASH evidence; the last two re-prove slots
+    # were ceded for them.
+    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 2
+    # oracle upgrades hash-green + 10 re-proves green; ledger
+    # 381 -> 419/419.
     "feature_target_encode_oof",
     "corpus_clean_v9",
     "audit_benford_first_digit",
@@ -261,7 +267,12 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "fn_date_edge_cases2",
     "fn_months_between",
     "agg_mode_deterministic",
-    # ---- oldest-evidence re-proves (positions 38-49):
+    # ---- oracle upgrades (positions 38-39): rows-only -> synthesized
+    # DuckDB oracles this round (verdict r9 #3) — sampled now so the
+    # ledger upgrade lands as driver hash evidence, not just pytest.
+    "graph_pagerank_hosts",
+    "graph_kcore_membership",
+    # ---- oldest-evidence re-proves (positions 40-49):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -272,8 +283,6 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "q18_large_orders",
     "agg_distinct_multi",
     "agg_grouping_sets",
-    "join_full_outer",
-    "win_ranking",
 )
 
 

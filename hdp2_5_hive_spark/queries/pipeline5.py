@@ -1102,12 +1102,63 @@ def corpus_url_dedup(spark, t):
     return url_dedup_groups(withurl, "doc_id", "url")
 
 
+def _pagerank_oracle_sql(n_iter: int = 15, damping: float = 0.85) -> str:
+    """Synthesized DuckDB oracle for the FIXED-ROUND damped power
+    iteration (verdict r9 #3, scalars2.py synthesized-oracle
+    pattern): the 15 rounds unroll into a chained-CTE pipeline —
+    per round one dangling-mass aggregate, one src-join partial sum,
+    one rank recompute — mirroring operators/pagerank.py term by
+    term (same float64 literal forms: ``(1.0 - 0.85) / n``, so both
+    engines evaluate identical IEEE expressions; per-node sums span
+    ≤35 edges, far below the 2-decimal ppm rounding).
+
+    ``AS MATERIALIZED`` is load-bearing: DuckDB inlines plain CTEs
+    at every reference, so an unrolled 15-round chain otherwise
+    re-expands ~3^15 scans of ``documents``."""
+    sql = """WITH
+edges AS MATERIALIZED (
+  SELECT DISTINCT (doc_id % 40) AS src,
+         ((doc_id * doc_id + 1) % 40) AS dst
+  FROM documents WHERE (doc_id % 40) < 35
+),
+nodes AS MATERIALIZED (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY src),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+base AS MATERIALIZED (
+  SELECT n.node, d.deg FROM nodes n LEFT JOIN deg d USING (node)),
+r0 AS MATERIALIZED (
+  SELECT node, deg, 1.0 / (SELECT n FROM nn) AS rank FROM base)"""
+    prev = "r0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+d{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(rank), 0.0) AS dm FROM {prev} WHERE deg IS NULL),
+c{i} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(p.rank / p.deg) AS inflow
+  FROM {prev} p JOIN edges e ON p.node = e.src GROUP BY e.dst),
+r{i} AS MATERIALIZED (
+  SELECT b.node, b.deg,
+         (1.0 - {damping}) / (SELECT n FROM nn)
+         + {damping} * (COALESCE(c.inflow, 0.0)
+                        + (SELECT dm FROM d{i}) / (SELECT n FROM nn))
+           AS rank
+  FROM base b LEFT JOIN c{i} c USING (node))"""
+        prev = f"r{i}"
+    sql += f"""
+SELECT node AS host, ROUND(rank * 1e6, 2) AS rank_ppm
+FROM {prev} ORDER BY host"""
+    return sql
+
+
 @register(
     "graph_pagerank_hosts",
-    oracle=None,  # iterative power iteration has no SQL twin →
-    # rows-only; ranks are pinned against a sequential numpy power
-    # iteration (tolerance 1e-9, dangling mass conserved) and
-    # partition-invariance in tests/test_components.py.
+    oracle=_pagerank_oracle_sql(),  # upgraded from rows-only
+    # (verdict r9 #3): the fixed-round iteration IS SQL-expressible
+    # once unrolled; ranks additionally pinned against a sequential
+    # numpy power iteration (tolerance 1e-9, dangling mass
+    # conserved) and partition-invariance in tests/test_components.py.
     category="pipeline",
 )
 def graph_pagerank_hosts(spark, t):

@@ -752,9 +752,61 @@ def feature_discretize_bins(spark, t):
 
 @register(
     "graph_kcore_membership",
-    oracle=None,  # iterative peel to fixpoint — not
-    # single-SQL-expressible; pinned EXACTLY against a sequential
-    # peeling reference + partition invariance in tests/test_pipeline6.py.
+    # Upgraded from rows-only (verdict r9 #3): the peel-to-fixpoint
+    # IS SQL-expressible as a recursive CTE — each iteration's
+    # working table is the surviving edge set; window COUNT(*) per
+    # endpoint gives degrees (the graph is stored symmetric, so the
+    # dst partition equals dst's out-degree); recursion stops when
+    # no edge is sub-k (the `anybad` full-window guard emits
+    # nothing). Integer-only arithmetic → exact. The max-iter rows
+    # are re-checked clean at the end: a final round that removed
+    # EVERYTHING stops recursion with a dirty last set, and the true
+    # core is then empty (NOT EXISTS guard). MATERIALIZED on the
+    # edge CTEs stops DuckDB re-inlining the self-join per reference.
+    oracle="""
+WITH RECURSIVE
+li AS MATERIALIZED (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 = 0
+),
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(l1.l_partkey, l2.l_partkey) AS a,
+                  GREATEST(l1.l_partkey, l2.l_partkey) AS b
+  FROM li l1 JOIN li l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey <> l2.l_partkey
+),
+dir AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM und
+  UNION ALL SELECT b, a FROM und
+),
+peel(iter, src, dst) AS (
+  SELECT 0, src, dst FROM dir
+  UNION ALL
+  SELECT iter + 1, src, dst FROM (
+    SELECT iter, src, dst, dsrc, ddst,
+           MAX(CASE WHEN dsrc < 10 OR ddst < 10 THEN 1 ELSE 0 END)
+             OVER () AS anybad
+    FROM (
+      SELECT iter, src, dst,
+             COUNT(*) OVER (PARTITION BY src) AS dsrc,
+             COUNT(*) OVER (PARTITION BY dst) AS ddst
+      FROM peel
+    ) t
+  ) g
+  WHERE dsrc >= 10 AND ddst >= 10 AND anybad = 1
+),
+last AS (
+  SELECT src, dst,
+         COUNT(*) OVER (PARTITION BY src) AS dsrc,
+         COUNT(*) OVER (PARTITION BY dst) AS ddst
+  FROM peel WHERE iter = (SELECT MAX(iter) FROM peel)
+)
+SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS core_deg
+FROM last
+WHERE NOT EXISTS (SELECT 1 FROM last WHERE dsrc < 10 OR ddst < 10)
+GROUP BY src
+ORDER BY node
+""",
     category="pipeline",
 )
 def graph_kcore_membership(spark, t):
