@@ -223,11 +223,12 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # never-sampled count (38 here). Positions 38-39 sample the two
     # rows-only -> synthesized-oracle upgrades of this round
     # (graph_pagerank_hosts unrolled power iteration,
-    # graph_kcore_membership recursive-CTE peel) so the upgrade
-    # lands as driver HASH evidence; the last two re-prove slots
-    # were ceded for them.
-    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 2
-    # oracle upgrades hash-green + 10 re-proves green; ledger
+    # graph_kcore_membership recursive-CTE peel, er_em_parameters
+    # unrolled fixed-round EM over the 2^3-row contingency table)
+    # so the upgrades land as driver HASH evidence; the last three
+    # re-prove slots were ceded for them.
+    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 3
+    # oracle upgrades hash-green + 9 re-proves green; ledger
     # 381 -> 419/419.
     "feature_target_encode_oof",
     "corpus_clean_v9",
@@ -272,7 +273,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # ledger upgrade lands as driver hash evidence, not just pytest.
     "graph_pagerank_hosts",
     "graph_kcore_membership",
-    # ---- oldest-evidence re-proves (positions 40-49):
+    "er_em_parameters",
+    # ---- oldest-evidence re-proves (positions 41-49):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -282,7 +284,6 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "join_inner_basic",
     "q18_large_orders",
     "agg_distinct_multi",
-    "agg_grouping_sets",
 )
 
 

@@ -1966,12 +1966,106 @@ def _er_candidate_pairs(t):
     )
 
 
+def _em_oracle_sql(n_iter: int = 30) -> str:
+    """Synthesized DuckDB oracle for the fixed-round Fellegi-Sunter
+    EM (verdict r9 #3 pattern): the contingency table is plain SQL
+    (the same blocked self-join; DuckDB's native levenshtein), and
+    the 30 EM rounds unroll as 1-row state CTEs (λ, m₁..m₃, u₁..u₃)
+    mirroring operators/linkage.em_fit term by term — same float64
+    expression forms (pm multiplied field-by-field left-assoc,
+    w_non = n_total − w_match), so both engines run identical IEEE
+    arithmetic over the identical 8-row table; final values pass
+    through the house pround floor-form. MATERIALIZED stops DuckDB
+    re-inlining each round at every reference."""
+    sql = """WITH
+clean AS MATERIALIZED (
+  SELECT c_custkey AS rid, c_name, c_nationkey, c_acctbal, c_mktsegment
+  FROM customer
+),
+dirty AS MATERIALIZED (
+  SELECT rid + 1000000 AS rid,
+         substring(c_name, 1, 11) || 'Z' || substring(c_name, 13)
+           AS c_name,
+         c_nationkey, c_acctbal + 0.01 AS c_acctbal, c_mktsegment
+  FROM clean WHERE rid % 20 = 0
+),
+u AS MATERIALIZED (SELECT * FROM clean UNION ALL SELECT * FROM dirty),
+ct AS MATERIALIZED (
+  SELECT (levenshtein(a.c_name, b.c_name) <= 1) AS pat_name,
+         (ABS(a.c_acctbal - b.c_acctbal) <= 0.02) AS pat_acct,
+         (a.c_mktsegment = b.c_mktsegment) AS pat_seg,
+         COUNT(*) AS n
+  FROM u a JOIN u b
+    ON a.c_nationkey = b.c_nationkey
+   AND length(a.c_name) = length(b.c_name)
+   AND substring(a.c_name, 13, 3) = substring(b.c_name, 13, 3)
+   AND a.rid < b.rid
+  GROUP BY 1, 2, 3
+),
+s0 AS MATERIALIZED (
+  SELECT CAST(0.01 AS DOUBLE) AS lam,
+         CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+         CAST(0.9 AS DOUBLE) AS m3,
+         CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+         CAST(0.1 AS DOUBLE) AS u3)"""
+    prev = "s0"
+    for i in range(1, n_iter + 1):
+        sql += f""",
+e{i} AS MATERIALIZED (
+  SELECT pat_name, pat_acct, pat_seg, n,
+         CASE WHEN pm + pu > 0 THEN pm / (pm + pu) ELSE 0.0 END AS g
+  FROM (
+    SELECT ct.*,
+           s.lam
+             * (CASE WHEN ct.pat_name THEN s.m1 ELSE 1 - s.m1 END)
+             * (CASE WHEN ct.pat_acct THEN s.m2 ELSE 1 - s.m2 END)
+             * (CASE WHEN ct.pat_seg  THEN s.m3 ELSE 1 - s.m3 END) AS pm,
+           (1 - s.lam)
+             * (CASE WHEN ct.pat_name THEN s.u1 ELSE 1 - s.u1 END)
+             * (CASE WHEN ct.pat_acct THEN s.u2 ELSE 1 - s.u2 END)
+             * (CASE WHEN ct.pat_seg  THEN s.u3 ELSE 1 - s.u3 END) AS pu
+    FROM ct CROSS JOIN {prev} s
+  ) t
+),
+s{i} AS MATERIALIZED (
+  SELECT SUM(g * n) / SUM(n) AS lam,
+         SUM(CASE WHEN pat_name THEN g * n ELSE 0 END)
+           / SUM(g * n) AS m1,
+         SUM(CASE WHEN pat_acct THEN g * n ELSE 0 END)
+           / SUM(g * n) AS m2,
+         SUM(CASE WHEN pat_seg  THEN g * n ELSE 0 END)
+           / SUM(g * n) AS m3,
+         SUM(CASE WHEN pat_name THEN (1 - g) * n ELSE 0 END)
+           / (SUM(n) - SUM(g * n)) AS u1,
+         SUM(CASE WHEN pat_acct THEN (1 - g) * n ELSE 0 END)
+           / (SUM(n) - SUM(g * n)) AS u2,
+         SUM(CASE WHEN pat_seg  THEN (1 - g) * n ELSE 0 END)
+           / (SUM(n) - SUM(g * n)) AS u3
+  FROM e{i})"""
+        prev = f"s{i}"
+    sql += f"""
+SELECT f.field,
+       FLOOR(CASE f.field WHEN 'ag_name' THEN s.m1
+                          WHEN 'ag_acct' THEN s.m2
+                          ELSE s.m3 END * 1000000 + 0.5) / 1000000 AS m,
+       FLOOR(CASE f.field WHEN 'ag_name' THEN s.u1
+                          WHEN 'ag_acct' THEN s.u2
+                          ELSE s.u3 END * 1000000 + 0.5) / 1000000 AS u,
+       FLOOR(s.lam * 1000000 + 0.5) / 1000000 AS lam,
+       (SELECT CAST(SUM(n) AS BIGINT) FROM ct) AS n_pairs
+FROM (VALUES ('ag_name'), ('ag_acct'), ('ag_seg')) f(field)
+CROSS JOIN {prev} s
+ORDER BY field"""
+    return sql
+
+
 @register(
     "er_em_parameters",
-    oracle=None,  # EM mixture fitting has no SQL twin — rows-only;
-    # pinned EXACTLY against a sequential reference EM over the same
-    # contingency table, plus recovery properties, in
-    # tests/test_pipeline6.py.
+    oracle=_em_oracle_sql(),  # upgraded from rows-only (verdict r9
+    # #3): the fixed-round EM over the 2³-row contingency table IS
+    # SQL-expressible once unrolled; additionally pinned EXACTLY
+    # against a sequential reference EM over the same contingency
+    # table, plus recovery properties, in tests/test_pipeline6.py.
     category="pipeline",
 )
 def er_em_parameters(spark, t):
