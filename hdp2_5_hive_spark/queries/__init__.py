@@ -224,11 +224,12 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # rows-only -> synthesized-oracle upgrades of this round
     # (graph_pagerank_hosts unrolled power iteration,
     # graph_kcore_membership recursive-CTE peel, er_em_parameters
-    # unrolled fixed-round EM over the 2^3-row contingency table)
-    # so the upgrades land as driver HASH evidence; the last three
-    # re-prove slots were ceded for them.
-    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 3
-    # oracle upgrades hash-green + 9 re-proves green; ledger
+    # unrolled fixed-round EM over the 2^3-row contingency table,
+    # pack_ffd_bins recursive first-fit fold) so the upgrades land
+    # as driver HASH evidence; the last four re-prove slots were
+    # ceded for them.
+    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 4
+    # oracle upgrades hash-green + 8 re-proves green; ledger
     # 381 -> 419/419.
     "feature_target_encode_oof",
     "corpus_clean_v9",
@@ -274,7 +275,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "graph_pagerank_hosts",
     "graph_kcore_membership",
     "er_em_parameters",
-    # ---- oldest-evidence re-proves (positions 41-49):
+    "pack_ffd_bins",
+    # ---- oldest-evidence re-proves (positions 42-49):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -283,7 +285,6 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "q7_volume_shipping",
     "join_inner_basic",
     "q18_large_orders",
-    "agg_distinct_multi",
 )
 
 

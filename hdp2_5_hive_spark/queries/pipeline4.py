@@ -512,10 +512,63 @@ def corpus_clean_v3(spark, t):
 
 @register(
     "pack_ffd_bins",
-    oracle=None,  # first-fit-decreasing is inherently sequential per
-    # shard — no SQL twin; the assignment is pinned EXACTLY against a
-    # sequential reference (same md5 sharding, sort, first-fit) and
-    # capacity/partition-invariance asserted in tests/test_corpus.py.
+    # Upgraded from rows-only (verdict r9 #3 pattern): per-shard
+    # first-fit-decreasing IS SQL-expressible as a recursive fold —
+    # the working row per shard carries the remaining-capacity list;
+    # each iteration joins the shard's next item (ROW_NUMBER over the
+    # same tokens-desc/id-asc order), finds the first fitting bin
+    # with list_position over a >=-mask (0 = no fit -> open a bin),
+    # and rewrites the capacity list by comprehension. Integer
+    # capacities -> exact; shards fold in parallel rows of the same
+    # recursion. The md5 shard hash replays Spark's
+    # conv(substring(md5,1,8),16,10)%8 via a strpos hex fold.
+    oracle=r"""
+WITH RECURSIVE
+items0 AS MATERIALIZED (
+  SELECT CAST(doc_id AS VARCHAR) AS _id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+           AS n_tokens,
+         CAST(list_reduce(
+           [strpos('0123456789abcdef',
+                   md5('pack-ffd' || CAST(doc_id AS VARCHAR))[j]) - 1
+            for j in range(1, 9)],
+           (a, b) -> a * 16 + b) % 8 AS INTEGER) AS shard
+  FROM documents
+),
+items AS MATERIALIZED (
+  SELECT _id, n_tokens, shard,
+         ROW_NUMBER() OVER (PARTITION BY shard
+                            ORDER BY n_tokens DESC, _id ASC) AS rn
+  FROM items0
+),
+st(shard, idx, bins, _id, n_tokens, bin_id, oversize) AS (
+  SELECT shard, CAST(0 AS BIGINT), CAST([] AS BIGINT[]),
+         CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT),
+         CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+  FROM (SELECT DISTINCT shard FROM items)
+  UNION ALL
+  SELECT shard, idx,
+         CASE WHEN ovs THEN list_append(bins, 0)
+              WHEN fit = 0 THEN list_append(bins, 128 - n)
+              ELSE [CASE WHEN j = fit THEN bins[j] - n ELSE bins[j] END
+                    for j in range(1, len(bins) + 1)]
+         END,
+         nid, n,
+         CASE WHEN ovs OR fit = 0 THEN len(bins) ELSE fit - 1 END,
+         ovs
+  FROM (
+    SELECT p.shard, p.idx + 1 AS idx, p.bins, i._id AS nid,
+           i.n_tokens AS n, (i.n_tokens > 128) AS ovs,
+           list_position(list_transform(p.bins, c -> c >= i.n_tokens),
+                         true) AS fit
+    FROM st p JOIN items i ON i.shard = p.shard AND i.rn = p.idx + 1
+  ) q
+)
+SELECT _id AS doc_id, n_tokens, shard, bin_id, oversize
+FROM st WHERE idx > 0
+ORDER BY shard, bin_id, doc_id
+""",
     category="pipeline",
 )
 def pack_ffd_bins(spark, t):
