@@ -225,11 +225,12 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # (graph_pagerank_hosts unrolled power iteration,
     # graph_kcore_membership recursive-CTE peel, er_em_parameters
     # unrolled fixed-round EM over the 2^3-row contingency table,
-    # pack_ffd_bins recursive first-fit fold) so the upgrades land
-    # as driver HASH evidence; the last four re-prove slots were
-    # ceded for them.
-    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 4
-    # oracle upgrades hash-green + 8 re-proves green; ledger
+    # pack_ffd_bins recursive first-fit fold, topic_model_mixture
+    # unrolled decimal-exact hard-EM) so the upgrades land as driver
+    # HASH evidence; the last five re-prove slots were ceded for
+    # them.
+    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 5
+    # oracle upgrades hash-green + 7 re-proves green; ledger
     # 381 -> 419/419.
     "feature_target_encode_oof",
     "corpus_clean_v9",
@@ -276,7 +277,8 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "graph_kcore_membership",
     "er_em_parameters",
     "pack_ffd_bins",
-    # ---- oldest-evidence re-proves (positions 42-49):
+    "topic_model_mixture",
+    # ---- oldest-evidence re-proves (positions 43-49):
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
@@ -284,7 +286,6 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "agg_cube_grouping_id",
     "q7_volume_shipping",
     "join_inner_basic",
-    "q18_large_orders",
 )
 
 

@@ -3975,10 +3975,125 @@ def ddl_show_grants(spark, t):
     ).orderBy("principal", "privilege")
 
 
+def _topic_oracle_sql(k: int = 4, vocab_size: int = 64,
+                      n_rounds: int = 6) -> str:
+    """Synthesized DuckDB oracle for the hard-EM mixture trainer
+    (verdict r9 #3 pattern): operators/topics.py was DESIGNED for
+    cross-engine exactness — integer M-step counts, 6-dp-rounded
+    log-probs carried as DECIMAL(12,6), exact-decimal E-step scores,
+    md5 init, smallest-topic tie-break — so the 6 rounds unroll as
+    grouped CTEs with zero float-ordering risk. Early stopping needs
+    no replication: a converged round is idempotent (M-step of a
+    fixed assignment reproduces the model that produced it), so the
+    always-6-round unroll lands on the same final assignment. The
+    15-hex md5 init replays conv(substring(md5,1,15),16,10)%k via a
+    strpos fold."""
+    tlist = ", ".join(str(t) for t in range(k))
+    sql = rf"""WITH
+dw0 AS MATERIALIZED (
+  SELECT doc_id, word, COUNT(*) AS c FROM (
+    SELECT doc_id, w AS word
+    FROM (SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+          FROM documents)
+    WHERE length(w) > 0
+  ) GROUP BY doc_id, word
+),
+vocab AS MATERIALIZED (
+  SELECT word FROM (
+    SELECT word, SUM(c) AS n FROM dw0 GROUP BY word
+    ORDER BY n DESC, word ASC LIMIT {vocab_size}
+  )
+),
+dw AS MATERIALIZED (
+  SELECT d.doc_id, d.word, d.c FROM dw0 d JOIN vocab USING (word)
+),
+topics AS MATERIALIZED (SELECT unnest([{tlist}]) AS topic),
+grid AS MATERIALIZED (
+  SELECT t.topic, v.word FROM topics t CROSS JOIN vocab v),
+nn AS MATERIALIZED (
+  SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dw),
+a0 AS MATERIALIZED (
+  SELECT DISTINCT doc_id,
+         CAST(list_reduce(
+           [strpos('0123456789abcdef',
+                   md5(CAST(doc_id AS VARCHAR))[j]) - 1
+            for j in range(1, 16)],
+           (a, b) -> a * 16 + b) % {k} AS INTEGER) AS topic
+  FROM dw)"""
+    prev = "a0"
+    for r in range(1, n_rounds + 1):
+        sql += f""",
+mc{r} AS MATERIALIZED (
+  SELECT a.topic, d.word, CAST(SUM(d.c) AS BIGINT) AS n
+  FROM dw d JOIN {prev} a USING (doc_id) GROUP BY a.topic, d.word),
+tk{r} AS MATERIALIZED (
+  SELECT topic, CAST(SUM(n) AS BIGINT) AS tok FROM mc{r} GROUP BY topic),
+dc{r} AS MATERIALIZED (
+  SELECT topic, CAST(COUNT(*) AS BIGINT) AS nd FROM {prev}
+  GROUP BY topic),
+lt{r} AS MATERIALIZED (
+  SELECT g.topic, g.word,
+         -- Laplace V = the REALIZED vocab size (len(vocab) in
+         -- _log_theta), not the configured cap — they differ when
+         -- the corpus has fewer distinct words than vocab_size
+         CAST(ROUND(LN((COALESCE(mc.n, 0) + 1)
+                       / CAST(COALESCE(tk.tok, 0)
+                              + (SELECT COUNT(*) FROM vocab)
+                              AS DOUBLE)), 6)
+              AS DECIMAL(12,6)) AS lp
+  FROM grid g
+  LEFT JOIN mc{r} mc ON g.topic = mc.topic AND g.word = mc.word
+  LEFT JOIN tk{r} tk ON g.topic = tk.topic),
+lpi{r} AS MATERIALIZED (
+  SELECT t.topic,
+         CAST(ROUND(LN((COALESCE(dc.nd, 0) + 1)
+                       / CAST(nn.n_docs + {k} AS DOUBLE)), 6)
+              AS DECIMAL(12,6)) AS lpi
+  FROM topics t LEFT JOIN dc{r} dc ON t.topic = dc.topic CROSS JOIN nn),
+sc{r} AS MATERIALIZED (
+  SELECT d.doc_id, lt.topic, SUM(d.c * lt.lp) AS s
+  FROM dw d JOIN lt{r} lt ON d.word = lt.word
+  GROUP BY d.doc_id, lt.topic),
+a{r} AS MATERIALIZED (
+  SELECT doc_id, topic FROM (
+    SELECT s.doc_id, s.topic,
+           ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                              ORDER BY (s.s + p.lpi) DESC, s.topic ASC)
+             AS rk
+    FROM sc{r} s JOIN lpi{r} p ON s.topic = p.topic
+  ) WHERE rk = 1)"""
+        prev = f"a{r}"
+    sql += f""",
+fmc AS MATERIALIZED (
+  SELECT a.topic, d.word, CAST(SUM(d.c) AS BIGINT) AS n
+  FROM dw d JOIN {prev} a USING (doc_id) GROUP BY a.topic, d.word),
+fdc AS MATERIALIZED (
+  SELECT topic, CAST(COUNT(*) AS BIGINT) AS nd FROM {prev}
+  GROUP BY topic),
+ftw AS MATERIALIZED (
+  SELECT topic,
+         CAST(SUM(n) AS BIGINT) AS n_tokens,
+         array_to_string(list(word ORDER BY n DESC, word ASC)[1:5], ' ')
+           AS top_words
+  FROM fmc GROUP BY topic)
+SELECT t.topic,
+       COALESCE(fdc.nd, 0) AS n_docs,
+       COALESCE(ftw.n_tokens, 0) AS n_tokens,
+       COALESCE(ftw.top_words, '') AS top_words
+FROM topics t
+LEFT JOIN fdc ON t.topic = fdc.topic
+LEFT JOIN ftw ON t.topic = ftw.topic
+ORDER BY t.topic"""
+    return sql
+
+
 @register(
     "topic_model_mixture",
-    oracle=None,  # iterative hard-EM loop — no single-SQL twin; the
-    # fit is pinned EXACTLY (assignments, counts, vocab) against a
+    oracle=_topic_oracle_sql(),  # upgraded from rows-only (verdict
+    # r9 #3): the trainer's exactness discipline (integer counts,
+    # DECIMAL(12,6) scores) makes the unrolled-EM replay exact; the
+    # fit is ALSO pinned (assignments, counts, vocab) against a
     # sequential reference in tests/test_topics.py.
     category="pipeline",
 )
