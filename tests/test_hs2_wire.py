@@ -603,3 +603,50 @@ def test_strict_truncation_fetch_is_hard_error(spark, sf_dir):
         cli.close()
     finally:
         srv.shutdown()
+
+
+def test_concurrent_execute_close_session_never_leaks(spark, sf_dir):
+    """ADVICE r9 race: ExecuteStatement publishing an op concurrently
+    with CloseSession must never leave an orphaned buffer — the ops
+    entry and its session_ops membership are published atomically
+    under the server lock (register_op), so whichever side wins the
+    lock, every registered op is freed by the drain or by the test's
+    final CloseSession. Hammers the interleaving from two threads."""
+    import threading
+
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(spark, max_rows=10)
+    try:
+        for _ in range(5):
+            cli = hw.HS2WireClient("127.0.0.1", port)
+            cli.open_session()
+            # a second connection sharing the SAME session handle
+            closer = hw.HS2WireClient("127.0.0.1", port)
+            closer.session = cli.session
+            errs: list[Exception] = []
+
+            def run_stmts():
+                try:
+                    for i in range(4):
+                        cli.execute(f"SELECT {i} AS v")
+                except Exception as exc:  # session may close mid-run
+                    errs.append(exc)
+
+            t = threading.Thread(target=run_stmts)
+            t.start()
+            closer.close()  # CloseSession racing the executes
+            t.join()
+            # whatever survived the racing drain is still tracked
+            # under the session (atomic publish) — a final
+            # CloseSession must leave NOTHING behind
+            final = hw.HS2WireClient("127.0.0.1", port)
+            final.session = cli.session
+            final.close()
+            assert srv.ops == {}, srv.ops
+            assert srv.op_session == {}
+            assert srv.session_ops == {}
+            cli.sock.close()
+    finally:
+        srv.shutdown()
