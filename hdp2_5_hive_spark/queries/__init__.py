@@ -163,17 +163,23 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     Positions 0-37 = the LAST 38 never-sampled names (verified
 #     against the cumulative r1-r9 artifacts at rotation time; same
 #     staged order they held at positions 50-87) — this window
-#     closes the driver ledger at 419/419. Positions 38-49 = 12
+#     closes the driver ledger at 419/419. Positions 38-42 = the
+#     FIVE rows-only -> synthesized-oracle upgrades of this round
+#     (verdict r9 #3: graph_pagerank_hosts unrolled power iteration,
+#     graph_kcore_membership recursive-CTE peel, er_em_parameters
+#     unrolled EM, pack_ffd_bins recursive first-fit fold,
+#     topic_model_mixture unrolled decimal-exact hard-EM) so the
+#     upgrades land as driver HASH evidence. Positions 43-49 = 7
 #     deliberate RE-PROVES of the oldest-evidence green rows (r2-era:
 #     the verdict-named q1/q3/q5, win_range_frame,
 #     agg_cube_grouping_id, plus the two bench-watch queries
-#     q7_volume_shipping and join_inner_basic from verdict #4, and
-#     five more r2 family representatives) — re-proving 8-round-old
-#     evidence is the only useful thing a spare slot can do.
-#     test_sample_front_window_is_rotated amended per verdict order
-#     #1: green names allowed only at positions >= the window's
-#     never-sampled count. Done criterion: CORRECTNESS_r10 holds all
-#     38 first-timers green; ledger 381 -> 419/419.
+#     q7_volume_shipping and join_inner_basic from verdict #4) —
+#     re-proving 8-round-old evidence is the only other useful thing
+#     a spare slot can do. test_sample_front_window_is_rotated
+#     amended per verdict order #1: green names allowed only at
+#     positions >= the window's needs-sampling count. Done
+#     criterion: CORRECTNESS_r10 = 38 first-timers green + 5 oracle
+#     upgrades hash-green + 7 re-proves green; ledger 381 -> 419/419.
 _MODULES = (
     "scalars",
     "setops",
