@@ -66,16 +66,111 @@ def dedup_near_minhash(spark, t):
     )
 
 
+def _simhash_oracle() -> str:
+    """Synthesized exact oracle for ``dedup_simhash`` (rows-only →
+    hash-green upgrade, verdict r9 residual #2): DuckDB reproduces
+    Spark's ``xxhash64`` bit-for-bit via the generated XXH64 SQL
+    (``hdp2_5_hive_spark/xxh64_sql.py``, verified against
+    ``F.xxhash64`` across length boundaries + UTF-8 in
+    tests/test_xxh64_sql.py), then replays the whole pipeline
+    exactly:
+
+    - 64 SimHash bit votes per doc over whitespace-token occurrences
+      (counts, not distinct), fingerprint bit j set iff vote > 0;
+    - minhash lanes ``min((h*a_i + b_i) mod 2**64 as signed long)``
+      over per-doc distinct 3-gram shingles with the same
+      ``_perm_consts`` family (operators/dedup.py:99-114);
+    - banded candidates join on the (band, lane-pair) VALUES — Spark
+      buckets by ``xxhash64(band, mh0, mh1)``, so value-equality is
+      the same candidate set up to 2**-64 bucket collisions;
+    - final pairs filtered at Hamming ≤ 8 via UBIGINT xor+bit_count.
+    """
+    from ..operators.dedup import _perm_consts
+    from ..xxh64_sql import M64, mul64, signed64, xxh64_cte
+
+    lanes_rows = ", ".join(
+        f"({i}, {a % M64}::HUGEINT, {b % M64}::HUGEINT)"
+        for i, (a, b) in enumerate(_perm_consts(64))
+    )
+    pow2 = ", ".join(f"{1 << j}::HUGEINT" for j in range(64))
+    lane_val = signed64(f"(({mul64('h', 'a')}) + b) % {M64}")
+    return f"""
+WITH
+tokc AS (
+  SELECT doc_id, w, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) _
+  GROUP BY doc_id, w
+),
+toks AS (SELECT DISTINCT w FROM tokc),
+{xxh64_cte('toks', ('w',), 'w', 'wh')[1:]},
+tbits AS (
+  SELECT w, lpad(bin(CAST(h AS UBIGINT)), 64, '0') AS bs FROM wh
+),
+votes AS (
+  SELECT t.doc_id, j.j,
+         SUM(CASE WHEN substr(b.bs, 64 - j.j, 1) = '1'
+                  THEN t.cnt ELSE -t.cnt END) AS v
+  FROM tokc t JOIN tbits b USING (w)
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+  GROUP BY t.doc_id, j.j
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN ([{pow2}])[j + 1]
+                       ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+),
+shing AS (
+  SELECT doc_id, unnest(sh) AS s FROM (
+    SELECT doc_id,
+           CASE WHEN len(w) >= 3
+                THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                    for i in range(1, len(w) - 1)])
+                ELSE [] END AS sh
+    FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+          FROM documents) _
+  ) _
+),
+shs AS (SELECT DISTINCT s FROM shing),
+{xxh64_cte('shs', ('s',), 's', 'shh')[1:]},
+lanes(i, a, b) AS (VALUES {lanes_rows}),
+lanemin AS (
+  SELECT g.doc_id, l.i, MIN({lane_val}) AS mh
+  FROM shing g JOIN shh USING (s) CROSS JOIN lanes l
+  GROUP BY g.doc_id, l.i
+),
+bandsig AS (
+  SELECT doc_id, i // 2 AS band,
+         MIN(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
+         MIN(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
+  FROM lanemin GROUP BY doc_id, i // 2
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bandsig x JOIN bandsig y
+    ON x.band = y.band AND x.mh0 = y.mh0 AND x.mh1 = y.mh1
+   AND x.doc_id < y.doc_id
+)
+SELECT c.id_a, c.id_b,
+       CAST(bit_count(xor(fa.simhash, fb.simhash)) AS INTEGER) AS hamming
+FROM cand c
+JOIN fp fa ON fa.doc_id = c.id_a
+JOIN fp fb ON fb.doc_id = c.id_b
+WHERE bit_count(xor(fa.simhash, fb.simhash)) <= 8
+"""
+
+
 @register(
     "dedup_simhash",
-    oracle=None,  # xxhash64 is Spark-specific → rows-only; properties
-    # of the fingerprint are asserted in tests/test_pipeline.py.
+    oracle=_simhash_oracle(),
     category="pipeline",
 )
 def dedup_simhash(spark, t):
     """SimHash fingerprints + near-dup pairs at Hamming ≤ 8 over LSH
-    candidates (full fingerprint table output would be rows-only
-    anyway since xxhash64 has no DuckDB twin)."""
+    candidates. Oracle: full replay — generated XXH64 SQL (bit-exact
+    Spark xxhash64 twin), same 64-lane minhash permutation family,
+    band-value candidate join, UBIGINT xor/bit_count Hamming."""
     d = t.documents
     fp = dd.simhash_fingerprints(d, "doc_id", "text")
     cands = dd.lsh_candidate_pairs(d, "doc_id", "text")
@@ -124,14 +219,85 @@ def ann_cosine_topk(spark, t):
     ).select("query_id", "neighbor_id", "rank", "cosine")
 
 
+def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
+                    k: int = 5) -> str:
+    """Synthesized exact-REPLAY oracle for ``ann_lsh_bucketed``
+    (rows-only → hash-green upgrade). A recall gate against
+    brute-force would be dishonest for a single-probe sign-LSH — but
+    an exact replay is not approximate at all: the hyperplanes are
+    sha256-derived constants (similarity._plane_matrix — no RNG), so
+    the oracle embeds the very same plane matrix as literals,
+    recomputes each vector's per-table sign bucket, scores only
+    same-(table, bucket) pairs with the identical sequential-fold
+    cosine, and applies the same (cosine DESC, neighbor_id) top-k.
+
+    Two data-dependent simplifications, both PINNED in
+    tests/test_pipeline.py::test_lsh_oracle_preconditions:
+
+    - the salt guard is identity (no bucket anywhere near
+      max_bucket_rows=4096 at oracle SFs — max measured 67 at
+      sf0.1), so the salt key is omitted;
+    - numpy's BLAS dot (Spark side, pandas-UDF matmul) and DuckDB's
+      left-fold dot may differ ~1e-15 in the last ulps, which could
+      flip a sign only if a plane dot were ~0 — measured min |dot|
+      is 2.7e-6 across every SF, nine orders of magnitude of margin.
+    """
+    from ..operators.similarity import _plane_matrix
+
+    planes = _plane_matrix(dim, n_planes, n_tables)
+
+    def dot(col: str, j: int) -> str:
+        lit = "[" + ", ".join(repr(planes[i, j]) for i in range(dim)) + "]"
+        return (
+            f"list_reduce(list_transform(list_zip({col}, {lit}),"
+            f" z -> z[1] * z[2]), (x, y) -> x + y)"
+        )
+
+    table_selects = []
+    for t in range(n_tables):
+        bucket = " + ".join(
+            f"(CASE WHEN {dot('e', t * n_planes + p)} > 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        table_selects.append(
+            f"SELECT vec_id, e, {t} AS tbl, {bucket} AS bucket FROM v"
+        )
+    buckets = "\n  UNION ALL ".join(table_selects)
+    return f"""
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+b AS (
+  {buckets}
+),
+scored AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_reduce(list_transform(list_zip(a.e, c.e), z -> z[1] * z[2]),
+                     (x, y) -> x + y)
+         / ( SQRT(list_reduce(list_transform(a.e, x -> x * x), (x, y) -> x + y))
+           * SQRT(list_reduce(list_transform(c.e, x -> x * x), (x, y) -> x + y)) )
+           AS cosine
+  FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                   AND a.vec_id <> c.vec_id
+),
+dedup AS (
+  SELECT query_id, neighbor_id, MAX(cosine) AS cosine
+  FROM scored GROUP BY query_id, neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM dedup
+)
+SELECT query_id, neighbor_id, rank, ROUND(cosine, 8) AS cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
 @register(
     "ann_lsh_bucketed",
-    oracle=None,  # approximate by construction — rows-only. A recall
-    # threshold would be dishonest here: a single 6-plane sign-LSH
-    # table finds near-COLLINEAR vectors, and the synthetic testdata's
-    # random vectors have none (measured recall@5 ≈ 0.05 — correct
-    # behavior, meaningless gate). Subset/validity properties are
-    # pinned in tests/test_pipeline.py instead.
+    oracle=_ann_lsh_oracle(),
     category="pipeline",
 )
 def ann_lsh_bucketed(spark, t):

@@ -65,6 +65,38 @@ def test_ann_lsh_is_subset_of_bruteforce_scores(spark, sf_dir):
     assert all(abs(r.ac - r.ec) < 1e-12 for r in rows)
 
 
+def test_lsh_oracle_preconditions(sf_dir):
+    """The two data-dependent simplifications the synthesized
+    ann_lsh_bucketed oracle makes (queries/pipeline._ann_lsh_oracle)
+    hold on the oracle SFs:
+
+    1. salt guard identity — every (table, bucket) population stays
+       far below max_bucket_rows=4096, so omitting the salt key from
+       the oracle's candidate join loses nothing;
+    2. sign margin — min |plane dot| is orders of magnitude above
+       the ~1e-13 numpy-BLAS vs left-fold summation discrepancy, so
+       no bucket bit can flip between engines.
+    """
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from hdp2_5_hive_spark.operators.similarity import _plane_matrix
+
+    planes = _plane_matrix(64, 6, 4)
+    weights = (1 << np.arange(6, dtype=np.int64))[None, :]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        x = np.vstack(
+            pq.read_table(f"{sf}/embeddings.parquet")["embedding"].to_numpy()
+        ).astype(np.float64)
+        d = x @ planes
+        assert np.abs(d).min() > 1e-9, sf  # 4+ orders above FP noise
+        signs = d > 0
+        for t in range(4):
+            b = (signs[:, t * 6 : (t + 1) * 6] * weights).sum(axis=1)
+            _, counts = np.unique(b, return_counts=True)
+            assert counts.max() <= 2048, (sf, t, counts.max())
+
+
 def test_multimodal_features_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(20)
     media = mm.attach_binary_payload(docs, "text", "doc_id")
