@@ -323,11 +323,83 @@ def corpus_span_mask(spark, t):
     )
 
 
+def _bpe_rounds_sql(n_rounds: int, *, keep_word: bool, min_pair_count: int = 2) -> str:
+    """Unrolled-round DuckDB replay of ``operators/bpe.train_bpe``
+    (the same static-unroll discipline as the topic-model hard-EM and
+    pagerank oracles): emits CTEs ``w0..w{n}`` (the evolving
+    distinct-word symbol table) and ``m0..m{n-1}`` (each round's ≤1
+    argmax merge row, empty once the best pair drops below
+    ``min_pair_count`` — and a later round seeing the unchanged table
+    re-derives the same sub-threshold best, so the early-stop
+    composes correctly under static unrolling).
+
+    The greedy left-to-right merge rewrite is a left fold — exact
+    because a merged symbol ``l||r`` can never equal ``l`` (symbols
+    are non-empty), so a fold can never cascade within one round
+    where the sequential kernel would not. Every stage is
+    MATERIALIZED: ``w{k}`` is referenced twice (pair counts + next
+    rewrite) and inlining would double the plan per round.
+    ``keep_word`` carries the original word through the rounds so an
+    apply-side oracle can join tokenizations back to documents
+    (training evolution == applying merges in rank order)."""
+    wk = "w, " if keep_word else ""
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT {wk}list_transform(range(1, length(w) + 1), i -> w[i]) AS syms, freq
+  FROM (
+    SELECT w, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) _
+    WHERE w <> '' GROUP BY w) _
+)"""
+    ]
+    for k in range(n_rounds):
+        wkm = f"{'wt.w, ' if keep_word else ''}"
+        parts.append(
+            f"""
+pc{k} AS MATERIALIZED (
+  SELECT l, r, SUM(freq) AS c FROM (
+    SELECT syms[i.i] AS l, syms[i.i + 1] AS r, freq
+    FROM w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
+  ) _ GROUP BY l, r
+),
+m{k} AS MATERIALIZED (
+  SELECT l, r, c FROM pc{k} WHERE c >= {min_pair_count}
+  ORDER BY c DESC, l, r LIMIT 1
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT {wkm}wt.freq,
+         CASE WHEN m.l IS NULL THEN wt.syms ELSE
+           list_reduce(
+             list_prepend(CAST([] AS VARCHAR[]),
+                          list_transform(wt.syms, s -> [s])),
+             (a, e) -> CASE WHEN len(a) > 0 AND a[len(a)] = m.l
+                             AND e[1] = m.r
+                       THEN list_append(a[1:len(a) - 1], m.l || m.r)
+                       ELSE list_append(a, e[1]) END)
+         END AS syms
+  FROM w{k} wt LEFT JOIN m{k} m ON TRUE
+)"""
+        )
+    return ",".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int = 8) -> str:
+    """Synthesized oracle for ``vocab_bpe_merges`` (rows-only →
+    hash-green upgrade): the full merge table from the unrolled-round
+    replay, rank order + lexicographic tie-breaks identical to the
+    Spark trainer."""
+    unions = "\n  UNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right", l || r AS merged,'
+        f" CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        for k in range(n_merges)
+    )
+    return f"WITH {_bpe_rounds_sql(n_merges, keep_word=False)}\n  {unions}"
+
+
 @register(
     "vocab_bpe_merges",
-    oracle=None,  # iterative argmax loop — not single-SQL-expressible;
-    # the merge table is pinned EXACTLY (pairs, order, counts) against
-    # a from-scratch sequential reference in tests/test_bpe.py.
+    oracle=_bpe_merges_oracle(),
     category="pipeline",
 )
 def vocab_bpe_merges(spark, t):
@@ -790,11 +862,40 @@ def ann_ivf_recall(spark, t):
     )
 
 
+def _bpe_apply_oracle(n_merges: int = 16) -> str:
+    """Synthesized oracle for ``vocab_bpe_apply``: train via the
+    unrolled-round replay (keeping the original word as key — the
+    evolved symbol table IS rank-order application per word), then
+    rebuild every document from its non-empty lowercased words.
+    Empty documents keep a row (tokens='', n_tokens=0), matching the
+    kernel."""
+    return f"""
+WITH {_bpe_rounds_sql(n_merges, keep_word=True)},
+final AS MATERIALIZED (
+  SELECT w, array_to_string(syms, ' ') AS toks, len(syms) AS nt FROM w{n_merges}
+),
+docw AS (
+  SELECT doc_id, i.i AS pos, ws[i.i] AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
+),
+agg AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS tokens,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens
+  FROM docw JOIN final USING (w) GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(a.tokens, '') AS tokens,
+       COALESCE(a.n_tokens, 0) AS n_tokens
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 @register(
     "vocab_bpe_apply",
-    oracle=None,  # BPE application is inherently iterative (merge
-    # ranks learned from the corpus) — not SQL-expressible; pinned
-    # EXACTLY against the sequential reference in tests/test_bpe.py.
+    oracle=_bpe_apply_oracle(),
     category="pipeline",
 )
 def vocab_bpe_apply(spark, t):

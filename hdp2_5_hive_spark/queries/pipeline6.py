@@ -434,12 +434,95 @@ def retrieval_eval_metrics(spark, t):
     return ranking_metrics(run, qrels, k=20)
 
 
+def _wp_rounds_sql(n_rounds: int, *, keep_word: bool) -> str:
+    """Unrolled-round DuckDB replay of
+    ``operators/wordpiece.train_wordpiece`` (same static-unroll
+    discipline as ``pipeline4._bpe_rounds_sql``, which documents the
+    fold-exactness and early-stop-composition arguments — they carry
+    over verbatim; here ``merged = l || strip##(r)`` is non-empty
+    past ``l`` because a continuation symbol is ``##`` plus at least
+    one char, so the fold still cannot cascade within a round).
+
+    Score parity: ``count(ab)/(count(a)*count(b))`` divides exact
+    integers below 2**53 as IEEE doubles on both engines — identical
+    bits, identical ORDER BY, with the trainer's
+    (score DESC, pair_count DESC, l, r) tie-break replicated.
+
+    Emits ``w0..w{n}`` (##-decomposed word symbol table) and
+    ``m0..m{n-1}`` (per-round argmax rows with pair_count + score +
+    merged)."""
+    wk = "w, " if keep_word else ""
+    parts = [
+        f"""
+w0 AS MATERIALIZED (
+  SELECT {wk}list_transform(range(1, length(w) + 1),
+                       i -> CASE WHEN i = 1 THEN w[i]
+                                 ELSE '##' || w[i] END) AS syms, freq
+  FROM (
+    SELECT w, COUNT(*) AS freq FROM (
+      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) _
+    WHERE w <> '' GROUP BY w) _
+)"""
+    ]
+    for k in range(n_rounds):
+        wkm = f"{'wt.w, ' if keep_word else ''}"
+        parts.append(
+            f"""
+pc{k} AS MATERIALIZED (
+  SELECT l, r, SUM(freq) AS pc FROM (
+    SELECT syms[i.i] AS l, syms[i.i + 1] AS r, freq
+    FROM w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
+  ) _ GROUP BY l, r
+),
+sc{k} AS MATERIALIZED (
+  SELECT sym, SUM(freq) AS sc FROM (
+    SELECT unnest(syms) AS sym, freq FROM w{k}) _ GROUP BY sym
+),
+m{k} AS MATERIALIZED (
+  SELECT p.l, p.r,
+         p.l || (CASE WHEN cr.sym LIKE '##%' THEN substr(cr.sym, 3)
+                      ELSE cr.sym END) AS merged,
+         p.pc,
+         CAST(p.pc AS DOUBLE) / (CAST(cl.sc AS DOUBLE) * CAST(cr.sc AS DOUBLE))
+           AS score
+  FROM pc{k} p JOIN sc{k} cl ON cl.sym = p.l JOIN sc{k} cr ON cr.sym = p.r
+  WHERE p.pc >= 2
+  ORDER BY score DESC, p.pc DESC, p.l, p.r LIMIT 1
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT {wkm}wt.freq,
+         CASE WHEN m.l IS NULL THEN wt.syms ELSE
+           list_reduce(
+             list_prepend(CAST([] AS VARCHAR[]),
+                          list_transform(wt.syms, s -> [s])),
+             (a, e) -> CASE WHEN len(a) > 0 AND a[len(a)] = m.l
+                             AND e[1] = m.r
+                       THEN list_append(a[1:len(a) - 1], m.merged)
+                       ELSE list_append(a, e[1]) END)
+         END AS syms
+  FROM w{k} wt LEFT JOIN m{k} m ON TRUE
+)"""
+        )
+    return ",".join(parts)
+
+
+def _wp_merges_oracle(n_merges: int = 8) -> str:
+    """Synthesized oracle for ``vocab_wordpiece_merges`` (rows-only →
+    hash-green upgrade): the full scored merge table from the
+    unrolled replay; score rounded with the same floor-form pround
+    as the Spark side."""
+    unions = "\n  UNION ALL ".join(
+        f'SELECT {k} AS rank, l AS "left", r AS "right", merged,'
+        f" CAST(pc AS BIGINT) AS pair_count,"
+        f" FLOOR(score * 1000000 + 0.5) / 1000000 AS score FROM m{k}"
+        for k in range(n_merges)
+    )
+    return f"WITH {_wp_rounds_sql(n_merges, keep_word=False)}\n  {unions}"
+
+
 @register(
     "vocab_wordpiece_merges",
-    oracle=None,  # iterative likelihood-argmax loop — not
-    # single-SQL-expressible; the merge table (pairs, order, counts,
-    # scores) is pinned EXACTLY against a from-scratch sequential
-    # reference in tests/test_wordpiece.py.
+    oracle=_wp_merges_oracle(),
     category="pipeline",
 )
 def vocab_wordpiece_merges(spark, t):
@@ -466,11 +549,89 @@ def vocab_wordpiece_merges(spark, t):
     ).orderBy("rank")
 
 
+def _wp_apply_oracle(n_merges: int = 8, max_pieces: int = 12) -> str:
+    """Synthesized oracle for ``vocab_wordpiece_apply``: train via
+    the unrolled replay, build the vocab (initial ##-alphabet +
+    merged tokens), then run BERT's greedy longest-match-first
+    encoder as ``max_pieces`` unrolled consume-one-piece rounds per
+    distinct word (each piece covers ≥1 char, so rounds bounded by
+    word length — corpus max is 8 chars, pinned in
+    tests/test_wordpiece.py::test_wp_apply_oracle_preconditions).
+    A word with an unmatchable remainder collapses to ['[UNK]'],
+    kernel-identically."""
+    rounds = []
+    for k in range(max_pieces):
+        rounds.append(
+            f"""
+b{k} AS MATERIALIZED (
+  SELECT t.w, MAX(c.i) AS bend
+  FROM e{k} t,
+       LATERAL (SELECT unnest(range(t.start, length(t.w) + 1)) AS i) c
+  JOIN wp_vocab v
+    ON v.sym = (CASE WHEN t.start > 1 THEN '##' ELSE '' END)
+               || t.w[t.start:c.i]
+  WHERE NOT t.failed AND t.start <= length(t.w)
+  GROUP BY t.w
+),
+e{k + 1} AS MATERIALIZED (
+  SELECT t.w,
+         CASE WHEN t.failed OR t.start > length(t.w) THEN t.start
+              WHEN b.bend IS NULL THEN t.start
+              ELSE b.bend + 1 END AS start,
+         CASE WHEN t.failed OR t.start > length(t.w) THEN t.toks
+              WHEN b.bend IS NULL THEN ['[UNK]']
+              ELSE list_append(t.toks,
+                     (CASE WHEN t.start > 1 THEN '##' ELSE '' END)
+                     || t.w[t.start:b.bend]) END AS toks,
+         (t.failed OR (t.start <= length(t.w) AND b.bend IS NULL)) AS failed
+  FROM e{k} t LEFT JOIN b{k} b USING (w)
+)"""
+        )
+    merged_unions = "\n    UNION ".join(
+        f"SELECT merged AS sym FROM m{k}" for k in range(n_merges)
+    )
+    return f"""
+WITH {_wp_rounds_sql(n_merges, keep_word=False)},
+wp_vocab AS MATERIALIZED (
+  SELECT DISTINCT sym FROM (SELECT unnest(syms) AS sym FROM w0) _
+    UNION {merged_unions}
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT w, 1 AS start, CAST([] AS VARCHAR[]) AS toks,
+         FALSE AS failed
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) _
+  WHERE w <> ''
+),{",".join(rounds)},
+wtok AS MATERIALIZED (
+  SELECT w, array_to_string(toks, ' ') AS toks, len(toks) AS nt,
+         len(list_filter(toks, x -> x = '[UNK]')) AS nu
+  FROM e{max_pieces}
+),
+docw AS (
+  SELECT doc_id, i.i AS pos, ws[i.i] AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents) d,
+       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
+),
+agg AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS tokens,
+         CAST(SUM(nt) AS BIGINT) AS n_tokens,
+         CAST(SUM(nu) AS BIGINT) AS n_unk
+  FROM docw JOIN wtok USING (w) GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(a.tokens, '') AS tokens,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_unk, 0) AS n_unk
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 @register(
     "vocab_wordpiece_apply",
-    oracle=None,  # greedy longest-match inference over a trained
-    # vocab — rows-only; hand pins + no-UNK-on-training-corpus +
-    # partition invariance in tests/test_wordpiece.py.
+    oracle=_wp_apply_oracle(),
     category="pipeline",
 )
 def vocab_wordpiece_apply(spark, t):

@@ -134,3 +134,22 @@ def test_wordpiece_apply_no_unk_with_full_alphabet(spark, sf_dir):
         for r in wp.apply_wordpiece(docs.repartition(13), vocab).collect()
     )
     assert one == many
+
+
+def test_wp_apply_oracle_preconditions():
+    """The synthesized vocab_wordpiece_apply oracle unrolls the
+    greedy longest-match encoder to max_pieces=12 consume-one-piece
+    rounds (queries/pipeline6._wp_apply_oracle). Each piece covers
+    at least one character, so 12 rounds suffice iff no corpus word
+    exceeds 12 characters — pin that bound on the oracle SFs."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        mx = con.execute(
+            f"""SELECT MAX(length(w)) FROM (
+                  SELECT unnest(string_split(lower(text), ' ')) AS w
+                  FROM read_parquet('{sf}/documents.parquet')) _
+                WHERE w <> ''"""
+        ).fetchone()[0]
+        assert mx <= 12, (sf, mx)
