@@ -2262,11 +2262,227 @@ def agg_misra_gries_heavy(spark, t):
     )
 
 
+def _unigram_seg_block(tag: str, logp_cte: str, words_cte: str,
+                       max_pieces: int = 12) -> str:
+    """Segmentation CTE block: enumerate EVERY segmentation of each
+    word in ``words_cte`` into pieces of ``logp_cte`` (expand one
+    piece per unrolled round, accumulating the path score
+    left-to-right exactly like the trainer's Viterbi DP), then take
+    the per-word argmax. Brute-force argmax equals Viterbi whenever
+    the best full-path score is UNIQUE per word — pinned on the
+    oracle SFs in
+    tests/test_unigram_lm.py::test_unigram_oracle_preconditions
+    (along with the ≤12-piece bound). Emits ``ubest{tag}`` (w, toks).
+    """
+    parts = [
+        f"""
+s{tag}0 AS MATERIALIZED (
+  SELECT w, 1 AS start, CAST([] AS VARCHAR[]) AS toks,
+         CAST(0 AS DOUBLE) AS score
+  FROM {words_cte}
+)"""
+    ]
+    for k in range(max_pieces):
+        parts.append(
+            f"""
+s{tag}{k + 1} AS MATERIALIZED (
+  SELECT w, start, toks, score FROM s{tag}{k} WHERE start > length(w)
+  UNION ALL
+  SELECT t.w, t.start + length(v.piece) AS start,
+         list_append(t.toks, v.piece) AS toks,
+         t.score + v.lp AS score
+  FROM s{tag}{k} t JOIN {logp_cte} v
+    ON t.start <= length(t.w)
+   AND v.piece = substr(t.w, t.start, length(v.piece))
+)"""
+        )
+    parts.append(
+        f"""
+ubest{tag} AS MATERIALIZED (
+  SELECT w, toks FROM (
+    SELECT w, toks,
+           ROW_NUMBER() OVER (PARTITION BY w
+             ORDER BY score DESC, array_to_string(toks, chr(1))) AS rn
+    FROM s{tag}{max_pieces}) _
+  WHERE rn = 1
+)"""
+    )
+    return ",".join(parts)
+
+
+def _unigram_mstep(src: str, out: str) -> str:
+    """M-step CTEs: add-one-smooth single chars, drop zero-count
+    multis, log-probabilities ``ln(c) - ln(total)`` (integer inputs →
+    bit-identical doubles on both engines)."""
+    return f"""
+{out}_sm AS MATERIALIZED (
+  SELECT piece, CASE WHEN length(piece) = 1 THEN cnt + 1 ELSE cnt END AS c
+  FROM {src} WHERE cnt > 0 OR length(piece) = 1
+),
+{out} AS MATERIALIZED (
+  SELECT piece, LN(CAST(c AS DOUBLE))
+                - (SELECT LN(CAST(SUM(c) AS DOUBLE)) FROM {out}_sm) AS lp
+  FROM {out}_sm
+)"""
+
+
+def _unigram_rounds_sql(*, vocab_size: int = 48, seed_size: int = 256,
+                        n_rounds: int = 3) -> str:
+    """Unrolled-round DuckDB replay of
+    ``operators/unigram_lm.train_unigram_lm`` (Kudo 2018 hard-EM,
+    shrink-from-seed): substring-seed → n_rounds × (segment → count →
+    char-coverage → prune to max(vocab_size - n_chars, 75% of multis)
+    → M-step) → final segment + M-step. Emits ``uvocab`` (piece,
+    cnt — the final vocab_size-truncated vocabulary) and ``ulogpF``.
+    Same static-unroll discipline as pipeline4._bpe_rounds_sql."""
+    parts = [
+        """
+uwf AS MATERIALIZED (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) _
+  WHERE w <> '' GROUP BY w
+),
+useed_sub AS MATERIALIZED (
+  SELECT sub, SUM(freq) AS cnt FROM (
+    SELECT substr(w, i.i, l.l) AS sub, freq
+    FROM uwf,
+         LATERAL (SELECT unnest(range(1, length(w) + 1)) AS i) i,
+         LATERAL (SELECT unnest(range(1, least(6, length(w) - i.i + 1) + 1)) AS l) l
+  ) _ GROUP BY sub
+),
+useed AS MATERIALIZED (
+  SELECT sub AS piece, cnt FROM useed_sub WHERE length(sub) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT sub AS piece, cnt FROM useed_sub WHERE length(sub) >= 2
+    ORDER BY cnt * length(sub) DESC, sub LIMIT """ + str(seed_size) + """) _
+)"""
+    ]
+    parts.append(_unigram_mstep("useed", "ulogp0"))
+    for r in range(n_rounds):
+        parts.append(_unigram_seg_block(f"r{r}", f"ulogp{r}", "uwf"))
+        parts.append(
+            f"""
+ucnt{r} AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT w, unnest(toks) AS piece FROM ubestr{r}) t
+  JOIN uwf USING (w) GROUP BY piece
+),
+ucov{r} AS MATERIALIZED (
+  SELECT piece, cnt FROM ucnt{r}
+  UNION ALL
+  SELECT piece, 0 AS cnt FROM ulogp{r}
+  WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM ucnt{r})
+),
+ukeep{r} AS MATERIALIZED (
+  SELECT piece, cnt FROM ucov{r} WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM ucov{r} WHERE length(piece) > 1) _
+  WHERE rn <= (
+    SELECT GREATEST(
+      {vocab_size} - (SELECT COUNT(*) FROM ucov{r} WHERE length(piece) = 1),
+      CAST(FLOOR((SELECT COUNT(*) FROM ucov{r} WHERE length(piece) > 1)
+                 * 0.75) AS BIGINT)))
+)"""
+        )
+        parts.append(_unigram_mstep(f"ukeep{r}", f"ulogp{r + 1}"))
+    # final E-step + unpruned M-step + vocab_size truncation
+    parts.append(_unigram_seg_block("F", f"ulogp{n_rounds}", "uwf"))
+    parts.append(
+        f"""
+ucntF AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM (SELECT w, unnest(toks) AS piece FROM ubestF) t
+  JOIN uwf USING (w) GROUP BY piece
+),
+ucovF AS MATERIALIZED (
+  SELECT piece, cnt FROM ucntF
+  UNION ALL
+  SELECT piece, 0 AS cnt FROM ulogp{n_rounds}
+  WHERE length(piece) = 1 AND piece NOT IN (SELECT piece FROM ucntF)
+)"""
+    )
+    parts.append(_unigram_mstep("ucovF", "ulogpF"))
+    parts.append(
+        f"""
+ufin AS MATERIALIZED (
+  SELECT piece, cnt FROM ucovF WHERE cnt > 0 OR length(piece) = 1
+),
+uvocab AS MATERIALIZED (
+  SELECT piece, cnt FROM ufin WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM (
+    SELECT piece, cnt,
+           ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM ufin WHERE length(piece) > 1) _
+  WHERE rn <= (SELECT GREATEST({vocab_size} - COUNT(*), 0)
+               FROM ufin WHERE length(piece) = 1)
+)"""
+    )
+    return ",".join(parts)
+
+
+def _unigram_lm_oracle() -> str:
+    """Synthesized oracle for ``vocab_unigram_lm`` (rows-only →
+    hash-green upgrade): the final ranked vocab table from the
+    unrolled Viterbi-EM replay."""
+    return f"""
+WITH {_unigram_rounds_sql()}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) - 1 AS INTEGER)
+         AS rank,
+       piece, CAST(cnt AS BIGINT) AS piece_count,
+       ROUND(lp, 6) AS logprob
+FROM uvocab JOIN ulogpF USING (piece)
+"""
+
+
+def _unigram_apply_oracle() -> str:
+    """Synthesized oracle for ``vocab_unigram_apply``: train via the
+    unrolled replay, restrict log-probs to the final vocab, Viterbi-
+    decode the doc_id ≤ 60 slice via the same enumeration argmax,
+    and rebuild documents (empty docs keep tokens='', n_pieces=0)."""
+    return f"""
+WITH {_unigram_rounds_sql()},
+uvlp AS MATERIALIZED (
+  SELECT piece, lp FROM uvocab JOIN ulogpF USING (piece)
+),
+uaw AS MATERIALIZED (
+  SELECT DISTINCT w FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE doc_id <= 60) _
+  WHERE w <> ''
+),
+{_unigram_seg_block("A", "uvlp", "uaw")},
+uwtok AS MATERIALIZED (
+  SELECT w, array_to_string(toks, ' ') AS toks, len(toks) AS nt
+  FROM ubestA
+),
+udocw AS (
+  SELECT doc_id, i.i AS pos, ws[i.i] AS w
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+        FROM documents WHERE doc_id <= 60) d,
+       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
+),
+uagg AS (
+  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS tokens,
+         CAST(SUM(nt) AS BIGINT) AS n_pieces
+  FROM udocw JOIN uwtok USING (w) GROUP BY doc_id
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       COALESCE(a.tokens, '') AS tokens,
+       COALESCE(a.n_pieces, 0) AS n_pieces
+FROM (SELECT doc_id FROM documents WHERE doc_id <= 60) d
+LEFT JOIN uagg a USING (doc_id)
+"""
+
+
 @register(
     "vocab_unigram_lm",
-    oracle=None,  # Viterbi-EM loop — not single-SQL-expressible; the
-    # vocab is pinned EXACTLY (pieces, counts, logprobs) against a
-    # from-scratch sequential reference in tests/test_unigram_lm.py.
+    oracle=_unigram_lm_oracle(),
     category="pipeline",
 )
 def vocab_unigram_lm(spark, t):
@@ -2288,8 +2504,7 @@ def vocab_unigram_lm(spark, t):
 
 @register(
     "vocab_unigram_apply",
-    oracle=None,  # Viterbi decode of a trained model — rows-only;
-    # segmentation semantics pinned in tests/test_unigram_lm.py.
+    oracle=_unigram_apply_oracle(),
     category="pipeline",
 )
 def vocab_unigram_apply(spark, t):

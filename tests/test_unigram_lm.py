@@ -177,3 +177,88 @@ def test_unigram_estep_partition_invariant(spark):
         docs.repartition(13), vocab_size=40, seed_size=96, n_rounds=2
     )
     assert a == b
+
+
+def test_unigram_oracle_preconditions():
+    """The synthesized vocab_unigram_lm/apply oracles brute-force
+    ALL segmentations and take the score argmax, which equals the
+    trainer's tie-ruled Viterbi iff the best full-path score is
+    strictly unique per word — pin that (and the ≤12-piece unroll
+    bound) on the oracle SFs, for every logp table the replay uses
+    (seed, three pruned rounds, final, and the vocab-restricted
+    apply table)."""
+    import duckdb
+
+    def all_segs(word, logp, max_len=6):
+        outs = []
+
+        def rec(i, toks, score):
+            if i == len(word):
+                outs.append((score, tuple(toks)))
+                return
+            for ln in range(1, min(max_len, len(word) - i) + 1):
+                piece = word[i : i + ln]
+                lp = logp.get(piece)
+                if lp is not None:
+                    toks.append(piece)
+                    rec(i + ln, toks, score + lp)
+                    toks.pop()
+
+        rec(0, [], 0.0)
+        return outs
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        texts = [
+            r[0]
+            for r in duckdb.sql(
+                f"SELECT text FROM read_parquet('{sf}/documents.parquet')"
+            ).fetchall()
+        ]
+        wf = _ref_word_freq(texts)
+        assert max(len(w) for w in wf) <= 12, sf
+        logps = [_ref_logp(_ref_seed(wf, 6, 256))]
+        counts = {}
+        for _ in range(3):
+            counts = Counter()
+            for w, f in wf.items():
+                for piece in _ref_viterbi(w, logps[-1], 6):
+                    counts[piece] += f
+            counts = dict(counts)
+            for p in logps[-1]:
+                if len(p) == 1 and p not in counts:
+                    counts[p] = 0
+            multi = sorted(
+                ((p, c) for p, c in counts.items() if len(p) > 1),
+                key=lambda pc: (-pc[1], pc[0]),
+            )
+            n_chars = sum(1 for p in counts if len(p) == 1)
+            keep = max(48 - n_chars, int(len(multi) * 0.75))
+            kept = dict(multi[:keep])
+            kept.update((p, c) for p, c in counts.items() if len(p) == 1)
+            logps.append(_ref_logp(kept))
+        # final (unpruned) table + the vocab-restricted apply table
+        counts = Counter()
+        for w, f in wf.items():
+            for piece in _ref_viterbi(w, logps[-1], 6):
+                counts[piece] += f
+        counts = dict(counts)
+        for p in logps[-1]:
+            if len(p) == 1 and p not in counts:
+                counts[p] = 0
+        logp_f = _ref_logp(counts)
+        final = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+        chars = [(p, c) for p, c in final if len(p) == 1]
+        multi = [(p, c) for p, c in final if len(p) > 1]
+        room = max(48 - len(chars), 0)
+        vocab = {p for p, _ in chars + multi[:room]}
+        logps.append(logp_f)
+        logps.append({p: lp for p, lp in logp_f.items() if p in vocab})
+        for li, logp in enumerate(logps):
+            for w in wf:
+                segs = all_segs(w, logp)
+                assert segs, (sf, li, w)
+                segs.sort(key=lambda s: -s[0])
+                best_score, best_toks = segs[0]
+                for s, toks in segs[1:]:
+                    if toks != best_toks:
+                        assert s < best_score, (sf, li, w, toks, best_toks)
