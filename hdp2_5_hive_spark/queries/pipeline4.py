@@ -323,7 +323,8 @@ def corpus_span_mask(spark, t):
     )
 
 
-def _bpe_rounds_sql(n_rounds: int, *, keep_word: bool, min_pair_count: int = 2) -> str:
+def _bpe_rounds_sql(n_rounds: int, *, keep_word: bool, min_pair_count: int = 2,
+                    pfx: str = "") -> str:
     """Unrolled-round DuckDB replay of ``operators/bpe.train_bpe``
     (the same static-unroll discipline as the topic-model hard-EM and
     pagerank oracles): emits CTEs ``w0..w{n}`` (the evolving
@@ -345,7 +346,7 @@ def _bpe_rounds_sql(n_rounds: int, *, keep_word: bool, min_pair_count: int = 2) 
     wk = "w, " if keep_word else ""
     parts = [
         f"""
-w0 AS MATERIALIZED (
+{pfx}w0 AS MATERIALIZED (
   SELECT {wk}list_transform(range(1, length(w) + 1), i -> w[i]) AS syms, freq
   FROM (
     SELECT w, COUNT(*) AS freq FROM (
@@ -357,17 +358,17 @@ w0 AS MATERIALIZED (
         wkm = f"{'wt.w, ' if keep_word else ''}"
         parts.append(
             f"""
-pc{k} AS MATERIALIZED (
+{pfx}pc{k} AS MATERIALIZED (
   SELECT l, r, SUM(freq) AS c FROM (
     SELECT syms[i.i] AS l, syms[i.i + 1] AS r, freq
-    FROM w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
+    FROM {pfx}w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
   ) _ GROUP BY l, r
 ),
-m{k} AS MATERIALIZED (
-  SELECT l, r, c FROM pc{k} WHERE c >= {min_pair_count}
+{pfx}m{k} AS MATERIALIZED (
+  SELECT l, r, c FROM {pfx}pc{k} WHERE c >= {min_pair_count}
   ORDER BY c DESC, l, r LIMIT 1
 ),
-w{k + 1} AS MATERIALIZED (
+{pfx}w{k + 1} AS MATERIALIZED (
   SELECT {wkm}wt.freq,
          CASE WHEN m.l IS NULL THEN wt.syms ELSE
            list_reduce(
@@ -378,7 +379,7 @@ w{k + 1} AS MATERIALIZED (
                        THEN list_append(a[1:len(a) - 1], m.l || m.r)
                        ELSE list_append(a, e[1]) END)
          END AS syms
-  FROM w{k} wt LEFT JOIN m{k} m ON TRUE
+  FROM {pfx}w{k} wt LEFT JOIN {pfx}m{k} m ON TRUE
 )"""
         )
     return ",".join(parts)

@@ -434,7 +434,7 @@ def retrieval_eval_metrics(spark, t):
     return ranking_metrics(run, qrels, k=20)
 
 
-def _wp_rounds_sql(n_rounds: int, *, keep_word: bool) -> str:
+def _wp_rounds_sql(n_rounds: int, *, keep_word: bool, pfx: str = "") -> str:
     """Unrolled-round DuckDB replay of
     ``operators/wordpiece.train_wordpiece`` (same static-unroll
     discipline as ``pipeline4._bpe_rounds_sql``, which documents the
@@ -454,7 +454,7 @@ def _wp_rounds_sql(n_rounds: int, *, keep_word: bool) -> str:
     wk = "w, " if keep_word else ""
     parts = [
         f"""
-w0 AS MATERIALIZED (
+{pfx}w0 AS MATERIALIZED (
   SELECT {wk}list_transform(range(1, length(w) + 1),
                        i -> CASE WHEN i = 1 THEN w[i]
                                  ELSE '##' || w[i] END) AS syms, freq
@@ -468,28 +468,28 @@ w0 AS MATERIALIZED (
         wkm = f"{'wt.w, ' if keep_word else ''}"
         parts.append(
             f"""
-pc{k} AS MATERIALIZED (
+{pfx}pc{k} AS MATERIALIZED (
   SELECT l, r, SUM(freq) AS pc FROM (
     SELECT syms[i.i] AS l, syms[i.i + 1] AS r, freq
-    FROM w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
+    FROM {pfx}w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
   ) _ GROUP BY l, r
 ),
-sc{k} AS MATERIALIZED (
+{pfx}sc{k} AS MATERIALIZED (
   SELECT sym, SUM(freq) AS sc FROM (
-    SELECT unnest(syms) AS sym, freq FROM w{k}) _ GROUP BY sym
+    SELECT unnest(syms) AS sym, freq FROM {pfx}w{k}) _ GROUP BY sym
 ),
-m{k} AS MATERIALIZED (
+{pfx}m{k} AS MATERIALIZED (
   SELECT p.l, p.r,
          p.l || (CASE WHEN cr.sym LIKE '##%' THEN substr(cr.sym, 3)
                       ELSE cr.sym END) AS merged,
          p.pc,
          CAST(p.pc AS DOUBLE) / (CAST(cl.sc AS DOUBLE) * CAST(cr.sc AS DOUBLE))
            AS score
-  FROM pc{k} p JOIN sc{k} cl ON cl.sym = p.l JOIN sc{k} cr ON cr.sym = p.r
+  FROM {pfx}pc{k} p JOIN {pfx}sc{k} cl ON cl.sym = p.l JOIN {pfx}sc{k} cr ON cr.sym = p.r
   WHERE p.pc >= 2
   ORDER BY score DESC, p.pc DESC, p.l, p.r LIMIT 1
 ),
-w{k + 1} AS MATERIALIZED (
+{pfx}w{k + 1} AS MATERIALIZED (
   SELECT {wkm}wt.freq,
          CASE WHEN m.l IS NULL THEN wt.syms ELSE
            list_reduce(
@@ -500,7 +500,7 @@ w{k + 1} AS MATERIALIZED (
                        THEN list_append(a[1:len(a) - 1], m.merged)
                        ELSE list_append(a, e[1]) END)
          END AS syms
-  FROM w{k} wt LEFT JOIN m{k} m ON TRUE
+  FROM {pfx}w{k} wt LEFT JOIN {pfx}m{k} m ON TRUE
 )"""
         )
     return ",".join(parts)
@@ -549,31 +549,31 @@ def vocab_wordpiece_merges(spark, t):
     ).orderBy("rank")
 
 
-def _wp_apply_oracle(n_merges: int = 8, max_pieces: int = 12) -> str:
-    """Synthesized oracle for ``vocab_wordpiece_apply``: train via
-    the unrolled replay, build the vocab (initial ##-alphabet +
-    merged tokens), then run BERT's greedy longest-match-first
-    encoder as ``max_pieces`` unrolled consume-one-piece rounds per
-    distinct word (each piece covers ≥1 char, so rounds bounded by
-    word length — corpus max is 8 chars, pinned in
-    tests/test_wordpiece.py::test_wp_apply_oracle_preconditions).
+def _wp_encode_rounds(pfx: str, vocab_cte: str, words_src: str,
+                      max_pieces: int = 12) -> str:
+    """BERT greedy longest-match-first encoder as ``max_pieces``
+    unrolled consume-one-piece rounds per distinct word of
+    ``words_src`` (a FROM-able producing column ``w``); each piece
+    covers ≥1 char, so rounds bounded by word length — corpus max is
+    8 chars, pinned in
+    tests/test_wordpiece.py::test_wp_apply_oracle_preconditions.
     A word with an unmatchable remainder collapses to ['[UNK]'],
-    kernel-identically."""
+    kernel-identically. Emits ``{pfx}wtok`` (w, toks, nt, nu)."""
     rounds = []
     for k in range(max_pieces):
         rounds.append(
             f"""
-b{k} AS MATERIALIZED (
+{pfx}b{k} AS MATERIALIZED (
   SELECT t.w, MAX(c.i) AS bend
-  FROM e{k} t,
+  FROM {pfx}e{k} t,
        LATERAL (SELECT unnest(range(t.start, length(t.w) + 1)) AS i) c
-  JOIN wp_vocab v
+  JOIN {vocab_cte} v
     ON v.sym = (CASE WHEN t.start > 1 THEN '##' ELSE '' END)
                || t.w[t.start:c.i]
   WHERE NOT t.failed AND t.start <= length(t.w)
   GROUP BY t.w
 ),
-e{k + 1} AS MATERIALIZED (
+{pfx}e{k + 1} AS MATERIALIZED (
   SELECT t.w,
          CASE WHEN t.failed OR t.start > length(t.w) THEN t.start
               WHEN b.bend IS NULL THEN t.start
@@ -584,30 +584,49 @@ e{k + 1} AS MATERIALIZED (
                      (CASE WHEN t.start > 1 THEN '##' ELSE '' END)
                      || t.w[t.start:b.bend]) END AS toks,
          (t.failed OR (t.start <= length(t.w) AND b.bend IS NULL)) AS failed
-  FROM e{k} t LEFT JOIN b{k} b USING (w)
+  FROM {pfx}e{k} t LEFT JOIN {pfx}b{k} b USING (w)
 )"""
         )
-    merged_unions = "\n    UNION ".join(
-        f"SELECT merged AS sym FROM m{k}" for k in range(n_merges)
-    )
     return f"""
-WITH {_wp_rounds_sql(n_merges, keep_word=False)},
-wp_vocab AS MATERIALIZED (
-  SELECT DISTINCT sym FROM (SELECT unnest(syms) AS sym FROM w0) _
-    UNION {merged_unions}
-),
-e0 AS MATERIALIZED (
+{pfx}e0 AS MATERIALIZED (
   SELECT DISTINCT w, 1 AS start, CAST([] AS VARCHAR[]) AS toks,
          FALSE AS failed
-  FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
-        FROM documents) _
+  FROM {words_src}
   WHERE w <> ''
 ),{",".join(rounds)},
-wtok AS MATERIALIZED (
+{pfx}wtok AS MATERIALIZED (
   SELECT w, array_to_string(toks, ' ') AS toks, len(toks) AS nt,
          len(list_filter(toks, x -> x = '[UNK]')) AS nu
-  FROM e{max_pieces}
-),
+  FROM {pfx}e{max_pieces}
+)"""
+
+
+def _wp_vocab_cte(pfx: str, n_merges: int) -> str:
+    """Final WordPiece vocab: the initial ##-alphabet plus every
+    merged token (UNION dedups)."""
+    merged_unions = "\n    UNION ".join(
+        f"SELECT merged AS sym FROM {pfx}m{k}" for k in range(n_merges)
+    )
+    return f"""
+{pfx}vocab AS MATERIALIZED (
+  SELECT DISTINCT sym FROM (SELECT unnest(syms) AS sym FROM {pfx}w0) _
+    UNION {merged_unions}
+)"""
+
+
+def _wp_apply_oracle(n_merges: int = 8, max_pieces: int = 12) -> str:
+    """Synthesized oracle for ``vocab_wordpiece_apply``: train via
+    the unrolled replay, build the vocab, greedy-encode every
+    distinct word (``_wp_encode_rounds``), rebuild documents."""
+    return f"""
+WITH {_wp_rounds_sql(n_merges, keep_word=False)},
+{_wp_vocab_cte('', n_merges)},
+{_wp_encode_rounds(
+        'wp_', 'vocab',
+        '''(SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) _''',
+        max_pieces)},
+wtok AS (SELECT * FROM wp_wtok),
 docw AS (
   SELECT doc_id, i.i AS pos, ws[i.i] AS w
   FROM (SELECT doc_id,
@@ -4280,12 +4299,70 @@ def topic_model_mixture(spark, t):
     return topics.topic_summary(spark, model, k=4, top_n=5)
 
 
+def _tokenizer_compare_oracle() -> str:
+    """Synthesized oracle for ``vocab_tokenizer_compare`` (rows-only
+    → hash-green upgrade): composes the three unrolled trainer
+    replays in one statement under distinct CTE prefixes —
+    BPE (pipeline4._bpe_rounds_sql, 8 merges; corpus token total is
+    Σ freq·len(syms) over the evolved word table, since training
+    evolution == rank-order application), WordPiece (scored rounds +
+    the greedy encoder over the shared word-frequency table), and
+    unigram-LM (pipeline5._unigram_rounds_sql at vocab_size=64,
+    seed_size=512, + one more segmentation block under the final
+    vocab). Fertility uses the trainer's floor-form pround at
+    scale 4."""
+    from .pipeline4 import _bpe_rounds_sql
+    from .pipeline5 import _unigram_rounds_sql, _unigram_seg_block
+
+    fert = (
+        "FLOOR(CAST(({nt}) AS DOUBLE) / (SELECT n FROM nw)"
+        " * 10000 + 0.5) / 10000"
+    )
+    return f"""
+WITH {_bpe_rounds_sql(8, keep_word=False, pfx='tb')},
+{_wp_rounds_sql(8, keep_word=False, pfx='tw')},
+{_wp_vocab_cte('tw', 8)},
+{_unigram_rounds_sql(vocab_size=64, seed_size=512)},
+{_wp_encode_rounds('tw', 'twvocab', '(SELECT w FROM uwf) _')},
+uvlp AS MATERIALIZED (
+  SELECT piece, lp FROM uvocab JOIN ulogpF USING (piece)
+),
+{_unigram_seg_block('C', 'uvlp', 'uwf')},
+nw AS (
+  SELECT CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+')))
+              AS BIGINT) AS n
+  FROM documents
+),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+tb_tot AS (
+  SELECT CAST(SUM(freq * len(syms)) AS BIGINT) AS nt FROM tbw8
+),
+tw_tot AS (
+  SELECT CAST(SUM(f.freq * k.nt) AS BIGINT) AS nt,
+         CAST(SUM(f.freq * k.nu) AS BIGINT) AS nu
+  FROM twwtok k JOIN uwf f USING (w)
+),
+tu_tot AS (
+  SELECT CAST(SUM(f.freq * len(b.toks)) AS BIGINT) AS nt
+  FROM ubestC b JOIN uwf f USING (w)
+)
+SELECT 'bpe' AS tokenizer, (SELECT n FROM nd) AS n_docs,
+       (SELECT nt FROM tb_tot) AS n_tokens,
+       {fert.format(nt='SELECT nt FROM tb_tot')} AS fertility,
+       0 AS n_unk
+UNION ALL
+SELECT 'unigram_lm', (SELECT n FROM nd), (SELECT nt FROM tu_tot),
+       {fert.format(nt='SELECT nt FROM tu_tot')}, 0
+UNION ALL
+SELECT 'wordpiece', (SELECT n FROM nd), (SELECT nt FROM tw_tot),
+       {fert.format(nt='SELECT nt FROM tw_tot')},
+       (SELECT nu FROM tw_tot)
+"""
+
+
 @register(
     "vocab_tokenizer_compare",
-    oracle=None,  # three trainer loops — no SQL twin; each trainer is
-    # individually pinned EXACTLY against a sequential reference
-    # (tests/test_bpe.py, test_wordpiece.py, test_unigram_lm.py), so
-    # this capstone only composes already-pinned parts.
+    oracle=_tokenizer_compare_oracle(),
     category="pipeline",
 )
 def vocab_tokenizer_compare(spark, t):
