@@ -238,6 +238,17 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 5
     # oracle upgrades hash-green + 7 re-proves green; ledger
     # 381 -> 419/419.
+    # Round-10 session 2 additionally upgraded NINE more rows-only
+    # queries to exact synthesized oracles (dedup_simhash,
+    # ann_lsh_bucketed, vocab_bpe_merges/apply,
+    # vocab_wordpiece_merges/apply, vocab_unigram_lm/apply,
+    # vocab_tokenizer_compare — see COVERAGE.md round 10). They are
+    # NOT in this window (its composition is fixed by the rotation
+    # test); front them in the ROUND-11 window so the upgrades land
+    # as driver HASH evidence, then fill remaining slots with the
+    # next-oldest-evidence re-proves (r3-era setops/lateral rows).
+    # All nine are pre-verified: compare_query green at sf0.001 AND
+    # sf0.01, driver_sim green at sf0.01.
     "feature_target_encode_oof",
     "corpus_clean_v9",
     "audit_benford_first_digit",
