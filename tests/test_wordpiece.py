@@ -153,3 +153,26 @@ def test_wp_apply_oracle_preconditions():
                 WHERE w <> ''"""
         ).fetchone()[0]
         assert mx <= 12, (sf, mx)
+
+
+def test_charsplit_parity_precondition():
+    """All three tokenizer-oracle replays (BPE, WordPiece, unigram)
+    split words into characters with DuckDB string indexing, which
+    counts GRAPHEME CLUSTERS, while the trainers split by code
+    points (Python list(w) / Java regex). Equal iff the corpus has
+    no combining sequences or other multi-codepoint graphemes — pin
+    exact per-word parity on the oracle SFs."""
+    import duckdb
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT w, list_transform(range(1, length(w) + 1), i -> w[i])
+                FROM (
+                  SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS w
+                  FROM read_parquet('{sf}/documents.parquet')) _
+                WHERE w <> ''"""
+        ).fetchall()
+        assert rows
+        for w, chars in rows:
+            assert chars == list(w), (sf, w, chars)
