@@ -86,28 +86,33 @@ def _simhash_oracle() -> str:
     - final pairs filtered at Hamming ≤ 8 via UBIGINT xor+bit_count.
     """
     from ..operators.dedup import _perm_consts
-    from ..xxh64_sql import M64, mul64, signed64, xxh64_cte
+    from ..xxh64_sql import M32, M64, signed64, xxh64_cte
 
+    # Permutation constants pre-split into 32-bit halves so the
+    # per-row wraparound multiply is ~7 HUGEINT ops instead of a
+    # textual var×var mul64 (whose CASE-wrapped signed64 re-evaluated
+    # it 3× — measured 17 s over the 1M lane rows, vs <1 s split).
     lanes_rows = ", ".join(
-        f"({i}, {a % M64}::HUGEINT, {b % M64}::HUGEINT)"
+        f"({i}, {(a % M64) % M32}::HUGEINT, {(a % M64) // M32}::HUGEINT,"
+        f" {b % M64}::HUGEINT)"
         for i, (a, b) in enumerate(_perm_consts(64))
     )
     pow2 = ", ".join(f"{1 << j}::HUGEINT" for j in range(64))
-    lane_val = signed64(f"(({mul64('h', 'a')}) + b) % {M64}")
+    lane_val = signed64("m")
     return f"""
 WITH
-tokc AS (
+tokc AS MATERIALIZED (
   SELECT doc_id, w, COUNT(*) AS cnt
   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
         FROM documents) _
   GROUP BY doc_id, w
 ),
-toks AS (SELECT DISTINCT w FROM tokc),
+toks AS MATERIALIZED (SELECT DISTINCT w FROM tokc),
 {xxh64_cte('toks', ('w',), 'w', 'wh')[1:]},
-tbits AS (
+tbits AS MATERIALIZED (
   SELECT w, lpad(bin(CAST(h AS UBIGINT)), 64, '0') AS bs FROM wh
 ),
-votes AS (
+votes AS MATERIALIZED (
   SELECT t.doc_id, j.j,
          SUM(CASE WHEN substr(b.bs, 64 - j.j, 1) = '1'
                   THEN t.cnt ELSE -t.cnt END) AS v
@@ -115,13 +120,13 @@ votes AS (
   CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
   GROUP BY t.doc_id, j.j
 ),
-fp AS (
+fp AS MATERIALIZED (
   SELECT doc_id,
          CAST(SUM(CASE WHEN v > 0 THEN ([{pow2}])[j + 1]
                        ELSE 0::HUGEINT END) AS UBIGINT) AS simhash
   FROM votes GROUP BY doc_id
 ),
-shing AS (
+shing AS MATERIALIZED (
   SELECT doc_id, unnest(sh) AS s FROM (
     SELECT doc_id,
            CASE WHEN len(w) >= 3
@@ -132,21 +137,31 @@ shing AS (
           FROM documents) _
   ) _
 ),
-shs AS (SELECT DISTINCT s FROM shing),
+shs AS MATERIALIZED (SELECT DISTINCT s FROM shing),
 {xxh64_cte('shs', ('s',), 's', 'shh')[1:]},
-lanes(i, a, b) AS (VALUES {lanes_rows}),
-lanemin AS (
-  SELECT g.doc_id, l.i, MIN({lane_val}) AS mh
-  FROM shing g JOIN shh USING (s) CROSS JOIN lanes l
-  GROUP BY g.doc_id, l.i
+lanes(i, alo, ahi, b) AS (VALUES {lanes_rows}),
+shh2 AS MATERIALIZED (
+  SELECT s, h % {M32} AS hlo, h // {M32} AS hhi FROM shh
 ),
-bandsig AS (
+perm AS MATERIALIZED (
+  SELECT s, l.i,
+         {lane_val.replace('m',
+             f'((hlo * alo + ((hhi * alo + hlo * ahi) % {M32}) * {M32} + b)'
+             f' % {M64})')} AS mh
+  FROM shh2 CROSS JOIN lanes l
+),
+lanemin AS MATERIALIZED (
+  SELECT g.doc_id, p.i, MIN(p.mh) AS mh
+  FROM shing g JOIN perm p USING (s)
+  GROUP BY g.doc_id, p.i
+),
+bandsig AS MATERIALIZED (
   SELECT doc_id, i // 2 AS band,
          MIN(CASE WHEN i % 2 = 0 THEN mh END) AS mh0,
          MIN(CASE WHEN i % 2 = 1 THEN mh END) AS mh1
   FROM lanemin GROUP BY doc_id, i // 2
 ),
-cand AS (
+cand AS MATERIALIZED (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
   FROM bandsig x JOIN bandsig y
     ON x.band = y.band AND x.mh0 = y.mh0 AND x.mh1 = y.mh1
@@ -187,10 +202,10 @@ def dedup_simhash(spark, t):
 @register(
     "ann_cosine_topk",
     oracle="""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_reduce(list_transform(list_zip(q.e, c.e), z -> z[1] * z[2]),
                      (x, y) -> x + y)
@@ -199,7 +214,7 @@ scored AS (
            AS cosine
   FROM v q JOIN v c ON q.vec_id < 30 AND c.vec_id <> q.vec_id
 ),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
@@ -264,13 +279,13 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
         )
     buckets = "\n  UNION ALL ".join(table_selects)
     return f"""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
-b AS (
+b AS MATERIALIZED (
   {buckets}
 ),
-scored AS (
+scored AS MATERIALIZED (
   SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_reduce(list_transform(list_zip(a.e, c.e), z -> z[1] * z[2]),
                      (x, y) -> x + y)
@@ -280,11 +295,11 @@ scored AS (
   FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
                    AND a.vec_id <> c.vec_id
 ),
-dedup AS (
+dedup AS MATERIALIZED (
   SELECT query_id, neighbor_id, MAX(cosine) AS cosine
   FROM scored GROUP BY query_id, neighbor_id
 ),
-ranked AS (
+ranked AS MATERIALIZED (
   SELECT query_id, neighbor_id, cosine,
          ROW_NUMBER() OVER (PARTITION BY query_id
                             ORDER BY cosine DESC, neighbor_id) AS rank
@@ -479,7 +494,7 @@ def events_sessionize(spark, t):
 @register(
     "dedup_embedding_cosine",
     oracle="""
-WITH v AS (
+WITH v AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   WHERE vec_id < 500
 )
@@ -608,7 +623,7 @@ def text_rolling_fingerprint(spark, t):
 
 
 _MINHASH_PAIR_CTE = """
-toks AS (
+toks AS MATERIALIZED (
   SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
 ), sh AS (
   SELECT doc_id,

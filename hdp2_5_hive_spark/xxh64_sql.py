@@ -124,16 +124,20 @@ def xxh64_cte(src: str, key_cols: tuple[str, ...], val_col: str, out: str) -> st
     ava3 = _shr_xor("a2", 32)
 
     return f"""
-{out}_b AS MATERIALIZED (
+{out}_hx AS MATERIALIZED (
   SELECT {keys},
          octet_length(encode({val_col})) AS n,
-         list_transform(range(1, octet_length(encode({val_col})) + 1),
-           i -> CAST(strpos('0123456789ABCDEF',
-                            substr(hex(encode({val_col})), 2 * i - 1, 1)) - 1
-                     AS HUGEINT) * 16
-              + (strpos('0123456789ABCDEF',
-                        substr(hex(encode({val_col})), 2 * i, 1)) - 1)) AS b
+         hex(encode({val_col})) AS hx
   FROM {src}
+),
+{out}_b AS MATERIALIZED (
+  SELECT {keys}, n,
+         list_transform(range(1, n + 1),
+           i -> CAST(strpos('0123456789ABCDEF',
+                            substr(hx, 2 * i - 1, 1)) - 1
+                     AS HUGEINT) * 16
+              + (strpos('0123456789ABCDEF', substr(hx, 2 * i, 1)) - 1)) AS b
+  FROM {out}_hx
 ),
 {out}_w AS MATERIALIZED (
   SELECT {keys}, n, b,
