@@ -234,8 +234,3 @@ def signed64(expr: str) -> str:
     )
 
 
-def perm_lane(h: str, a: int, b: int) -> str:
-    """Minhash permutation lane ``(h * a + b) % 2**64`` (unsigned
-    in/out) matching Spark's wrap-around signed-long ``_h * a + b``
-    (operators/dedup._perm_consts)."""
-    return f"(({_mulc(h, a % M64)}) + {b % M64}) % {M64}"
