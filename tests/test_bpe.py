@@ -6,6 +6,9 @@ from __future__ import annotations
 
 from collections import Counter
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
 from hdp2_5_hive_spark.operators import bpe
 
 
@@ -135,3 +138,53 @@ def test_bpe_apply_matches_reference_and_shrinks(spark, sf_dir):
     n12 = sum(v[1] for v in got.values())
     n4 = sum(r.n_tokens for r in fewer.collect())
     assert n12 <= n4
+
+
+# ---------- property test of the SYNTHESIZED ORACLE generator
+# (queries/pipeline4._bpe_rounds_sql) against the sequential
+# reference on RANDOM corpora — pure DuckDB vs pure Python, no
+# Spark. BPE is integer-exact end to end (counts, lexicographic
+# tie-breaks), so random corpora cannot introduce engine-dependent
+# ambiguity the way float-scored trainers can.
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcé日", min_size=1, max_size=9),
+            min_size=1,
+            max_size=12,
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_oracle_sql_matches_reference_on_random_corpora(texts):
+    import duckdb
+
+    from hdp2_5_hive_spark.queries.pipeline4 import (
+        _bpe_apply_oracle,
+        _bpe_merges_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(doc_id, text)",
+        texts,
+    )
+    want = _reference_bpe(texts, n_merges=6)
+    got = sorted(con.execute(_bpe_merges_oracle(6)).fetchall())
+    assert got == [
+        (r, lt, rt, lt + rt, c) for r, lt, rt, c in want
+    ], (texts, got, want)
+
+    want_docs = _reference_apply(texts, _reference_bpe(texts, n_merges=6))
+    got_docs = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_bpe_apply_oracle(6)).fetchall()
+    }
+    for i, doc in enumerate(want_docs):
+        assert got_docs[i] == (" ".join(doc), len(doc)), (texts, i)
