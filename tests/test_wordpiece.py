@@ -176,3 +176,71 @@ def test_charsplit_parity_precondition():
         assert rows
         for w, chars in rows:
             assert chars == list(w), (sf, w, chars)
+
+
+# ---------- property test of the SYNTHESIZED ORACLE generator
+# (pipeline6._wp_rounds_sql / _wp_encode_rounds) against the
+# sequential reference on RANDOM corpora — pure DuckDB vs pure
+# Python. Scores divide exact integers as IEEE doubles on both
+# sides and ties break on integers/strings, so random corpora stay
+# engine-deterministic; word length is capped below the 12-piece
+# encoder unroll bound.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcé日", min_size=1, max_size=9),
+            min_size=1,
+            max_size=10,
+        ).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_wp_oracle_sql_matches_reference_on_random_corpora(texts):
+    import math
+
+    import duckdb
+
+    from hdp2_5_hive_spark.queries.pipeline6 import (
+        _wp_apply_oracle,
+        _wp_merges_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(doc_id, text)",
+        texts,
+    )
+    want = _reference_wordpiece(texts, n_merges=5)
+    got = sorted(con.execute(_wp_merges_oracle(5)).fetchall())
+    assert got == [
+        (r, lt, rt, m, c, math.floor(s * 1e6 + 0.5) / 1e6)
+        for r, lt, rt, m, c, s in want
+    ], (texts, got, want)
+
+    # apply: greedy longest-match vs the reference encoder
+    vocab = set()
+    for t in texts:
+        for w in t.lower().split(" "):
+            if w:
+                vocab.update(_decompose(w))
+    vocab.update(m[3] for m in want)
+    got_docs = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_wp_apply_oracle(5)).fetchall()
+    }
+    for i, t in enumerate(texts):
+        doc = []
+        for w in t.lower().split(" "):
+            if w:
+                doc.extend(wp.encode_word_greedy(w, vocab))
+        n_unk = sum(1 for s in doc if s == wp.UNK)
+        assert got_docs[i] == (" ".join(doc), len(doc), n_unk), (texts, i)
