@@ -39,6 +39,9 @@ BOUNDARY_STRINGS = [
     "r" * 64,
     "s" * 65,
     "t" * 100,
+    "u" * 255,
+    "v" * 256,
+    "long stripe input " * 20,
     "hello world this is a long shingle of words",
     "aé日本語",
     "的 是 了",
@@ -83,7 +86,7 @@ def test_xxh64_sql_matches_spark_on_boundaries(spark):
             alphabet=st.characters(
                 codec="utf-8", exclude_categories=("Cs",)
             ),
-            max_size=90,
+            max_size=200,
         ),
         min_size=1,
         max_size=8,
