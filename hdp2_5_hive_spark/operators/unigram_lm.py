@@ -267,11 +267,17 @@ def unigram_vocab_table(
     df: DataFrame, text_col: str = "text", **kw
 ) -> DataFrame:
     """train_unigram_lm as a DataFrame: (rank, piece, piece_count,
-    logprob rounded to 6)."""
+    logprob rounded to 6 via the floor form — the cross-engine-
+    deterministic pround discipline (functions/hive_compat.pround):
+    Python round() is half-even on the exact double while DuckDB
+    ROUND is half-away after an inexact scale-multiply, so a tie-
+    adjacent value would round differently; floor(x*1e6+0.5) is
+    identically computed everywhere."""
     spark = df.sparkSession
     vocab = train_unigram_lm(df, text_col, **kw)
     rows = [
-        (i, p, c, round(lp, 6)) for i, (p, c, lp) in enumerate(vocab)
+        (i, p, c, math.floor(lp * 1e6 + 0.5) / 1e6)
+        for i, (p, c, lp) in enumerate(vocab)
     ]
     return spark.createDataFrame(
         rows, "rank int, piece string, piece_count long, logprob double"

@@ -98,7 +98,10 @@ def _simhash_oracle() -> str:
         for i, (a, b) in enumerate(_perm_consts(64))
     )
     pow2 = ", ".join(f"{1 << j}::HUGEINT" for j in range(64))
-    lane_val = signed64("m")
+    lane_val = signed64(
+        f"((hlo * alo + ((hhi * alo + hlo * ahi) % {M32}) * {M32} + b)"
+        f" % {M64})"
+    )
     return f"""
 WITH
 tokc AS MATERIALIZED (
@@ -144,10 +147,7 @@ shh2 AS MATERIALIZED (
   SELECT s, h % {M32} AS hlo, h // {M32} AS hhi FROM shh
 ),
 perm AS MATERIALIZED (
-  SELECT s, l.i,
-         {lane_val.replace('m',
-             f'((hlo * alo + ((hhi * alo + hlo * ahi) % {M32}) * {M32} + b)'
-             f' % {M64})')} AS mh
+  SELECT s, l.i, {lane_val} AS mh
   FROM shh2 CROSS JOIN lanes l
 ),
 lanemin AS MATERIALIZED (
@@ -262,7 +262,10 @@ def _ann_lsh_oracle(dim: int = 64, n_planes: int = 6, n_tables: int = 4,
     planes = _plane_matrix(dim, n_planes, n_tables)
 
     def dot(col: str, j: int) -> str:
-        lit = "[" + ", ".join(repr(planes[i, j]) for i in range(dim)) + "]"
+        # repr(float(...)): numpy >= 2.0 reprs scalars as
+        # "np.float64(x)", which is not SQL; float() keeps the exact
+        # shortest round-trip literal on any numpy.
+        lit = "[" + ", ".join(repr(float(planes[i, j])) for i in range(dim)) + "]"
         return (
             f"list_reduce(list_transform(list_zip({col}, {lit}),"
             f" z -> z[1] * z[2]), (x, y) -> x + y)"

@@ -2434,7 +2434,7 @@ WITH {_unigram_rounds_sql()}
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) - 1 AS INTEGER)
          AS rank,
        piece, CAST(cnt AS BIGINT) AS piece_count,
-       ROUND(lp, 6) AS logprob
+       FLOOR(lp * 1000000 + 0.5) / 1000000 AS logprob
 FROM uvocab JOIN ulogpF USING (piece)
 """
 

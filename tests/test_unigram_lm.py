@@ -207,7 +207,9 @@ def test_unigram_oracle_preconditions():
         rec(0, [], 0.0)
         return outs
 
+    configs = [(48, 256), (64, 512)]  # vocab queries / tokenizer_compare
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+      for vocab_size, seed_size in configs:
         texts = [
             r[0]
             for r in duckdb.sql(
@@ -216,7 +218,7 @@ def test_unigram_oracle_preconditions():
         ]
         wf = _ref_word_freq(texts)
         assert max(len(w) for w in wf) <= 12, sf
-        logps = [_ref_logp(_ref_seed(wf, 6, 256))]
+        logps = [_ref_logp(_ref_seed(wf, 6, seed_size))]
         counts = {}
         for _ in range(3):
             counts = Counter()
@@ -232,7 +234,7 @@ def test_unigram_oracle_preconditions():
                 key=lambda pc: (-pc[1], pc[0]),
             )
             n_chars = sum(1 for p in counts if len(p) == 1)
-            keep = max(48 - n_chars, int(len(multi) * 0.75))
+            keep = max(vocab_size - n_chars, int(len(multi) * 0.75))
             kept = dict(multi[:keep])
             kept.update((p, c) for p, c in counts.items() if len(p) == 1)
             logps.append(_ref_logp(kept))
@@ -249,7 +251,7 @@ def test_unigram_oracle_preconditions():
         final = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
         chars = [(p, c) for p, c in final if len(p) == 1]
         multi = [(p, c) for p, c in final if len(p) > 1]
-        room = max(48 - len(chars), 0)
+        room = max(vocab_size - len(chars), 0)
         vocab = {p for p, _ in chars + multi[:room]}
         logps.append(logp_f)
         logps.append({p: lp for p, lp in logp_f.items() if p in vocab})
