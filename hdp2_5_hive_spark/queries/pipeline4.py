@@ -327,62 +327,31 @@ def _bpe_rounds_sql(n_rounds: int, *, keep_word: bool, min_pair_count: int = 2,
                     pfx: str = "") -> str:
     """Unrolled-round DuckDB replay of ``operators/bpe.train_bpe``
     (the same static-unroll discipline as the topic-model hard-EM and
-    pagerank oracles): emits CTEs ``w0..w{n}`` (the evolving
-    distinct-word symbol table) and ``m0..m{n-1}`` (each round's ≤1
-    argmax merge row, empty once the best pair drops below
-    ``min_pair_count`` — and a later round seeing the unchanged table
-    re-derives the same sub-threshold best, so the early-stop
-    composes correctly under static unrolling).
+    pagerank oracles), built on the shared round skeleton in
+    ``queries/oracle_parts.subword_rounds_sql`` — which documents the
+    fold-exactness, early-stop-composition, and materialization
+    arguments. BPE specifics: plain character decomposition, raw
+    pair-count argmax with (count DESC, l, r) tie-breaks at
+    ``min_pair_count`` support, ``merged = l || r``. ``keep_word``
+    carries the original word through the rounds so an apply-side
+    oracle can join tokenizations back to documents (training
+    evolution == applying merges in rank order)."""
+    from .oracle_parts import subword_rounds_sql
 
-    The greedy left-to-right merge rewrite is a left fold — exact
-    because a merged symbol ``l||r`` can never equal ``l`` (symbols
-    are non-empty), so a fold can never cascade within one round
-    where the sequential kernel would not. Every stage is
-    MATERIALIZED: ``w{k}`` is referenced twice (pair counts + next
-    rewrite) and inlining would double the plan per round.
-    ``keep_word`` carries the original word through the rounds so an
-    apply-side oracle can join tokenizations back to documents
-    (training evolution == applying merges in rank order)."""
-    wk = "w, " if keep_word else ""
-    parts = [
-        f"""
-{pfx}w0 AS MATERIALIZED (
-  SELECT {wk}list_transform(range(1, length(w) + 1), i -> w[i]) AS syms, freq
-  FROM (
-    SELECT w, COUNT(*) AS freq FROM (
-      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) _
-    WHERE w <> '' GROUP BY w) _
+    def argmax(k: int) -> str:
+        return f"""{pfx}m{k} AS MATERIALIZED (
+  SELECT l, r, l || r AS merged, pc FROM {pfx}pc{k}
+  WHERE pc >= {min_pair_count}
+  ORDER BY pc DESC, l, r LIMIT 1
 )"""
-    ]
-    for k in range(n_rounds):
-        wkm = f"{'wt.w, ' if keep_word else ''}"
-        parts.append(
-            f"""
-{pfx}pc{k} AS MATERIALIZED (
-  SELECT l, r, SUM(freq) AS c FROM (
-    SELECT syms[i.i] AS l, syms[i.i + 1] AS r, freq
-    FROM {pfx}w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
-  ) _ GROUP BY l, r
-),
-{pfx}m{k} AS MATERIALIZED (
-  SELECT l, r, c FROM {pfx}pc{k} WHERE c >= {min_pair_count}
-  ORDER BY c DESC, l, r LIMIT 1
-),
-{pfx}w{k + 1} AS MATERIALIZED (
-  SELECT {wkm}wt.freq,
-         CASE WHEN m.l IS NULL THEN wt.syms ELSE
-           list_reduce(
-             list_prepend(CAST([] AS VARCHAR[]),
-                          list_transform(wt.syms, s -> [s])),
-             (a, e) -> CASE WHEN len(a) > 0 AND a[len(a)] = m.l
-                             AND e[1] = m.r
-                       THEN list_append(a[1:len(a) - 1], m.l || m.r)
-                       ELSE list_append(a, e[1]) END)
-         END AS syms
-  FROM {pfx}w{k} wt LEFT JOIN {pfx}m{k} m ON TRUE
-)"""
-        )
-    return ",".join(parts)
+
+    return subword_rounds_sql(
+        n_rounds,
+        pfx=pfx,
+        keep_word=keep_word,
+        sym_expr="list_transform(range(1, length(w) + 1), i -> w[i])",
+        argmax_cte=argmax,
+    )
 
 
 def _bpe_merges_oracle(n_merges: int = 8) -> str:
@@ -391,8 +360,8 @@ def _bpe_merges_oracle(n_merges: int = 8) -> str:
     replay, rank order + lexicographic tie-breaks identical to the
     Spark trainer."""
     unions = "\n  UNION ALL ".join(
-        f'SELECT {k} AS rank, l AS "left", r AS "right", l || r AS merged,'
-        f" CAST(c AS BIGINT) AS pair_count FROM m{k}"
+        f'SELECT {k} AS rank, l AS "left", r AS "right", merged,'
+        f" CAST(pc AS BIGINT) AS pair_count FROM m{k}"
         for k in range(n_merges)
     )
     return f"WITH {_bpe_rounds_sql(n_merges, keep_word=False)}\n  {unions}"
@@ -870,27 +839,14 @@ def _bpe_apply_oracle(n_merges: int = 16) -> str:
     rebuild every document from its non-empty lowercased words.
     Empty documents keep a row (tokens='', n_tokens=0), matching the
     kernel."""
+    from .oracle_parts import doc_rebuild_sql
+
     return f"""
 WITH {_bpe_rounds_sql(n_merges, keep_word=True)},
 final AS MATERIALIZED (
   SELECT w, array_to_string(syms, ' ') AS toks, len(syms) AS nt FROM w{n_merges}
 ),
-docw AS (
-  SELECT doc_id, i.i AS pos, ws[i.i] AS w
-  FROM (SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        FROM documents) d,
-       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
-),
-agg AS (
-  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS tokens,
-         CAST(SUM(nt) AS BIGINT) AS n_tokens
-  FROM docw JOIN final USING (w) GROUP BY doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       COALESCE(a.tokens, '') AS tokens,
-       COALESCE(a.n_tokens, 0) AS n_tokens
-FROM documents d LEFT JOIN agg a USING (doc_id)
+{doc_rebuild_sql(wtok_cte='final', sums=[('nt', 'n_tokens')])}
 """
 
 

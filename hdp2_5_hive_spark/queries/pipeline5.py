@@ -2444,6 +2444,8 @@ def _unigram_apply_oracle() -> str:
     unrolled replay, restrict log-probs to the final vocab, Viterbi-
     decode the doc_id ≤ 60 slice via the same enumeration argmax,
     and rebuild documents (empty docs keep tokens='', n_pieces=0)."""
+    from .oracle_parts import doc_rebuild_sql
+
     return f"""
 WITH {_unigram_rounds_sql()},
 uvlp AS MATERIALIZED (
@@ -2460,23 +2462,8 @@ uwtok AS MATERIALIZED (
   SELECT w, array_to_string(toks, ' ') AS toks, len(toks) AS nt
   FROM ubestA
 ),
-udocw AS (
-  SELECT doc_id, i.i AS pos, ws[i.i] AS w
-  FROM (SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        FROM documents WHERE doc_id <= 60) d,
-       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
-),
-uagg AS (
-  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS tokens,
-         CAST(SUM(nt) AS BIGINT) AS n_pieces
-  FROM udocw JOIN uwtok USING (w) GROUP BY doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       COALESCE(a.tokens, '') AS tokens,
-       COALESCE(a.n_pieces, 0) AS n_pieces
-FROM (SELECT doc_id FROM documents WHERE doc_id <= 60) d
-LEFT JOIN uagg a USING (doc_id)
+{doc_rebuild_sql(wtok_cte='uwtok', sums=[('nt', 'n_pieces')],
+                 doc_where='WHERE doc_id <= 60')}
 """
 
 

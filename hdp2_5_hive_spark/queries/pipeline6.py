@@ -436,45 +436,22 @@ def retrieval_eval_metrics(spark, t):
 
 def _wp_rounds_sql(n_rounds: int, *, keep_word: bool, pfx: str = "") -> str:
     """Unrolled-round DuckDB replay of
-    ``operators/wordpiece.train_wordpiece`` (same static-unroll
-    discipline as ``pipeline4._bpe_rounds_sql``, which documents the
-    fold-exactness and early-stop-composition arguments — they carry
-    over verbatim; here ``merged = l || strip##(r)`` is non-empty
-    past ``l`` because a continuation symbol is ``##`` plus at least
-    one char, so the fold still cannot cascade within a round).
+    ``operators/wordpiece.train_wordpiece``, built on the shared
+    round skeleton in ``queries/oracle_parts.subword_rounds_sql``
+    (fold-exactness and early-stop composition documented there; the
+    WordPiece ``merged = l || strip##(r)`` still extends strictly
+    past ``l`` because a continuation symbol is ``##`` plus ≥1 char,
+    so the fold cannot cascade within a round).
 
-    Score parity: ``count(ab)/(count(a)*count(b))`` divides exact
-    integers below 2**53 as IEEE doubles on both engines — identical
-    bits, identical ORDER BY, with the trainer's
-    (score DESC, pair_count DESC, l, r) tie-break replicated.
+    WordPiece specifics: ##-decorated decomposition, and a
+    likelihood-scored argmax — ``count(ab)/(count(a)*count(b))``
+    divides exact integers below 2**53 as IEEE doubles on both
+    engines (identical bits, identical ORDER BY) with the trainer's
+    (score DESC, pair_count DESC, l, r) tie-break replicated."""
+    from .oracle_parts import subword_rounds_sql
 
-    Emits ``w0..w{n}`` (##-decomposed word symbol table) and
-    ``m0..m{n-1}`` (per-round argmax rows with pair_count + score +
-    merged)."""
-    wk = "w, " if keep_word else ""
-    parts = [
-        f"""
-{pfx}w0 AS MATERIALIZED (
-  SELECT {wk}list_transform(range(1, length(w) + 1),
-                       i -> CASE WHEN i = 1 THEN w[i]
-                                 ELSE '##' || w[i] END) AS syms, freq
-  FROM (
-    SELECT w, COUNT(*) AS freq FROM (
-      SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents) _
-    WHERE w <> '' GROUP BY w) _
-)"""
-    ]
-    for k in range(n_rounds):
-        wkm = f"{'wt.w, ' if keep_word else ''}"
-        parts.append(
-            f"""
-{pfx}pc{k} AS MATERIALIZED (
-  SELECT l, r, SUM(freq) AS pc FROM (
-    SELECT syms[i.i] AS l, syms[i.i + 1] AS r, freq
-    FROM {pfx}w{k}, LATERAL (SELECT unnest(range(1, len(syms))) AS i) i
-  ) _ GROUP BY l, r
-),
-{pfx}sc{k} AS MATERIALIZED (
+    def argmax(k: int) -> str:
+        return f"""{pfx}sc{k} AS MATERIALIZED (
   SELECT sym, SUM(freq) AS sc FROM (
     SELECT unnest(syms) AS sym, freq FROM {pfx}w{k}) _ GROUP BY sym
 ),
@@ -485,25 +462,23 @@ def _wp_rounds_sql(n_rounds: int, *, keep_word: bool, pfx: str = "") -> str:
          p.pc,
          CAST(p.pc AS DOUBLE) / (CAST(cl.sc AS DOUBLE) * CAST(cr.sc AS DOUBLE))
            AS score
-  FROM {pfx}pc{k} p JOIN {pfx}sc{k} cl ON cl.sym = p.l JOIN {pfx}sc{k} cr ON cr.sym = p.r
+  FROM {pfx}pc{k} p JOIN {pfx}sc{k} cl ON cl.sym = p.l
+                    JOIN {pfx}sc{k} cr ON cr.sym = p.r
   WHERE p.pc >= 2
   ORDER BY score DESC, p.pc DESC, p.l, p.r LIMIT 1
-),
-{pfx}w{k + 1} AS MATERIALIZED (
-  SELECT {wkm}wt.freq,
-         CASE WHEN m.l IS NULL THEN wt.syms ELSE
-           list_reduce(
-             list_prepend(CAST([] AS VARCHAR[]),
-                          list_transform(wt.syms, s -> [s])),
-             (a, e) -> CASE WHEN len(a) > 0 AND a[len(a)] = m.l
-                             AND e[1] = m.r
-                       THEN list_append(a[1:len(a) - 1], m.merged)
-                       ELSE list_append(a, e[1]) END)
-         END AS syms
-  FROM {pfx}w{k} wt LEFT JOIN {pfx}m{k} m ON TRUE
 )"""
-        )
-    return ",".join(parts)
+
+    return subword_rounds_sql(
+        n_rounds,
+        pfx=pfx,
+        keep_word=keep_word,
+        sym_expr=(
+            "list_transform(range(1, length(w) + 1),\n"
+            "                       i -> CASE WHEN i = 1 THEN w[i]\n"
+            "                                 ELSE '##' || w[i] END)"
+        ),
+        argmax_cte=argmax,
+    )
 
 
 def _wp_merges_oracle(n_merges: int = 8) -> str:
@@ -618,6 +593,8 @@ def _wp_apply_oracle(n_merges: int = 8, max_pieces: int = 12) -> str:
     """Synthesized oracle for ``vocab_wordpiece_apply``: train via
     the unrolled replay, build the vocab, greedy-encode every
     distinct word (``_wp_encode_rounds``), rebuild documents."""
+    from .oracle_parts import doc_rebuild_sql
+
     return f"""
 WITH {_wp_rounds_sql(n_merges, keep_word=False)},
 {_wp_vocab_cte('', n_merges)},
@@ -626,25 +603,8 @@ WITH {_wp_rounds_sql(n_merges, keep_word=False)},
         '''(SELECT unnest(string_split(lower(text), ' ')) AS w
         FROM documents) _''',
         max_pieces)},
-wtok AS (SELECT * FROM wp_wtok),
-docw AS (
-  SELECT doc_id, i.i AS pos, ws[i.i] AS w
-  FROM (SELECT doc_id,
-               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
-        FROM documents) d,
-       LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) i
-),
-agg AS (
-  SELECT doc_id, string_agg(toks, ' ' ORDER BY pos) AS tokens,
-         CAST(SUM(nt) AS BIGINT) AS n_tokens,
-         CAST(SUM(nu) AS BIGINT) AS n_unk
-  FROM docw JOIN wtok USING (w) GROUP BY doc_id
-)
-SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
-       COALESCE(a.tokens, '') AS tokens,
-       COALESCE(a.n_tokens, 0) AS n_tokens,
-       COALESCE(a.n_unk, 0) AS n_unk
-FROM documents d LEFT JOIN agg a USING (doc_id)
+{doc_rebuild_sql(wtok_cte='wp_wtok',
+                 sums=[('nt', 'n_tokens'), ('nu', 'n_unk')])}
 """
 
 
