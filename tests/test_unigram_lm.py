@@ -179,6 +179,87 @@ def test_unigram_estep_partition_invariant(spark):
     assert a == b
 
 
+def _all_segs(word, logp, max_len=6):
+    """Every segmentation of ``word`` into ``logp`` pieces with the
+    left-to-right score accumulation the oracles replay."""
+    outs = []
+
+    def rec(i, toks, score):
+        if i == len(word):
+            outs.append((score, tuple(toks)))
+            return
+        for ln in range(1, min(max_len, len(word) - i) + 1):
+            piece = word[i : i + ln]
+            lp = logp.get(piece)
+            if lp is not None:
+                toks.append(piece)
+                rec(i + ln, toks, score + lp)
+                toks.pop()
+
+    rec(0, [], 0.0)
+    return outs
+
+
+def _ref_logp_tables(texts, vocab_size, seed_size, n_rounds=3, max_len=6):
+    """Every logp table the unrolled replay evaluates segmentations
+    under: seed, each pruned round, the final unpruned table, and the
+    vocab-restricted apply table. Mirrors _ref_train's loop."""
+    wf = _ref_word_freq(texts)
+    logps = [_ref_logp(_ref_seed(wf, max_len, seed_size))]
+    counts = {}
+    for _ in range(n_rounds):
+        counts = Counter()
+        for w, f in wf.items():
+            for piece in _ref_viterbi(w, logps[-1], max_len):
+                counts[piece] += f
+        counts = dict(counts)
+        for p in logps[-1]:
+            if len(p) == 1 and p not in counts:
+                counts[p] = 0
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        n_chars = sum(1 for p in counts if len(p) == 1)
+        keep = max(vocab_size - n_chars, int(len(multi) * 0.75))
+        kept = dict(multi[:keep])
+        kept.update((p, c) for p, c in counts.items() if len(p) == 1)
+        logps.append(_ref_logp(kept))
+    counts = Counter()
+    for w, f in wf.items():
+        for piece in _ref_viterbi(w, logps[-1], max_len):
+            counts[piece] += f
+    counts = dict(counts)
+    for p in logps[-1]:
+        if len(p) == 1 and p not in counts:
+            counts[p] = 0
+    logp_f = _ref_logp(counts)
+    final = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
+    chars = [(p, c) for p, c in final if len(p) == 1]
+    multi = [(p, c) for p, c in final if len(p) > 1]
+    room = max(vocab_size - len(chars), 0)
+    vocab = {p for p, _ in chars + multi[:room]}
+    logps.append(logp_f)
+    logps.append({p: lp for p, lp in logp_f.items() if p in vocab})
+    return wf, logps
+
+
+def _has_ambiguous_argmax(wf, logps, max_len=6):
+    for logp in logps:
+        for w in wf:
+            segs = _all_segs(w, logp, max_len)
+            if not segs:
+                return True
+            segs.sort(key=lambda s: -s[0])
+            best_score, best_toks = segs[0]
+            for sc, toks in segs[1:]:
+                if sc < best_score:
+                    break
+                if toks != best_toks:
+                    return True
+    return False
+
+
 def test_unigram_oracle_preconditions():
     """The synthesized vocab_unigram_lm/apply oracles brute-force
     ALL segmentations and take the score argmax, which equals the
@@ -186,30 +267,11 @@ def test_unigram_oracle_preconditions():
     strictly unique per word — pin that (and the ≤12-piece unroll
     bound) on the oracle SFs, for every logp table the replay uses
     (seed, three pruned rounds, final, and the vocab-restricted
-    apply table)."""
+    apply table), under BOTH trained configs (48/256 for the vocab
+    queries, 64/512 for vocab_tokenizer_compare)."""
     import duckdb
 
-    def all_segs(word, logp, max_len=6):
-        outs = []
-
-        def rec(i, toks, score):
-            if i == len(word):
-                outs.append((score, tuple(toks)))
-                return
-            for ln in range(1, min(max_len, len(word) - i) + 1):
-                piece = word[i : i + ln]
-                lp = logp.get(piece)
-                if lp is not None:
-                    toks.append(piece)
-                    rec(i + ln, toks, score + lp)
-                    toks.pop()
-
-        rec(0, [], 0.0)
-        return outs
-
-    configs = [(48, 256), (64, 512)]  # vocab queries / tokenizer_compare
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
-      for vocab_size, seed_size in configs:
         texts = [
             r[0]
             for r in duckdb.sql(
@@ -218,49 +280,67 @@ def test_unigram_oracle_preconditions():
         ]
         wf = _ref_word_freq(texts)
         assert max(len(w) for w in wf) <= 12, sf
-        logps = [_ref_logp(_ref_seed(wf, 6, seed_size))]
-        counts = {}
-        for _ in range(3):
-            counts = Counter()
-            for w, f in wf.items():
-                for piece in _ref_viterbi(w, logps[-1], 6):
-                    counts[piece] += f
-            counts = dict(counts)
-            for p in logps[-1]:
-                if len(p) == 1 and p not in counts:
-                    counts[p] = 0
-            multi = sorted(
-                ((p, c) for p, c in counts.items() if len(p) > 1),
-                key=lambda pc: (-pc[1], pc[0]),
-            )
-            n_chars = sum(1 for p in counts if len(p) == 1)
-            keep = max(vocab_size - n_chars, int(len(multi) * 0.75))
-            kept = dict(multi[:keep])
-            kept.update((p, c) for p, c in counts.items() if len(p) == 1)
-            logps.append(_ref_logp(kept))
-        # final (unpruned) table + the vocab-restricted apply table
-        counts = Counter()
-        for w, f in wf.items():
-            for piece in _ref_viterbi(w, logps[-1], 6):
-                counts[piece] += f
-        counts = dict(counts)
-        for p in logps[-1]:
-            if len(p) == 1 and p not in counts:
-                counts[p] = 0
-        logp_f = _ref_logp(counts)
-        final = sorted(counts.items(), key=lambda pc: (-pc[1], pc[0]))
-        chars = [(p, c) for p, c in final if len(p) == 1]
-        multi = [(p, c) for p, c in final if len(p) > 1]
-        room = max(vocab_size - len(chars), 0)
-        vocab = {p for p, _ in chars + multi[:room]}
-        logps.append(logp_f)
-        logps.append({p: lp for p, lp in logp_f.items() if p in vocab})
-        for li, logp in enumerate(logps):
-            for w in wf:
-                segs = all_segs(w, logp)
-                assert segs, (sf, li, w)
-                segs.sort(key=lambda s: -s[0])
-                best_score, best_toks = segs[0]
-                for s, toks in segs[1:]:
-                    if toks != best_toks:
-                        assert s < best_score, (sf, li, w, toks, best_toks)
+        for vocab_size, seed_size in [(48, 256), (64, 512)]:
+            wf, logps = _ref_logp_tables(texts, vocab_size, seed_size)
+            assert not _has_ambiguous_argmax(wf, logps), (sf, vocab_size)
+
+
+# ---------- property test of the SYNTHESIZED ORACLE generator
+# (pipeline5._unigram_rounds_sql) against the sequential reference
+# on RANDOM corpora — pure DuckDB vs pure Python. Corpora whose
+# argmax is ambiguous under ANY replay logp table are assume()d
+# away: that is exactly the precondition the fixed-corpus test pins,
+# and ambiguous inputs are where brute-force argmax and tie-ruled
+# Viterbi may legitimately differ.
+
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abcé日", min_size=1, max_size=8),
+            min_size=1,
+            max_size=8,
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_unigram_oracle_sql_matches_reference_on_random_corpora(texts):
+    import math
+
+    import duckdb
+
+    from hdp2_5_hive_spark.queries.pipeline5 import _unigram_rounds_sql
+
+    vocab_size, seed_size = 24, 64
+    wf, logps = _ref_logp_tables(texts, vocab_size, seed_size)
+    assume(wf)
+    assume(not _has_ambiguous_argmax(wf, logps))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(texts)))
+        + ") v(doc_id, text)",
+        texts,
+    )
+    sql = f"""
+WITH {_unigram_rounds_sql(vocab_size=vocab_size, seed_size=seed_size)}
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) - 1 AS INTEGER)
+         AS rank,
+       piece, CAST(cnt AS BIGINT) AS piece_count,
+       FLOOR(lp * 1000000 + 0.5) / 1000000 AS logprob
+FROM uvocab JOIN ulogpF USING (piece)
+"""
+    got = sorted(con.execute(sql).fetchall())
+    want = [
+        (i, p, c, math.floor(lp * 1e6 + 0.5) / 1e6)
+        for i, (p, c, lp) in enumerate(
+            _ref_train(texts, vocab_size, seed_size, 3, 6)
+        )
+    ]
+    assert got == want, (texts, got, want)
