@@ -237,7 +237,10 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # them.
     # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 5
     # oracle upgrades hash-green + 7 re-proves green; ledger
-    # 381 -> 419/419.
+    # 381 -> 419/419. (Session 2's vocab_tokenizer_compare upgrade
+    # sits at window position 30, so the window yields one MORE hash
+    # row than planned: only quality_classifier_calibration remains
+    # rows-only in it — final-tree driver_sim: 50 pass / 0 fail.)
     # Round-10 session 2 additionally upgraded NINE more rows-only
     # queries to exact synthesized oracles (dedup_simhash,
     # ann_lsh_bucketed, vocab_bpe_merges/apply,
