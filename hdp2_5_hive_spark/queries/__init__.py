@@ -180,6 +180,19 @@ from .registry import Query, all_queries, oracle_map, query_map, register
 #     positions >= the window's needs-sampling count. Done
 #     criterion: CORRECTNESS_r10 = 38 first-timers green + 5 oracle
 #     upgrades hash-green + 7 re-proves green; ledger 381 -> 419/419.
+#   round 10 result: 49 hash-green + 1 rows-only executed green
+#     (quality_classifier_calibration — the window's by-design
+#     rows-only row). Ledger CLOSED at 419/419 sampled (401
+#     hash-green, 18 rows-only evidence). Session 2 staged 8 more
+#     rows-only -> exact-oracle upgrades (simhash, sign-LSH, the six
+#     tokenizer trainers) for the r11 window.
+#   round 11 window (SAMPLE_FRONT below): positions 0-7 = the 8
+#     staged oracle upgrades (verdict r10 #1) so they flip
+#     `no_oracle` -> driver hash evidence; positions 8-49 = the
+#     evidence-freshness ratchet (verdict r10 #5): all 41 r2-latest
+#     rows + orderby_limit (oldest r3 + bench watch, verdict #6).
+#     Done criterion: rows-only set becomes exactly the 10
+#     justified; max evidence age drops r2 -> r3.
 _MODULES = (
     "scalars",
     "setops",
@@ -211,101 +224,83 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
-    # ---- round-10 window: ROTATED (verdict r9 next-round #1).
-    # Positions 0-37: the last 38 never-sampled queries, in the
-    # staged order they held at r9 positions 50-87 (verified against
-    # the cumulative r1-r9 artifacts at rotation time; all were
-    # pre-verified driver_sim-green at sf0.01 in r9). This window
-    # closes the driver ledger at 419/419. Positions 38-49: 12
-    # deliberate RE-PROVES of the oldest-evidence (r2) green rows —
-    # verdict-named q1/q3/q5, win_range_frame, agg_cube_grouping_id,
-    # the two bench-watch queries q7_volume_shipping and
-    # join_inner_basic (verdict #4), plus five more r2 family
-    # representatives (TopN q18, multi-DISTINCT, grouping sets, full
-    # outer join, ranking window) — re-proving 8-round-old evidence
-    # is the only useful thing a spare slot can do.
-    # test_sample_front_window_is_rotated amended per verdict #1:
-    # green names allowed only at positions >= the window's
-    # never-sampled count (38 here). Positions 38-39 sample the two
-    # rows-only -> synthesized-oracle upgrades of this round
-    # (graph_pagerank_hosts unrolled power iteration,
-    # graph_kcore_membership recursive-CTE peel, er_em_parameters
-    # unrolled fixed-round EM over the 2^3-row contingency table,
-    # pack_ffd_bins recursive first-fit fold, topic_model_mixture
-    # unrolled decimal-exact hard-EM) so the upgrades land as driver
-    # HASH evidence; the last five re-prove slots were ceded for
-    # them.
-    # Done criterion: CORRECTNESS_r10 = 38 first-timers green + 5
-    # oracle upgrades hash-green + 7 re-proves green; ledger
-    # 381 -> 419/419. (Session 2's vocab_tokenizer_compare upgrade
-    # sits at window position 30, so the window yields one MORE hash
-    # row than planned: only quality_classifier_calibration remains
-    # rows-only in it — final-tree driver_sim: 50 pass / 0 fail.)
-    # Round-10 session 2 additionally upgraded NINE more rows-only
-    # queries to exact synthesized oracles (dedup_simhash,
-    # ann_lsh_bucketed, vocab_bpe_merges/apply,
-    # vocab_wordpiece_merges/apply, vocab_unigram_lm/apply,
-    # vocab_tokenizer_compare — see COVERAGE.md round 10). They are
-    # NOT in this window (its composition is fixed by the rotation
-    # test); front them in the ROUND-11 window so the upgrades land
-    # as driver HASH evidence, then fill remaining slots with the
-    # next-oldest-evidence re-proves (r3-era setops/lateral rows).
-    # All nine are pre-verified: compare_query green at sf0.001 AND
-    # sf0.01, driver_sim green at sf0.01.
-    "feature_target_encode_oof",
-    "corpus_clean_v9",
-    "audit_benford_first_digit",
-    "events_rolling_median",
-    "feature_quantile_normalize",
-    "er_fellegi_sunter",
-    "dedup_lsh_s_curve",
-    "events_error_streaks",
-    "events_cumulative_uniques",
-    "report_topn_other",
-    "fn_jaro_winkler",
-    "fn_haversine_distance",
-    "events_pattern_match",
-    "quality_classifier_calibration",
-    "audit_column_profile",
-    "audit_warehouse_health_card",
-    "events_scd2_upsert",
-    "events_ab_test_ztest",
-    "geo_nearest_hub",
-    "mining_association_rules",
-    "feature_mutual_information",
-    "agg_hierarchy_share",
-    "mining_item_neighbors",
-    "events_gap_fill_linear",
-    "feature_churn_labels",
-    "events_ab_cuped",
-    "events_ab_srm",
-    "retrieval_bm25_eval",
-    "geo_radius_pairs",
-    "events_rolling_wau",
-    "vocab_tokenizer_compare",
-    "corpus_source_diversity",
-    "events_dau_mau_stickiness",
-    "fn_arith_edge_semantics",
-    "fn_string_edge_cases2",
-    "fn_date_edge_cases2",
-    "fn_months_between",
-    "agg_mode_deterministic",
-    # ---- oracle upgrades (positions 38-39): rows-only -> synthesized
-    # DuckDB oracles this round (verdict r9 #3) — sampled now so the
-    # ledger upgrade lands as driver hash evidence, not just pytest.
-    "graph_pagerank_hosts",
-    "graph_kcore_membership",
-    "er_em_parameters",
-    "pack_ffd_bins",
-    "topic_model_mixture",
-    # ---- oldest-evidence re-proves (positions 43-49):
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier",
-    "win_range_frame",
-    "agg_cube_grouping_id",
-    "q7_volume_shipping",
-    "join_inner_basic",
+    # ---- round-11 window: ROTATED (verdict r10 next-round #1).
+    # Positions 0-7: the EIGHT rows-only -> synthesized-oracle
+    # upgrades staged in round 10 session 2 (dedup_simhash +
+    # ann_lsh_bucketed via the XXH64-in-SQL generator, BPE/WordPiece/
+    # unigram-LM merges+apply via unrolled-round trainer replays) —
+    # sampled now so the upgrades land as driver HASH evidence; their
+    # latest driver rows are r4/r6/r8 `no_oracle`, so under the
+    # amended rotation test (verdict r10 #2a: oracle-in-registry +
+    # no_oracle-latest-row counts as needs-sampling) they ARE the
+    # window's needs-sampling set. All eight were pre-verified in
+    # r10: compare_query green at sf0.001 AND sf0.01, driver_sim
+    # green at sf0.01.
+    # Positions 8-49: the evidence-freshness ratchet (verdict r10
+    # #5) — the stalest cumulative driver evidence, oldest first:
+    # ALL 41 queries whose latest row is r2-era (TPC-H q2/q4/q6/
+    # q8-q11/q13-q22, the join suite, the aggregate suite, the
+    # window suite — 8 rounds old, and the code under them has been
+    # touched since), then `orderby_limit` (oldest r3 row + r10
+    # bench watch item, verdict #6 — fresh driver evidence alongside
+    # the bench re-measure). After this window the max evidence age
+    # drops from r2 to r3 (40 r3-era rows remain — round 12's
+    # spares).
+    # Done criterion: CORRECTNESS_r11 = 8 upgrades flipping
+    # `no_oracle` -> hash_match true (rows-only set becomes exactly
+    # the 10 justified) + 42 stalest re-proves green.
+    "dedup_simhash",
+    "ann_lsh_bucketed",
+    "vocab_bpe_merges",
+    "vocab_bpe_apply",
+    "vocab_wordpiece_merges",
+    "vocab_wordpiece_apply",
+    "vocab_unigram_lm",
+    "vocab_unigram_apply",
+    # ---- freshness ratchet: the 41 r2-latest rows (TPC-H, joins,
+    # aggregates, windows), then the oldest r3 row.
+    "q2_min_cost_supplier",
+    "q4_priority_exists",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_pred",
+    "q20_potential_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "join_cross",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_null_safe",
+    "join_right_outer",
+    "join_theta_residual",
+    "join_unique_preserve",
+    "agg_collect",
+    "agg_distinct_multi",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_minmax_suite",
+    "agg_percentile",
+    "agg_rollup",
+    "agg_salted_skew",
+    "agg_stats_suite",
+    "win_first_last",
+    "win_lead_lag",
+    "win_moving_avg",
+    "win_ntile_cumedist",
+    "win_ranking",
+    "win_running_sum",
+    "orderby_limit",
 )
 
 

@@ -2272,8 +2272,12 @@ def _unigram_seg_block(tag: str, logp_cte: str, words_cte: str,
     the best full-path score is UNIQUE per word — pinned on the
     oracle SFs in
     tests/test_unigram_lm.py::test_unigram_oracle_preconditions
-    (along with the ≤12-piece bound). Emits ``ubest{tag}`` (w, toks).
-    """
+    (along with the ≤12-piece bound). The argmax scans COMPLETE
+    paths only (``start > length(w)``): a word needing more than
+    ``max_pieces`` pieces drops out of ``ubest{tag}`` entirely, so a
+    precondition violation surfaces as a loud missing-row mismatch
+    instead of silently preferring an incomplete prefix path.
+    Emits ``ubest{tag}`` (w, toks)."""
     parts = [
         f"""
 s{tag}0 AS MATERIALIZED (
@@ -2303,7 +2307,8 @@ ubest{tag} AS MATERIALIZED (
     SELECT w, toks,
            ROW_NUMBER() OVER (PARTITION BY w
              ORDER BY score DESC, array_to_string(toks, chr(1))) AS rn
-    FROM s{tag}{max_pieces}) _
+    FROM s{tag}{max_pieces}
+    WHERE start > length(w)) _
   WHERE rn = 1
 )"""
     )

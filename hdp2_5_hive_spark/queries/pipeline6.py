@@ -533,7 +533,13 @@ def _wp_encode_rounds(pfx: str, vocab_cte: str, words_src: str,
     8 chars, pinned in
     tests/test_wordpiece.py::test_wp_apply_oracle_preconditions.
     A word with an unmatchable remainder collapses to ['[UNK]'],
-    kernel-identically. Emits ``{pfx}wtok`` (w, toks, nt, nu)."""
+    kernel-identically. ``{pfx}wtok`` emits FINISHED words only
+    (failed, or fully consumed): a word still mid-encode after
+    ``max_pieces`` rounds (possible only if the ≤12-char
+    precondition breaks on a future testdata regen) drops out, so
+    the violation surfaces as a loud missing-row mismatch instead of
+    silently emitting a truncated token list.
+    Emits ``{pfx}wtok`` (w, toks, nt, nu)."""
     rounds = []
     for k in range(max_pieces):
         rounds.append(
@@ -573,6 +579,7 @@ def _wp_encode_rounds(pfx: str, vocab_cte: str, words_src: str,
   SELECT w, array_to_string(toks, ' ') AS toks, len(toks) AS nt,
          len(list_filter(toks, x -> x = '[UNK]')) AS nu
   FROM {pfx}e{max_pieces}
+  WHERE failed OR start > length(w)
 )"""
 
 

@@ -107,7 +107,14 @@ def xxh64_cte(src: str, key_cols: tuple[str, ...], val_col: str, out: str) -> st
         f"({_rotl('vv[3]', 12)}) + ({_rotl('vv[4]', 18)})) % {M64}"
     )
     # merge rounds as separate stages: m_k = (xor(m_{k-1}, round0(vv[k]))*P1+P4)
-    round0 = _mulc(_rotl(_mulc("x", P2), 31), P1)  # round(0, x)
+    def _round0(operand: str) -> str:
+        """round(0, operand) — built per operand like _mulc/_rotl, never
+        by textual substitution into a template (a bare .replace('x', …)
+        would corrupt the SQL the moment the arithmetic grows another
+        'x', e.g. a hex literal or xor())."""
+        return _mulc(_rotl(_mulc(operand, P2), 31), P1)
+
+    round0 = _round0("x")  # lambda-body form: 'x' IS the lambda variable
     merge_stage = f"({_mulc(_xor('m', 'r'), P1)} + {P4}) % {M64}"
 
     # tail folds: pre-map round(0,w) / w*P5 so the lambda sees one var
@@ -165,19 +172,19 @@ def xxh64_cte(src: str, key_cols: tuple[str, ...], val_col: str, out: str) -> st
 ),
 {out}_m1 AS MATERIALIZED (
   SELECT {keys}, n, b, w8, vv, {merge_stage} AS m
-  FROM (SELECT *, {round0.replace('x', '(vv[1])')} AS r FROM {out}_m0) _
+  FROM (SELECT *, {_round0('(vv[1])')} AS r FROM {out}_m0) _
 ),
 {out}_m2 AS MATERIALIZED (
   SELECT {keys}, n, b, w8, vv, {merge_stage} AS m
-  FROM (SELECT *, {round0.replace('x', '(vv[2])')} AS r FROM {out}_m1) _
+  FROM (SELECT *, {_round0('(vv[2])')} AS r FROM {out}_m1) _
 ),
 {out}_m3 AS MATERIALIZED (
   SELECT {keys}, n, b, w8, vv, {merge_stage} AS m
-  FROM (SELECT *, {round0.replace('x', '(vv[3])')} AS r FROM {out}_m2) _
+  FROM (SELECT *, {_round0('(vv[3])')} AS r FROM {out}_m2) _
 ),
 {out}_m4 AS MATERIALIZED (
   SELECT {keys}, n, b, w8, {merge_stage} AS m
-  FROM (SELECT *, {round0.replace('x', '(vv[4])')} AS r FROM {out}_m3) _
+  FROM (SELECT *, {_round0('(vv[4])')} AS r FROM {out}_m3) _
 ),
 {out}_h0 AS MATERIALIZED (
   SELECT {keys}, n, b, w8,

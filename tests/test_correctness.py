@@ -92,25 +92,38 @@ def test_sample_front_window_is_rotated():
     remain than window slots, the spare slots should deliberately
     RE-PROVE the oldest-evidence green rows — so green names are
     allowed at positions >= the window's count of names that NEED
-    sampling (never-sampled or red-latest). Greens packed before
-    that boundary still fail (they would displace required names),
-    and once everything is sampled green the boundary is 0 and any
-    green in the window goes red — the next round's starting gun."""
+    sampling (never-sampled, red-latest, or oracle-upgraded).
+
+    Amendments (r10 verdict #2):
+    (a) a name whose registry entry HAS an oracle but whose latest
+        driver row is ``no_oracle`` NEEDS sampling — a staged
+        rows-only -> oracle upgrade isn't evidence until the driver
+        records the hash row;
+    (b) when nothing in the registry needs sampling, the window must
+        still ROTATE: any name that appears in the MOST RECENT
+        CORRECTNESS artifact goes red — the next round's starting
+        gun, forcing the evidence-freshness ratchet (r10 verdict #5:
+        spare slots go to the stalest-evidence rows, oldest first,
+        never a repeat of the window just recorded)."""
     import glob
     import json
     import os
 
-    from hdp2_5_hive_spark.queries import SAMPLE_FRONT
+    from hdp2_5_hive_spark.queries import SAMPLE_FRONT, oracle_map
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, dict] = {}
+    newest_artifact: dict[str, dict] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         try:
-            latest.update(json.loads(open(path).read()))
+            newest_artifact = json.loads(open(path).read())
         except (OSError, ValueError):
             continue
+        latest.update(newest_artifact)
     if not latest:
         return  # fresh clone without driver artifacts
+
+    has_oracle = set(oracle_map())
 
     def _green(row: dict) -> bool:
         # rows-only contract: err == "no_oracle" with rows returned is
@@ -124,14 +137,33 @@ def test_sample_front_window_is_rotated():
             for k in ("rows_match", "schema_match", "hash_match")
         )
 
+    def _needs_sampling(name: str) -> bool:
+        row = latest.get(name)
+        if row is None or not _green(row):
+            return True
+        # (a) staged oracle upgrade: registry now has an oracle, but
+        # the latest driver evidence predates it (rows-only record)
+        return row.get("err") == "no_oracle" and name in has_oracle
+
     window = SAMPLE_FRONT[:50]
-    needs_sampling = sum(
-        1 for n in window if n not in latest or not _green(latest[n])
-    )
+    needs_sampling = sum(1 for n in window if _needs_sampling(n))
+    if needs_sampling == 0:
+        # (b) all-green steady state: the starting gun. The window
+        # must not repeat any name the driver just recorded — rotate
+        # to the stalest-evidence rows instead.
+        stale = [n for n in window if n in newest_artifact]
+        assert not stale, (
+            f"nothing in the SAMPLE_FRONT window needs sampling, yet "
+            f"{len(stale)} of its names were just recorded in the "
+            f"newest CORRECTNESS artifact (first: {stale[:5]}) — "
+            "rotate the window to the stalest-evidence rows before "
+            "doing anything else this round"
+        )
+        return
     stale = [
         n
         for i, n in enumerate(window)
-        if i < needs_sampling and n in latest and _green(latest[n])
+        if i < needs_sampling and not _needs_sampling(n)
     ]
     assert not stale, (
         f"SAMPLE_FRONT window holds {len(stale)} already-green "

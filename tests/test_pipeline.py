@@ -84,7 +84,11 @@ def test_lsh_oracle_preconditions(sf_dir):
 
     planes = _plane_matrix(64, 6, 4)
     weights = (1 << np.arange(6, dtype=np.int64))[None, :]
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         x = np.vstack(
             pq.read_table(f"{sf}/embeddings.parquet")["embedding"].to_numpy()
         ).astype(np.float64)

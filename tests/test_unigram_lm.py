@@ -268,10 +268,16 @@ def test_unigram_oracle_preconditions():
     bound) on the oracle SFs, for every logp table the replay uses
     (seed, three pruned rounds, final, and the vocab-restricted
     apply table), under BOTH trained configs (48/256 for the vocab
-    queries, 64/512 for vocab_tokenizer_compare)."""
+    queries, 64/512 for vocab_tokenizer_compare), on EVERY SF the
+    driver exercises (the sf0.01 correctness window AND the sf0.1
+    sweep)."""
     import duckdb
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         texts = [
             r[0]
             for r in duckdb.sql(

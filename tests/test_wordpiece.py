@@ -141,10 +141,15 @@ def test_wp_apply_oracle_preconditions():
     greedy longest-match encoder to max_pieces=12 consume-one-piece
     rounds (queries/pipeline6._wp_apply_oracle). Each piece covers
     at least one character, so 12 rounds suffice iff no corpus word
-    exceeds 12 characters — pin that bound on the oracle SFs."""
+    exceeds 12 characters — pin that bound on EVERY SF the driver
+    exercises (the sf0.01 correctness window AND the sf0.1 sweep)."""
     import duckdb
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         con = duckdb.connect()
         mx = con.execute(
             f"""SELECT MAX(length(w)) FROM (
@@ -164,7 +169,11 @@ def test_charsplit_parity_precondition():
     exact per-word parity on the oracle SFs."""
     import duckdb
 
-    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sf in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         con = duckdb.connect()
         rows = con.execute(
             f"""SELECT w, list_transform(range(1, length(w) + 1), i -> w[i])
