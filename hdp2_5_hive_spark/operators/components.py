@@ -129,7 +129,14 @@ def connected_components_star(
     _target = max(
         1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
     )
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    # Capture the EFFECTIVE value (no default arg): with a None
+    # default, RuntimeConfig.get returns None when the key was never
+    # explicitly set — the finally block would then skip the restore
+    # and leave the whole session at this call's tiny _target,
+    # serializing every later shuffle. Restoring the observed
+    # effective value is always safe (it sets the key to what queries
+    # were already seeing).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     def _sym(ed: DataFrame) -> DataFrame:
         return ed.union(
@@ -170,8 +177,7 @@ def connected_components_star(
         spark.conf.set("spark.sql.shuffle.partitions", str(_target))
         return _star_iterate(cur, _large, _small, max_iter)
     finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def _star_iterate(cur, _large, _small, max_iter: int):

@@ -674,8 +674,18 @@ def canonical_url_col(url: Column) -> Column:
     authority = F.regexp_extract(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
     rest = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
     authority = F.regexp_replace(F.lower(authority), r":(80|443)$", "")
+    # Two separator-anchored stages (RE2-safe — no lookbehind, so
+    # the DuckDB oracle runs the identical patterns): an unanchored
+    # pattern would also eat the TAIL of an unrelated parameter whose
+    # name merely ends in a tracked one ('?afbclid=1' -> '?a',
+    # falsely deduplicating distinct pages). Stage 1 strips '&'-led
+    # tracking params; stage 2 strips a leading '?tracking=...&',
+    # keeping the '?' for whatever parameter survives.
     rest = F.regexp_replace(
-        rest, r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", ""
+        rest, r"&(utm_[a-z]+|fbclid|gclid)=[^&#]*", ""
+    )
+    rest = F.regexp_replace(
+        rest, r"\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&?", "?"
     )
     rest = F.regexp_replace(rest, r"[?&]+$", "")
     rest = F.when(
@@ -726,19 +736,29 @@ def snapshot_diff(
     never crosses the exchange, only 32-byte digests — then ONE
     full-outer hash join on the id. Output (id, status).
     """
+    # Presence comes from explicit markers, never from hash
+    # nullability: md5(NULL text) is NULL, so a hash-based presence
+    # test would classify a present-in-both doc with NULL old text
+    # as "added" (and NULL new text as "removed"). The hashes
+    # compare null-safely, so NULL <-> non-NULL counts as changed
+    # and NULL <-> NULL as unchanged.
     o = old.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_ho")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_ho"),
+        F.lit(True).alias("_po"),
     )
     n = new.select(
-        F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("_hn")
+        F.col(id_col).alias("_id"),
+        F.md5(F.col(text_col)).alias("_hn"),
+        F.lit(True).alias("_pn"),
     )
     return (
         o.join(n, "_id", "full_outer")
         .select(
             F.col("_id").alias(id_col),
-            F.when(F.col("_ho").isNull(), F.lit("added"))
-            .when(F.col("_hn").isNull(), F.lit("removed"))
-            .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+            F.when(F.col("_po").isNull(), F.lit("added"))
+            .when(F.col("_pn").isNull(), F.lit("removed"))
+            .when(~F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("changed"))
             .alias("status"),
         )
         .filter(F.col("status").isNotNull())

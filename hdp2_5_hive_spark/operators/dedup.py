@@ -272,8 +272,18 @@ def jaccard_prefix_pairs(
         toks.join(freq, "_t")
         .withColumn("_rank", F.row_number().over(w))
         .filter(
+            # ceil of the FP product can overshoot the true integer
+            # ceiling (0.56 * 25 = 14.000000000000002 -> ceil 15, not
+            # 14), which would SHORTEN the prefix and silently break
+            # the completeness guarantee. The 1e-9 backoff makes the
+            # bound err only downward (a 1-token-longer prefix = a few
+            # more candidates, never a missed pair); it exceeds the
+            # product's representation error for any realistic set
+            # size (n * ulp(theta) < 1e-9 for n < 1e7).
             F.col("_rank")
-            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+            <= F.col("_n")
+            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+            + 1
         )
         .select("_id", "_t")
     )
@@ -487,7 +497,12 @@ def near_duplicates_against(
         rows_per_band=rows_per_band,
         shingle_k=shingle_k,
     )
-    batch_ids = b_buckets.select("_id").distinct()
+    # Replacement ids must come from the SHINGLE table (one row per
+    # batch doc unconditionally), not the bucket table: a re-ingested
+    # doc whose new text is too short to shingle produces no
+    # signature/bucket rows, and deriving the id set from buckets
+    # would leave its stale index copy in candidate generation.
+    batch_ids = b_sh.select("_id").distinct()
     idx_buckets = index_buckets.join(batch_ids, "_id", "left_anti")
     new_b = b_buckets.select(F.col("_id").alias("id_new"), "band", "bucket")
     vs_index = new_b.join(
@@ -537,7 +552,11 @@ def edit_distance_pairs(
     Candidates are therefore the union of a prefix-block equality
     join and a suffix-block equality join (each a plain shuffled
     hash join on a short key), deduped, then filtered with the
-    built-in ``levenshtein`` (JVM codegen, no UDF). For
+    built-in ``levenshtein`` (JVM codegen, no UDF). Strings SHORTER
+    than 2*block (where the two blocks would overlap and the theorem
+    fails) route through a deletion-neighborhood candidate join
+    (FastSS, complete for d=1 at any length, <= 2*block + 1 keys per
+    row) so the "all pairs" contract holds for every length. For
     ``max_dist`` > 1 the same argument needs ``max_dist + 1``
     blocks (q-gram pigeonhole); this implementation keeps the
     2-block form and therefore REQUIRES ``max_dist == 1`` — it
@@ -554,12 +573,35 @@ def edit_distance_pairs(
             "2-block (prefix|suffix) candidates are complete only for "
             "max_dist=1; use q-gram pigeonhole blocking for larger radii"
         )
-    base = df.select(
-        F.col(id_col).alias("_id"), F.col(s_col).alias("_s")
-    ).filter(F.length("_s") >= 2 * block)
+    base_all = df.select(F.col(id_col).alias("_id"), F.col(s_col).alias("_s"))
+    base = base_all.filter(F.length("_s") >= 2 * block)
     pre = base.withColumn("_k", F.substring("_s", 1, block))
     suf = base.withColumn(
         "_k", F.substring("_s", -block, block)
+    )
+    # Strings SHORTER than 2*block fall outside the prefix|suffix
+    # theorem; silently dropping them would violate the "all pairs"
+    # contract (e.g. 'cat'/'bat' at dist 1). Any partner of a short
+    # string within dist 1 has length <= 2*block, so the population
+    # of length <= 2*block routes through a deletion-neighborhood
+    # join (FastSS, complete for d=1 at ANY length: a substitution
+    # shares the both-sides-deleted variant, an insert/delete shares
+    # the shorter string itself). Keys per row <= 2*block + 1;
+    # boundary-length pairs appearing in both paths collapse in the
+    # candidate distinct.
+    short = base_all.filter(F.length("_s") <= 2 * block)
+    short_keys = short.select(
+        "_id",
+        "_s",
+        F.explode(
+            F.expr(
+                "array_distinct(concat(array(_s), "
+                "IF(length(_s) >= 1, transform(sequence(1, length(_s)), "
+                "i -> concat(substring(_s, 1, i-1), "
+                "substring(_s, i+1, length(_s)))), "
+                "CAST(array() AS ARRAY<STRING>))))"
+            )
+        ).alias("_k"),
     )
 
     def _pairs(side: DataFrame) -> DataFrame:
@@ -578,6 +620,7 @@ def edit_distance_pairs(
     cands = (
         _pairs(pre)
         .unionByName(_pairs(suf))
+        .unionByName(_pairs(short_keys.select("_k", "_id", "_s")))
         # length band is implied by dist<=1 but pruning before the
         # distinct keeps the candidate set tight on skewed blocks
         .filter(
@@ -628,15 +671,26 @@ def edit_distance_pairs_symdelete(
             "deletion neighborhood is C(L,d) keys per string — "
             "d>2 needs segment (PassJoin) blocking instead"
         )
+    # Per-expression length guards (not a row filter): sequence(1, n)
+    # runs DESCENDING for n < 1 and would emit junk variants, but
+    # dropping whole rows shorter than max_dist costs completeness —
+    # e.g. 'ab'/'abc' at d=2 both qualify and must keep their
+    # neighborhoods (any two strings of length <= d are trivially
+    # within d and meet at the fully-deleted '' key; those pairs ARE
+    # the answer set, so their quadratic cost is output-bound, not a
+    # blow-up the guard needs to prevent).
     del1 = (
-        "transform(sequence(1, length(_s)), i -> "
-        "concat(substring(_s, 1, i-1), substring(_s, i+1, length(_s))))"
+        "IF(length(_s) >= 1, transform(sequence(1, length(_s)), i -> "
+        "concat(substring(_s, 1, i-1), substring(_s, i+1, length(_s)))), "
+        "CAST(array() AS ARRAY<STRING>))"
     )
     del2 = (
+        "IF(length(_s) >= 2, "
         "flatten(transform(sequence(1, length(_s) - 1), i -> "
         "transform(sequence(i + 1, length(_s)), j -> "
         "concat(substring(_s, 1, i-1), substring(_s, i+1, j-i-1), "
-        "substring(_s, j+1, length(_s))))))"
+        "substring(_s, j+1, length(_s)))))), "
+        "CAST(array() AS ARRAY<STRING>))"
     )
     parts = ["array(_s)", del1] + ([del2] if max_dist == 2 else [])
     variants = (
@@ -644,7 +698,7 @@ def edit_distance_pairs_symdelete(
     )
     base = df.select(
         F.col(id_col).alias("_id"), F.col(s_col).alias("_s")
-    ).filter(F.length("_s") > F.lit(max_dist))
+    ).filter(F.col("_s").isNotNull())
     keyed = base.select(
         "_id", "_s", F.explode(F.expr(variants)).alias("_v")
     )
@@ -714,8 +768,18 @@ def containment_pairs(
         toks.join(freq, "_t")
         .withColumn("_rank", F.row_number().over(w))
         .filter(
+            # ceil of the FP product can overshoot the true integer
+            # ceiling (0.56 * 25 = 14.000000000000002 -> ceil 15, not
+            # 14), which would SHORTEN the prefix and silently break
+            # the completeness guarantee. The 1e-9 backoff makes the
+            # bound err only downward (a 1-token-longer prefix = a few
+            # more candidates, never a missed pair); it exceeds the
+            # product's representation error for any realistic set
+            # size (n * ulp(theta) < 1e-9 for n < 1e7).
             F.col("_rank")
-            <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+            <= F.col("_n")
+            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+            + 1
         )
         .select("_id", "_t")
     )

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     StringType,
     StructField,
@@ -44,11 +45,16 @@ def pca_train(
     """One-pass covariance PCA. Returns (mean[d], components[k,d],
     explained_variance_ratio[k]); components are orthonormal rows,
     eigenvalue-descending, sign-canonicalized."""
+    # Partials MUST be float64: the kernel computes float64 and a
+    # float32 schema would silently truncate every (n, sum, XtX)
+    # through Arrow — a partition past 2^24 rows can no longer even
+    # count exactly in float32, and the cov = g/n - mean*mean
+    # cancellation loses most of its 7 significant digits.
     part_schema = StructType(
         [
-            StructField("n", FloatType()),
-            StructField("sum", ArrayType(FloatType())),
-            StructField("xtx", ArrayType(FloatType())),
+            StructField("n", DoubleType()),
+            StructField("sum", ArrayType(DoubleType())),
+            StructField("xtx", ArrayType(DoubleType())),
         ]
     )
 
@@ -173,10 +179,12 @@ def kmeans_train(
     like operators/bpe.train_bpe."""
     cent = _kmeans_init(df, vec_col, id_col, k)
     d = cent.shape[1]
+    # float64 partials for the same reason as pca_train: float32
+    # counts stop being exact integers past 2^24 rows per partition
     part_schema = StructType(
         [
-            StructField("cnt", ArrayType(FloatType())),
-            StructField("sums", ArrayType(FloatType())),
+            StructField("cnt", ArrayType(DoubleType())),
+            StructField("sums", ArrayType(DoubleType())),
         ]
     )
     vecs = df.select(vec_col).persist()

@@ -474,6 +474,8 @@ def decode_wav(payload: bytes) -> tuple[int, int, float, int]:
 
     rate, s = decode_wav_samples(payload)
     n = len(s)
+    if n == 0:  # valid RIFF with an empty data chunk — no samples to
+        return rate, 0, 0.0, 0  # average (ZeroDivisionError guard)
     return rate, n, float((s * s).sum()) / n, int(np.abs(s).max())
 
 

@@ -557,7 +557,10 @@ def kneser_ney_bits(
 
     global _last_kn_bigrams
     if _last_kn_bigrams is not None:
-        _last_kn_bigrams.unpersist()
+        try:  # the cached frame may belong to a stopped session
+            _last_kn_bigrams.unpersist()
+        except Exception:
+            pass
     # the bigram model table feeds context marginals, continuation
     # counts, the type total AND the scoring join — persist it
     # (vocab²-bounded, KBs-MBs) or the train-corpus subtree replays

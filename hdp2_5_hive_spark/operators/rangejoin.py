@@ -48,11 +48,17 @@ def banded_range_join(
             (sec(lo_col) / band).cast("long"),
             (sec(hi_col) / band).cast("long"),
         ),
-    ).withColumn("_pband", F.explode("_bands")).drop("_bands")
-    joined = p.join(i, "_pband", how).filter(
-        F.col(point_col).between(F.col(lo_col), F.col(hi_col))
+    ).withColumn("_iband", F.explode("_bands")).drop("_bands")
+    # The exact predicate lives in the join CONDITION, not a
+    # post-join filter: Catalyst still extracts _pband = _iband as
+    # the equi-key (no nested loop), and outer joins stay correct —
+    # a post-filter would evaluate `point BETWEEN NULL AND NULL` on
+    # every null-extended row and silently drop it, degenerating
+    # how='left' to inner semantics.
+    cond = (p["_pband"] == i["_iband"]) & F.col(point_col).between(
+        F.col(lo_col), F.col(hi_col)
     )
-    return joined.drop("_pband")
+    return p.join(i, cond, how).drop("_pband", "_iband")
 
 
 def interval_overlap_join(

@@ -42,10 +42,21 @@ def salted_sum_count(
     identical to the direct groupBy (sums/counts are associative);
     only the shuffle layout changes.
     """
-    # Salt from monotonically_increasing_id, not rand(): uniform
-    # across a partition, and cheap (no RNG state per row).
+    # Salt from ROW CONTENT (keys + value), never from
+    # monotonically_increasing_id or rand(): a non-deterministic
+    # expression feeding a shuffle key is the classic lost/duplicated
+    # row hazard under stage retry — a re-executed map task that sees
+    # rows in a different order re-salts them differently, and
+    # reducers that already consumed the old output plus re-run
+    # reducers consuming the new one can together count a row twice
+    # or zero times. The content hash is retry-stable; the value
+    # column spreads a hot key's rows uniformly, and in the
+    # degenerate all-identical-rows case map-side partial
+    # aggregation already collapses each (key, salt) group to one
+    # row per map task, so the hot reducer receives O(#mappers)
+    # pre-aggregated rows either way.
     salt = F.pmod(
-        F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)
+        F.xxhash64(*[F.col(k) for k in keys], value), F.lit(n_salts)
     )
     partial = (
         df.withColumn("_salt", salt)
@@ -79,9 +90,14 @@ def replicated_skew_join(
     replication factor — and as the documented fallback when AQE is
     off (Hive GenMRSkewJoinProcessor parity).
     """
+    # Deterministic content-hash salt for the same retry-stability
+    # reason as salted_sum_count (full-duplicate rows share a salt —
+    # the price of determinism; distinct payload columns spread them)
     salted_big = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts)
+        ),
     )
     replicated_small = small.crossJoin(
         F.broadcast(

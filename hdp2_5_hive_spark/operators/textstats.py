@@ -55,7 +55,12 @@ def quality_features(text: Column) -> dict[str, Column]:
     return {
         "n_chars": n_chars.cast("bigint"),
         "n_words": n_words.cast("bigint"),
-        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        # guarded: empty text divides by zero — a hard DIVIDE_BY_ZERO
+        # error under ANSI (the driver's session). NULL matches the
+        # DuckDB oracle (x / 0 is NULL there).
+        "punct_ratio": F.when(
+            n_chars > 0, F.round(n_punct.cast("double") / n_chars, 6)
+        ),
         "stopword_hits": n_stop.cast("bigint"),
         "mean_word_len": F.round(mean_wlen, 6),
     }

@@ -71,10 +71,17 @@ def asof_join(
     # Right rows sort BEFORE left rows at equal ts (side desc) so a
     # same-instant right row is visible to the left row — `<=` for
     # backward, `>=` for forward (where the scan order is reversed).
+    # The right VALUE columns complete the total order: several right
+    # rows can share a (key, ts), and with ties left to the engine
+    # the carried `last` would be partition/sort nondeterministic.
+    # Rule: among equal-ts right rows the GREATEST value tuple wins
+    # (they sort ascending, `last` reads the final one) — same
+    # deterministic-output discipline as every other operator here.
+    tiebreak = [F.col(f"_r_{c}").asc() for c in right_value_cols]
     order = (
-        [F.col(ts_col).asc(), F.col("_side").desc()]
+        [F.col(ts_col).asc(), F.col("_side").desc(), *tiebreak]
         if direction == "backward"
-        else [F.col(ts_col).desc(), F.col("_side").desc()]
+        else [F.col(ts_col).desc(), F.col("_side").desc(), *tiebreak]
     )
     w = (
         Window.partitionBy(*on)

@@ -159,12 +159,16 @@ def train_wordpiece(
     text_col: str = "text",
     n_merges: int = 24,
     min_pair_count: int = 2,
+    *,
+    _words: DataFrame | None = None,
 ) -> list[tuple[int, str, str, str, int, float]]:
     """Learn ``n_merges`` WordPiece merges. Returns
     [(rank, left, right, merged, pair_count, score)] in merge order.
     Stops early when the best pair's support drops below
     ``min_pair_count``."""
-    words = wp_word_table(df, text_col).persist()
+    words = (
+        _words if _words is not None else wp_word_table(df, text_col)
+    ).persist()
     words.count()
     merges: list[tuple[int, str, str, str, int, float]] = []
     try:
@@ -207,14 +211,21 @@ def wordpiece_vocab(
 ) -> tuple[list[str], list[tuple[int, str, str, str, int, float]]]:
     """Alphabet (bare + ``##`` continuation chars, sorted) followed
     by merged tokens in merge order — the final WordPiece vocab."""
-    alpha_rows = (
-        wp_word_table(df, text_col)
-        .select(F.explode("syms").alias("sym"))
-        .distinct()
-        .collect()
-    )
-    alphabet = sorted(r["sym"] for r in alpha_rows)
-    merges = train_wordpiece(df, text_col, n_merges)
+    # One tokenize pass: the word table feeds BOTH the alphabet scan
+    # and the trainer (via _words) — without the shared persisted
+    # frame the documents-side tokenize+count subtree ran twice.
+    wt = wp_word_table(df, text_col).persist()
+    try:
+        alpha_rows = (
+            wt.select(F.explode("syms").alias("sym")).distinct().collect()
+        )
+        alphabet = sorted(r["sym"] for r in alpha_rows)
+        merges = train_wordpiece(df, text_col, n_merges, _words=wt)
+    finally:
+        try:
+            wt.unpersist()
+        except Exception:
+            pass
     vocab = alphabet + [m[3] for m in merges]
     return vocab, merges
 

@@ -1050,9 +1050,11 @@ split AS (
            ':(80|443)$', '') AS auth,
          regexp_replace(
            regexp_replace(
-             regexp_replace(u1,
-               '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-             '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+             regexp_replace(
+               regexp_replace(u1,
+                 '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+               '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+             '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '?', 'g'),
            '[?&]+$', '') AS rest
   FROM parts
 ),
@@ -1430,11 +1432,12 @@ canon AS (
           || CASE WHEN contains(r3, '?') THEN r3
                   ELSE regexp_replace(r3, '/+$', '') END
           FROM (SELECT regexp_replace(url, '#.*$', '', 'g') AS u1,
-                       regexp_replace(regexp_replace(
+                       regexp_replace(regexp_replace(regexp_replace(
                          regexp_replace(
                            regexp_replace(url, '#.*$', '', 'g'),
                            '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
-                         '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),
+                         '&(utm_[a-z]+|fbclid|gclid)=[^&#]*', '', 'g'),
+                         '\\?(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '?', 'g'),
                        '[?&]+$', '') AS r3)
          ) AS canonical_url
   FROM urls

@@ -172,3 +172,22 @@ class TestPageRank:
         }
         for k in a:
             assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_components_star_restores_session_shuffle_partitions(spark):
+    """Regression: the operator temporarily drops
+    spark.sql.shuffle.partitions to its edge-count target and must
+    restore the session's EFFECTIVE value afterwards — including in
+    sessions where the key was never explicitly set (conf.get with a
+    None default returns None there, which used to skip the restore
+    and leave the whole session serialized at the tiny target)."""
+    from hdp2_5_hive_spark.operators.components import (
+        connected_components_star,
+    )
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    connected_components_star(e).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before

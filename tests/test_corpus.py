@@ -173,6 +173,23 @@ def test_asof_join_semantics_and_plan(spark):
     got_tol = {r.lid: r.right_rid for r in tol.collect()}
     assert got_tol == {"L1": "R2", "L2": None, "L3": None}  # R3 is 1h stale
 
+    # duplicate-(key, ts) right rows (regression): the window order
+    # must be a TOTAL order — with ties left to the engine the
+    # carried value was partition/sort luck. Rule: the greatest value
+    # tuple among equal-ts right rows wins, on every partitioning.
+    dup = spark.createDataFrame(
+        [("u", "2024-01-01 09:30:00", "R1"),
+         ("u", "2024-01-01 09:30:00", "R9"),
+         ("u", "2024-01-01 09:30:00", "R5")],
+        "k string, ts string, rid string",
+    ).select("k", F.to_timestamp("ts").alias("ts"), "rid")
+    for reparted in (dup, dup.repartition(7), dup.coalesce(1)):
+        d = asof_join(
+            left, reparted, on=["k"], ts_col="ts", right_value_cols=["rid"]
+        )
+        got_dup = {r.lid: r.right_rid for r in d.collect()}
+        assert got_dup == {"L1": "R9", "L2": "R9", "L3": None}
+
 
 def test_rollup_reuse_exact(spark):
     """Daily-from-hourly == daily-from-raw (decomposable aggregates)."""
@@ -343,6 +360,24 @@ def test_snapshot_diff_classifies_by_content_not_presence(spark):
     }
     assert out == {2: "changed", 3: "removed", 4: "added"}
 
+    # NULL text (regression): presence must come from the join, not
+    # from md5 nullability — md5(NULL) is NULL, which used to make a
+    # present-in-both doc with NULL old text look "added" (and NULL
+    # new text look "removed"). NULL <-> text is changed; NULL <->
+    # NULL is unchanged (no row).
+    old_n = spark.createDataFrame(
+        [(1, None), (2, "b"), (5, None)], "doc_id long, text string"
+    )
+    new_n = spark.createDataFrame(
+        [(1, "x"), (2, None), (4, "d"), (5, None)],
+        "doc_id long, text string",
+    )
+    out_n = {
+        r.doc_id: r.status
+        for r in snapshot_diff(old_n, new_n, "doc_id", "text").collect()
+    }
+    assert out_n == {1: "changed", 2: "changed", 4: "added"}
+
 
 def test_redact_pii_counts_and_placeholders(spark):
     from hdp2_5_hive_spark.operators.corpus import redact_pii
@@ -499,6 +534,39 @@ def test_jaccard_prefix_equals_bruteforce(spark, sf_dir):
         ).collect()
     }
     assert fast == brute and brute
+
+
+def test_prefix_filter_fp_ceiling_completeness(spark):
+    """Regression: the prefix length p = n - ceil(theta*n) + 1 must
+    use the TRUE integer ceiling. The FP product can overshoot it —
+    ceil(0.56 * 25) = ceil(14.000000000000002) = 15 — shortening the
+    prefix by one and silently missing qualifying pairs. Adversarial
+    construction that the overshoot missed before the 1e-9 backoff:
+    doc A = 11 unique words + 14 shared, doc B = the 14 shared words
+    (J = 14/25 = 0.56 exactly; containment of A in B = 0.56 too).
+    The shared words have global df=2 so they sort LAST in A's
+    rarity order (ranks 12-25); the old 11-token prefix held only
+    A-unique words and generated no candidate."""
+    from hdp2_5_hive_spark.operators import dedup as dd
+
+    words_a = [f"u{i:02d}" for i in range(11)] + [
+        f"s{i:02d}" for i in range(14)
+    ]
+    words_b = [f"s{i:02d}" for i in range(14)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words_a)), (2, " ".join(words_b))],
+        "doc_id long, text string",
+    )
+    jp = dd.jaccard_prefix_pairs(
+        df, "doc_id", "text", threshold=0.56, shingle_k=1
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in jp] == [(1, 2)]
+    cp = dd.containment_pairs(
+        df, "doc_id", "text", threshold=0.56, shingle_k=1
+    ).collect()
+    got = {(r.id_in, r.id_of): r.containment for r in cp}
+    assert got[(1, 2)] == 14 / 25  # A's side relied on the fix
+    assert got[(2, 1)] == 1.0
 
 
 def test_pack_ffd_matches_reference_and_invariants(spark, sf_dir):
@@ -813,6 +881,13 @@ def test_canonical_url_rules(spark):
         ("https://ex.com/a/?gclid=1", "https://ex.com/a"),
         ("https://ex.com/a/", "https://ex.com/a"),
         ("https://ex.com/a/?page=2", "https://ex.com/a/?page=2"),
+        # boundary regression: parameters whose NAME merely ends in a
+        # tracked name must survive (an unanchored pattern ate their
+        # tails, '?afbclid=1' -> '?a', falsely merging distinct pages)
+        ("https://ex.com/p?afbclid=1", "https://ex.com/p?afbclid=1"),
+        ("https://ex.com/p?a=1&xgclid=2", "https://ex.com/p?a=1&xgclid=2"),
+        # consecutive leading tracking params (stage-1 + stage-2 mix)
+        ("https://ex.com/p?utm_a=1&utm_b=2&page=3", "https://ex.com/p?page=3"),
     ]
     df = spark.createDataFrame(
         [(u,) for u, _ in cases], "url string"
@@ -1029,3 +1104,24 @@ def test_exact_proportion_split_hamilton_counts(spark):
             have = (got[st]["train"], got[st]["val"], got[st]["test"])
             assert have == want, (st, n, have, want)
             assert sum(have) == n
+
+
+def test_quality_features_empty_text_ansi_safe(spark):
+    """Regression: empty text made punct_ratio divide by zero — a
+    hard DIVIDE_BY_ZERO error under ANSI (the driver's session
+    default), only masked by testdata containing no empty docs.
+    Contract now matches the DuckDB oracle: NULL ratio, zero counts."""
+    from hdp2_5_hive_spark.operators.textstats import text_profile
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        df = spark.createDataFrame(
+            [(1, ""), (2, "hi there.")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in text_profile(df, "text", "doc_id").collect()}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert rows[1].punct_ratio is None
+    assert rows[1].n_chars == 0 and rows[1].n_bpe_tokens == 0
+    assert rows[2].punct_ratio == 0.111111

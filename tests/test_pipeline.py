@@ -363,6 +363,33 @@ def test_incremental_dedup_reingested_id_replaces(spark):
     assert ("X", "Y") not in pairs  # old text no longer matches
 
 
+def test_incremental_dedup_short_reingest_still_replaces(spark):
+    """Regression: replacement ids must come from the batch's SHINGLE
+    table, not its bucket table. A re-ingested doc whose new text is
+    too short to shingle (< k words) produces no signature/bucket
+    rows; deriving the replacement set from buckets left its STALE
+    index copy in the candidate set, so a fresh batch doc with the
+    old text still matched the supposedly-replaced id."""
+    import hdp2_5_hive_spark.operators.dedup as dd
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [("X", t1), ("Y", t1)], "id string, text string"
+    )
+    idx_sh, idx_b = dd.minhash_index(corpus, "id", "text")
+    # X is re-ingested with a 2-word text (no 3-gram shingles);
+    # N is a brand-new doc carrying X's OLD text.
+    batch = spark.createDataFrame(
+        [("X", "too short"), ("N", t1)], "id string, text string"
+    )
+    rows = dd.near_duplicates_against(
+        idx_sh, idx_b, batch, "id", "text", threshold=0.6
+    ).collect()
+    pairs = [(r.id_new, r.id_old) for r in rows]
+    assert ("N", "X") not in pairs  # X's stale copy is GONE
+    assert pairs.count(("N", "Y")) == 1  # the live duplicate remains
+
+
 def test_semantic_dedup_finds_planted_duplicates(spark):
     """SemDeDup recipe (cluster then within-cluster cosine): planted
     near-identical vector pairs (cosine ~0.97) must be found — they
@@ -436,6 +463,12 @@ def test_edit_distance_pairs_complete_vs_brute_force(spark):
         strs.append(b[:-1] + "Z")         # substitute at last char
         strs.append(b[:4] + "Z" + b[4:])  # insert mid
         strs.append(b[1:])                # delete first char
+    # short strings (< 2*block chars) — the prefix|suffix theorem
+    # does not apply to them, so they exercise the
+    # deletion-neighborhood path (regression: they used to be
+    # silently dropped, missing e.g. cat/bat at dist 1 and the
+    # boundary pair abcde/abcdef)
+    strs += ["cat", "bat", "at", "a", "", "abcde", "abcdef"]
     rows = [(i, s) for i, s in enumerate(strs)]
 
     def lev(a, b):
@@ -451,7 +484,7 @@ def test_edit_distance_pairs_complete_vs_brute_force(spark):
     expect = {
         (i, j, lev(a, b))
         for (i, a), (j, b) in itertools.combinations(rows, 2)
-        if lev(a, b) <= 1 and len(a) >= 6 and len(b) >= 6
+        if lev(a, b) <= 1
     }
     df = spark.createDataFrame(rows, "id long, s string")
     got = {
@@ -505,6 +538,10 @@ def test_symdelete_pairs_complete_vs_brute_force_radius2(spark):
             b[:4] + "Z" + b[4:-1],        # insert + delete
             b + "ZQ",                     # two inserts (suffix)
         ]
+    # tiny strings (length <= max_dist) — regression: they used to
+    # be silently dropped, missing e.g. ab/abc at dist 1 and every
+    # pair among <=2-char strings (all trivially within d=2)
+    strs += ["ab", "abc", "a", "b", ""]
     rows = [(i, s) for i, s in enumerate(strs)]
 
     def lev(a, b):

@@ -363,6 +363,30 @@ def test_range_join_banded_matches_naive(spark, sf_dir):
     b = sorted(tuple(r) for r in naive.select("o_orderkey", "p").collect())
     assert a == b and a
 
+    # how='left' (regression): unmatched points must survive
+    # null-extended — the exact predicate lives in the join
+    # condition, so it can't drop them post-join — and matched rows
+    # must equal the inner result exactly.
+    left = banded_range_join(
+        pts, iv, "p", "lo", "hi", band_seconds=86400 * 7, how="left"
+    )
+    lm = sorted(
+        tuple(r)
+        for r in left.filter(F.col("o_orderkey").isNotNull())
+        .select("o_orderkey", "p")
+        .collect()
+    )
+    assert lm == a
+    n_unmatched = left.filter(F.col("o_orderkey").isNull()).count()
+    assert n_unmatched == pts.count() - pts.join(
+        naive.select("p").distinct(), "p", "left_semi"
+    ).count()
+    assert n_unmatched > 0  # the fixture really exercises the branch
+    # and the left form still plans as an equi-join, never a loop
+    lplan = left._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in lplan, lplan
+    assert "Cartesian" not in lplan, lplan
+
 
 def test_dsir_model_broadcasts_and_topk_never_global_sorts(spark, sf_dir, qs):
     """DSIR (quality.dsir_logratio/dsir_resample) scale gates: the
