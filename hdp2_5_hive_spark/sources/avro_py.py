@@ -167,6 +167,13 @@ def _read_long(src) -> int:
         # would start an 11th (shift 70) is already corrupt
         if shift >= 70:
             raise ValueError("avro_py: varint too long (corrupt stream)")
+    if acc >> 64:
+        # a 10th byte may carry ONLY bit 63 (the zig-zag long's top
+        # bit): any higher bit decodes to a value no conforming
+        # writer can produce (Java's BinaryDecoder drops the overflow
+        # via 64-bit shifts; unbounded Python ints would keep it and
+        # emit an impossible bigint instead of failing loudly)
+        raise ValueError("avro_py: varint exceeds 64 bits (corrupt stream)")
     return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 
 

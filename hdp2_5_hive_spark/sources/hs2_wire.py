@@ -546,6 +546,7 @@ class _Handler(socketserver.StreamRequestHandler):
     def _dispatch(self, srv, name: str, seqid: int, args: list) -> bytes:
         if name == "OpenSession":
             sid = srv.new_id()
+            srv.add_session(sid)
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_I32, _i32(srv.protocol))
@@ -573,11 +574,19 @@ class _Handler(socketserver.StreamRequestHandler):
                 rows = df.take(srv.result_cap + 1)
                 truncated = len(rows) > srv.result_cap
                 # track the op under its session so CloseSession can
-                # free the buffers of clients that never CloseOperation
-                srv.register_op(
+                # free the buffers of clients that never CloseOperation;
+                # a refused registration (session closed mid-statement
+                # on another connection, or never opened) drops the
+                # buffer here instead of leaking it under a session
+                # nobody will close again
+                if not srv.register_op(
                     self._req_guid(args), oid,
                     (df, rows[: srv.result_cap], 0, truncated),
-                )
+                ):
+                    return _reply(
+                        name, seqid,
+                        self._invalid_session(self._req_guid(args)),
+                    )
                 resp = (
                     _fld(1, tp.T_STRUCT, _status(SUCCESS))
                     + _fld(
@@ -599,9 +608,10 @@ class _Handler(socketserver.StreamRequestHandler):
             return _reply(name, seqid, resp)
         if name == "GetResultSetMetadata":
             oid = self._req_guid(args)
-            if oid not in srv.ops:
+            entry = srv.get_op(oid)  # one locked read — no TOCTOU
+            if entry is None:
                 return _reply(name, seqid, self._invalid_handle(oid))
-            df = srv.ops[oid][0]
+            df = entry[0]
             resp = (
                 _fld(1, tp.T_STRUCT, _status(SUCCESS))
                 + _fld(2, tp.T_STRUCT, _table_schema(df))
@@ -610,14 +620,15 @@ class _Handler(socketserver.StreamRequestHandler):
             return _reply(name, seqid, resp)
         if name == "FetchResults":
             oid = self._req_guid(args)
-            if oid not in srv.ops:
+            entry = srv.get_op(oid)  # locked read — no TOCTOU
+            if entry is None:
                 # a handle freed by CloseOperation/CloseSession (or
                 # never issued) fails loudly, like real HS2's
                 # "Invalid OperationHandle" HiveSQLException —
                 # CLOSED-as-success would let a poller read a freed
                 # op as a legitimately finished empty result
                 return _reply(name, seqid, self._invalid_handle(oid))
-            df, rows, served, truncated = srv.ops[oid]
+            truncated = entry[3]  # immutable after registration
             if truncated and srv.strict_truncation:
                 # --strict-truncation: partial results are a hard
                 # error, not data + SUCCESS_WITH_INFO
@@ -643,8 +654,13 @@ class _Handler(socketserver.StreamRequestHandler):
             except (TypeError, IndexError):
                 want = srv.max_rows
             want = max(1, min(want or srv.max_rows, srv.max_rows))
-            batch = rows[served : served + want]
-            srv.update_op(oid, (df, rows, served + len(batch), truncated))
+            # read-slice-publish under ONE lock: two concurrent
+            # fetches of the same handle must never serve the same
+            # batch twice (the unlocked read-modify-write did)
+            adv = srv.advance_op(oid, want)
+            if adv is None:  # freed between the check and the advance
+                return _reply(name, seqid, self._invalid_handle(oid))
+            df, rows, served, batch, truncated = adv
             # hasMoreRows: true while the buffer has rows left, and
             # also on the FINAL non-empty batch of a result the server
             # truncated at result_cap (truthful signal that rows were
@@ -728,20 +744,7 @@ class _Handler(socketserver.StreamRequestHandler):
             )
             if not rows:
                 df = df.limit(0)
-            oid = srv.new_id()
-            # metadata: bounded; registered under the requesting
-            # session (req field 1 = sessionHandle) so CloseSession
-            # frees metadata buffers too — a close-session-only JDBC
-            # client that browses catalog metadata must not leak
-            srv.register_op(
-                self._req_guid(args), oid, (df, df.collect(), 0, False)
-            )
-            resp = (
-                _fld(1, tp.T_STRUCT, _status(SUCCESS))
-                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
-                + _stop()
-            )
-            return _reply(name, seqid, resp)
+            return self._finish_metadata_op(srv, args, name, seqid, df)
         if name in ("GetTables", "GetSchemas", "GetCatalogs", "GetTableTypes"):
             # JDBC metadata surface (TCLIService.thrift:757-867):
             # result sets with the ODBC-standard columns, served
@@ -773,20 +776,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 df = spark.createDataFrame(
                     [("x",)], "TABLE_CAT string"
                 ).limit(0)
-            oid = srv.new_id()
-            # metadata: bounded; registered under the requesting
-            # session (req field 1 = sessionHandle) so CloseSession
-            # frees metadata buffers too — a close-session-only JDBC
-            # client that browses catalog metadata must not leak
-            srv.register_op(
-                self._req_guid(args), oid, (df, df.collect(), 0, False)
-            )
-            resp = (
-                _fld(1, tp.T_STRUCT, _status(SUCCESS))
-                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
-                + _stop()
-            )
-            return _reply(name, seqid, resp)
+            return self._finish_metadata_op(srv, args, name, seqid, df)
         if name == "GetFunctions":
             # TGetFunctionsReq (:880): 1 session, 2 catalog, 3 schema
             # pattern, 4 function pattern. Served straight from the
@@ -809,20 +799,7 @@ class _Handler(socketserver.StreamRequestHandler):
             )
             if not names_all:
                 df = df.limit(0)
-            oid = srv.new_id()
-            # metadata: bounded; registered under the requesting
-            # session (req field 1 = sessionHandle) so CloseSession
-            # frees metadata buffers too — a close-session-only JDBC
-            # client that browses catalog metadata must not leak
-            srv.register_op(
-                self._req_guid(args), oid, (df, df.collect(), 0, False)
-            )
-            resp = (
-                _fld(1, tp.T_STRUCT, _status(SUCCESS))
-                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
-                + _stop()
-            )
-            return _reply(name, seqid, resp)
+            return self._finish_metadata_op(srv, args, name, seqid, df)
         if name == "GetTypeInfo":
             # TGetTypeInfoReq (:747): the static ODBC type table a
             # driver caches at connect (java.sql.Types codes; the
@@ -840,20 +817,7 @@ class _Handler(socketserver.StreamRequestHandler):
                 [(n, c, None) for n, c in types],
                 "TYPE_NAME string, DATA_TYPE int, PRECISION int",
             )
-            oid = srv.new_id()
-            # metadata: bounded; registered under the requesting
-            # session (req field 1 = sessionHandle) so CloseSession
-            # frees metadata buffers too — a close-session-only JDBC
-            # client that browses catalog metadata must not leak
-            srv.register_op(
-                self._req_guid(args), oid, (df, df.collect(), 0, False)
-            )
-            resp = (
-                _fld(1, tp.T_STRUCT, _status(SUCCESS))
-                + _fld(2, tp.T_STRUCT, self._op_handle(oid))
-                + _stop()
-            )
-            return _reply(name, seqid, resp)
+            return self._finish_metadata_op(srv, args, name, seqid, df)
         if name in ("CloseOperation", "CloseSession", "CancelOperation"):
             if name == "CloseOperation":
                 # frees the buffer AND the guid's membership in the
@@ -871,6 +835,45 @@ class _Handler(socketserver.StreamRequestHandler):
             resp = _fld(1, tp.T_STRUCT, _status(SUCCESS)) + _stop()
             return _reply(name, seqid, resp)
         return _exception(name, seqid, f"unimplemented method {name!r}")
+
+    @staticmethod
+    def _invalid_session(sguid: bytes) -> bytes:
+        """ERROR TStatus for an unknown/closed session handle — the
+        wire shape of HS2's ``Invalid SessionHandle``
+        HiveSQLException (session/SessionManager.getSession)."""
+        return (
+            _fld(
+                1,
+                tp.T_STRUCT,
+                _status(
+                    ERROR,
+                    f"Invalid SessionHandle: {sguid!r} "
+                    "(closed or never opened)",
+                ),
+            )
+            + _stop()
+        )
+
+    def _finish_metadata_op(self, srv, args, name, seqid, df) -> bytes:
+        """Shared tail of every metadata handler: collect the bounded
+        result, register it under the requesting session (so
+        CloseSession frees metadata buffers too — a
+        close-session-only JDBC client that browses catalog metadata
+        must not leak), and reply with the op handle; a dead session
+        gets the invalid-session error instead of a leaked buffer."""
+        oid = srv.new_id()
+        if not srv.register_op(
+            self._req_guid(args), oid, (df, df.collect(), 0, False)
+        ):
+            return _reply(
+                name, seqid, self._invalid_session(self._req_guid(args))
+            )
+        resp = (
+            _fld(1, tp.T_STRUCT, _status(SUCCESS))
+            + _fld(2, tp.T_STRUCT, self._op_handle(oid))
+            + _stop()
+        )
+        return _reply(name, seqid, resp)
 
     @staticmethod
     def _invalid_handle(oid: bytes) -> bytes:
@@ -947,6 +950,13 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
         # must not grow its op list without bound)
         self.session_ops: dict[bytes, set[bytes]] = {}
         self.op_session: dict[bytes, bytes] = {}
+        # LIVE sessions (OpenSession adds, CloseSession removes):
+        # register_op refuses a dead/unknown session, so an
+        # ExecuteStatement racing CloseSession on another connection
+        # cannot park its result buffer under a session nobody will
+        # ever close again (the leak a mere lock cannot prevent —
+        # close_session_ops finds nothing when it runs FIRST)
+        self.sessions: set[bytes] = set()
         self._counter = 0
         self._lock = threading.Lock()
 
@@ -956,18 +966,46 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
     # buffer — the ops entry and its session_ops membership are
     # published atomically) --
 
-    def register_op(self, sguid: bytes, oid: bytes, entry: tuple) -> None:
+    def add_session(self, sguid: bytes) -> None:
         with self._lock:
+            self.sessions.add(sguid)
+
+    def register_op(self, sguid: bytes, oid: bytes, entry: tuple) -> bool:
+        """Publish an op atomically under a LIVE session. Returns
+        False (registering nothing) when the session is unknown or
+        was closed concurrently — the caller must answer with an
+        invalid-session error instead of handing out a handle whose
+        buffer no CloseSession will ever free."""
+        with self._lock:
+            if sguid not in self.sessions:
+                return False
             self.ops[oid] = entry
             self.op_session[oid] = sguid
             self.session_ops.setdefault(sguid, set()).add(oid)
+            return True
 
-    def update_op(self, oid: bytes, entry: tuple) -> None:
-        """Replace an op's buffer state; a no-op if the op was freed
-        concurrently (never resurrects a closed handle)."""
+    def get_op(self, oid: bytes):
+        """Locked snapshot read — a bare `oid in ops` check followed
+        by an unlocked ops[oid] read races CloseOperation into a raw
+        KeyError (sent as an opaque TApplicationException instead of
+        the Invalid-OperationHandle TStatus)."""
         with self._lock:
-            if oid in self.ops:
-                self.ops[oid] = entry
+            return self.ops.get(oid)
+
+    def advance_op(self, oid: bytes, want: int):
+        """Atomic fetch-cursor advance: read, slice, and publish the
+        new served offset under one lock so two concurrent fetches of
+        the same handle can never serve the same batch twice. Returns
+        (df, rows, served_before, batch, truncated) or None if the
+        handle was freed."""
+        with self._lock:
+            entry = self.ops.get(oid)
+            if entry is None:
+                return None
+            df, rows, served, truncated = entry
+            batch = rows[served : served + want]
+            self.ops[oid] = (df, rows, served + len(batch), truncated)
+            return df, rows, served, batch, truncated
 
     def close_op(self, oid: bytes) -> None:
         with self._lock:
@@ -982,6 +1020,7 @@ class HS2WireServer(socketserver.ThreadingTCPServer):
 
     def close_session_ops(self, sguid: bytes) -> None:
         with self._lock:
+            self.sessions.discard(sguid)
             for oid in self.session_ops.pop(sguid, ()):
                 self.ops.pop(oid, None)
                 self.op_session.pop(oid, None)
@@ -1138,6 +1177,13 @@ class HS2WireClient:
     def schema(self, op: bytes) -> list[tuple[str, int]]:
         req = _fld(1, tp.T_STRUCT, self._op_struct(op)) + _stop()
         resp = self._call("GetResultSetMetadata", req)
+        status = resp[0]
+        if status[0] == ERROR:
+            # invalid/closed handle — surface the server's message
+            # (the status-only reply has no schema struct; indexing
+            # into it would raise an uninformative IndexError)
+            msg = status[4] if len(status) > 4 else status
+            raise RuntimeError(f"GetResultSetMetadata failed: {msg}")
         cols = resp[1][0]
         out = []
         for c in cols:
@@ -1155,17 +1201,21 @@ class HS2WireClient:
         )
         resp = self._call("FetchResults", req)
         status = resp[0]
+        info = status[1] if len(status) > 1 and isinstance(status[1], list) else []
+        # record the status BEFORE any raise: a caller that catches
+        # the error and inspects last_fetch_status (the documented
+        # truncation-detection channel) must not read the previous
+        # fetch's stale SUCCESS tuple
+        self.last_fetch_status = (
+            status[0],
+            [m.decode() if isinstance(m, bytes) else str(m) for m in info],
+        )
         if status[0] == ERROR:
             # invalid/closed handle or --strict-truncation refusal —
             # surface it like HiveStatement's SQLException, never as
             # an empty result set
             msg = status[4] if len(status) > 4 else status
             raise RuntimeError(f"FetchResults failed: {msg}")
-        info = status[1] if len(status) > 1 and isinstance(status[1], list) else []
-        self.last_fetch_status = (
-            status[0],
-            [m.decode() if isinstance(m, bytes) else str(m) for m in info],
-        )
         has_more = bool(resp[1])
         rowset = resp[2]
         trows = rowset[1]

@@ -379,3 +379,21 @@ def test_corrupt_block_header_raises_valueerror(spark, sf_dir):
     corrupt = blob[:hdr_end] + b"\x05" + blob[hdr_end + 1 :]
     with pytest.raises(ValueError, match="corrupt block header"):
         av.read_container(io.BytesIO(corrupt))
+
+
+def test_varint_64bit_overflow_rejected():
+    """Regression: a 10-byte varint whose final byte sets bits above
+    bit 63 decoded (via unbounded Python ints) to a value no
+    conforming Avro writer can produce — e.g. b'\\xff'*9 + b'\\x7f'
+    gave a 70-bit long. The final byte may carry ONLY bit 63; higher
+    bits are corrupt and must fail loudly. Long.MIN_VALUE (final
+    byte 0x01) remains decodable."""
+    from io import BytesIO
+
+    from hdp2_5_hive_spark.sources.avro_py import _read_long
+
+    assert _read_long(BytesIO(b"\xff" * 9 + b"\x01")) == -(1 << 63)
+    with pytest.raises(ValueError, match="exceeds 64 bits"):
+        _read_long(BytesIO(b"\xff" * 9 + b"\x7f"))
+    with pytest.raises(ValueError, match="exceeds 64 bits"):
+        _read_long(BytesIO(b"\xff" * 9 + b"\x03"))

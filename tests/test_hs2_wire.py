@@ -638,9 +638,15 @@ def test_concurrent_execute_close_session_never_leaks(spark, sf_dir):
             t.start()
             closer.close()  # CloseSession racing the executes
             t.join()
-            # whatever survived the racing drain is still tracked
-            # under the session (atomic publish) — a final
-            # CloseSession must leave NOTHING behind
+            # r10 verdict: a lock alone only fixed ONE interleaving —
+            # an execute finishing AFTER close_session_ops used to
+            # re-register under the dead session and leak until a
+            # client happened to close that session again. With the
+            # live-session registry, register_op refuses the dead
+            # session (the client sees Invalid SessionHandle), so the
+            # drain alone must leave NOTHING behind — no final
+            # CloseSession needed.
+            assert srv.ops == {}, srv.ops
             final = hw.HS2WireClient("127.0.0.1", port)
             final.session = cli.session
             final.close()
@@ -648,5 +654,57 @@ def test_concurrent_execute_close_session_never_leaks(spark, sf_dir):
             assert srv.op_session == {}
             assert srv.session_ops == {}
             cli.sock.close()
+    finally:
+        srv.shutdown()
+
+
+def test_execute_on_unopened_session_is_invalid_session(hs2):
+    """ExecuteStatement under a session guid that was never opened
+    (or already closed) answers Invalid SessionHandle instead of
+    silently parking an unfreeable result buffer under it."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.session = b"deadbeefdeadbeef"  # never OpenSession'd
+    with pytest.raises(RuntimeError, match="Invalid SessionHandle"):
+        cli.execute("SELECT 1 AS v")
+    cli.sock.close()
+
+
+def test_schema_on_closed_operation_is_error_tstatus(hs2):
+    """GetResultSetMetadata on a freed handle surfaces the server's
+    Invalid-OperationHandle message — regression: the client indexed
+    into the status-only reply and died with a bare IndexError."""
+    cli = hw.HS2WireClient("127.0.0.1", hs2)
+    cli.open_session()
+    op = cli.execute("SELECT 1 AS v")
+    assert cli.schema(op)  # live handle works
+    req = hw._fld(1, tp.T_STRUCT, cli._op_struct(op)) + hw._stop()
+    cli._call("CloseOperation", req)
+    with pytest.raises(RuntimeError, match="Invalid OperationHandle"):
+        cli.schema(op)
+    cli.close()
+
+
+def test_fetch_error_updates_last_fetch_status(spark, sf_dir):
+    """A refused fetch (strict truncation) must overwrite
+    last_fetch_status before raising — a caller that catches the
+    error and inspects the documented truncation-detection channel
+    must not read the PREVIOUS fetch's stale SUCCESS tuple."""
+    from hdp2_5_hive_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    srv, port = hw.serve_background(
+        spark, max_rows=10, result_cap=5, strict_truncation=True
+    )
+    try:
+        cli = hw.HS2WireClient("127.0.0.1", port)
+        cli.open_session()
+        ok = cli.execute("SELECT 1 AS v")
+        cli.fetch(ok)
+        assert cli.last_fetch_status[0] == 0  # SUCCESS
+        trunc = cli.execute("SELECT n_nationkey FROM nation")
+        with pytest.raises(RuntimeError, match="strict-truncation"):
+            cli.fetch(trunc)
+        assert cli.last_fetch_status[0] == 3  # ERROR, not stale SUCCESS
+        cli.close()
     finally:
         srv.shutdown()
