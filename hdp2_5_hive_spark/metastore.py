@@ -34,6 +34,16 @@ META_FILE = "_metastore.json"
 LOCK_FILE = "_metastore.lock"
 
 
+def _dir_has_data(root: str) -> bool:
+    """True if the directory exists and holds at least one real data
+    file (ignoring _SUCCESS/_metadata markers and dotfiles)."""
+    for base, _dirs, files in os.walk(root):
+        for f in files:
+            if not f.startswith((".", "_")):
+                return True
+    return False
+
+
 class NoSuchTableError(KeyError):
     pass
 
@@ -170,11 +180,31 @@ class Metastore:
                         f"{cur['partition_by']!r} vs appended {fmt!r}/"
                         f"{list(partition_by)!r})"
                     )
-            meta["tables"][name] = {
+            entry = {
                 "path": name,  # relative → warehouse can be moved/mounted
                 "format": fmt,
                 "partition_by": list(partition_by),
+                "schema": df.schema.json(),
             }
+            prev = meta["tables"].get(name)
+            if prev is not None:
+                if mode == "append":
+                    # INSERT INTO must not rewrite the table's
+                    # identity: keep owner, per-partition format
+                    # overrides and (stale-until-ANALYZE) stats — a
+                    # bare replacement let an appender steal
+                    # ownership (AuthorizingMetastore re-added owner
+                    # as the appender) and broke mixed-format
+                    # partition reads
+                    merged = dict(prev)
+                    merged.update(entry)
+                    entry = merged
+                elif "owner" in prev:
+                    # INSERT OVERWRITE replaces the data (overrides
+                    # and stats now describe vanished files) but the
+                    # table identity — its owner — survives
+                    entry["owner"] = prev["owner"]
+            meta["tables"][name] = entry
 
         self._mutate(upsert)
 
@@ -197,7 +227,25 @@ class Metastore:
         overrides = m.get("partition_formats") or {}
         root = os.path.join(self.warehouse_dir, m["path"])
         if not overrides:
-            return spark.read.format(m["format"]).load(root)
+            try:
+                return spark.read.format(m["format"]).load(root)
+            except Exception:
+                # a DATALESS table (create_table_like's empty dir)
+                # cannot infer a schema from files; fall back to the
+                # recorded definition so the table — and attach()'s
+                # whole-warehouse recovery loop, which dies on the
+                # first unreadable table — keeps working. Real read
+                # errors on tables WITH data re-raise.
+                sch = m.get("schema")
+                if sch is None or _dir_has_data(root):
+                    raise
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromJson(json.loads(sch))
+                pcols = m.get("partition_by") or []
+                fields = [f for f in st.fields if f.name not in pcols]
+                fields += [f for f in st.fields if f.name in pcols]
+                return spark.createDataFrame([], StructType(fields))
         from functools import reduce
         from urllib.parse import unquote
 
@@ -329,25 +377,33 @@ class Metastore:
         ``alter_table``; in managed-table Hive the data directory
         moves with the name): metadata re-key + directory rename,
         both under the mutation lock."""
-        if not new_name or "/" in new_name:
+        if not new_name.isidentifier():
             raise ValueError(f"bad table name {new_name!r}")
 
-        def mut(meta: dict) -> dict:
+        def mut(meta: dict) -> None:
             if name not in meta["tables"]:
                 raise NoSuchTableError(name)
             if new_name in meta["tables"]:
                 raise ValueError(f"table {new_name!r} already exists")
+            dst = os.path.join(self.warehouse_dir, new_name)
+            if os.path.exists(dst):
+                raise ValueError(
+                    f"destination path {dst!r} already exists on disk"
+                )
             entry = meta["tables"].pop(name)
-            old_path = entry["path"]
+            # move the directory BEFORE the metadata commit, inside
+            # the mutation lock: if the rename fails (stray file at
+            # the destination, permissions) the catalog is untouched
+            # — committing first left the catalog pointing at a
+            # directory that was never created, with the data
+            # stranded under the old name
+            os.rename(
+                os.path.join(self.warehouse_dir, entry["path"]), dst
+            )
             entry["path"] = new_name
             meta["tables"][new_name] = entry
-            return {"old_path": old_path}
 
-        out = self._mutate(mut)
-        os.rename(
-            os.path.join(self.warehouse_dir, out["old_path"]),
-            os.path.join(self.warehouse_dir, new_name),
-        )
+        self._mutate(mut)
 
     def truncate_table(self, name: str, spec: dict | None = None) -> None:
         """``TRUNCATE TABLE name [PARTITION (col=val, …)]``
@@ -464,11 +520,20 @@ class Metastore:
         def insert(meta: dict) -> None:
             if name in meta["tables"]:
                 raise ValueError(f"table {name!r} already exists")
-            meta["tables"][name] = {
+            entry = {
                 "path": name,
                 "format": m["format"],
                 "partition_by": list(m["partition_by"]),
             }
+            # the archive's data files were copied byte-for-byte, so
+            # the metadata describing them must travel too: dropping
+            # partition_formats left a mixed-format table unreadable
+            # (orc partition read with the parquet reader). Owner is
+            # NOT carried — the importer owns the imported table.
+            for k in ("partition_formats", "stats", "schema"):
+                if m.get(k):
+                    entry[k] = m[k]
+            meta["tables"][name] = entry
 
         self._mutate(insert)
         return name
@@ -585,10 +650,22 @@ class Metastore:
         key = "spark.sql.sources.partitionOverwriteMode"
         prev = spark.conf.get(key, "static")
         spark.conf.set(key, "dynamic")
-        try:
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
-            cols = m["partition_by"]
+        cols = m["partition_by"]
+        # partitions this write will replace are serialized in the
+        # TABLE format (Hive loadDynamicPartitions gives new
+        # partitions the table's SerDe), so any SET FILEFORMAT
+        # override they carried is stale the moment the write lands —
+        # leaving it would make get_table read the fresh files with
+        # the wrong reader
+        written = None
+        if m.get("partition_formats"):
+            written = {
+                "/".join(f"{c}={r[c]}" for c in cols)
+                for r in df.select(*cols).distinct().collect()
+            }
+        try:
             (
                 df.repartition(*[F.col(c) for c in cols])
                 .write.mode("overwrite")
@@ -598,6 +675,18 @@ class Metastore:
             )
         finally:
             spark.conf.set(key, prev)
+        if written:
+
+            def drop_stale(meta: dict) -> None:
+                t = meta["tables"].get(name)
+                if not t:
+                    return
+                pf = t.get("partition_formats") or {}
+                for k in list(pf):
+                    if k in written:
+                        pf.pop(k)
+
+            self._mutate(drop_stale)
 
     def exchange_partition(
         self, src: str, dst: str, spec: dict[str, str]

@@ -49,11 +49,16 @@ def _read(spark: SparkSession, path: str) -> DataFrame:
 
 def _affected_partition_filter(
     df: DataFrame, condition: Column, partition_cols: Sequence[str]
-) -> Column | None:
-    """Build an IN-filter over the partition values that contain rows
-    matching ``condition``. The discovery scan is pruned to the
-    partition columns only; the returned filter prunes the rewrite
-    scan to those partitions. Returns None when nothing matches."""
+) -> tuple[Column | None, list]:
+    """Build a filter over the partition values that contain rows
+    matching ``condition``, plus the collected value rows. The
+    discovery scan is pruned to the partition columns only; the
+    returned filter prunes the rewrite scan to those partitions.
+    Comparisons are EXPLICITLY null-safe per column (eqNullSafe),
+    so reaching the __HIVE_DEFAULT_PARTITION__ (null-valued)
+    partition never depends on the reader remembering that struct
+    equality happens to be per-field null-safe. Returns (None, [])
+    when nothing matches."""
     vals = (
         df.filter(condition)
         .select(*partition_cols)
@@ -61,11 +66,15 @@ def _affected_partition_filter(
         .collect()  # bounded by the partition count, never by rows
     )
     if not vals:
-        return None
-    combos = [
-        F.struct(*[F.lit(r[c]).alias(c) for c in partition_cols]) for r in vals
-    ]
-    return F.struct(*[F.col(c) for c in partition_cols]).isin(*combos)
+        return None, []
+    filt = None
+    for r in vals:
+        pred = None
+        for c in partition_cols:
+            eq = F.col(c).eqNullSafe(F.lit(r[c]))
+            pred = eq if pred is None else pred & eq
+        filt = pred if filt is None else filt | pred
+    return filt, vals
 
 
 def delete_from(
@@ -84,10 +93,31 @@ def delete_from(
         kept = df.filter(~F.coalesce(condition, F.lit(False)))
         _full_rewrite(spark, path, kept)
         return
-    part_filter = _affected_partition_filter(df, condition, partition_cols)
+    part_filter, vals = _affected_partition_filter(
+        df, condition, partition_cols
+    )
     if part_filter is None:
         return  # nothing matched; zero I/O
     kept = df.filter(part_filter).filter(~F.coalesce(condition, F.lit(False)))
+    # Dynamic partition overwrite replaces only partitions PRESENT in
+    # the output: a partition whose every row matched the condition
+    # is absent from `kept`, its directory would survive untouched,
+    # and the "deleted" rows would still be read back. Detect the
+    # emptied partitions and fall back to a full partitioned rewrite
+    # (correctness over the pruned fast path; emptying a whole
+    # partition by DELETE is the rare case — metastore.drop_partition
+    # is the cheap way to do it deliberately).
+    kept_parts = {
+        tuple(r) for r in
+        kept.select(*partition_cols).distinct().collect()
+    }
+    if {tuple(r) for r in vals} - kept_parts:
+        _full_rewrite(
+            spark, path,
+            df.filter(~F.coalesce(condition, F.lit(False))),
+            partition_cols,
+        )
+        return
     insert_overwrite_dynamic_partitions(kept, path, partition_cols)
 
 
@@ -125,7 +155,9 @@ def update_table(
     if not partition_cols:
         _full_rewrite(spark, path, patch(df))
         return
-    part_filter = _affected_partition_filter(df, condition, partition_cols)
+    part_filter, _vals = _affected_partition_filter(
+        df, condition, partition_cols
+    )
     if part_filter is None:
         return
     insert_overwrite_dynamic_partitions(
@@ -207,13 +239,18 @@ def merge_into(
         vals = matched_parts.collect()
         if not vals:
             return
-        combos = [
-            F.struct(*[F.lit(r[c]).alias(c) for c in partition_cols])
-            for r in vals
-        ]
-        tgt = tgt.filter(
-            F.struct(*[F.col(c) for c in partition_cols]).isin(*combos)
-        )
+        # explicit per-column eqNullSafe combos (reaches the
+        # __HIVE_DEFAULT_PARTITION__ rows without leaning on struct
+        # equality's implicit null-safety)
+        part_filter = None
+        for r in vals:
+            pred = None
+            for c in partition_cols:
+                eq = F.col(c).eqNullSafe(F.lit(r[c]))
+                pred = eq if pred is None else pred & eq
+            part_filter = pred if part_filter is None else part_filter | pred
+        full_tgt = tgt
+        tgt = tgt.filter(part_filter)
 
     t = tgt.withColumn("_t", F.lit(True)).alias("t")
     s = source.withColumn("_s", F.lit(True)).alias("s")
@@ -243,25 +280,71 @@ def merge_into(
     result = joined.select(*[out(c) for c in tgt_cols])
 
     if partition_cols:
+        # Same emptied-partition hazard as delete_from: a
+        # matched_delete that drains a whole partition leaves it
+        # absent from `result`, and dynamic overwrite would keep its
+        # directory (the deleted rows resurrect). Fall back to a full
+        # partitioned rewrite carrying the untouched partitions.
+        if matched_delete is not None:
+            result_parts = {
+                tuple(r) for r in
+                result.select(*partition_cols).distinct().collect()
+            }
+            if {tuple(r) for r in vals} - result_parts:
+                untouched = full_tgt.filter(~F.coalesce(
+                    part_filter, F.lit(False)
+                ))
+                _full_rewrite(
+                    spark, path,
+                    untouched.unionByName(result), partition_cols,
+                )
+                return
         insert_overwrite_dynamic_partitions(result, path, partition_cols)
     else:
         _full_rewrite(spark, path, result)
 
 
-def _full_rewrite(spark: SparkSession, path: str, df: DataFrame) -> None:
-    """Unpartitioned copy-on-write: stage to a sibling dir, then
+def _full_rewrite(
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_cols: Sequence[str] = (),
+) -> None:
+    """Full-table copy-on-write: stage to a sibling dir, then
     overwrite the table path from the staged copy (can't stream a
-    self-read into an overwrite of the same path)."""
+    self-read into an overwrite of the same path). With
+    ``partition_cols`` the rewrite preserves the partition layout.
+
+    The staged copy is removed ONLY after the final overwrite
+    succeeds: the overwrite may have already truncated the table
+    dir when it fails (disk full, interrupted job), at which point
+    the staged dir holds the only intact copy — an unconditional
+    finally-rmtree would destroy it (writers.compact_files keeps its
+    tmp until the final write lands for exactly this reason)."""
     import shutil
     import tempfile
 
     staged = tempfile.mkdtemp(prefix="acid_stage_")
     try:
         df.write.mode("overwrite").parquet(staged)
-        back = spark.read.parquet(staged)
-        back.write.mode("overwrite").parquet(path)
-    finally:
+    except BaseException:
+        # staging failed — the table itself is untouched, so the
+        # partial staging dir carries nothing worth keeping
         shutil.rmtree(staged, ignore_errors=True)
+        raise
+    back = spark.read.parquet(staged)
+    w = back.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    try:
+        w.parquet(path)
+    except BaseException as exc:
+        raise RuntimeError(
+            f"acid rewrite of {path!r} failed mid-overwrite; the "
+            f"staged full copy is preserved at {staged!r} — restore "
+            "it manually before retrying"
+        ) from exc
+    shutil.rmtree(staged, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------
@@ -568,12 +651,26 @@ def compact_acid_minor(
     )
     events = spark.read.format("orc").load(files)
     new_delta = f"{table_dir}/delta_{lo:07d}_{hi:07d}"
+    if any(d == new_delta for _, _, d in live):
+        # only possible with OVERLAPPING delta ranges (one live delta
+        # already spans [lo, hi] yet others exist inside it) — a
+        # corrupt layout; merging in place would destroy events
+        raise ValueError(
+            f"overlapping delta ranges under {table_dir}: "
+            f"{new_delta} already exists alongside other live deltas"
+        )
     tmp = f"{table_dir}/_compactor_tmp_delta_{lo:07d}_{hi:07d}"
     events.write.mode("overwrite").orc(tmp)
+    # PUBLISH FIRST, clean after (the major compactor's order): a
+    # crash between an early cleanup and the rename would leave the
+    # merged events only under the _compactor_tmp_ prefix the reader
+    # ignores — the table silently reverts to base-only state. A
+    # crash after the rename leaves the old deltas as duplicates,
+    # which the reader's per-identity row_number dedups harmlessly.
+    _os.rename(tmp, new_delta)
     for _, _, d in live:
         if clean:
             _shutil.rmtree(d, ignore_errors=True)
-    _os.rename(tmp, new_delta)
     return new_delta
 
 

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
@@ -48,7 +48,11 @@ def _coerce(value: str, simple_type: str):
         if simple_type in ("float", "double") or simple_type.startswith("decimal"):
             return float(value)
         if simple_type == "boolean":
-            return value.strip().lower() == "true"
+            v = value.strip().lower()
+            # Hive LazySimpleSerDe: only the literals parse; anything
+            # else is NULL (the docstring's unparseable->NULL rule —
+            # a bare == 'true' silently turned garbage into False)
+            return {"true": True, "false": False}.get(v)
         return value
     except (ValueError, AttributeError):
         return None
@@ -64,13 +68,22 @@ class TransactionBatch:
     but each commit is one atomic append."""
 
     endpoint: "StreamingEndpoint"
-    _rows: list[Row] = field(default_factory=list)
+    _rows: list[tuple] = field(default_factory=list)
     _open: bool = True
 
     def write(self, row: dict) -> None:
         if not self._open:
             raise RuntimeError("batch closed")
-        self._rows.append(Row(**row))
+        fields = [f.name for f in self.endpoint.schema.fields]
+        unknown = set(row) - set(fields)
+        if unknown:
+            raise ValueError(f"unknown fields {sorted(unknown)}")
+        # normalize to SCHEMA ORDER: createDataFrame(schema=...) maps
+        # kwarg-Rows positionally, so a dict whose key order differs
+        # from the schema silently column-swapped (or failed at
+        # commit once types diverged). Missing keys become NULL, like
+        # write_json.
+        self._rows.append(tuple(row.get(n) for n in fields))
 
     def write_delimited(self, line: str, sep: str = ",") -> None:
         """DelimitedInputWriter.java:50 analogue: positional parse

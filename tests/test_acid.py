@@ -544,3 +544,61 @@ def test_row_id_virtual_column_exposed(spark, tmp_path):
     assert got[0] == (1, 0, 0, "v0")
     plain = ac.read_acid_table(spark, d)
     assert "ROW__ID" not in plain.columns
+
+
+def test_delete_emptying_a_partition_actually_deletes(spark, tmp_path):
+    """Regression: dynamic partition overwrite replaces only the
+    partitions PRESENT in the output, so a DELETE matching every row
+    of a partition left its directory untouched and the rows
+    resurrected on the next read. The emptied-partition case now
+    falls back to a full partitioned rewrite."""
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, "c")],
+        "k long, pt string",
+    )
+    df.write.partitionBy("pt").parquet(path)
+
+    acid.delete_from(
+        spark, path, F.col("pt") == "a", partition_cols=["pt"]
+    )
+    back = spark.read.parquet(path)
+    assert back.filter("pt = 'a'").count() == 0  # really gone
+    assert {(r.k, r.pt) for r in back.collect()} == {
+        (3, "b"), (4, "b"), (5, "c")
+    }
+    # partition layout preserved by the fallback rewrite
+    assert spark.read.parquet(path).filter("pt = 'b'").count() == 2
+
+
+def test_merge_delete_emptying_a_partition(spark, tmp_path):
+    """Same hazard through MERGE's matched_delete branch."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "k long, pt string"
+    ).write.partitionBy("pt").parquet(path)
+    src = spark.createDataFrame([(1,), (2,)], "k long")
+    acid.merge_into(
+        spark, path, src, on=["k"],
+        matched_delete=F.lit(True), partition_cols=["pt"],
+    )
+    back = {(r.k, r.pt) for r in spark.read.parquet(path).collect()}
+    assert back == {(3, "b")}
+
+
+def test_delete_hits_null_partition_rows(spark, tmp_path):
+    """Pin: DELETE must reach rows in the NULL
+    (__HIVE_DEFAULT_PARTITION__) partition. The affected-partition
+    filter builds EXPLICIT per-column eqNullSafe predicates — the
+    previous struct-isin form happened to work too (struct equality
+    is per-field null-safe), but that subtlety is now spelled out
+    and pinned rather than relied on implicitly."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, None), (2, None), (3, "b")], "k long, pt string"
+    ).write.partitionBy("pt").parquet(path)
+    acid.delete_from(
+        spark, path, F.col("k") == 1, partition_cols=["pt"]
+    )
+    back = {(r.k, r.pt) for r in spark.read.parquet(path).collect()}
+    assert back == {(2, None), (3, "b")}

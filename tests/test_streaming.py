@@ -888,3 +888,39 @@ def test_max_files_per_trigger_batches_backfill(spark, tmp_path):
     assert len(n_rows) == 2 and all(n == 10 for n in n_rows), n_rows
     got = {r.v for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert got == {i * 10 + j for i in range(4) for j in range(5)}
+
+
+def test_write_dict_order_independent(endpoint):
+    """Regression: write() stored Row(**row) and createDataFrame
+    mapped it POSITIONALLY against the endpoint schema, so a dict
+    whose key order differed from the schema was silently
+    column-swapped (or failed at commit once types diverged). Rows
+    are now normalized to schema order; missing keys become NULL
+    like write_json; unknown keys fail loudly."""
+    b = endpoint.new_batch()
+    b.write({"n": 7, "user_id": "u1", "action": "view"})  # shuffled
+    b.write({"user_id": "u2"})  # missing -> NULL
+    with pytest.raises(ValueError, match="unknown fields"):
+        b.write({"user_id": "u3", "bogus": 1})
+    b.commit()
+    got = {r.user_id: (r.action, r.n) for r in endpoint.read_committed().collect()}
+    assert got == {"u1": ("view", 7), "u2": (None, None)}
+
+
+def test_delimited_boolean_garbage_is_null(spark, tmp_path):
+    """LazySimpleSerDe parity: unparseable boolean text is NULL,
+    never a silent False (regression: == 'true' mapped garbage to
+    False)."""
+    from pyspark.sql.types import BooleanType
+
+    schema = StructType(
+        [StructField("k", StringType()), StructField("b", BooleanType())]
+    )
+    ep = StreamingEndpoint(spark, str(tmp_path / "ing2"), schema)
+    b = ep.new_batch()
+    b.write_delimited("a,true")
+    b.write_delimited("b,FALSE")
+    b.write_delimited("c,yes")  # unparseable -> NULL
+    b.commit()
+    got = {r.k: r.b for r in ep.read_committed().collect()}
+    assert got == {"a": True, "b": False, "c": None}
