@@ -66,6 +66,19 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
         raise FileNotFoundError(f"no part-*.arrow under {path}")
     with pa.ipc.open_stream(files[0]) as rd:
         arrow_schema = rd.schema
+    # every part must agree with files[0]: a directory mixing parts
+    # from two writes (e.g. stale high-numbered parts after a
+    # narrower re-export) would otherwise surface as confusing
+    # per-task cast errors — or silently misattributed columns —
+    # instead of this one loud check (same guard as read_rcfile)
+    for p in files[1:]:
+        with pa.ipc.open_stream(p) as rd:
+            if rd.schema != arrow_schema:
+                raise ValueError(
+                    f"arrow_ipc: schema of {p!r} differs from "
+                    f"{files[0]!r} — the directory mixes parts from "
+                    "different writes; clean it and re-export"
+                )
     from pyspark.sql.pandas.types import from_arrow_type
     from pyspark.sql.types import StructField, StructType
 

@@ -49,6 +49,8 @@ from __future__ import annotations
 
 import struct
 
+from .thrift_py import _split_struct_fields  # shared depth-aware type parser
+
 W_VARINT = 0
 W_I64 = 1
 W_LEN = 2
@@ -71,6 +73,7 @@ _WIRE = {
 }
 
 _MASK64 = (1 << 64) - 1
+
 
 
 def _varint(n: int) -> bytes:
@@ -138,21 +141,6 @@ def _enc_scalar(t: str, v) -> bytes:
         return _varint(len(b)) + b
     raise NotImplementedError(f"protobuf scalar type {t!r}")
 
-
-def _split_struct_fields(t: str) -> list[tuple[str, str]]:
-    """Parse "struct<a:int,b:string>" — commas split at depth 0."""
-    inner = t[7:-1]
-    fields, depth, start = [], 0, 0
-    for i, ch in enumerate(inner + ","):
-        if ch == "<":
-            depth += 1
-        elif ch == ">":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            name, ft = inner[start:i].split(":", 1)
-            fields.append((name.strip(), ft.strip()))
-            start = i + 1
-    return fields
 
 
 def _enc_field(fid: int, t: str, v) -> bytes:

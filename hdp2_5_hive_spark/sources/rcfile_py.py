@@ -294,11 +294,17 @@ def write_rcfile_stream(
     group_rows: int,
     sync: bytes = SYNC,
     codec: str | None = None,
+    sync_interval_bytes: int = 0,
 ) -> int:
     """Write one RCFile to a binary stream; returns rows written.
     ``codec`` = Hadoop codec class name (or short form "gzip" /
     "deflate" / "bzip2" / "snappy" / "lz4") for a compressed file,
-    None = uncompressed."""
+    None = uncompressed. ``sync_interval_bytes`` = 0 emits a sync
+    escape before EVERY group (this module's default — maximally
+    splittable); a positive value emits one only after that many
+    bytes since the last sync, which is what real Hive does
+    (RCFile.java SYNC_INTERVAL ≈ 2 KB) and therefore what the split
+    reader must tolerate: groups WITHOUT their own escape."""
     if codec is not None:
         codec = {
             "gzip": CODEC_GZIP,
@@ -350,8 +356,11 @@ def write_rcfile_stream(
             key.write(lens)
             values += stored
         kb = key.getvalue()
-        fh.write(struct.pack(">i", -1))  # sync escape before each group
-        fh.write(sync)
+        nonlocal since_sync
+        if sync_interval_bytes <= 0 or since_sync >= sync_interval_bytes:
+            fh.write(struct.pack(">i", -1))  # sync escape
+            fh.write(sync)
+            since_sync = 0
         if codec is None:
             fh.write(
                 struct.pack(">iii", len(kb) + len(values), len(kb), len(kb))
@@ -368,9 +377,11 @@ def write_rcfile_stream(
             )
             fh.write(ckb)
         fh.write(values)
+        since_sync += 12 + len(kb) + len(values)
         total += len(group)
         group.clear()
 
+    since_sync = 0
     for row in row_iter:
         group.append(row)
         if len(group) >= group_rows:
@@ -381,12 +392,15 @@ def write_rcfile_stream(
 
 def read_rcfile_header(
     fh,
+    schema: tuple[list[str], list[str]] | None = None,
 ) -> tuple[list[str], list[str], bytes, str | None]:
     """Parse the RCF header; returns (names, hive types, sync,
     codec class name or None). A compressed file's codec class
     follows the flag byte as a Hadoop Text (RCFile.java header
     grammar ``file-compression-codec-class``); an unsupported codec
-    raises from _codec_funcs with migration guidance."""
+    raises from _codec_funcs with migration guidance. ``schema`` =
+    (names, hive_types) fallback for genuinely Hive-written files,
+    whose metadata carries only the column-number key."""
     if fh.read(3) != MAGIC or fh.read(1) != bytes([VERSION]):
         raise ValueError("not an RCF version-1 file")
     flag = fh.read(1)
@@ -402,28 +416,61 @@ def read_rcfile_header(
         k = _read_text(fh)
         meta[k] = _read_text(fh)
     sync = fh.read(16)
-    names = meta["columns"].split(",")
-    types = meta["columns.types"].split(":")
-    if int(meta[COLUMN_NUMBER_KEY]) != len(names):
+    if "columns" in meta and "columns.types" in meta:
+        names = meta["columns"].split(",")
+        types = meta["columns.types"].split(":")
+    elif schema is not None:
+        # genuinely Hive-written files carry ONLY the column-number
+        # key in file metadata (columns/columns.types are metastore
+        # SerDe table properties RCFileOutputFormat never embeds) —
+        # the caller supplies the schema for those
+        names, types = list(schema[0]), list(schema[1])
+    else:
+        raise ValueError(
+            "rcfile_py: file metadata has no columns/columns.types "
+            "(a Hive-written RCFile keeps the schema in the "
+            "metastore, not the file) — pass schema=(names, "
+            "hive_types) to read_rcfile/read_rcfile_header"
+        )
+    if COLUMN_NUMBER_KEY in meta and int(meta[COLUMN_NUMBER_KEY]) != len(
+        names
+    ):
         raise ValueError("column count metadata mismatch")
     return names, types, sync, codec
 
 
-def _read_group(fh, sync: bytes, names: list[str], codec: str | None = None):
+def _read_group(
+    fh,
+    sync: bytes,
+    names: list[str],
+    codec: str | None = None,
+    stop_at: int | None = None,
+):
     """Read one row group at the current position (which must be at
     a sync escape or EOF). Returns rows (list of cell-bytes lists)
-    or None at EOF. For a compressed file the key buffer and each
+    or None at EOF. With ``stop_at``, a sync escape found at offset
+    >= stop_at ends the read (rewound, so the next split's scan can
+    find it) — Hadoop split semantics: a reader owns every group
+    from its first sync up to the first sync at-or-after its end,
+    NOT up to the raw byte boundary (real Hive emits a sync only
+    every ~2 KB, so groups between ``end`` and the next sync belong
+    to THIS split; stopping at tell() >= end silently lost them).
+    For a compressed file the key buffer and each
     column's value bytes are independent codec streams: the key's
     on-disk size is the third header int, each column's is the first
     vlong of its key entry, and the plain sizes beside them are the
     decompression contracts (checked loudly)."""
     decompress = None if codec is None else _codec_funcs(codec)[1]
     while True:
+        cur = fh.tell()
         head = fh.read(4)
         if len(head) < 4:
             return None
         rec_len = struct.unpack(">i", head)[0]
         if rec_len == -1:  # sync escape
+            if stop_at is not None and cur >= stop_at:
+                fh.seek(cur)  # the next split's territory starts here
+                return None
             if fh.read(16) != sync:
                 raise ValueError("sync marker mismatch — corrupt file")
             continue
@@ -485,24 +532,68 @@ def read_rcfile_stream(fh) -> tuple[list[str], list[str], list[list[bytes]]]:
     return names, types, rows
 
 
-def read_rcfile_split(
-    fh, start: int, end: int
-) -> tuple[list[str], list[str], list[list[bytes]]]:
-    """Read the row groups of one byte-range SPLIT of an RCFile —
-    Hadoop split semantics: a group belongs to the split containing
-    its sync-escape offset (``start <= offset < end``); the reader
-    of a non-zero start scans forward for the next
-    ``int(-1) + sync`` boundary, exactly how Hadoop's RCFile record
-    reader re-synchronizes mid-file. Enables many tasks per giant
-    file instead of one. Works identically on compressed files —
-    sync escapes are never compressed."""
-    names, types, sync, codec = read_rcfile_header(fh)
+def _build_splits(
+    files: list[str], split_bytes: int | None
+) -> list[tuple[str, int, int]]:
+    """Byte-range task list shared by the function API and the
+    DataSource (one policy, one place): per file by default, or
+    split_bytes-sized ranges re-synced at sync markers."""
+    out: list[tuple[str, int, int]] = []
+    for f in files:
+        size = os.path.getsize(f)
+        if split_bytes is None or size <= split_bytes:
+            out.append((f, 0, size))
+        else:
+            for off in range(0, size, split_bytes):
+                out.append((f, off, min(off + split_bytes, size)))
+    return out
+
+
+def _write_part_file(
+    path: str,
+    pid: int,
+    names: list[str],
+    types: list[str],
+    rows_iter,
+    group_rows: int,
+    codec: str | None,
+) -> tuple[str, int]:
+    """Shared per-partition write tail (function API + DataSource):
+    task-attempt atomicity via tmp-name + os.replace (a retried or
+    speculative attempt can never leave a torn part file visible;
+    both attempts produce identical bytes, last completed wins),
+    per-part sync seed, empty parts removed."""
+    fname = os.path.join(path, f"part-{pid:05d}.rc")
+    tmp = fname + ".inprogress"
+    with open(tmp, "wb") as fh:
+        n = write_rcfile_stream(
+            fh, names, types, rows_iter, group_rows,
+            sync=make_sync(f"part-{pid}"), codec=codec,
+        )
+    if n == 0:
+        os.remove(tmp)
+    else:
+        os.replace(tmp, fname)
+    return fname, n
+
+
+def _split_group_iter(
+    fh,
+    start: int,
+    end: int,
+    schema: tuple[list[str], list[str]] | None = None,
+):
+    """(names, types, generator of row groups) for one split —
+    the STREAMING form of read_rcfile_split: consumers decode group
+    by group, so peak memory is one row group, not the whole split
+    (a no-split read of a multi-GB file must not hold every
+    decompressed row in a Python list at once)."""
+    names, types, sync, codec = read_rcfile_header(fh, schema)
     header_end = fh.tell()
     marker = struct.pack(">i", -1) + sync
     if start <= header_end:
         pos = header_end
     else:
-        # scan for the first group boundary at or after `start`
         pos = None
         fh.seek(start)
         window = b""
@@ -516,20 +607,42 @@ def read_rcfile_split(
             if hit >= 0:
                 pos = base + hit
             else:
-                # keep a marker-sized tail for cross-chunk matches;
-                # advance base only by bytes actually dropped (a short
-                # mid-stream read must not walk base backwards)
                 consumed = max(0, len(window) - (len(marker) - 1))
                 base += consumed
                 window = window[consumed:]
         if pos is None or pos >= end:
-            return names, types, []
+            return names, types, iter(())
+
+    def gen():
+        fh.seek(pos)
+        while True:
+            g = _read_group(fh, sync, names, codec, stop_at=end)
+            if g is None:
+                return
+            yield g
+
+    return names, types, gen()
+
+
+def read_rcfile_split(
+    fh,
+    start: int,
+    end: int,
+    schema: tuple[list[str], list[str]] | None = None,
+) -> tuple[list[str], list[str], list[list[bytes]]]:
+    """Read the row groups of one byte-range SPLIT of an RCFile —
+    Hadoop split semantics: a reader owns every group from the first
+    sync escape at-or-after ``start`` (or the header, for the first
+    split) up to the FIRST SYNC AT-OR-AFTER ``end`` — not up to the
+    raw byte boundary. Real Hive emits a sync only every ~2 KB, so
+    groups between ``end`` and the next sync have no escape of their
+    own and belong to this split; a tell() < end loop silently lost
+    them while the next split's forward scan skipped them. Enables
+    many tasks per giant file instead of one. Works identically on
+    compressed files — sync escapes are never compressed."""
+    names, types, groups = _split_group_iter(fh, start, end, schema)
     rows: list[list[bytes]] = []
-    fh.seek(pos)
-    while fh.tell() < end:
-        g = _read_group(fh, sync, names, codec)
-        if g is None:
-            break
+    for g in groups:
         rows.extend(g)
     return names, types, rows
 
@@ -560,7 +673,6 @@ def write_rcfile(
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.rc")
 
         def rows():
             for batch in batches:
@@ -570,22 +682,9 @@ def write_rcfile(
                 ]
                 yield from zip(*cols)
 
-        # task-attempt atomicity: write to a tmp name, rename into
-        # place — a retried/speculative attempt can never leave a
-        # torn part file visible to readers (os.replace is atomic on
-        # POSIX; last completed attempt wins, both attempts produce
-        # identical bytes)
-        tmp = fname + ".inprogress"
-        with open(tmp, "wb") as fh:
-            n = write_rcfile_stream(
-                fh, names, types, rows(), group_rows,
-                sync=make_sync(f"part-{pid}"),
-                codec=codec,
-            )
-        if n == 0:
-            os.remove(tmp)
-        else:
-            os.replace(tmp, fname)
+        fname, n = _write_part_file(
+            path, pid, names, types, rows(), group_rows, codec
+        )
         yield pa.RecordBatch.from_pydict({"path": [fname], "n_rows": [n]})
 
     report = df.mapInArrow(write_partition, "path string, n_rows long")
@@ -593,7 +692,10 @@ def write_rcfile(
 
 
 def read_rcfile(
-    spark: SparkSession, path: str, split_bytes: int | None = None
+    spark: SparkSession,
+    path: str,
+    split_bytes: int | None = None,
+    schema: tuple[list[str], list[str]] | None = None,
 ) -> DataFrame:
     """Parallelize the file list; decode + schema-on-read cast per
     task (ColumnarSerDe deserialization: text bytes → typed columns).
@@ -610,16 +712,9 @@ def read_rcfile(
     if not files:
         raise FileNotFoundError(f"no .rc files under {path}")
     with open(files[0], "rb") as fh:
-        names, types, _, _ = read_rcfile_header(fh)
+        names, types, _, _ = read_rcfile_header(fh, schema)
 
-    splits: list[tuple[str, int, int]] = []
-    for f in files:
-        size = os.path.getsize(f)
-        if split_bytes is None or size <= split_bytes:
-            splits.append((f, 0, size))
-        else:
-            for off in range(0, size, split_bytes):
-                splits.append((f, off, min(off + split_bytes, size)))
+    splits = _build_splits(files, split_bytes)
     par = min(len(splits), spark.sparkContext.defaultParallelism)
     files_df = spark.createDataFrame(
         splits, "rcfile_path string, split_start long, split_end long"
@@ -635,29 +730,45 @@ def read_rcfile(
             for fname, start, end in zip(
                 pdf["rcfile_path"], pdf["split_start"], pdf["split_end"]
             ):
-                with open(fname, "rb") as fh:
-                    f_names, f_types, rows = read_rcfile_split(
-                        fh, int(start), int(end)
-                    )
-                # every file must carry the directory's schema — a
-                # legacy warehouse with a reordered/widened stray file
-                # must fail loudly, not transpose columns silently
-                if f_names != names or f_types != types:
-                    raise ValueError(
-                        f"{fname}: schema {list(zip(f_names, f_types))} "
-                        f"differs from {files[0]}'s "
-                        f"{list(zip(names, types))}"
-                    )
-                yield pd.DataFrame(
-                    [
+
+                def to_pdf(buf):
+                    return pd.DataFrame(
                         [
-                            None if c == NULL_TEXT else c.decode("utf-8")
-                            for c in row
-                        ]
-                        for row in rows
-                    ],
-                    columns=names,
-                )
+                            [
+                                None if c == NULL_TEXT else c.decode("utf-8")
+                                for c in row
+                            ]
+                            for row in buf
+                        ],
+                        columns=names,
+                    )
+
+                # stream group-by-group (bounded memory even for an
+                # unsplit multi-GB file — same discipline as the
+                # DataSource read path)
+                with open(fname, "rb") as fh:
+                    f_names, f_types, groups = _split_group_iter(
+                        fh, int(start), int(end), schema
+                    )
+                    # every file must carry the directory's schema —
+                    # a legacy warehouse with a reordered/widened
+                    # stray file must fail loudly, not transpose
+                    # columns silently
+                    if f_names != names or f_types != types:
+                        raise ValueError(
+                            f"{fname}: schema "
+                            f"{list(zip(f_names, f_types))} differs "
+                            f"from {files[0]}'s "
+                            f"{list(zip(names, types))}"
+                        )
+                    buf: list[list[bytes]] = []
+                    for g in groups:
+                        buf.extend(g)
+                        if len(buf) >= 8192:
+                            yield to_pdf(buf)
+                            buf = []
+                    if buf:
+                        yield to_pdf(buf)
 
     raw = files_df.mapInPandas(decode, text_schema)
     return raw.select(
@@ -700,6 +811,14 @@ def _cell_value(raw: bytes, hive_type: str):
         return s == "true"
     if hive_type == "string":
         return s
+    if hive_type == "date":
+        return date.fromisoformat(s)
+    if hive_type == "timestamp":
+        return datetime.strptime(
+            s, "%Y-%m-%d %H:%M:%S.%f" if "." in s else "%Y-%m-%d %H:%M:%S"
+        )
+    if hive_type.startswith("decimal("):
+        return Decimal(s)
     raise ValueError(f"rcfile_py datasource: unhandled type {hive_type}")
 
 
@@ -709,6 +828,9 @@ def _pa_cell_type(hive_type: str):
     exactly or the scan fails on type mismatch."""
     import pyarrow as pa
 
+    if hive_type.startswith("decimal("):
+        p, s = hive_type[8:-1].split(",")
+        return pa.decimal128(int(p), int(s))
     return {
         "tinyint": pa.int8(),
         "smallint": pa.int16(),
@@ -718,6 +840,9 @@ def _pa_cell_type(hive_type: str):
         "double": pa.float64(),
         "boolean": pa.bool_(),
         "string": pa.string(),
+        "date": pa.date32(),
+        # Spark reads TimestampType as timestamp[us] via Arrow
+        "timestamp": pa.timestamp("us"),
     }[hive_type]
 
 
@@ -739,19 +864,10 @@ class RCFilePyReader(DataSourceReader):
         return files
 
     def partitions(self):
-        out = []
-        for f in self._files():
-            size = os.path.getsize(f)
-            if self.split_bytes is None or size <= self.split_bytes:
-                out.append(RCFileSplitPartition(f, 0, size))
-            else:
-                for off in range(0, size, self.split_bytes):
-                    out.append(
-                        RCFileSplitPartition(
-                            f, off, min(off + self.split_bytes, size)
-                        )
-                    )
-        return out
+        return [
+            RCFileSplitPartition(f, s, e)
+            for f, s, e in _build_splits(self._files(), self.split_bytes)
+        ]
 
     def read(self, partition):
         # yield Arrow RecordBatches, not per-row tuples: the Python
@@ -761,20 +877,30 @@ class RCFilePyReader(DataSourceReader):
         # Arrow-batched, never row-at-a-time)
         import pyarrow as pa
 
+        def flush(buf, names, types):
+            arrays = [
+                pa.array(
+                    [_cell_value(row[ci], h) for row in buf],
+                    type=_pa_cell_type(h),
+                )
+                for ci, h in enumerate(types)
+            ]
+            return pa.RecordBatch.from_arrays(arrays, names=names)
+
+        # stream group-by-group: peak memory is one batch, never the
+        # whole (possibly multi-GB, unsplit) decompressed file
         with open(partition.path, "rb") as fh:
-            names, types, rows = read_rcfile_split(
+            names, types, groups = _split_group_iter(
                 fh, partition.start, partition.end
             )
-        if not rows:
-            return
-        arrays = [
-            pa.array(
-                [_cell_value(row[ci], h) for row in rows],
-                type=_pa_cell_type(h),
-            )
-            for ci, h in enumerate(types)
-        ]
-        yield pa.RecordBatch.from_arrays(arrays, names=names)
+            buf: list[list[bytes]] = []
+            for g in groups:
+                buf.extend(g)
+                if len(buf) >= 8192:
+                    yield flush(buf, names, types)
+                    buf = []
+            if buf:
+                yield flush(buf, names, types)
 
 
 class RCFilePyDataSource(DataSource):
@@ -851,20 +977,8 @@ class RCFilePyWriter(DataSourceWriter):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        fname = os.path.join(self.path, f"part-{pid:05d}.rc")
-        tmp = fname + ".inprogress"  # atomic visibility (see write_rcfile)
-        with open(tmp, "wb") as fh:
-            n = write_rcfile_stream(
-                fh,
-                self.names,
-                self.types,
-                (tuple(r) for r in iterator),
-                self.group_rows,
-                sync=make_sync(f"part-{pid}"),
-                codec=self.codec,
-            )
-        if n == 0:
-            os.remove(tmp)
-        else:
-            os.replace(tmp, fname)
+        fname, n = _write_part_file(
+            self.path, pid, self.names, self.types,
+            (tuple(r) for r in iterator), self.group_rows, self.codec,
+        )
         return RCFileCommit(fname, n)

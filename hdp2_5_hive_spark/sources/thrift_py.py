@@ -176,11 +176,22 @@ def _decode_value(tt: int, payload: bytes, pos: int):
     if tt == T_STRING:
         (n,) = struct.unpack_from(">i", payload, pos)
         pos += 4
+        # a corrupt length must fail loudly: n < 0 REWINDS the cursor
+        # (payload[pos:pos+n] is b'' and pos+n moves backwards, so
+        # already-consumed bytes re-parse as field headers — a
+        # garbage row with no error); n past the end silently clamps
+        # and shifts the error to an opaque struct.error later
+        if n < 0 or pos + n > len(payload):
+            raise ValueError(
+                f"thrift_py: bad string length {n} at offset {pos - 4}"
+            )
         return payload[pos : pos + n].decode("utf-8"), pos + n
     if tt == T_LIST:
         et, = struct.unpack_from(">b", payload, pos)
         (n,) = struct.unpack_from(">i", payload, pos + 1)
         pos += 5
+        if n < 0:
+            raise ValueError(f"thrift_py: negative list size {n}")
         out = []
         for _ in range(n):
             v, pos = _decode_value(et, payload, pos)

@@ -119,6 +119,11 @@ class _Reader:
             return self.take(struct.unpack(">i", self.take(4))[0])
         if code == VECTOR:
             n = struct.unpack(">i", self.take(4))[0]
+            if n < 0:
+                # range(negative) is silently empty — the vector's
+                # element bytes would re-parse as the NEXT columns'
+                # type codes, a garbage row with no error
+                raise ValueError(f"typedbytes: negative vector size {n}")
             return [self.value() for _ in range(n)]
         if code == LIST:
             out = []
@@ -134,6 +139,8 @@ class _Reader:
             return out
         if code == MAP:
             n = struct.unpack(">i", self.take(4))[0]
+            if n < 0:
+                raise ValueError(f"typedbytes: negative map size {n}")
             return {self.value(): self.value() for _ in range(n)}
         raise NotImplementedError(f"typedbytes: code {code}")
 

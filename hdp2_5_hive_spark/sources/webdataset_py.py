@@ -128,9 +128,21 @@ def write_webdataset(
                     v = data[i][r]
                     if v is None:
                         continue
+                    member = f"{k}.{ext}"
+                    if len(member.encode("utf-8")) > 100:
+                        # USTAR (pinned for deterministic headers)
+                        # caps member names at 100 bytes; tarfile
+                        # would otherwise raise a bare 'name is too
+                        # long' mid-write inside the executor,
+                        # aborting the export without naming the key
+                        raise ValueError(
+                            "webdataset: sample key too long for the "
+                            f"USTAR 100-byte member-name cap: {member!r}"
+                            " — shorten key_col (e.g. hash it)"
+                        )
                     raw = v if is_bin[i] else str(v).encode("utf-8")
                     tar.addfile(
-                        _tarinfo(f"{k}.{ext}", len(raw)),
+                        _tarinfo(member, len(raw)),
                         io.BytesIO(raw),
                     )
                 n += 1

@@ -323,3 +323,110 @@ def test_rcfile_any_codec_round_trip_property(rows, codec, group_rows):
         for r in raw
     ]
     assert got == [(k, s) for k, s in rows]
+
+
+def test_split_read_sparse_sync_hive_interval():
+    """Regression: real Hive emits a sync escape only every ~2 KB
+    (RCFile.java SYNC_INTERVAL), so many groups have no escape of
+    their own. The old split loop stopped at tell() >= end while the
+    next split resumed at the NEXT sync — groups between a split's
+    byte end and that sync were read by NEITHER side (silent row
+    loss). A reader now owns every group up to the first sync
+    at-or-after its end. Swept over many split sizes on a
+    sparse-sync file."""
+    rows = [(i, f"value {i} {'y' * (i % 23)}") for i in range(4000)]
+    fh = io.BytesIO()
+    rc.write_rcfile_stream(
+        fh, ["k", "s"], ["bigint", "string"], iter(rows), group_rows=50,
+        sync=rc.make_sync("sparse"), sync_interval_bytes=2000,
+    )
+    data = fh.getvalue()
+    # sanity: the file REALLY has fewer syncs than groups
+    n_syncs = data.count(
+        __import__("struct").pack(">i", -1) + rc.make_sync("sparse")
+    )
+    assert 0 < n_syncs < 4000 // 50
+    for split_size in (len(data) // 9, 1777, 4096, len(data) + 5):
+        got = []
+        for start in range(0, len(data), split_size):
+            end = min(start + split_size, len(data))
+            _, _, part = rc.read_rcfile_split(io.BytesIO(data), start, end)
+            got.extend(part)
+        keys = sorted(int(r[0]) for r in got)
+        assert keys == list(range(4000)), (split_size, len(keys))
+
+
+def test_hive_metadata_only_schema_fallback():
+    """Regression: a genuinely Hive-written RCFile stores ONLY
+    hive.io.rcfile.column.number in file metadata (columns/
+    columns.types are metastore SerDe properties) — reading one
+    raised a bare KeyError. Now: an actionable error without a
+    schema, a working read with one."""
+    import struct as _struct
+
+    rows = [(1, "a"), (2, "b")]
+    fh = io.BytesIO()
+    rc.write_rcfile_stream(
+        fh, ["k", "s"], ["bigint", "string"], iter(rows), group_rows=2,
+    )
+    raw = fh.getvalue()
+    # surgically rewrite the metadata block to Hive's single key
+    hdr = rc.MAGIC + bytes([rc.VERSION]) + b"\x00"
+    mb = io.BytesIO()
+    rc._write_text(mb, rc.COLUMN_NUMBER_KEY)
+    rc._write_text(mb, "2")
+    meta_hive = _struct.pack(">i", 1) + mb.getvalue()
+    # locate the original metadata block: starts right after hdr
+    orig = io.BytesIO(raw)
+    orig.seek(len(hdr))
+    n_meta = _struct.unpack(">i", orig.read(4))[0]
+    for _ in range(n_meta):
+        rc._read_text(orig)
+        rc._read_text(orig)
+    rest = raw[orig.tell():]  # sync + groups
+    hive_file = hdr + meta_hive + rest
+
+    with pytest.raises(ValueError, match="metastore"):
+        rc.read_rcfile_header(io.BytesIO(hive_file))
+    names, types, part = rc.read_rcfile_split(
+        io.BytesIO(hive_file), 0, len(hive_file),
+        schema=(["k", "s"], ["bigint", "string"]),
+    )
+    assert names == ["k", "s"]
+    assert [int(r[0]) for r in part] == [1, 2]
+
+
+def test_rcfile_datasource_temporal_decimal_round_trip(spark, tmp_path):
+    """Regression: the DataSource writer accepted date/timestamp/
+    decimal columns and schema() reported them, but the read path's
+    cell parser and Arrow type map rejected them — write succeeded,
+    every read task crashed."""
+    from decimal import Decimal as D
+
+    from pyspark.sql import Row
+
+    from hdp2_5_hive_spark.sources.rcfile_py import RCFilePyDataSource
+
+    spark.dataSource.register(RCFilePyDataSource)
+    df = spark.createDataFrame(
+        [
+            Row(
+                k=1,
+                d=__import__("datetime").date(2024, 3, 1),
+                ts=__import__("datetime").datetime(2024, 3, 1, 12, 30, 5),
+                x=D("12.34"),
+            ),
+            Row(k=2, d=None, ts=None, x=None),
+        ],
+        "k long, d date, ts timestamp, x decimal(10,2)",
+    )
+    path = str(tmp_path / "dsrc")
+    df.write.format("rcfile_py").mode("overwrite").save(path)
+    back = spark.read.format("rcfile_py").load(path)
+    got = {r.k: (r.d, r.ts, r.x) for r in back.collect()}
+    assert got[1] == (
+        __import__("datetime").date(2024, 3, 1),
+        __import__("datetime").datetime(2024, 3, 1, 12, 30, 5),
+        D("12.34"),
+    )
+    assert got[2] == (None, None, None)

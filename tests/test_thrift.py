@@ -84,3 +84,33 @@ def test_nested_struct_round_trip():
     t3 = ["struct<p:struct<q:int>,r:map<string,int>>"]
     p3 = tp.encode_row(t3, [{"p": {"q": 5}, "r": {"k": 9}}])
     assert tp.decode_row(p3, 1) == [[[5], {"k": 9}]]
+
+
+def test_corrupt_string_length_raises():
+    """Regression: a negative string length REWOUND the cursor
+    (payload[pos:pos+n] is b'' and pos+n moves backwards), so
+    already-consumed bytes re-parsed as field headers — a garbage
+    row with no error. Oversized lengths clamped silently and died
+    later as an opaque struct.error."""
+    import struct
+
+    import pytest
+
+    from hdp2_5_hive_spark.sources.thrift_py import (
+        T_STOP,
+        T_STRING,
+        decode_row,
+    )
+
+    # field header: type=T_STRING, id=1, then a NEGATIVE length
+    buf = struct.pack(">bh", T_STRING, 1) + struct.pack(">i", -5)
+    with pytest.raises(ValueError, match="bad string length"):
+        decode_row(buf, 1)
+    # oversized length: claims 100 bytes, provides 3
+    buf2 = (
+        struct.pack(">bh", T_STRING, 1)
+        + struct.pack(">i", 100)
+        + b"abc"
+    )
+    with pytest.raises(ValueError, match="bad string length"):
+        decode_row(buf2, 1)

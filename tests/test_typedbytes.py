@@ -104,3 +104,24 @@ def test_corrupt_inputs_fail_loudly():
     blob = bytes([9]) + tb.encode_value(1) + tb.encode_value(2)
     with pytest.raises(EOFError, match="unterminated list"):
         tb.decode_row(blob, 1)
+
+
+def test_negative_container_counts_raise():
+    """Regression: a corrupt negative VECTOR/MAP count made
+    range(n) empty, so the container decoded as []/{} WITHOUT
+    consuming its element bytes — the elements then re-parsed as the
+    next columns' type codes, a garbage row with no error."""
+    import struct
+
+    import pytest
+
+    from hdp2_5_hive_spark.sources.typedbytes_py import (
+        MAP,
+        VECTOR,
+        decode_row,
+    )
+
+    with pytest.raises(ValueError, match="negative vector"):
+        decode_row(bytes([VECTOR]) + struct.pack(">i", -1), 1)
+    with pytest.raises(ValueError, match="negative map"):
+        decode_row(bytes([MAP]) + struct.pack(">i", -2), 1)
