@@ -144,7 +144,13 @@ class Tables:
     def __getattr__(self, name: str) -> DataFrame:
         if name.startswith("_"):
             raise AttributeError(name)
-        return self[name]
+        try:
+            return self[name]
+        except KeyError as exc:
+            # hasattr()/getattr(default) suppress only AttributeError;
+            # leaking KeyError made a simple attribute probe crash AND
+            # poisoned _load_errors for every later access to the name
+            raise AttributeError(name) from exc
 
     def __getitem__(self, name: str) -> DataFrame:
         if name in self._load_errors:

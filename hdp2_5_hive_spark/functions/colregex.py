@@ -76,21 +76,40 @@ def expand_column_regex(spark, sql: str) -> str:
     SELECT list of ``sql`` into explicit column references."""
     code = _code_text(sql)
     msel = re.search(r"\bSELECT\b", code, re.IGNORECASE)
-    mfrom = re.search(r"\bFROM\b", code, re.IGNORECASE)
-    if not msel or not mfrom or mfrom.start() < msel.end():
+
+    # the TOP-LEVEL FROM: the first FROM at paren depth 0 after the
+    # SELECT. Anchoring on the first textual FROM mis-scoped the
+    # select list whenever it contained a scalar subquery (or
+    # substring(x FROM 1)) — those FROMs are parenthesized, so depth
+    # tracking skips them.
+    from_span = None
+    if msel:
+        depth = 0
+        for m in re.finditer(
+            r"[()]|\bFROM\b", code[msel.end():], re.IGNORECASE
+        ):
+            tok = m.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                from_span = (msel.end() + m.start(), msel.end() + m.end())
+                break
+    if not msel or from_span is None:
         raise ColumnRegexError(
             "regex column expansion needs a SELECT ... FROM statement"
         )
     # FROM source: first identifier token after FROM
     mtab = re.match(
-        r"\s*([A-Za-z_][A-Za-z0-9_.]*)", code[mfrom.end():]
+        r"\s*([A-Za-z_][A-Za-z0-9_.]*)", code[from_span[1]:]
     )
     if not mtab:
         raise ColumnRegexError("cannot resolve FROM source for regex "
                                "column expansion")
     cols = [c.lower() for c in spark.table(mtab.group(1)).columns]
 
-    sel_lo, sel_hi = msel.end(), mfrom.start()
+    sel_lo, sel_hi = msel.end(), from_span[0]
     out, changed = [], False
     pos = sel_lo
     for s, e in _split_top_level_commas(code[sel_lo:sel_hi]):

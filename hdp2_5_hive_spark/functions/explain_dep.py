@@ -35,9 +35,19 @@ def explain_dependency(spark, df) -> str:
     ``{"input_tables":[{"tablename":...}],"input_partitions":[...]}``."""
     qe = df._jdf.queryExecution()
     analyzed = qe.analyzed().toString()
-    aliases = set(re.findall(r"SubqueryAlias (\w+)", analyzed))
+    # a catalog (non-temp-view) table prints a DOTTED alias
+    # (spark_catalog.default.orders) — capture the whole name and
+    # compare its LAST component, or catalog tables silently vanish
+    # from the dependency report
+    aliases = set(re.findall(r"SubqueryAlias ([\w.]+)", analyzed))
     catalog = {t.name for t in spark.catalog.listTables()}
-    tables = sorted(a for a in aliases if a in catalog)
+    tables = sorted(
+        {
+            a.rsplit(".", 1)[-1]
+            for a in aliases
+            if a.rsplit(".", 1)[-1] in catalog
+        }
+    )
     # partition lineage from the optimized scan nodes
     optimized = qe.executedPlan().toString()
     parts = []

@@ -110,7 +110,15 @@ def explode_words_udtf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            words = pdf[text_col].str.lower().str.split()
+            # NULL text explodes to 0 rows (Hive UDTF semantics) —
+            # str.split() yields NaN for nulls, and repeat(NaN) /
+            # iterating a float crashed the whole task
+            words = (
+                pdf[text_col]
+                .str.lower()
+                .str.split()
+                .apply(lambda ws: ws if isinstance(ws, list) else [])
+            )
             exploded = pd.DataFrame(
                 {
                     id_col: pdf[id_col].repeat(words.str.len()),
@@ -227,6 +235,8 @@ def transform_typedbytes(
             argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE
         )
 
+        feed_err: list[BaseException] = []
+
         def feed():
             try:
                 for batch in batches:
@@ -236,6 +246,8 @@ def transform_typedbytes(
                     ]
                     for row in zip(*cols):
                         proc.stdin.write(tb.encode_row(list(row)))
+            except BaseException as exc:  # noqa: BLE001 — re-raised below
+                feed_err.append(exc)
             finally:
                 proc.stdin.close()
 
@@ -244,6 +256,17 @@ def transform_typedbytes(
         out = proc.stdout.read()
         t.join()
         rc = proc.wait()
+        if feed_err:
+            # a script that exits 0 WITHOUT consuming all stdin (or an
+            # encode error mid-stream) kills the feed thread with
+            # BrokenPipeError; swallowing it would yield a silently
+            # TRUNCATED result with rc == 0 — Hive's ScriptOperator
+            # (hive.exec.script.allow.partial.consumption=false) fails
+            # the query instead, and so do we
+            raise RuntimeError(
+                "typedbytes script did not consume its full input "
+                f"(feed thread died: {feed_err[0]!r})"
+            ) from feed_err[0]
         if rc != 0:
             raise RuntimeError(f"typedbytes script exited {rc}")
         rows = list(tb.decode_stream(out, k))

@@ -104,7 +104,11 @@ def field(needle: Column, *haystack: Column | str) -> Column:
     the argument list, 0 if absent. No Spark builtin —
     ``array_position`` has exactly these semantics."""
     vals = [v if isinstance(v, Column) else F.lit(v) for v in haystack]
-    return F.array_position(F.array(*vals), needle)
+    # GenericUDFField/MySQL: FIELD(NULL, ...) is 0, not NULL —
+    # array_position propagates a null needle, so pin the Hive value
+    return F.when(needle.isNull(), F.lit(0).cast("long")).otherwise(
+        F.array_position(F.array(*vals), needle)
+    )
 
 
 def in_file(df, col, path: str, *, flag_name: str = "in_file"):

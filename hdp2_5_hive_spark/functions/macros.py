@@ -132,19 +132,30 @@ def _find_close_paren(text: str, open_idx: int) -> int:
     raise MacroExpansionError(f"unbalanced parentheses after index {open_idx}")
 
 
-def _split_top_level_args(argtext: str) -> list[str]:
-    """Split 'a, f(b, c), d' on top-level commas only."""
+def _split_top_level_args(
+    argtext: str, angle_aware: bool = False
+) -> list[str]:
+    """Split 'a, f(b, c), d' on top-level commas only.
+
+    ``angle_aware`` additionally treats ``<``/``>`` as nesting — for
+    PARAMETER DECLARATION lists only, where they can only be type
+    brackets (``x MAP<STRING,INT>`` must not split inside the type).
+    Call-ARGUMENT lists keep the default: there ``<``/``>`` are
+    comparison operators (``m(a < b, c)``) and counting them as
+    brackets would corrupt the split."""
     if argtext.strip() == "":
         return []
+    openers = "([<" if angle_aware else "(["
+    closers = ")]>" if angle_aware else ")]"
     parts, depth, start = [], 0, 0
     for s, e, kind in _scan_segments(argtext):
         if kind != "code":
             continue
         for k in range(s, e):
             ch = argtext[k]
-            if ch in "([":
+            if ch in openers:
                 depth += 1
-            elif ch in ")]":
+            elif ch in closers:
                 depth -= 1
             elif ch == "," and depth == 0:
                 parts.append(argtext[start:k])
@@ -216,7 +227,7 @@ class MacroRegistry:
             raise MacroExpansionError(f"macro {name}: empty body")
         params: list[str] = []
         types: list[str] = []
-        for spec in _split_top_level_args(params_text):
+        for spec in _split_top_level_args(params_text, angle_aware=True):
             toks = spec.split(None, 1)
             if len(toks) != 2:
                 raise MacroExpansionError(

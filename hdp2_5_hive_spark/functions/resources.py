@@ -58,7 +58,24 @@ class ResourceManager:
             if run_statement is None:
                 raise ResourceError("SOURCE needs a statement processor")
             text = open(path).read()
-            for stmt in text.split(";"):
+            # quote-aware top-level split (reuses the macro scanner):
+            # a bare text.split(';') broke any statement containing a
+            # semicolon inside a string literal
+            from .macros import _scan_segments
+
+            cuts = [
+                k
+                for s, e, kind in _scan_segments(text)
+                if kind == "code"
+                for k in range(s, e)
+                if text[k] == ";"
+            ]
+            stmts, prev = [], 0
+            for k in cuts:
+                stmts.append(text[prev:k])
+                prev = k + 1
+            stmts.append(text[prev:])
+            for stmt in stmts:
                 # drop full-line comments, not the whole statement —
                 # a statement PRECEDED by a comment must still run
                 body = "\n".join(

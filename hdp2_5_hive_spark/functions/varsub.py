@@ -112,6 +112,12 @@ class VariableContext:
                 key, value = key.strip(), value.strip()
                 if key.startswith("hivevar:"):
                     self.hivevars[key[8:]] = value
+                elif key.startswith("hiveconf:"):
+                    # strip the namespace like Hive's SetProcessor:
+                    # storing the literal 'hiveconf:k' key would make
+                    # ${hiveconf:k} (which reads conf 'k') and SET k
+                    # unable to ever see the value
+                    spark.conf.set(key[9:], value)
                 else:
                     spark.conf.set(key, value)
                 return spark.createDataFrame(

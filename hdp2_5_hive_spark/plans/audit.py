@@ -54,9 +54,12 @@ def analyze(df: DataFrame) -> PlanFacts:
     return PlanFacts(
         pushed_filters=re.findall(r"PushedFilters: \[([^\]]*)\]", text),
         read_schemas=re.findall(r"ReadSchema: struct<([^>]*)>", text),
-        n_exchanges=len(re.findall(r"\bExchange\b|\(Exchange", text))
-        + text.count("Exchange hashpartitioning")
-        + 0,
+        # formatted-mode text: the tree line + the detail block each
+        # mention Exchange once per exchange (tests pin that 2x
+        # convention); the old extra terms were dead ('Exchange
+        # hashpartitioning' never appears in formatted output, and
+        # '(Exchange' is already matched via the word boundary)
+        n_exchanges=len(re.findall(r"\bExchange\b", text)),
         n_broadcast_joins=text.count("BroadcastHashJoin"),
         n_sortmerge_joins=text.count("SortMergeJoin"),
         n_codegen_spans=len(re.findall(r"WholeStageCodegen", text)),

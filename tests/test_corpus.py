@@ -1125,3 +1125,15 @@ def test_quality_features_empty_text_ansi_safe(spark):
     assert rows[1].punct_ratio is None
     assert rows[1].n_chars == 0 and rows[1].n_bpe_tokens == 0
     assert rows[2].punct_ratio == 0.111111
+
+
+def test_tables_hasattr_probe_is_safe(spark, sf_dir):
+    """Regression: Tables.__getattr__ leaked KeyError for unknown
+    names, so hasattr()/getattr(default) crashed instead of
+    returning False/default."""
+    from hdp2_5_hive_spark.catalog import Tables
+
+    t = Tables(spark, sf_dir)
+    assert not hasattr(t, "definitely_not_a_table")
+    assert getattr(t, "definitely_not_a_table", None) is None
+    assert t.nation.count() > 0  # real tables still resolve

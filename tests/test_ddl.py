@@ -255,3 +255,44 @@ def test_explain_dependency_partition_filters(spark, tmp_path):
     df = spark.sql("SELECT id FROM exp_dep_pt")
     out = json.loads(explain_dep.explain_dependency(spark, df))
     assert any("p" in x for x in out["input_partitions"]), out
+
+
+def test_explain_dependency_sees_catalog_tables(spark):
+    """Regression: a saved (non-temp-view) table prints a DOTTED
+    SubqueryAlias (spark_catalog.default.t); the \\w+ capture grabbed
+    only 'spark_catalog', which matched nothing in the catalog, and
+    the table vanished from the dependency report."""
+    import json
+
+    from hdp2_5_hive_spark.functions import explain_dep
+
+    spark.sql("DROP TABLE IF EXISTS expdep_cat_t")
+    spark.range(5).write.saveAsTable("expdep_cat_t")
+    try:
+        df = spark.sql("SELECT * FROM expdep_cat_t")
+        out = json.loads(explain_dep.explain_dependency(spark, df))
+        names = {t["tablename"] for t in out["input_tables"]}
+        assert "default@expdep_cat_t" in names, out
+    finally:
+        spark.sql("DROP TABLE IF EXISTS expdep_cat_t")
+
+
+def test_source_splits_quote_aware(spark, tmp_path):
+    """Regression: SOURCE split its script on EVERY ';', breaking a
+    statement with a semicolon inside a string literal."""
+    from hdp2_5_hive_spark.functions.resources import ResourceManager
+
+    f = tmp_path / "s.sql"
+    f.write_text(
+        "-- a comment\n"
+        "SELECT ';' AS sep;\n"
+        "SELECT 2 AS two;\n"
+    )
+    ran = []
+    reg = ResourceManager()
+    out = reg.process(
+        spark, f"SOURCE {f}", run_statement=lambda s: ran.append(s)
+    )
+    assert out and len(ran) == 2
+    assert ran[0].strip() == "SELECT ';' AS sep"
+    assert ran[1].strip() == "SELECT 2 AS two"

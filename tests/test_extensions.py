@@ -86,3 +86,16 @@ def test_native_python_udtf_from_sql(spark):
         (1, "c d", 2),
         (2, "x y", 0),
     ]
+
+
+def test_udtf_null_text_emits_no_rows(spark):
+    """Regression: NULL text made str.split() yield NaN and the
+    repeat()/flatten crash the whole task — a Hive UDTF emits 0 rows
+    for a NULL input instead."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "one two")], "doc_id int, text string"
+    )
+    out = ext.explode_words_udtf(df, "doc_id", "text").collect()
+    assert sorted((r.doc_id, r.word) for r in out) == [
+        (2, "one"), (2, "two"),
+    ]

@@ -116,6 +116,20 @@ class TestVariableSubstitution:
             "${nope:x} ${missing}"
         )
 
+    def test_set_hiveconf_prefix_round_trips(self, spark):
+        """Regression: SET hiveconf:k=v stored the LITERAL key
+        'hiveconf:k' in the Spark conf, so ${hiveconf:k} (which reads
+        conf 'k') could never see the value — Hive's SetProcessor
+        strips the namespace before setting."""
+        from hdp2_5_hive_spark.functions.varsub import VariableContext
+
+        ctx = VariableContext()
+        ctx.sql(spark, "SET hiveconf:varsub.test.prop=7")
+        assert (
+            ctx.substitute(spark, "${hiveconf:varsub.test.prop}") == "7"
+        )
+        assert spark.conf.get("varsub.test.prop") == "7"
+
     def test_substitutes_inside_string_literals(self, spark):
         """Hive substitutes BEFORE parsing — literals included."""
         from hdp2_5_hive_spark.functions.varsub import VariableContext

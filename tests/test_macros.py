@@ -209,3 +209,46 @@ class TestColumnRegex:
         sql = ("SELECT o_custkey FROM orders "
                "WHERE o_orderstatus <> 'SELECT `x.+` FROM'")
         assert expand_column_regex(spark, sql) == sql
+
+
+def test_macro_with_angle_bracket_typed_param(spark):
+    """Regression: the param-list splitter was not <>-aware, so
+    CREATE TEMPORARY MACRO m(x MAP<STRING,INT>) split inside the type
+    and rejected DDL Hive accepts. Call-argument splitting keeps
+    treating < > as comparison operators."""
+    from hdp2_5_hive_spark.functions.macros import MacroRegistry
+
+    reg = MacroRegistry()
+    reg.sql(
+        spark,
+        "CREATE TEMPORARY MACRO firstval(m MAP<STRING,INT>) m['a']",
+    )
+    r = reg.sql(
+        spark, "SELECT firstval(map('a', 7)) AS v"
+    ).collect()
+    assert r[0].v == 7
+    # comparison operators in ARGUMENTS still split correctly
+    reg.sql(spark, "CREATE TEMPORARY MACRO pick(a INT, b INT) a + b")
+    r2 = reg.sql(
+        spark, "SELECT pick(IF(1 < 2, 10, 0), IF(3 > 2, 5, 0)) AS v"
+    ).collect()
+    assert r2[0].v == 15
+
+
+def test_colregex_ignores_subquery_from(spark, sf_dir):
+    """Regression: the expander anchored on the FIRST textual FROM,
+    so a scalar subquery in the select list resolved the regex
+    against the WRONG table (nation instead of orders)."""
+    from hdp2_5_hive_spark.catalog import register_views
+    from hdp2_5_hive_spark.functions.colregex import expand_column_regex
+
+    register_views(spark, sf_dir)
+    out = expand_column_regex(
+        spark,
+        "SELECT `o_order.*`, (SELECT MAX(n_nationkey) FROM nation) AS x "
+        "FROM orders",
+    )
+    assert "o_orderkey" in out and "o_orderdate" in out
+    assert "n_name" not in out  # never expanded against nation
+    n = spark.sql(out).limit(1).collect()
+    assert n  # the rewritten statement actually runs

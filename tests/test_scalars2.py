@@ -200,3 +200,21 @@ def test_java_hash_fold_null_is_zero(spark):
     ).first()
     # r = ((0*31 + 0)*31 + 7) = 7
     assert r.h == 7
+
+
+def test_field_null_needle_is_zero(spark):
+    """Regression: FIELD(NULL, ...) must be 0 (GenericUDFField /
+    MySQL), not NULL — array_position propagates a null needle."""
+    from pyspark.sql import functions as F
+
+    from hdp2_5_hive_spark.functions import hive_compat as hc
+
+    df = spark.createDataFrame([("a",), (None,)], "c string")
+    got = {
+        (r.c,): r.f
+        for r in df.select(
+            "c", hc.field(F.col("c"), "a", "b").alias("f")
+        ).collect()
+    }
+    assert got[("a",)] == 1
+    assert got[(None,)] == 0

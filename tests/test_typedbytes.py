@@ -125,3 +125,31 @@ def test_negative_container_counts_raise():
         decode_row(bytes([VECTOR]) + struct.pack(">i", -1), 1)
     with pytest.raises(ValueError, match="negative map"):
         decode_row(bytes([MAP]) + struct.pack(">i", -2), 1)
+
+
+def test_transform_partial_consumption_fails_loudly(spark):
+    """Regression: a script exiting 0 WITHOUT consuming all stdin
+    killed the feed thread with a swallowed BrokenPipeError and the
+    kernel yielded a silently truncated result. Hive's
+    ScriptOperator (allow.partial.consumption=false) fails the query
+    — so do we."""
+    import sys
+
+    import pytest
+
+    from hdp2_5_hive_spark.functions.extensions import (
+        transform_typedbytes,
+    )
+
+    # reads ONE row's worth of bytes then exits 0
+    script = (
+        "import sys; sys.stdin.buffer.read(8); "
+        "sys.stdout.buffer.write(b'')"
+    )
+    df = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(5000)], "k long, s string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="consume|feed thread"):
+        transform_typedbytes(
+            df, [sys.executable, "-c", script], "k long, s string"
+        ).collect()
