@@ -224,6 +224,80 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
+    # ---- round-12 window: ROTATED (verdict r11 next-round #1).
+    # Round-11 result: 50/50 hash-green — the 8 staged oracle
+    # upgrades landed as driver HASH evidence and the 42 stalest
+    # (r2-era) rows all re-proved. Cumulative ledger 419/419
+    # sampled, 409 hash-green, 10 rows-only by design, 0 red.
+    # This window is pure evidence-freshness ratchet (verdict r11
+    # #1/#5): nothing in the registry needs sampling, so the 50
+    # slots RE-PROVE the stalest cumulative evidence, oldest first —
+    # ALL 40 queries whose latest driver row is r3-era (formats /
+    # functions / subqueries / lateral / set-ops / extensions era
+    # names), then the 10 alphabetically-first r4-era rows (acid ×2,
+    # agg_approx_distinct, ann ×2, corpus ×3, ddl_persistent_catalog,
+    # decontaminate_eval_overlap) to fill 50. Zero repeats of the
+    # r11 window (starting-gun test (b) clause). After this window
+    # the max evidence age advances from r3 to r4; the remaining 38
+    # r4 rows + oldest r5 rows are round 13's window (verdict r11
+    # #5: nothing older than r5 survives two more rounds).
+    # Done criterion: CORRECTNESS_r12 = 50 stalest re-proves green;
+    # max cumulative evidence age r3 -> r4.
+    "cte_chain",
+    "distinct_projection",
+    "distribute_sort_by",
+    "explode_outer_empty",
+    "explode_words",
+    "fmt_avro_round_trip",
+    "fmt_concatenate_compact",
+    "fmt_dynamic_partition_sink",
+    "fmt_multi_insert",
+    "fmt_orc_round_trip",
+    "fmt_smb_bucketed_join",
+    "fn_bitwise",
+    "fn_cast_null_semantics",
+    "fn_complex_types",
+    "fn_conditional",
+    "fn_date_suite",
+    "fn_hash_encode",
+    "fn_math_suite",
+    "fn_regex_suite",
+    "fn_string_suite",
+    "inline_structs",
+    "parse_url_parts",
+    "posexplode_array",
+    "ptf_zscore_groups",
+    "sample_bucket",
+    "stack_rows",
+    "str_to_map_access",
+    "subq_exists_correlated",
+    "subq_in",
+    "subq_not_exists_correlated",
+    "subq_not_in",
+    "subq_scalar",
+    "transform_script",
+    "udaf_pandas_weighted_avg",
+    "udf_pandas_charge",
+    "udf_python_scalar",
+    "udtf_word_stream",
+    "union_all",
+    "union_distinct",
+    "view_over_view",
+    # ---- the 10 alphabetically-first r4-era rows fill the window.
+    "acid_merge_upsert",
+    "acid_update_delete",
+    "agg_approx_distinct",
+    "ann_cosine_topk",
+    "ann_ivf_topk",
+    "corpus_clean",
+    "corpus_clean_v2",
+    "corpus_line_dedup",
+    "ddl_persistent_catalog",
+    "decontaminate_eval_overlap",
+)
+
+# ---- round-11 window (retired; kept for the rotation ledger).
+_ROUND11_WINDOW: tuple[str, ...] = (
     # ---- round-11 window: ROTATED (verdict r10 next-round #1).
     # Positions 0-7: the EIGHT rows-only -> synthesized-oracle
     # upgrades staged in round 10 session 2 (dedup_simhash +
