@@ -256,6 +256,17 @@ def transform_typedbytes(
         out = proc.stdout.read()
         t.join()
         rc = proc.wait()
+        if rc != 0:
+            # ADVICE r11: check the exit code FIRST — a script that
+            # crashes without draining stdin also kills the feed
+            # thread with BrokenPipeError, and reporting that masks
+            # the real root cause (the non-zero exit).
+            note = (
+                f" (feed thread also died: {feed_err[0]!r})"
+                if feed_err
+                else ""
+            )
+            raise RuntimeError(f"typedbytes script exited {rc}{note}")
         if feed_err:
             # a script that exits 0 WITHOUT consuming all stdin (or an
             # encode error mid-stream) kills the feed thread with
@@ -267,8 +278,6 @@ def transform_typedbytes(
                 "typedbytes script did not consume its full input "
                 f"(feed thread died: {feed_err[0]!r})"
             ) from feed_err[0]
-        if rc != 0:
-            raise RuntimeError(f"typedbytes script exited {rc}")
         rows = list(tb.decode_stream(out, k))
         yield pa.RecordBatch.from_pydict(
             {

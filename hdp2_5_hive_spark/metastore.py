@@ -377,8 +377,11 @@ class Metastore:
         ``alter_table``; in managed-table Hive the data directory
         moves with the name): metadata re-key + directory rename,
         both under the mutation lock."""
+        # same rule create_table applies (ADVICE r11: the two entry
+        # points must accept the same name grammar)
         if not new_name.isidentifier():
-            raise ValueError(f"bad table name {new_name!r}")
+            raise ValueError(f"invalid table name {new_name!r}")
+        moved: list[tuple[str, str]] = []
 
         def mut(meta: dict) -> None:
             if name not in meta["tables"]:
@@ -397,13 +400,28 @@ class Metastore:
             # — committing first left the catalog pointing at a
             # directory that was never created, with the data
             # stranded under the old name
-            os.rename(
-                os.path.join(self.warehouse_dir, entry["path"]), dst
-            )
+            src = os.path.join(self.warehouse_dir, entry["path"])
+            os.rename(src, dst)
+            moved.append((src, dst))
             entry["path"] = new_name
             meta["tables"][new_name] = entry
 
-        self._mutate(mut)
+        try:
+            self._mutate(mut)
+        except BaseException:
+            # ADVICE r11: if the metadata commit fails AFTER the
+            # directory moved (version conflict on a flock-degraded
+            # filesystem, IO error), the catalog still points at the
+            # old path — roll the rename back best-effort so the
+            # table stays readable; on rollback failure the data is
+            # intact at the new path and the raised error names it.
+            if moved:
+                src, dst = moved[0]
+                try:
+                    os.rename(dst, src)
+                except OSError:
+                    pass
+            raise
 
     def truncate_table(self, name: str, spec: dict | None = None) -> None:
         """``TRUNCATE TABLE name [PARTITION (col=val, …)]``

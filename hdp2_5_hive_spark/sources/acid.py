@@ -335,6 +335,14 @@ def _full_rewrite(
     back = spark.read.parquet(staged)
     w = back.write.mode("overwrite")
     if partition_cols:
+        # ADVICE r11: a caller who set the session-wide
+        # spark.sql.sources.partitionOverwriteMode=dynamic would make
+        # this overwrite replace only partitions PRESENT in the
+        # output — a drained partition's directory would survive,
+        # resurrecting exactly the emptied-partition bug this full
+        # rewrite exists to fix. Pin static semantics on the writer
+        # (the per-write option overrides the session conf).
+        w = w.option("partitionOverwriteMode", "static")
         w = w.partitionBy(*partition_cols)
     try:
         w.parquet(path)

@@ -34,6 +34,8 @@ def main() -> int:
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("--json requires an output path")
         json_out = args[i + 1]
         del args[i : i + 2]
     sf_dir = args.pop(0) if args and args[0].startswith("/") else "/root/testdata/sf0.01"

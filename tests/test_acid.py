@@ -602,3 +602,28 @@ def test_delete_hits_null_partition_rows(spark, tmp_path):
     )
     back = {(r.k, r.pt) for r in spark.read.parquet(path).collect()}
     assert back == {(2, None), (3, "b")}
+
+
+def test_emptied_partition_delete_under_dynamic_session_conf(spark, tmp_path):
+    """Regression (ADVICE r11): the emptied-partition fallback's full
+    rewrite inherited the session's partitionOverwriteMode — with the
+    session set to 'dynamic' the overwrite replaced only partitions
+    PRESENT in the output, so the drained partition's directory
+    survived, resurrecting exactly the bug the fallback fixes. The
+    writer now pins static semantics per-write."""
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "b")], "k long, pt string"
+    ).write.partitionBy("pt").parquet(path)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        acid.delete_from(
+            spark, path, F.col("pt") == "a", partition_cols=["pt"]
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    assert back.filter("pt = 'a'").count() == 0  # really gone
+    assert {(r.k, r.pt) for r in back.collect()} == {(3, "b"), (4, "b")}

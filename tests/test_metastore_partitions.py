@@ -550,3 +550,38 @@ def test_dynamic_overwrite_clears_stale_format_override(spark, tmp_path):
         .collect()
     }
     assert got == {(9, "x"), (2, "y")}
+
+
+def test_rename_rolls_back_directory_on_commit_failure(spark, tmp_path):
+    """Regression (ADVICE r11): rename_table moves the directory
+    BEFORE the metadata commit; if _write_meta then fails (version
+    conflict on a flock-degraded filesystem, IO error) the catalog
+    still pointed at the OLD path whose directory had moved — the
+    table became unreadable instead of merely stranded. The rename
+    is now rolled back best-effort on commit failure."""
+    import os
+
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    wh = str(tmp_path / "wh")
+    ms = Metastore(wh)
+    ms.create_table(spark.createDataFrame([(1,)], "k long"), "t")
+
+    real_write = ms._write_meta
+
+    def failing_write(meta, expected_version=None):
+        raise RuntimeError("simulated metastore commit failure")
+
+    ms._write_meta = failing_write
+    try:
+        with _pytest.raises(RuntimeError, match="commit failure"):
+            ms.rename_table("t", "t2")
+    finally:
+        ms._write_meta = real_write
+    # catalog untouched AND the directory is back where it points
+    assert ms.tables() == ["t"]
+    assert os.path.isdir(os.path.join(wh, "t"))
+    assert not os.path.exists(os.path.join(wh, "t2"))
+    assert {r.k for r in ms.get_table(spark, "t").collect()} == {1}

@@ -556,6 +556,158 @@ SWEEP_SKIP = {
     "meta_plan_shuffle_census",
 }
 
+# Verdict r11 watch #3: SWEEP_SKIP is the one place a future trainer
+# could silently dodge the registry-wide nested-loop invariant. Every
+# skip entry must therefore name its DEDICATED gate — the test
+# (file, function) that pins its scale discipline (plan shape,
+# bounded rounds, or partition invariance). Adding a SWEEP_SKIP name
+# without a gate mapping, or mapping to a test that doesn't exist,
+# fails test_sweep_skip_names_have_dedicated_gates.
+SWEEP_SKIP_GATES: dict[str, tuple[str, str]] = {
+    "vocab_bpe_merges": (
+        "test_plan_audit.py", "test_tokenizer_round_counts_partial_agg"
+    ),
+    "vocab_bpe_apply": (
+        "test_plan_audit.py", "test_tokenizer_apply_map_only"
+    ),
+    "vocab_wordpiece_merges": (
+        "test_plan_audit.py", "test_tokenizer_round_counts_partial_agg"
+    ),
+    "vocab_wordpiece_apply": (
+        "test_plan_audit.py", "test_tokenizer_apply_map_only"
+    ),
+    "vocab_unigram_lm": (
+        "test_unigram_lm.py", "test_unigram_estep_partition_invariant"
+    ),
+    "vocab_unigram_apply": (
+        "test_plan_audit.py", "test_tokenizer_apply_map_only"
+    ),
+    # compare's hot path IS the three map-only applies; its own agg
+    # tail is vocab-bounded
+    "vocab_tokenizer_compare": (
+        "test_plan_audit.py", "test_tokenizer_apply_map_only"
+    ),
+    "quality_learned_classifier": (
+        "test_plan_audit.py",
+        "test_logreg_predict_map_only_and_featurize_one_shuffle",
+    ),
+    "ann_pq_recall": (
+        "test_embeddings_pca.py",
+        "test_pq_codes_partition_invariant_and_recall",
+    ),
+    "emb_pca_project": (
+        "test_plan_audit.py", "test_pca_project_and_kmeans_assign_map_only"
+    ),
+    "emb_kmeans_clusters": (
+        "test_plan_audit.py", "test_pca_project_and_kmeans_assign_map_only"
+    ),
+    "emb_cluster_balanced_sample": (
+        "test_embeddings_pca.py",
+        "test_cluster_balanced_sample_quota_and_determinism",
+    ),
+    "dedup_components_star": (
+        "test_components.py",
+        "test_star_converges_on_long_chain_where_hashmin_cannot",
+    ),
+    "dedup_components": (
+        "test_components.py", "test_convergence_guard_raises"
+    ),
+    "dedup_keep_list": (
+        "test_components.py", "test_keep_list_marks_min_per_cluster"
+    ),
+    "dedup_semantic_clusters": (
+        "test_pipeline.py", "test_semantic_dedup_finds_planted_duplicates"
+    ),
+    "graph_kcore_membership": (
+        "test_pipeline6.py", "test_kcore_matches_reference_on_corpus_graph"
+    ),
+    "er_em_parameters": (
+        "test_pipeline6.py",
+        "test_em_fit_matches_sequential_reference_and_recovers",
+    ),
+    "quality_classifier_calibration": (
+        "test_pipeline6.py",
+        "test_calibration_bins_account_for_all_holdout_docs",
+    ),
+    "topic_model_mixture": ("test_topics.py", "test_partition_invariance"),
+    "meta_plan_shuffle_census": (
+        "test_plan_audit.py", "test_shuffle_census_pinned"
+    ),
+}
+
+
+def test_sweep_skip_names_have_dedicated_gates():
+    """Structural closure of the SWEEP_SKIP loophole: every skipped
+    name maps to a gate test that actually exists (the mapped file
+    defines the mapped function), and the gate registry carries no
+    dead entries."""
+    import os
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    missing = sorted(SWEEP_SKIP - set(SWEEP_SKIP_GATES))
+    assert not missing, (
+        f"SWEEP_SKIP entries without a dedicated gate: {missing} — "
+        "add a plan/scale gate test and register it in "
+        "SWEEP_SKIP_GATES before skipping the query from the "
+        "registry-wide nested-loop sweep"
+    )
+    dead = sorted(set(SWEEP_SKIP_GATES) - SWEEP_SKIP)
+    assert not dead, f"SWEEP_SKIP_GATES entries not in SWEEP_SKIP: {dead}"
+    for name, (fname, test_fn) in sorted(SWEEP_SKIP_GATES.items()):
+        path = os.path.join(here, fname)
+        assert os.path.isfile(path), f"{name}: gate file {fname} missing"
+        src = open(path, encoding="utf-8").read()
+        assert f"def {test_fn}(" in src, (
+            f"{name}: gate test {fname}::{test_fn} not found"
+        )
+
+
+def test_tokenizer_apply_map_only(spark, sf_dir):
+    """The three tokenizer APPLY operators ship their learned
+    vocab/merge table inside the Arrow kernel's closure (broadcast in
+    cluster terms) — the corpus pass itself must be map-only. An
+    Exchange in any of these plans means tokenizing 100 TB would
+    shuffle 100 TB."""
+    from hdp2_5_hive_spark.operators import bpe, unigram_lm, wordpiece
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    applied = [
+        bpe.apply_bpe(docs, [(0, "t", "h", 5)]),
+        wordpiece.apply_wordpiece(docs, ["t", "h", "##e"]),
+        unigram_lm.apply_unigram_lm(docs, [("th", 3, -1.0), ("e", 2, -2.0)]),
+    ]
+    for df in applied:
+        facts = audit.analyze(df)
+        assert len(_exchange_nodes(facts.text)) == 0, facts.text
+
+
+def test_tokenizer_round_counts_partial_agg(spark, sf_dir):
+    """BPE/WordPiece trainers run ONE counting job per merge round
+    over the (localCheckpoint-ed) word table. The only viable shape
+    at scale is partial map-side aggregation into a bounded number of
+    shuffles: BPE pair counts = 2 exchanges end-to-end from the raw
+    corpus (word groupBy + pair groupBy); WordPiece adds the unigram
+    symbol table (3rd exchange) whose joins onto the pair table MUST
+    broadcast — a sort-merge join there would re-shuffle the
+    vocabulary-bounded tables every round."""
+    from hdp2_5_hive_spark.operators import bpe, wordpiece
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # mirror the trainers: the word table is localCheckpoint-ed once,
+    # so the per-round job starts from materialized partitions
+    words = bpe.word_freq_table(docs).localCheckpoint(eager=True)
+    facts = audit.analyze(bpe._pair_counts(words))
+    assert len(_exchange_nodes(facts.text)) == 1, facts.text
+    assert "HashAggregate" in facts.text, facts.text
+
+    wp_words = wordpiece.wp_word_table(docs).localCheckpoint(eager=True)
+    facts2 = audit.analyze(wordpiece._pair_and_sym_counts(wp_words))
+    # pair groupBy + the symbol-table groupBy per broadcast branch
+    # (renamed projections defeat ReuseExchange — bounded, documented)
+    assert len(_exchange_nodes(facts2.text)) <= 3, facts2.text
+    assert "BroadcastHashJoin" in facts2.text, facts2.text
+    assert "SortMergeJoin" not in facts2.text, facts2.text
+
 
 def test_registry_wide_no_unplanned_nested_loop(spark, qs):
     """Global scale invariant over the WHOLE registry: no query may

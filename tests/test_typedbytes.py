@@ -153,3 +153,28 @@ def test_transform_partial_consumption_fails_loudly(spark):
         transform_typedbytes(
             df, [sys.executable, "-c", script], "k long, s string"
         ).collect()
+
+
+def test_transform_crash_reports_exit_code_not_broken_pipe(spark):
+    """Regression (ADVICE r11): a script that CRASHES (rc != 0)
+    without draining stdin also kills the feed thread with
+    BrokenPipeError; checking the feed error first reported 'did not
+    consume its full input', masking the real root cause. The exit
+    status must win."""
+    import sys
+
+    import pytest
+
+    from hdp2_5_hive_spark.functions.extensions import (
+        transform_typedbytes,
+    )
+
+    # reads a few bytes then dies with a non-zero exit
+    script = "import sys; sys.stdin.buffer.read(8); sys.exit(3)"
+    df = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(5000)], "k long, s string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="exited 3"):
+        transform_typedbytes(
+            df, [sys.executable, "-c", script], "k long, s string"
+        ).collect()
