@@ -113,12 +113,22 @@ class TransactionBatch:
     def commit(self) -> None:
         if not self._open:
             raise RuntimeError("batch closed")
+        if self._rows:
+            # land the append BEFORE closing the batch: a failed write
+            # job used to leave the batch closed with its rows
+            # stranded in the buffer — the caller's retry raised
+            # "batch closed" and the data was silently lost. Hive's
+            # TransactionBatchImpl keeps the txn abortable/retryable
+            # on write failure (TransactionBatchImpl.java:555); so do
+            # we — on failure the batch stays open, rows intact, and
+            # the caller may commit() again or abort().
+            spark = self.endpoint.spark
+            df = spark.createDataFrame(
+                self._rows, schema=self.endpoint.schema
+            )
+            df.write.mode("append").parquet(self.endpoint.path)
         self._open = False
-        if not self._rows:
-            return
-        spark = self.endpoint.spark
-        df = spark.createDataFrame(self._rows, schema=self.endpoint.schema)
-        df.write.mode("append").parquet(self.endpoint.path)
+        self._rows.clear()
 
     def abort(self) -> None:
         self._open = False
@@ -215,20 +225,19 @@ def idempotent_batch_sink(out_path: str):
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
+        # per-writer option, NOT a session-conf set/restore: two
+        # concurrent streaming queries sharing the session interleave
+        # their foreachBatch calls on different driver threads, and
+        # the temporary session-wide 'dynamic' leaked into whatever
+        # write ran concurrently (the same hazard class as the acid
+        # _full_rewrite fix — the writer option always wins).
+        (
+            batch_df.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
         )
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
-            (
-                batch_df.withColumn("batch_id", F.lit(batch_id))
-                .write.mode("overwrite")
-                .partitionBy("batch_id")
-                .parquet(out_path)
-            )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     return sink
 

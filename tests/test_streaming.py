@@ -924,3 +924,58 @@ def test_delimited_boolean_garbage_is_null(spark, tmp_path):
     b.commit()
     got = {r.k: r.b for r in ep.read_committed().collect()}
     assert got == {"a": True, "b": False, "c": None}
+
+
+def test_failed_commit_keeps_batch_retryable(endpoint, tmp_path):
+    """Regression: commit() marked the batch CLOSED before running
+    the append job — a failed write left the rows stranded in a
+    closed batch and the caller's retry raised 'batch closed'
+    (silent data loss). Hive's TransactionBatchImpl keeps the txn
+    abortable/retryable on write failure; now the batch stays open
+    with its rows intact until the append lands."""
+    import os
+
+    b = endpoint.new_batch()
+    b.write({"user_id": "u1", "action": "view", "n": 1})
+    b.write({"user_id": "u2", "action": "buy", "n": 2})
+    # squat a regular FILE on the target path so the append job fails
+    with open(endpoint.path, "w") as fh:
+        fh.write("not a directory")
+    with pytest.raises(Exception):
+        b.commit()
+    os.remove(endpoint.path)
+    b.commit()  # retry succeeds — rows were never lost
+    users = {r.user_id for r in endpoint.read_committed().collect()}
+    assert users == {"u1", "u2"}
+    with pytest.raises(RuntimeError):
+        b.commit()  # and the batch is closed exactly once
+
+
+def test_idempotent_sink_leaves_session_conf_alone(spark, tmp_path):
+    """Regression: the sink set partitionOverwriteMode=dynamic
+    session-wide around its write — a concurrent query's write on
+    another driver thread could observe the leaked 'dynamic'. The
+    dynamic overwrite now rides the per-writer option; the session
+    conf is never touched (and the sink still overwrites only its
+    own batch partition under a session left at 'static')."""
+    from hdp2_5_hive_spark.streaming.ingest import idempotent_batch_sink
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        out = str(tmp_path / "sink_conf")
+        sink = idempotent_batch_sink(out)
+        sink(spark.createDataFrame([("a", 1)], "k string, v int"), 0)
+        assert spark.conf.get(key) == "static"
+        sink(spark.createDataFrame([("b", 2)], "k string, v int"), 1)
+        sink(spark.createDataFrame([("a", 9)], "k string, v int"), 0)
+        rows = sorted(
+            (r.k, r.v, r.batch_id)
+            for r in spark.read.parquet(out).collect()
+        )
+        # replayed batch 0 overwrote ONLY its partition
+        assert rows == [("a", 9, 0), ("b", 2, 1)]
+        assert spark.conf.get(key) == "static"
+    finally:
+        spark.conf.set(key, prev)
