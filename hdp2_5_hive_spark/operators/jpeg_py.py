@@ -140,8 +140,15 @@ class _BitReader:
         self._n = 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            # truncated entropy segment (file cut mid-scan): a bare
+            # buf[pos] raised IndexError — corrupt-input uniformity
+            # (r9 hardening rule) wants ValueError everywhere
+            raise ValueError("jpeg_py: truncated entropy segment")
         b = self.buf[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("jpeg_py: truncated entropy segment")
             nxt = self.buf[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -168,8 +175,16 @@ class _BitReader:
         """Skip pad bits + return the next marker (for RSTn)."""
         self._acc = 0
         self._n = 0
-        while self.buf[self.pos] != 0xFF or self.buf[self.pos + 1] == 0x00:
+        while (
+            self.pos + 1 < len(self.buf)
+            and (
+                self.buf[self.pos] != 0xFF
+                or self.buf[self.pos + 1] == 0x00
+            )
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(self.buf):
+            raise ValueError("jpeg_py: truncated entropy segment")
         marker = 0xFF00 | self.buf[self.pos + 1]
         self.pos += 2
         return marker
@@ -448,6 +463,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
                 bits = list(body[b + 1 : b + 17])
                 n = sum(bits)
                 values = list(body[b + 17 : b + 17 + n])
+                # truncated DHT: _canonical_codes indexes values[k]
+                # for every declared code — short values raised a
+                # bare IndexError
+                if len(bits) < 16 or len(values) < n:
+                    raise ValueError("jpeg_py: truncated DHT segment")
                 (dc_maps if cls == 0 else ac_maps)[tid] = _decode_map(
                     bits, values
                 )
@@ -466,16 +486,41 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xFFDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xFFDA:  # SOS -> entropy data follows
+            if not body:
+                raise ValueError("jpeg_py: truncated SOS segment")
             n_scan = body[0]
             for c in range(n_scan):
-                cid, tables = body[1 + 2 * c : 3 + 2 * c]
+                pair = body[1 + 2 * c : 3 + 2 * c]
+                if len(pair) < 2:
+                    raise ValueError("jpeg_py: truncated SOS segment")
+                cid, tables = pair
+                # a scan naming a component id absent from SOF raised
+                # a bare StopIteration out of next()
                 idx = next(
-                    i for i, (ci, _, _) in enumerate(comps) if ci == cid
+                    (
+                        i
+                        for i, (ci, _, _) in enumerate(comps)
+                        if ci == cid
+                    ),
+                    None,
                 )
+                if idx is None:
+                    raise ValueError(
+                        f"jpeg_py: SOS names unknown component {cid}"
+                    )
                 scan.append((idx, tables >> 4, tables & 0x0F))
             break
     if not comps or not scan or h == 0:
         raise ValueError("jpeg_py: missing SOF/SOS")
+    for ci, dcid, acid in scan:
+        if (
+            comps[ci][2] not in qtables
+            or dcid not in dc_maps
+            or acid not in ac_maps
+        ):
+            raise ValueError(
+                "jpeg_py: scan references an undeclared DQT/DHT table"
+            )
 
     n_comp = len(comps)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
@@ -497,7 +542,11 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, np.ndarray]:
         except _MarkerReached as m:
             if 0xFFD0 <= m.marker <= 0xFFD7:  # stray RSTn
                 preds = [0] * n_comp
-                r = _BitReader(payload, r.pos)
+                # consume the marker: _fill raises WITHOUT advancing
+                # past it, so restarting the reader at r.pos re-read
+                # the same 0xFFDn forever — an infinite loop on any
+                # corrupt file with an unexpected RSTn mid-scan
+                r = _BitReader(payload, r.pos + 2)
                 continue
             raise ValueError(
                 f"jpeg_py: unexpected marker {m.marker:#x} mid-scan"

@@ -440,3 +440,73 @@ class TestAudioFingerprints:
         }
         assert (1, 2) in got
         assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_jpeg_malformed_inputs_fail_loudly_and_finitely():
+    """Corrupt-input hardening for the from-scratch JPEG decoder
+    (verdict r11 #4): every malformed shape must raise ValueError —
+    never IndexError/StopIteration/KeyError — and a stray RSTn must
+    never loop forever (the handler restarted the bit reader ON the
+    marker byte it had just hit, so _fill raised the same
+    _MarkerReached at the same position, forever)."""
+    import signal
+
+    import numpy as np
+    import pytest
+
+    from hdp2_5_hive_spark.operators import jpeg_py as J
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=16 * 8, dtype=np.uint8)
+    payload = J.encode_jpeg(8, 16, img, grayscale=True)
+
+    # 1) stray RSTn at the start of the entropy segment: decode must
+    # TERMINATE (the reset predictors make the pixels round-trip the
+    # same here — DC predictor starts at 0 anyway)
+    sos_at = payload.find(b"\xff\xda")
+    (sos_len,) = __import__("struct").unpack(
+        ">H", payload[sos_at + 2 : sos_at + 4]
+    )
+    entropy_at = sos_at + 2 + sos_len
+    stray = (
+        payload[:entropy_at] + b"\xff\xd0" + payload[entropy_at:]
+    )
+    signal.alarm(30)  # a regression hangs; fail loudly instead
+    try:
+        w, h, rgb = J.decode_jpeg(stray)
+        assert (w, h) == (8, 16)
+        _, _, clean = J.decode_jpeg(payload)
+        assert np.array_equal(rgb, clean)
+    finally:
+        signal.alarm(0)
+
+    # 2) truncation mid-entropy: ValueError, not IndexError
+    with pytest.raises(ValueError, match="truncated"):
+        J.decode_jpeg(payload[:-8])
+
+    # 3) truncated DHT (declares 5 values, ships 2): ValueError
+    import struct as _s
+
+    dht_body = b"\x00" + bytes([5] + [0] * 15) + b"\x01\x02"
+    bad_dht = (
+        b"\xff\xd8"
+        + _s.pack(">HH", 0xFFC4, len(dht_body) + 2)
+        + dht_body
+        + b"\xff\xd9"
+    )
+    with pytest.raises(ValueError, match="DHT"):
+        J.decode_jpeg(bad_dht)
+
+    # 4) SOS naming a component id absent from SOF: ValueError, not
+    # StopIteration (patch the scan's component id byte)
+    bad_cid = bytearray(payload)
+    bad_cid[sos_at + 5] = 9  # len(2) + n_scan(1) => first scan cid
+    with pytest.raises(ValueError, match="unknown component"):
+        J.decode_jpeg(bytes(bad_cid))
+
+    # 5) scan referencing an undeclared Huffman table id: ValueError,
+    # not KeyError (patch the scan's dc/ac table byte)
+    bad_tid = bytearray(payload)
+    bad_tid[sos_at + 6] = 0x33
+    with pytest.raises(ValueError, match="undeclared"):
+        J.decode_jpeg(bytes(bad_tid))
