@@ -153,8 +153,10 @@ def decode_ppm(payload: bytes) -> tuple[int, int, float, float, float]:
     integer-summed then divided once so they hash-compare exactly
     against an engine that never saw the bytes."""
     w, h, px = decode_ppm_pixels(payload)
-    sums = px.sum(axis=(0, 1), dtype="int64")
     n = w * h
+    if n == 0:  # crafted "P6 0 0" header — mirror decode_wav's
+        return w, h, 0.0, 0.0, 0.0  # empty-data contract, no ÷0
+    sums = px.sum(axis=(0, 1), dtype="int64")
     return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
@@ -243,7 +245,9 @@ def decode_png_pixels(payload: bytes):
         ctype = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + size]
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", body)
+            if len(body) < 13:  # struct.error is not ValueError
+                raise ValueError("truncated IHDR chunk")
+            ihdr = struct.unpack(">IIBBBBB", body[:13])
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -254,7 +258,10 @@ def decode_png_pixels(payload: bytes):
     w, h, depth, ctype_, comp, filt, interlace = ihdr
     if (depth, ctype_, comp, filt, interlace) != (8, 2, 0, 0, 0):
         raise ValueError("only 8-bit RGB non-interlaced PNG supported")
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:  # corrupt-input uniformity: ValueError
+        raise ValueError(f"corrupt IDAT deflate stream: {exc}") from exc
     stride = w * 3
     if len(raw) != h * (1 + stride):
         raise ValueError("IDAT length mismatch")
@@ -299,8 +306,10 @@ def decode_png(payload: bytes) -> tuple[int, int, float, float, float]:
     import numpy as np
 
     w, h, rgbv = decode_png_pixels(payload)
-    sums = rgbv.sum(axis=(0, 1), dtype=np.int64)
     n = w * h
+    if n == 0:  # zero-dimension IHDR — same contract as decode_ppm
+        return w, h, 0.0, 0.0, 0.0
+    sums = rgbv.sum(axis=(0, 1), dtype=np.int64)
     return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
@@ -311,8 +320,10 @@ def decode_jpeg_stats(payload: bytes) -> tuple[int, int, float, float, float]:
     from .jpeg_py import decode_jpeg
 
     w, h, rgb = decode_jpeg(payload)
-    sums = rgb.sum(axis=(0, 1), dtype="int64")
     n = w * h
+    if n == 0:  # zero-width SOF0 — same contract as decode_ppm
+        return w, h, 0.0, 0.0, 0.0
+    sums = rgb.sum(axis=(0, 1), dtype="int64")
     return w, h, float(sums[0]) / n, float(sums[1]) / n, float(sums[2]) / n
 
 
@@ -588,6 +599,8 @@ def decode_wav_samples(payload: bytes):
         size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # struct.error is not ValueError
+                raise ValueError("truncated fmt chunk")
             fmt, channels, rate = struct.unpack("<HHI", body[:8])
             bits = struct.unpack("<H", body[14:16])[0]
             if (fmt, channels, bits) != (1, 1, 16):
@@ -682,18 +695,27 @@ def decode_avi_mjpeg(payload: bytes) -> list[bytes]:
         raise ValueError("not a RIFF/AVI payload")
     frames: list[bytes] = []
 
-    def walk(buf: bytes, pos: int, end: int) -> None:
+    # explicit (pos, end) stack, NOT recursion: a crafted file nesting
+    # one LIST per 12 bytes hit the interpreter recursion limit at a
+    # few KB of payload (RecursionError on corrupt input). Ends are
+    # clamped to the buffer so a lying size field can't walk past it.
+    buf = payload
+    stack: list[tuple[int, int]] = [(12, len(buf))]
+    while stack:
+        pos, end = stack.pop()
+        end = min(end, len(buf))
         while pos + 8 <= end:
             cid = buf[pos : pos + 4]
             (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
             body_start = pos + 8
             if cid == b"LIST":
-                walk(buf, body_start + 4, body_start + size)
-            elif cid in (b"00dc", b"00db"):
+                # resume the remainder of THIS level after the list
+                stack.append((body_start + size + (size & 1), end))
+                pos, end = body_start + 4, min(body_start + size, end)
+                continue
+            if cid in (b"00dc", b"00db"):
                 frames.append(bytes(buf[body_start : body_start + size]))
             pos = body_start + size + (size & 1)
-
-    walk(payload, 12, len(payload))
     if not frames:
         raise ValueError("AVI contains no video frame chunks")
     return frames
@@ -717,7 +739,7 @@ def sample_video_frames_decoded(media: DataFrame, n_frames: int = 4) -> DataFram
                     idx = i * total // take
                     w, h, rgb = decode_jpeg(frames[idx])
                     sums = rgb.sum(axis=(0, 1), dtype="int64")
-                    n = w * h
+                    n = max(w * h, 1)  # zero-width SOF0: means are 0
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(idx)
                     rows["width"].append(w)

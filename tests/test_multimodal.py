@@ -510,3 +510,75 @@ def test_jpeg_malformed_inputs_fail_loudly_and_finitely():
     bad_tid[sos_at + 6] = 0x33
     with pytest.raises(ValueError, match="undeclared"):
         J.decode_jpeg(bytes(bad_tid))
+
+
+def test_container_malformed_inputs_fail_loudly(spark):
+    """Corrupt-input hardening for the PPM/PNG/WAV/AVI containers
+    (verdict r11 #4): truncated chunks raise ValueError (never
+    struct.error), corrupt deflate raises ValueError (never
+    zlib.error), zero-dimension images return 0.0 means (never
+    ZeroDivisionError — decode_wav's empty-data contract), and a
+    deeply LIST-nested AVI walks iteratively (never RecursionError)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from hdp2_5_hive_spark.operators import multimodal as M
+
+    # zero-dimension images: means 0.0, no ZeroDivisionError
+    assert M.decode_ppm(b"P6 0 0 255\n") == (0, 0, 0.0, 0.0, 0.0)
+    ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0)
+    import zlib as _z
+
+    empty_png = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr)
+        + M._png_chunk(b"IDAT", _z.compress(b""))
+        + M._png_chunk(b"IEND", b"")
+    )
+    assert M.decode_png(empty_png) == (0, 0, 0.0, 0.0, 0.0)
+
+    # corrupt IDAT deflate: ValueError, not zlib.error
+    img = np.zeros(4 * 4 * 3, dtype=np.uint8)
+    png = bytearray(M.encode_png(4, 4, img))
+    idat_at = bytes(png).find(b"IDAT")
+    png[idat_at + 8] ^= 0xFF  # flip a deflate byte
+    with pytest.raises(ValueError, match="IDAT"):
+        M.decode_png_pixels(bytes(png))
+
+    # truncated IHDR: ValueError, not struct.error
+    bad_ihdr = (
+        M._PNG_SIG
+        + M._png_chunk(b"IHDR", ihdr[:6])
+        + M._png_chunk(b"IDAT", _z.compress(b""))
+    )
+    with pytest.raises(ValueError, match="IHDR"):
+        M.decode_png_pixels(bad_ihdr)
+
+    # truncated WAV fmt chunk: ValueError, not struct.error
+    bad_wav = (
+        b"RIFF" + struct.pack("<I", 20) + b"WAVEfmt "
+        + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError, match="fmt"):
+        M.decode_wav_samples(bad_wav)
+
+    # AVI nested one LIST per 12 bytes: terminates without
+    # RecursionError (and reports the real problem: no frames)
+    depth = 5000
+    inner = b""
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", len(inner) + 4) + b"xxxx" + inner
+    bomb = b"RIFF" + struct.pack("<I", len(inner) + 4) + b"AVI " + inner
+    with pytest.raises(ValueError, match="no video frame"):
+        M.decode_avi_mjpeg(bomb)
+
+    # and a lying LIST size cannot walk past the buffer
+    frames = [b"\xff\xd8fakejpeg\xff\xd9"]
+    avi = bytearray(M.encode_avi_mjpeg(16, 16, frames))
+    movi_at = bytes(avi).find(b"LIST" + struct.pack("<I", 0), 0) 
+    # corrupt the outermost RIFF size upward instead — still terminates
+    avi[4:8] = struct.pack("<I", 2**31)
+    got = M.decode_avi_mjpeg(bytes(avi))
+    assert got == frames
