@@ -286,6 +286,10 @@ def _read_lengths_rle(raw: bytes, n_rows: int) -> list[int]:
     return out
 
 
+# Hive RCFile.java: SYNC_INTERVAL = 100 * (4 + SYNC_HASH_SIZE) bytes
+SYNC_INTERVAL_DEFAULT = 100 * (4 + 16)
+
+
 def write_rcfile_stream(
     fh,
     names: list[str],
@@ -294,17 +298,19 @@ def write_rcfile_stream(
     group_rows: int,
     sync: bytes = SYNC,
     codec: str | None = None,
-    sync_interval_bytes: int = 0,
+    sync_interval_bytes: int = SYNC_INTERVAL_DEFAULT,
 ) -> int:
     """Write one RCFile to a binary stream; returns rows written.
     ``codec`` = Hadoop codec class name (or short form "gzip" /
     "deflate" / "bzip2" / "snappy" / "lz4") for a compressed file,
-    None = uncompressed. ``sync_interval_bytes`` = 0 emits a sync
-    escape before EVERY group (this module's default — maximally
-    splittable); a positive value emits one only after that many
-    bytes since the last sync, which is what real Hive does
-    (RCFile.java SYNC_INTERVAL ≈ 2 KB) and therefore what the split
-    reader must tolerate: groups WITHOUT their own escape."""
+    None = uncompressed. ``sync_interval_bytes`` defaults to Hive's
+    ~2 KB (RCFile.java SYNC_INTERVAL = 100·(4+16) bytes), emitting a
+    sync escape only after that many bytes since the last one — so
+    the default on-disk layout has groups WITHOUT their own escape,
+    the case the split reader must tolerate (the r11 split bug hid
+    behind an every-group default). 0 emits a sync before EVERY
+    group (maximally splittable, and the densest split-boundary
+    exercise for tests)."""
     if codec is not None:
         codec = {
             "gzip": CODEC_GZIP,
