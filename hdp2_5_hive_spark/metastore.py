@@ -530,14 +530,27 @@ class Metastore:
             raise ValueError(f"invalid table name {name!r}")
         if name in self._read_meta()["tables"]:
             raise ValueError(f"table {name!r} already exists")
-        shutil.copytree(
-            os.path.join(archive_dir, "data"),
-            os.path.join(self.warehouse_dir, name),
+        # copy into a HIDDEN staging dir first and publish with a
+        # rename inside the locked mutation: copying straight to the
+        # final path squatted the warehouse directory when the
+        # registration lost a create race (blocking future CREATE /
+        # RENAME to this name), and cleaning the final path up on
+        # failure would delete a racing creator's data instead of
+        # ours. The staging dir is ours alone — always safe to remove.
+        data_dir = os.path.join(self.warehouse_dir, name)
+        staged = os.path.join(
+            self.warehouse_dir, f".import_{name}_{os.getpid()}"
         )
+        shutil.copytree(os.path.join(archive_dir, "data"), staged)
+        published: list[str] = []
 
         def insert(meta: dict) -> None:
             if name in meta["tables"]:
                 raise ValueError(f"table {name!r} already exists")
+            if os.path.exists(data_dir):
+                raise ValueError(
+                    f"destination path {data_dir!r} already exists on disk"
+                )
             entry = {
                 "path": name,
                 "format": m["format"],
@@ -551,9 +564,23 @@ class Metastore:
             for k in ("partition_formats", "stats", "schema"):
                 if m.get(k):
                     entry[k] = m[k]
+            os.rename(staged, data_dir)
+            published.append(data_dir)
             meta["tables"][name] = entry
 
-        self._mutate(insert)
+        try:
+            self._mutate(insert)
+        except BaseException:
+            if published:
+                # commit failed AFTER the publish rename — un-publish
+                # so the path doesn't squat (same rollback contract
+                # as rename_table)
+                try:
+                    os.rename(data_dir, staged)
+                except OSError:
+                    pass
+            shutil.rmtree(staged, ignore_errors=True)
+            raise
         return name
 
     # -- ANALYZE / statistics ---------------------------------------------
@@ -664,10 +691,6 @@ class Metastore:
         m = meta[name]
         if not m["partition_by"]:
             raise ValueError(f"table {name!r} is not partitioned")
-        spark = df.sparkSession
-        key = "spark.sql.sources.partitionOverwriteMode"
-        prev = spark.conf.get(key, "static")
-        spark.conf.set(key, "dynamic")
         from pyspark.sql import functions as F
 
         cols = m["partition_by"]
@@ -683,16 +706,19 @@ class Metastore:
                 "/".join(f"{c}={r[c]}" for c in cols)
                 for r in df.select(*cols).distinct().collect()
             }
-        try:
-            (
-                df.repartition(*[F.col(c) for c in cols])
-                .write.mode("overwrite")
-                .format(m["format"])
-                .partitionBy(*cols)
-                .save(os.path.join(self.warehouse_dir, m["path"]))
-            )
-        finally:
-            spark.conf.set(key, prev)
+        # dynamic overwrite rides the per-writer option, NOT a
+        # session-conf set/restore: a concurrent write on another
+        # driver thread could observe the leaked session-wide
+        # 'dynamic' (same hazard class as the acid _full_rewrite and
+        # idempotent_batch_sink fixes)
+        (
+            df.repartition(*[F.col(c) for c in cols])
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .format(m["format"])
+            .partitionBy(*cols)
+            .save(os.path.join(self.warehouse_dir, m["path"]))
+        )
         if written:
 
             def drop_stale(meta: dict) -> None:

@@ -585,3 +585,73 @@ def test_rename_rolls_back_directory_on_commit_failure(spark, tmp_path):
     assert os.path.isdir(os.path.join(wh, "t"))
     assert not os.path.exists(os.path.join(wh, "t2"))
     assert {r.k for r in ms.get_table(spark, "t").collect()} == {1}
+
+
+def test_import_cleans_up_copied_data_when_registration_races(spark, tmp_path):
+    """Regression: import_table copies the archive's data directory
+    into the warehouse BEFORE registering the table; if the
+    registration loses a create race (or the commit fails) the copy
+    squatted the warehouse path and blocked future CREATE/RENAME to
+    that name. The copied directory is now removed on failure."""
+    import os
+
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    wh = str(tmp_path / "wh")
+    ms = Metastore(wh)
+    ms.create_table(spark.createDataFrame([(1,)], "k long"), "t")
+    archive = str(tmp_path / "arch")
+    ms.export_table("t", archive)
+
+    # simulate the race: the name appears between the precheck and
+    # the locked mutation
+    real_mutate = ms._mutate
+
+    def racing_mutate(fn):
+        ms._mutate = real_mutate  # rival uses the real path
+        ms.create_table(
+            spark.createDataFrame([(9,)], "k long"), "t2"
+        )  # the rival wins the name first
+        return real_mutate(fn)
+
+    ms._mutate = racing_mutate
+    try:
+        with _pytest.raises(ValueError, match="already exists"):
+            ms.import_table(archive, as_name="t2")
+    finally:
+        ms._mutate = real_mutate
+    # the rival's table is intact and readable; no orphaned copy
+    assert {r.k for r in ms.get_table(spark, "t2").collect()} == {9}
+    # and a FRESH import to an unclaimed name still works
+    ms.import_table(archive, as_name="t3")
+    assert {r.k for r in ms.get_table(spark, "t3").collect()} == {1}
+    assert os.path.isdir(os.path.join(wh, "t3"))
+
+
+def test_insert_overwrite_partitions_leaves_session_conf_alone(spark, tmp_path):
+    """Regression: dynamic INSERT OVERWRITE set
+    partitionOverwriteMode=dynamic session-wide around the write. It
+    now rides the per-writer option — the session conf is never
+    touched, and partition-replacement semantics are unchanged."""
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "static")
+    try:
+        ms = Metastore(str(tmp_path / "wh"))
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k long, ds string"
+        )
+        ms.create_table(df, "t", partition_by=["ds"])
+        ms.insert_overwrite_partitions(
+            spark.createDataFrame([(9, "a")], "k long, ds string"), "t"
+        )
+        assert spark.conf.get(key) == "static"
+        got = {(r.k, r.ds) for r in ms.get_table(spark, "t").collect()}
+        # only partition 'a' replaced; 'b' untouched
+        assert got == {(9, "a"), (2, "b")}
+    finally:
+        spark.conf.set(key, prev)
