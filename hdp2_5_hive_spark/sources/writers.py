@@ -69,19 +69,17 @@ def insert_overwrite_dynamic_partitions(
     equivalent) — at 1000 executors this is the difference between
     N_partitions files and N_partitions × N_tasks files.
     """
-    spark = df.sparkSession
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            df.repartition(*[F.col(c) for c in partition_cols])
-            .write.mode("overwrite")
-            .format(fmt)
-            .partitionBy(*partition_cols)
-            .save(path)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # dynamic overwrite rides the per-writer option, NOT a session-
+    # conf set/restore: a concurrent write on another driver thread
+    # could observe the leaked session-wide 'dynamic'
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .format(fmt)
+        .partitionBy(*partition_cols)
+        .save(path)
+    )
 
 
 def write_bucketed_table(

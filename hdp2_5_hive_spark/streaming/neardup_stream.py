@@ -113,36 +113,30 @@ def neardup_ingest_sink(
             shingle_k=shingle_k,
         )
 
-        prev = spark.conf.get(
-            "spark.sql.sources.partitionOverwriteMode", "static"
-        )
-        spark.conf.set(
-            "spark.sql.sources.partitionOverwriteMode", "dynamic"
-        )
-        try:
-            for df, sub in (
-                (kept, None),
-                (k_sh, "shingles"),
-                (k_bk, "buckets"),
-            ):
-                path = out_dir if sub is None else os.path.join(
-                    index_dir, sub
-                )
-                (
-                    df.withColumn("batch_id", F.lit(batch_id))
-                    .write.mode("overwrite")
-                    .partitionBy("batch_id")
-                    .parquet(path)
-                )
-                # a replayed overwrite deletes part files the session's
-                # FileStatusCache may still list — refresh so same-
-                # session readers (and the next micro-batch's index
-                # read) never chase deleted files
-                spark.catalog.refreshByPath(path)
-        finally:
-            spark.conf.set(
-                "spark.sql.sources.partitionOverwriteMode", prev
+        # per-writer option, not a session-conf set/restore: two
+        # concurrent streaming queries interleave foreachBatch calls
+        # on different driver threads (same hazard class as
+        # ingest.idempotent_batch_sink)
+        for df, sub in (
+            (kept, None),
+            (k_sh, "shingles"),
+            (k_bk, "buckets"),
+        ):
+            path = out_dir if sub is None else os.path.join(
+                index_dir, sub
             )
+            (
+                df.withColumn("batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .parquet(path)
+            )
+            # a replayed overwrite deletes part files the session's
+            # FileStatusCache may still list — refresh so same-
+            # session readers (and the next micro-batch's index
+            # read) never chase deleted files
+            spark.catalog.refreshByPath(path)
 
     return sink
 
