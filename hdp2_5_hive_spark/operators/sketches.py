@@ -54,6 +54,11 @@ def cms_build(
             "s", cms_bucket(F.col("_tok"), F.col("s"), width).alias("b")
         )
         .agg(F.count(F.lit(1)).alias("c"))
+        # self-describing width: cms_estimate validates its probe
+        # width against this, closing the mis-address hole the bmax
+        # heuristic can't (probing WIDER than the build passes
+        # bmax < width yet addresses different cells)
+        .withColumn("w", F.lit(width))
     )
 
 
@@ -79,9 +84,11 @@ def cms_estimate(
     aggregate over a KB-sized frame); an explicitly passed depth is
     validated against it, and a sketch bucket ≥ width (built wider
     than probed) raises instead of mis-addressing."""
-    meta = sketch.agg(
-        F.max("s").alias("smax"), F.max("b").alias("bmax")
-    ).collect()[0]
+    aggs = [F.max("s").alias("smax"), F.max("b").alias("bmax")]
+    has_w = "w" in sketch.columns
+    if has_w:
+        aggs.append(F.max("w").alias("wmax"))
+    meta = sketch.agg(*aggs).collect()[0]
     if meta.smax is None:
         raise ValueError("cms_estimate: empty sketch")
     sk_depth = int(meta.smax) + 1
@@ -90,6 +97,14 @@ def cms_estimate(
     elif depth != sk_depth:
         raise ValueError(
             f"cms_estimate depth={depth} != sketch depth {sk_depth}"
+        )
+    if has_w and meta.wmax is not None and width != int(meta.wmax):
+        # exact check when the sketch declares its build width —
+        # catches probing WIDER as well as narrower (the bmax
+        # heuristic below only catches narrower)
+        raise ValueError(
+            f"cms_estimate width={width} != sketch build width "
+            f"{int(meta.wmax)}"
         )
     if int(meta.bmax) >= width:
         raise ValueError(
@@ -121,6 +136,33 @@ def cms_estimate(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
         .select(F.col("_tok").alias(tok_col), "cms_est")
     )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Merge two CMS sketches: SUM per (s, b) cell — associative and
+    commutative, the mergeability that makes it a sketch. Both sides
+    must have been built with the same depth/width; the declared
+    width travels with the merged sketch (max is safe: widths are
+    constant per side and validated equal here)."""
+    if ("w" in a.columns) != ("w" in b.columns):
+        raise ValueError("cms_merge: one sketch declares width, one not")
+    if "w" in a.columns:
+        wa = a.agg(F.max("w")).collect()[0][0]
+        wb = b.agg(F.max("w")).collect()[0][0]
+        if wa is not None and wb is not None and wa != wb:
+            raise ValueError(
+                f"cms_merge: sketch widths differ ({wa} vs {wb})"
+            )
+        u = a.select("s", "b", "c", "w").unionByName(
+            b.select("s", "b", "c", "w")
+        )
+        return (
+            u.groupBy("s", "b", "w")
+            .agg(F.sum("c").alias("c"))
+            .select("s", "b", "c", "w")
+        )
+    u = a.select("s", "b", "c").unionByName(b.select("s", "b", "c"))
+    return u.groupBy("s", "b").agg(F.sum("c").alias("c"))
 
 
 def qsketch_build(

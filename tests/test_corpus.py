@@ -684,11 +684,9 @@ def test_cms_mergeable_and_never_underestimates(spark):
     toks = spark.createDataFrame(rows, "tok string")
     h1, h2 = toks.limit(6), toks.exceptAll(toks.limit(6))
     whole = sk.cms_build(toks, "tok", depth=3, width=32)
-    merged = (
-        sk.cms_build(h1, "tok", depth=3, width=32)
-        .unionByName(sk.cms_build(h2, "tok", depth=3, width=32))
-        .groupBy("s", "b")
-        .agg(F.sum("c").alias("c"))
+    merged = sk.cms_merge(
+        sk.cms_build(h1, "tok", depth=3, width=32),
+        sk.cms_build(h2, "tok", depth=3, width=32),
     )
     assert whole.exceptAll(merged).count() == 0
     assert merged.exceptAll(whole).count() == 0
@@ -750,6 +748,16 @@ def test_cms_estimate_validates_probe_params(spark):
     if bmax >= 2:  # overwhelmingly likely with 6 tokens x 3 rows
         with _pytest.raises(ValueError, match="width"):
             sk.cms_estimate(probes, sketch, "tok", width=2)
+    # probing WIDER than the build passed the bmax heuristic but
+    # addressed different cells (silent 0 for present tokens) — the
+    # sketch now declares its build width and the mismatch raises
+    with _pytest.raises(ValueError, match="build width"):
+        sk.cms_estimate(probes, sketch, "tok", width=64)
+    # and merging sketches of different widths raises instead of
+    # keeping incompatible cells side by side
+    other = sk.cms_build(probes, "tok", depth=3, width=16)
+    with _pytest.raises(ValueError, match="widths differ"):
+        sk.cms_merge(sketch, other)
 
 
 def test_normalize_unicode_edges(spark):
