@@ -28,16 +28,25 @@ def write_arrow_ipc(df: DataFrame, path: str) -> int:
     total rows written. Batches stream straight from Spark's Arrow
     runtime into the file — bounded memory per task."""
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, "part-*.arrow")):
+    for old in glob.glob(os.path.join(path, "part-*.arrow")) + glob.glob(
+        os.path.join(path, "part-*.inprogress")
+    ):
         os.remove(old)
 
     def write_partition(batches):
         import pyarrow as pa
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.arrow")
-        tmp = fname + ".inprogress"
+        # tmp is PER-ATTEMPT, not per-partition: a speculative or
+        # retried attempt sharing one tmp path would keep writing —
+        # through its still-open fd — into the inode the fast
+        # attempt just published via os.replace, corrupting the
+        # visible file. Unique tmp names make replace last-wins;
+        # the loser's tmp is swept by the next write's cleanup.
+        tmp = f"{fname}.{ctx.taskAttemptId()}.inprogress"
         writer, n = None, 0
         for batch in batches:
             if writer is None:

@@ -539,7 +539,8 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
         import pyarrow as pa
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         fname = os.path.join(path, f"part-{pid:05d}.avro")
 
         def rows():
@@ -550,9 +551,12 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
                 ]
                 yield list(zip(*cols))
 
-        # task-attempt atomicity: tmp + atomic rename so a retried
-        # or speculative attempt never exposes a torn container file
-        tmp = fname + ".inprogress"
+        # task-attempt atomicity: PER-ATTEMPT tmp + atomic rename so
+        # a retried or speculative attempt never exposes a torn
+        # container file NOR keeps writing (via its still-open fd)
+        # into the inode the winning attempt already published —
+        # a shared tmp path had exactly that corruption window
+        tmp = f"{fname}.{ctx.taskAttemptId()}.inprogress"
         with open(tmp, "wb") as fh:
             n = write_container(fh, schema, rows(), codec=codec)
         if n == 0:

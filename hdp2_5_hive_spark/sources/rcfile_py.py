@@ -565,12 +565,21 @@ def _write_part_file(
     codec: str | None,
 ) -> tuple[str, int]:
     """Shared per-partition write tail (function API + DataSource):
-    task-attempt atomicity via tmp-name + os.replace (a retried or
-    speculative attempt can never leave a torn part file visible;
-    both attempts produce identical bytes, last completed wins),
-    per-part sync seed, empty parts removed."""
+    task-attempt atomicity via PER-ATTEMPT tmp-name + os.replace (a
+    retried or speculative attempt can never leave a torn part file
+    visible; both attempts produce identical bytes, last completed
+    wins), per-part sync seed, empty parts removed.
+
+    The tmp name includes the attempt id: with a SHARED tmp path the
+    losing attempt's still-open fd pointed at the inode the winner
+    had just published via os.replace, and its remaining writes
+    corrupted the visible file."""
     fname = os.path.join(path, f"part-{pid:05d}.rc")
-    tmp = fname + ".inprogress"
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    tag = str(ctx.taskAttemptId()) if ctx is not None else f"pid{os.getpid()}"
+    tmp = f"{fname}.{tag}.inprogress"
     with open(tmp, "wb") as fh:
         n = write_rcfile_stream(
             fh, names, types, rows_iter, group_rows,

@@ -92,11 +92,21 @@ def write_webdataset(
     exts = [members[c] for c in cols]
     is_bin = [binary_col[c] for c in cols]
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, "shard-*.tar")):
+    for old in glob.glob(os.path.join(path, "shard-*.tar")) + glob.glob(
+        os.path.join(path, "shard-*.inprogress")
+    ):
         os.remove(old)
 
     def write_partition(batches):
         import pyarrow as pa
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tag = (
+            str(ctx.taskAttemptId())
+            if ctx is not None
+            else f"pid{os.getpid()}"
+        )
 
         cur_shard, tar, tmp, fname, n = None, None, None, None, 0
         reports: list[tuple[str, int]] = []
@@ -120,7 +130,10 @@ def write_webdataset(
                     close_current()
                     cur_shard, n = s, 0
                     fname = os.path.join(path, f"shard-{s:06d}.tar")
-                    tmp = fname + ".inprogress"
+                    # per-attempt tmp: a shared tmp path let a losing
+                    # speculative attempt's open fd corrupt the inode
+                    # the winner had already published via os.replace
+                    tmp = f"{fname}.{tag}.inprogress"
                     tar = tarfile.open(
                         tmp, "w", format=tarfile.USTAR_FORMAT
                     )
