@@ -82,6 +82,10 @@ def phash64(rgb: np.ndarray, grid: int = 32) -> int:
     grid deterministically. Returns a SIGNED 64-bit int (bit 63 in
     two's complement) so it stores in a Spark LongType column."""
     h, w = rgb.shape[0], rgb.shape[1]
+    if h == 0 or w == 0:
+        # a zero-dimension raster (hardened decoders now return one
+        # for crafted 0x0 headers) would IndexError in the resample
+        raise ValueError("phash64: empty raster (zero width or height)")
     luma = (
         299 * rgb[:, :, 0].astype(np.int64)
         + 587 * rgb[:, :, 1].astype(np.int64)

@@ -94,6 +94,8 @@ def pq_train(
     from .embeddings import kmeans_train
 
     first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pq_train: empty input (no vectors to train on)")
     d = len(first[0])
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -342,6 +344,11 @@ def ivfpq_topk(
     rows = (
         df.select(id_col, vec_col).orderBy(id_col).limit(sample_limit).collect()
     )
+    if len(rows) < k:
+        raise ValueError(
+            f"ivfpq_topk: training sample has {len(rows)} rows < k={k} "
+            "codewords — lower k or raise sample_limit"
+        )
     X = np.asarray([list(r[1]) for r in rows], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     R = X - C[(X @ C.T).argmax(axis=1)]

@@ -310,3 +310,23 @@ def test_ivfpq_partition_invariant_pruned_and_residual_error(spark):
     err_raw = recon_err(Xc, train_books(Xc))  # ||x - decode(code)||
     # full-vector error of IVFPQ is err_resid (x̂ = centroid + decoded r)
     assert err_resid < err_raw, (err_resid, err_raw)
+
+
+def test_pq_trainer_preconditions_fail_loudly(spark):
+    """Empty input to pq_train and a training sample smaller than k
+    in ivfpq_topk used to surface as confusing numpy/TypeError
+    shapes; both now raise named ValueErrors."""
+    import pytest
+
+    from hdp2_5_hive_spark.operators import quantize as qz
+
+    empty = spark.createDataFrame([], "vec_id string, embedding array<double>")
+    with pytest.raises(ValueError, match="empty input"):
+        qz.pq_train(empty)
+
+    few = spark.createDataFrame(
+        [(str(i), [float(i), 0.0, 0.0, 1.0]) for i in range(3)],
+        "vec_id string, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="sample has 3 rows"):
+        qz.ivfpq_topk(few, few.limit(1), m=2, k=16, n_cells=2)

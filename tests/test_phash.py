@@ -311,3 +311,17 @@ def test_crossmodal_dedup_exact_classification(spark):
     got_img = {p for p, m in got.items() if m in ("both", "image_only")}
     assert len(got_img & img) >= 0.95 * len(img), len(got_img & img) / len(img)
     assert len({v for v in got.values()}) == 3  # all three classes occur
+
+
+def test_phash_empty_raster_raises_loudly():
+    """A zero-dimension raster (crafted 0x0 header now returned by
+    the hardened decoders) must raise ValueError, not IndexError."""
+    import numpy as np
+    import pytest
+
+    from hdp2_5_hive_spark.operators.phash import phash64
+
+    with pytest.raises(ValueError, match="empty raster"):
+        phash64(np.zeros((0, 4, 3), dtype=np.uint8))
+    with pytest.raises(ValueError, match="empty raster"):
+        phash64(np.zeros((4, 0, 3), dtype=np.uint8))
