@@ -48,40 +48,55 @@ def asof_join(
     ``tolerance``: optional max staleness (e.g. ``"30 minutes"``) —
     matches older than that become NULL, like pandas ``merge_asof``.
     """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = [c for c in left.columns if c not in set(on) | {ts_col}]
+    # The right row is carried as ONE struct, not per-column lasts:
+    # independent `last(_r_c, ignorenulls)` columns back-filled a NULL
+    # field from an OLDER right row while the other fields came from
+    # the newest one — emitting a right tuple that never existed.
+    # pandas merge_asof (and every AS OF implementation) carries whole
+    # rows; a NULL field in the matched row stays NULL.
+    rstruct_type = StructType(
+        [StructField("_ts", right.schema[ts_col].dataType)]
+        + [
+            StructField(c, right.schema[c].dataType)
+            for c in right_value_cols
+        ]
+    )
     tagged_l = left.select(
         *on,
         F.col(ts_col),
         F.lit(0).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in right_value_cols],
-        F.lit(None).cast(right.schema[ts_col].dataType).alias("_r_ts"),
+        F.lit(None).cast(rstruct_type).alias("_r_all"),
     )
     tagged_r = right.select(
         *on,
         F.col(ts_col),
         F.lit(1).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_r_{c}") for c in right_value_cols],
-        F.col(ts_col).alias("_r_ts"),
+        F.struct(
+            F.col(ts_col).alias("_ts"),
+            *[F.col(c) for c in right_value_cols],
+        ).alias("_r_all"),
     )
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # Right rows sort BEFORE left rows at equal ts (side desc) so a
     # same-instant right row is visible to the left row — `<=` for
     # backward, `>=` for forward (where the scan order is reversed).
-    # The right VALUE columns complete the total order: several right
+    # The right-row struct completes the total order: several right
     # rows can share a (key, ts), and with ties left to the engine
     # the carried `last` would be partition/sort nondeterministic.
     # Rule: among equal-ts right rows the GREATEST value tuple wins
-    # (they sort ascending, `last` reads the final one) — same
-    # deterministic-output discipline as every other operator here.
-    tiebreak = [F.col(f"_r_{c}").asc() for c in right_value_cols]
+    # (struct comparison is field-wise lexicographic; they sort
+    # ascending and `last` reads the final one) — same deterministic-
+    # output discipline as every other operator here.
     order = (
-        [F.col(ts_col).asc(), F.col("_side").desc(), *tiebreak]
+        [F.col(ts_col).asc(), F.col("_side").desc(), F.col("_r_all").asc()]
         if direction == "backward"
-        else [F.col(ts_col).desc(), F.col("_side").desc(), *tiebreak]
+        else [F.col(ts_col).desc(), F.col("_side").desc(), F.col("_r_all").asc()]
     )
     w = (
         Window.partitionBy(*on)
@@ -90,11 +105,14 @@ def asof_join(
     )
     carried = tagged_l.unionByName(tagged_r).select(
         "*",
+        F.last("_r_all", ignorenulls=True).over(w).alias("_c_all"),
+    ).select(
+        "*",
         *[
-            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            F.col("_c_all").getField(c).alias(f"_c_{c}")
             for c in right_value_cols
         ],
-        F.last("_r_ts", ignorenulls=True).over(w).alias("_c_ts"),
+        F.col("_c_all").getField("_ts").alias("_c_ts"),
     )
     out = carried.filter(F.col("_side") == 0)
     if tolerance is not None:

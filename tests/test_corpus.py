@@ -1145,3 +1145,26 @@ def test_tables_hasattr_probe_is_safe(spark, sf_dir):
     assert not hasattr(t, "definitely_not_a_table")
     assert getattr(t, "definitely_not_a_table", None) is None
     assert t.nation.count() > 0  # real tables still resolve
+
+
+def test_asof_join_carries_whole_right_row_with_null_fields(spark):
+    """Regression: per-column last(ignorenulls) carries back-filled a
+    NULL field of the matched right row from an OLDER right row — the
+    output was a right tuple that never existed. The matched row is
+    now carried atomically (pandas merge_asof semantics: a NULL field
+    in the matched row stays NULL)."""
+    from hdp2_5_hive_spark.operators.timeseries import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 7)], "k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, 10, None), (1, 6, None, 20)],
+        "k int, ts int, a int, b int",
+    )
+    row = asof_join(left, right, ["k"], "ts", ["a", "b"]).collect()[0]
+    # the ts=6 row is the AS OF match; its a is NULL and must STAY
+    # NULL — not back-fill 10 from the ts=5 row
+    assert row.right_ts == 6
+    assert row.right_a is None
+    assert row.right_b == 20
