@@ -71,6 +71,8 @@ def pagerank(
         deg, nodes["node"] == deg["u"], "left"
     ).select("node", "deg")
     n_total = nodes.count()  # scalar, bounded driver state
+    if n_total == 0:
+        raise ValueError("pagerank: empty edge list (no nodes)")
     ranks = base.withColumn(
         "rank", F.lit(1.0 / n_total)
     ).localCheckpoint()

@@ -191,3 +191,15 @@ def test_components_star_restores_session_shuffle_partitions(spark):
     )
     connected_components_star(e).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_pagerank_empty_edges_raises_loudly(spark):
+    """Empty edge list used to hit ZeroDivisionError at 1/N; now a
+    named ValueError."""
+    import pytest
+
+    from hdp2_5_hive_spark.operators.pagerank import pagerank
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(empty, n_iter=1)
