@@ -582,3 +582,55 @@ def test_container_malformed_inputs_fail_loudly(spark):
     avi[4:8] = struct.pack("<I", 2**31)
     got = M.decode_avi_mjpeg(bytes(avi))
     assert got == frames
+
+
+def test_decoder_mutation_fuzz_never_hangs_or_leaks_internal_errors():
+    """Seeded byte-mutation fuzz over every from-scratch container
+    decoder (PPM, PNG, WAV, AVI, JPEG): each mutated payload must
+    either decode or raise ValueError — never IndexError /
+    struct.error / zlib.error / RecursionError / KeyError /
+    StopIteration / ZeroDivisionError, and never hang (alarm).
+    Locks in the round-12 corrupt-input hardening as a contract."""
+    import signal
+
+    import numpy as np
+
+    from hdp2_5_hive_spark.operators import jpeg_py as J
+    from hdp2_5_hive_spark.operators import multimodal as M
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=8 * 8 * 3, dtype=np.uint8)
+    samples = (rng.integers(0, 65536, size=64) - 32768).astype("<i2")
+    jpeg = J.encode_jpeg(8, 8, img)
+    seeds = {
+        "ppm": (M.encode_ppm(8, 8, img), M.decode_ppm),
+        "png": (M.encode_png(8, 8, img), M.decode_png),
+        "wav": (M.encode_wav(samples), M.decode_wav),
+        "avi": (M.encode_avi_mjpeg(8, 8, [jpeg, jpeg]), M.decode_avi_mjpeg),
+        "jpeg": (jpeg, lambda p: J.decode_jpeg(p)),
+    }
+    allowed = (ValueError,)
+    signal.alarm(120)  # a hang anywhere fails loudly
+    try:
+        for name, (payload, decode) in seeds.items():
+            buf = bytearray(payload)
+            for trial in range(120):
+                mutated = bytearray(buf)
+                # flip 1-4 bytes at seeded positions
+                for _ in range(int(rng.integers(1, 5))):
+                    pos = int(rng.integers(0, len(mutated)))
+                    mutated[pos] = int(rng.integers(0, 256))
+                # also exercise truncation every 4th trial
+                if trial % 4 == 0:
+                    mutated = mutated[: int(rng.integers(1, len(mutated)))]
+                try:
+                    decode(bytes(mutated))
+                except allowed:
+                    pass
+                except Exception as exc:  # noqa: BLE001
+                    raise AssertionError(
+                        f"{name}: {type(exc).__name__} leaked from "
+                        f"trial {trial}: {exc}"
+                    ) from exc
+    finally:
+        signal.alarm(0)
