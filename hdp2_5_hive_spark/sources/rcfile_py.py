@@ -280,9 +280,24 @@ def _read_lengths_rle(raw: bytes, n_rows: int) -> list[int]:
     while len(out) < n_rows:
         v = read_vlong(src)
         if v < 0:
+            # corrupt-input hardening (round-12 fuzz): a LEADING
+            # repeat marker indexed out[-1] of an empty list
+            # (IndexError), and an oversized run made the length
+            # list LONGER than the row count — the group assembler
+            # then indexed past group_rows (IndexError). Writer
+            # output can do neither; both mean corruption.
+            if not out:
+                raise ValueError(
+                    "corrupt RLE length buffer: leading repeat marker"
+                )
             out.extend([out[-1]] * (~v))
         else:
             out.append(v)
+    if len(out) != n_rows:
+        raise ValueError(
+            f"corrupt RLE length buffer: run overshoots row count "
+            f"({len(out)} > {n_rows})"
+        )
     return out
 
 
@@ -480,7 +495,15 @@ def _read_group(
             if fh.read(16) != sync:
                 raise ValueError("sync marker mismatch — corrupt file")
             continue
-        key_len, ckey_len = struct.unpack(">ii", fh.read(8))
+        hdr = fh.read(8)
+        if len(hdr) < 8:
+            raise ValueError("truncated record header — corrupt file")
+        key_len, ckey_len = struct.unpack(">ii", hdr)
+        if key_len < 0 or ckey_len < 0:
+            # file.read(negative) silently reads to EOF — a corrupt
+            # negative length would swallow the rest of the file as
+            # the key buffer instead of failing loudly
+            raise ValueError("negative key length — corrupt file")
         if decompress is None:
             key = io.BytesIO(fh.read(key_len))
         else:
@@ -492,6 +515,8 @@ def _read_group(
                 )
             key = io.BytesIO(kb)
         n_rows = read_vlong(key)
+        if n_rows < 0:
+            raise ValueError("negative row count — corrupt file")
         col_lens: list[list[int]] = []
         col_sizes: list[int] = []
         col_plain: list[int] = []
@@ -499,6 +524,8 @@ def _read_group(
             size = read_vlong(key)  # on-disk (compressed) bytes
             plain = read_vlong(key)  # uncompressed bytes
             len_buf_len = read_vlong(key)
+            if size < 0 or plain < 0 or len_buf_len < 0:
+                raise ValueError("negative column size — corrupt file")
             col_lens.append(_read_lengths_rle(key.read(len_buf_len), n_rows))
             col_sizes.append(size)
             col_plain.append(plain)

@@ -430,3 +430,48 @@ def test_rcfile_datasource_temporal_decimal_round_trip(spark, tmp_path):
         D("12.34"),
     )
     assert got[2] == (None, None, None)
+
+
+def test_rcfile_mutation_fuzz_never_hangs_or_leaks_internal_errors():
+    """Seeded byte-mutation fuzz over the whole-file reader: every
+    mutated/truncated .rc byte stream must either parse or raise
+    ValueError/EOFError — never IndexError / struct.error /
+    KeyError / MemoryError-by-allocation / a hang (alarm). Same
+    contract the media decoders carry (round-12 hardening)."""
+    import io
+    import signal
+
+    import numpy as np
+
+    rows = [(i, f"name{i}", float(i) / 3) for i in range(50)]
+    buf = io.BytesIO()
+    rc.write_rcfile_stream(
+        buf,
+        ["k", "s", "x"],
+        ["bigint", "string", "double"],
+        iter(rows),
+        group_rows=8,
+        sync_interval_bytes=0,
+    )
+    payload = buf.getvalue()
+    rng = np.random.default_rng(7)
+    allowed = (ValueError, EOFError)
+    signal.alarm(120)
+    try:
+        for trial in range(150):
+            mutated = bytearray(payload)
+            for _ in range(int(rng.integers(1, 5))):
+                pos = int(rng.integers(0, len(mutated)))
+                mutated[pos] = int(rng.integers(0, 256))
+            if trial % 4 == 0:
+                mutated = mutated[: int(rng.integers(1, len(mutated)))]
+            try:
+                rc.read_rcfile_stream(io.BytesIO(bytes(mutated)))
+            except allowed:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"{type(exc).__name__} leaked from trial {trial}: {exc}"
+                ) from exc
+    finally:
+        signal.alarm(0)
