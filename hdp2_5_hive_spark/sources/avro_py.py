@@ -177,6 +177,32 @@ def _read_long(src) -> int:
     return (acc >> 1) ^ -(acc & 1)  # un-zigzag
 
 
+def _date_from_days(days: int):
+    # corrupt day counts overflow date.fromordinal — uniform ValueError
+    try:
+        return date.fromordinal(_EPOCH.toordinal() + days)
+    except (OverflowError, ValueError) as exc:
+        raise ValueError(f"avro_py: date out of range ({days} days)") from exc
+
+
+def _ts_from_micros(epoch, timedelta_cls, micros: int):
+    try:
+        return epoch + timedelta_cls(microseconds=micros)
+    except OverflowError as exc:
+        raise ValueError(
+            f"avro_py: timestamp out of range ({micros} micros)"
+        ) from exc
+
+
+def _read_exact(src, n: int) -> bytes:
+    out = src.read(n)
+    if len(out) != n:
+        raise ValueError(
+            "avro_py: truncated stream (fixed-width value)"
+        )
+    return out
+
+
 def _read_bytes(src) -> bytes:
     n = _read_long(src)
     if n < 0:
@@ -202,19 +228,19 @@ class _FieldCodec:
         if isinstance(dt, T.BooleanType):
             return (
                 lambda buf, v: buf.write(b"\x01" if v else b"\x00"),
-                lambda src: src.read(1) == b"\x01",
+                lambda src: _read_exact(src, 1) == b"\x01",
             )
         if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType, T.LongType)):
             return (lambda buf, v: _write_long(buf, int(v)), _read_long)
         if isinstance(dt, T.FloatType):
             return (
                 lambda buf, v: buf.write(struct.pack("<f", float(v))),
-                lambda src: struct.unpack("<f", src.read(4))[0],
+                lambda src: struct.unpack("<f", _read_exact(src, 4))[0],
             )
         if isinstance(dt, T.DoubleType):
             return (
                 lambda buf, v: buf.write(struct.pack("<d", float(v))),
-                lambda src: struct.unpack("<d", src.read(8))[0],
+                lambda src: struct.unpack("<d", _read_exact(src, 8))[0],
             )
         if isinstance(dt, T.StringType):
             return (
@@ -229,9 +255,7 @@ class _FieldCodec:
         if isinstance(dt, T.DateType):
             return (
                 lambda buf, v: _write_long(buf, (_to_date(v) - _EPOCH).days),
-                lambda src: date.fromordinal(
-                    _EPOCH.toordinal() + _read_long(src)
-                ),
+                lambda src: _date_from_days(_read_long(src)),
             )
         if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
             from datetime import timedelta
@@ -245,8 +269,9 @@ class _FieldCodec:
                 lambda buf, v: _write_long(buf, _to_micros(v) // scale),
                 # timedelta math, not fromtimestamp(float): float seconds
                 # round off sub-microsecond bits at 2026-era epochs.
-                lambda src: epoch
-                + timedelta(microseconds=_read_long(src) * scale),
+                lambda src: _ts_from_micros(
+                    epoch, timedelta, _read_long(src) * scale
+                ),
             )
         if isinstance(dt, T.ArrayType):
             inner = _FieldCodec(dt.elementType, dt.containsNull)
@@ -408,7 +433,14 @@ def read_header(
             "an external lib; transcode or use the spark-avro jar)"
         )
     codec = (meta.get("avro.codec") or b"null").decode() or "null"
-    return json.loads(meta["avro.schema"]), src.read(16), codec
+    if "avro.schema" not in meta:
+        raise ValueError(
+            "avro_py: header carries no avro.schema entry (corrupt file)"
+        )
+    sync = src.read(16)
+    if len(sync) != 16:
+        raise ValueError("avro_py: truncated header sync marker")
+    return json.loads(meta["avro.schema"]), sync, codec
 
 
 def _field_ts_millis(avro_type: object) -> bool:
@@ -423,11 +455,20 @@ def _field_ts_millis(avro_type: object) -> bool:
 
 def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
     avro_schema, sync, blk_codec = read_header(src)
-    spark_schema = avro_to_spark_schema(avro_schema)
-    codecs = [
-        _FieldCodec(f.dataType, f.nullable, ts_millis=_field_ts_millis(af["type"]))
-        for f, af in zip(spark_schema.fields, avro_schema["fields"])
-    ]
+    try:
+        spark_schema = avro_to_spark_schema(avro_schema)
+        codecs = [
+            _FieldCodec(
+                f.dataType, f.nullable, ts_millis=_field_ts_millis(af["type"])
+            )
+            for f, af in zip(spark_schema.fields, avro_schema["fields"])
+        ]
+    except (TypeError, KeyError, AttributeError, IndexError) as exc:
+        # a mutated/garbage schema JSON surfaces here as whatever the
+        # converter tripped on — uniform corrupt-or-unsupported error
+        raise ValueError(
+            f"avro_py: unsupported or corrupt schema: {exc}"
+        ) from exc
     rows: list[tuple] = []
     buf = io.BytesIO(src.read())  # container files are partition-sized
     while True:
@@ -448,7 +489,13 @@ def read_container(src: io.BufferedIOBase) -> tuple[T.StructType, list[tuple]]:
         if blk_codec == "deflate":
             import zlib
 
-            body = io.BytesIO(zlib.decompress(buf.read(size), -15))
+            try:
+                raw_body = zlib.decompress(buf.read(size), -15)
+            except zlib.error as exc:  # uniform corrupt-input error
+                raise ValueError(
+                    f"avro_py: corrupt deflate block: {exc}"
+                ) from exc
+            body = io.BytesIO(raw_body)
             for _ in range(n):
                 rows.append(tuple(c.decode(body) for c in codecs))
             if body.read(1):

@@ -397,3 +397,50 @@ def test_varint_64bit_overflow_rejected():
         _read_long(BytesIO(b"\xff" * 9 + b"\x7f"))
     with pytest.raises(ValueError, match="exceeds 64 bits"):
         _read_long(BytesIO(b"\xff" * 9 + b"\x03"))
+
+
+def test_avro_container_mutation_fuzz_never_leaks_internal_errors():
+    """Seeded byte-mutation/truncation fuzz over the from-scratch OCF
+    reader: parse or ValueError/EOFError — never IndexError /
+    struct.error / KeyError / OverflowError / a hang (round-12
+    decoder contract)."""
+    import io
+    import signal
+
+    import numpy as np
+    from pyspark.sql import types as T
+
+    from hdp2_5_hive_spark.sources import avro_py as av
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("s", T.StringType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    rows = [(i, f"name{i}", i / 3.0) for i in range(40)]
+    buf = io.BytesIO()
+    av.write_container(buf, schema, iter([rows]), codec="null")
+    payload = buf.getvalue()
+    rng = np.random.default_rng(11)
+    allowed = (ValueError, EOFError)
+    signal.alarm(120)
+    try:
+        for trial in range(150):
+            mutated = bytearray(payload)
+            for _ in range(int(rng.integers(1, 5))):
+                pos = int(rng.integers(0, len(mutated)))
+                mutated[pos] = int(rng.integers(0, 256))
+            if trial % 4 == 0:
+                mutated = mutated[: int(rng.integers(1, len(mutated)))]
+            try:
+                av.read_container(io.BytesIO(bytes(mutated)))
+            except allowed:
+                pass
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(
+                    f"{type(exc).__name__} leaked from trial {trial}: {exc}"
+                ) from exc
+    finally:
+        signal.alarm(0)
