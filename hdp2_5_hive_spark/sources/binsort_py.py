@@ -79,22 +79,31 @@ def encode_key(types: list[str], values: list) -> bytes:
 
 
 def decode_key(types: list[str], payload: bytes) -> list:
-    """Inverse of encode_key (round-trip support for tests/tools)."""
+    """Inverse of encode_key (round-trip support for tests/tools).
+    Truncated or corrupt keys raise ValueError (round-12 corrupt-input
+    contract) — a bare index/unpack past the buffer end leaked
+    IndexError/struct.error before."""
+
+    def take(pos: int, n: int) -> bytes:
+        if pos + n > len(payload):
+            raise ValueError("binsort: truncated key")
+        return payload[pos : pos + n]
+
     row, pos = [], 0
     for t in types:
-        marker = payload[pos]
+        marker = take(pos, 1)[0]
         pos += 1
         if marker == 0:
             row.append(None)
             continue
         if t in ("bigint", "int"):
             width = 8 if t == "bigint" else 4
-            b = bytearray(payload[pos : pos + width])
+            b = bytearray(take(pos, width))
             b[0] ^= 0x80
             row.append(int.from_bytes(bytes(b), "big", signed=True))
             pos += width
         elif t == "double":
-            (bits,) = struct.unpack_from(">Q", payload, pos)
+            (bits,) = struct.unpack(">Q", take(pos, 8))
             if bits & (1 << 63):
                 bits ^= 1 << 63
             else:
@@ -102,18 +111,23 @@ def decode_key(types: list[str], payload: bytes) -> list:
             row.append(struct.unpack(">d", struct.pack(">Q", bits))[0])
             pos += 8
         elif t == "boolean":
-            row.append(payload[pos] == 2)
+            row.append(take(pos, 1)[0] == 2)
             pos += 1
         elif t in ("string", "binary"):
             raw = bytearray()
             while True:
-                byte = payload[pos]
+                byte = take(pos, 1)[0]
                 pos += 1
                 if byte == 0:
                     break
                 if byte == 1:
-                    raw.append(payload[pos] - 1)
+                    esc = take(pos, 1)[0]
                     pos += 1
+                    if esc not in (1, 2):
+                        raise ValueError(
+                            f"binsort: invalid escape byte {esc}"
+                        )
+                    raw.append(esc - 1)
                 else:
                     raw.append(byte)
             row.append(raw.decode("utf-8") if t == "string" else bytes(raw))

@@ -141,17 +141,28 @@ def _encode_value(tt: int, v) -> bytes:
     raise NotImplementedError(f"thrift type {tt}")
 
 
+def _unpack(fmt: str, payload: bytes, pos: int):
+    # bounds-checked unpack: truncated payloads raised bare
+    # struct.error (round-12 corrupt-input contract wants ValueError)
+    try:
+        return struct.unpack_from(fmt, payload, pos)
+    except struct.error as exc:
+        raise ValueError(
+            f"thrift_py: truncated payload at offset {pos}"
+        ) from exc
+
+
 def decode_row(payload: bytes, n_cols: int) -> list:
     """Deserialize one struct into a positional row of ``n_cols``
     (absent field ids decode as None)."""
     row = [None] * n_cols
     pos = 0
     while True:
-        (tt,) = struct.unpack_from(">b", payload, pos)
+        (tt,) = _unpack(">b", payload, pos)
         pos += 1
         if tt == T_STOP:
             break
-        (fid,) = struct.unpack_from(">h", payload, pos)
+        (fid,) = _unpack(">h", payload, pos)
         pos += 2
         val, pos = _decode_value(tt, payload, pos)
         if not 1 <= fid <= n_cols:
@@ -162,19 +173,23 @@ def decode_row(payload: bytes, n_cols: int) -> list:
 
 def _decode_value(tt: int, payload: bytes, pos: int):
     if tt == T_BOOL:
+        if pos >= len(payload):
+            raise ValueError(
+                f"thrift_py: truncated payload at offset {pos}"
+            )
         return payload[pos] != 0, pos + 1
     if tt == T_BYTE:
-        return struct.unpack_from(">b", payload, pos)[0], pos + 1
+        return _unpack(">b", payload, pos)[0], pos + 1
     if tt == T_I16:
-        return struct.unpack_from(">h", payload, pos)[0], pos + 2
+        return _unpack(">h", payload, pos)[0], pos + 2
     if tt == T_I32:
-        return struct.unpack_from(">i", payload, pos)[0], pos + 4
+        return _unpack(">i", payload, pos)[0], pos + 4
     if tt == T_I64:
-        return struct.unpack_from(">q", payload, pos)[0], pos + 8
+        return _unpack(">q", payload, pos)[0], pos + 8
     if tt == T_DOUBLE:
-        return struct.unpack_from(">d", payload, pos)[0], pos + 8
+        return _unpack(">d", payload, pos)[0], pos + 8
     if tt == T_STRING:
-        (n,) = struct.unpack_from(">i", payload, pos)
+        (n,) = _unpack(">i", payload, pos)
         pos += 4
         # a corrupt length must fail loudly: n < 0 REWINDS the cursor
         # (payload[pos:pos+n] is b'' and pos+n moves backwards, so
@@ -187,8 +202,8 @@ def _decode_value(tt: int, payload: bytes, pos: int):
             )
         return payload[pos : pos + n].decode("utf-8"), pos + n
     if tt == T_LIST:
-        et, = struct.unpack_from(">b", payload, pos)
-        (n,) = struct.unpack_from(">i", payload, pos + 1)
+        et, = _unpack(">b", payload, pos)
+        (n,) = _unpack(">i", payload, pos + 1)
         pos += 5
         if n < 0:
             raise ValueError(f"thrift_py: negative list size {n}")
@@ -200,20 +215,25 @@ def _decode_value(tt: int, payload: bytes, pos: int):
     if tt == T_STRUCT:
         vals: dict[int, object] = {}
         while True:
-            (ft,) = struct.unpack_from(">b", payload, pos)
+            (ft,) = _unpack(">b", payload, pos)
             pos += 1
             if ft == T_STOP:
                 break
-            (fid,) = struct.unpack_from(">h", payload, pos)
+            (fid,) = _unpack(">h", payload, pos)
             pos += 2
             v, pos = _decode_value(ft, payload, pos)
             vals[fid] = v
         n = max(vals) if vals else 0
         return [vals.get(i) for i in range(1, n + 1)], pos
     if tt == T_MAP:
-        kt, vt = struct.unpack_from(">bb", payload, pos)
-        (n,) = struct.unpack_from(">i", payload, pos + 2)
+        kt, vt = _unpack(">bb", payload, pos)
+        (n,) = _unpack(">i", payload, pos + 2)
         pos += 6
+        if n < 0:
+            # range(n) over a corrupt negative count silently decoded
+            # an EMPTY map with no error (same class as the
+            # typedbytes negative-vector fix)
+            raise ValueError(f"thrift_py: negative map size {n}")
         m = {}
         for _ in range(n):
             k, pos = _decode_value(kt, payload, pos)

@@ -83,3 +83,25 @@ def test_known_orderings():
     vals = (None, float("-inf"), -1.5, -0.0, 1e-300, 2.5, float("inf"))
     ks = [bs.encode_key(t, [v]) for v in vals]
     assert ks == sorted(ks)
+
+
+def test_binsort_mutation_fuzz_never_leaks_internal_errors():
+    """Seeded byte-mutation/truncation fuzz (round-12 contract):
+    decode or ValueError — never IndexError / struct.error."""
+    import numpy as np
+
+    from hdp2_5_hive_spark.sources import binsort_py as bs
+
+    types = ["bigint", "string", "double", "boolean"]
+    payload = bs.encode_key(types, [5, "abc", -1.5, True])
+    rng = np.random.default_rng(9)
+    for trial in range(400):
+        m = bytearray(payload)
+        for _ in range(int(rng.integers(1, 5))):
+            m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+        if trial % 4 == 0:
+            m = m[: max(1, int(rng.integers(1, len(m))))]
+        try:
+            bs.decode_key(types, bytes(m))
+        except (ValueError, NotImplementedError):
+            pass

@@ -114,3 +114,36 @@ def test_corrupt_string_length_raises():
     )
     with pytest.raises(ValueError, match="bad string length"):
         decode_row(buf2, 1)
+
+
+def test_thrift_mutation_fuzz_never_leaks_internal_errors():
+    """Seeded byte-mutation/truncation fuzz (round-12 contract):
+    decode or ValueError/NotImplementedError — never struct.error /
+    IndexError; and a negative map size raises instead of silently
+    decoding an empty map."""
+    import numpy as np
+    import pytest
+    import struct as _s
+
+    from hdp2_5_hive_spark.sources import thrift_py as th
+
+    types = ["int", "string", "double", "array<int>"]
+    payload = th.encode_row(types, [3, "hi", 2.5, [1, 2]])
+    rng = np.random.default_rng(13)
+    for trial in range(300):
+        m = bytearray(payload)
+        for _ in range(int(rng.integers(1, 5))):
+            m[int(rng.integers(0, len(m)))] = int(rng.integers(0, 256))
+        if trial % 4 == 0:
+            m = m[: max(1, int(rng.integers(1, len(m))))]
+        try:
+            th.decode_row(bytes(m), 4)
+        except (ValueError, NotImplementedError):
+            pass
+
+    # negative map size: ValueError, not a silent empty map
+    bad = bytes([th.T_MAP]) + _s.pack(">h", 1) + bytes(
+        [th.T_I32, th.T_I32]
+    ) + _s.pack(">i", -3) + bytes([th.T_STOP])
+    with pytest.raises(ValueError, match="negative map"):
+        th.decode_row(bad, 1)
