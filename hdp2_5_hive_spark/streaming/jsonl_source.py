@@ -66,25 +66,50 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
             with open(f, "rb") as fh:
                 fh.seek(done)
                 chunk = fh.read(upto - done)
-            # only whole lines exist in the range: the writer appends
-            # complete records (JSONL contract); a torn final line
-            # would surface as a loud json error, not silent loss
+            # committed offsets are newline-aligned (see read()), so
+            # only whole lines exist in a replayed range; a corrupt
+            # line still surfaces as a loud json error, never silent
+            # loss
             for line in chunk.splitlines():
                 if not line.strip():
                     continue
                 rec = json.loads(line)
+                if not isinstance(rec, dict):
+                    raise ValueError(
+                        f"jsonl_stream: record is not an object: {line[:80]!r}"
+                    )
                 yield (rec.get("doc_id"), rec.get("text"))
 
     def read(self, start: dict):
-        end = self._sizes()
+        sizes = self._sizes()
         # carry files that vanished from disk forward unchanged so
         # their consumed offsets are never re-read as zero, and keep
         # offsets MONOTONIC for files that shrank (truncate/rewrite):
         # rewinding the committed offset to the new smaller size would
         # re-ingest bytes as duplicates (or torn garbage) once the
         # file grows again — breaking exactly-once (ADVICE r6).
+        end: dict = {}
         for f, off in start.items():
-            end[f] = max(int(end.get(f, 0)), int(off))
+            end[f] = max(int(sizes.pop(f, 0)), int(off))
+        end.update(sizes)
+        # Clamp each file's end offset to its last NEWLINE in the new
+        # range: stat can catch a writer MID-APPEND, and committing a
+        # mid-line offset poisoned the stream permanently — this batch
+        # crashed on the torn head, and every replay re-read the same
+        # torn bytes (the tail half would parse as garbage forever).
+        # Leaving the partial tail for the next batch keeps offsets
+        # newline-aligned and the stream exactly-once under in-flight
+        # appends.
+        for f in list(end):
+            done = int(start.get(f, 0))
+            upto = int(end[f])
+            if upto <= done or not os.path.exists(f):
+                continue
+            with open(f, "rb") as fh:
+                fh.seek(done)
+                chunk = fh.read(upto - done)
+            cut = chunk.rfind(b"\n")
+            end[f] = done if cut < 0 else done + cut + 1
         # materialized: Spark's prefetch cache copy.copy()s the
         # iterator, which a lazy generator cannot survive
         return iter(list(self._read_range(start, end))), end

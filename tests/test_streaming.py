@@ -979,3 +979,38 @@ def test_idempotent_sink_leaves_session_conf_alone(spark, tmp_path):
         assert spark.conf.get(key) == "static"
     finally:
         spark.conf.set(key, prev)
+
+
+def test_jsonl_stream_tolerates_in_flight_partial_line(tmp_path):
+    """Regression: stat can catch a writer MID-APPEND; committing a
+    mid-line offset crashed this batch on the torn head AND poisoned
+    every replay (the tail half re-parsed as garbage forever). The
+    reader now clamps each batch's end offset to the last newline and
+    picks the completed line up next tick."""
+    import json
+    import os
+
+    from hdp2_5_hive_spark.streaming.jsonl_source import JsonlStreamReader
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    f = os.path.join(d, "a.jsonl")
+    full = json.dumps({"doc_id": 1, "text": "one"}) + "\n"
+    partial = '{"doc_id": 2, "te'  # torn mid-append, no newline
+    with open(f, "w") as fh:
+        fh.write(full + partial)
+
+    rd = JsonlStreamReader({"path": d})
+    it, end = rd.read({})
+    assert list(it) == [(1, "one")]
+    assert end[f] == len(full.encode())  # newline-aligned, not EOF
+
+    # the writer finishes the line; the next tick picks it up whole
+    rest = 'xt": "two"}\n'
+    with open(f, "a") as fh:
+        fh.write(rest)
+    it2, end2 = rd.read(end)
+    assert list(it2) == [(2, "two")]
+    assert end2[f] == len((full + partial + rest).encode())
+    # replay between committed (newline-aligned) offsets is exact
+    assert list(rd.readBetweenOffsets(end, end2)) == [(2, "two")]
