@@ -123,9 +123,12 @@ class VariableContext:
                 return spark.createDataFrame(
                     [(key, value)], "key string, value string"
                 )
-            v = self._lookup(spark, body) or self._lookup(
-                spark, "hiveconf:" + body
-            )
+            # explicit None check, not `or`: a variable legitimately
+            # set to the EMPTY STRING is falsy and fell through to the
+            # hiveconf lookup, printing <undefined> for a defined var
+            v = self._lookup(spark, body)
+            if v is None:
+                v = self._lookup(spark, "hiveconf:" + body)
             return spark.createDataFrame(
                 [(body, "<undefined>" if v is None else v)],
                 "key string, value string",

@@ -223,3 +223,17 @@ class TestResourceCommands:
             run_statement=lambda s: ctx.sql(spark, s),
         )
         assert ctx.hivevars == {"cutoff": "5", "k": "v"}
+
+
+def test_set_prints_empty_string_variable(spark):
+    """Regression (round 12): `SET x` on a hivevar legitimately set
+    to the EMPTY STRING printed <undefined> — the falsy value fell
+    through an `or` into the hiveconf lookup."""
+    from hdp2_5_hive_spark.functions.varsub import VariableContext
+
+    ctx = VariableContext()
+    ctx.sql(spark, "SET hivevar:empty=")
+    row = ctx.sql(spark, "SET hivevar:empty").collect()[0]
+    assert row.value == ""
+    row2 = ctx.sql(spark, "SET empty").collect()[0]  # bare-name lookup
+    assert row2.value == ""
