@@ -996,6 +996,12 @@ class AuthorizingMetastore(Metastore):
         def do(meta):
             g = meta.get("grants", {}).get(table, {})
             cur = set(g.get(user, ()))
+            if "ALL" in cur and privilege != "ALL":
+                # SQL-standard semantics: ALL stands for every concrete
+                # privilege, so revoking one must leave the others —
+                # discarding from {'ALL'} was a silent no-op and the
+                # user KEPT the revoked privilege
+                cur = {p for p in PRIVILEGES if p != "ALL"}
             cur.discard(privilege)
             if privilege == "ALL":
                 cur.clear()

@@ -655,3 +655,29 @@ def test_insert_overwrite_partitions_leaves_session_conf_alone(spark, tmp_path):
         assert got == {(9, "a"), (2, "b")}
     finally:
         spark.conf.set(key, prev)
+
+
+def test_revoke_single_privilege_from_all_holder(spark, tmp_path):
+    """Regression: REVOKE SELECT from a user granted ALL was a silent
+    no-op (discard from {'ALL'}) — the user KEPT the revoked
+    privilege. ALL now expands to the concrete set on partial
+    revoke, matching the SQL-standard authorizer."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import (
+        AccessDeniedError,
+        AuthorizingMetastore,
+    )
+
+    ms = AuthorizingMetastore(str(tmp_path / "wh"), current_user="owner")
+    ms.create_table(spark.createDataFrame([(1,)], "k long"), "t")
+    ms.grant("t", "bob", "ALL")
+    ms.check_access("t", "SELECT", "bob")  # holds everything
+    ms.revoke("t", "bob", "SELECT")
+    with _pytest.raises(AccessDeniedError):
+        ms.check_access("t", "SELECT", "bob")  # really revoked
+    ms.check_access("t", "INSERT", "bob")  # the rest survive
+    ms.check_access("t", "DELETE", "bob")
+    ms.revoke("t", "bob", "ALL")
+    with _pytest.raises(AccessDeniedError):
+        ms.check_access("t", "INSERT", "bob")
