@@ -54,7 +54,14 @@ def assign_row_ids(df: DataFrame, id_col: str = "row__id") -> DataFrame:
     downstream array/matrix addressing (PQ codes, bitmap indexes)
     requires. Ordering follows the physical partitioning (like
     RDD.zipWithIndex); pin it by sorting WITHIN partitions upstream
-    if a stable order matters."""
+    if a stable order matters.
+
+    Contract (same as RDD.zipWithIndex, which makes the identical
+    two-pass trade): ``df``'s plan must be DETERMINISTIC — the count
+    pass and the tagging pass each execute it once, and a
+    nondeterministic input (unseeded sample, rand()) could change
+    partition contents between them, silently breaking id density/
+    uniqueness. localCheckpoint upstream if the input isn't."""
     from pyspark.sql import functions as F
 
     counts = {
