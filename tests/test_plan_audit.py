@@ -709,14 +709,26 @@ def test_tokenizer_round_counts_partial_agg(spark, sf_dir):
     assert "SortMergeJoin" not in facts2.text, facts2.text
 
 
+# Row-at-a-time Python UDFs (BatchEvalPython nodes) are the documented
+# slow path — allowed ONLY in the legacy-surface demo. Everything else
+# must stay JVM-side or Arrow-vectorized (ArrowEvalPython/mapInPandas).
+ROW_UDF_OK = {"udf_python_scalar"}
+
+
 def test_registry_wide_no_unplanned_nested_loop(spark, qs):
-    """Global scale invariant over the WHOLE registry: no query may
-    plan a CartesianProduct or BroadcastNestedLoopJoin unless it is
-    whitelisted as a labeled baseline, a 1-row scalar broadcast, or
-    an intentional cross join. A new operator that accidentally
-    degrades to an all-pairs join fails here by name."""
+    """Global scale invariants over the WHOLE registry, one plan pass:
+    (a) no query may plan a CartesianProduct or
+    BroadcastNestedLoopJoin unless whitelisted as a labeled baseline,
+    a 1-row scalar broadcast, or an intentional cross join;
+    (b) no query may plan a row-at-a-time Python UDF
+    (BatchEvalPython) outside the legacy-surface demo — at 100 TB a
+    per-row Python round-trip in a hot path is a 10-100x tax. A new
+    operator that degrades on either axis fails here by name."""
+    import re as _re
+
     sf = "/root/testdata/sf0.001"
     offenders = {}
+    udf_offenders = {}
     for name, q in qs.items():
         if name in SWEEP_SKIP:
             continue
@@ -729,7 +741,18 @@ def test_registry_wide_no_unplanned_nested_loop(spark, qs):
         ]
         if hits and name not in NESTED_LOOP_OK:
             offenders[name] = hits
+        # negative lookahead: BatchEvalPythonUDTF is the (Arrow-capable)
+        # native UDTF node, not the scalar row-UDF slow path
+        if (
+            _re.search(r"BatchEvalPython(?!UDTF)", plan)
+            and name not in ROW_UDF_OK
+        ):
+            udf_offenders[name] = "BatchEvalPython"
     assert not offenders, offenders
+    assert not udf_offenders, (
+        f"row-at-a-time Python UDF planned outside the legacy demo: "
+        f"{udf_offenders}"
+    )
     stale = [
         n for n in NESTED_LOOP_OK if n not in qs
     ] + [n for n in SWEEP_SKIP if n not in qs]
