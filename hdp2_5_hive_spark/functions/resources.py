@@ -25,6 +25,39 @@ class ResourceError(ValueError):
     """Unknown resource command / missing file."""
 
 
+def split_statements(text: str) -> list[str]:
+    """Quote-aware top-level ';' split + full-line comment strip —
+    CliDriver's statement segmentation, shared by the CLI shell and
+    SOURCE. A bare ``text.split(';')`` broke any statement containing
+    a semicolon inside a string literal (fixed for SOURCE in r11; the
+    shell's top level had the same bug until this was extracted)."""
+    from .macros import _scan_segments
+
+    cuts = [
+        k
+        for s, e, kind in _scan_segments(text)
+        if kind == "code"
+        for k in range(s, e)
+        if text[k] == ";"
+    ]
+    stmts, prev = [], 0
+    for k in cuts:
+        stmts.append(text[prev:k])
+        prev = k + 1
+    stmts.append(text[prev:])
+    out = []
+    for stmt in stmts:
+        # drop full-line comments, not the whole statement — a
+        # statement PRECEDED by a comment must still run
+        body = "\n".join(
+            ln for ln in stmt.splitlines()
+            if not ln.strip().startswith("--")
+        ).strip()
+        if body:
+            out.append(body)
+    return out
+
+
 _CMD = re.compile(
     r"\s*(ADD|LIST|DELETE)\s+(FILES?|JARS?|ARCHIVES?)\b(.*)$|"
     r"\s*(SOURCE)\s+(.+?)\s*$",
@@ -58,32 +91,8 @@ class ResourceManager:
             if run_statement is None:
                 raise ResourceError("SOURCE needs a statement processor")
             text = open(path).read()
-            # quote-aware top-level split (reuses the macro scanner):
-            # a bare text.split(';') broke any statement containing a
-            # semicolon inside a string literal
-            from .macros import _scan_segments
-
-            cuts = [
-                k
-                for s, e, kind in _scan_segments(text)
-                if kind == "code"
-                for k in range(s, e)
-                if text[k] == ";"
-            ]
-            stmts, prev = [], 0
-            for k in cuts:
-                stmts.append(text[prev:k])
-                prev = k + 1
-            stmts.append(text[prev:])
-            for stmt in stmts:
-                # drop full-line comments, not the whole statement —
-                # a statement PRECEDED by a comment must still run
-                body = "\n".join(
-                    ln for ln in stmt.splitlines()
-                    if not ln.strip().startswith("--")
-                ).strip()
-                if body:
-                    run_statement(body)
+            for body in split_statements(text):
+                run_statement(body)
             return [f"sourced {path}"]
 
         verb = m.group(1).upper()

@@ -97,15 +97,12 @@ def main() -> int:
               "statement, ctrl-D exits", file=sys.stderr)
         text = sys.stdin.read()
 
+    from hdp2_5_hive_spark.functions.resources import split_statements
+
     rc = 0
-    for stmt in text.split(";"):
-        # drop full-line comments, keep the statement they precede
-        stmt = "\n".join(
-            ln for ln in stmt.splitlines()
-            if not ln.strip().startswith("--")
-        ).strip()
-        if not stmt:
-            continue
+    # quote-aware split (CliDriver semantics): a bare split(';') broke
+    # any statement with a semicolon inside a string literal
+    for stmt in split_statements(text):
         try:
             run_statement(spark, ctx, res, stmt, args.max_rows)
         except Exception as e:  # keep going like the CLI does

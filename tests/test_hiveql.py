@@ -237,3 +237,18 @@ def test_set_prints_empty_string_variable(spark):
     assert row.value == ""
     row2 = ctx.sql(spark, "SET empty").collect()[0]  # bare-name lookup
     assert row2.value == ""
+
+
+def test_shell_statement_split_is_quote_aware():
+    """Regression: the CLI shell's top-level split(';') broke any
+    statement containing a semicolon inside a string literal (the
+    SOURCE path was fixed in r11; the shared split_statements now
+    covers both)."""
+    from hdp2_5_hive_spark.functions.resources import split_statements
+
+    got = split_statements(
+        "SELECT ';' AS a; -- trailing comment line\n"
+        "SELECT \"x;y\" AS b;\n"
+        "-- full-line comment\nSELECT 1"
+    )
+    assert got == ["SELECT ';' AS a", 'SELECT "x;y" AS b', "SELECT 1"]
