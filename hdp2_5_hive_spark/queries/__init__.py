@@ -224,6 +224,81 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
+    # ---- round-13 window: ROTATED (verdict r12 next-round #1).
+    # Round-12 result: 50/50 hash-green (the full r3-era bucket +
+    # 10 oldest r4 rows re-proved). Cumulative ledger 419/419
+    # sampled, 409 hash-green, 10 rows-only by design, 0 red.
+    # This window continues the evidence-freshness ratchet (verdict
+    # r12 #1/#5): nothing in the registry needs sampling, so the 50
+    # slots RE-PROVE the stalest cumulative evidence, oldest first —
+    # ALL 38 queries whose latest driver row is r4-era (dedup /
+    # multimodal / streaming-batch / text-analysis / events /
+    # pack-split names), then the 12 alphabetically-first r5-era
+    # rows (agg sketch/ngram ×4, decontaminate_bloom_prefilter,
+    # dedup ×3, emb_int8_quantize, fmt round-trips ×3) to fill 50.
+    # Zero repeats of the r12 window (starting-gun test (b) clause);
+    # every name has a registry oracle, so the window is pure hash
+    # evidence. After this window the max cumulative evidence age
+    # advances from r4 to r5; the remaining 35 r5 rows + the 15
+    # oldest r6 rows are round 14's window (verdict r12 #5: nothing
+    # older than r6 survives round 14).
+    # Done criterion: CORRECTNESS_r13 = 50 stalest re-proves
+    # hash-green; max cumulative evidence age r4 -> r5.
+    "dedup_components",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_keep_list",
+    "dedup_near_minhash",
+    "dedup_ngram_jaccard",
+    "events_asof_join",
+    "events_rollup_daily",
+    "events_sessionize",
+    "json_extract",
+    "json_tuple_fields",
+    "multimodal_audio_spectrogram",
+    "multimodal_audio_stats",
+    "multimodal_decode_stats",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_jpeg_stats",
+    "multimodal_meta",
+    "multimodal_png_stats",
+    "multimodal_resize",
+    "multimodal_video_frames",
+    "pack_bin_stats",
+    "pack_sequences_ctx512",
+    "q12_priority_case_agg",
+    "retrieval_bm25",
+    "split_train_holdout",
+    "stream_dedup_first",
+    "stream_interval_join",
+    "stream_session_window",
+    "stream_sliding_counts",
+    "stream_tumbling_counts",
+    "text_langid",
+    "text_profile",
+    "text_redact_pii",
+    "text_repetition_stats",
+    "text_rolling_fingerprint",
+    "text_token_counts",
+    "vocab_top_ngrams",
+    # ---- the 12 alphabetically-first r5-era rows fill the window.
+    "agg_context_ngrams",
+    "agg_histogram_numeric",
+    "agg_hll_sketch",
+    "agg_ngrams",
+    "decontaminate_bloom_prefilter",
+    "dedup_components_star",
+    "dedup_hash_cosine",
+    "dedup_jaccard_prefix",
+    "emb_int8_quantize",
+    "fmt_csv_round_trip",
+    "fmt_sequencefile_round_trip",
+    "fmt_text_serde_round_trip",
+)
+
+# ---- round-12 window (retired; kept for the rotation ledger).
+_ROUND12_WINDOW: tuple[str, ...] = (
     # ---- round-12 window: ROTATED (verdict r11 next-round #1).
     # Round-11 result: 50/50 hash-green — the 8 staged oracle
     # upgrades landed as driver HASH evidence and the 42 stalest
@@ -241,8 +316,7 @@ SAMPLE_FRONT: tuple[str, ...] = (
     # the max evidence age advances from r3 to r4; the remaining 38
     # r4 rows + oldest r5 rows are round 13's window (verdict r11
     # #5: nothing older than r5 survives two more rounds).
-    # Done criterion: CORRECTNESS_r12 = 50 stalest re-proves green;
-    # max cumulative evidence age r3 -> r4.
+    # Round-12 result: 50/50 hash-green; max age advanced r3 -> r4.
     "cte_chain",
     "distinct_projection",
     "distribute_sort_by",
@@ -283,7 +357,6 @@ SAMPLE_FRONT: tuple[str, ...] = (
     "union_all",
     "union_distinct",
     "view_over_view",
-    # ---- the 10 alphabetically-first r4-era rows fill the window.
     "acid_merge_upsert",
     "acid_update_delete",
     "agg_approx_distinct",
