@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -538,8 +539,13 @@ class Metastore:
         # failure would delete a racing creator's data instead of
         # ours. The staging dir is ours alone — always safe to remove.
         data_dir = os.path.join(self.warehouse_dir, name)
+        # pid alone is NOT unique: two driver THREADS importing the
+        # same name collide on the staging path, and a crashed import
+        # plus pid reuse leaves a stale dir copytree trips over — so
+        # add a uuid component (ADVICE r12)
         staged = os.path.join(
-            self.warehouse_dir, f".import_{name}_{os.getpid()}"
+            self.warehouse_dir,
+            f".import_{name}_{os.getpid()}_{uuid.uuid4().hex[:12]}",
         )
         shutil.copytree(os.path.join(archive_dir, "data"), staged)
         published: list[str] = []
@@ -684,7 +690,9 @@ class Metastore:
         in the incoming data are replaced; untouched partitions
         survive. Spark's default static overwrite would truncate the
         whole table — the dynamic partition-overwrite mode is the
-        Hive-parity setting, pinned around this write and restored."""
+        Hive-parity setting, applied via the PER-WRITER
+        ``partitionOverwriteMode`` option (never a session-conf
+        set/restore, which leaks to concurrent driver threads)."""
         meta = self._read_meta()["tables"]
         if name not in meta:
             raise NoSuchTableError(name)

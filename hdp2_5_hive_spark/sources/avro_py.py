@@ -578,7 +578,12 @@ def write_avro(df: DataFrame, path: str, codec: str = "null") -> int:
         )
         return -1  # native path reports via its own committer
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, "part-*.avro")):
+    # sweep committed parts AND orphaned per-attempt tmp files — a
+    # losing speculative/retried attempt leaves a uniquely named
+    # .inprogress behind that the attempt itself never removes
+    for old in glob.glob(os.path.join(path, "part-*.avro")) + glob.glob(
+        os.path.join(path, "part-*.inprogress")
+    ):
         os.remove(old)
     schema = df.schema
 

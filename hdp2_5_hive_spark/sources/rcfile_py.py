@@ -707,7 +707,12 @@ def write_rcfile(
     names = [f.name for f in df.schema.fields]
     types = [_hive_type(f.dataType) for f in df.schema.fields]
     os.makedirs(path, exist_ok=True)
-    for old in glob.glob(os.path.join(path, "part-*.rc")):
+    # also sweep orphaned per-attempt tmp files a losing speculative
+    # or retried attempt left behind (unique .inprogress names are
+    # never removed by the attempt itself)
+    for old in glob.glob(os.path.join(path, "part-*.rc")) + glob.glob(
+        os.path.join(path, "part-*.inprogress")
+    ):
         os.remove(old)
 
     def write_partition(batches):
@@ -1012,7 +1017,9 @@ class RCFilePyWriter(DataSourceWriter):
         self.codec = options.get("codec")  # e.g. "deflate", "gzip"
         os.makedirs(self.path, exist_ok=True)
         if overwrite:
-            for old in glob.glob(os.path.join(self.path, "part-*.rc")):
+            for old in glob.glob(
+                os.path.join(self.path, "part-*.rc")
+            ) + glob.glob(os.path.join(self.path, "part-*.inprogress")):
                 os.remove(old)
 
     def write(self, iterator):

@@ -42,11 +42,21 @@ SCHEMA = T.StructType(
 )
 
 
+#: micro-batches a file's size must stay unchanged before a
+#: newline-less tail is accepted as the (finished) final record —
+#: see the staleness escape in ``read``.
+TAIL_STABLE_BATCHES = 3
+
+
 class JsonlStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_stream: option 'path' is required")
+        # per-file (size, consecutive-batches-at-that-size) — driver
+        # state for the newline-less-tail staleness escape; lost on
+        # restart, which only delays a stable tail by N more batches
+        self._tail_stable: dict[str, list[int]] = {}
 
     def _sizes(self) -> dict:
         return {
@@ -100,6 +110,25 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
         # Leaving the partial tail for the next batch keeps offsets
         # newline-aligned and the stream exactly-once under in-flight
         # appends.
+        #
+        # Staleness escape (ADVICE r12): a finished file whose FINAL
+        # record lacks a trailing newline would be withheld forever by
+        # the clamp. Once a file's size has been UNCHANGED for
+        # TAIL_STABLE_BATCHES consecutive batches, accept the
+        # newline-less tail as the last record — the writer is done.
+        # If that tail is genuinely torn (writer crashed mid-record)
+        # it surfaces as a loud json error, never silent loss; a
+        # writer that pauses mid-line longer than the window and then
+        # resumes is indistinguishable from done and also fails loud.
+        for f in list(end):
+            size_now = int(end[f])
+            prev = self._tail_stable.get(f)
+            if prev is not None and prev[0] == size_now:
+                prev[1] += 1
+            else:
+                self._tail_stable[f] = [size_now, 0]
+        for f in set(self._tail_stable) - set(end):
+            del self._tail_stable[f]
         for f in list(end):
             done = int(start.get(f, 0))
             upto = int(end[f])
@@ -108,6 +137,10 @@ class JsonlStreamReader(SimpleDataSourceStreamReader):
             with open(f, "rb") as fh:
                 fh.seek(done)
                 chunk = fh.read(upto - done)
+            if chunk.endswith(b"\n"):
+                continue
+            if self._tail_stable[f][1] >= TAIL_STABLE_BATCHES:
+                continue  # stable file: accept the newline-less tail
             cut = chunk.rfind(b"\n")
             end[f] = done if cut < 0 else done + cut + 1
         # materialized: Spark's prefetch cache copy.copy()s the

@@ -444,3 +444,20 @@ def test_avro_container_mutation_fuzz_never_leaks_internal_errors():
                 ) from exc
     finally:
         signal.alarm(0)
+
+
+def test_overwrite_sweeps_orphaned_attempt_tmp_files(spark, tmp_path):
+    """A losing speculative/retried attempt leaves a uniquely named
+    part-*.inprogress behind (the winner renamed its own tmp away);
+    the next overwrite must sweep those orphans, not just the
+    committed part-*.avro files."""
+    path = str(tmp_path / "out")
+    df = spark.range(10).selectExpr("id", "cast(id as string) AS s")
+    avro_py.write_avro(df, path)
+    orphan = path + "/part-00000.avro.9999.inprogress"
+    with open(orphan, "wb") as fh:
+        fh.write(b"torn attempt bytes")
+    avro_py.write_avro(df, path)
+    assert not glob.glob(path + "/*.inprogress")
+    back = avro_py.read_avro(spark, path)
+    assert back.count() == 10

@@ -681,3 +681,54 @@ def test_revoke_single_privilege_from_all_holder(spark, tmp_path):
     ms.revoke("t", "bob", "ALL")
     with _pytest.raises(AccessDeniedError):
         ms.check_access("t", "INSERT", "bob")
+
+
+def test_import_staging_survives_stale_dir_and_concurrent_threads(
+    spark, tmp_path
+):
+    """Regression (ADVICE r12): the staging dir name was unique per
+    PROCESS only — a crashed import plus pid reuse made copytree fail
+    on the stale dir, and two driver threads importing the same name
+    collided on the staging path. The name now carries a uuid."""
+    import glob as _glob
+    import os
+    import threading
+
+    from hdp2_5_hive_spark.metastore import Metastore
+
+    wh = str(tmp_path / "wh")
+    ms = Metastore(wh)
+    ms.create_table(spark.createDataFrame([(1,)], "k long"), "t")
+    archive = str(tmp_path / "arch")
+    ms.export_table("t", archive)
+
+    # a crashed earlier import left a stale pid-named staging dir;
+    # pid reuse must not trip the fresh import's copytree
+    stale = os.path.join(wh, f".import_t2_{os.getpid()}")
+    os.makedirs(stale)
+    assert ms.import_table(archive, as_name="t2") == "t2"
+    assert {r.k for r in ms.get_table(spark, "t2").collect()} == {1}
+
+    # two threads import the SAME target name concurrently: exactly
+    # one wins, the loser raises already-exists, and no staging-path
+    # collision corrupts either copy
+    results: list = [None, None]
+
+    def worker(i):
+        try:
+            results[i] = ms.import_table(archive, as_name="t3")
+        except ValueError as e:
+            results[i] = e
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    winners = [r for r in results if r == "t3"]
+    losers = [r for r in results if isinstance(r, ValueError)]
+    assert len(winners) == 1 and len(losers) == 1, results
+    assert "already exists" in str(losers[0])
+    assert {r.k for r in ms.get_table(spark, "t3").collect()} == {1}
+    # no orphaned staging dirs remain (the stale pre-existing one is
+    # not ours to remove; everything this test's imports created is)
+    leftover = set(_glob.glob(os.path.join(wh, ".import_*"))) - {stale}
+    assert not leftover, leftover

@@ -475,3 +475,20 @@ def test_rcfile_mutation_fuzz_never_hangs_or_leaks_internal_errors():
                 ) from exc
     finally:
         signal.alarm(0)
+
+
+def test_overwrite_sweeps_orphaned_attempt_tmp_files(spark, tmp_path):
+    """A losing speculative/retried attempt's uniquely named
+    part-*.inprogress must be swept by the next overwrite (mirrors
+    the avro/arrow-ipc/webdataset cleanup contract)."""
+    import glob as _glob
+
+    path = str(tmp_path / "out")
+    df = spark.range(10).selectExpr("id", "cast(id as string) AS s")
+    rc.write_rcfile(df, path)
+    orphan = path + "/part-00000.rc.9999.inprogress"
+    with open(orphan, "wb") as fh:
+        fh.write(b"torn attempt bytes")
+    rc.write_rcfile(df, path)
+    assert not _glob.glob(path + "/*.inprogress")
+    assert rc.read_rcfile(df.sparkSession, path).count() == 10

@@ -1014,3 +1014,76 @@ def test_jsonl_stream_tolerates_in_flight_partial_line(tmp_path):
     assert end2[f] == len((full + partial + rest).encode())
     # replay between committed (newline-aligned) offsets is exact
     assert list(rd.readBetweenOffsets(end, end2)) == [(2, "two")]
+
+
+def test_jsonl_stream_stable_newline_less_tail_is_ingested(tmp_path):
+    """Staleness escape (ADVICE r12): a finished file whose final
+    record lacks a trailing newline must not be withheld forever by
+    the newline clamp — after TAIL_STABLE_BATCHES unchanged-size
+    batches the tail is accepted as the last record."""
+    import json
+    import os
+
+    from hdp2_5_hive_spark.streaming.jsonl_source import (
+        TAIL_STABLE_BATCHES,
+        JsonlStreamReader,
+    )
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    f = os.path.join(d, "a.jsonl")
+    full = json.dumps({"doc_id": 1, "text": "one"}) + "\n"
+    tail = json.dumps({"doc_id": 2, "text": "two"})  # no newline, ever
+    with open(f, "w") as fh:
+        fh.write(full + tail)
+
+    rd = JsonlStreamReader({"path": d})
+    it, end = rd.read({})
+    assert list(it) == [(1, "one")]  # tail withheld while maybe-in-flight
+    assert end[f] == len(full.encode())
+    for _ in range(TAIL_STABLE_BATCHES - 1):
+        it, end = rd.read(end)
+        assert list(it) == []
+    # size has now been stable for TAIL_STABLE_BATCHES batches
+    it, end = rd.read(end)
+    assert list(it) == [(2, "two")]
+    assert end[f] == len((full + tail).encode())
+    # and nothing is double-ingested afterwards
+    it, end = rd.read(end)
+    assert list(it) == []
+
+
+def test_jsonl_stream_stability_counter_resets_on_growth(tmp_path):
+    """A file that grows mid-window restarts the staleness clock —
+    the escape only fires for a genuinely quiescent file."""
+    import json
+    import os
+
+    from hdp2_5_hive_spark.streaming.jsonl_source import (
+        TAIL_STABLE_BATCHES,
+        JsonlStreamReader,
+    )
+
+    d = str(tmp_path / "src")
+    os.makedirs(d)
+    f = os.path.join(d, "a.jsonl")
+    partial = '{"doc_id": 1, "te'
+    with open(f, "w") as fh:
+        fh.write(partial)
+
+    rd = JsonlStreamReader({"path": d})
+    it, end = rd.read({})
+    assert list(it) == []
+    for _ in range(TAIL_STABLE_BATCHES - 1):
+        it, end = rd.read(end)
+        assert list(it) == []
+    # writer resumes before the escape fires: completes the record
+    rest = 'xt": "one"}\n' + json.dumps({"doc_id": 2, "text": "two"})
+    with open(f, "a") as fh:
+        fh.write(rest)
+    it, end = rd.read(end)
+    assert list(it) == [(1, "one")]  # whole line, no torn halves
+    # the new newline-less tail starts its own stability window
+    for _ in range(TAIL_STABLE_BATCHES):
+        it, end = rd.read(end)
+    assert list(it) == [(2, "two")]
