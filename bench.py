@@ -130,6 +130,16 @@ def main() -> None:
         "sf": sf,
         "calibration_s": calibration,
     }
+    # First-class normalization fields (machine factor, equiv-seconds,
+    # ratio vs best-known ledger) so round-over-round comparison reads
+    # straight from the artifact instead of the gate's log tail.
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    try:
+        import bench_gate as _bg
+
+        result.update(_bg.normalization(result))
+    except Exception as e:  # never let reporting kill the bench
+        print(f"# normalization skipped: {e!r}", file=sys.stderr)
     print(json.dumps(result))
 
     # Self-gating (scripts/bench_gate.py): compare against best-known
@@ -140,7 +150,6 @@ def main() -> None:
     # discovered in the next verdict. SPARK_GRAFT_BENCH_GATE=warn
     # restores report-only. The stdout JSON line prints either way.
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
         import io
         from contextlib import redirect_stdout
 

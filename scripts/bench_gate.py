@@ -55,6 +55,12 @@ PLAN_RESET = {
 # (calibration_s in the bench JSON) — lives beside the query bests in
 # BENCH_BEST.json but is never compared as a query.
 CAL_KEY = "__calibration__"
+# The scale factor all ledger entries (and the driver's BENCH_r*.json
+# history) were measured at. A bench run at a DIFFERENT sf must not
+# be compared against — or min-merged into — the ledger: an sf0.01
+# sanity run would silently replace the sf0.1 bests with faster
+# small-scale times, making every future real run a false regression.
+LEDGER_SF = 0.1
 
 
 def _load_history() -> dict[str, float]:
@@ -90,6 +96,63 @@ def _load_history() -> dict[str, float]:
     return best
 
 
+def _machine_factor(
+    result: dict, best: dict[str, float]
+) -> tuple[float, str, dict[str, float]]:
+    """Measured host-speed factor for a bench result: this run's
+    fixed-size calibration probe over the best-known probe time;
+    median-of-ratios fallback when no calibration history exists.
+    Returns (factor, source-description, per-query ratios)."""
+    ratios = {
+        name: sec / best[name]
+        for name, sec in result["queries"].items()
+        if best.get(name, 0) >= MIN_SECONDS
+    }
+    cal = result.get("calibration_s")
+    cal_best = best.get(CAL_KEY)
+    if isinstance(cal, (int, float)) and cal_best:
+        factor = max(1.0, float(cal) / cal_best)
+        factor_src = f"calibration {cal:.2f}s/{cal_best:.2f}s"
+    else:
+        factor = (
+            sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
+        )
+        factor = max(factor, 1.0)
+        factor_src = "run-median fallback (no calibration history)"
+    return factor, factor_src, ratios
+
+
+def normalization(result: dict) -> dict:
+    """First-class normalization fields for the bench artifact
+    (verdict r12 #7): the measured machine factor, the suite total in
+    host-normalized equivalent seconds, and its ratio over the
+    best-known ledger sum for the same queries — so round-over-round
+    comparison needs no log parsing. Empty for a run at a different
+    sf than the ledger — cross-scale ratios would be fiction."""
+    sf = result.get("sf")
+    if isinstance(sf, (int, float)) and abs(sf - LEDGER_SF) > 1e-9:
+        return {}
+    best = _load_history()
+    factor, factor_src, _ = _machine_factor(result, best)
+    common = [
+        n
+        for n, sec in result["queries"].items()
+        if isinstance(sec, (int, float)) and n in best
+    ]
+    run_sum = sum(result["queries"][n] for n in common)
+    best_sum = sum(best[n] for n in common)
+    equiv = run_sum / factor if factor else run_sum
+    return {
+        "machine_factor": round(factor, 3),
+        "machine_factor_source": factor_src,
+        "suite_equiv_seconds": round(equiv, 3),
+        "best_known_suite_seconds": round(best_sum, 3),
+        "normalized_suite_ratio": (
+            round(equiv / best_sum, 3) if best_sum else None
+        ),
+    }
+
+
 def main() -> int:
     raw = (
         open(sys.argv[1]).read()
@@ -110,6 +173,14 @@ def main() -> int:
     if result is None:
         print("bench_gate: no bench JSON found on input", file=sys.stderr)
         return 2
+    sf = result.get("sf")
+    if isinstance(sf, (int, float)) and abs(sf - LEDGER_SF) > 1e-9:
+        print(
+            f"bench_gate: SKIPPED — result measured at sf={sf}, ledger "
+            f"is sf={LEDGER_SF}; cross-scale times are neither "
+            "comparable nor mergeable"
+        )
+        return 0
 
     best = _load_history()
     # Machine-speed normalization. Preferred (verdict r7 #5): the
@@ -120,22 +191,9 @@ def main() -> int:
     # old median-of-ratios heuristic masked uniform regressions by
     # construction; it remains only as the fallback for inputs with
     # no calibration history).
-    ratios = {
-        name: sec / best[name]
-        for name, sec in result["queries"].items()
-        if best.get(name, 0) >= MIN_SECONDS
-    }
+    factor, factor_src, ratios = _machine_factor(result, best)
     cal = result.get("calibration_s")
     cal_best = best.get(CAL_KEY)
-    if isinstance(cal, (int, float)) and cal_best:
-        factor = max(1.0, float(cal) / cal_best)
-        factor_src = f"calibration {cal:.2f}s/{cal_best:.2f}s"
-    else:
-        factor = (
-            sorted(ratios.values())[len(ratios) // 2] if ratios else 1.0
-        )
-        factor = max(factor, 1.0)
-        factor_src = "run-median fallback (no calibration history)"
     failures = []
     for name, ratio in ratios.items():
         if ratio > THRESHOLD * factor:

@@ -712,7 +712,17 @@ def test_tokenizer_round_counts_partial_agg(spark, sf_dir):
 # Row-at-a-time Python UDFs (BatchEvalPython nodes) are the documented
 # slow path — allowed ONLY in the legacy-surface demo. Everything else
 # must stay JVM-side or Arrow-vectorized (ArrowEvalPython/mapInPandas).
-ROW_UDF_OK = {"udf_python_scalar"}
+# Same contract as NESTED_LOOP_OK: every entry carries a non-empty
+# justification string (enforced below) so the whitelist cannot be
+# silently widened by a bare name.
+ROW_UDF_OK = {
+    "udf_python_scalar": (
+        "the legacy-surface demo itself: it exists to exercise the "
+        "row-at-a-time F.udf registration path (HiveQL CREATE "
+        "TEMPORARY FUNCTION parity) and is pinned to toy input; the "
+        "vectorized twin is udf_pandas_charge"
+    ),
+}
 
 
 def test_registry_wide_no_unplanned_nested_loop(spark, qs):
@@ -753,10 +763,22 @@ def test_registry_wide_no_unplanned_nested_loop(spark, qs):
         f"row-at-a-time Python UDF planned outside the legacy demo: "
         f"{udf_offenders}"
     )
-    stale = [
-        n for n in NESTED_LOOP_OK if n not in qs
-    ] + [n for n in SWEEP_SKIP if n not in qs]
+    stale = (
+        [n for n in NESTED_LOOP_OK if n not in qs]
+        + [n for n in SWEEP_SKIP if n not in qs]
+        + [n for n in ROW_UDF_OK if n not in qs]
+    )
     assert not stale, f"whitelist entries not in registry: {stale}"
+    # a bare addition (no rationale) to either whitelist fails here
+    unjustified = [
+        n
+        for wl in (NESTED_LOOP_OK, ROW_UDF_OK)
+        for n, why in wl.items()
+        if not (isinstance(why, str) and why.strip())
+    ]
+    assert not unjustified, (
+        f"whitelist entries without a justification: {unjustified}"
+    )
 
 
 def test_shared_shuffle_reused_across_branches(spark, sf_dir):
