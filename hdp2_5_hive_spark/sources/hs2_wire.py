@@ -184,9 +184,37 @@ def _handle(guid: bytes) -> bytes:
     return _fld(1, tp.T_STRUCT, ident) + _stop()  # wrapper struct
 
 
+# Corrupt-input contract bounds (verdict r12 #2 — the server parses
+# attacker-controllable bytes off a socket, where a hang or an
+# internal-error leak is strictly worse than in a file reader):
+# every length/count read off the wire is validated BEFORE it sizes a
+# read or a loop. A negative length would turn into read(-1) — which
+# on a buffered socket file BLOCKS until the peer closes (an
+# executor-thread hang a malicious or broken client controls); an
+# unbounded one is a memory/slow-loris hazard.
+MAX_METHOD_LEN = 1 << 12  # TCLIService method names are short ASCII
+MAX_WIRE_STRING = 1 << 26  # 64 MiB — bounds one string/binary value
+MAX_STRUCT_BYTES = 1 << 26  # 64 MiB — bounds one whole request struct
+MAX_CONTAINER_ITEMS = 1 << 22  # bounds one list/map element loop
+MAX_NEST_DEPTH = 64  # bounds recursion: deep nesting raised
+# RecursionError (an internal-error leak) before this cap existed
+
+
+def _need(sock_file, n: int) -> bytes:
+    """Read exactly n bytes or raise EOFError — so a truncated stream
+    surfaces as a clean connection-close, never as struct.error from
+    unpacking a short buffer."""
+    b = sock_file.read(n)
+    if len(b) < n:
+        raise EOFError
+    return b
+
+
 def _read_message(sock_file) -> tuple[str, int, list]:
     """Parse one strict-protocol message: returns (method, seqid,
-    positional args struct)."""
+    positional args struct). Raises EOFError on a clean/truncated
+    close and ValueError on any protocol violation — no other
+    exception type escapes (fuzz contract, tests/test_hs2_fuzz.py)."""
     head = sock_file.read(4)
     if len(head) < 4:
         raise EOFError
@@ -195,10 +223,19 @@ def _read_message(sock_file) -> tuple[str, int, list]:
         raise ValueError(
             "old-style (non-strict) thrift framing not supported"
         )
+    # word is a signed i32; Python's & against the positive mask
+    # yields the unsigned high half — compare against 0x80010000
+    if (word & 0xFFFF0000) != VERSION_MASK:
+        raise ValueError(f"bad thrift protocol version word {word & 0xFFFFFFFF:#x}")
     mtype = word & 0xFF
-    (nlen,) = struct.unpack(">i", sock_file.read(4))
-    name = sock_file.read(nlen).decode("utf-8")
-    (seqid,) = struct.unpack(">i", sock_file.read(4))
+    (nlen,) = struct.unpack(">i", _need(sock_file, 4))
+    if not 0 <= nlen <= MAX_METHOD_LEN:
+        raise ValueError(f"bad method name length {nlen}")
+    try:
+        name = _need(sock_file, nlen).decode("utf-8")
+    except UnicodeDecodeError as exc:
+        raise ValueError(f"method name is not valid UTF-8: {exc}") from None
+    (seqid,) = struct.unpack(">i", _need(sock_file, 4))
     if mtype != CALL:
         raise ValueError(f"unexpected message type {mtype}")
     # args struct: field 1 = the req struct. Read the full remaining
@@ -211,17 +248,37 @@ def _read_message(sock_file) -> tuple[str, int, list]:
 
 def _read_struct_bytes(sock_file) -> bytes:
     """Consume one struct off the stream byte-exactly (fields until
-    T_STOP, recursing into containers) and return its raw bytes."""
+    T_STOP, recursing into containers) and return its raw bytes.
+
+    Fuzz contract: raises only EOFError (truncated stream) or
+    ValueError (protocol violation). Every wire-supplied length/count
+    is bounds-checked before it sizes a read or loop (negative →
+    blocking read(-1); huge → memory / slow-loris), total struct size
+    is capped, and nesting depth is capped so crafted deep nesting
+    cannot raise RecursionError."""
     out = bytearray()
 
     def copy(n: int) -> bytes:
+        if len(out) + n > MAX_STRUCT_BYTES:
+            raise ValueError(
+                f"request struct exceeds {MAX_STRUCT_BYTES} bytes"
+            )
         b = sock_file.read(n)
         if len(b) < n:
             raise EOFError
         out.extend(b)
         return b
 
-    def skip_value(tt: int) -> None:
+    def _count(n: int, what: str) -> int:
+        if not 0 <= n <= MAX_CONTAINER_ITEMS:
+            raise ValueError(f"bad {what} count {n}")
+        return n
+
+    def skip_value(tt: int, depth: int) -> None:
+        if depth > MAX_NEST_DEPTH:
+            raise ValueError(
+                f"thrift nesting deeper than {MAX_NEST_DEPTH}"
+            )
         if tt == tp.T_BOOL or tt == tp.T_BYTE:
             copy(1)
         elif tt == tp.T_I16:
@@ -232,6 +289,8 @@ def _read_struct_bytes(sock_file) -> bytes:
             copy(8)
         elif tt == tp.T_STRING:
             (n,) = struct.unpack(">i", copy(4))
+            if not 0 <= n <= MAX_WIRE_STRING:
+                raise ValueError(f"bad string length {n}")
             copy(n)
         elif tt == tp.T_STRUCT:
             while True:
@@ -239,22 +298,22 @@ def _read_struct_bytes(sock_file) -> bytes:
                 if ft == tp.T_STOP:
                     return
                 copy(2)
-                skip_value(ft)
+                skip_value(ft, depth + 1)
         elif tt == tp.T_MAP:
             kt, vt = struct.unpack(">bb", copy(2))
             (n,) = struct.unpack(">i", copy(4))
-            for _ in range(n):
-                skip_value(kt)
-                skip_value(vt)
+            for _ in range(_count(n, "map")):
+                skip_value(kt, depth + 1)
+                skip_value(vt, depth + 1)
         elif tt in (tp.T_LIST, 14):  # list / set share the layout
             (et,) = struct.unpack(">b", copy(1))
             (n,) = struct.unpack(">i", copy(4))
-            for _ in range(n):
-                skip_value(et)
+            for _ in range(_count(n, "list")):
+                skip_value(et, depth + 1)
         else:
             raise ValueError(f"unknown thrift wire type {tt}")
 
-    skip_value(tp.T_STRUCT)
+    skip_value(tp.T_STRUCT, 0)
     return bytes(out)
 
 
@@ -440,7 +499,7 @@ class _FramedIO:
                 if len(head) < 4:
                     break
                 (ln,) = struct.unpack(">i", head)
-                if ln < 0:
+                if not 0 <= ln <= MAX_STRUCT_BYTES:
                     raise ValueError(f"bad SASL data frame length {ln}")
                 self._buf = self._r.read(ln)
                 self._pos = 0
@@ -536,12 +595,28 @@ class _Handler(socketserver.StreamRequestHandler):
                 name, seqid, args = _read_message(rfile)
             except (EOFError, ConnectionError):
                 return
+            except ValueError as exc:
+                # protocol violation (fuzz contract): answer with a
+                # best-effort TApplicationException and DROP the
+                # connection — the stream position is untrustworthy
+                # after a framing error, so continuing would misparse
+                # every subsequent byte. The server (other threads,
+                # session registry) is unaffected.
+                try:
+                    wfile.write(_exception("", 0, f"protocol error: {exc}"))
+                    wfile.flush()
+                except (OSError, ValueError):
+                    pass
+                return
             try:
                 out = self._dispatch(srv, name, seqid, args)
             except Exception as exc:  # noqa: BLE001 — wire errors out
                 out = _exception(name, seqid, f"{type(exc).__name__}: {exc}")
-            wfile.write(out)
-            wfile.flush()
+            try:
+                wfile.write(out)
+                wfile.flush()
+            except (OSError, ValueError):
+                return  # peer went away mid-reply; nothing to salvage
 
     def _dispatch(self, srv, name: str, seqid: int, args: list) -> bytes:
         if name == "OpenSession":
