@@ -555,29 +555,63 @@ def compact_acid_table(
 
     Returns the new base directory path. Scale: one merge-on-read
     pass (a single identity-keyed window shuffle) + one ORC write —
-    the same cost Hive's compactor job pays."""
+    the same cost Hive's compactor job pays.
+
+    Defect-hunt r13 invariants:
+    - folds exactly the READER's view — the highest base plus deltas
+      above it. Folding every dir on disk (the old behavior) could
+      RESURRECT deleted rows when a folded-away delta was missing
+      while a stale lower base survived (partial clean/crash
+      leftovers): the delete event lived only in the missing delta.
+    - when nothing sits above the highest base, compaction is a
+      NO-OP returning it: the in-place rewrite (rmtree + rename) had
+      a crash window that left the table with no base at all, and the
+      history folded into it was already cleaned — permanent loss.
+    - the tmp name is unique per attempt and a racing compactor whose
+      publish target appeared concurrently discards its own tmp (the
+      folds are identical by construction), so two compactors can
+      never interleave writes into one tmp directory."""
     import glob as _glob
+    import os as _os
     import shutil as _shutil
+    import uuid as _uuid
 
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    old_dirs, max_wid = [], -1
+    bases, deltas = [], []
     for d in sorted(_glob.glob(f"{table_dir}/*")):
         name = d.rsplit("/", 1)[-1]
         if name.startswith("base_"):
-            old_dirs.append(d)
-            max_wid = max(max_wid, int(name.split("_")[1]))
+            bases.append((int(name.split("_")[1]), d))
         elif name.startswith("delta_"):
-            old_dirs.append(d)
-            max_wid = max(max_wid, int(name.split("_")[2]))
-    if max_wid < 0:
+            parts = name.split("_")
+            deltas.append((int(parts[1]), int(parts[2]), d))
+    if not bases and not deltas:
         raise FileNotFoundError(f"no base_/delta_ dirs under {table_dir}")
+    base_id = max(b[0] for b in bases) if bases else -1
+    live = [d for wid, d in bases if wid == base_id] + [
+        d for lo, hi, d in sorted(deltas) if lo > base_id
+    ]
+    stale = [d for _, d in bases if d not in live] + [
+        d for _, _, d in deltas if d not in live
+    ]
+    max_wid = max(
+        [base_id] + [hi for lo, hi, _ in deltas if lo > base_id]
+    )
+    if max_wid == base_id and bases:
+        # nothing above the base: no fold to do — just sweep stale
+        # dirs the reader ignores anyway
+        current = next(d for wid, d in bases if wid == base_id)
+        if clean:
+            for d in stale:
+                _shutil.rmtree(d, ignore_errors=True)
+        return current
 
     files = sorted(
         set(
             f
-            for d in old_dirs
+            for d in live
             for f in _glob.glob(f"{d}/*.orc") + _glob.glob(f"{d}/part-*")
         )
     )
@@ -596,17 +630,21 @@ def compact_acid_table(
         .withColumn("currentTransaction", F.lit(max_wid).cast("long"))
     )
     new_base = f"{table_dir}/base_{max_wid:07d}"
-    tmp = f"{table_dir}/_compactor_tmp_base_{max_wid:07d}"
+    tmp = (
+        f"{table_dir}/_compactor_tmp_base_{max_wid:07d}"
+        f"_{_uuid.uuid4().hex[:12]}"
+    )
     survivors.write.mode("overwrite").orc(tmp)
-    # a base_<maxWid> may already exist (re-compaction): replace it
-    if new_base in old_dirs:
-        _shutil.rmtree(new_base, ignore_errors=True)
-        old_dirs.remove(new_base)
-    import os as _os
-
-    _os.rename(tmp, new_base)
+    try:
+        _os.rename(tmp, new_base)
+    except OSError:
+        if not _os.path.isdir(new_base):
+            raise
+        # a racing compactor published the identical fold first —
+        # ours is redundant, not conflicting
+        _shutil.rmtree(tmp, ignore_errors=True)
     if clean:
-        for d in old_dirs:
+        for d in stale + [d for d in live if d != new_base]:
             _shutil.rmtree(d, ignore_errors=True)
     return new_base
 
@@ -667,7 +705,14 @@ def compact_acid_minor(
             f"overlapping delta ranges under {table_dir}: "
             f"{new_delta} already exists alongside other live deltas"
         )
-    tmp = f"{table_dir}/_compactor_tmp_delta_{lo:07d}_{hi:07d}"
+    import uuid as _uuid
+
+    # unique per attempt: two racing minor compactors sharing one tmp
+    # path would interleave writes (same fix as the major compactor)
+    tmp = (
+        f"{table_dir}/_compactor_tmp_delta_{lo:07d}_{hi:07d}"
+        f"_{_uuid.uuid4().hex[:12]}"
+    )
     events.write.mode("overwrite").orc(tmp)
     # PUBLISH FIRST, clean after (the major compactor's order): a
     # crash between an early cleanup and the rename would leave the
@@ -675,7 +720,13 @@ def compact_acid_minor(
     # ignores — the table silently reverts to base-only state. A
     # crash after the rename leaves the old deltas as duplicates,
     # which the reader's per-identity row_number dedups harmlessly.
-    _os.rename(tmp, new_delta)
+    try:
+        _os.rename(tmp, new_delta)
+    except OSError:
+        if not _os.path.isdir(new_delta):
+            raise
+        # a racing minor compactor published the identical merge
+        _shutil.rmtree(tmp, ignore_errors=True)
     for _, _, d in live:
         if clean:
             _shutil.rmtree(d, ignore_errors=True)
