@@ -754,44 +754,55 @@ class Metastore:
         the partition-column list and storage format; the partition
         must exist in ``src`` and must NOT exist in ``dst``. Spec
         values are restricted to the safe charset (same rule as SET
-        FILEFORMAT) so the on-disk directory name equals the spec."""
+        FILEFORMAT) so the on-disk directory name equals the spec.
+
+        The validation AND the directory rename run inside the locked
+        mutation (defect hunt r13): validating against an unlocked
+        metadata read let a concurrent ``drop_table(dst)`` land
+        between the check and the rename — makedirs then RESURRECTED
+        the dropped table's directory and moved src's partition into
+        a ghost dir no table owns (stranded data, silently clobbered
+        by the next CREATE of that name)."""
         import re as _re
 
-        meta = self._read_meta()["tables"]
-        for n in (src, dst):
-            if n not in meta:
-                raise NoSuchTableError(n)
-        ms, md = meta[src], meta[dst]
-        if ms["partition_by"] != md["partition_by"]:
-            raise ValueError(
-                f"partition columns differ: {ms['partition_by']} vs "
-                f"{md['partition_by']}"
-            )
-        if ms["format"] != md["format"]:
-            raise ValueError(
-                f"storage formats differ: {ms['format']} vs {md['format']}"
-            )
-        cols = ms["partition_by"]
-        if set(spec) != set(cols):
-            raise ValueError(f"full partition spec required: {cols}")
-        for v in spec.values():
-            if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", str(v)):
-                raise ValueError(f"unsupported partition value {v!r}")
-        segs = [f"{c}={spec[c]}" for c in cols]
-        src_dir = os.path.join(self.warehouse_dir, ms["path"], *segs)
-        dst_dir = os.path.join(self.warehouse_dir, md["path"], *segs)
-        # destination-absent is checked FIRST (as in DDLTask's
-        # precondition order) so a replayed exchange reports the
-        # real conflict, not a misleading missing-source error
-        if os.path.exists(dst_dir):
-            raise ValueError(
-                f"partition {spec!r} already exists in table {dst!r} "
-                "(Hive EXCHANGE requires the destination to be absent)"
-            )
-        if not os.path.isdir(src_dir):
-            raise ValueError(f"partition {spec!r} not in table {src!r}")
-        os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
-        os.rename(src_dir, dst_dir)
+        def do(doc: dict) -> None:
+            meta = doc["tables"]
+            for n in (src, dst):
+                if n not in meta:
+                    raise NoSuchTableError(n)
+            ms, md = meta[src], meta[dst]
+            if ms["partition_by"] != md["partition_by"]:
+                raise ValueError(
+                    f"partition columns differ: {ms['partition_by']} vs "
+                    f"{md['partition_by']}"
+                )
+            if ms["format"] != md["format"]:
+                raise ValueError(
+                    f"storage formats differ: {ms['format']} vs {md['format']}"
+                )
+            cols = ms["partition_by"]
+            if set(spec) != set(cols):
+                raise ValueError(f"full partition spec required: {cols}")
+            for v in spec.values():
+                if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", str(v)):
+                    raise ValueError(f"unsupported partition value {v!r}")
+            segs = [f"{c}={spec[c]}" for c in cols]
+            src_dir = os.path.join(self.warehouse_dir, ms["path"], *segs)
+            dst_dir = os.path.join(self.warehouse_dir, md["path"], *segs)
+            # destination-absent is checked FIRST (as in DDLTask's
+            # precondition order) so a replayed exchange reports the
+            # real conflict, not a misleading missing-source error
+            if os.path.exists(dst_dir):
+                raise ValueError(
+                    f"partition {spec!r} already exists in table {dst!r} "
+                    "(Hive EXCHANGE requires the destination to be absent)"
+                )
+            if not os.path.isdir(src_dir):
+                raise ValueError(f"partition {spec!r} not in table {src!r}")
+            os.makedirs(os.path.dirname(dst_dir), exist_ok=True)
+            os.rename(src_dir, dst_dir)
+
+        self._mutate(do)
 
     def drop_partition(self, name: str, spec: dict) -> int:
         """``ALTER TABLE name DROP PARTITION (col=val, ...)``
@@ -808,7 +819,13 @@ class Metastore:
         values compare as strings — pass the same text Spark wrote
         (e.g. ``'2.0'`` for a double partition column). An EMPTY spec
         raises: Hive requires at least one column, and silently
-        matching everything would rmtree the whole table."""
+        matching everything would rmtree the whole table.
+
+        Runs inside the locked mutation (defect hunt r13, same class
+        as exchange_partition): the walk/rmtree must not interleave
+        with a concurrent ``drop_table``/``rename_table`` of the same
+        table — the table's existence is re-validated under the lock
+        the rival's metadata pop also takes."""
         import shutil
         from urllib.parse import unquote
 
@@ -817,54 +834,58 @@ class Metastore:
                 "DROP PARTITION requires a non-empty spec (an empty "
                 "spec would drop every partition; use drop_table)"
             )
-        meta = self._read_meta()["tables"]
-        if name not in meta:
-            raise NoSuchTableError(name)
-        m = meta[name]
-        cols = m["partition_by"]
-        bad = set(spec) - set(cols)
-        if bad:
-            raise ValueError(f"unknown partition columns {sorted(bad)}")
-        dropped = 0
-        root = os.path.join(self.warehouse_dir, m["path"])
 
-        def matches(want: object, dir_val: str) -> bool:
-            val = unquote(dir_val)
-            if want is None:
-                return val == "__HIVE_DEFAULT_PARTITION__"
-            return str(want) == val
+        def do(doc: dict) -> int:
+            meta = doc["tables"]
+            if name not in meta:
+                raise NoSuchTableError(name)
+            m = meta[name]
+            cols = m["partition_by"]
+            bad = set(spec) - set(cols)
+            if bad:
+                raise ValueError(f"unknown partition columns {sorted(bad)}")
+            dropped = 0
+            root = os.path.join(self.warehouse_dir, m["path"])
 
-        def leaves(path: str, depth: int) -> int:
-            if depth == len(cols):
-                return 1
-            total = 0
-            for entry in os.listdir(path):
-                sub = os.path.join(path, entry)
-                if os.path.isdir(sub) and entry.startswith(cols[depth] + "="):
-                    total += leaves(sub, depth + 1)
-            return total
+            def matches(want: object, dir_val: str) -> bool:
+                val = unquote(dir_val)
+                if want is None:
+                    return val == "__HIVE_DEFAULT_PARTITION__"
+                return str(want) == val
 
-        def walk(path: str, depth: int) -> None:
-            nonlocal dropped
-            if depth == len(cols):
-                return
-            col = cols[depth]
-            for entry in sorted(os.listdir(path)):
-                sub = os.path.join(path, entry)
-                if not os.path.isdir(sub) or not entry.startswith(col + "="):
-                    continue
-                if col in spec and not matches(
-                    spec[col], entry.split("=", 1)[1]
-                ):
-                    continue
-                if not any(c in spec for c in cols[depth + 1 :]):
-                    dropped += leaves(sub, depth + 1)
-                    shutil.rmtree(sub)
-                else:
-                    walk(sub, depth + 1)
+            def leaves(path: str, depth: int) -> int:
+                if depth == len(cols):
+                    return 1
+                total = 0
+                for entry in os.listdir(path):
+                    sub = os.path.join(path, entry)
+                    if os.path.isdir(sub) and entry.startswith(cols[depth] + "="):
+                        total += leaves(sub, depth + 1)
+                return total
 
-        walk(root, 0)
-        return dropped
+            def walk(path: str, depth: int) -> None:
+                nonlocal dropped
+                if depth == len(cols):
+                    return
+                col = cols[depth]
+                for entry in sorted(os.listdir(path)):
+                    sub = os.path.join(path, entry)
+                    if not os.path.isdir(sub) or not entry.startswith(col + "="):
+                        continue
+                    if col in spec and not matches(
+                        spec[col], entry.split("=", 1)[1]
+                    ):
+                        continue
+                    if not any(c in spec for c in cols[depth + 1 :]):
+                        dropped += leaves(sub, depth + 1)
+                        shutil.rmtree(sub)
+                    else:
+                        walk(sub, depth + 1)
+
+            walk(root, 0)
+            return dropped
+
+        return self._mutate(do)
 
     def show_create_table(
         self, name: str, spark: SparkSession | None = None

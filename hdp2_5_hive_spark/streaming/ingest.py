@@ -209,6 +209,40 @@ def run_to_completion(stream_df: DataFrame, checkpoint: str, out_path: str) -> N
     q.awaitTermination()
 
 
+def assert_batch_id_monotonic(batch_id: int, *paths: str) -> None:
+    """Stale/fresh-checkpoint guard for batch_id-partitioned
+    foreachBatch sinks (defect hunt r13): Spark replays AT MOST the
+    single last uncommitted batch, so a legitimate batch_id is always
+    >= the highest batch_id partition already on disk. A LOWER id
+    means the query restarted against a fresh (or restored-stale)
+    checkpoint while the output directories survived — the new run's
+    ids restart at 0 and dynamic partition overwrite would silently
+    interleave two unrelated runs (some old partitions replaced, the
+    rest left as duplicates). Fail loudly instead; the operator must
+    either restore the matching checkpoint or point the sink at clean
+    directories."""
+    import os
+
+    seen = -1
+    for p in paths:
+        if not os.path.isdir(p):
+            continue
+        for name in os.listdir(p):
+            if name.startswith("batch_id="):
+                try:
+                    seen = max(seen, int(name.split("=", 1)[1]))
+                except ValueError:
+                    continue
+    if batch_id < seen:
+        raise ValueError(
+            f"foreachBatch got batch_id={batch_id} but the sink "
+            f"directories already hold batch_id={seen}: the stream "
+            "restarted with a fresh or stale checkpoint over an "
+            "existing output — restore the matching checkpoint or "
+            "start from clean sink directories"
+        )
+
+
 def idempotent_batch_sink(out_path: str):
     """foreachBatch sink that stays exactly-once under micro-batch
     REPLAY: each batch lands in its own ``batch_id=N`` partition with
@@ -225,6 +259,7 @@ def idempotent_batch_sink(out_path: str):
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        assert_batch_id_monotonic(batch_id, out_path)
         # per-writer option, NOT a session-conf set/restore: two
         # concurrent streaming queries sharing the session interleave
         # their foreachBatch calls on different driver threads, and

@@ -72,6 +72,18 @@ def neardup_ingest_sink(
     surviving (id, text) rows, all batch_id-partitioned."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from .ingest import assert_batch_id_monotonic
+
+        # fresh/stale-checkpoint guard across ALL three sink dirs: a
+        # crash can leave them at different max batch ids, and a
+        # restarted-with-wrong-checkpoint run must not interleave
+        # with any of them
+        assert_batch_id_monotonic(
+            batch_id,
+            out_dir,
+            os.path.join(index_dir, "shingles"),
+            os.path.join(index_dir, "buckets"),
+        )
         spark = batch_df.sparkSession
         batch = batch_df.select(
             F.col(id_col), F.col(text_col)

@@ -732,3 +732,73 @@ def test_import_staging_survives_stale_dir_and_concurrent_threads(
     # not ours to remove; everything this test's imports created is)
     leftover = set(_glob.glob(os.path.join(wh, ".import_*"))) - {stale}
     assert not leftover, leftover
+
+
+def test_exchange_partition_loses_race_to_drop_table_cleanly(
+    spark, tmp_path
+):
+    """Defect hunt r13: EXCHANGE PARTITION validated against an
+    unlocked metadata read, so a concurrent DROP TABLE of the
+    destination could land between the check and the rename —
+    makedirs then resurrected the dropped table's directory and
+    moved the source partition into a ghost dir no table owns. The
+    validation + rename now run inside the locked mutation and the
+    loser raises instead."""
+    import os
+
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore, NoSuchTableError
+
+    wh = str(tmp_path / "wh")
+    ms = Metastore(wh)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string")
+    ms.create_table(df, "src", partition_by=["p"])
+    ms.create_table(df.filter("k = 1"), "dst", partition_by=["p"])
+    ms.drop_partition("dst", {"p": "b"})  # make the slot absent in dst
+
+    real_mutate = ms._mutate
+
+    def racing_mutate(fn):
+        ms._mutate = real_mutate
+        ms.drop_table("dst")  # the rival drops dst first
+        return real_mutate(fn)
+
+    ms._mutate = racing_mutate
+    try:
+        with _pytest.raises(NoSuchTableError):
+            ms.exchange_partition("src", "dst", {"p": "b"})
+    finally:
+        ms._mutate = real_mutate
+    # the source partition is intact and no ghost dst dir exists
+    assert os.path.isdir(os.path.join(wh, "src", "p=b"))
+    assert not os.path.exists(os.path.join(wh, "dst"))
+    assert {r.k for r in ms.get_table(spark, "src").collect()} == {1, 2}
+
+
+def test_drop_partition_loses_race_to_drop_table_cleanly(spark, tmp_path):
+    """Same interleaving for DROP PARTITION: the walk/rmtree must not
+    run against a table a concurrent DROP TABLE already popped."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore, NoSuchTableError
+
+    wh = str(tmp_path / "wh")
+    ms = Metastore(wh)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string")
+    ms.create_table(df, "t", partition_by=["p"])
+
+    real_mutate = ms._mutate
+
+    def racing_mutate(fn):
+        ms._mutate = real_mutate
+        ms.drop_table("t")
+        return real_mutate(fn)
+
+    ms._mutate = racing_mutate
+    try:
+        with _pytest.raises(NoSuchTableError):
+            ms.drop_partition("t", {"p": "a"})
+    finally:
+        ms._mutate = real_mutate
+    assert ms.tables() == []

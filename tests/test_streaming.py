@@ -254,8 +254,12 @@ def test_foreach_batch_sink_idempotent_under_replay(spark, tmp_path):
     b0 = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
     b1 = spark.createDataFrame([("c", 3)], "k string, v int")
     sink(b0, 0)
+    sink(b0, 0)  # replay of the LAST batch (the only one Spark
+    # ever re-delivers: batch N is committed before N+1 starts; an
+    # OLDER id reappearing means a fresh/stale checkpoint, which the
+    # sink now rejects — see assert_batch_id_monotonic)
     sink(b1, 1)
-    sink(b0, 0)  # replay of batch 0
+    sink(b1, 1)
     rows = sorted((r.k, r.v, r.batch_id) for r in spark.read.parquet(out).collect())
     assert rows == [("a", 1, 0), ("b", 2, 0), ("c", 3, 1)]
 
@@ -968,8 +972,10 @@ def test_idempotent_sink_leaves_session_conf_alone(spark, tmp_path):
         sink = idempotent_batch_sink(out)
         sink(spark.createDataFrame([("a", 1)], "k string, v int"), 0)
         assert spark.conf.get(key) == "static"
-        sink(spark.createDataFrame([("b", 2)], "k string, v int"), 1)
+        # replay of the LAST batch (the only replay Spark produces —
+        # an older id means a stale checkpoint and is rejected)
         sink(spark.createDataFrame([("a", 9)], "k string, v int"), 0)
+        sink(spark.createDataFrame([("b", 2)], "k string, v int"), 1)
         rows = sorted(
             (r.k, r.v, r.batch_id)
             for r in spark.read.parquet(out).collect()
@@ -1087,3 +1093,44 @@ def test_jsonl_stream_stability_counter_resets_on_growth(tmp_path):
     for _ in range(TAIL_STABLE_BATCHES):
         it, end = rd.read(end)
     assert list(it) == [(2, "two")]
+
+
+def test_batch_sink_rejects_fresh_checkpoint_over_existing_output(
+    spark, tmp_path
+):
+    """Defect hunt r13: a stream restarted with a FRESH (or
+    restored-stale) checkpoint over surviving sink directories
+    restarts batch ids at 0 — dynamic partition overwrite then
+    silently interleaves two unrelated runs (some old partitions
+    replaced, the rest left as duplicates). Legitimate replay only
+    re-delivers the single LAST batch, so a batch_id below the
+    on-disk maximum is always that operational error and now fails
+    loudly in both batch_id-partitioned sinks."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.streaming.ingest import idempotent_batch_sink
+    from hdp2_5_hive_spark.streaming.neardup_stream import (
+        neardup_ingest_sink,
+    )
+
+    out = str(tmp_path / "out")
+    sink = idempotent_batch_sink(out)
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    sink(df, 0)
+    sink(df, 1)
+    sink(df, 1)  # same-batch replay: allowed (overwrites itself)
+    sink(df, 5)  # forward skip: allowed (empty batches write nothing)
+    with _pytest.raises(ValueError, match="fresh or stale checkpoint"):
+        sink(df, 0)  # fresh-checkpoint restart: ids went backwards
+
+    nd_out = str(tmp_path / "nd_out")
+    nd_idx = str(tmp_path / "nd_idx")
+    nd = neardup_ingest_sink(nd_out, nd_idx)
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    nd(docs, 0)
+    nd(docs, 1)
+    with _pytest.raises(ValueError, match="fresh or stale checkpoint"):
+        nd(docs, 0)
