@@ -122,6 +122,33 @@ class Metastore:
             self._write_meta(meta, expected_version=read_version)
             return out
 
+    def _assert_exists_after_write(self, name: str, written: str) -> None:
+        """Post-write guard for DATA writes that validated against an
+        unlocked metadata read (defect hunt r13): holding the global
+        metastore flock across a distributed write job would serialize
+        every table's DDL behind it, so the write runs unlocked and we
+        re-check the table UNDER the lock afterwards. If a concurrent
+        DROP TABLE won, fail loudly naming the orphaned files — a
+        silent success would strand data in a directory no table owns.
+        The files are deliberately NOT auto-deleted: DROP with
+        purge=False retains the directory by contract, and the two
+        cases are indistinguishable after the fact."""
+        lock_path = os.path.join(self.warehouse_dir, LOCK_FILE)
+        with open(lock_path, "a+", encoding="utf-8") as lock:
+            try:
+                import fcntl
+
+                fcntl.flock(lock.fileno(), fcntl.LOCK_EX)
+            except (ImportError, OSError):
+                pass
+            exists = name in self._read_meta()["tables"]
+        if not exists:
+            raise NoSuchTableError(
+                f"table {name!r} was dropped concurrently with this "
+                f"insert; the written files remain at {written!r} and "
+                "are no longer tracked by the metastore"
+            )
+
     # -- DDL surface ------------------------------------------------------
     def create_table(
         self,
@@ -354,6 +381,9 @@ class Metastore:
             self.warehouse_dir, m["path"], *[f"{c}={spec[c]}" for c in cols]
         )
         df.write.mode("overwrite").format(fmt).save(dirpath)
+        # the write ran against an unlocked metadata read — fail loud
+        # if a concurrent DROP TABLE won (ghost-directory class)
+        self._assert_exists_after_write(name, dirpath)
 
     def drop_table(self, name: str, purge: bool = True) -> None:
         """``DROP TABLE [PURGE]``: metadata always, data iff purge."""
@@ -719,14 +749,18 @@ class Metastore:
         # driver thread could observe the leaked session-wide
         # 'dynamic' (same hazard class as the acid _full_rewrite and
         # idempotent_batch_sink fixes)
+        table_root = os.path.join(self.warehouse_dir, m["path"])
         (
             df.repartition(*[F.col(c) for c in cols])
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .format(m["format"])
             .partitionBy(*cols)
-            .save(os.path.join(self.warehouse_dir, m["path"]))
+            .save(table_root)
         )
+        # the write ran against an unlocked metadata read — fail loud
+        # if a concurrent DROP TABLE won (ghost-directory class)
+        self._assert_exists_after_write(name, table_root)
         if written:
 
             def drop_stale(meta: dict) -> None:

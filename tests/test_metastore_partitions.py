@@ -802,3 +802,49 @@ def test_drop_partition_loses_race_to_drop_table_cleanly(spark, tmp_path):
     finally:
         ms._mutate = real_mutate
     assert ms.tables() == []
+
+
+def test_insert_overwrite_detects_concurrent_drop(spark, tmp_path):
+    """Defect hunt r13, ghost-directory class: an INSERT OVERWRITE
+    whose table is dropped concurrently (between the unlocked
+    validation and the write landing) must fail loudly instead of
+    silently stranding the written files in a directory no table
+    owns. The files deliberately survive (DROP purge=False retains
+    the dir by contract; the cases are indistinguishable)."""
+    import pytest as _pytest
+
+    from hdp2_5_hive_spark.metastore import Metastore, NoSuchTableError
+
+    wh = str(tmp_path / "wh")
+    ms = Metastore(wh)
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, p string")
+    ms.create_table(df, "t", partition_by=["p"])
+
+    real_assert = ms._assert_exists_after_write
+
+    def drop_then_check(name, written):
+        ms._assert_exists_after_write = real_assert
+        ms.drop_table("t", purge=False)  # rival wins mid-write
+        return real_assert(name, written)
+
+    # static single-partition path
+    ms._assert_exists_after_write = drop_then_check
+    try:
+        with _pytest.raises(NoSuchTableError, match="dropped concurrently"):
+            ms.insert_overwrite_static_partition(
+                spark.createDataFrame([(9,)], "k long"), "t", {"p": "a"}
+            )
+    finally:
+        ms._assert_exists_after_write = real_assert
+
+    # dynamic path, same interleaving
+    ms.create_table(df, "t", partition_by=["p"])
+    ms._assert_exists_after_write = drop_then_check
+    try:
+        with _pytest.raises(NoSuchTableError, match="dropped concurrently"):
+            ms.insert_overwrite_partitions(
+                spark.createDataFrame([(9, "a")], "k long, p string"), "t"
+            )
+    finally:
+        ms._assert_exists_after_write = real_assert
+    assert "t" not in ms.tables()
