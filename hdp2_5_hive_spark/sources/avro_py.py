@@ -440,7 +440,17 @@ def read_header(
     sync = src.read(16)
     if len(sync) != 16:
         raise ValueError("avro_py: truncated header sync marker")
-    return json.loads(meta["avro.schema"]), sync, codec
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except RecursionError:
+        # json.loads raises RecursionError (not JSONDecodeError) on
+        # pathologically deep nesting — an internal error class the
+        # corrupt-input contract forbids leaking from a file reader
+        raise ValueError(
+            "avro_py: avro.schema JSON nests beyond the parser limit "
+            "(corrupt or hostile header)"
+        ) from None
+    return schema, sync, codec
 
 
 def _field_ts_millis(avro_type: object) -> bool:

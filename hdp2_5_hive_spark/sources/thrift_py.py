@@ -171,7 +171,19 @@ def decode_row(payload: bytes, n_cols: int) -> list:
     return row
 
 
-def _decode_value(tt: int, payload: bytes, pos: int):
+# Nesting cap for the recursive container decoder: a corrupt (or
+# crafted) payload of a few KB of nested list/struct/map headers
+# otherwise raises RecursionError — an internal error class the
+# corrupt-input contract forbids (ValueError only).
+MAX_NEST_DEPTH = 64
+
+
+def _decode_value(tt: int, payload: bytes, pos: int, depth: int = 0):
+    if depth > MAX_NEST_DEPTH:
+        raise ValueError(
+            f"thrift_py: nesting deeper than {MAX_NEST_DEPTH} at "
+            f"offset {pos}"
+        )
     if tt == T_BOOL:
         if pos >= len(payload):
             raise ValueError(
@@ -209,7 +221,7 @@ def _decode_value(tt: int, payload: bytes, pos: int):
             raise ValueError(f"thrift_py: negative list size {n}")
         out = []
         for _ in range(n):
-            v, pos = _decode_value(et, payload, pos)
+            v, pos = _decode_value(et, payload, pos, depth + 1)
             out.append(v)
         return out, pos
     if tt == T_STRUCT:
@@ -221,7 +233,7 @@ def _decode_value(tt: int, payload: bytes, pos: int):
                 break
             (fid,) = _unpack(">h", payload, pos)
             pos += 2
-            v, pos = _decode_value(ft, payload, pos)
+            v, pos = _decode_value(ft, payload, pos, depth + 1)
             vals[fid] = v
         n = max(vals) if vals else 0
         return [vals.get(i) for i in range(1, n + 1)], pos
@@ -236,8 +248,8 @@ def _decode_value(tt: int, payload: bytes, pos: int):
             raise ValueError(f"thrift_py: negative map size {n}")
         m = {}
         for _ in range(n):
-            k, pos = _decode_value(kt, payload, pos)
-            v, pos = _decode_value(vt, payload, pos)
+            k, pos = _decode_value(kt, payload, pos, depth + 1)
+            v, pos = _decode_value(vt, payload, pos, depth + 1)
             m[k] = v
         return m, pos
     raise NotImplementedError(

@@ -78,10 +78,19 @@ def encode_row(values: list) -> bytes:
     return b"".join(encode_value(v) for v in values)
 
 
+# Nesting cap for the recursive container decoder: a corrupt payload
+# of a few KB of VECTOR/LIST/MAP headers otherwise raises
+# RecursionError — an internal error class the corrupt-input contract
+# forbids (ValueError/EOFError only). Legit Hadoop typedbytes rows
+# nest a handful of levels at most.
+MAX_NEST_DEPTH = 64
+
+
 class _Reader:
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
+        self.depth = 0
 
     def eof(self) -> bool:
         return self.pos >= len(self.data)
@@ -95,6 +104,17 @@ class _Reader:
 
     def value(self):
         code = self.take(1)[0]
+        if code in (VECTOR, LIST, MAP):
+            self.depth += 1
+            if self.depth > MAX_NEST_DEPTH:
+                raise ValueError(
+                    f"typedbytes: nesting deeper than {MAX_NEST_DEPTH} "
+                    f"at offset {self.pos - 1}"
+                )
+            try:
+                return self._container(code)
+            finally:
+                self.depth -= 1
         if code == NULL:
             return None
         if code == BOOL:
@@ -117,6 +137,9 @@ class _Reader:
             )
         if code == BYTES:
             return self.take(struct.unpack(">i", self.take(4))[0])
+        raise NotImplementedError(f"typedbytes: code {code}")
+
+    def _container(self, code: int):
         if code == VECTOR:
             n = struct.unpack(">i", self.take(4))[0]
             if n < 0:
@@ -137,12 +160,10 @@ class _Reader:
                 out.append(self.value())
             self.pos += 1
             return out
-        if code == MAP:
-            n = struct.unpack(">i", self.take(4))[0]
-            if n < 0:
-                raise ValueError(f"typedbytes: negative map size {n}")
-            return {self.value(): self.value() for _ in range(n)}
-        raise NotImplementedError(f"typedbytes: code {code}")
+        n = struct.unpack(">i", self.take(4))[0]  # MAP
+        if n < 0:
+            raise ValueError(f"typedbytes: negative map size {n}")
+        return {self.value(): self.value() for _ in range(n)}
 
 
 def decode_row(data: bytes, n_cols: int) -> list:

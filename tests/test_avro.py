@@ -461,3 +461,31 @@ def test_overwrite_sweeps_orphaned_attempt_tmp_files(spark, tmp_path):
     assert not glob.glob(path + "/*.inprogress")
     back = avro_py.read_avro(spark, path)
     assert back.count() == 10
+
+
+def test_deep_schema_json_raises_valueerror_not_recursionerror():
+    """Corrupt-input contract (r13): json.loads raises RecursionError
+    (not JSONDecodeError) on a pathologically nested avro.schema —
+    an internal error class a file reader must not leak."""
+    import struct as _struct
+
+    def _enc_long(n: int) -> bytes:
+        n = (n << 1) ^ (n >> 63)
+        out = b""
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out += bytes([b | 0x80])
+            else:
+                return out + bytes([b])
+
+    deep = (
+        b'{"type":"array","items":' * 3000 + b'"long"' + b"}" * 3000
+    )
+    buf = b"Obj\x01" + _enc_long(2)
+    for k, v in ((b"avro.schema", deep), (b"avro.codec", b"null")):
+        buf += _enc_long(len(k)) + k + _enc_long(len(v)) + v
+    buf += _enc_long(0) + b"S" * 16
+    with pytest.raises(ValueError, match="nests beyond"):
+        avro_py.read_header(io.BytesIO(buf))

@@ -147,3 +147,34 @@ def test_thrift_mutation_fuzz_never_leaks_internal_errors():
     ) + _s.pack(">i", -3) + bytes([th.T_STOP])
     with pytest.raises(ValueError, match="negative map"):
         th.decode_row(bad, 1)
+
+
+def test_decode_deep_nesting_raises_valueerror_not_recursionerror():
+    """Corrupt-input contract (r13): a few KB of nested list headers
+    drove the recursive decoder past Python's recursion limit —
+    RecursionError is an internal error class the contract forbids.
+    The decoder now caps nesting at MAX_NEST_DEPTH with ValueError."""
+    import struct
+
+    import pytest
+
+    from hdp2_5_hive_spark.sources import thrift_py as tp
+
+    payload = struct.pack(">bh", tp.T_LIST, 1)
+    body = b"".join(
+        struct.pack(">bi", tp.T_LIST, 1)
+        for _ in range(tp.MAX_NEST_DEPTH + 1000)
+    )
+    body += struct.pack(">bi", tp.T_BOOL, 0)
+    with pytest.raises(ValueError, match="nesting deeper"):
+        tp.decode_row(payload + body + b"\x00", 1)
+    # legit shallow nesting still decodes
+    legit = (
+        struct.pack(">bh", tp.T_LIST, 1)
+        + struct.pack(">bi", tp.T_LIST, 1)
+        + struct.pack(">bi", tp.T_I32, 2)
+        + struct.pack(">i", 7)
+        + struct.pack(">i", 9)
+        + b"\x00"
+    )
+    assert tp.decode_row(legit, 1) == [[[7, 9]]]

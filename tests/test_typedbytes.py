@@ -178,3 +178,35 @@ def test_transform_crash_reports_exit_code_not_broken_pipe(spark):
         transform_typedbytes(
             df, [sys.executable, "-c", script], "k long, s string"
         ).collect()
+
+
+def test_deep_nesting_raises_valueerror_not_recursionerror():
+    """Corrupt-input contract (r13, same class as the thrift_py fix):
+    a few KB of nested VECTOR headers drove the recursive decoder
+    past Python's recursion limit — RecursionError is an internal
+    error class the contract forbids."""
+    import struct
+
+    import pytest
+
+    from hdp2_5_hive_spark.sources import typedbytes_py as tb
+
+    body = b"".join(
+        bytes([tb.VECTOR]) + struct.pack(">i", 1)
+        for _ in range(tb.MAX_NEST_DEPTH + 1000)
+    )
+    body += bytes([tb.BOOL, 0])
+    with pytest.raises(ValueError, match="nesting deeper"):
+        tb.decode_row(body, 1)
+    # legit shallow nesting still decodes (vector of vector of ints)
+    legit = (
+        bytes([tb.VECTOR])
+        + struct.pack(">i", 1)
+        + bytes([tb.VECTOR])
+        + struct.pack(">i", 2)
+        + bytes([tb.INT])
+        + struct.pack(">i", 7)
+        + bytes([tb.INT])
+        + struct.pack(">i", 9)
+    )
+    assert tb.decode_row(legit, 1) == [[[7, 9]]]
