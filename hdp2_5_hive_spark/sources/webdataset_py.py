@@ -171,6 +171,44 @@ def write_webdataset(
     return sum(r.n_samples for r in report.collect())
 
 
+def _parse_shard(
+    shard_path: str, exts: dict[str, str]
+) -> tuple[list[str], dict[str, dict[str, object]]]:
+    """Parse one tar shard into (key order, key → {ext: value}).
+
+    Corrupt-input contract (r13): stdlib tarfile raises
+    tarfile.TarError/ReadError on corrupt headers — an internal error
+    class a 100 TB scan must not leak (one bad shard = one loud
+    actionable ValueError naming the file, not a poisoned job)."""
+    rows: dict[str, dict[str, object]] = {}
+    order: list[str] = []
+    try:
+        with tarfile.open(shard_path, "r") as tar:
+            for m in tar:
+                if not m.isfile():
+                    continue
+                base, dot, ext = m.name.rpartition(".")
+                if not dot or ext not in exts:
+                    continue
+                member = tar.extractfile(m)
+                if member is None:
+                    continue  # irregular member the loader skips
+                raw = member.read()
+                if base not in rows:
+                    rows[base] = {}
+                    order.append(base)
+                rows[base][ext] = (
+                    raw
+                    if exts[ext] == "binary"
+                    else raw.decode("utf-8")
+                )
+    except tarfile.TarError as exc:
+        raise ValueError(
+            f"webdataset: corrupt tar shard {shard_path!r}: {exc}"
+        ) from None
+    return order, rows
+
+
 def read_webdataset(
     spark: SparkSession, path: str, members: dict[str, str]
 ) -> DataFrame:
@@ -192,24 +230,7 @@ def read_webdataset(
 
         for pdf in batches:
             for shard_path in pdf["p"]:
-                rows: dict[str, dict[str, object]] = {}
-                order: list[str] = []
-                with tarfile.open(shard_path, "r") as tar:
-                    for m in tar:
-                        if not m.isfile():
-                            continue
-                        base, dot, ext = m.name.rpartition(".")
-                        if not dot or ext not in exts:
-                            continue
-                        raw = tar.extractfile(m).read()
-                        if base not in rows:
-                            rows[base] = {}
-                            order.append(base)
-                        rows[base][ext] = (
-                            raw
-                            if exts[ext] == "binary"
-                            else raw.decode("utf-8")
-                        )
+                order, rows = _parse_shard(shard_path, exts)
                 yield pd.DataFrame(
                     {
                         "key": order,

@@ -75,3 +75,53 @@ def test_webdataset_no_inprogress_left_and_missing_raises(spark, tmp_path):
     assert not glob.glob(os.path.join(d, "*.inprogress"))
     with pytest.raises(FileNotFoundError):
         wd.read_webdataset(spark, str(tmp_path / "nope"), {"txt": "string"})
+
+
+def test_shard_parse_mutation_fuzz_never_leaks_tar_errors(tmp_path):
+    """Corrupt-input contract (r13): 150 seeded mutations of a valid
+    shard through the per-shard parser — every outcome is parsed
+    rows, ValueError, or EOFError; tarfile.ReadError/TarError must
+    not leak (one bad shard = one loud actionable error)."""
+    import io
+    import random
+    import tarfile as _tarfile
+
+    from hdp2_5_hive_spark.sources.webdataset_py import _parse_shard
+
+    # build a small valid shard by hand
+    shard = tmp_path / "shard-000000.tar"
+    with _tarfile.open(shard, "w") as tar:
+        for key, txt in (("a", b"hello"), ("b", b"world")):
+            ti = _tarfile.TarInfo(name=f"{key}.txt")
+            ti.size = len(txt)
+            tar.addfile(ti, io.BytesIO(txt))
+    good = shard.read_bytes()
+    order, rows = _parse_shard(str(shard), {"txt": "string"})
+    assert order == ["a", "b"] and rows["a"]["txt"] == "hello"
+
+    rng = random.Random(0xFADE)
+    mutant = tmp_path / "mutant.tar"
+    outcomes = {"ok": 0, "err": 0}
+    for _ in range(150):
+        base = bytearray(good)
+        kind = rng.randrange(3)
+        if kind == 0 and len(base) > 1:
+            base = base[: rng.randrange(1, len(base))]
+        elif kind == 1:
+            for _ in range(rng.randrange(1, 6)):
+                i = rng.randrange(len(base))
+                base[i] ^= 1 << rng.randrange(8)
+        else:
+            i = rng.randrange(len(base))
+            base[i : i + 8] = bytes(
+                rng.randrange(256) for _ in range(8)
+            )
+        mutant.write_bytes(bytes(base))
+        try:
+            _parse_shard(str(mutant), {"txt": "string"})
+            outcomes["ok"] += 1
+        except (ValueError, EOFError):
+            outcomes["err"] += 1
+        # anything else (tarfile.TarError, UnicodeDecodeError is a
+        # ValueError so fine) propagates and fails the test
+    assert outcomes["err"] > 0, outcomes
