@@ -125,7 +125,9 @@ def compact_files(
     """``ALTER TABLE ... CONCATENATE`` (OrcFileMergeOperator.java:41):
     rewrite a directory into ``n_files`` files. ``coalesce`` avoids a
     shuffle — merge-only, like the reference's stripe-level merge."""
-    df = spark.read.format(fmt).load(path)
+    import os
+    import shutil
+
     # Write to a temp sibling then swap via overwrite of the original:
     # a direct overwrite of the path being read would clobber inputs.
     # NOTE: the final overwrite is not atomic (same constraint as
@@ -133,12 +135,28 @@ def compact_files(
     # a crash between the two writes leaves the tmp copy as the only
     # complete one, which is why the tmp dir is removed only after the
     # final write succeeds.
+    #
+    # Crash-REPLAY safety (defect hunt r13): a leftover tmp dir means
+    # the previous run died mid-swap. Blindly re-compacting would read
+    # the (possibly partial, already-cleared-by-overwrite) original and
+    # then OVERWRITE tmp — destroying the only complete copy. Spark's
+    # _SUCCESS marker discriminates the two crash windows:
+    # - tmp has _SUCCESS: tmp is complete; the original may be torn —
+    #   resume the swap from tmp instead of re-reading the original.
+    # - tmp lacks _SUCCESS: the crash was mid-tmp-write; the original
+    #   is untouched — discard tmp and compact normally.
     tmp = path.rstrip("/") + "__compact_tmp"
+    if os.path.isdir(tmp):
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            out = spark.read.format(fmt).load(tmp)
+            out.write.mode("overwrite").format(fmt).save(path)
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        shutil.rmtree(tmp)
+    df = spark.read.format(fmt).load(path)
     df.coalesce(n_files).write.mode("overwrite").format(fmt).save(tmp)
     out = spark.read.format(fmt).load(tmp)
     out.write.mode("overwrite").format(fmt).save(path)
-    import shutil
-
     shutil.rmtree(tmp, ignore_errors=True)
 
 

@@ -428,3 +428,37 @@ def test_bucket_pruning_point_probe_reads_one_bucket(spark, tmp_path):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
         spark.sql("DROP TABLE IF EXISTS bp_gate")
+
+
+def test_compact_files_crash_replay_recovers_from_tmp(nation, tmp_path, spark):
+    """Defect hunt r13: a compact_files crash between the tmp write
+    and the final swap leaves tmp as the only complete copy; the old
+    re-run read the (possibly torn) original and OVERWROTE tmp —
+    destroying that copy. A leftover tmp with _SUCCESS now resumes
+    the swap; one without _SUCCESS (crash mid-tmp-write) is
+    discarded and the intact original re-compacted."""
+    import os
+    import shutil
+
+    p = str(tmp_path / "t")
+    nation.write.parquet(p)
+    expect = sorted(map(str, spark.read.parquet(p).collect()))
+    tmp = p + "__compact_tmp"
+
+    # crash window A: tmp complete (_SUCCESS), original torn — the
+    # final overwrite had cleared the target before dying
+    spark.read.parquet(p).coalesce(1).write.parquet(tmp)
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    shutil.rmtree(p)
+    os.makedirs(p)  # overwrite-cleared target: dir exists, no data
+    writers.compact_files(spark, p, 1)
+    assert sorted(map(str, spark.read.parquet(p).collect())) == expect
+    assert not os.path.isdir(tmp)
+
+    # crash window B: tmp partial (no _SUCCESS), original intact
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"torn parquet bytes")
+    writers.compact_files(spark, p, 1)
+    assert sorted(map(str, spark.read.parquet(p).collect())) == expect
+    assert not os.path.isdir(tmp)
