@@ -35,6 +35,12 @@ def _enc_long(v: int, width: int = 8) -> bytes:
 
 
 def _enc_double(v: float) -> bytes:
+    if v == 0.0:
+        # -0.0 and +0.0 compare equal in SQL but carry different IEEE
+        # bits; encoding them differently breaks byte-order == tuple
+        # order (a -0.0 key sorted below a +0.0 key while the typed
+        # comparison called them a tie, letting a LATER column decide).
+        v = 0.0
     bits = struct.unpack(">Q", struct.pack(">d", v))[0]
     if bits & (1 << 63):
         bits ^= 0xFFFFFFFFFFFFFFFF  # negative: flip all
