@@ -129,16 +129,45 @@ def train_bpe(
     ``min_pair_count``."""
     spark = df.sparkSession
     words = word_freq_table(df, text_col).persist()
-    words.count()  # materialize before the loop
+    n_words = words.count()  # materialize before the loop
+    # Right-size the loop's partitioning to the word table (guide §2):
+    # cached plans keep the static shuffle layout, so a small table
+    # would otherwise run every one of the 2·n_merges round jobs at
+    # spark.sql.shuffle.partitions near-empty tasks. One extra tiny
+    # job here re-materializes the table at data-proportional width;
+    # every later round (pair counts AND the rewrite checkpoint)
+    # inherits it. No-op at warehouse scale (coalesce never widens).
+    from .util import right_size_loop_frame
+
+    sized = right_size_loop_frame(words, n_words).localCheckpoint(eager=True)
+    words.unpersist()
+    words = sized
     merges: list[tuple[int, str, str, int]] = []
+    # prev = the table the CURRENT words' lazy checkpoint still reads
+    # from; it may be unpersisted only after that checkpoint has
+    # materialized (localCheckpoint truncates lineage — freeing the
+    # parent early would strand the child unrecoverable).
+    prev: DataFrame | None = None
     try:
         for rank in range(n_merges):
+            # ONE job per round: the argmax collect below is the first
+            # action on `words`, so a lazily-checkpointed rewrite from
+            # the previous round materializes inside this job — the
+            # separate eager-materialization job per round is gone
+            # (localCheckpoint TRUNCATES lineage either way; persist
+            # alone does not — Catalyst would re-analyze the
+            # ever-growing plan each round, which at production vocab
+            # sizes, 10k-50k merges, becomes the bottleneck; same
+            # discipline as operators/components.py).
             top = (
                 _pair_counts(words)
                 .orderBy(F.desc("pair_count"), "left", "right")
                 .limit(1)
                 .collect()
             )
+            if prev is not None:  # checkpoint materialized just now
+                prev.unpersist()
+                prev = None
             if not top or top[0]["pair_count"] < min_pair_count:
                 break
             left, right, cnt = (
@@ -147,19 +176,15 @@ def train_bpe(
                 int(top[0]["pair_count"]),
             )
             merges.append((rank, left, right, cnt))
-            # localCheckpoint TRUNCATES lineage (persist alone does
-            # not — Catalyst still re-analyzes the ever-growing plan
-            # each round, which at production vocab sizes, 10k-50k
-            # merges, becomes the bottleneck; same discipline as
-            # operators/components.py). Eager: materializes now, so
-            # the old table can be unpersisted immediately.
             nxt = words.mapInPandas(
                 _merge_kernel(left, right), _WORD_SCHEMA
-            ).localCheckpoint(eager=True)
-            words.unpersist()
+            ).localCheckpoint(eager=False)
+            prev = words
             words = nxt
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

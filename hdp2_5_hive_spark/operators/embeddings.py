@@ -187,7 +187,19 @@ def kmeans_train(
             StructField("sums", ArrayType(DoubleType())),
         ]
     )
-    vecs = df.select(vec_col).persist()
+    base = df.select(vec_col).persist()
+    # One count materializes the cache (previously the first round's
+    # job paid that implicitly) and right-sizes the n_iter partial
+    # jobs to the data (guide §2) — cached plans keep the static
+    # shuffle layout, so small vector sets would otherwise schedule
+    # n_iter × shuffle.partitions near-empty Arrow tasks. Values are
+    # unchanged within the 1e-8 partition-invariance pin
+    # (tests/test_embeddings_pca.py): partials still combine in
+    # collect (partition) order.
+    from .util import right_size_loop_frame
+
+    n_rows = base.count()
+    vecs = right_size_loop_frame(base, n_rows, rows_per_partition=32768)
     try:
         for _ in range(n_iter):
             c = cent  # capture for the closure
@@ -236,7 +248,7 @@ def kmeans_train(
             if shift < tol:
                 break
     finally:
-        vecs.unpersist()
+        base.unpersist()
     return cent
 
 

@@ -94,14 +94,26 @@ def train_logreg(
     ``array<double>`` features column and a 0/1 double label."""
     import numpy as np
 
-    data = df.select(
+    ckpt = df.select(
         F.col(features_col).alias("features"),
         F.col(label_col).cast("double").alias("label"),
     ).localCheckpoint(eager=True)
     try:
-        total = data.count()
+        total = ckpt.count()
         if total == 0:
             raise ValueError("empty training set")
+        # Right-size the n_rounds gradient jobs to the data (guide
+        # §2): the checkpoint keeps the static shuffle layout, so a
+        # small training set would otherwise pay n_rounds ×
+        # shuffle.partitions near-empty Arrow tasks. coalesce is
+        # narrow and never widens — no-op at warehouse scale. The
+        # per-partition partials change grouping, not values: the
+        # sorted-pid reduction stays deterministic and
+        # partition-count invariance is tolerance-pinned in
+        # tests/test_logreg.py.
+        from .util import right_size_loop_frame
+
+        data = right_size_loop_frame(ckpt, total, rows_per_partition=32768)
         w = np.zeros(dim)
         b = 0.0
         mean_loss = float("inf")
@@ -125,7 +137,7 @@ def train_logreg(
             b -= lr * gb
         return w, b, mean_loss
     finally:
-        data.unpersist()
+        ckpt.unpersist()
 
 
 def predict(

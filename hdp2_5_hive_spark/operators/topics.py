@@ -155,15 +155,30 @@ def train_topics(
     spark = df.sparkSession
     dw = doc_word_counts(df, text_col, id_col)
     vocab = top_vocab(dw, vocab_size)
-    dw = dw.join(
+    base = dw.join(
         F.broadcast(spark.createDataFrame([(w,) for w in vocab], "word string")),
         "word",
     ).persist()
-    dw.count()
+    n_dw = base.count()
+    # Right-size the frames every EM round re-scans (guide §2):
+    # cached plans keep the static shuffle layout, so a small corpus
+    # would otherwise run each round's M-step join + E-step aggregate
+    # + changed-count at shuffle.partitions near-empty tasks. All
+    # round aggregates are integer/decimal-exact, so the layout
+    # cannot change any value.
+    from .util import right_size_loop_frame
+
+    dw = right_size_loop_frame(base, n_dw).localCheckpoint(eager=True)
+    base.unpersist()
 
     n_docs = dw.select("doc_id").distinct().count()
-    assign = dw.select("doc_id").distinct().select(
-        "doc_id", _init_topic_col(k).alias("topic")
+    assign = (
+        right_size_loop_frame(
+            dw.select("doc_id").distinct().select(
+                "doc_id", _init_topic_col(k).alias("topic")
+            ),
+            n_docs,
+        )
     ).persist()
     assign.count()
 

@@ -216,8 +216,15 @@ def train_unigram_lm(
 
     Returns [(piece, count, logprob)] sorted (count desc, piece asc),
     truncated to ``vocab_size`` with single chars retained."""
-    words = word_freq_table(df, text_col).persist()
-    words.count()
+    base = word_freq_table(df, text_col).persist()
+    n_words = base.count()
+    # Right-size the loop frame (guide §2, same rationale as
+    # bpe.train_bpe): every E-step re-scans this table, and cached
+    # plans keep the static shuffle layout regardless of size.
+    from .util import right_size_loop_frame
+
+    words = right_size_loop_frame(base, n_words).localCheckpoint(eager=True)
+    base.unpersist()
     try:
         seed = seed_pieces(
             words, max_piece_len=max_piece_len, seed_size=seed_size

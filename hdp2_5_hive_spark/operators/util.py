@@ -43,6 +43,33 @@ def ensure_parallelism(df: DataFrame, min_factor: float = 0.5) -> DataFrame:
     return df
 
 
+def right_size_loop_frame(
+    df: DataFrame, n_rows: int, *, rows_per_partition: int = 65536
+) -> DataFrame:
+    """Coalesce a persisted/checkpointed frame that an iterative
+    trainer re-scans EVERY round, so per-round jobs schedule tasks
+    proportional to the data rather than to the session's static
+    shuffle layout (guide §2: make partitioning scale-adaptive, not a
+    constant tuned for local mode or the cluster).
+
+    Why this exists: cached/checkpointed plans keep the
+    ``spark.sql.shuffle.partitions`` layout — AQE's partition
+    coalescing does not re-split materialized output
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    is off by default). A 31-row word table therefore sits in 32
+    partitions, and a 24-round trainer schedules 24×2×32 near-empty
+    tasks (measured: the BPE loop spent ~85% of its wall-clock in
+    task scheduling + empty Arrow batches).
+
+    ``coalesce`` is narrow (no shuffle; merged reads of the existing
+    cached blocks) and never INCREASES partition count, so at
+    warehouse scale — where the frame already holds ≥rows_per_partition
+    rows per partition — this is a no-op by construction.
+    """
+    target = max(1, (max(n_rows, 0) + rows_per_partition - 1) // rows_per_partition)
+    return df.coalesce(target)
+
+
 def assign_row_ids(df: DataFrame, id_col: str = "row__id") -> DataFrame:
     """Dense unique surrogate ids 0..n-1 — the scalable zipWithIndex
     pattern (Hive's ROW__ID assignment in ``OrcRecordUpdater`` plays

@@ -166,11 +166,20 @@ def train_wordpiece(
     [(rank, left, right, merged, pair_count, score)] in merge order.
     Stops early when the best pair's support drops below
     ``min_pair_count``."""
-    words = (
+    base = (
         _words if _words is not None else wp_word_table(df, text_col)
     ).persist()
-    words.count()
+    n_words = base.count()
+    # Right-size the loop frame + one-job rounds via lazy checkpoints
+    # — same scheme and rationale as bpe.train_bpe (cached plans keep
+    # the static shuffle layout; the eager re-materialization job per
+    # round is folded into the next round's argmax job).
+    from .util import right_size_loop_frame
+
+    words = right_size_loop_frame(base, n_words).localCheckpoint(eager=True)
+    base.unpersist()
     merges: list[tuple[int, str, str, str, int, float]] = []
+    prev: DataFrame | None = None
     try:
         for rank in range(n_merges):
             top = (
@@ -182,6 +191,9 @@ def train_wordpiece(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:  # lazy checkpoint materialized now
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             r = top[0]
@@ -198,11 +210,13 @@ def train_wordpiece(
             )
             nxt = words.mapInPandas(
                 _merge_kernel(r["left"], r["right"]), _WORD_SCHEMA
-            ).localCheckpoint(eager=True)
-            words.unpersist()
+            ).localCheckpoint(eager=False)
+            prev = words
             words = nxt
     finally:
         words.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 
