@@ -78,6 +78,63 @@ def _partial_kernel(w, b):
     return kernel
 
 
+def _single_partition_loop(dim, n_rounds, lr, l2, total):
+    """The WHOLE gradient loop inside one task — exact fast path for
+    a training set that fits one partition (total ≤ rows_per_partition
+    after right-sizing). With P=1 the driver's sorted-partial
+    reduction is the identity, so running all rounds next to the data
+    is bit-identical to the distributed loop (same per-batch
+    accumulation order, same float64 update arithmetic) while paying
+    ONE job instead of n_rounds collect round-trips (guide §1.2: fix
+    the distributed algorithm first — here the algorithm degenerates
+    to local GD and the per-round job scheduling WAS the cost). At
+    warehouse scale the partition count exceeds 1 and the distributed
+    path below runs unchanged."""
+    import numpy as np
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        mats = []
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            X = np.vstack(batch.column("features").to_pylist()).astype(
+                np.float64
+            )
+            y = np.asarray(batch.column("label").to_pylist(), dtype=np.float64)
+            mats.append((X, y))
+        w = np.zeros(dim)
+        b = 0.0
+        mean_loss = float("inf")
+        for _ in range(n_rounds):
+            grad = np.zeros(dim)
+            gb = loss = 0.0
+            for X, y in mats:  # same per-batch fp order as _partial_kernel
+                z = X @ w + b
+                p = 1.0 / (1.0 + np.exp(-z))
+                err = p - y
+                grad += X.T @ err
+                gb += float(err.sum())
+                loss += float(
+                    np.sum(
+                        np.log1p(np.exp(-np.abs(z)))
+                        + np.maximum(z, 0)
+                        - z * y
+                    )
+                )
+            grad = grad / total + l2 * w
+            gb /= total
+            mean_loss = loss / total + 0.5 * l2 * float(w @ w)
+            w -= lr * grad
+            b -= lr * gb
+        yield pa.RecordBatch.from_pydict(
+            {"w": [w.tolist()], "b": [b], "mean_loss": [mean_loss]}
+        )
+
+    return kernel
+
+
 def train_logreg(
     df: DataFrame,
     *,
@@ -113,7 +170,19 @@ def train_logreg(
         # tests/test_logreg.py.
         from .util import right_size_loop_frame
 
-        data = right_size_loop_frame(ckpt, total, rows_per_partition=32768)
+        rows_per_partition = 32768
+        data = right_size_loop_frame(
+            ckpt, total, rows_per_partition=rows_per_partition
+        )
+        if total <= rows_per_partition:
+            # One partition after the coalesce ⇒ run every round in
+            # the task (see _single_partition_loop: bit-identical).
+            out = data.mapInArrow(
+                _single_partition_loop(dim, n_rounds, lr, l2, total),
+                "w array<double>, b double, mean_loss double",
+            ).collect()
+            r = out[0]
+            return np.asarray(r.w), r.b, r.mean_loss
         w = np.zeros(dim)
         b = 0.0
         mean_loss = float("inf")
