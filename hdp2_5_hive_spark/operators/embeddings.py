@@ -198,9 +198,66 @@ def kmeans_train(
     # collect (partition) order.
     from .util import right_size_loop_frame
 
+    rows_per_partition = 32768
     n_rows = base.count()
-    vecs = right_size_loop_frame(base, n_rows, rows_per_partition=32768)
+    vecs = right_size_loop_frame(
+        base, n_rows, rows_per_partition=rows_per_partition
+    )
     try:
+        if n_rows <= rows_per_partition:
+            # One partition after the coalesce ⇒ the driver's
+            # partial-combine is the identity, so run EVERY Lloyd
+            # round next to the data in one task — same per-batch
+            # accumulation order, same centroid-update and tol
+            # arithmetic, bit-identical centroids — instead of
+            # n_iter collect round-trips (the logreg
+            # _single_partition_loop discipline). Multi-partition
+            # data still takes the distributed path below.
+            c0 = cent
+
+            def whole_loop(
+                batches: Iterator[pd.DataFrame],
+            ) -> Iterator[pd.DataFrame]:
+                mats = []
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    mats.append(
+                        np.asarray(
+                            [
+                                np.asarray(v, dtype=np.float64)
+                                for v in pdf[vec_col]
+                            ]
+                        )
+                    )
+                cen = c0
+                for _ in range(n_iter):
+                    cnt = np.zeros(len(cen))
+                    sums = np.zeros((len(cen), d))
+                    for x in mats:
+                        dist = -2.0 * (x @ cen.T) + (cen * cen).sum(axis=1)
+                        a = dist.argmin(axis=1)
+                        for j in range(len(cen)):
+                            m = a == j
+                            if m.any():
+                                cnt[j] += int(m.sum())
+                                sums[j] += x[m].sum(axis=0)
+                    new = cen.copy()
+                    nz = cnt > 0
+                    new[nz] = sums[nz] / cnt[nz, None]
+                    shift = float(np.abs(new - cen).max())
+                    cen = new
+                    if shift < tol:
+                        break
+                yield pd.DataFrame({"cent": [cen.ravel()]})
+
+            out = vecs.mapInPandas(
+                whole_loop,
+                StructType([StructField("cent", ArrayType(DoubleType()))]),
+            ).collect()
+            return np.asarray(out[0]["cent"], dtype=np.float64).reshape(
+                cent.shape
+            )
         for _ in range(n_iter):
             c = cent  # capture for the closure
 
