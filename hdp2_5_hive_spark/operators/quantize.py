@@ -88,7 +88,16 @@ def pq_train(
     Each subspace trains via embeddings.kmeans_train on a SLICED
     column — the same bounded-partial Lloyd rounds (k·(d/m) floats
     per partition per round, md5-deterministic init), m of them.
-    d must be divisible by m."""
+    d must be divisible by m.
+
+    When the whole training set fits one right-sized partition the m
+    trainings FUSE into one in-task job (plus one shared init collect
+    and one shared count): the md5 init order and the Arrow batch
+    boundaries are slice-independent, so slicing the full vectors
+    inside the kernel — contiguous copies, same BLAS call shapes —
+    reproduces each per-subspace run bit-for-bit while replacing
+    m×(init + count + loop) jobs with 3. Larger data takes the
+    unchanged per-subspace kmeans_train path."""
     import numpy as np
 
     from .embeddings import kmeans_train
@@ -100,6 +109,14 @@ def pq_train(
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
     sub = d // m
+
+    rows_per_partition = 32768  # kmeans_train's single-partition bound
+    n_rows = df.count()
+    if n_rows <= rows_per_partition:
+        return _pq_train_fused(
+            df, id_col, vec_col, m=m, k=k, sub=sub, n_iter=n_iter
+        )
+
     books = []
     for j in range(m):
         sl = df.select(
@@ -110,6 +127,110 @@ def pq_train(
             kmeans_train(sl, vec_col, id_col, k=k, n_iter=n_iter)
         )
     return np.stack(books)
+
+
+def _pq_train_fused(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    m: int,
+    k: int,
+    sub: int,
+    n_iter: int,
+    tol: float = 1e-6,
+):
+    """One-partition fused PQ training. Replicates, per subspace,
+    exactly what ``kmeans_train``'s single-partition path computes:
+
+    - init = the k rows whose (md5(id), id) sorts first, sliced —
+      the sort keys don't involve the vector, so one collect of FULL
+      vectors sliced here equals m per-slice ``_kmeans_init`` calls;
+    - the Lloyd loop runs on ``np.ascontiguousarray`` slices of the
+      full-vector batch matrices, giving the same contiguous
+      (n, sub)/(k, sub) float64 operands — hence the same BLAS
+      kernels and bit-identical accumulation — as Arrow batches of a
+      pre-sliced column (batch boundaries are row-based and therefore
+      slice-independent)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    # Persist before the coalesce(1) loop read: merging the slices of
+    # an UNcached local-relation scan pays each slice's Python-side
+    # deserialization serially inside the one task (measured ~5s for
+    # a 32-slice createDataFrame), while a cached read is a JVM-local
+    # block fetch. The init collect doubles as the cache materializer.
+    base = df.select(id_col, vec_col).persist()
+    init_rows = (
+        base.orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(k)
+        .collect()
+    )
+    init_full = np.asarray(
+        [np.asarray(r[vec_col], dtype=np.float64) for r in init_rows]
+    )
+
+    def all_books(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        mats = []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mats.append(
+                np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+                )
+            )
+        out = np.empty((m, len(init_full), sub))
+        for j in range(m):
+            lo, hi = j * sub, (j + 1) * sub
+            cen = np.ascontiguousarray(init_full[:, lo:hi])
+            mats_j = [np.ascontiguousarray(x[:, lo:hi]) for x in mats]
+            for _ in range(n_iter):
+                cnt = np.zeros(len(cen))
+                sums = np.zeros((len(cen), sub))
+                for x in mats_j:
+                    dist = -2.0 * (x @ cen.T) + (cen * cen).sum(axis=1)
+                    a = dist.argmin(axis=1)
+                    for c in range(len(cen)):
+                        msk = a == c
+                        if msk.any():
+                            cnt[c] += int(msk.sum())
+                            sums[c] += x[msk].sum(axis=0)
+                new = cen.copy()
+                nz = cnt > 0
+                new[nz] = sums[nz] / cnt[nz, None]
+                shift = float(np.abs(new - cen).max())
+                cen = new
+                if shift < tol:
+                    break
+            out[j] = cen
+        yield pd.DataFrame({"books": [out.ravel()]})
+
+    try:
+        res = (
+            base.select(vec_col)
+            .coalesce(1)
+            .mapInPandas(
+                all_books,
+                StructType([StructField("books", ArrayType(DoubleType()))]),
+            )
+            .collect()
+        )
+    finally:
+        base.unpersist()
+    return np.asarray(res[0]["books"], dtype=np.float64).reshape(
+        m, len(init_full), sub
+    )
 
 
 def pq_encode(
