@@ -117,11 +117,66 @@ def _merge_kernel(left: str, right: str):
     return kernel
 
 
+def _bpe_loop_kernel(n_merges: int, min_pair_count: int):
+    """The WHOLE merge loop inside one task — exact fast path for a
+    word table that fits one partition after right-sizing (the
+    logreg/k-means in-task discipline). Pair counts are exact
+    integers and the argmax tie-break is (count desc, left asc,
+    right asc) — identical to the distributed
+    orderBy(desc(pair_count), left, right).limit(1), so the merge
+    table is bit-identical while paying ONE job instead of one
+    aggregate job per merge round."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        words: list[tuple[list[str], int]] = []
+        for pdf in batches:
+            for syms, freq in zip(pdf["syms"], pdf["freq"]):
+                words.append((list(syms), int(freq)))
+        ranks, lefts, rights, counts = [], [], [], []
+        for rank in range(n_merges):
+            pc: dict[tuple[str, str], int] = {}
+            for syms, freq in words:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    pc[p] = pc.get(p, 0) + freq
+            if not pc:
+                break
+            (left, right), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            if cnt < min_pair_count:
+                break
+            ranks.append(rank)
+            lefts.append(left)
+            rights.append(right)
+            counts.append(cnt)
+            merged = left + right
+            for w in range(len(words)):
+                syms, freq = words[w]
+                i, out = 0, []
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = (out, freq)
+        yield pd.DataFrame(
+            {"rank": ranks, "left": lefts, "right": rights, "cnt": counts}
+        )
+
+    return kernel
+
+
 def train_bpe(
     df: DataFrame,
     text_col: str = "text",
     n_merges: int = 24,
     min_pair_count: int = 2,
+    *,
+    _in_task: bool | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus. Returns
     [(rank, left, right, pair_count)] — the merge table, highest
@@ -142,6 +197,20 @@ def train_bpe(
     sized = right_size_loop_frame(words, n_words).localCheckpoint(eager=True)
     words.unpersist()
     words = sized
+    if n_words <= 65536 and _in_task is not False:
+        # One partition after the coalesce ⇒ run every merge round in
+        # the task (see _bpe_loop_kernel: bit-identical merge table).
+        try:
+            rows = words.mapInPandas(
+                _bpe_loop_kernel(n_merges, min_pair_count),
+                "rank int, left string, right string, cnt long",
+            ).collect()
+            return [
+                (int(r["rank"]), r["left"], r["right"], int(r["cnt"]))
+                for r in sorted(rows, key=lambda r: r["rank"])
+            ]
+        finally:
+            words.unpersist()
     merges: list[tuple[int, str, str, int]] = []
     # prev = the table the CURRENT words' lazy checkpoint still reads
     # from; it may be unpersisted only after that checkpoint has

@@ -37,29 +37,94 @@ class ConvergenceError(RuntimeError):
     """Raised when label propagation hits max_iter before fixpoint."""
 
 
+def _cc_single_partition(sym: DataFrame) -> DataFrame:
+    """The WHOLE transitive closure in ONE task — exact fast path for
+    an edge list that fits one partition after right-sizing
+    (guide §1.2: fix the distributed algorithm first — here it
+    degenerates to sequential union-find and the per-round job
+    scheduling WAS the cost). Union-by-min-root makes every tree
+    root the smallest id seen in its component, so ``find`` at the
+    end returns exactly the hash-min fixpoint label (min reachable
+    id) — bit-identical to the iterative path for any input. At
+    warehouse scale the edge list spans many partitions and the
+    distributed loop below runs unchanged."""
+    from pyspark.sql import types as T
+
+    node_t = sym.schema["a"].dataType
+    schema = T.StructType(
+        [T.StructField("node", node_t), T.StructField("component", node_t)]
+    )
+
+    def kernel(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # larger root under smaller ⇒ root = min id
+        nodes = sorted(parent)
+        yield pd.DataFrame(
+            {"node": nodes, "component": [find(n) for n in nodes]}
+        )
+
+    return sym.coalesce(1).mapInPandas(kernel, schema)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     *,
     max_iter: int = 20,
+    _in_task: bool | None = None,
 ) -> DataFrame:
     """Return ``(node, component)`` where ``component`` is the min
     node id reachable from ``node``. Nodes are those appearing in
-    ``edges``; add isolated nodes by unioning self-loops upstream."""
+    ``edges``; add isolated nodes by unioning self-loops upstream.
+
+    ``_in_task``: None (default) auto-selects the single-task
+    union-find when the edge list fits one right-sized partition;
+    False forces the distributed loop (tests pin its round guard)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    # Materialize the edge list BEFORE counting it: counting the raw
+    # plan executed the (expensive) upstream pair generation once for
+    # the count and a second time for the checkpoint (measured: the
+    # LSH bucket-join + jaccard verify ran twice per query). The
+    # count afterwards reads the checkpointed blocks.
+    sym = sym.localCheckpoint(eager=True)  # edge list reused every round
+    n_edges = sym.count()
+    spark = edges.sparkSession
     # Size the iteration's parallelism to the edge list: every round
     # shuffles this frame, and running 32-task stages over a few
     # hundred candidate pairs costs more in scheduling than in work.
-    # One count up front (the frame is about to be checkpointed
-    # anyway) buys right-sized rounds; at scale the cap is the
-    # session's default parallelism.
-    n_edges = sym.count()
-    spark = edges.sparkSession
+    # At scale the cap is the session's default parallelism.
     target = max(1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1))
-    sym = sym.repartition(target, "b")
-    sym = sym.localCheckpoint(eager=True)  # edge list reused every round
+    if target == 1 and _in_task is not False:
+        # One partition holds every edge ⇒ solve the closure in-task
+        # (see _cc_single_partition: identical fixpoint labels).
+        return _cc_single_partition(sym)
+    # Re-materialize at the right-sized layout so the per-round joins
+    # read it directly (one extra tiny shuffle of checkpointed blocks,
+    # never a recompute of the upstream pair generation).
+    sym = sym.repartition(target, "b").localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
@@ -104,6 +169,7 @@ def connected_components_star(
     dst: str = "dst",
     *,
     max_iter: int = 30,
+    _in_task: bool | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star connected components
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -120,6 +186,10 @@ def connected_components_star(
     localCheckpoint per round for the same lineage reasons as
     hash-min."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # Materialize BEFORE counting (same fix as connected_components:
+    # counting the raw plan executed the upstream pair generation
+    # twice — once for the count, once for the loop checkpoint).
+    e = e.localCheckpoint(eager=True)
     # Right-size round parallelism to the edge list, like hash-min:
     # every round runs ~6 keyed stages over this frame, and 32-task
     # stages over a few hundred pairs cost more in scheduling than
@@ -129,6 +199,15 @@ def connected_components_star(
     _target = max(
         1, min(spark.sparkContext.defaultParallelism, n_edges // 50_000 + 1)
     )
+    if _target == 1 and _in_task is not False:
+        # One partition holds every edge ⇒ solve in-task. Large/small
+        # star and hash-min share the same fixpoint contract —
+        # (node, min reachable id) — and _cc_single_partition computes
+        # exactly that, so the label set is identical.
+        sym = e.union(
+            e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+        return _cc_single_partition(sym)
     # Capture the EFFECTIVE value (no default arg): with a None
     # default, RuntimeConfig.get returns None when the key was never
     # explicitly set — the finally block would then skip the restore

@@ -199,6 +199,77 @@ def _mstep_logp(counts: dict[str, int]) -> dict[str, float]:
     return {p: math.log(c) - lt for p, c in sm.items()}
 
 
+def _train_local(
+    word_freqs: list[tuple[str, int]],
+    *,
+    vocab_size: int,
+    seed_size: int,
+    n_rounds: int,
+    max_piece_len: int,
+    shrink: float,
+) -> list[tuple[str, int, float]]:
+    """The WHOLE seed + EM loop over an in-memory word table — exact
+    twin of the distributed body of ``train_unigram_lm`` (the
+    bpe/logreg in-task discipline). Every quantity is an integer
+    count or a ``math.log`` of integer ratios computed by the same
+    expressions, and every ordering replays the distributed
+    (desc, asc) sort keys, so the returned vocabulary is
+    bit-identical under either path."""
+    # seed_pieces twin: substring multiset weighted by word frequency
+    sub: dict[str, int] = {}
+    for word, freq in word_freqs:
+        n = len(word)
+        for i in range(n):
+            for ln in range(1, min(max_piece_len, n - i) + 1):
+                p = word[i : i + ln]
+                sub[p] = sub.get(p, 0) + freq
+    out = {p: c for p, c in sub.items() if len(p) == 1}
+    multi_seed = sorted(
+        ((p, c) for p, c in sub.items() if len(p) >= 2),
+        key=lambda pc: (-pc[1] * len(pc[0]), pc[0]),
+    )[:seed_size]
+    for p, c in multi_seed:
+        out[p] = c
+    logp = _mstep_logp(dict(sorted(out.items())))
+
+    def estep() -> dict[str, int]:
+        counts: dict[str, int] = {}
+        for word, freq in word_freqs:
+            for piece in _viterbi(word, logp, max_piece_len):
+                counts[piece] = counts.get(piece, 0) + freq
+        return counts
+
+    counts: dict[str, int] = {}
+    for _ in range(n_rounds):
+        counts = estep()
+        for p in list(logp):
+            if len(p) == 1 and p not in counts:
+                counts[p] = 0
+        multi = sorted(
+            ((p, c) for p, c in counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        n_chars = sum(1 for p in counts if len(p) == 1)
+        keep_multi = max(vocab_size - n_chars, int(len(multi) * shrink))
+        kept = dict(multi[:keep_multi])
+        kept.update((p, c) for p, c in counts.items() if len(p) == 1)
+        logp = _mstep_logp(kept)
+    counts = estep()
+    for p in list(logp):
+        if len(p) == 1 and p not in counts:
+            counts[p] = 0
+    logp = _mstep_logp(counts)
+    final = sorted(
+        ((p, c) for p, c in counts.items() if p in logp),
+        key=lambda pc: (-pc[1], pc[0]),
+    )
+    chars = [(p, c) for p, c in final if len(p) == 1]
+    multi = [(p, c) for p, c in final if len(p) > 1]
+    room = max(vocab_size - len(chars), 0)
+    vocab = sorted(chars + multi[:room], key=lambda pc: (-pc[1], pc[0]))
+    return [(p, c, logp[p]) for p, c in vocab]
+
+
 def train_unigram_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -208,6 +279,7 @@ def train_unigram_lm(
     n_rounds: int = 3,
     max_piece_len: int = 6,
     shrink: float = 0.75,
+    _in_task: bool | None = None,
 ) -> list[tuple[str, int, float]]:
     """Learn a unigram-LM piece vocabulary. Each round: Viterbi
     E-step → count-based M-step → prune to ``shrink`` of the current
@@ -225,6 +297,42 @@ def train_unigram_lm(
 
     words = right_size_loop_frame(base, n_words).localCheckpoint(eager=True)
     base.unpersist()
+    if n_words <= 65536 and _in_task is not False:
+        # One partition after the coalesce ⇒ run seed + every EM
+        # round in the task (see _train_local: bit-identical vocab).
+        kw = dict(
+            vocab_size=vocab_size,
+            seed_size=seed_size,
+            n_rounds=n_rounds,
+            max_piece_len=max_piece_len,
+            shrink=shrink,
+        )
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            wf = []
+            for pdf in batches:
+                for syms, freq in zip(pdf["syms"], pdf["freq"]):
+                    wf.append(("".join(syms), int(freq)))
+            vocab = _train_local(wf, **kw)
+            yield pd.DataFrame(
+                {
+                    "rank": list(range(len(vocab))),
+                    "piece": [p for p, _, _ in vocab],
+                    "cnt": [c for _, c, _ in vocab],
+                    "logp": [lp for _, _, lp in vocab],
+                }
+            )
+
+        try:
+            rows = words.mapInPandas(
+                kernel, "rank int, piece string, cnt long, logp double"
+            ).collect()
+            return [
+                (r["piece"], int(r["cnt"]), float(r["logp"]))
+                for r in sorted(rows, key=lambda r: r["rank"])
+            ]
+        finally:
+            words.unpersist()
     try:
         seed = seed_pieces(
             words, max_piece_len=max_piece_len, seed_size=seed_size

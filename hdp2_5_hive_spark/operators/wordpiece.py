@@ -154,6 +154,77 @@ def _merge_kernel(left: str, right: str):
     return kernel
 
 
+def _wp_loop_kernel(n_merges: int, min_pair_count: int):
+    """The WHOLE merge loop inside one task — exact fast path for a
+    word table that fits one partition after right-sizing (the
+    bpe/logreg in-task discipline). The likelihood score is computed
+    with the identical IEEE-double expression the distributed round
+    uses (double(pair) / (double(c_left) * double(c_right))) and the
+    tie-break replays orderBy(desc(score), desc(pair_count), left,
+    right), so the merge table is bit-identical while paying ONE job
+    instead of one aggregate+join job per merge round."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        words: list[tuple[list[str], int]] = []
+        for pdf in batches:
+            for syms, freq in zip(pdf["syms"], pdf["freq"]):
+                words.append((list(syms), int(freq)))
+        ranks, lefts, rights, counts, scores = [], [], [], [], []
+        for rank in range(n_merges):
+            pc: dict[tuple[str, str], int] = {}
+            sc: dict[str, int] = {}
+            for syms, freq in words:
+                for i, s in enumerate(syms):
+                    sc[s] = sc.get(s, 0) + freq
+                    if i + 1 < len(syms):
+                        p = (s, syms[i + 1])
+                        pc[p] = pc.get(p, 0) + freq
+            cands = [
+                (
+                    float(cnt) / (float(sc[lt]) * float(sc[rt])),
+                    cnt,
+                    lt,
+                    rt,
+                )
+                for (lt, rt), cnt in pc.items()
+                if cnt >= min_pair_count
+            ]
+            if not cands:
+                break
+            score, cnt, left, right = min(
+                cands, key=lambda c: (-c[0], -c[1], c[2], c[3])
+            )
+            ranks.append(rank)
+            lefts.append(left)
+            rights.append(right)
+            counts.append(cnt)
+            scores.append(score)
+            merged = left + _strip_cont(right)
+            for w in range(len(words)):
+                syms, freq = words[w]
+                i, out = 0, []
+                n = len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                        out.append(merged)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = (out, freq)
+        yield pd.DataFrame(
+            {
+                "rank": ranks,
+                "left": lefts,
+                "right": rights,
+                "cnt": counts,
+                "score": scores,
+            }
+        )
+
+    return kernel
+
+
 def train_wordpiece(
     df: DataFrame,
     text_col: str = "text",
@@ -161,6 +232,7 @@ def train_wordpiece(
     min_pair_count: int = 2,
     *,
     _words: DataFrame | None = None,
+    _in_task: bool | None = None,
 ) -> list[tuple[int, str, str, str, int, float]]:
     """Learn ``n_merges`` WordPiece merges. Returns
     [(rank, left, right, merged, pair_count, score)] in merge order.
@@ -178,6 +250,27 @@ def train_wordpiece(
 
     words = right_size_loop_frame(base, n_words).localCheckpoint(eager=True)
     base.unpersist()
+    if n_words <= 65536 and _in_task is not False:
+        # One partition after the coalesce ⇒ run every merge round in
+        # the task (see _wp_loop_kernel: bit-identical merge table).
+        try:
+            rows = words.mapInPandas(
+                _wp_loop_kernel(n_merges, min_pair_count),
+                "rank int, left string, right string, cnt long, score double",
+            ).collect()
+            return [
+                (
+                    int(r["rank"]),
+                    r["left"],
+                    r["right"],
+                    r["left"] + _strip_cont(r["right"]),
+                    int(r["cnt"]),
+                    float(r["score"]),
+                )
+                for r in sorted(rows, key=lambda r: r["rank"])
+            ]
+        finally:
+            words.unpersist()
     merges: list[tuple[int, str, str, str, int, float]] = []
     prev: DataFrame | None = None
     try:

@@ -40,11 +40,33 @@ def test_direction_irrelevant(spark):
 
 
 def test_convergence_guard_raises(spark):
+    # _in_task=False pins the DISTRIBUTED loop: the auto-selected
+    # single-task union-find solves any small graph outright and
+    # never needs the round guard.
     edges = [(i, i + 1) for i in range(30)]
     with pytest.raises(cc.ConvergenceError):
         cc.connected_components(
-            spark.createDataFrame(edges, "src long, dst long"), max_iter=3
+            spark.createDataFrame(edges, "src long, dst long"),
+            max_iter=3,
+            _in_task=False,
         )
+
+
+def test_in_task_fastpath_matches_distributed(spark):
+    """The single-task union-find fast path and the distributed
+    hash-min loop must label identically (both = min reachable id)."""
+    edges = [(7, 3), (3, 9), (20, 21), (1, 1), (9, 40), (41, 40)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {(r.node, r.component) for r in cc.connected_components(df).collect()}
+    dist = {
+        (r.node, r.component)
+        for r in cc.connected_components(df, _in_task=False).collect()
+    }
+    star = {
+        (r.node, r.component)
+        for r in cc.connected_components_star(df, _in_task=False).collect()
+    }
+    assert fast == dist == star and fast
 
 
 def test_keep_list_marks_min_per_cluster(spark):
@@ -114,9 +136,11 @@ def test_star_converges_on_long_chain_where_hashmin_cannot(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(400)], "src long, dst long"
     )
+    # _in_task=False pins the distributed loops (the auto fast path
+    # would solve the chain in one task on either variant).
     with _pytest.raises(ConvergenceError):
-        connected_components(chain)
-    labels = connected_components_star(chain).collect()
+        connected_components(chain, _in_task=False)
+    labels = connected_components_star(chain, _in_task=False).collect()
     assert len(labels) == 401
     assert all(r.component == 0 for r in labels)
 
