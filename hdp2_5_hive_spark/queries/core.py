@@ -241,15 +241,19 @@ def q18_large_orders(spark, t):
     re-keyed by orderkey). The filtered aggregate (few rows) then
     broadcasts through orders and customer.
 
-    Measured at sf0.1/local[32]: wall-clock ties the two-pass plan
-    (~1.6s A/B, both bound by the 3-row-group lineitem scan — parquet
-    decode can't split finer than row groups, so the saved shuffle is
-    invisible at this file size); the win is strictly the plan shape
-    at warehouse scale."""
+    The under-split guard hash-repartitions ON THE GROUP KEY, not
+    round-robin: the aggregate reuses that one exchange (no second
+    shuffle), where round-robin both added an exchange and destroyed
+    the scan order's orderkey clustering, gutting the map-side
+    partial agg (A/B at sf0.1/local[32], warm best-of-3:
+    0.49s keyed vs 1.98s round-robin vs 0.91s unsplit)."""
     from ..operators.util import ensure_parallelism
 
     big = (
-        ensure_parallelism(t.lineitem.select("l_orderkey", "l_quantity"))
+        ensure_parallelism(
+            t.lineitem.select("l_orderkey", "l_quantity"),
+            by=["l_orderkey"],
+        )
         .groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("_q"))
         .filter(F.col("_q") > 300)
