@@ -139,6 +139,123 @@ def _assign(
     return sc.select("doc_id", topic.alias("topic"))
 
 
+def _init_topic_py(doc_id, k: int) -> int:
+    """Python twin of ``_init_topic_col``: int(md5(str(id))[:15], 16)
+    % k — identical hex parse and modulus."""
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16) % k
+
+
+def _train_local_topics(
+    rows: list[tuple[object, str, int]],
+    vocab: list[str],
+    k: int,
+    n_rounds: int,
+) -> tuple[list[tuple[object, int]], dict, dict, list[int], int]:
+    """The WHOLE hard-EM loop over an in-memory doc-word table — exact
+    twin of the distributed body of ``train_topics`` (the bpe/logreg
+    in-task discipline). Every per-doc score is a sum of DECIMAL(12,6)
+    quantities (exact, order-independent), the argmax tie goes to the
+    smallest topic id, and M-step counts are integers — so assignments,
+    counts and history are bit-identical under either path.
+
+    Returns (assign [(doc_id, topic)], counts {(t,w):n},
+    doc_counts {t:n}, changed_hist, rounds_run).
+
+    Arithmetic note: every DECIMAL(12,6) score term is an exact
+    multiple of 1e-6, so scoring runs in int64 MICROS (numpy) —
+    Σ c·lp stays far below 2^63 (c·lp ≤ 10³·1.5·10⁷ per term, ≤ V
+    terms per doc), sums/compares are exact, and ``argmax`` takes the
+    first (= smallest) topic on ties — identical to the distributed
+    decimal aggregate."""
+    import numpy as np
+    from decimal import Decimal
+
+    widx = {w: i for i, w in enumerate(vocab)}
+    by_doc: dict = {}
+    for doc_id, word, c in rows:
+        by_doc.setdefault(doc_id, []).append((widx[word], int(c)))
+    doc_ids = sorted(by_doc)
+    n_docs = len(doc_ids)
+    v = len(vocab)
+    # Flat (doc_idx, word_idx, c) arrays for the vectorized passes.
+    di = np.fromiter(
+        (i for i, d in enumerate(doc_ids) for _ in by_doc[d]),
+        dtype=np.int64,
+    )
+    wi = np.fromiter(
+        (w for d in doc_ids for w, _ in by_doc[d]), dtype=np.int64
+    )
+    cv = np.fromiter(
+        (c for d in doc_ids for _, c in by_doc[d]), dtype=np.int64
+    )
+    assign = np.fromiter(
+        (_init_topic_py(d, k) for d in doc_ids), dtype=np.int64
+    )
+
+    def micros(x: float) -> int:
+        # x is already round(·, 6); f-format pins the 6-dp string and
+        # Decimal.scaleb makes the integer exact.
+        return int(Decimal(f"{x:.6f}").scaleb(6))
+
+    changed_hist: list[int] = []
+    rounds_run = 0
+
+    def mstep():
+        cnt = np.zeros((k, v), dtype=np.int64)
+        np.add.at(cnt, (assign[di], wi), cv)
+        dc = np.bincount(assign, minlength=k) if n_docs else np.zeros(k, int)
+        return cnt, dc
+
+    cnt = dc = None
+    for _ in range(n_rounds):
+        cnt, dc = mstep()
+        tok_k = {t: int(cnt[t].sum()) for t in range(k)}
+        counts_d = {
+            (t, vocab[w]): int(cnt[t, w])
+            for t in range(k)
+            for w in range(v)
+            if cnt[t, w]
+        }
+        lt = _log_theta(counts_d, tok_k, vocab, k)
+        lp = [
+            round(math.log((int(dc[t]) + 1) / (n_docs + k)), 6)
+            for t in range(k)
+        ]
+        # E-step in exact int64 micros.
+        ltab = np.empty((v, k), dtype=np.int64)
+        for t in range(k):
+            for w in range(v):
+                ltab[w, t] = micros(lt[(t, vocab[w])])
+        scores = np.tile(
+            np.asarray([micros(x) for x in lp], dtype=np.int64), (n_docs, 1)
+        )
+        np.add.at(scores, di, cv[:, None] * ltab[wi])
+        new_assign = scores.argmax(axis=1)  # first max ⇒ smallest topic
+        changed = int((new_assign != assign).sum())
+        changed_hist.append(changed)
+        rounds_run += 1
+        assign = new_assign
+        if changed == 0:
+            break
+
+    # Final counts under the converged assignment.
+    cnt, dc = mstep()
+    counts = {
+        (t, vocab[w]): int(cnt[t, w])
+        for t in range(k)
+        for w in range(v)
+        if cnt[t, w]
+    }
+    doc_counts = {t: int(dc[t]) for t in range(k) if dc[t]}
+    return (
+        [(d, int(assign[i])) for i, d in enumerate(doc_ids)],
+        counts,
+        doc_counts,
+        changed_hist,
+        rounds_run,
+    )
+
+
 def train_topics(
     df: DataFrame,
     text_col: str = "text",
@@ -147,6 +264,7 @@ def train_topics(
     k: int = 4,
     vocab_size: int = 128,
     n_rounds: int = 8,
+    _in_task: bool | None = None,
 ) -> tuple[DataFrame, dict]:
     """Hard-EM mixture-of-unigrams. Returns (assignment DataFrame
     (doc_id, topic), model dict with 'counts' {(topic,word): n},
@@ -170,6 +288,81 @@ def train_topics(
 
     dw = right_size_loop_frame(base, n_dw).localCheckpoint(eager=True)
     base.unpersist()
+
+    if n_dw <= 262_144 and _in_task is not False:
+        # The doc-word table is task-sized ⇒ run every EM round in ONE
+        # task (see _train_local_topics: decimal-exact, bit-identical)
+        # instead of ~4 scheduled jobs per round. Driver state stays
+        # bounded: n_docs assignment pairs + V×K integer counts — the
+        # same order as the M-step collects the distributed loop
+        # already pays PER ROUND. At warehouse scale n_dw exceeds the
+        # bound and the distributed loop below runs unchanged.
+        import json as _json
+
+        kw = {"vocab": vocab, "k": k, "n_rounds": n_rounds}
+
+        def kernel(batches):
+            import pandas as pd
+
+            rows = []
+            for pdf in batches:
+                for d, w, c in zip(pdf["doc_id"], pdf["word"], pdf["c"]):
+                    rows.append((d, w, int(c)))
+            assign, counts, doc_counts, hist, rounds = _train_local_topics(
+                rows, kw["vocab"], kw["k"], kw["n_rounds"]
+            )
+            meta = _json.dumps(
+                {
+                    "counts": [[t, w, n] for (t, w), n in counts.items()],
+                    "doc_counts": list(doc_counts.items()),
+                    "hist": hist,
+                    "rounds": rounds,
+                }
+            )
+            # One marker row carries the model; assignment rows carry
+            # meta=None (robust for the empty-corpus edge).
+            yield pd.DataFrame(
+                {
+                    "doc_id": [None] + [d for d, _ in assign],
+                    "topic": [None] + [t for _, t in assign],
+                    "meta": [meta] + [None] * len(assign),
+                }
+            )
+
+        from pyspark.sql import types as T
+
+        id_t = dw.schema["doc_id"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", id_t),
+                T.StructField("topic", T.IntegerType()),
+                T.StructField("meta", T.StringType()),
+            ]
+        )
+        out = dw.coalesce(1).mapInPandas(kernel, schema).collect()
+        dw.unpersist()
+        meta = _json.loads(next(r["meta"] for r in out if r["meta"]))
+        assign_df = spark.createDataFrame(
+            [
+                (r["doc_id"], int(r["topic"]))
+                for r in out
+                if r["meta"] is None
+            ],
+            T.StructType(
+                [
+                    T.StructField("doc_id", id_t),
+                    T.StructField("topic", T.IntegerType()),
+                ]
+            ),
+        )
+        model = {
+            "counts": {(t, w): int(n) for t, w, n in meta["counts"]},
+            "doc_counts": {int(t): int(n) for t, n in meta["doc_counts"]},
+            "vocab": vocab,
+            "rounds_run": int(meta["rounds"]),
+            "changed": [int(c) for c in meta["hist"]],
+        }
+        return assign_df, model
 
     n_docs = dw.select("doc_id").distinct().count()
     assign = (
