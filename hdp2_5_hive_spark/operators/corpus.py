@@ -43,6 +43,35 @@ def kgrams_from_words(w: Column, k: int) -> Column:
     )
 
 
+def dup_kgram_ratio_gate(text: Column, k: int, max_ratio: float) -> Column:
+    """Boolean repetition gate — dup-k-gram ratio ≤ max_ratio (empty
+    gram list passes) — with the token array AND the gram array each
+    bound ONCE as lambda variables.
+
+    Why the binding matters: phrasing this as withColumn(_g2)/filter
+    lets predicate pushdown substitute the alias into the pushed
+    filter, duplicating the interpreted higher-order gram transform
+    per reference (no codegen CSE for lambda expressions — measured
+    4× gram computes per row in corpus_clean_v2's scan filter).
+    Bound lambda variables survive any pushdown verbatim."""
+
+    def decide(g: Column) -> Column:
+        n = F.size(g)
+        return (n == 0) | (
+            1 - F.size(F.array_distinct(g)).cast("double") / n <= max_ratio
+        )
+
+    return F.element_at(
+        F.transform(
+            F.array(words_col(text)),
+            lambda w: F.element_at(
+                F.transform(F.array(kgrams_from_words(w, k)), decide), 1
+            ),
+        ),
+        1,
+    )
+
+
 def kgrams_all(text: Column, k: int) -> Column:
     """kgrams over a raw text column, with the token array bound once
     as a lambda variable (same O(n²k)-avoiding trick as

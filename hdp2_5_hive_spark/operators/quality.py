@@ -20,6 +20,7 @@ from ..functions.hive_compat import pround
 from .dedup import words_col
 
 _last_kn_bigrams = None
+_last_dsir_bucket = None
 
 
 def compression_ratio(
@@ -208,59 +209,82 @@ def dsir_logratio(
     from .features import md5_bucket
     from .util import ensure_parallelism
 
+    global _last_dsir_bucket
+    if _last_dsir_bucket is not None:
+        try:
+            _last_dsir_bucket.unpersist()
+        except Exception:
+            pass
     base = ensure_parallelism(df).select(
         F.col(id_col),
         target_filter.alias("_is_t"),
         words_col(F.col(text_col)).alias("_wa"),
     )
     wa = F.col("_wa")
-    uni = base.select(
-        id_col, "_is_t", F.explode(wa).alias("g")
-    ).filter(F.col("g") != "")
-    big = base.select(
+    # ONE explode over unigrams ++ bigrams (array concat keeps the
+    # multiset identical to the former union of two explode branches,
+    # so the base subtree — which re-runs whatever upstream anti-joins
+    # feed it — is consumed once, not twice).
+    big_arr = F.when(
+        F.size(wa) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(wa) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(wa, i), F.element_at(wa, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
         id_col,
         "_is_t",
         F.explode(
-            F.when(
-                F.size(wa) >= 2,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(wa) - 1),
-                    lambda i: F.concat_ws(
-                        " ", F.element_at(wa, i), F.element_at(wa, i + 1)
-                    ),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
+            F.concat(F.filter(wa, lambda x: x != F.lit("")), big_arr)
         ).alias("g"),
     )
-    grams = uni.unionByName(big)
+    # The (doc, bucket) table feeds BOTH the model build and the
+    # scoring join; without the persist the gram explode + aggregate
+    # (and every upstream stage) ran 3-4× per action — Catalyst does
+    # not reuse the exchange across the differently-shaped consumers
+    # (same audit result as dedup.near_duplicate_pairs' signature
+    # table). Only the most recent call's table stays cached.
     doc_bucket = grams.groupBy(
         F.col(id_col),
         F.col("_is_t"),
         md5_bucket(F.col("g"), n_buckets).alias("b"),
-    ).agg(F.count(F.lit(1)).alias("dc"))
+    ).agg(F.count(F.lit(1)).alias("dc")).persist()
+    _last_dsir_bucket = doc_bucket
 
-    raw = doc_bucket.groupBy("b").agg(F.sum("dc").alias("cr"))
-    tgt = (
-        doc_bucket.filter(F.col("_is_t"))
-        .groupBy("b")
-        .agg(F.sum("dc").alias("ct"))
+    # Both bucket models in ONE pass (ct = target subset via a
+    # conditional sum — integer-identical to the former filtered
+    # aggregate + left join + coalesce), collected: ≤ n_buckets rows
+    # of integer counts — bounded driver state, and the grand totals
+    # derive from them exactly, saving the third pass the totals
+    # aggregate paid.
+    model_rows = (
+        doc_bucket.groupBy("b")
+        .agg(
+            F.sum("dc").alias("cr"),
+            F.sum(F.when(F.col("_is_t"), F.col("dc")).otherwise(0)).alias(
+                "ct"
+            ),
+        )
+        .collect()
     )
-    model = raw.join(tgt, "b", "left").select(
-        "b", F.coalesce(F.col("ct"), F.lit(0)).alias("ct"), "cr"
+    nr = sum(int(r["cr"]) for r in model_rows)
+    nt = sum(int(r["ct"]) for r in model_rows)
+    spark = df.sparkSession
+    model = spark.createDataFrame(
+        [(int(r["b"]), int(r["ct"]), int(r["cr"])) for r in model_rows],
+        "b long, ct long, cr long",
     )
-    totals = model.agg(
-        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
-    )
-    scored = doc_bucket.join(F.broadcast(model), "b").crossJoin(
-        F.broadcast(totals)
-    )
+    scored = doc_bucket.join(F.broadcast(model), "b")
     term = F.round(
         F.log2(
             (F.col("ct") + 1).cast("double")
-            * (F.col("nr") + n_buckets).cast("double")
+            * F.lit(nr + n_buckets).cast("double")
             / (
                 (F.col("cr") + 1).cast("double")
-                * (F.col("nt") + n_buckets).cast("double")
+                * F.lit(nt + n_buckets).cast("double")
             )
         ),
         6,

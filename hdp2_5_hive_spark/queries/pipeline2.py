@@ -512,18 +512,14 @@ def corpus_clean_v2(spark, t):
         .filter(F.col("is_contaminated"))
         .select("doc_id")
     )
-    g2 = cp.kgrams_from_words(F.col("_w2"), 2)
     words = F.split(F.lower(F.col("text")), r"\s+")
     kept = (
         corpus.join(dup_dropped, "doc_id", "left_anti")
         .join(contaminated, "doc_id", "left_anti")
-        .withColumn("_w2", dd.words_col(F.col("text")))
-        .withColumn("_n2", F.size(g2))
-        .withColumn("_nd2", F.size(F.array_distinct(g2)))
-        .filter(
-            (F.col("_n2") == 0)
-            | (1 - F.col("_nd2").cast("double") / F.col("_n2") <= 0.12)
-        )
+        # Bound-once gate (corpus.dup_kgram_ratio_gate): the pushed
+        # scan filter otherwise re-derives the interpreted 2-gram
+        # transform per alias reference (measured 4× per row here).
+        .filter(cp.dup_kgram_ratio_gate(F.col("text"), 2, 0.12))
         .select(
             "doc_id",
             "lang",
