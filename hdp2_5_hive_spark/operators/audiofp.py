@@ -90,6 +90,9 @@ def audio_fingerprints(
     )
 
 
+_last_audio_fp = None
+
+
 def audio_near_dups(
     media: DataFrame,
     *,
@@ -103,7 +106,18 @@ def audio_near_dups(
     splits boilerplate text shingles), keyed aggregate, id_a < id_b.
 
     Output: (id_a, id_b, n_shared)."""
-    fp = audio_fingerprints(media, frame_len=frame_len, gram=gram)
+    # Persist the fingerprint table: it feeds both join sides, and
+    # its lineage holds the WAV decode + FFT landmark pass (aliased
+    # subtrees are not reused — the near_duplicate_pairs audit).
+    # Last-call-only cache, like dedup's.
+    global _last_audio_fp
+    if _last_audio_fp is not None:
+        try:
+            _last_audio_fp.unpersist()
+        except Exception:
+            pass
+    fp = audio_fingerprints(media, frame_len=frame_len, gram=gram).persist()
+    _last_audio_fp = fp
     a = fp.select(F.col("media_id").alias("id_a"), "fp").distinct()
     b = fp.select(F.col("media_id").alias("id_b"), "fp").distinct()
     return (

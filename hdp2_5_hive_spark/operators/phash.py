@@ -39,6 +39,11 @@ from pyspark.sql.types import LongType, StringType, StructField, StructType
 from .dedup import hamming64
 from .multimodal import decode_ppm_pixels, decode_png_pixels
 
+# Last call's persisted fingerprint tables (dedup's last-cache
+# discipline): unpersisted on the next pair-search entry so repeated
+# invocations can't accumulate executor memory.
+_last_phash_tables: list = []
+
 PHASH_SCHEMA = StructType(
     [
         StructField("media_id", StringType()),
@@ -131,7 +136,16 @@ def phash_near_pairs(hashes: DataFrame, max_distance: int = 6) -> DataFrame:
     bands (for distance ≤ 3 at least one band is untouched —
     pigeonhole — so recall is exact there; ≤ 6 keeps high recall while
     every miss would need its 6 flipped bits spread 2-2-1-1+).
-    Output: (id_a, id_b, distance), id_a < id_b."""
+    Output: (id_a, id_b, distance), id_a < id_b.
+
+    The hash table feeds BOTH sides of the band self-join and Catalyst
+    does not reuse aliased subtrees (the near_duplicate_pairs audit),
+    so without the persist the decode + DCT pHash pass — the dominant
+    cost — ran twice per action. Last-call-only cache, like dedup's."""
+    global _last_phash_tables
+    _unpersist_last()
+    hashes = hashes.persist()
+    _last_phash_tables.append(hashes)
     bands = hashes.select(
         F.col("media_id"),
         F.col("phash"),
@@ -210,6 +224,16 @@ def video_keyframe_phashes(
     )
 
 
+def _unpersist_last() -> None:
+    global _last_phash_tables
+    for prev in _last_phash_tables:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _last_phash_tables = []
+
+
 def video_near_dups(
     media: DataFrame,
     *,
@@ -228,7 +252,12 @@ def video_near_dups(
     band rows — corpus-linear.
 
     Output: (id_a, id_b, n_matched), id_a < id_b."""
-    ph = video_keyframe_phashes(media, n_frames)
+    # Persist the per-keyframe hash table: it feeds both join sides,
+    # and its lineage holds the AVI walk + JPEG decode + DCT pass.
+    global _last_phash_tables
+    _unpersist_last()
+    ph = video_keyframe_phashes(media, n_frames).persist()
+    _last_phash_tables.append(ph)
     bands = ph.select(
         "media_id",
         "frame_idx",
