@@ -405,6 +405,8 @@ def k_core(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 60,
+    *,
+    _in_task: bool | None = None,
 ) -> DataFrame:
     """The k-core: the maximal subgraph where every node keeps
     degree ≥ k — computed by the standard iterative peel (remove ALL
@@ -436,6 +438,48 @@ def k_core(
         .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint(eager=True)
     )
+    if cur.count() <= 262_144 and _in_task is not False:
+        # The directed edge list is task-sized ⇒ run the whole peel
+        # in ONE task (the union-find/trainer in-task discipline):
+        # degrees are exact integers and removal is a set operation,
+        # so the surviving core and its degrees are identical to the
+        # distributed loop's fixpoint. At scale the count exceeds the
+        # bound and the loop below runs unchanged.
+        from pyspark.sql import types as T
+
+        node_t = cur.schema["src"].dataType
+        schema = T.StructType(
+            [
+                T.StructField("node", node_t),
+                T.StructField("core_deg", T.LongType()),
+            ]
+        )
+
+        def kernel(batches):
+            import pandas as pd
+
+            adj: dict = {}
+            for pdf in batches:
+                for s, d in zip(pdf["src"], pdf["dst"]):
+                    adj.setdefault(s, set()).add(d)
+            while True:
+                bad = [n for n, nb in adj.items() if len(nb) < k]
+                if not bad:
+                    break
+                for n in bad:
+                    del adj[n]
+                bad_set = set(bad)
+                for nb in adj.values():
+                    nb -= bad_set
+            nodes = sorted(adj)
+            yield pd.DataFrame(
+                {
+                    "node": nodes,
+                    "core_deg": [len(adj[n]) for n in nodes],
+                }
+            )
+
+        return cur.coalesce(1).mapInPandas(kernel, schema)
     for _ in range(max_iter):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         bad = deg.filter(F.col("deg") < k).select("src").persist()

@@ -99,6 +99,21 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # Odd multipliers/offsets for the permutation family h_i = a_i*h + b_i
 # (mod 2^64, Java long wrap). Derived from splitmix64-style constants;
 # fixed seeds → reproducible on any cluster.
+# Last call's persisted prefix-join tables (same discipline as
+# _last_shingles below): unpersisted on the next entry.
+_last_prefix_tables: list = []
+
+
+def _unpersist_prefix_tables() -> None:
+    global _last_prefix_tables
+    for prev in _last_prefix_tables:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _last_prefix_tables = []
+
+
 _PERM_A = 0x9E3779B97F4A7C15
 _PERM_B = 0xBF58476D1CE4E5B9
 
@@ -259,10 +274,16 @@ def jaccard_prefix_pairs(
     nothing is quadratic except provably-candidate pairs."""
     from .util import ensure_parallelism
 
+    # The shingle table feeds the prefix build, BOTH candidate-join
+    # sides and BOTH verify sides; aliased subtrees are not reused, so
+    # without the persist the shingling pass ran ~5x per action
+    # (the near_duplicate_pairs cache discipline, last call only).
+    _unpersist_prefix_tables()
     sets = ensure_parallelism(df).select(
         F.col(id_col).alias("_id"),
         shingles_col(F.col(text_col), shingle_k).alias("_s"),
-    ).filter(F.size("_s") > 0)
+    ).filter(F.size("_s") > 0).persist()
+    _last_prefix_tables.append(sets)
     toks = sets.select("_id", F.size("_s").alias("_n"), F.explode("_s").alias("_t"))
     freq = toks.groupBy("_t").agg(F.count("*").alias("_df"))
     # Rarity order (ties broken by token text) → prefix length
@@ -751,6 +772,9 @@ def containment_pairs(
     not probabilistic."""
     from .util import ensure_parallelism
 
+    # Same fan-out as jaccard_prefix_pairs (prefix + inverted index +
+    # both verify sides) — persist the shingle table, last call only.
+    _unpersist_prefix_tables()
     sets = (
         ensure_parallelism(df)
         .select(
@@ -758,7 +782,9 @@ def containment_pairs(
             shingles_col(F.col(text_col), shingle_k).alias("_s"),
         )
         .filter(F.size("_s") > 0)
+        .persist()
     )
+    _last_prefix_tables.append(sets)
     toks = sets.select(
         "_id", F.size("_s").alias("_n"), F.explode("_s").alias("_t")
     )
