@@ -51,8 +51,8 @@ def dup_kgram_ratio_gate(text: Column, k: int, max_ratio: float) -> Column:
     Why the binding matters: phrasing this as withColumn(_g2)/filter
     lets predicate pushdown substitute the alias into the pushed
     filter, duplicating the interpreted higher-order gram transform
-    per reference (no codegen CSE for lambda expressions — measured
-    4× gram computes per row in corpus_clean_v2's scan filter).
+    per reference (no codegen CSE for lambda expressions — 3 gram
+    computes per row in corpus_clean_v2's pushed scan filter).
     Bound lambda variables survive any pushdown verbatim."""
 
     def decide(g: Column) -> Column:

@@ -518,7 +518,7 @@ def corpus_clean_v2(spark, t):
         .join(contaminated, "doc_id", "left_anti")
         # Bound-once gate (corpus.dup_kgram_ratio_gate): the pushed
         # scan filter otherwise re-derives the interpreted 2-gram
-        # transform per alias reference (measured 4× per row here).
+        # transform per alias reference (3 copies per row here).
         .filter(cp.dup_kgram_ratio_gate(F.col("text"), 2, 0.12))
         .select(
             "doc_id",
