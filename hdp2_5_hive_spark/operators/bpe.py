@@ -200,8 +200,12 @@ def train_bpe(
     if n_words <= 65536 and _in_task is not False:
         # One partition after the coalesce ⇒ run every merge round in
         # the task (see _bpe_loop_kernel: bit-identical merge table).
+        # The explicit coalesce(1) is a no-op on the already-1-
+        # partition frame but makes the single-task invariant LOCAL
+        # instead of relying on the 65536 guard matching
+        # right_size_loop_frame's rows_per_partition (ADVICE r13).
         try:
-            rows = words.mapInPandas(
+            rows = words.coalesce(1).mapInPandas(
                 _bpe_loop_kernel(n_merges, min_pair_count),
                 "rank int, left string, right string, cnt long",
             ).collect()

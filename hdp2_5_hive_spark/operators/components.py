@@ -101,7 +101,11 @@ def connected_components(
 
     ``_in_task``: None (default) auto-selects the single-task
     union-find when the edge list fits one right-sized partition;
-    False forces the distributed loop (tests pin its round guard)."""
+    False forces the distributed loop (tests pin its round guard).
+    Note: the in-task fast path computes the full closure directly,
+    so ``max_iter`` (and its ConvergenceError) only applies on the
+    distributed path — task-sized adversarial graphs succeed instead
+    of failing loudly (ADVICE r13)."""
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     # Materialize the edge list BEFORE counting it: counting the raw
@@ -425,7 +429,10 @@ def k_core(
     partial core.
 
     Returns (node, core_deg): the k-core members with their degree
-    INSIDE the core (≥ k by definition).
+    INSIDE the core (≥ k by definition). Like connected_components,
+    the in-task fast path computes the full peel directly, so
+    ``max_iter``/ConvergenceError only applies on the distributed
+    path (ADVICE r13).
     """
     a, b = F.col(a_col), F.col(b_col)
     und = (

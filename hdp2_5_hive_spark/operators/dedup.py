@@ -101,6 +101,12 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # fixed seeds → reproducible on any cluster.
 # Last call's persisted prefix-join tables (same discipline as
 # _last_shingles below): unpersisted on the next entry.
+# CONTRACT (all _last_* caches in this module): single-threaded
+# last-call-wins. The next entry unpersists the previous call's
+# table even if the previous call's returned lazy DataFrame has not
+# executed yet — interleaved/concurrent use silently recomputes the
+# lineage (correctness unaffected; perf only), and the globals are
+# not thread-safe.
 _last_prefix_tables: list = []
 
 

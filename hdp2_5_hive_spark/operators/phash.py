@@ -141,10 +141,15 @@ def phash_near_pairs(hashes: DataFrame, max_distance: int = 6) -> DataFrame:
     The hash table feeds BOTH sides of the band self-join and Catalyst
     does not reuse aliased subtrees (the near_duplicate_pairs audit),
     so without the persist the decode + DCT pHash pass — the dominant
-    cost — ran twice per action. Last-call-only cache, like dedup's."""
+    cost — ran twice per action. Last-call-only cache, like dedup's
+    (single-threaded last-call-wins contract: the NEXT call to any
+    phash pair op unpersists this table; interleaved use recomputes
+    but stays correct). A DERIVED frame is persisted — never the
+    caller's object, whose own persist/unpersist must stay untouched
+    (ADVICE r13)."""
     global _last_phash_tables
     _unpersist_last()
-    hashes = hashes.persist()
+    hashes = hashes.select("*").persist()
     _last_phash_tables.append(hashes)
     bands = hashes.select(
         F.col("media_id"),

@@ -277,7 +277,16 @@ def train_topics(
         F.broadcast(spark.createDataFrame([(w,) for w in vocab], "word string")),
         "word",
     ).persist()
-    n_dw = base.count()
+    # One aggregate returns size AND null-id presence (same single
+    # job a bare count() was): the in-task kernel must not see null
+    # doc_ids — Arrow coerces a null in a LongType column to float64
+    # (str(5.0) mis-hashes vs the SQL cast) and sorted() raises on
+    # mixed None/str keys (ADVICE r13). Null ids take the
+    # distributed path, which tolerates them.
+    _sizes = base.agg(
+        F.count(F.lit(1)).alias("n"), F.count("doc_id").alias("nn")
+    ).collect()[0]
+    n_dw, _n_nonnull_ids = int(_sizes["n"]), int(_sizes["nn"])
     # Right-size the frames every EM round re-scans (guide §2):
     # cached plans keep the static shuffle layout, so a small corpus
     # would otherwise run each round's M-step join + E-step aggregate
@@ -289,7 +298,7 @@ def train_topics(
     dw = right_size_loop_frame(base, n_dw).localCheckpoint(eager=True)
     base.unpersist()
 
-    if n_dw <= 262_144 and _in_task is not False:
+    if n_dw <= 262_144 and n_dw == _n_nonnull_ids and _in_task is not False:
         # The doc-word table is task-sized ⇒ run every EM round in ONE
         # task (see _train_local_topics: decimal-exact, bit-identical)
         # instead of ~4 scheduled jobs per round. Driver state stays

@@ -324,7 +324,9 @@ def train_unigram_lm(
             )
 
         try:
-            rows = words.mapInPandas(
+            # Explicit coalesce(1): no-op on a 1-partition frame,
+            # makes the single-task invariant local (ADVICE r13).
+            rows = words.coalesce(1).mapInPandas(
                 kernel, "rank int, piece string, cnt long, logp double"
             ).collect()
             return [

@@ -253,8 +253,10 @@ def train_wordpiece(
     if n_words <= 65536 and _in_task is not False:
         # One partition after the coalesce ⇒ run every merge round in
         # the task (see _wp_loop_kernel: bit-identical merge table).
+        # Explicit coalesce(1): no-op on a 1-partition frame, makes
+        # the single-task invariant local (ADVICE r13).
         try:
-            rows = words.mapInPandas(
+            rows = words.coalesce(1).mapInPandas(
                 _wp_loop_kernel(n_merges, min_pair_count),
                 "rank int, left string, right string, cnt long, score double",
             ).collect()

@@ -224,6 +224,79 @@ _MODULES = (
 # list IS the round's correctness window — update it per the rotation
 # ledger above each round.
 SAMPLE_FRONT: tuple[str, ...] = (
+    # ---- round-14 window: ROTATED (starting-gun clause (b); the
+    # r13 ledger predicted exactly this window).
+    # Round-13 result: 50/50 hash-green (the 38 r4-era stalest rows
+    # + 12 oldest r5 rows re-proved). Cumulative ledger 419/419
+    # sampled, 409 hash-green, 10 rows-only by design, 0 red.
+    # This window continues the evidence-freshness ratchet: nothing
+    # in the registry needs sampling, so the 50 slots RE-PROVE the
+    # stalest cumulative evidence, oldest first — ALL 35 remaining
+    # queries whose latest driver row is r5-era (fn_* scalar suites,
+    # hiveql_*, sampling, window/text-feature names), then the 15
+    # alphabetically-first r6-era rows (agg_bitmap_index,
+    # ann_lsh_recall, corpus_clean_v3 + corpus ops, ddl ×4,
+    # decontaminate_fuzzy_minhash, dedup_cluster_keep_best,
+    # dedup_incremental ×2) to fill 50. Zero repeats of the r13
+    # window; every name has a registry oracle. After this window
+    # the max cumulative evidence age advances from r5 to r6.
+    # Done criterion: CORRECTNESS_r14 = 50 stalest re-proves
+    # hash-green; max cumulative evidence age r5 -> r6.
+    "fn_char_varchar",
+    "fn_crypto_roundtrip",
+    "fn_date_tail",
+    "fn_datetime_parts",
+    "fn_decimal_division",
+    "fn_format_number",
+    "fn_hash_extra",
+    "fn_in_file",
+    "fn_initcap_elt_field",
+    "fn_interval_arith",
+    "fn_java_hashcode",
+    "fn_mask_suite",
+    "fn_misc_math",
+    "fn_next_day_tz_suite",
+    "fn_reflect_suite",
+    "fn_string_suite2",
+    "fn_uniontype_encoding",
+    "hiveql_cluster_by",
+    "hiveql_distribute_sort",
+    "hiveql_grouping_sets",
+    "hiveql_lateral_view",
+    "hiveql_mapjoin_hint",
+    "hiveql_multi_insert",
+    "hiveql_semi_join",
+    "hiveql_transform",
+    "hiveql_window_topk",
+    "quality_unigram_bits",
+    "sample_percent",
+    "sample_rows",
+    "sample_stratified",
+    "text_hash_features",
+    "virtual_input_file_name",
+    "virtual_row_offset",
+    "win_agg_over",
+    "win_topk_per_group",
+    # ---- the 15 alphabetically-first r6-era rows fill the window.
+    "agg_bitmap_index",
+    "ann_lsh_recall",
+    "corpus_clean_v3",
+    "corpus_mix_temperature",
+    "corpus_shuffle_seeded",
+    "corpus_span_dedup",
+    "corpus_span_mask",
+    "ddl_drop_partition",
+    "ddl_export_import",
+    "ddl_insert_overwrite_partition",
+    "ddl_show_functions",
+    "decontaminate_fuzzy_minhash",
+    "dedup_cluster_keep_best",
+    "dedup_incremental_batch",
+    "dedup_incremental_unordered_ids",
+)
+
+# ---- round-13 window (retired; kept for the rotation ledger).
+_ROUND13_WINDOW: tuple[str, ...] = (
     # ---- round-13 window: ROTATED (verdict r12 next-round #1).
     # Round-12 result: 50/50 hash-green (the full r3-era bucket +
     # 10 oldest r4 rows re-proved). Cumulative ledger 419/419
