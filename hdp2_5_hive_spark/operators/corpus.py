@@ -150,6 +150,9 @@ def decontaminate(
 # filter, ~5 bits/element headroom for a million-gram eval suite.
 BLOOM_M_BITS = 1 << 20
 BLOOM_K = 5
+# Last call's persisted gram-hash tables (dedup._last_* discipline:
+# single-threaded last-call-wins; next entry unpersists).
+_last_bloom_tables: list = []
 # Odd 64-bit multipliers (golden-ratio family); odd ⇒ bijective
 # mod 2^64, so the k probes stay decorrelated.
 _BLOOM_MULTS = (
@@ -250,19 +253,35 @@ def decontaminate_bloom(
     positives never reach the output and results are IDENTICAL to
     exact ``decontaminate`` (the oracle is shared; the FP-rate
     property is pinned in tests/test_corpus.py). The confirm join's
-    input is tiny post-filter, which is the whole point at 100 TB."""
+    input is tiny post-filter, which is the whole point at 100 TB.
+
+    Both hash tables are persisted for the run (last-call-only, the
+    dedup._last_* discipline — single-threaded last-call-wins): the
+    corpus grams feed the per-doc totals AND the probe/confirm path,
+    and the eval hashes feed the filter build (an action) AND the
+    confirm semi join — without the persists each explode+xxhash64
+    pass ran twice per query at any scale."""
     from .util import ensure_parallelism
 
+    global _last_bloom_tables
+    for prev in _last_bloom_tables:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass
+    _last_bloom_tables = []
     grams = ensure_parallelism(corpus).select(
         F.col(id_col),
         F.explode(shingles_col(F.col(text_col), k)).alias("gram"),
-    ).select(id_col, F.xxhash64("gram").alias("gh"))
+    ).select(id_col, F.xxhash64("gram").alias("gh")).persist()
     eval_hashes = (
         ensure_parallelism(eval_df)
         .select(F.explode(shingles_col(F.col(text_col), k)).alias("gram"))
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
+        .persist()
     )
+    _last_bloom_tables = [grams, eval_hashes]
     bloom = bloom_build(eval_hashes, m_bits=m_bits)
     candidates = grams.filter(bloom_contains_col(bloom, m_bits)(F.col("gh")))
     confirmed = candidates.join(eval_hashes, "gh", "left_semi")

@@ -442,6 +442,11 @@ def semantic_dedup_pairs(
     assign = kmeans_assign(df, cent, id_col=id_col, vec_col=vec_col).select(
         F.col("vec_id").alias("_id"), "cluster"
     )
+    # NOT persisted (r14 A/B on the sf0.1 embeddings table:
+    # with/without persist 7.8s vs 7.7s x3 runs): the cost here is
+    # kmeans_train's bounded actions plus the within-cluster
+    # sequential-fold cosine — the assignment rescan is noise, so a
+    # persist would occupy executor memory without paying for itself.
     vecs = df.select(
         F.col(id_col).cast("string").alias("_id"),
         F.col(vec_col).alias("_vec"),

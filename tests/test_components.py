@@ -197,6 +197,22 @@ class TestPageRank:
         for k in a:
             assert abs(a[k] - b[k]) < 1e-9
 
+    def test_in_task_matches_distributed_loop(self, spark):
+        """The single-task kernel and the distributed loop must agree
+        within the operator's documented reproducibility band (the
+        two differ only in per-node float64 summation order)."""
+        from hdp2_5_hive_spark.operators.pagerank import pagerank
+
+        df = spark.createDataFrame(self.EDGES, "src long, dst long")
+        fast = {r.node: r.rank for r in pagerank(df, n_iter=15).collect()}
+        slow = {
+            r.node: r.rank
+            for r in pagerank(df, n_iter=15, _in_task=False).collect()
+        }
+        assert set(fast) == set(slow)
+        for k in fast:
+            assert abs(fast[k] - slow[k]) < 1e-12, (k, fast[k], slow[k])
+
 
 def test_components_star_restores_session_shuffle_partitions(spark):
     """Regression: the operator temporarily drops
