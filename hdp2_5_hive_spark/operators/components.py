@@ -106,8 +106,25 @@ def connected_components(
     so ``max_iter`` (and its ConvergenceError) only applies on the
     distributed path — task-sized adversarial graphs succeed instead
     of failing loudly (ADVICE r13)."""
+    # Symmetrize via ONE explode instead of union(e, e.reversed):
+    # the union referenced the (expensive) upstream pair-generation
+    # plan twice and aliased subtrees are not reused, so the LSH
+    # bucket join + verify still executed twice inside the checkpoint
+    # action (r14; the r13 checkpoint-before-count fix removed the
+    # count's extra execution, not the union's).
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("_e")
+        )
+        .select("_e.a", "_e.b")
+        .distinct()
+    )
     # Materialize the edge list BEFORE counting it: counting the raw
     # plan executed the (expensive) upstream pair generation once for
     # the count and a second time for the checkpoint (measured: the
@@ -440,9 +457,23 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # One explode instead of unionAll(und, und.reversed): the union
+    # referenced the upstream pair-generation plan twice per action
+    # (aliased subtrees are not reused) — same multiset, one pass.
     cur = (
-        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionAll(und.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("src"), F.col("b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("b").alias("src"), F.col("a").alias("dst")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.src", "_e.dst")
         .localCheckpoint(eager=True)
     )
     if cur.count() <= 262_144 and _in_task is not False:

@@ -750,6 +750,26 @@ def _planted_vectors(n_pairs: int = 100, dim: int = 64):
     return rows
 
 
+def _planted_df(spark, n_pairs: int = 100, dim: int = 64):
+    """The planted corpus as a DataFrame via the pandas/Arrow path.
+
+    A list-based ``createDataFrame`` becomes a pickled-row Python
+    scan: EVERY action on the frame (counts, trainer collects, the
+    final write) spawns 32 Python workers just to re-deserialize the
+    same 200 rows — measured 1-2s per action cold (guide §4: the
+    Python boundary is the cost, cross it with Arrow). The Arrow
+    path materializes the rows JVM-side once; values are identical
+    (float64 passes through bit-exactly, asserted in
+    tests/test_pipeline.py::test_planted_df_matches_list_path)."""
+    import pandas as pd
+
+    rows = _planted_vectors(n_pairs=n_pairs, dim=dim)
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"]),
+        "vec_id string, embedding array<double>",
+    )
+
+
 @register(
     "ann_lsh_recall",
     oracle="""
@@ -770,10 +790,7 @@ def ann_lsh_recall(spark, t):
     tests/test_pipeline.py."""
     from ..operators import similarity as sim
 
-    rows = _planted_vectors()
-    df = spark.createDataFrame(
-        rows, "vec_id string, embedding array<double>"
-    )
+    df = _planted_df(spark)
     topk = sim.lsh_bucket_topk(
         df, dim=64, n_planes=6, k=5, n_tables=8
     ).select("query_id", "neighbor_id")
@@ -811,9 +828,7 @@ def ann_ivf_recall(spark, t):
     checks the derived pass/fail fact."""
     from ..operators import similarity as sim
 
-    df = spark.createDataFrame(
-        _planted_vectors(), "vec_id string, embedding array<double>"
-    )
+    df = _planted_df(spark)
     topk = sim.ivf_topk(df, n_cells=8, n_probe=3, k=5).select(
         "query_id", "neighbor_id"
     )
@@ -1072,9 +1087,7 @@ def dedup_semantic_clusters(spark, t):
     separately (tests/test_embeddings_pca.py)."""
     from ..operators import similarity as sim
 
-    df = spark.createDataFrame(
-        _planted_vectors(n_pairs=60), "vec_id string, embedding array<double>"
-    )
+    df = _planted_df(spark, n_pairs=60)
     pairs = sim.semantic_dedup_pairs(df, k=6, threshold=0.9)
     ea = df.select(
         F.col("vec_id").alias("id_a"), F.posexplode("embedding").alias("i", "xa")
@@ -1709,10 +1722,7 @@ def ann_pq_recall(spark, t):
     search runs on the 4-byte codes."""
     from ..operators import quantize as qz
 
-    rows = _planted_vectors()
-    df = spark.createDataFrame(
-        rows, "vec_id string, embedding array<double>"
-    )
+    df = _planted_df(spark)
     books = qz.pq_train(df, "vec_id", "embedding", m=4, k=16, n_iter=6)
     codes = qz.pq_encode(df, books, "vec_id", "embedding")
     topk = qz.pq_topk(
@@ -2257,9 +2267,7 @@ def ann_ivfpq_recall(spark, t):
     advantage vanishes, also measured there)."""
     from ..operators import quantize as qz
 
-    df = spark.createDataFrame(
-        _planted_vectors(), "vec_id string, embedding array<double>"
-    )
+    df = _planted_df(spark)
     topk = qz.ivfpq_topk(
         df, df, "vec_id", "embedding",
         n_cells=8, n_probe=3, m=4, k=16, k_top=5,

@@ -1582,13 +1582,10 @@ def ann_pq_rerank_recall(spark, t):
     ann_pq_recall)."""
     from ..operators import quantize as qz
     from ..operators.similarity import cosine_col
-    from .pipeline4 import _planted_vectors
+    from .pipeline4 import _planted_df
     from pyspark.sql import Window as W
 
-    rows = _planted_vectors()
-    df = spark.createDataFrame(
-        rows, "vec_id string, embedding array<double>"
-    )
+    df = _planted_df(spark)
     books = qz.pq_train(df, "vec_id", "embedding", m=4, k=16, n_iter=6)
     codes = qz.pq_encode(df, books, "vec_id", "embedding")
     # ONE ADC pass serves both stages (localCheckpoint: the two

@@ -735,3 +735,24 @@ def test_rm3_expansion_changes_ranking(spark):
     }
     assert 11 in second  # expansion term 'automobile' recalled it
     assert second[10] > second[11] > 0
+
+
+def test_planted_df_matches_list_path(spark):
+    """_planted_df (Arrow/pandas construction — no pickled-row Python
+    scan per action) must produce bit-identical rows to the original
+    list-based createDataFrame."""
+    from hdp2_5_hive_spark.queries.pipeline4 import (
+        _planted_df,
+        _planted_vectors,
+    )
+
+    via_arrow = _planted_df(spark, n_pairs=20).orderBy("vec_id").collect()
+    via_list = (
+        spark.createDataFrame(
+            _planted_vectors(n_pairs=20),
+            "vec_id string, embedding array<double>",
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert via_arrow == via_list  # exact, including float64 bits
