@@ -60,6 +60,11 @@ def bm25_scores(
 
     Returns (query_id, doc_id, score) with score rounded to 4 dp.
     """
+    # Lazy persist, NOT the eager localCheckpoint rm3 uses: re-
+    # measured in r14 — with only three tf consumers here the eager
+    # materialization cost exceeds the replay savings (cold build
+    # 3.5s -> 11.1s, warm 2.8s -> 3.4s on retrieval_bm25), the
+    # opposite outcome from rm3's ~11 consumers.
     global _last_tf
     if _last_tf is not None:
         _last_tf.unpersist()
@@ -142,13 +147,20 @@ def rm3_expand_rescore(
     everything that moves is query-sized."""
     from pyspark.sql import Window
 
-    # the tf table feeds both scoring passes and the feedback mining,
-    # but measured A/B at sf0.1 says DON'T persist it here: Catalyst's
-    # ReuseExchange already dedups the identical scan+agg subtrees and
-    # materializing the corpus-sized tf costs ~2x the replays (15.2s
-    # vs 7.5s warm) — the opposite call from kneser_ney_bits' tiny
-    # vocab-squared model table, where persist halves the runtime
-    tf = term_frequencies(corpus, id_col, text_col)
+    # The tf table feeds ~11 subtree copies across the two scoring
+    # passes + feedback mining (the static plan inlined 148 corpus
+    # scans, 0 ReusedExchange). r13's A/B rejected .persist() (2x
+    # worse — lazy cache + broadcast subqueries); r14 re-measured
+    # with an EAGER localCheckpoint, which physically materializes
+    # the narrow (id, term, tf, dl) table once and truncates every
+    # copy's lineage to a block read: warm 10.5s -> 8.5s, cold 18.8s
+    # -> 11.0s on a 50-query probe at sf0.1. At warehouse scale this
+    # trades one materialization of the term table against ~11 full
+    # corpus re-reads. Blocks are freed by the ContextCleaner once
+    # the frame is unreachable (no module-global reference is kept).
+    tf = term_frequencies(corpus, id_col, text_col).localCheckpoint(
+        eager=True
+    )
     stats = corpus.select(F.count("*").alias("n_docs")).crossJoin(
         tf.select(id_col, "dl")
         .distinct()
