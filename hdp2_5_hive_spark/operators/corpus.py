@@ -153,6 +153,8 @@ BLOOM_K = 5
 # Last call's persisted gram-hash tables (dedup._last_* discipline:
 # single-threaded last-call-wins; next entry unpersists).
 _last_bloom_tables: list = []
+# span_mask's last persisted (id, pos, h) gram table (same contract).
+_last_span_grams = None
 # Odd 64-bit multipliers (golden-ratio family); odd ⇒ bijective
 # mod 2^64, so the k probes stay decorrelated.
 _BLOOM_MULTS = (
@@ -1015,12 +1017,24 @@ def span_mask(
     rebuild is one doc-keyed aggregate with an in-place
     ``array_sort`` — order restored per doc without a sort shuffle.
     """
+    global _last_span_grams
     w = words_col(F.col(text_col))
     toks0 = df.select(F.col(id_col).alias("_id"), w.alias("_w"))
+    # Persist the narrow (id, pos, h) gram table: it feeds the dup-set
+    # aggregate AND the cover join, so without the persist the k-gram
+    # posexplode + hash ran twice per action (last-call-only cache;
+    # r14 A/B at sf0.1: 2.4s -> 2.1s warm, and one corpus-wide gram
+    # explode saved per action at any scale).
+    if _last_span_grams is not None:
+        try:
+            _last_span_grams.unpersist()
+        except Exception:
+            pass
     grams = toks0.select(
         "_id",
         F.posexplode(kgrams_from_words(F.col("_w"), k)).alias("pos", "gram"),
-    ).select("_id", "pos", F.xxhash64("gram").alias("h"))
+    ).select("_id", "pos", F.xxhash64("gram").alias("h")).persist()
+    _last_span_grams = grams
     dup_h = (
         grams.groupBy("h")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -200,10 +200,22 @@ def lsh_candidate_pairs(
     effectively exhaustive recall above any dedup threshold, while
     only same-bucket pairs are ever enumerated.
     """
+    global _last_band_table
     with_sig = _signatures_from_shingles(
         _shingle_table(df, id_col, text_col, shingle_k), num_hashes
     )
-    bands = _banded_buckets(with_sig, num_hashes, rows_per_band)
+    # The banded bucket table feeds BOTH self-join sides and aliased
+    # subtrees are not reused (the near_duplicate_pairs audit), so
+    # without the persist the whole shingle+signature pipeline — the
+    # dominant cost — ran twice per action. Narrow (id, band, bucket)
+    # rows; last-call-only cache (single-threaded last-call-wins).
+    if _last_band_table is not None:
+        try:
+            _last_band_table.unpersist()
+        except Exception:
+            pass
+    bands = _banded_buckets(with_sig, num_hashes, rows_per_band).persist()
+    _last_band_table = bands
     left = bands.select(
         F.col("_id").alias("id_a"), "band", "bucket"
     )
@@ -252,6 +264,8 @@ _last_signatures: DataFrame | None = None
 # batch tables (separate caches: one query legitimately holds both).
 _last_index_tables: list = []
 _last_against_tables: list = []
+# lsh_candidate_pairs' banded bucket table (same contract).
+_last_band_table: DataFrame | None = None
 
 
 def jaccard_prefix_pairs(

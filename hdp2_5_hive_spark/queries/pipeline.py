@@ -187,7 +187,10 @@ def dedup_simhash(spark, t):
     Spark xxhash64 twin), same 64-lane minhash permutation family,
     band-value candidate join, UBIGINT xor/bit_count Hamming."""
     d = t.documents
-    fp = dd.simhash_fingerprints(d, "doc_id", "text")
+    # The fingerprint table feeds both verify sides; without the
+    # persist the per-doc 64-bit fold ran twice per action (the
+    # bench's clearCache between queries bounds the entry).
+    fp = dd.simhash_fingerprints(d, "doc_id", "text").persist()
     cands = dd.lsh_candidate_pairs(d, "doc_id", "text")
     a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
