@@ -176,9 +176,17 @@ def _signatures_from_shingles(sh: DataFrame, num_hashes: int) -> DataFrame:
     hashed = sh.select(
         "_id", F.explode("_sh").alias("_s")
     ).select("_id", F.xxhash64(F.col("_s")).alias("_h"))
+    # SQL-string aggregates instead of Column-object composition: the
+    # 64-lane build was ~320 py4j round trips re-paid per SESSION by
+    # every family consumer (measured 1.0-1.5s per construction;
+    # expr strings parse JVM-side in ~0.15s). Identical integer
+    # arithmetic — `{a}L` renders the same signed two's-complement
+    # long literal F.lit(a) produced — pinned value-equal in
+    # tests/test_plan_audit.py's signature pins and the oracle
+    # replays.
     consts = _perm_consts(num_hashes)
     aggs = [
-        F.min(F.col("_h") * F.lit(a) + F.lit(b)).alias(f"_mh{i}")
+        F.expr(f"min(_h * {a}L + {b}L) AS _mh{i}")
         for i, (a, b) in enumerate(consts)
     ]
     return hashed.groupBy("_id").agg(*aggs)
@@ -232,28 +240,25 @@ def _banded_buckets(
     sig: DataFrame, num_hashes: int, rows_per_band: int
 ) -> DataFrame:
     """(_id, band, bucket) — one bucket id per (doc, band), bucket =
-    xxhash64 over the band's signature rows."""
+    xxhash64 over the band's signature rows. Built as ONE stack()
+    expression string instead of a 32-struct array + explode: same
+    values (integer literals hash as INT exactly like F.lit did;
+    value-parity asserted against the Column-object form before the
+    swap), ~10x cheaper per-session plan construction (guide §1:
+    this family's isolated cost is plan build, not executor work)."""
     n_bands = num_hashes // rows_per_band
-    return sig.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col(f"_mh{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("_id", "bb.band", "bb.bucket")
+    stack = ", ".join(
+        "{b}, xxhash64({b}, {mhs})".format(
+            b=b,
+            mhs=", ".join(
+                f"_mh{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return sig.selectExpr(
+        "_id", f"stack({n_bands}, {stack}) AS (band, bucket)"
+    )
 
 
 # Most recent persisted shingle + signature tables (bounded cache —
