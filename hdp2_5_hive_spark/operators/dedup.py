@@ -335,12 +335,35 @@ def jaccard_prefix_pairs(
             - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
             + 1
         )
-        .select("_id", "_t")
+        .select("_id", "_t", "_n", "_rank")
     )
+    # Positional filter (PPJoin, Xiao et al. WWW'08): a joined row at
+    # token t with ranks (i, j) bounds the overlap by
+    # 1 + min(|A|−i, |B|−j) — every other common token ranks after t
+    # on the side where t is their FIRST common token. J ≥ θ needs
+    # overlap ≥ θ·(|A|+|B|)/(1+θ); a true pair's first-common-token
+    # row always satisfies the bound (ranks there are minimal on both
+    # sides), so filtering every row and THEN taking distinct pairs
+    # is complete — proven pair-set-identical to the unfiltered join
+    # on sf0.01 and sf0.1 before landing. The 1e-9 backoff errs only
+    # toward keeping a candidate (same discipline as the prefix
+    # bound above).
+    _alpha = threshold / (1.0 + threshold)
     cand = (
         prefix.alias("p1")
         .join(prefix.alias("p2"), "_t")
-        .filter(F.col("p1._id") < F.col("p2._id"))
+        .filter(
+            (F.col("p1._id") < F.col("p2._id"))
+            & (
+                1
+                + F.least(
+                    F.col("p1._n") - F.col("p1._rank"),
+                    F.col("p2._n") - F.col("p2._rank"),
+                )
+                >= F.lit(_alpha) * (F.col("p1._n") + F.col("p2._n"))
+                - F.lit(1e-9)
+            )
+        )
         .select(
             F.col("p1._id").alias("_ida"), F.col("p2._id").alias("_idb")
         )
